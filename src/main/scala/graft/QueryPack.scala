@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** A named bundle of driver-verifiable queries.
+  *
+  * Contract (see SparkEntry): `queries` maps name -> (session, sfDir) ->
+  * DataFrame; `oracles` maps the SAME name -> DuckDB SQL over the same
+  * parquet tables. Conventions that make the driver's hash compare
+  * deterministic:
+  *
+  *  - every query ends in a total ORDER BY (ties broken by a unique key),
+  *    mirrored in the oracle SQL;
+  *  - aggregate/computed columns aliased identically on both sides;
+  *  - money sums go through DECIMAL(12,2) (exact, order-insensitive) and
+  *    are cast back to DOUBLE at the end — bit-identical across engines
+  *    regardless of partial-aggregation merge order;
+  *  - integer-ish results cast to LONG (DuckDB returns BIGINT).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+
+  /** Exact money arithmetic: DECIMAL(12,2) sums are order-insensitive so
+    * the result does not depend on Spark's nondeterministic partial-agg
+    * merge order (doubles would drift by ~1e-9 run to run). */
+  protected def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Final cast for decimal aggregates: exact decimal -> nearest double is
+    * deterministic and identical in Spark and DuckDB. */
+  protected def asDouble(c: Column): Column = c.cast(DoubleType)
+
+  protected def asLong(c: Column): Column = c.cast(LongType)
+}

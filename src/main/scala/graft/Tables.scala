@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` scans: Catalyst pushes filters and prunes
+  * columns into the parquet reader, so callers should express projection /
+  * predicates declaratively and never pre-materialize.
+  */
+object Tables {
+  import org.apache.spark.sql.functions.{expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** The driver testdata stores timestamps as Parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects outright. We read them as
+    * nanosecond longs (legacy.parquet.nanosAsLong) and rebuild proper
+    * TimestampType columns (µs). Source values are µs-resolution, so the
+    * nanos->micros truncation is lossless and DuckDB-comparable. */
+  private val nanosTimestampCols: Map[String, Seq[String]] = Map(
+    "events"   -> Seq("ts"),
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session-level (not static) conf: safe to set lazily so the driver's
+    // own SparkSession works too, whatever configs it was built with.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    nanosTimestampCols.getOrElse(name, Nil)
+      .filter(c => raw.schema.fieldNames.contains(c) && raw.schema(c).dataType == LongType)
+      .foldLeft(raw)((df, c) => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

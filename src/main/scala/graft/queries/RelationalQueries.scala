@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.5 / §2.7): aggregations,
+  * equi/outer/semi/anti joins, set operations, global sort + limit,
+  * per-group top-k.
+  *
+  * Scale notes (100 TB stance):
+  *  - `nation`/`region`/`supplier` are dimension tables — always
+  *    `broadcast()`; the fact-side join then needs no shuffle.
+  *  - fact⋈fact joins (lineitem⋈orders) shuffle on the join key once;
+  *    aggregations that follow are keyed on join output so AQE can reuse /
+  *    coalesce partitions.
+  *  - all aggregates here are algebraic (sum/count/min/max over decimal) so
+  *    Spark plans partial (map-side) + final aggregation — no skew risk on
+  *    low-cardinality group keys beyond the final handful of groups.
+  */
+object RelationalQueries extends QueryPack {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A: hash aggregation, partial+final, multiple aggregate kinds ----
+    "q_agg_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"), // integer-valued doubles: exact
+          asDouble(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+          asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- star-schema join: fact⋈fact shuffle + broadcast dims ----
+    "q_join_inner_star" -> { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val o  = t(s, d, "orders")
+      val c  = t(s, d, "customer")
+      val n  = broadcast(t(s, d, "nation"))
+      val r  = broadcast(t(s, d, "region"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(n, $"c_nationkey" === $"n_nationkey")
+        .join(r, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // ---- left outer join preserving unmatched left rows ----
+    "q_join_left_outer" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val big = t(s, d, "orders").filter($"o_totalprice" > 300000.0)
+      c.join(big, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_big_orders")) // count non-null
+        .orderBy($"c_custkey")
+    },
+
+    // ---- right outer join (all suppliers kept) ----
+    "q_join_right_outer" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey", "right")
+        .groupBy($"s_suppkey")
+        .agg(count($"l_orderkey").as("n_items"),
+             sum($"l_quantity").as("sum_qty"))
+        .orderBy($"s_suppkey")
+    },
+
+    // ---- full outer join of two aggregated sides ----
+    "q_join_full_outer" -> { (s, d) =>
+      import s.implicits._
+      val cn = t(s, d, "customer").groupBy($"c_nationkey".as("k"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sn = t(s, d, "supplier").groupBy($"s_nationkey".as("k"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, Seq("k"), "full")
+        .select(col("k").as("nationkey"), $"n_customers", $"n_suppliers")
+        .orderBy($"nationkey")
+    },
+
+    // ---- semi join: customers with >= 1 urgent open order (EXISTS) ----
+    "q_join_semi" -> { (s, d) =>
+      import s.implicits._
+      val urgent = t(s, d, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "O")
+      t(s, d, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- anti join: customers with no very large order (NOT EXISTS) ----
+    "q_join_anti" -> { (s, d) =>
+      import s.implicits._
+      val big = t(s, d, "orders").filter($"o_totalprice" > 400000.0)
+      t(s, d, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- set operations over two customer segments ----
+    "q_setop_union" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val a = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val b = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      a.union(b).distinct().orderBy($"c_custkey")
+    },
+    "q_setop_intersect" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val a = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val b = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      a.intersect(b).orderBy($"c_custkey")
+    },
+    "q_setop_except" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val a = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val b = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      a.except(b).orderBy($"c_custkey")
+    },
+
+    // ---- global sort + limit (top-N): TakeOrderedAndProject, no full sort ----
+    "q_sort_topn" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // ---- per-group top-k via ranking window ----
+    "q_topk_per_group" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", asLong($"rk").as("rk"), $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rk")
+    },
+
+    // ---- flagship (SURVEY §7.1): last known event per key, A2 analogue ----
+    "q_track_last_known" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // (user_id, ts) is unique per TESTDATA, so desc row_number is total.
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+        .orderBy($"user_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_inner_star" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_right_outer" ->
+      """SELECT s_suppkey, count(l_orderkey) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |RIGHT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1),
+        |     sn AS (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+        |SELECT coalesce(cn.k, sn.k) AS nationkey, n_customers, n_suppliers
+        |FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setop_union" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setop_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setop_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sort_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_track_last_known" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
+  )
+}
