@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    _root_.graft.queries.RelationalQueries
+    _root_.graft.queries.RelationalQueries,
+    _root_.graft.queries.AnalyticQueries,
+    _root_.graft.queries.ScalarQueries,
+    _root_.graft.queries.AdvancedJoinQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins beyond plain equi-joins (SURVEY.md §2.7): theta/range join,
+  * as-of join, cross join.
+  *
+  * As-of join is implemented with the merge pattern (union both sides,
+  * one shuffle+sort per key, `last(ignoreNulls)` carry-forward) rather
+  * than join-then-aggregate: at 100 TB the naive
+  * `JOIN ... ON key = key AND t2 <= t1` explodes each probe row by its
+  * full history before collapsing it again, while the merge pattern is a
+  * single linear pass per key — same shape Flink/kdb use for as-of.
+  *
+  * The range join keeps an equi component (`user_id`) so Spark plans a
+  * shuffled hash/sort-merge join on the key with the time predicate as a
+  * post-filter — never a cartesian. Per-key event counts are bounded
+  * (~n_events/n_users), so no skew handling needed here; at scale, salt
+  * hot keys or bucket time into join keys.
+  */
+object AdvancedJoinQueries extends QueryPack {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- range (theta) join: pairs of events <= 5 min apart, same user ----
+    "q_join_range" -> { (s, d) =>
+      import s.implicits._
+      val e = t(s, d, "events")
+      val a = e.select($"user_id", $"ts".as("a_ts"))
+      val b = e.select($"user_id".as("ub"), $"ts".as("b_ts"))
+      a.join(b, $"user_id" === $"ub" &&
+          $"b_ts" > $"a_ts" &&
+          $"b_ts" <= $"a_ts" + expr("INTERVAL 5 MINUTES"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    },
+
+    // ---- as-of join: latest order date at-or-before each event ----
+    "q_join_asof" -> { (s, d) =>
+      import s.implicits._
+      val e = t(s, d, "events").select(
+        $"user_id".as("k"), $"ts".as("t"), lit(1).as("kind"),
+        $"event_id", lit(null).cast("timestamp").as("od"))
+      val o = t(s, d, "orders").select(
+        $"o_custkey".as("k"), $"o_orderdate".as("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), $"o_orderdate".as("od"))
+      // orders sort before events at identical t (kind 0 < 1) => inclusive
+      // "at-or-before"; the carried value is the max order date <= event ts.
+      val w = Window.partitionBy($"k").orderBy($"t", $"kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      o.unionByName(e)
+        .withColumn("last_order_date", last($"od", ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .select($"event_id", $"last_order_date")
+        .orderBy($"event_id")
+    },
+
+    // ---- cross join (small dims only) ----
+    "q_join_cross" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "nation").crossJoin(t(s, d, "region"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_combos"))
+        .orderBy($"r_name")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_join_range" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL '5 minutes'
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT e.event_id, CAST(max(o.o_orderdate) AS TIMESTAMP) AS last_order_date
+        |FROM events e
+        |LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, count(*) AS n_combos
+        |FROM nation CROSS JOIN region
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin
+  )
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / analytic functions (SURVEY.md §2.6) and grouping-set machinery
+  * (§2.7): rank family, running aggregates, frames, lag/lead,
+  * rollup/cube/grouping sets, distinct + statistical aggregates.
+  *
+  * Scale notes: every window here partitions by a key with bounded
+  * per-partition cardinality (customer, supplier, user) — the sort is local
+  * to the shuffle partition, no global sort. Statistical moments are
+  * computed from DECIMAL power sums (order-insensitive, exact) instead of
+  * the streaming `stddev` kernel so results are deterministic across
+  * partial-aggregation merge orders AND engines.
+  */
+object AnalyticQueries extends QueryPack {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- rank / dense_rank / percent_rank / ntile ----
+    "q_window_rank" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, d, "customer")
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+        .withColumn("rnk", asLong(rank().over(w)))
+        .withColumn("drnk", asLong(dense_rank().over(w)))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("tile", asLong(ntile(4).over(w)))
+        .orderBy($"c_nationkey", $"c_custkey")
+    },
+
+    // ---- running (cumulative) aggregate over an ordered frame ----
+    "q_window_running" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("rn", asLong(row_number().over(w)))
+        .withColumn("run_spend", asDouble(
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))))
+        .orderBy($"o_custkey", $"rn")
+        .select($"o_custkey", $"o_orderkey", $"rn", $"run_spend")
+    },
+
+    // ---- sliding value frame: moving sum over +-30 days per supplier ----
+    "q_window_range_frame" -> { (s, d) =>
+      import s.implicits._
+      val days = datediff($"l_shipdate", lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy($"l_suppkey").orderBy(col("ship_day"))
+        .rangeBetween(-30, 0)
+      t(s, d, "lineitem")
+        .withColumn("ship_day", asLong(days))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"ship_day", $"l_quantity")
+        .withColumn("qty_30d", sum($"l_quantity").over(w)) // int-valued: exact
+        .orderBy($"l_suppkey", $"ship_day", $"l_orderkey", $"l_linenumber")
+    },
+
+    // ---- lag / lead ----
+    "q_window_lag_lead" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_value", lead($"value", 1).over(w))
+        .withColumn("delta", asDouble(dec($"value") - dec(lag($"value", 1).over(w))))
+        .drop("ts")
+        .orderBy($"event_id")
+    },
+
+    // ---- rollup / cube / grouping sets ----
+    "q_grouping_rollup" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+             asLong(grouping_id()).as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    "q_grouping_cube" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+             asLong(grouping_id()).as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    "q_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          |       count(*) AS n, CAST(grouping_id() AS BIGINT) AS gid
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- distinct aggregates ----
+    "q_agg_distinct" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          sum_distinct($"l_quantity").as("sum_dist_qty"), // distinct ints: exact
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- statistical aggregates via exact decimal power sums ----
+    // var/std computed from sum(x), sum(x^2) in DECIMAL (order-insensitive)
+    // then combined in double with an expression tree mirrored verbatim in
+    // the oracle -> bit-identical across engines.
+    "q_agg_stats" -> { (s, d) =>
+      import s.implicits._
+      val x = col("o_totalprice")
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          min(x).as("min_price"), max(x).as("max_price"),
+          asDouble(sum(dec(x))).as("sx"),
+          asDouble(sum(dec(x) * dec(x))).as("sx2"))
+        .select(
+          $"o_orderstatus", $"n", $"min_price", $"max_price",
+          ($"sx" / $"n").as("avg_price"),
+          sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_price"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // ---- approximate distinct (HLL) — not DuckDB-comparable, rows-only ----
+    "q_agg_approx_distinct" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  rank()         OVER w AS rnk,
+        |  dense_rank()   OVER w AS drnk,
+        |  percent_rank() OVER w AS pct,
+        |  ntile(4)       OVER w AS tile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  date_diff('day', TIMESTAMP '1970-01-01 00:00:00', CAST(l_shipdate AS TIMESTAMP)) AS ship_day,
+        |  l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', TIMESTAMP '1970-01-01 00:00:00', CAST(l_shipdate AS TIMESTAMP))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS qty_30d
+        |FROM lineitem
+        |ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value)  OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  CAST(CAST(value AS DECIMAL(12,2)) - CAST(lag(value) OVER w AS DECIMAL(12,2)) AS DOUBLE) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_grouping_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  sum(DISTINCT l_quantity) AS sum_dist_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n, min_price, max_price,
+        |  sx / n AS avg_price,
+        |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_price
+        |FROM g
+        |ORDER BY o_orderstatus""".stripMargin
+    // q_agg_approx_distinct: intentionally no oracle (HLL estimate).
+  )
+}
