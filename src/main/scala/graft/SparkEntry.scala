@@ -13,7 +13,8 @@ object SparkEntry {
     _root_.graft.queries.RelationalQueries,
     _root_.graft.queries.AnalyticQueries,
     _root_.graft.queries.ScalarQueries,
-    _root_.graft.queries.AdvancedJoinQueries
+    _root_.graft.queries.AdvancedJoinQueries,
+    _root_.graft.queries.TrackQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,107 @@
+package graft.tracks
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Raw event as read from the stream: ts in epoch micros (flat long). */
+case class EventRaw(event_id: Long, tsMicros: Long, user_id: Long,
+                    eventType: String, value: Double)
+
+/** Per-key state: the bounded sorted dedup track + a monotone version so
+  * downstream consumers can pick each key's latest snapshot even when the
+  * sink accumulated several batches' emissions. */
+case class TrackState(ver: Long, events: List[TrackEv])
+
+/** One emitted snapshot row (track exploded, one row per buffered event). */
+case class SnapRow(user_id: Long, tsMicros: Long, event_id: Long,
+                   event_type: String, value: Double, ver: Long)
+
+/** The reference's stateful core (SURVEY.md §2 K1-K6) on Structured
+  * Streaming: `groupByKey(trackId).flatMapGroupsWithState` holding a
+  * bounded, chronologically sorted, ts-deduplicated buffer per key, and
+  * emitting the full updated track each micro-batch (the reference's
+  * `stateSnapshots()` for keys with new data; reference
+  * StatefulStreamingWithMultipleStates.scala:42-55).
+  *
+  * Scale stance: state is a flat Vector of <= cap primitive-ish rows per
+  * key (no object graphs), keyed state partitions by hash(user_id) across
+  * the cluster, and the RocksDB state-store provider (configured by
+  * callers via `rocksdbConf`) keeps large key spaces off-heap — the 100 TB
+  * design the reference's Java-serialized DStream checkpoints could not
+  * reach (its README-documented restart crash is inverted in our
+  * TrackRestartSpec).
+  *
+  * NoTimeout mirrors the reference (its "30 minute" comment was never
+  * implemented — K4); pass `ttl` to enable event-time-ish expiry for
+  * unbounded key spaces.
+  */
+object TrackStateOp {
+
+  val rocksdbConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def trackSnapshots(events: Dataset[EventRaw], cap: Int = TrackBuffer.DefaultCap,
+                     ttl: Option[String] = None): Dataset[SnapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrackState, SnapRow](OutputMode.Update, timeout) {
+        (key: Long, it: Iterator[EventRaw], state: GroupState[TrackState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(TrackState(0L, Nil))
+            var buf = prev.events.toVector
+            // Fold in event-time order within the batch so arrival-order
+            // ts-collision resolution is deterministic per batch.
+            it.toVector.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+              buf = TrackBuffer.add(buf, TrackEv(e.tsMicros, e.event_id, e.eventType, e.value), cap)
+            }
+            val ver = prev.ver + 1
+            state.update(TrackState(ver, buf.toList))
+            ttl.foreach(state.setTimeoutDuration)
+            buf.iterator.map(t => SnapRow(key, t.tsMicros, t.eventId, t.eventType, t.value, ver))
+          }
+      }
+  }
+
+  /** Keep only each key's newest snapshot from an accumulated sink table. */
+  def latestSnapshot(sink: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    sink
+      .withColumn("maxver", max(col("ver")).over(w))
+      .filter(col("ver") === col("maxver"))
+      .select(col("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
+              col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Streaming source over the testdata events parquet with the nanos->
+    * micros normalization (same fix as graft.Tables, streaming side). */
+  def eventsStream(spark: SparkSession, dir: String): Dataset[EventRaw] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema // ts: long nanos
+    // The file stream source wants a directory: stream the sf dir but only
+    // admit the events file.
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(
+        col("event_id"),
+        expr("ts div 1000").as("tsMicros"),
+        col("user_id"),
+        col("event_type").as("eventType"),
+        col("value"))
+      .as[EventRaw]
+  }
+}

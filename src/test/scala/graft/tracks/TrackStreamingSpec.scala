@@ -1,0 +1,115 @@
+package graft.tracks
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming behavior of the track-state operator:
+  *  - multi-batch fold (counts grow per batch, like the reference's
+  *    FlightSim batch1..9 replay — SURVEY.md §5)
+  *  - same-ts dedup across batches (first arrival wins)
+  *  - cap eviction (oldest dropped beyond 10)
+  *  - restart survival with MULTIPLE stateful queries over one source —
+  *    the exact scenario the reference documents as a crash
+  *    (README.md:26-59); Structured Streaming checkpoints make it pass.
+  */
+class TrackStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, ts: Long, user: Long = 1L): EventRaw =
+    EventRaw(id, ts, user, "click", id.toDouble)
+
+  private def runBatches(batches: Seq[Seq[EventRaw]]): Map[Long, Seq[(Long, Long, Long)]] = {
+    val input = MemoryStream[EventRaw](spark)
+    val snaps = TrackStateOp.trackSnapshots(input.toDS())
+    val qn = "t" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = snaps.writeStream.format("memory").queryName(qn).outputMode("update").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val table = spark.table(qn)
+      TrackStateOp.latestSnapshot(table)
+        .selectExpr("user_id", "unix_micros(ts) as ts", "event_id")
+        .as[(Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    } finally q.stop()
+  }
+
+  test("multi-batch fold grows tracks like the FlightSim replay") {
+    // 3 keys x 4 batches, one event per key per batch
+    val batches = (1L to 4L).map(b => (1L to 3L).map(k => ev(id = b * 10 + k, ts = b, user = k)))
+    val out = runBatches(batches)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    out.foreach { case (_, evs) => assert(evs.map(_._2) == Seq(1L, 2L, 3L, 4L)) }
+  }
+
+  test("same-ts duplicate in a later batch is refused (first arrival wins)") {
+    val out = runBatches(Seq(Seq(ev(id = 1, ts = 100)), Seq(ev(id = 2, ts = 100), ev(id = 3, ts = 200))))
+    assert(out(1L).map(_._3) == Seq(1L, 3L)) // id=2 refused
+  }
+
+  test("cap eviction keeps the newest 10 timestamps") {
+    val out = runBatches(Seq((1L to 7L).map(t => ev(t, t)), (8L to 14L).map(t => ev(t, t))))
+    assert(out(1L).map(_._2) == (5L to 14L))
+  }
+
+  test("late (older) events insert mid-track while under cap") {
+    val out = runBatches(Seq(Seq(ev(1, 100), ev(2, 300)), Seq(ev(3, 200))))
+    assert(out(1L).map(_._2) == Seq(100L, 200L, 300L))
+  }
+
+  test("restart with two stateful queries survives (inverts reference crash)") {
+    val srcDir = Files.createTempDirectory("track_src").toString
+    val ck1 = Files.createTempDirectory("track_ck1").toString
+    val ck2 = Files.createTempDirectory("track_ck2").toString
+
+    def writeBatch(evs: Seq[EventRaw]): Unit =
+      spark.createDataset(evs).repartition(1).write.mode("append").parquet(srcDir)
+
+    // memory sink can't recover from a checkpoint; foreachBatch can.
+    val sink1 = new scala.collection.mutable.ArrayBuffer[SnapRow]()
+    val sink2 = new scala.collection.mutable.ArrayBuffer[SnapRow]()
+
+    def startQueries(): (org.apache.spark.sql.streaming.StreamingQuery,
+                         org.apache.spark.sql.streaming.StreamingQuery) = {
+      val src = spark.readStream
+        .schema(spark.createDataset(Seq.empty[EventRaw]).schema)
+        .parquet(srcDir).as[EventRaw]
+      // two independent stateful pipelines off one source (reference K7):
+      val s1 = TrackStateOp.trackSnapshots(src)
+      val s2 = TrackStateOp.trackSnapshots(src.filter(_.event_id % 2 == 0))
+      val q1 = s1.writeStream.outputMode("update")
+        .option("checkpointLocation", ck1).trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SnapRow], _: Long) =>
+          sink1.synchronized { sink1 ++= df.collect() }; ()
+        }.start()
+      val q2 = s2.writeStream.outputMode("update")
+        .option("checkpointLocation", ck2).trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SnapRow], _: Long) =>
+          sink2.synchronized { sink2 ++= df.collect() }; ()
+        }.start()
+      (q1, q2)
+    }
+
+    def latestTs(rows: Seq[SnapRow]): Seq[Long] = {
+      val byKey = rows.groupBy(_.user_id)
+      byKey.values.flatMap { rs =>
+        val maxVer = rs.map(_.ver).max
+        rs.filter(_.ver == maxVer)
+      }.map(_.tsMicros).toSeq.sorted
+    }
+
+    writeBatch(Seq(ev(1, 10), ev(2, 20)))
+    val (q1a, q2a) = startQueries()
+    q1a.awaitTermination(); q2a.awaitTermination()
+
+    // "restart": new queries, same checkpoints, new data
+    writeBatch(Seq(ev(3, 30), ev(4, 40)))
+    val (q1b, q2b) = startQueries()
+    q1b.awaitTermination(); q2b.awaitTermination()
+
+    // state from batch 1 must have survived the restart and folded with batch 2
+    assert(latestTs(sink1.toSeq) == Seq(10L, 20L, 30L, 40L))
+    assert(latestTs(sink2.toSeq) == Seq(20L, 40L))
+  }
+}
