@@ -14,7 +14,8 @@ object SparkEntry {
     _root_.graft.queries.AnalyticQueries,
     _root_.graft.queries.ScalarQueries,
     _root_.graft.queries.AdvancedJoinQueries,
-    _root_.graft.queries.TrackQueries
+    _root_.graft.queries.TrackQueries,
+    _root_.graft.queries.TimeWindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

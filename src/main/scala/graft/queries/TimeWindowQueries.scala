@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.tracks.TrackStateOp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Event-time windowing the reference lacks entirely (SURVEY.md §2.4
+  * ABSENT→ENGINE row): tumbling / sliding / session windows, plus real
+  * Structured Streaming runs with watermarks (tumbling agg, streaming
+  * dedup). Batch and streaming share the same `window()`/`session_window()`
+  * expressions — Catalyst plans both, which is the point of building on
+  * Spark rather than a bespoke engine.
+  *
+  * Oracle notes: Spark windows align to the epoch (UTC); oracles mirror
+  * that with `epoch_us // width * width` bucket arithmetic, so alignment
+  * is explicit rather than relying on DuckDB time_bucket origin defaults.
+  */
+object TimeWindowQueries extends QueryPack {
+
+  private def memSinkRun(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val qn = "win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling window, batch ----
+    "q_window_tumble" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+             asDouble(sum(dec($"value"))).as("sum_value"))
+        .select($"window.start".as("day"), $"event_type", $"n", $"sum_value")
+        .orderBy($"day", $"event_type")
+    },
+
+    // ---- sliding window (1 day, 12 h slide), batch ----
+    "q_window_slide" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 day", "12 hours"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+             asDouble(sum(dec($"value"))).as("sum_value"))
+        .select($"window.start".as("wstart"), $"event_type", $"n", $"sum_value")
+        .orderBy($"wstart", $"event_type")
+    },
+
+    // ---- session window (30 min gap) per user, batch ----
+    "q_session_window" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+             asDouble(sum(dec($"value"))).as("sum_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+                $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // ---- REAL streaming tumbling agg with watermark (Complete mode) ----
+    "q_stream_tumble" -> { (s, d) =>
+      import s.implicits._
+      val ev = TrackStateOp.eventsStream(s, d)
+        .withColumn("ts", timestamp_micros($"tsMicros"))
+      val agg = ev
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 day"), $"eventType")
+        .agg(count(lit(1)).as("n"))
+      memSinkRun(agg, "complete")
+        .select($"window.start".as("day"), $"eventType".as("event_type"), $"n")
+        .orderBy($"day", $"event_type")
+    },
+
+    // ---- REAL streaming dedup with watermark ----
+    "q_stream_dedup" -> { (s, d) =>
+      import s.implicits._
+      val ev = TrackStateOp.eventsStream(s, d)
+        .withColumn("ts", timestamp_micros($"tsMicros"))
+      val deduped = ev
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_unique"))
+      memSinkRun(deduped, "complete")
+        .orderBy($"user_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_window_tumble" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+
+    // every event belongs to exactly two 24h/12h-slide windows:
+    // bucket12(ts) and bucket12(ts) - 12h
+    "q_window_slide" ->
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000) * 43200000000 - o.off) AS wstart,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(43200000000 AS BIGINT))) AS o(off)
+        |GROUP BY 1, 2
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    // gaps-and-islands: new session when gap >= 30 min (Spark's session
+    // window [start, last+gap) excludes an event at exactly last+gap)
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM y
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_tumble" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |       event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT user_id, count(DISTINCT event_id) AS n_unique
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+  )
+}
