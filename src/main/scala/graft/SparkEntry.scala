@@ -15,7 +15,10 @@ object SparkEntry {
     _root_.graft.queries.ScalarQueries,
     _root_.graft.queries.AdvancedJoinQueries,
     _root_.graft.queries.TrackQueries,
-    _root_.graft.queries.TimeWindowQueries
+    _root_.graft.queries.TimeWindowQueries,
+    _root_.graft.queries.LlmTextQueries,
+    _root_.graft.queries.LlmVectorQueries,
+    _root_.graft.queries.MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for a training-data pipeline: shingling,
+  * MinHash signatures, SimHash, quality metrics, language-ID heuristic.
+  * Everything is built from codegen'd Catalyst expressions (higher-order
+  * array functions + xxhash64) — no Scala UDF in any hot path, so these
+  * scale as plain narrow projections over the corpus scan.
+  */
+object TextOps {
+
+  /** Whitespace word list. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (default n=3). Documents shorter than
+    * n words produce an empty shingle set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    array_distinct(grams)
+  }
+
+  /** Shingle hashes: one 64-bit string hash per shingle. All downstream
+    * minhash permutations mix THESE longs (cheap) instead of re-hashing
+    * the strings k times — the string is hashed exactly once per shingle. */
+  def shingleHashes(sh: Column): Column =
+    array_distinct(transform(sh, s => xxhash64(s)))
+
+  /** Per-permutation minhash aggregate columns over an exploded
+    * (doc_id, shingle_hash) relation: min(xxhash64(i, h)) for each of the
+    * k permutations. Exploded + hash-aggregated (partial agg map-side)
+    * rather than a 64-lambda expression tree per row — the latter falls
+    * out of codegen and was ~50x slower at sf0.1. */
+  def minhashAggs(h: Column, k: Int = 64): Seq[Column] =
+    (0 until k).map(i => min(xxhash64(lit(i), h)).as(s"s$i"))
+
+  /** LSH band keys from the k signature COLUMNS s0..s{k-1}: `bands`
+    * hashes, each over `rowsPerBand` consecutive slots. Pairs sharing any
+    * band key are near-dup candidates. */
+  def bandKeysFromCols(bands: Int = 16, rowsPerBand: Int = 4): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+        col(s"s${b * rowsPerBand + r}")): _*)
+    }: _*)
+
+  /** Exact Jaccard over two distinct-element arrays (int/int division in
+    * double: bit-identical to DuckDB's len(intersect)/len(union)). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** 64-bit SimHash over the word multiset: bit j of the result is the
+    * sign of sum_w (+1/-1 depending on bit j of xxhash64(w)). */
+  def simhash(text: Column): Column = {
+    val w = words(text)
+    val hashes = transform(w, x => xxhash64(x))
+    val bitSums = (0 until 64).map { j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    (0 until 64).map { j =>
+      when(bitSums(j) > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit blocks of a 64-bit simhash — pairs with hamming <= 3 must
+    * share at least one of the 4 blocks (pigeonhole), so block equality
+    * is a lossless LSH blocking key for distance <= 3. */
+  def simhashBlocks(sig: Column): Column =
+    array((0 until 4).map(b =>
+      struct(lit(b).as("blk"),
+             shiftright(sig, b * 16).bitwiseAND(0xFFFFL).as("v"))): _*)
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** Quality metrics + a deterministic linear quality score. All ratios
+    * are int/int double divisions — reproducible bit-for-bit in SQL. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val w = words(text)
+    val nTok = size(w)
+    val nStop = size(filter(w, x => x.isin(Stopwords.map(_.asInstanceOf[Any]): _*)))
+    val nDistinct = size(array_distinct(w))
+    val stopRatio = nStop.cast("double") / nTok
+    val distinctRatio = nDistinct.cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 100.0, lit(1.0))
+    Seq(
+      nTok.cast("long").as("n_tokens"),
+      nStop.cast("long").as("n_stopwords"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round(stopRatio * 0.5 + lenScore * 0.3 + distinctRatio * 0.2, 6).as("quality_score"))
+  }
+
+  /** Language-ID heuristic: score each language's stopword profile against
+    * the document's words, argmax via lexicographic struct max (ties break
+    * toward the later language name — deterministic). The profiles are
+    * tiny on purpose; this is the n-gram-heuristic shape, not a model. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les", "un"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "you"))
+
+  def langId(text: Column): Column = {
+    val w = words(text)
+    val scored = LangProfiles.map { case (lang, profile) =>
+      struct(
+        size(filter(w, x => x.isin(profile.map(_.asInstanceOf[Any]): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

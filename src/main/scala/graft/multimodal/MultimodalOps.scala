@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as a partition-batched pass.
+  *
+  * The Spark-side shape is the real deliverable — schema (binary payload +
+  * struct metadata), partition-level batching, and a typed feature output —
+  * while the actual media decode is STUBBED (no image/audio codecs in this
+  * container): `decodeStub` derives deterministic fake pixels from the
+  * payload bytes. Swapping in a real decoder (JNI / javacv) changes only
+  * that one function; the pipeline, schema, and batch shape stay.
+  */
+object MultimodalOps {
+
+  case class Payload(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  case class Features(doc_id: Long, n_bytes: Long, mean_byte: Double,
+                      histogram: Array[Double])
+
+  /** Build a multimodal table from `documents`: payload = UTF-8 bytes of
+    * the text standing in for encoded media; metadata derived
+    * deterministically so oracles can recompute it. */
+  def payloadTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.table(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("width"),
+        (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit("fake/rgb8").as("format")).as("meta"))
+  }
+
+  /** STUB decoder: stands in for e.g. JPEG decode. Deterministic: "pixels"
+    * are the payload bytes themselves. A real implementation would return
+    * width*height*channels decoded samples. */
+  private def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    payload // ??? <- real codec goes here; stub keeps bytes as "pixels"
+
+  /** Feature extraction as a partition-batched pass: one iterator per
+    * partition (the mapInPandas batch shape, Scala-side), no per-row JVM
+    * round trips, constant memory per partition. */
+  def extractFeatures(payloads: Dataset[Payload]): Dataset[Features] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val px = decodeStub(p.payload, p.width, p.height)
+        val hist = new Array[Double](8)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) {
+          val b = px(i) & 0xFF
+          hist(b >>> 5) += 1.0
+          sum += b
+          i += 1
+        }
+        val n = math.max(px.length, 1)
+        Features(p.doc_id, px.length.toLong, sum.toDouble / n, hist.map(_ / n))
+      }
+    }
+  }
+}

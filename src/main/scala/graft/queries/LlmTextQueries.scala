@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.functions.KGramHashes
+import graft.llm.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline queries over `documents`: exact dedup,
+  * MinHash+LSH fuzzy dedup, SimHash near-dup, blocked exact n-gram
+  * Jaccard, token statistics, quality scoring, language ID, and
+  * rolling-hash fingerprinting.
+  *
+  * Scale design: every dedup variant avoids the all-pairs cross join —
+  * exact dedup is a hash groupBy on a content digest; MinHash candidates
+  * come from an equi self-join on LSH band keys (shuffle on band key,
+  * bucket sizes ~ collision counts); SimHash candidates come from an
+  * equi join on 16-bit signature blocks (lossless for hamming <= 3 by
+  * pigeonhole). The DuckDB oracles DO use all-pairs — affordable at
+  * sf0.01 — which makes them an independent ground truth for the LSH
+  * path's recall, not a restatement of the implementation.
+  */
+object LlmTextQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup via content digest (hash groupBy, no shuffle of text) ----
+    "q_dedup_exact" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(sha2($"text", 256).as("digest"))
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"n_copies")
+        .orderBy($"doc_id")
+    },
+
+    // ---- MinHash + LSH banded fuzzy dedup, exact-Jaccard verified ----
+    // Pipeline shape at scale: string-hash each shingle ONCE; build the
+    // 64-slot signature as a hash AGGREGATION over exploded shingle
+    // hashes (map-side combinable); shuffle only narrow (doc_id, band)
+    // rows into the candidate join; re-attach shingle arrays by id for
+    // the exact-Jaccard verify of the (few) candidates.
+    "q_dedup_minhash" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", TextOps.shingles($"text").as("sh"))
+        .filter(size($"sh") > 0)
+      val sigs = docs
+        .select($"doc_id", explode(TextOps.shingleHashes($"sh")).as("h"))
+        .groupBy($"doc_id")
+        .agg(TextOps.minhashAggs($"h").head, TextOps.minhashAggs($"h").tail: _*)
+      val bands = sigs
+        .select($"doc_id", posexplode(TextOps.bandKeysFromCols()).as(Seq("band_i", "band_key")))
+      val candidates = bands.as("a").join(bands.as("b"), Seq("band_i", "band_key"))
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        .filter($"a_id" < $"b_id")
+        .dropDuplicates("a_id", "b_id")
+      candidates
+        .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+        .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+        .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- SimHash near-dup (hamming <= 3) via 16-bit block LSH ----
+    "q_dedup_simhash" -> { (s, d) =>
+      import s.implicits._
+      val sigs = Tables.documents(s, d)
+        .select($"doc_id", TextOps.simhash($"text").as("sig"))
+      val blocks = sigs.select($"doc_id", $"sig", explode(TextOps.simhashBlocks($"sig")).as("b"))
+        .select($"doc_id", $"sig", $"b.blk", $"b.v")
+      val a = blocks.select($"doc_id".as("a_id"), $"sig".as("a_sig"), $"blk", $"v")
+      val b = blocks.select($"doc_id".as("b_id"), $"sig".as("b_sig"), $"blk", $"v")
+      a.join(b, Seq("blk", "v"))
+        .filter($"a_id" < $"b_id")
+        .dropDuplicates("a_id", "b_id")
+        .select($"a_id", $"b_id", TextOps.hamming64($"a_sig", $"b_sig").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- blocked exact n-gram Jaccard (same-source blocking) ----
+    // Jaccard runs over 64-bit shingle hashes, not strings: set sizes are
+    // identical absent a 64-bit collision inside one union (~1e-13/pair),
+    // and long-array intersects are ~10x cheaper than string intersects.
+    "q_dedup_ngram_blocked" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          TextOps.shingleHashes(TextOps.shingles($"text")).as("sh"))
+        .filter(size($"sh") > 0)
+      val a = docs.select($"source", $"doc_id".as("a_id"), $"sh".as("a_sh"))
+      val b = docs.select($"source", $"doc_id".as("b_id"), $"sh".as("b_sh"))
+      a.join(b, Seq("source"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
+        .filter($"jaccard" >= 0.3)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- token statistics ----
+    "q_text_stats" -> { (s, d) =>
+      import s.implicits._
+      val w = TextOps.words($"text")
+      Tables.documents(s, d).select(
+        $"doc_id",
+        $"n_chars",
+        asLong(size(w)).as("n_ws_tokens"),
+        asLong(size(regexp_extract_all($"text", lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))))
+          .as("n_re_tokens"),
+        asLong(size(array_distinct(w))).as("n_distinct_tokens"),
+        (length(regexp_replace($"text", " ", "")).cast("double") / size(w))
+          .as("avg_token_len"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- quality scoring ----
+    "q_text_quality" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(Seq($"doc_id") ++ TextOps.qualityColumns($"text"): _*)
+        .orderBy($"doc_id")
+    },
+
+    // ---- language ID heuristic (no SQL oracle: argmax profile scoring) ----
+    "q_text_langid" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang".as("labeled_lang"), TextOps.langId($"text").as("predicted_lang"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- rolling-hash fingerprint (custom codegen expression) ----
+    "q_text_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      KGramHashes.register(s)
+      Tables.documents(s, d)
+        .select($"doc_id", expr("kgram_hashes(text, 8)").as("kh"))
+        .select(
+          $"doc_id",
+          asLong(size($"kh")).as("n_kgrams"),
+          array_min($"kh").as("fp_min"),
+          array_max($"kh").as("fp_max"),
+          // winnow-style sketch: min hash of each 32-gram stride
+          asLong(size(array_distinct(transform(
+            sequence(lit(1L), greatest(expr("size(kh) div 32"), lit(1L))),
+            i => array_min(slice($"kh", ((i - 1) * 32 + 1).cast("int"), lit(32))))))).as("n_winnow"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent ground truth: all-pairs exact Jaccard (affordable at
+    // sf0.01) — verifies the LSH path found every >= 0.5 pair
+    "q_dedup_minhash" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM docs WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_ngram_blocked" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM docs WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, n_tok,
+        |    len(list_filter(w, t -> t IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+        |    len(list_distinct(w)) AS n_dist
+        |  FROM x)
+        |SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(n_stop AS BIGINT) AS n_stopwords,
+        |  round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+        |  round(CAST(n_dist AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) AS quality_score
+        |FROM y
+        |ORDER BY doc_id""".stripMargin
+    // q_dedup_simhash / q_text_langid / q_text_fingerprint: no SQL oracle
+    // (signature/heuristic ops); covered by LlmTextSpec unit tests.
+  )
+}

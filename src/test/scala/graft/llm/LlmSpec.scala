@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.KGramHashes
+import graft.queries.{LlmTextQueries, LlmVectorQueries}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline op tests that a SQL oracle can't cover: LSH recall against
+  * exact ground truth, SimHash behavior, fingerprint known values +
+  * interpreter/codegen parity, lang-ID determinism, IVF recall. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds exactly the exact-Jaccard >= 0.5 pairs") {
+    val lsh = LlmTextQueries.queries("q_dedup_minhash")(spark, SF)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // exact all-pairs ground truth, computed independently in Spark
+    val docs = graft.Tables.documents(spark, SF)
+      .select($"doc_id", TextOps.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val a = docs.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = docs.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    val exact = a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("j"))
+      .filter($"j" >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact, s"LSH recall/precision mismatch: lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash: identical texts collide, hamming 0") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+                 (3L, "completely different words here entirely"))
+      .toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", TextOps.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3)
+  }
+
+  test("kgram_hashes: known values, short strings, codegen parity") {
+    KGramHashes.register(spark)
+    val df = Seq((1L, "abcd"), (2L, "a"), (3L, "")).toDF("id", "s")
+    val got = df.select($"id", expr("kgram_hashes(s, 2)")).as[(Long, Seq[Long])]
+      .collect().toMap
+    val B = 1000003L
+    def h2(a: Char, b: Char): Long = a.toByte * B + b.toByte
+    assert(got(1L) == Seq(h2('a', 'b'), h2('b', 'c'), h2('c', 'd')))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    // interpreted (driver-side eval) must equal the codegen'd result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = KGramHashes(Literal(UTF8String.fromString("abcd"),
+      org.apache.spark.sql.types.StringType), 2)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(interp == got(1L))
+  }
+
+  test("langId: deterministic, profile-driven") {
+    val df = Seq((1L, "the cat is on the mat and it is flat"),
+                 (2L, "el gato que y la casa de los perros")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langId($"text")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+  }
+
+  test("IVF probe recall vs brute-force top-k") {
+    def pairs(name: String): Set[(Long, Long)] =
+      LlmVectorQueries.queries(name)(spark, SF)
+        .select("q_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = pairs("q_ann_cosine_topk")
+    val approx = pairs("q_ann_ivf")
+    val recall = (exact & approx).size.toDouble / exact.size
+    // measured 0.464 at nprobe=4 on this corpus; assert with headroom
+    assert(recall >= 0.35, s"IVF recall $recall too low")
+  }
+
+  test("cosine: self similarity ~1, sign symmetry") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, -2.0f, -3.0f)))
+      .toDF("id", "v").select($"id", VectorOps.asDoubles($"v").as("v"))
+    val a = df.filter($"id" === 1).select($"v".as("av"))
+    val b = df.filter($"id" === 2).select($"v".as("bv"))
+    val Array(selfCos) = a.crossJoin(a.select($"av".as("bv")))
+      .select(VectorOps.cosine($"av", $"bv")).as[Double].collect()
+    val Array(negCos) = a.crossJoin(b)
+      .select(VectorOps.cosine($"av", $"bv")).as[Double].collect()
+    assert(math.abs(selfCos - 1.0) < 1e-12)
+    assert(math.abs(negCos + 1.0) < 1e-12)
+  }
+
+  test("multimodal feature stub: exact byte statistics") {
+    import graft.multimodal.MultimodalOps
+    val p = Seq(MultimodalOps.Payload(7L, "ab".getBytes("UTF-8"), 2, 1)).toDS()
+    val f = MultimodalOps.extractFeatures(p).collect().head
+    assert(f.n_bytes == 2L && f.mean_byte == 97.5)
+    assert(f.histogram(3) == 1.0) // 'a'(97)>>5 == 3 == 'b'(98)>>5
+  }
+}
