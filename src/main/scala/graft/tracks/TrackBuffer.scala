@@ -56,6 +56,23 @@ object TrackBuffer {
     if (merged.length > cap) merged.drop(merged.length - cap) else merged
   }
 
+  /** Generic form of `add` for any record type with an event-time key —
+    * the flights port (graft.flights) folds with this, keeping the exact
+    * same sorted/dedup/capped semantics as the events track. */
+  def addBy[T](buf: Vector[T], e: T, cap: Int)(ts: T => Long): Vector[T] = {
+    val target = ts(e)
+    var lo = 0; var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts(buf(mid)) < target) lo = mid + 1 else hi = mid
+    }
+    if (lo < buf.length && ts(buf(lo)) == target) buf
+    else {
+      val inserted = (buf.take(lo) :+ e) ++ buf.drop(lo)
+      if (inserted.length > cap) inserted.drop(inserted.length - cap) else inserted
+    }
+  }
+
   /** First index whose ts >= target (binary search). */
   private def lowerBound(buf: Vector[TrackEv], ts: Long): Int = {
     var lo = 0; var hi = buf.length

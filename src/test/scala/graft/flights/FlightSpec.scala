@@ -1,0 +1,107 @@
+package graft.flights
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end port of the reference's FlightSim replay (SURVEY.md §5):
+  * 9 flights x 9 timestamps, one position per flight per batch — after
+  * batch k every track has size k; last-known position equals the final
+  * row per flight. Data is generated synthetically in the reference CSV's
+  * shape (no fixture copying). */
+class FlightSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val flightIds = Seq("ASA2", "ASA3", "ASA6", "SWA510", "SWA724",
+                              "SWA992", "SWA1568", "SWA2358", "SWA2706")
+
+  /** One CSV line in the reference feed's format. */
+  private def line(id: String, sec: Int, idx: Int): String = {
+    val lon = -100.0 - idx - sec * 0.01
+    val lat = 30.0 + idx + sec * 0.01
+    f""""$id",3/16/2012 02:25:${30 + sec}%02d PM,$lon%.6f,$lat%.6f,IAD,TPA,B733,${30000 + idx * 100}"""
+  }
+
+  test("parseCsv: quotes, trims, correct 12h PM parse, epoch-0 fallback") {
+    val df = Seq(
+      line("ASA2", 0, 0),
+      """"BAD",not a time,1.0,2.0,A,B,C,100""",
+      """"NOCAST",3/16/2012 02:25:30 PM,xx,2.0,A,B,C,yy"""
+    ).toDF("value")
+    val parsed = Flights.parseCsv(df)
+    val rows = parsed.select($"trackId", unix_micros($"time").as("us"),
+        $"longitude", $"altitude").collect()
+    val byId = rows.map(r => r.getString(0) -> r).toMap
+    // 02:25:30 PM == 14:25:30 UTC on 2012-03-16 (the CORRECT parse —
+    // the reference's Simple stack would have read 02:25:30 AM)
+    val expectedUs = java.time.LocalDateTime.of(2012, 3, 16, 14, 25, 30)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(byId("ASA2").getLong(1) == expectedUs)
+    assert(byId("BAD").getLong(1) == 0L)         // unparseable -> epoch 0
+    assert(byId("NOCAST").isNullAt(2) && byId("NOCAST").isNullAt(3)) // try_cast
+  }
+
+  test("schema tags resolve the TRACK_ID column (P7)") {
+    val parsed = Flights.withFlightTags(Flights.parseCsv(Seq(line("ASA2", 0, 0)).toDF("value")))
+    assert(Flights.taggedColumn(parsed, "TRACK_ID").contains("trackId"))
+    assert(Flights.taggedColumn(parsed, "START_TIME").contains("time"))
+    assert(Flights.taggedColumn(parsed, "NOPE").isEmpty)
+  }
+
+  test("geometry string renders the reference's '(x, y)' format (P9)") {
+    val parsed = Flights.parseCsv(Seq(line("ASA2", 0, 0)).toDF("value"))
+    val s = parsed.select(Flights.geometryString($"geometry")).as[String].head()
+    assert(s == "(-100.0, 30.0)")
+  }
+
+  test("dropGeometryData nulls values, keeps schema (P6)") {
+    val parsed = Flights.parseCsv(Seq(line("ASA2", 0, 0)).toDF("value"))
+    val dropped = Flights.dropGeometryData(parsed)
+    assert(dropped.schema("geometry").dataType == parsed.schema("geometry").dataType)
+    assert(dropped.select($"geometry").head().isNullAt(0))
+  }
+
+  test("FlightSim replay: per-batch growth, bounded tracks, last-known position") {
+    val input = MemoryStream[String](spark)
+    val snaps = Flights.trackSnapshots(Flights.flightStream(input.toDF()))
+    val qn = "fl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = snaps.writeStream.format("memory").queryName(qn).outputMode("update").start()
+    try {
+      // batches 1..9, one position per flight each (the reference's batch files)
+      (0 until 9).foreach { sec =>
+        input.addData(flightIds.zipWithIndex.map { case (id, i) => line(id, sec, i) })
+        q.processAllAvailable()
+      }
+      val table = spark.table(qn)
+      val latest = table
+        .withColumn("maxver", max($"ver").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"trackId")))
+        .filter($"ver" === $"maxver")
+      val sizes = latest.groupBy($"trackId").count().as[(String, Long)].collect().toMap
+      assert(sizes.keySet == flightIds.toSet)
+      assert(sizes.values.forall(_ == 9L)) // 9 batches, cap 10 never hit
+      // last-known position per flight == the batch-9 (sec=8) row
+      val last = latest.groupBy($"trackId")
+        .agg(max(struct($"tsMicros", $"longitude")).getField("longitude").as("lon"))
+        .as[(String, Double)].collect().toMap
+      flightIds.zipWithIndex.foreach { case (id, i) =>
+        assert(math.abs(last(id) - (-100.0 - i - 8 * 0.01)) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
+  test("showTempView keeps the FULL snapshot across batches (K3 parity)") {
+    val input = MemoryStream[String](spark)
+    val snaps = Flights.trackSnapshots(Flights.flightStream(input.toDF()))
+    val vn = "flights_view_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = Flights.showTempView(snaps, vn, quiet = true)
+    try {
+      input.addData(Seq(line("ASA2", 0, 0), line("ASA3", 0, 1))); q.processAllAvailable()
+      input.addData(Seq(line("SWA510", 1, 3))); q.processAllAvailable()
+      // ASA2/ASA3 were not updated in batch 2 but must still be visible
+      val ids = spark.sql(s"select distinct flightId from $vn")
+        .as[String].collect().toSet
+      assert(ids == Set("ASA2", "ASA3", "SWA510"))
+    } finally q.stop()
+  }
+}
