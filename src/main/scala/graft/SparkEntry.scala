@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.LlmTextQueries,
     _root_.graft.queries.LlmVectorQueries,
     _root_.graft.queries.MultimodalQueries,
-    _root_.graft.queries.GeoQueries
+    _root_.graft.queries.GeoQueries,
+    _root_.graft.queries.SourceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -52,19 +52,16 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** SORTED distinct shingle hashes: pairs with the native merge-walk
+    * sorted_jaccard kernel (graft.functions.SortedJaccard). */
+  def sortedShingleHashes(sh: Column): Column = array_sort(shingleHashes(sh))
+
   /** 64-bit SimHash over the word multiset: bit j of the result is the
-    * sign of sum_w (+1/-1 depending on bit j of xxhash64(w)). */
-  def simhash(text: Column): Column = {
-    val w = words(text)
-    val hashes = transform(w, x => xxhash64(x))
-    val bitSums = (0 until 64).map { j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    }
-    (0 until 64).map { j =>
-      when(bitSums(j) > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * sign of sum_w (+1/-1 depending on bit j of xxhash64(w)). The bit
+    * counting runs in the native SimHash64 codegen kernel; callers must
+    * graft.functions.VectorExprs.register(spark) first. */
+  def simhash(text: Column): Column =
+    call_function("simhash64", transform(words(text), x => xxhash64(x)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -14,12 +14,15 @@ object VectorOps {
   /** Cast a float embedding column to array<double> (exact widening). */
   def asDoubles(c: Column): Column = c.cast("array<double>")
 
+  /** Native codegen kernel (graft.functions.DotProduct); requires
+    * VectorExprs.register(spark) on the session. Same sequential fold
+    * order as the interpreted HOF version it replaced — identical bits,
+    * ~3x faster on the quadratic queries. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   /** Sum of squares (un-sqrted norm). */
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+  def norm2(a: Column): Column = dot(a, a)
 
   /** cosine = dot / (sqrt(|a|) * sqrt(|b|)) — same op sequence as DuckDB. */
   def cosine(a: Column, b: Column): Column =

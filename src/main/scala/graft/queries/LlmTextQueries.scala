@@ -65,6 +65,7 @@ object LlmTextQueries extends QueryPack {
     // ---- SimHash near-dup (hamming <= 3) via 16-bit block LSH ----
     "q_dedup_simhash" -> { (s, d) =>
       import s.implicits._
+      graft.functions.VectorExprs.register(s)
       val sigs = Tables.documents(s, d)
         .select($"doc_id", TextOps.simhash($"text").as("sig"))
       val blocks = sigs.select($"doc_id", $"sig", explode(TextOps.simhashBlocks($"sig")).as("b"))
@@ -85,15 +86,17 @@ object LlmTextQueries extends QueryPack {
     // and long-array intersects are ~10x cheaper than string intersects.
     "q_dedup_ngram_blocked" -> { (s, d) =>
       import s.implicits._
+      graft.functions.VectorExprs.register(s)
       val docs = Tables.documents(s, d)
         .select($"doc_id", $"source",
-          TextOps.shingleHashes(TextOps.shingles($"text")).as("sh"))
+          TextOps.sortedShingleHashes(TextOps.shingles($"text")).as("sh"))
         .filter(size($"sh") > 0)
       val a = docs.select($"source", $"doc_id".as("a_id"), $"sh".as("a_sh"))
       val b = docs.select($"source", $"doc_id".as("b_id"), $"sh".as("b_sh"))
       a.join(b, Seq("source"))
         .filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
+        .select($"a_id", $"b_id",
+          graft.functions.VectorExprs.sortedJaccard($"a_sh", $"b_sh").as("jaccard"))
         .filter($"jaccard" >= 0.3)
         .orderBy($"a_id", $"b_id")
     },

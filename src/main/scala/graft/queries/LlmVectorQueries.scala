@@ -30,11 +30,13 @@ object LlmVectorQueries extends QueryPack {
     * squares): per-pair cosine then needs only the dot product. Because
     * `sqrt(na)*sqrt(nb)` is exactly the op sequence DuckDB applies, the
     * precomputation changes cost, not bits. */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     Tables.embeddings(s, d).select(
       col("vec_id"),
       asDoubles(col("embedding")).as("v"),
       sqrt(norm2(asDoubles(col("embedding")))).as("nrm"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 for query set vec_id < 50 ----

@@ -34,6 +34,7 @@ class LlmSpec extends SparkSpec {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
                  (3L, "completely different words here entirely"))
       .toDF("doc_id", "text")
+    graft.functions.VectorExprs.register(spark)
     val sigs = df.select($"doc_id", TextOps.simhash($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
