@@ -158,6 +158,18 @@ object RelationalQueries extends QueryPack {
         .orderBy($"o_custkey", $"rk")
     },
 
+    // ---- A2 in function form: max_by / min_by ----
+    "q_agg_max_by" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id")
+        .agg(
+          max_by($"event_id", $"ts").as("last_event_id"),
+          min_by($"event_id", $"ts").as("first_event_id"),
+          max_by($"event_type", $"ts").as("last_event_type"))
+        .orderBy($"user_id")
+    },
+
     // ---- flagship (SURVEY §7.1): last known event per key, A2 analogue ----
     "q_track_last_known" -> { (s, d) =>
       import s.implicits._
@@ -266,6 +278,15 @@ object RelationalQueries extends QueryPack {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_agg_max_by" ->
+      """SELECT user_id,
+        |  max_by(event_id, ts) AS last_event_id,
+        |  min_by(event_id, ts) AS first_event_id,
+        |  max_by(event_type, ts) AS last_event_type
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_track_last_known" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM (

@@ -79,6 +79,17 @@ object ScalarQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    "q_scalar_json_map" -> { (s, d) =>
+      import s.implicits._
+      val m = from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      t(s, d, "events").select(
+        $"event_id",
+        element_at(m, "k").as("k_from_map"),
+        asLong(size(map_keys(m))).as("n_keys"))
+        .orderBy($"event_id")
+    },
+
     "q_array_ops" -> { (s, d) =>
       import s.implicits._
       t(s, d, "embeddings").select(
@@ -147,6 +158,13 @@ object ScalarQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS BIGINT) AS has_k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scalar_json_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Optimizer-property regression guards (SURVEY.md §4): the plans we rely
+  * on for scale must stay the plans Catalyst actually picks — filter
+  * pushdown into the parquet scan, column pruning, broadcast for dims,
+  * top-N without a global sort. */
+class PlanSpec extends SparkSpec {
+  private val SF = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SF)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("star join broadcasts dims and prunes fact columns") {
+    val p = plan("q_join_inner_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // orders scan must read only the two join keys
+    assert(p.contains("struct<o_orderkey:bigint,o_custkey:bigint>"), p)
+  }
+
+  test("global top-N plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("range join keeps its equi component (no cartesian product)") {
+    val p = plan("q_join_range")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery rewrites") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+}
