@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.LlmVectorQueries,
     _root_.graft.queries.MultimodalQueries,
     _root_.graft.queries.GeoQueries,
-    _root_.graft.queries.SourceQueries
+    _root_.graft.queries.SourceQueries,
+    _root_.graft.queries.StreamJoinQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

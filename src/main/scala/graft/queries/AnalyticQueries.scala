@@ -134,6 +134,18 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"o_orderstatus")
     },
 
+    // ---- exact interpolated percentiles ----
+    "q_agg_percentile" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy($"o_orderstatus")
+    },
+
     // ---- approximate distinct (HLL) — not DuckDB-comparable, rows-only ----
     "q_agg_approx_distinct" -> { (s, d) =>
       import s.implicits._
@@ -215,6 +227,18 @@ object AnalyticQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // exact interpolated percentile: Spark `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate; round(4) absorbs the
+    // (a+(b-a)g) vs ((1-g)a+gb) op-order ulps
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_stats" ->
       """WITH g AS (

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.tracks.TrackStateOp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-static and stream-stream joins (SURVEY.md §2.4 ABSENT→ENGINE):
+  * real Structured Streaming queries run synchronously (AvailableNow),
+  * hash-verified against batch SQL — with one bounded input the
+  * streaming inner-join semantics coincide with the batch join, which is
+  * exactly what makes them oracle-checkable.
+  *
+  * Scale notes: the stream-static join broadcasts the static dim per
+  * micro-batch (no state); the stream-stream join keeps both sides'
+  * state bounded by the watermark + time-range condition, so state size
+  * is O(rate x window), not O(history).
+  */
+object StreamJoinQueries extends QueryPack {
+
+  private def memSinkRun(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val qn = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- stream ⋈ static dimension ----
+    "q_stream_static_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = TrackStateOp.eventsStream(s, d)
+      val cust = Tables.customer(s, d) // static side
+      val agg = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             asDouble(sum(dec($"value"))).as("sum_value"))
+      memSinkRun(agg, "complete").orderBy($"c_mktsegment")
+    },
+
+    // ---- stream ⋈ stream with watermarks + time-range condition ----
+    "q_stream_stream_join" -> { (s, d) =>
+      import s.implicits._
+      val purchases = TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "purchase")
+        .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
+                $"event_id".as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "click")
+        .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
+                $"event_id".as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"c_ts" <= $"p_ts")
+        .select($"p_id", $"c_id")
+      memSinkRun(joined, "append").orderBy($"p_id", $"c_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin
+  )
+}

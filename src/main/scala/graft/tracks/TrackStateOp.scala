@@ -42,6 +42,30 @@ object TrackStateOp {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Pure per-group fold, extracted so both the streaming closure and unit
+    * tests share it: returns (newState — None means remove, emissions). */
+  def foldGroup(key: Long, events: Seq[EventRaw], prev: Option[TrackState],
+                hasTimedOut: Boolean, cap: Int): (Option[TrackState], Seq[SnapRow]) =
+    if (hasTimedOut) (None, Nil) // TTL: drop the idle key's state
+    else {
+      val p = prev.getOrElse(TrackState(0L, Nil))
+      var buf = p.events.toVector
+      // Fold in event-time order within the batch so arrival-order
+      // ts-collision resolution is deterministic per batch.
+      events.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+        buf = TrackBuffer.add(buf, TrackEv(e.tsMicros, e.event_id, e.eventType, e.value), cap)
+      }
+      val ver = p.ver + 1
+      (Some(TrackState(ver, buf.toList)),
+        buf.map(t => SnapRow(key, t.tsMicros, t.eventId, t.eventType, t.value, ver)))
+    }
+
+  /** NOTE on `ttl`: processing-time TTL is for continuously-running
+    * deployments (the 100 TB case — unbounded key spaces need expiry). A
+    * drain-style harness (AvailableNow / processAllAvailable) never
+    * quiesces while a timer is armed — the engine keeps scheduling
+    * batches to fire it — so batch-drain tests must use ttl=None; the
+    * timeout branch itself is unit-tested through foldGroup. */
   def trackSnapshots(events: Dataset[EventRaw], cap: Int = TrackBuffer.DefaultCap,
                      ttl: Option[String] = None): Dataset[SnapRow] = {
     val spark = events.sparkSession
@@ -55,21 +79,14 @@ object TrackStateOp {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TrackState, SnapRow](OutputMode.Update, timeout) {
         (key: Long, it: Iterator[EventRaw], state: GroupState[TrackState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val prev = state.getOption.getOrElse(TrackState(0L, Nil))
-            var buf = prev.events.toVector
-            // Fold in event-time order within the batch so arrival-order
-            // ts-collision resolution is deterministic per batch.
-            it.toVector.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-              buf = TrackBuffer.add(buf, TrackEv(e.tsMicros, e.event_id, e.eventType, e.value), cap)
-            }
-            val ver = prev.ver + 1
-            state.update(TrackState(ver, buf.toList))
-            ttl.foreach(state.setTimeoutDuration)
-            buf.iterator.map(t => SnapRow(key, t.tsMicros, t.eventId, t.eventType, t.value, ver))
+          foldGroup(key, it.toSeq, state.getOption, state.hasTimedOut, cap) match {
+            case (None, out) =>
+              state.remove()
+              out.iterator
+            case (Some(next), out) =>
+              state.update(next)
+              ttl.foreach(state.setTimeoutDuration)
+              out.iterator
           }
       }
   }
