@@ -43,6 +43,28 @@ object TrackQueries extends QueryPack {
         .orderBy(col("user_id"), col("ts"))
     },
 
+    // ---- same pipeline on Spark 4's transformWithState (RocksDB state) ----
+    "q_stream_track_tws" -> { (s, d) =>
+      val prev = s.conf.getOption(graft.tracks.TrackStateOp.rocksdbConf._1)
+      s.conf.set(graft.tracks.TrackStateOp.rocksdbConf._1,
+                 graft.tracks.TrackStateOp.rocksdbConf._2)
+      try {
+        val snaps = graft.tracks.TrackStateTws.trackSnapshots(TrackStateOp.eventsStream(s, d))
+        val qn = "tws_snap_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = snaps.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        TrackStateOp.latestSnapshot(s.table(qn))
+          .orderBy(col("user_id"), col("ts"))
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.tracks.TrackStateOp.rocksdbConf._1, v)
+        case None    => s.conf.unset(graft.tracks.TrackStateOp.rocksdbConf._1)
+      }
+    },
+
     // ---- same semantics as a typed Aggregator UDAF + custom generator ----
     "q_track_udaf" -> { (s, d) =>
       import s.implicits._
@@ -109,6 +131,7 @@ object TrackQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q_stream_track_snapshot" -> trackOracle,
+    "q_stream_track_tws" -> trackOracle,
     "q_track_udaf" -> trackOracle,
     "q_track_topk" -> trackOracle,
     "q_track_count" ->

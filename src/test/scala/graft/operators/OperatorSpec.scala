@@ -35,6 +35,18 @@ class OperatorSpec extends SparkSpec {
     assert(joined.count() == Tables.orders(spark, SF).count()) // FK complete
   }
 
+  test("partitioned write + filtered read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part_ev").toString
+    Tables.events(spark, SF).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val clicks = spark.read.parquet(dir).filter($"event_type" === "click")
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected partition pruning:\n$plan")
+    val expected = Tables.events(spark, SF).filter($"event_type" === "click").count()
+    assert(clicks.count() == expected)
+  }
+
   test("tool pipeline: declared schemas match Catalyst's, values flow") {
     val df = Seq((1L, -79.5857, 34.2655)).toDF("id", "lon", "lat")
     val proj = ProjectorTool("lon", "lat")
