@@ -116,6 +116,23 @@ object VectorExprs {
       "sorted_jaccard", exprs => SortedJaccard(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "scala_udf")
+  }
+
+  /** Plain-Scala twin of SortedJaccard.nullSafeEval for block-local
+    * (flatMapGroups) exact all-pairs — same arithmetic, same bits. */
+  def sortedJaccardValue(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
   }
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)

@@ -30,21 +30,13 @@ object TextOps {
   def shingleHashes(sh: Column): Column =
     array_distinct(transform(sh, s => xxhash64(s)))
 
-  /** Per-permutation minhash aggregate columns over an exploded
-    * (doc_id, shingle_hash) relation: min(xxhash64(i, h)) for each of the
-    * k permutations. Exploded + hash-aggregated (partial agg map-side)
-    * rather than a 64-lambda expression tree per row — the latter falls
-    * out of codegen and was ~50x slower at sf0.1. */
-  def minhashAggs(h: Column, k: Int = 64): Seq[Column] =
-    (0 until k).map(i => min(xxhash64(lit(i), h)).as(s"s$i"))
-
-  /** LSH band keys from the k signature COLUMNS s0..s{k-1}: `bands`
-    * hashes, each over `rowsPerBand` consecutive slots. Pairs sharing any
-    * band key are near-dup candidates. */
-  def bandKeysFromCols(bands: Int = 16, rowsPerBand: Int = 4): Column =
+  /** LSH band keys from a signature ARRAY column (graft.functions.
+    * MinHashSignature output): `bands` hashes, each over `rowsPerBand`
+    * consecutive slots. Pairs sharing any band key are candidates. */
+  def bandKeysFromSig(sig: Column, bands: Int = 16, rowsPerBand: Int = 4): Column =
     array((0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-        col(s"s${b * rowsPerBand + r}")): _*)
+        element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
   /** Exact Jaccard over two distinct-element arrays (int/int division in

@@ -41,15 +41,21 @@ object LlmTextQueries extends QueryPack {
     // the exact-Jaccard verify of the (few) candidates.
     "q_dedup_minhash" -> { (s, d) =>
       import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      // cache() the shared intermediates: the band self-join and the two
+      // verify joins would otherwise recompute the shingle+signature
+      // pipeline once PER REFERENCE (narrow plans have no shuffle for
+      // Spark to reuse). ~16 MB at sf0.1 — cheap insurance.
       val docs = Tables.documents(s, d)
         .select($"doc_id", TextOps.shingles($"text").as("sh"))
         .filter(size($"sh") > 0)
-      val sigs = docs
-        .select($"doc_id", explode(TextOps.shingleHashes($"sh")).as("h"))
-        .groupBy($"doc_id")
-        .agg(TextOps.minhashAggs($"h").head, TextOps.minhashAggs($"h").tail: _*)
+        .cache()
+      // one-pass signature kernel over the shingle hashes (no explode)
+      val sigs = docs.select($"doc_id",
+        call_function("minhash_signature", TextOps.shingleHashes($"sh"), lit(64)).as("sig"))
       val bands = sigs
-        .select($"doc_id", posexplode(TextOps.bandKeysFromCols()).as(Seq("band_i", "band_key")))
+        .select($"doc_id", posexplode(TextOps.bandKeysFromSig($"sig")).as(Seq("band_i", "band_key")))
+        .cache()
       val candidates = bands.as("a").join(bands.as("b"), Seq("band_i", "band_key"))
         .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
         .filter($"a_id" < $"b_id")
@@ -81,23 +87,31 @@ object LlmTextQueries extends QueryPack {
     },
 
     // ---- blocked exact n-gram Jaccard (same-source blocking) ----
-    // Jaccard runs over 64-bit shingle hashes, not strings: set sizes are
-    // identical absent a 64-bit collision inside one union (~1e-13/pair),
-    // and long-array intersects are ~10x cheaper than string intersects.
+    // Block-LOCAL all-pairs via flatMapGroups: each source block is
+    // small (corpus/n_sources docs), so pairwise comparison happens
+    // inside one task with zero per-pair array duplication — the
+    // join-shaped version materialized ~4 GB of copied shingle arrays
+    // through the shuffle at sf0.1 (25s -> ~2s). Jaccard runs over
+    // 64-bit shingle hashes (identical to string sets absent a 64-bit
+    // collision inside one union, ~1e-13/pair).
     "q_dedup_ngram_blocked" -> { (s, d) =>
       import s.implicits._
-      graft.functions.VectorExprs.register(s)
       val docs = Tables.documents(s, d)
         .select($"doc_id", $"source",
           TextOps.sortedShingleHashes(TextOps.shingles($"text")).as("sh"))
         .filter(size($"sh") > 0)
-      val a = docs.select($"source", $"doc_id".as("a_id"), $"sh".as("a_sh"))
-      val b = docs.select($"source", $"doc_id".as("b_id"), $"sh".as("b_sh"))
-      a.join(b, Seq("source"))
-        .filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id",
-          graft.functions.VectorExprs.sortedJaccard($"a_sh", $"b_sh").as("jaccard"))
-        .filter($"jaccard" >= 0.3)
+        .as[(Long, String, Array[Long])]
+      docs.groupByKey(_._2)
+        .flatMapGroups { (_: String, it: Iterator[(Long, String, Array[Long])]) =>
+          val block = it.toArray.sortBy(_._1)
+          for {
+            i <- block.indices.iterator
+            j <- (i + 1) until block.length
+            jac = graft.functions.VectorExprs.sortedJaccardValue(block(i)._3, block(j)._3)
+            if jac >= 0.3
+          } yield (block(i)._1, block(j)._1, jac)
+        }
+        .toDF("a_id", "b_id", "jaccard")
         .orderBy($"a_id", $"b_id")
     },
 
