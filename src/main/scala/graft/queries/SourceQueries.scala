@@ -30,6 +30,30 @@ object SourceQueries extends QueryPack {
       src.write.mode("overwrite").json(dir)
       s.read.schema(src.schema).json(dir)
         .orderBy($"n_nationkey")
+    },
+
+    // Kafka wire-shape roundtrip: serialize events into the Kafka source
+    // schema (key/value binary, topic, partition, offset, timestamp) and
+    // consume it back by parsing the value payload — the consumer-side
+    // plumbing a real Kafka topic needs, minus the broker (zero-egress
+    // container). Timestamps travel as unix micros inside the payload;
+    // Spark's to_json timestamp format is millisecond-lossy.
+    "q_source_kafka_shaped" -> { (s, d) =>
+      import s.implicits._
+      val wire = Tables.events(s, d).select(
+        $"user_id".cast("string").cast("binary").as("key"),
+        to_json(struct($"event_id", unix_micros($"ts").as("ts_us"),
+                       $"user_id", $"event_type", $"value")).cast("binary").as("value"),
+        lit("events").as("topic"),
+        pmod($"user_id", lit(8)).cast("int").as("partition"),
+        $"event_id".as("offset"))
+      val payload = "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+      wire
+        .select(from_json($"value".cast("string"), payload, Map.empty[String, String]).as("r"))
+        .select($"r.event_id".as("event_id"), timestamp_micros($"r.ts_us").as("ts"),
+                $"r.user_id".as("user_id"), $"r.event_type".as("event_type"),
+                $"r.value".as("value"))
+        .orderBy($"event_id")
     }
   )
 
@@ -37,6 +61,9 @@ object SourceQueries extends QueryPack {
     "q_source_csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "q_source_json_roundtrip" ->
-      "SELECT * FROM nation ORDER BY n_nationkey"
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_source_kafka_shaped" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

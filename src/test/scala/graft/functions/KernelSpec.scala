@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Native kernel correctness: interpreted eval == codegen'd pipeline,
+  * and property equivalence with naive set/loop implementations. */
+class KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("SortedJaccard == naive set jaccard (property)") {
+    val gen = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted.toArray)
+    check(Prop.forAll(gen, gen) { (a, b) =>
+      val union = a.toSet.union(b.toSet).size
+      if (union == 0) true // 0/0 undefined; callers filter empty sets
+      else {
+        val inter = a.toSet.intersect(b.toSet).size
+        VectorExprs.sortedJaccardValue(a, b) == inter.toDouble / union
+      }
+    })
+  }
+
+  test("DotProduct pipeline == driver-side sequential fold") {
+    VectorExprs.register(spark)
+    val a = Array(1.5, -2.25, 3.125, 0.0625)
+    val b = Array(-0.5, 4.75, 2.5, -8.0)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorExprs.dotProduct($"a", $"b")).as[Double].head()
+    var exp = 0.0
+    a.indices.foreach(i => exp += a(i) * b(i))
+    assert(got == exp)
+  }
+
+  test("MinHashSignature: interpreted == codegen'd, monotone under union") {
+    VectorExprs.register(spark)
+    val xs = Array(10L, 20L, 30L, 40L)
+    val viaPipeline = Seq(Tuple1(xs)).toDF("h")
+      .select(call_function("minhash_signature", $"h", lit(16)))
+      .as[Seq[Long]].head()
+    val interp = MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)), 16)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(viaPipeline == interp)
+    // signature of a superset is elementwise <= (min is monotone)
+    val ys = xs ++ Array(50L, 60L)
+    val sup = MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        ys, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)), 16)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(viaPipeline.zip(sup).forall { case (a, b) => b <= a })
+  }
+}
