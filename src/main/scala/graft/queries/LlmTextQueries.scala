@@ -115,6 +115,28 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     },
 
+    // ---- composite curation pipeline: the ops composed end-to-end ----
+    // exact-dedup (keep min doc_id per text) -> near-dup pruning (drop the
+    // larger id of every Jaccard>=0.5 pair) -> quality + length gate.
+    // Thresholds compare bit-identical doubles on both engines, so gate
+    // membership is exact, not fuzzy.
+    "q_pipeline_training_set" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val base = Tables.documents(s, d)
+      val keepExact = base.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val docs = base.join(keepExact, Seq("doc_id"))
+      // near-dup pairs via the (oracle-equivalent) LSH path
+      val nearDups = queries("q_dedup_minhash")(s, d)
+        .select($"b_id".as("doc_id")).distinct()
+      val kept = docs.join(nearDups, Seq("doc_id"), "left_anti")
+      kept.select(Seq($"doc_id") ++ TextOps.qualityColumns($"text"): _*)
+        .filter($"n_tokens" >= 20 && $"quality_score" >= 0.2)
+        .select($"doc_id", $"n_tokens", $"quality_score")
+        .orderBy($"doc_id")
+    },
+
     // ---- token statistics ----
     "q_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -202,6 +224,38 @@ object LlmTextQueries extends QueryPack {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |         / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_pipeline_training_set" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |docs AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+        |ws AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM ws WHERE len(w) >= 3),
+        |drops AS (SELECT DISTINCT b.doc_id
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |kept AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+        |    len(list_distinct(string_split(text, ' '))) AS n_dist
+        |  FROM kept)
+        |SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) AS quality_score
+        |FROM q
+        |WHERE n_tok >= 20
+        |  AND round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) >= 0.2
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, n_chars,
