@@ -33,4 +33,18 @@ trait QueryPack {
   protected def asDouble(c: Column): Column = c.cast(DoubleType)
 
   protected def asLong(c: Column): Column = c.cast(LongType)
+
+  /** Run a streaming DataFrame synchronously to a uniquely-named memory
+    * sink (AvailableNow) and return the sink table — the one shared
+    * "streaming query as a batch result" helper for all packs. */
+  protected def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val qn = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
 }

@@ -30,17 +30,20 @@ object Flights {
     * with quote stripping, trimming, safe casts; P3/P4: correct 12h parse,
     * unparseable -> epoch 0; P5: geometry = struct(x=lon, y=lat). */
   def parseCsv(lines: DataFrame): DataFrame = {
+    // try_element_at everywhere: ANSI element_at throws on out-of-bounds,
+    // which a truncated/blank socket line would hit — the tolerate-garbage
+    // contract needs the try_ variants end to end.
     val parts = split(regexp_replace(col("value"), "\"", ""), ",")
-    def f(i: Int): Column = trim(element_at(parts, i + 1))
+    def f(i: Int): Column = trim(try_element_at(parts, lit(i + 1)))
     lines.select(
       f(0).as("trackId"),
       f(1).as("flightTime"),
-      expr("try_cast(trim(split(regexp_replace(value, '\"', ''), ',')[2]) AS DOUBLE)").as("longitude"),
-      expr("try_cast(trim(split(regexp_replace(value, '\"', ''), ',')[3]) AS DOUBLE)").as("latitude"),
+      expr("try_cast(trim(try_element_at(split(regexp_replace(value, '\"', ''), ','), 3)) AS DOUBLE)").as("longitude"),
+      expr("try_cast(trim(try_element_at(split(regexp_replace(value, '\"', ''), ','), 4)) AS DOUBLE)").as("latitude"),
       f(4).as("origin"),
       f(5).as("destination"),
       f(6).as("aircraft"),
-      expr("try_cast(trim(split(regexp_replace(value, '\"', ''), ',')[7]) AS BIGINT)").as("altitude"))
+      expr("try_cast(trim(try_element_at(split(regexp_replace(value, '\"', ''), ','), 8)) AS BIGINT)").as("altitude"))
       .withColumn("time", coalesce(
         try_to_timestamp(col("flightTime"), lit(TsFormat)),
         to_timestamp(lit("1970-01-01 00:00:00"))))
@@ -76,11 +79,16 @@ object Flights {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
-  /** Typed stream of FlightRec from a raw line stream. */
+  /** Typed stream of FlightRec from a raw line stream. Rows whose numeric
+    * fields failed try_cast are DROPPED here: FlightRec's primitive fields
+    * are non-nullable, so letting parse-nulls through would crash the
+    * encoder on exactly the malformed lines the parser tolerates. */
   def flightStream(lines: DataFrame): Dataset[FlightRec] = {
     val spark = lines.sparkSession
     import spark.implicits._
     parseCsv(lines)
+      .filter($"trackId".isNotNull && $"longitude".isNotNull &&
+              $"latitude".isNotNull && $"altitude".isNotNull)
       .select($"trackId", unix_micros($"time").as("tsMicros"), $"longitude",
               $"latitude", $"origin", $"destination", $"aircraft", $"altitude")
       .as[FlightRec]
@@ -97,7 +105,9 @@ object Flights {
         (key: String, it: Iterator[FlightRec], state: GroupState[FlightTrackState]) =>
           val prev = state.getOption.getOrElse(FlightTrackState(0L, Nil))
           var buf = prev.recs.toVector
-          it.toVector.sortBy(_.tsMicros).foreach { r =>
+          // full-record tiebreak: shuffle iterator order is nondeterministic,
+          // so a ts collision must not decide the survivor by arrival order
+          it.toVector.sortBy(r => (r.tsMicros, r.toString)).foreach { r =>
             buf = TrackBuffer.addBy(buf, r, cap)(_.tsMicros)
           }
           val ver = prev.ver + 1

@@ -15,13 +15,17 @@ object TextOps {
   def words(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles (default n=3). Documents shorter than
-    * n words produce an empty shingle set. */
+    * n words produce an empty shingle set — guarded with when(): Spark's
+    * sequence(1, 0) DESCENDS ([1,0]) rather than producing an empty
+    * array, and ANSI element_at throws on out-of-bounds, so the naive
+    * greatest(size-2, 0) shape crashes on short documents. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)
     val grams = transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    array_distinct(grams)
+    when(size(w) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Shingle hashes: one 64-bit string hash per shingle. All downstream

@@ -60,12 +60,18 @@ object LlmTextQueries extends QueryPack {
         .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
         .filter($"a_id" < $"b_id")
         .dropDuplicates("a_id", "b_id")
-      candidates
+      val result = candidates
         .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
         .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
         .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"a_id", $"b_id")
+        .cache()
+      // materialize the (tiny) result, then release the big intermediates
+      result.count()
+      docs.unpersist()
+      bands.unpersist()
+      result
     },
 
     // ---- SimHash near-dup (hamming <= 3) via 16-bit block LSH ----

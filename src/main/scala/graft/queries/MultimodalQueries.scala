@@ -50,7 +50,9 @@ object MultimodalQueries extends QueryPack {
 
     // features flow through the stubbed decoder, but the byte statistics
     // ARE exact over the payload bytes — expressible in SQL: mean byte of
-    // ASCII text = avg(ord(ch)).
+    // ASCII text = avg(ord(ch)). NOTE: ord() is a CODEPOINT, equal to the
+    // byte only for ASCII (true of all testdata text, verified); non-ASCII
+    // corpora would need a byte-level oracle instead.
     "q_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

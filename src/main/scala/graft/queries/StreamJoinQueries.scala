@@ -19,15 +19,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoinQueries extends QueryPack {
 
-  private def memSinkRun(df: DataFrame, mode: String): DataFrame = {
-    val s = df.sparkSession
-    val qn = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(qn)
-  }
-
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- stream ⋈ static dimension ----
     "q_stream_static_join" -> { (s, d) =>
@@ -38,7 +29,7 @@ object StreamJoinQueries extends QueryPack {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"),
              asDouble(sum(dec($"value"))).as("sum_value"))
-      memSinkRun(agg, "complete").orderBy($"c_mktsegment")
+      runToMemory(agg, "complete").orderBy($"c_mktsegment")
     },
 
     // ---- stream ⋈ stream with watermarks + time-range condition ----
@@ -59,7 +50,7 @@ object StreamJoinQueries extends QueryPack {
           $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
           $"c_ts" <= $"p_ts")
         .select($"p_id", $"c_id")
-      memSinkRun(joined, "append").orderBy($"p_id", $"c_id")
+      runToMemory(joined, "append").orderBy($"p_id", $"c_id")
     }
   )
 

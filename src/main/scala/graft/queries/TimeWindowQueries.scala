@@ -19,15 +19,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object TimeWindowQueries extends QueryPack {
 
-  private def memSinkRun(df: DataFrame, mode: String): DataFrame = {
-    val s = df.sparkSession
-    val qn = "win_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(qn)
-  }
-
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- tumbling window, batch ----
     "q_window_tumble" -> { (s, d) =>
@@ -72,7 +63,7 @@ object TimeWindowQueries extends QueryPack {
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 day"), $"eventType")
         .agg(count(lit(1)).as("n"))
-      memSinkRun(agg, "complete")
+      runToMemory(agg, "complete")
         .select($"window.start".as("day"), $"eventType".as("event_type"), $"n")
         .orderBy($"day", $"event_type")
     },
@@ -87,7 +78,7 @@ object TimeWindowQueries extends QueryPack {
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_unique"))
-      memSinkRun(deduped, "complete")
+      runToMemory(deduped, "complete")
         .orderBy($"user_id")
     }
   )

@@ -32,14 +32,7 @@ object TrackQueries extends QueryPack {
     // ---- the real thing: stateful Structured Streaming (K1-K6 + K3) ----
     "q_stream_track_snapshot" -> { (s, d) =>
       val snaps = TrackStateOp.trackSnapshots(TrackStateOp.eventsStream(s, d))
-      val qn = "track_snap_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = snaps.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      TrackStateOp.latestSnapshot(s.table(qn))
+      TrackStateOp.latestSnapshot(runToMemory(snaps.toDF(), "update"))
         .orderBy(col("user_id"), col("ts"))
     },
 
@@ -50,14 +43,7 @@ object TrackQueries extends QueryPack {
                  graft.tracks.TrackStateOp.rocksdbConf._2)
       try {
         val snaps = graft.tracks.TrackStateTws.trackSnapshots(TrackStateOp.eventsStream(s, d))
-        val qn = "tws_snap_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = snaps.writeStream
-          .format("memory").queryName(qn)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        TrackStateOp.latestSnapshot(s.table(qn))
+        TrackStateOp.latestSnapshot(runToMemory(snaps.toDF(), "update"))
           .orderBy(col("user_id"), col("ts"))
       } finally prev match {
         case Some(v) => s.conf.set(graft.tracks.TrackStateOp.rocksdbConf._1, v)

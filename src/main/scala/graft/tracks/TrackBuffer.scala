@@ -28,14 +28,8 @@ object TrackBuffer {
 
   /** Insert preserving sort/dedup/cap. O(log n) search + O(n) vector copy,
     * n <= cap (10): effectively constant, no boxing TreeSet. */
-  def add(buf: Vector[TrackEv], e: TrackEv, cap: Int = DefaultCap): Vector[TrackEv] = {
-    val i = lowerBound(buf, e.tsMicros)
-    if (i < buf.length && buf(i).tsMicros == e.tsMicros) buf // dedup: refuse
-    else {
-      val inserted = (buf.take(i) :+ e) ++ buf.drop(i)
-      if (inserted.length > cap) inserted.drop(inserted.length - cap) else inserted
-    }
-  }
+  def add(buf: Vector[TrackEv], e: TrackEv, cap: Int = DefaultCap): Vector[TrackEv] =
+    addBy(buf, e, cap)(_.tsMicros)
 
   /** Merge two tracks (for Aggregator partial merges): sorted merge, dedup
     * by ts (tie -> smaller eventId wins, deterministic), keep newest cap. */

@@ -41,6 +41,15 @@ class FlightSpec extends SparkSpec {
     assert(byId("NOCAST").isNullAt(2) && byId("NOCAST").isNullAt(3)) // try_cast
   }
 
+  test("parseCsv + flightStream survive truncated/blank lines (ANSI OOB regression)") {
+    val df = Seq("", "just,two", line("ASA2", 0, 0)).toDF("value")
+    val parsed = Flights.parseCsv(df) // must not throw on short lines
+    assert(parsed.count() == 3)
+    // typed stream drops rows whose non-nullable fields failed to parse
+    val typed = Flights.flightStream(df)
+    assert(typed.collect().map(_.trackId).toSeq == Seq("ASA2"))
+  }
+
   test("schema tags resolve the TRACK_ID column (P7)") {
     val parsed = Flights.withFlightTags(Flights.parseCsv(Seq(line("ASA2", 0, 0)).toDF("value")))
     assert(Flights.taggedColumn(parsed, "TRACK_ID").contains("trackId"))

@@ -30,6 +30,16 @@ class LlmSpec extends SparkSpec {
     assert(lsh == exact, s"LSH recall/precision mismatch: lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("shingles: documents shorter than n words yield empty sets, no crash") {
+    // regression: sequence(1,0) descends and ANSI element_at throws OOB
+    val df = Seq((1L, "one"), (2L, "one two"), (3L, "one two three"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(4L).isEmpty)
+    assert(got(3L) == Seq("one two three"))
+  }
+
   test("simhash: identical texts collide, hamming 0") {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
                  (3L, "completely different words here entirely"))

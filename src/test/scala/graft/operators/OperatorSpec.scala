@@ -27,12 +27,19 @@ class OperatorSpec extends SparkSpec {
       .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
     Tables.customer(spark, SF).write.mode("overwrite")
       .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
-    val joined = spark.table("b_orders")
-      .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join should not shuffle:\n$plan")
-    assert(joined.count() == Tables.orders(spark, SF).count()) // FK complete
+    // force SortMergeJoin: with broadcast allowed the small side never
+    // shuffles anyway and the assertion would be vacuous
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.orders(spark, SF).count()) // FK complete
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("partitioned write + filtered read prunes partitions at the scan") {
