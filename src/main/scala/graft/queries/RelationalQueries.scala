@@ -121,6 +121,15 @@ object RelationalQueries extends QueryPack {
       val b = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
       a.union(b).distinct().orderBy($"c_custkey")
     },
+    "q_setop_union_all" -> { (s, d) =>
+      import s.implicits._
+      val c = t(s, d, "customer")
+      val a = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val b = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      a.unionAll(b)
+        .groupBy($"c_custkey").agg(count(lit(1)).as("n_appearances"))
+        .orderBy($"c_custkey")
+    },
     "q_setop_intersect" -> { (s, d) =>
       import s.implicits._
       val c = t(s, d, "customer")
@@ -250,6 +259,14 @@ object RelationalQueries extends QueryPack {
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
         |UNION
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setop_union_all" ->
+      """SELECT c_custkey, count(*) AS n_appearances FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') u
+        |GROUP BY c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
     "q_setop_intersect" ->

@@ -79,6 +79,18 @@ object ScalarQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // ---- null-handling functions ----
+    "q_scalar_null_fns" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "customer").select(
+        $"c_custkey",
+        coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("(was building)")).as("seg_or_default"),
+        asLong($"c_acctbal" > 0).as("is_positive"),
+        greatest($"c_acctbal", lit(0.0)).as("bal_floor0"),
+        least($"c_acctbal", lit(1000.0)).as("bal_cap1000"))
+        .orderBy($"c_custkey")
+    },
+
     "q_scalar_json_map" -> { (s, d) =>
       import s.implicits._
       val m = from_json($"props", org.apache.spark.sql.types.MapType(
@@ -160,6 +172,15 @@ object ScalarQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q_scalar_null_fns" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(was building)') AS seg_or_default,
+        |  CAST(c_acctbal > 0 AS BIGINT) AS is_positive,
+        |  greatest(c_acctbal, 0.0) AS bal_floor0,
+        |  least(c_acctbal, 1000.0) AS bal_cap1000
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_scalar_json_map" ->
       """SELECT event_id,

@@ -104,10 +104,15 @@ object TrackStateOp {
 
   /** Streaming source over the testdata events parquet with the nanos->
     * micros normalization (same fix as graft.Tables, streaming side). */
+  // schema cache: several streaming queries build this source per Verify/
+  // Bench run; one footer read per dir is enough
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def eventsStream(spark: SparkSession, dir: String): Dataset[EventRaw] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema // ts: long nanos
+    val schema = schemaCache.computeIfAbsent(dir,
+      d => spark.read.parquet(s"$d/events.parquet").schema) // ts: long nanos
     // The file stream source wants a directory: stream the sf dir but only
     // admit the events file.
     spark.readStream.schema(schema)

@@ -13,6 +13,13 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, SF)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("SparkEntry.entry works on a fresh session with default configs (driver smoke)") {
+    // simulates the driver's own SparkSession: fresh SQLConf, none of our
+    // settings (the nanos-timestamp fix must self-apply via Tables)
+    val fresh = spark.newSession()
+    assert(SparkEntry.entry(fresh).count() > 0)
+  }
+
   test("pricing summary pushes the shipdate filter into the parquet scan") {
     val p = plan("q_agg_pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
