@@ -134,6 +134,27 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"o_orderstatus")
     },
 
+    // ---- pivot (explicit value list => deterministic columns) ----
+    "q_pivot" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+
+    // ---- lateral explode with ordinality ----
+    "q_explode_array" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "embeddings")
+        .filter($"vec_id" < 5)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "val")))
+        .select($"vec_id", asLong($"pos").as("pos"), asDouble($"val").as("val"))
+        .orderBy($"vec_id", $"pos")
+    },
+
     // ---- exact interpolated percentiles ----
     "q_agg_percentile" -> { (s, d) =>
       import s.implicits._
@@ -227,6 +248,27 @@ object AnalyticQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Spark posexplode is 0-based; generate_subscripts is 1-based and
+    // expands in lockstep with unnest (DuckDB lacks WITH ORDINALITY)
+    "q_explode_array" ->
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings
+        |WHERE vec_id < 5
+        |ORDER BY vec_id, pos""".stripMargin,
 
     // exact interpolated percentile: Spark `percentile` and DuckDB
     // `quantile_cont` both linearly interpolate; round(4) absorbs the
