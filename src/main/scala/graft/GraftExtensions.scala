@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension installer: makes every graft native function
+  * available to pure-SQL users via standard Spark plugin config —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or programmatically `SparkSession.builder.withExtensions(new
+  * GraftExtensions)`. This is the packaging surface a library consumer
+  * (spark-sql shell, Thrift server, notebook) actually uses; the
+  * per-query `register(...)` calls remain for sessions created without
+  * the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("web_mercator",
+      "web_mercator(lon, lat) - WGS84 -> EPSG:3857 struct<x,y>") { exprs =>
+      functions.WebMercator(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.DoubleType))
+    })
+    e.injectFunction(fn("kgram_hashes",
+      "kgram_hashes(str, k) - rolling polynomial hash per k-gram") { exprs =>
+      functions.KGramHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())
+    })
+    e.injectFunction(fn("dot_product",
+      "dot_product(array<double>, array<double>) - sequential-fold dot") { exprs =>
+      functions.DotProduct(exprs.head, exprs(1))
+    })
+    e.injectFunction(fn("sorted_jaccard",
+      "sorted_jaccard(array<bigint>, array<bigint>) - merge-walk jaccard") { exprs =>
+      functions.SortedJaccard(exprs.head, exprs(1))
+    })
+    e.injectFunction(fn("simhash64",
+      "simhash64(array<bigint>) - 64-bit simhash of token hashes") { exprs =>
+      functions.SimHash64(exprs.head)
+    })
+    e.injectFunction(fn("minhash_signature",
+      "minhash_signature(array<bigint>, k) - k-permutation minhash") { exprs =>
+      functions.MinHashSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())
+    })
+    e.injectFunction(fn("explode_track",
+      "explode_track(array<struct>) - flatten a track to rows") { exprs =>
+      functions.ExplodeTrack(exprs.head)
+    })
+  }
+}
