@@ -18,7 +18,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // queries that EXECUTE during construction (streaming runs, eager
+    // caches, file writes) are skipped by default — explain them only
+    // when named explicitly
+    val sideEffecting = Set("q_stream_track_snapshot", "q_stream_track_tws",
+      "q_stream_tumble", "q_stream_dedup", "q_stream_static_join",
+      "q_stream_stream_join", "q_dedup_minhash", "q_pipeline_training_set",
+      "q_source_csv_roundtrip", "q_source_json_roundtrip")
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         println(s"\n################ $n ################")

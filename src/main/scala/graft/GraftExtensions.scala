@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("kgram_hashes",
       "kgram_hashes(str, k) - rolling polynomial hash per k-gram") { exprs =>
       functions.KGramHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())
+        functions.FunctionBuilders.constInt(exprs(1), "kgram_hashes", "k"))
     })
     e.injectFunction(fn("dot_product",
       "dot_product(array<double>, array<double>) - sequential-fold dot") { exprs =>
@@ -51,7 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("minhash_signature",
       "minhash_signature(array<bigint>, k) - k-permutation minhash") { exprs =>
       functions.MinHashSignature(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())
+        functions.FunctionBuilders.constInt(exprs(1), "minhash_signature", "k"))
     })
     e.injectFunction(fn("explode_track",
       "explode_track(array<struct>) - flatten a track to rows") { exprs =>

@@ -35,8 +35,11 @@ trait QueryPack {
   protected def asLong(c: Column): Column = c.cast(LongType)
 
   /** Run a streaming DataFrame synchronously to a uniquely-named memory
-    * sink (AvailableNow) and return the sink table — the one shared
-    * "streaming query as a batch result" helper for all packs. */
+    * sink (AvailableNow) and return its rows as a LOCAL relation — the
+    * one shared "streaming query as a batch result" helper for all
+    * packs. The sink's temp table is dropped before returning so
+    * repeated invocations in one session don't accumulate registered
+    * in-memory tables. */
   protected def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val s = df.sparkSession
     val qn = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -45,6 +48,9 @@ trait QueryPack {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qn)
+    val sink = s.table(qn)
+    val local = s.createDataFrame(sink.collectAsList(), sink.schema)
+    s.catalog.dropTempView(qn)
+    local
   }
 }

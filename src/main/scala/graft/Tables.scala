@@ -23,9 +23,12 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Session-level (not static) conf: safe to set lazily so the driver's
-    // own SparkSession works too, whatever configs it was built with.
+    // Session-level (not static) confs: set lazily so the driver's own
+    // SparkSession works too, whatever configs it was built with. UTC is
+    // part of the oracle contract (BASELINE pins both engines to UTC) —
+    // a non-UTC session would shift every date-extraction result.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     nanosTimestampCols.getOrElse(name, Nil)
       .filter(c => raw.schema.fieldNames.contains(c) && raw.schema(c).dataType == LongType)

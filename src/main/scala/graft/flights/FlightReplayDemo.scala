@@ -13,15 +13,6 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *   sbt "runMain graft.flights.FlightReplayDemo"
   */
 object FlightReplayDemo {
-  private val flightIds = Seq("ASA2", "ASA3", "ASA6", "SWA510", "SWA724",
-                              "SWA992", "SWA1568", "SWA2358", "SWA2706")
-
-  private def line(id: String, sec: Int, idx: Int): String = {
-    val lon = -100.0 - idx - sec * 0.01
-    val lat = 30.0 + idx + sec * 0.01
-    f""""$id",3/16/2012 02:25:${30 + sec}%02d PM,$lon%.6f,$lat%.6f,IAD,TPA,B733,${30000 + idx * 100}"""
-  }
-
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]").appName("flight-replay")
@@ -42,7 +33,7 @@ object FlightReplayDemo {
       "select flightId, max(altitude) as altitude from HighFlights group by flightId order by flightId")
 
     (0 until 3).foreach { sec =>
-      input.addData(flightIds.zipWithIndex.map { case (id, i) => line(id, sec, i) })
+      input.addData(FlightFixtures.batch(sec))
       qAll.processAllAvailable(); qNoGeom.processAllAvailable()
     }
     qAll.stop(); qNoGeom.stop(); spark.stop()

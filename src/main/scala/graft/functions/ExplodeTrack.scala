@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.Generator
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -35,7 +35,10 @@ case class ExplodeTrack(child: Expression)
     else {
       val n = elementSchema.length
       (0 until arr.numElements()).iterator.map { i =>
-        if (arr.isNullAt(i)) null else arr.getStruct(i, n).copy()
+        // null element -> all-null row (matching built-in inline();
+        // a raw null here would NPE inside GenerateExec's projection)
+        if (arr.isNullAt(i)) new GenericInternalRow(n)
+        else arr.getStruct(i, n).copy()
       }
     }
   }

@@ -84,6 +84,6 @@ object KGramHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_hashes",
       exprs => KGramHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        FunctionBuilders.constInt(exprs(1), "kgram_hashes", "k")),
       "scala_udf")
 }

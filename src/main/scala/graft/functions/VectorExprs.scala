@@ -30,14 +30,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
           s"dot_product needs (array<double>, array<double>), got $other")
     }
 
+  override def nullable: Boolean = true // also null on dimension mismatch
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    // dimension mismatch -> null, never a silently-truncated prefix dot
+    // (a plausible-but-wrong similarity would pass thresholds unnoticed)
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,10 +53,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
-         |${ev.value} = $s;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 
@@ -119,7 +130,7 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        FunctionBuilders.constInt(exprs(1), "minhash_signature", "k")),
       "scala_udf")
   }
 

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   * path's recall, not a restatement of the implementation.
   */
 object LlmTextQueries extends QueryPack {
+  // bounded cache lifecycle for q_dedup_minhash (see its comment)
+  private var lastMinhashResult: Option[DataFrame] = None
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup via content digest (hash groupBy, no shuffle of text) ----
@@ -67,10 +69,14 @@ object LlmTextQueries extends QueryPack {
         .filter($"jaccard" >= 0.5)
         .orderBy($"a_id", $"b_id")
         .cache()
-      // materialize the (tiny) result, then release the big intermediates
+      // materialize the (tiny) result, then release the big intermediates;
+      // also release the PREVIOUS invocation's result cache so repeated
+      // calls (pipeline query, bench warmup) keep a bounded footprint
       result.count()
       docs.unpersist()
       bands.unpersist()
+      LlmTextQueries.lastMinhashResult.foreach(_.unpersist())
+      LlmTextQueries.lastMinhashResult = Some(result)
       result
     },
 

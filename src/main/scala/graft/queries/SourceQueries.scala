@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * schema stance, SURVEY.md §1). */
 object SourceQueries extends QueryPack {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // one roundtrip dir per format per JVM (overwrite mode): repeated
+  // invocations must not accumulate temp copies of the tables
+  private lazy val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+  private lazy val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> { (s, d) =>
       import s.implicits._
-      val dir = tmp("graft_csv")
+      val dir = csvDir
       val src = Tables.region(s, d)
       src.write.mode("overwrite").option("header", "true").csv(dir)
       s.read.schema(src.schema).option("header", "true").csv(dir)
@@ -25,7 +27,7 @@ object SourceQueries extends QueryPack {
     },
     "q_source_json_roundtrip" -> { (s, d) =>
       import s.implicits._
-      val dir = tmp("graft_json")
+      val dir = jsonDir
       val src = Tables.nation(s, d)
       src.write.mode("overwrite").json(dir)
       s.read.schema(src.schema).json(dir)

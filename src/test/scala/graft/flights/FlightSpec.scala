@@ -12,15 +12,8 @@ import org.apache.spark.sql.functions._
 class FlightSpec extends SparkSpec {
   import spark.implicits._
 
-  private val flightIds = Seq("ASA2", "ASA3", "ASA6", "SWA510", "SWA724",
-                              "SWA992", "SWA1568", "SWA2358", "SWA2706")
-
-  /** One CSV line in the reference feed's format. */
-  private def line(id: String, sec: Int, idx: Int): String = {
-    val lon = -100.0 - idx - sec * 0.01
-    val lat = 30.0 + idx + sec * 0.01
-    f""""$id",3/16/2012 02:25:${30 + sec}%02d PM,$lon%.6f,$lat%.6f,IAD,TPA,B733,${30000 + idx * 100}"""
-  }
+  private val flightIds = FlightFixtures.flightIds
+  private def line(id: String, sec: Int, idx: Int): String = FlightFixtures.line(id, sec, idx)
 
   test("parseCsv: quotes, trims, correct 12h PM parse, epoch-0 fallback") {
     val df = Seq(
