@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.MinHashSignature(exprs.head,
         functions.FunctionBuilders.constInt(exprs(1), "minhash_signature", "k"))
     })
+    e.injectFunction(fn("zorder64",
+      "zorder64(a, b) - 2-D Morton interleave of the low 32 bits") { exprs =>
+      functions.ZOrder64(exprs.head, exprs(1))
+    })
     e.injectFunction(fn("explode_track",
       "explode_track(array<struct>) - flatten a track to rows") { exprs =>
       functions.ExplodeTrack(exprs.head)

@@ -48,9 +48,12 @@ trait QueryPack {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // s.table() analyzes eagerly, so the returned plan holds the resolved
+    // sink relation; dropping the temp view right away un-registers the
+    // name without copying the data (collecting large streaming results
+    // to the driver cost 3.5x on the stream-stream join at sf0.1)
     val sink = s.table(qn)
-    val local = s.createDataFrame(sink.collectAsList(), sink.schema)
     s.catalog.dropTempView(qn)
-    local
+    sink
   }
 }

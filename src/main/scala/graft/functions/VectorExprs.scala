@@ -132,6 +132,8 @@ object VectorExprs {
       exprs => MinHashSignature(exprs.head,
         FunctionBuilders.constInt(exprs(1), "minhash_signature", "k")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder64", exprs => ZOrder64(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** Plain-Scala twin of SortedJaccard.nullSafeEval for block-local

@@ -79,6 +79,17 @@ object ScalarQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // ---- Z-order clustering key (multi-dim file-skipping layout) ----
+    "q_zorder_key" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      t(s, d, "events").select(
+        $"event_id",
+        $"user_id",
+        expr("zorder64(user_id, event_id % 1024)").as("zkey"))
+        .orderBy($"event_id")
+    },
+
     // ---- null-handling functions ----
     "q_scalar_null_fns" -> { (s, d) =>
       import s.implicits._
@@ -171,6 +182,42 @@ object ScalarQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS BIGINT) AS has_k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
         |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // the same magic-mask bit spread, mirrored in SQL (all integer ops)
+    "q_zorder_key" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id,
+        |    user_id & 4294967295 AS xa,
+        |    (event_id % 1024) & 4294967295 AS xb
+        |  FROM events),
+        |sp AS (
+        |  SELECT event_id, user_id,
+        |    ((xa | (xa << 16)) & 281470681808895) AS a1,
+        |    ((xb | (xb << 16)) & 281470681808895) AS b1
+        |  FROM s),
+        |sp2 AS (
+        |  SELECT event_id, user_id,
+        |    ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+        |    ((b1 | (b1 << 8)) & 71777214294589695) AS b2
+        |  FROM sp),
+        |sp3 AS (
+        |  SELECT event_id, user_id,
+        |    ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+        |    ((b2 | (b2 << 4)) & 1085102592571150095) AS b3
+        |  FROM sp2),
+        |sp4 AS (
+        |  SELECT event_id, user_id,
+        |    ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+        |    ((b3 | (b3 << 2)) & 3689348814741910323) AS b4
+        |  FROM sp3),
+        |sp5 AS (
+        |  SELECT event_id, user_id,
+        |    ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+        |    ((b4 | (b4 << 1)) & 6148914691236517205) AS b5
+        |  FROM sp4)
+        |SELECT event_id, user_id, (a5 | (b5 << 1)) AS zkey
+        |FROM sp5
         |ORDER BY event_id""".stripMargin,
 
     "q_scalar_null_fns" ->

@@ -37,6 +37,18 @@ class KernelSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("ZOrder64: known interleavings and quadrant order") {
+    assert(ZOrder64.interleave(0L, 0L) == 0L)
+    assert(ZOrder64.interleave(1L, 0L) == 1L)   // a -> even bits
+    assert(ZOrder64.interleave(0L, 1L) == 2L)   // b -> odd bits
+    assert(ZOrder64.interleave(3L, 3L) == 15L)  // 0b1111
+    assert(ZOrder64.interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == -1L) // all 64 bits
+    // z-curve locality: points in the lower quadrant sort before the upper
+    val low = for (x <- 0L until 4L; y <- 0L until 4L) yield ZOrder64.interleave(x, y)
+    val high = for (x <- 4L until 8L; y <- 4L until 8L) yield ZOrder64.interleave(x, y)
+    assert(low.max < high.min)
+  }
+
   test("MinHashSignature: interpreted == codegen'd, monotone under union") {
     VectorExprs.register(spark)
     val xs = Array(10L, 20L, 30L, 40L)
