@@ -62,6 +62,23 @@ class TrackBufferSpec extends AnyFunSuite {
     })
   }
 
+  test("partition-split fold + merge == sequential fold (distribution safety)") {
+    // the Aggregator's correctness at scale: however events are split
+    // across partitions, partial folds merged together must keep the
+    // same timestamps as one sequential fold
+    val gen = for {
+      evs <- evsGen
+      nParts <- Gen.choose(1, 5)
+    } yield (evs, nParts)
+    check(Prop.forAll(gen) { case (evs, nParts) =>
+      val direct = evs.foldLeft(Vector.empty[TrackEv])(TrackBuffer.add(_, _, cap))
+      val parts = evs.zipWithIndex.groupBy(_._2 % nParts).values
+        .map(_.map(_._1).foldLeft(Vector.empty[TrackEv])(TrackBuffer.add(_, _, cap)))
+      val merged = parts.foldLeft(Vector.empty[TrackEv])(TrackBuffer.merge(_, _, cap))
+      merged.map(_.tsMicros) == direct.map(_.tsMicros)
+    })
+  }
+
   test("merge breaks ts ties by smaller eventId (deterministic)") {
     val m = TrackBuffer.merge(Vector(ev(5, 9)), Vector(ev(5, 3)), cap)
     assert(m.map(_.eventId) == Vector(3L))
