@@ -100,6 +100,17 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // ---- collection aggregates (sorted for deterministic compare) ----
+    "q_agg_collect" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sort_array(collect_set($"l_linestatus")).as("statuses"),
+          asLong(size(collect_list($"l_linestatus"))).as("n_collected"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- distinct aggregates ----
     "q_agg_distinct" -> { (s, d) =>
       import s.implicits._
@@ -238,6 +249,14 @@ object AnalyticQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  CAST(count(l_linestatus) AS BIGINT) AS n_collected
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_distinct" ->
       """SELECT l_returnflag,

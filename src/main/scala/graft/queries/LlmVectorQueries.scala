@@ -65,6 +65,16 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     },
 
+    // ---- unit-normalization (the standard embedding pipeline step) ----
+    "q_embed_normalize" -> { (s, d) =>
+      import s.implicits._
+      emb(s, d).select(
+        $"vec_id",
+        round($"nrm", 6).as("norm"),
+        round(element_at($"v", 1) / $"nrm", 6).as("first_normalized"))
+        .orderBy($"vec_id")
+    },
+
     // ---- IVF-probed ANN (scale path; recall asserted in tests) ----
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
@@ -114,6 +124,15 @@ object LlmVectorQueries extends QueryPack {
         |  FROM p) t
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+
+    // norm = sqrt of the sequential sum of squares; same fold both engines
+    "q_embed_normalize" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm,
+        |  round(CAST(embedding[1] AS DOUBLE)
+        |        / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS first_normalized
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -79,6 +79,20 @@ object ScalarQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // ---- bitwise functions ----
+    "q_scalar_bitwise" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "events").select(
+        $"event_id",
+        ($"event_id".bitwiseAND($"user_id")).as("b_and"),
+        ($"event_id".bitwiseOR($"user_id")).as("b_or"),
+        ($"event_id".bitwiseXOR($"user_id")).as("b_xor"),
+        shiftleft($"user_id", 3).as("b_shl"),
+        shiftright($"event_id", 2).as("b_shr"),
+        asLong(bit_count($"event_id")).as("b_pop"))
+        .orderBy($"event_id")
+    },
+
     // ---- Z-order clustering key (multi-dim file-skipping layout) ----
     "q_zorder_key" -> { (s, d) =>
       import s.implicits._
@@ -181,6 +195,17 @@ object ScalarQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS BIGINT) AS has_k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scalar_bitwise" ->
+      """SELECT event_id,
+        |  event_id & user_id AS b_and,
+        |  event_id | user_id AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  user_id << 3 AS b_shl,
+        |  event_id >> 2 AS b_shr,
+        |  CAST(bit_count(event_id) AS BIGINT) AS b_pop
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
