@@ -37,6 +37,18 @@ class KernelSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("SimHash64: interpreted == codegen'd pipeline") {
+    VectorExprs.register(spark)
+    val hs = Array(0x123456789ABCDEFL, -42L, 7L)
+    val viaPipeline = Seq(Tuple1(hs)).toDF("h")
+      .select(call_function("simhash64", $"h")).as[Long].head()
+    val interp = SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        hs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+      .eval(null).asInstanceOf[Long]
+    assert(viaPipeline == interp)
+  }
+
   test("ZOrder64: known interleavings and quadrant order") {
     assert(ZOrder64.interleave(0L, 0L) == 0L)
     assert(ZOrder64.interleave(1L, 0L) == 1L)   // a -> even bits
