@@ -20,7 +20,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver tail-captures the log, and r1 lost the
+    // head of the JSON line to preamble noise — keep stdout/stderr minimal
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup outside the timed region (driver compares totals)
     try SparkEntry.queries.get("q_agg_pricing_summary")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -38,11 +40,16 @@ object Bench {
       // -1 marks a failure: elapsed-to-crash would read as a speedup
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the one JSON line short enough to survive a
+    // byte-limited log tail (r1's line lost its head to truncation)
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // failures are NOT summed: each -1 would subtract from the headline
+    // total and make a broken run read faster than a clean one
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,9 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // ExpressionInfo's 3-arg constructor is (className, db, functionName) —
+  // passing usage as the 3rd arg garbles DESCRIBE FUNCTION output (the
+  // usage string showed up as the function name). The extended constructor
+  // enforces doc-format rules on usage text, so the class carries the doc
+  // and the identifier stays correct.
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft", name, usage),
+      new ExpressionInfo(s"graft.functions ($usage)", null, name),
       builder)
 
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -31,11 +31,26 @@ object SparkEntry {
     queries("q_track_last_known")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    // toMap resolves duplicates last-pack-wins silently — a name collision
+    // across packs would corrupt the driver contract with no error
+    require(all.map(_._1).distinct.size == all.size,
+      s"duplicate query name across packs: ${
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+  val oracleSql: Map[String, String] = {
+    val all = packs.flatMap(_.oracles)
+    require(all.map(_._1).distinct.size == all.size,
+      s"duplicate oracle name across packs: ${
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    val m = all.toMap
+    val orphans = m.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracle without a query: ${orphans.mkString(", ")}")
+    m
+  }
 }

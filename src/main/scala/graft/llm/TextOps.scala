@@ -36,8 +36,20 @@ object TextOps {
 
   /** LSH band keys from a signature ARRAY column (graft.functions.
     * MinHashSignature output): `bands` hashes, each over `rowsPerBand`
-    * consecutive slots. Pairs sharing any band key are candidates. */
-  def bandKeysFromSig(sig: Column, bands: Int = 16, rowsPerBand: Int = 4): Column =
+    * consecutive slots. Pairs sharing any band key are candidates.
+    *
+    * Defaults 32x2 put the S-curve knee at (1/32)^(1/2) ~ 0.18, far below
+    * the 0.5 verify threshold: candidate recall for a true Jaccard-0.5
+    * pair is 1-(1-0.25)^32 ~ 0.9999 (and ~1-6e-7 at j=0.6), so the
+    * exact-Jaccard verify stage determines the result set even for
+    * borderline pairs. The earlier 16x4 banding had its knee AT 0.5 —
+    * only ~64% recall for a pair exactly at threshold, which would make
+    * an exact-ground-truth compare flaky on borderline data. Cost: r=2
+    * bands admit ~j^2 background collisions per band (vs j^4), more
+    * candidate verifies — the correct trade while a hash-exact gate
+    * defines correctness; a production corpus would tune (b, r) to its
+    * own dup distribution. */
+  def bandKeysFromSig(sig: Column, bands: Int = 32, rowsPerBand: Int = 2): Column =
     array((0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
         element_at(sig, b * rowsPerBand + r + 1)): _*)

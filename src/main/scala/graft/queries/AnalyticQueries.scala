@@ -100,13 +100,14 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
-    // ---- collection aggregates (sorted for deterministic compare) ----
+    // ---- collection aggregates (sorted + joined to a string: the driver's
+    // compare sorts columns in pandas, which cannot hash raw array cells) ----
     "q_agg_collect" -> { (s, d) =>
       import s.implicits._
       t(s, d, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          sort_array(collect_set($"l_linestatus")).as("statuses"),
+          array_join(sort_array(collect_set($"l_linestatus")), ",").as("statuses"),
           asLong(size(collect_list($"l_linestatus"))).as("n_collected"))
         .orderBy($"l_returnflag")
     },
@@ -252,7 +253,7 @@ object AnalyticQueries extends QueryPack {
 
     "q_agg_collect" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  CAST(count(l_linestatus) AS BIGINT) AS n_collected
         |FROM lineitem
         |GROUP BY l_returnflag

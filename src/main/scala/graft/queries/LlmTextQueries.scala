@@ -21,12 +21,103 @@ import org.apache.spark.sql.functions._
   * path's recall, not a restatement of the implementation.
   */
 object LlmTextQueries extends QueryPack {
-  // memoized minhash result per (session, dir): the pipeline query
-  // re-invokes q_dedup_minhash, and recomputing the whole LSH pass costs
-  // ~11s at sf0.1; the memo is a cached ~25-row DF, bounded by the number
-  // of distinct sf dirs a session touches
-  private val minhashMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** MinHash+LSH near-dup pairs (Jaccard >= 0.5), shared by
+    * q_dedup_minhash and the curation pipeline. Recomputed per invocation
+    * on purpose: a session-lifetime memo would pin cached blocks forever
+    * AND make repeated bench runs time the memo instead of the work. */
+  private def minhashNearDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    // cache() the shared intermediates: the band self-join and the two
+    // verify joins would otherwise recompute the shingle+signature
+    // pipeline once PER REFERENCE (narrow plans have no shuffle for
+    // Spark to reuse). ~16 MB at sf0.1 — cheap insurance.
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextOps.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .cache()
+    // one-pass signature kernel over the shingle hashes (no explode)
+    val sigs = docs.select($"doc_id",
+      call_function("minhash_signature", TextOps.shingleHashes($"sh"), lit(64)).as("sig"))
+    val bands = sigs
+      .select($"doc_id", posexplode(TextOps.bandKeysFromSig($"sig")).as(Seq("band_i", "band_key")))
+      .cache()
+    val candidates = bands.as("a").join(bands.as("b"), Seq("band_i", "band_key"))
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .filter($"a_id" < $"b_id")
+      .dropDuplicates("a_id", "b_id")
+    val result = candidates
+      .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+      .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"a_id", $"b_id")
+      .cache()
+    // materialize the (tiny) result, then release the big intermediates
+    result.count()
+    docs.unpersist()
+    bands.unpersist()
+    result
+  }
+
+  /** Block-local exact n-gram Jaccard over (doc_id, source, sh) rows,
+    * SUB-TILED so a single source can never produce an unbounded O(b²)
+    * task: each source's docs get a dense per-source index (row_number by
+    * doc_id), tiles of `tileSize` docs, and every doc is replicated to
+    * each (min(t,o), max(t,o)) tile-pair of its source. flatMapGroups
+    * then compares pairs within one tile pair — a task touches at most
+    * 2·tileSize docs regardless of block size, and a source with m docs
+    * spreads its m²/2 comparisons over (m/tileSize)²/2 independent tasks.
+    * Replication factor is m/tileSize per doc (bounded, tunable).
+    *
+    * Zero per-pair array duplication inside a task — the join-shaped
+    * version materialized ~4 GB of copied shingle arrays through the
+    * shuffle at sf0.1 (25s -> ~2s). Jaccard runs over 64-bit shingle
+    * hashes (identical to string sets absent a 64-bit collision inside
+    * one union, ~1e-13/pair). */
+  private[graft] def ngramBlockedPairs(docs: DataFrame, tileSize: Int = 256,
+                                         threshold: Double = 0.3): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val tiled = docs
+      .withColumn("tile", ((row_number().over(w) - 1) / tileSize).cast("int"))
+    val ntiles = tiled.groupBy($"source").agg((max($"tile") + 1).as("nt"))
+    tiled.join(ntiles, "source")
+      .select($"doc_id", $"source", $"sh", $"tile",
+        explode(transform(sequence(lit(0), $"nt" - 1),
+          o => struct(least($"tile", o).as("ta"), greatest($"tile", o).as("tb")))).as("tp"))
+      .select($"source", $"tp.ta", $"tp.tb", $"tile", $"doc_id", $"sh")
+      .as[(String, Int, Int, Int, Long, Array[Long])]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Int, Long, Array[Long])]) =>
+        val (_, ta, tb) = key
+        val rows = it.toArray
+        def jac(x: Array[Long], y: Array[Long]): Double =
+          graft.functions.VectorExprs.sortedJaccardValue(x, y)
+        if (ta == tb) {
+          val block = rows.sortBy(_._5)
+          for {
+            i <- block.indices.iterator
+            j <- (i + 1) until block.length
+            v = jac(block(i)._6, block(j)._6)
+            if v >= threshold
+          } yield (block(i)._5, block(j)._5, v)
+        } else {
+          val left = rows.filter(_._4 == ta)
+          val right = rows.filter(_._4 == tb)
+          for {
+            x <- left.iterator
+            y <- right
+            v = jac(x._6, y._6)
+            if v >= threshold
+          } yield (math.min(x._5, y._5), math.max(x._5, y._5), v)
+        }
+      }
+      .toDF("a_id", "b_id", "jaccard")
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup via content digest (hash groupBy, no shuffle of text) ----
@@ -45,42 +136,7 @@ object LlmTextQueries extends QueryPack {
     // hashes (map-side combinable); shuffle only narrow (doc_id, band)
     // rows into the candidate join; re-attach shingle arrays by id for
     // the exact-Jaccard verify of the (few) candidates.
-    "q_dedup_minhash" -> { (s, d) =>
-      import s.implicits._
-      minhashMemo.computeIfAbsent((s, d), { _ =>
-      graft.functions.VectorExprs.register(s)
-      // cache() the shared intermediates: the band self-join and the two
-      // verify joins would otherwise recompute the shingle+signature
-      // pipeline once PER REFERENCE (narrow plans have no shuffle for
-      // Spark to reuse). ~16 MB at sf0.1 — cheap insurance.
-      val docs = Tables.documents(s, d)
-        .select($"doc_id", TextOps.shingles($"text").as("sh"))
-        .filter(size($"sh") > 0)
-        .cache()
-      // one-pass signature kernel over the shingle hashes (no explode)
-      val sigs = docs.select($"doc_id",
-        call_function("minhash_signature", TextOps.shingleHashes($"sh"), lit(64)).as("sig"))
-      val bands = sigs
-        .select($"doc_id", posexplode(TextOps.bandKeysFromSig($"sig")).as(Seq("band_i", "band_key")))
-        .cache()
-      val candidates = bands.as("a").join(bands.as("b"), Seq("band_i", "band_key"))
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-        .filter($"a_id" < $"b_id")
-        .dropDuplicates("a_id", "b_id")
-      val result = candidates
-        .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
-        .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
-        .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"a_id", $"b_id")
-        .cache()
-      // materialize the (tiny) result, then release the big intermediates
-      result.count()
-      docs.unpersist()
-      bands.unpersist()
-      result
-      })
-    },
+    "q_dedup_minhash" -> { (s, d) => minhashNearDups(s, d) },
 
     // ---- SimHash near-dup (hamming <= 3) via 16-bit block LSH ----
     "q_dedup_simhash" -> { (s, d) =>
@@ -100,33 +156,14 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     },
 
-    // ---- blocked exact n-gram Jaccard (same-source blocking) ----
-    // Block-LOCAL all-pairs via flatMapGroups: each source block is
-    // small (corpus/n_sources docs), so pairwise comparison happens
-    // inside one task with zero per-pair array duplication — the
-    // join-shaped version materialized ~4 GB of copied shingle arrays
-    // through the shuffle at sf0.1 (25s -> ~2s). Jaccard runs over
-    // 64-bit shingle hashes (identical to string sets absent a 64-bit
-    // collision inside one union, ~1e-13/pair).
+    // ---- blocked exact n-gram Jaccard (same-source blocking, tiled) ----
     "q_dedup_ngram_blocked" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
         .select($"doc_id", $"source",
           TextOps.sortedShingleHashes(TextOps.shingles($"text")).as("sh"))
         .filter(size($"sh") > 0)
-        .as[(Long, String, Array[Long])]
-      docs.groupByKey(_._2)
-        .flatMapGroups { (_: String, it: Iterator[(Long, String, Array[Long])]) =>
-          val block = it.toArray.sortBy(_._1)
-          for {
-            i <- block.indices.iterator
-            j <- (i + 1) until block.length
-            jac = graft.functions.VectorExprs.sortedJaccardValue(block(i)._3, block(j)._3)
-            if jac >= 0.3
-          } yield (block(i)._1, block(j)._1, jac)
-        }
-        .toDF("a_id", "b_id", "jaccard")
-        .orderBy($"a_id", $"b_id")
+      ngramBlockedPairs(docs).orderBy($"a_id", $"b_id")
     },
 
     // ---- composite curation pipeline: the ops composed end-to-end ----
@@ -138,11 +175,15 @@ object LlmTextQueries extends QueryPack {
       import s.implicits._
       graft.functions.VectorExprs.register(s)
       val base = Tables.documents(s, d)
-      val keepExact = base.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      // dedup on the 32-byte digest, NOT the raw text: grouping by `text`
+      // would shuffle the whole corpus by multi-KB keys at 100 TB.
+      // Identical semantics absent a sha2-256 collision.
+      val keepExact = base.groupBy(sha2($"text", 256).as("digest"))
+        .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val docs = base.join(keepExact, Seq("doc_id"))
       // near-dup pairs via the (oracle-equivalent) LSH path
-      val nearDups = queries("q_dedup_minhash")(s, d)
+      val nearDups = minhashNearDups(s, d)
         .select($"b_id".as("doc_id")).distinct()
       val kept = docs.join(nearDups, Seq("doc_id"), "left_anti")
       kept.select(Seq($"doc_id") ++ TextOps.qualityColumns($"text"): _*)

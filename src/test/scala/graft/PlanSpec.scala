@@ -46,4 +46,9 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("embed near-dup self-join is tiled: no nested-loop, no cartesian") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
