@@ -216,7 +216,8 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
-    // ---- language ID heuristic (no SQL oracle: argmax profile scoring) ----
+    // ---- language ID heuristic (argmax profile scoring; DuckDB oracle
+    // mirrors the struct-max argmax with list_sort of structs) ----
     "q_text_langid" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -341,8 +342,51 @@ object LlmTextQueries extends QueryPack {
         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
         |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) AS quality_score
         |FROM y
+        |ORDER BY doc_id""".stripMargin,
+
+    // same argmax as TextOps.langId: per-language stopword hit counts into
+    // (score, lang) structs, lexicographic struct max (ties break toward
+    // the later language name in both engines)
+    "q_text_langid" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  list_sort([
+        |    {score: len(list_filter(ws, t -> t IN ('der','die','das','und','ist','nicht','ein'))), lang: 'de'},
+        |    {score: len(list_filter(ws, t -> t IN ('the','a','of','to','and','is','it'))), lang: 'en'},
+        |    {score: len(list_filter(ws, t -> t IN ('el','la','de','que','y','los','es'))), lang: 'es'},
+        |    {score: len(list_filter(ws, t -> t IN ('le','la','de','et','est','les','un'))), lang: 'fr'},
+        |    {score: len(list_filter(ws, t -> t IN ('de','shi','bu','le','ren','wo','you'))), lang: 'zh'}
+        |  ])[-1].lang AS predicted_lang
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent reimplementation of the KGramHashes polynomial (k=8,
+    // B=1000003) in 128-bit arithmetic mod 2^64, mapped back to signed
+    // 64-bit: h(i) = sum_j byte(i+j)·B^(7-j). unicode(char) == UTF-8 byte
+    // for this all-ASCII corpus (verified; a non-ASCII corpus would need
+    // a byte-level oracle). The winnow column replays Spark's
+    // min-per-32-stride sketch with list slicing.
+    "q_text_fingerprint" ->
+      """WITH codes AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [ CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT)
+        |      FOR m IN [
+        |        (cs[i]*12924618581234127435 + cs[i+1]*10923514805226455897 + cs[i+2]*14453212906556403763
+        |         + cs[i+3]*14003818205314896721 + cs[i+4]*1000009000027000027 + cs[i+5]*1000006000009
+        |         + cs[i+6]*1000003 + cs[i+7]) % 18446744073709551616
+        |        FOR i IN range(1, len(cs) - 6) ]
+        |    ] AS kh
+        |  FROM codes)
+        |SELECT doc_id, CAST(len(kh) AS BIGINT) AS n_kgrams,
+        |  list_min(kh) AS fp_min, list_max(kh) AS fp_max,
+        |  CAST(len(list_distinct([ list_min(kh[(s-1)*32+1 : (s-1)*32+32])
+        |    FOR s IN range(1, greatest(len(kh)//32, 1) + 1) ])) AS BIGINT) AS n_winnow
+        |FROM h
         |ORDER BY doc_id""".stripMargin
-    // q_dedup_simhash / q_text_langid / q_text_fingerprint: no SQL oracle
-    // (signature/heuristic ops); covered by LlmTextSpec unit tests.
+    // q_dedup_simhash: no SQL oracle (xxhash64 has no DuckDB equivalent);
+    // covered by LlmSpec unit tests.
   )
 }

@@ -56,6 +56,39 @@ object SourceQueries extends QueryPack {
                 $"r.user_id".as("user_id"), $"r.event_type".as("event_type"),
                 $"r.value".as("value"))
         .orderBy($"event_id")
+    },
+
+    // The reference's CSV parse stack (SURVEY.md P1-P9), hash-verified:
+    // synthesize FlightSim-shaped lines from `events` (quoted track id,
+    // 12-hour "M/d/yyyy hh:mm:ss a" timestamp, integer-valued lon/lat so
+    // string->double parsing is exact, whitespace padding to exercise
+    // trim, deterministic corruption to exercise the tolerate-garbage
+    // contract), push them through Flights.parseCsv, and let the oracle
+    // compute the EXPECTED parse output directly from the original
+    // columns. A lenient/incorrect 12-hour parse (the reference Simple
+    // stack's quirk, SURVEY.md §1.1) cannot round-trip PM timestamps, so
+    // this pins P4's correct-parse semantics; rows with event_id%97==0
+    // get an unparseable time (-> epoch 0, P3) and event_id%101==0 a
+    // non-numeric altitude (-> null, P1 try_cast).
+    "q_flights_parse" -> { (s, d) =>
+      import s.implicits._
+      import graft.flights.Flights
+      val ev = Tables.events(s, d)
+      val tsStr = when(pmod($"event_id", lit(97)) === 0, lit("not a time"))
+        .otherwise(date_format($"ts", Flights.TsFormat))
+      val altStr = when(pmod($"event_id", lit(101)) === 0, lit("328k5"))
+        .otherwise(concat(lit(" "), pmod($"event_id", lit(40000)).cast("string")))
+      val line = concat_ws(",",
+        concat(lit("\"F"), $"event_id".cast("string"), lit("\"")),
+        tsStr,
+        (-pmod($"user_id", lit(180))).cast("string"),
+        pmod($"event_id", lit(89)).cast("string"),
+        lit(" IAD"), lit("TPA "), lit("B733"), altStr)
+      Flights.parseCsv(ev.select(line.as("value")))
+        .select($"trackId", $"time".as("event_time"), $"longitude", $"latitude",
+          $"origin", $"destination", $"aircraft", $"altitude",
+          Flights.geometryString($"geometry").as("geom_str"))
+        .orderBy($"trackId")
     }
   )
 
@@ -66,6 +99,22 @@ object SourceQueries extends QueryPack {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q_source_kafka_shaped" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // expected parse output computed from the ORIGINAL columns — only a
+    // correct 12-hour format+parse round-trip reproduces date_trunc-to-
+    // second ts for PM rows; corrupted rows fall back per contract
+    "q_flights_parse" ->
+      """SELECT 'F' || CAST(event_id AS VARCHAR) AS trackId,
+        |  CASE WHEN event_id % 97 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+        |       ELSE date_trunc('second', CAST(ts AS TIMESTAMP)) END AS event_time,
+        |  CAST(-(user_id % 180) AS DOUBLE) AS longitude,
+        |  CAST(event_id % 89 AS DOUBLE) AS latitude,
+        |  'IAD' AS origin, 'TPA' AS destination, 'B733' AS aircraft,
+        |  CASE WHEN event_id % 101 = 0 THEN NULL ELSE event_id % 40000 END AS altitude,
+        |  '(' || CAST(CAST(-(user_id % 180) AS DOUBLE) AS VARCHAR) || ', '
+        |      || CAST(CAST(event_id % 89 AS DOUBLE) AS VARCHAR) || ')' AS geom_str
+        |FROM events
+        |ORDER BY trackId""".stripMargin
   )
 }
