@@ -123,24 +123,36 @@ object Flights {
     * print with the reference's banner. The full snapshot is accumulated
     * across batches (the reference gets it from `stateSnapshots()`; with
     * flatMapGroupsWithState we fold update-mode emissions — SURVEY.md §7
-    * risk 1). Driver-side map is demo-scale; at 100 TB this becomes the
-    * state-store reader or a Delta merge.
+    * risk 1).
+    *
+    * Scale design — NO driver materialization: the running snapshot lives
+    * as executor-resident blocks. Each batch, tracks touched by the batch
+    * are anti-joined out of the previous snapshot and the fresh buffers
+    * unioned in; `localCheckpoint()` (eager) truncates the lineage so the
+    * plan stays O(1) deep across arbitrarily many batches and the merge
+    * cost is one distributed hash join on trackId per batch. The
+    * alternative at extreme state sizes is Spark's state-store reader
+    * (`spark.read.format("statestore")`) over the checkpoint.
     */
   def showTempView(snaps: Dataset[FlightSnap], viewName: String,
                    sql: String = null, quiet: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    val store = scala.collection.mutable.Map.empty[String, Seq[FlightSnap]]
     // foreachBatch runs under a per-batch CLONED session whose temp-view
     // registry is isolated; register on the captured outer session so the
     // view is visible to callers (the reference registers on its shared
     // SQLContext singleton for the same reason — SQLContextSingleton.scala).
     val spark = snaps.sparkSession
+    import spark.implicits._
+    var snapshot: DataFrame = spark.emptyDataset[FlightSnap].toDF()
     snaps.writeStream.outputMode("update").foreachBatch {
       (df: Dataset[FlightSnap], batchId: Long) =>
-        import spark.implicits._
-        val updated = df.collect().groupBy(_.trackId)
-        store.synchronized { updated.foreach { case (k, v) => store(k) = v.toSeq } }
-        val full = store.synchronized(store.values.flatten.toSeq)
-        spark.createDataset(full)
+        val updates = df.toDF()
+        // update-mode emissions carry each touched track's FULL buffer,
+        // so replace-whole-track-by-key merges exactly
+        snapshot = snapshot
+          .join(updates.select("trackId").distinct(), Seq("trackId"), "left_anti")
+          .unionByName(updates)
+          .localCheckpoint() // eager: executor blocks, lineage cut
+        snapshot
           .select($"trackId".as("flightId"), $"tsMicros", $"longitude", $"latitude", $"altitude")
           .createOrReplaceTempView(viewName)
         val q = Option(sql).getOrElse(s"select * from $viewName")

@@ -50,6 +50,64 @@ class FlightSpec extends SparkSpec {
     assert(Flights.taggedColumn(parsed, "NOPE").isEmpty)
   }
 
+  // the reference's declarative schema format, verbatim structure
+  // (reference StreamWithStates.scala:86-165): typed tagged attributes +
+  // geometry descriptor + time descriptor
+  private val flightsSchemaJson =
+    """{
+      |  "attributes": [
+      |    { "name": "flightId", "dataType": "String", "nullable": false,
+      |      "tags": [ { "name": "TRACK_ID", "types": [ "String" ] } ] },
+      |    { "name": "flightTime", "dataType": "Date", "nullable": false,
+      |      "tags": [ { "name": "START_TIME", "types": [ "Date" ] } ] },
+      |    { "name": "longitude", "dataType": "Float64", "nullable": false, "tags": [] },
+      |    { "name": "latitude", "dataType": "Float64", "nullable": false, "tags": [] },
+      |    { "name": "origin", "dataType": "String", "nullable": false, "tags": [] },
+      |    { "name": "destination", "dataType": "String", "nullable": false, "tags": [] },
+      |    { "name": "aircraft", "dataType": "String", "nullable": false, "tags": [] },
+      |    { "name": "altitude", "dataType": "Int32", "nullable": false, "tags": [] }
+      |  ],
+      |  "geometry": {
+      |    "geometryType": "esriGeometryPoint",
+      |    "spatialReference": { "wkid": 4326 },
+      |    "fieldName": "Geometry"
+      |  },
+      |  "time": { "timeType": "Instant" }
+      |}""".stripMargin
+
+  test("FeatureSchema: JSON-declared schema parses to tagged StructType (P7)") {
+    import org.apache.spark.sql.types._
+    val schema = FeatureSchema.fromJson(flightsSchemaJson)
+    assert(schema.fields.length == 9) // 8 attributes + geometry descriptor
+    assert(schema("flightId").dataType == StringType && !schema("flightId").nullable)
+    assert(schema("flightTime").dataType == TimestampType)
+    assert(schema("longitude").dataType == DoubleType)
+    assert(schema("altitude").dataType == IntegerType)
+    assert(schema("Geometry").dataType == StructType(Seq(
+      StructField("x", DoubleType), StructField("y", DoubleType))))
+    assert(schema("Geometry").metadata.getLong("wkid") == 4326L)
+    assert(FeatureSchema.taggedField(schema, "TRACK_ID").contains("flightId"))
+    assert(FeatureSchema.taggedField(schema, "START_TIME").contains("flightTime"))
+    assert(FeatureSchema.taggedField(schema, "GEOMETRY").contains("Geometry"))
+  }
+
+  test("FeatureSchema: tag resolution on real data driven by the JSON document (P7)") {
+    // parse real lines, rename to the declared attribute names, then let
+    // the USER's JSON document (not hand-built metadata) drive resolution
+    val schema = FeatureSchema.fromJson(flightsSchemaJson)
+    val parsed = Flights.parseCsv(Seq(line("ASA2", 0, 0)).toDF("value"))
+      .drop("flightTime") // raw string column; the parsed one takes its name
+      .withColumnRenamed("trackId", "flightId")
+      .withColumnRenamed("time", "flightTime")
+      .withColumnRenamed("geometry", "Geometry")
+    val tagged = FeatureSchema.applyTags(parsed, schema)
+    assert(Flights.taggedColumn(tagged, "TRACK_ID").contains("flightId"))
+    assert(Flights.taggedColumn(tagged, "START_TIME").contains("flightTime"))
+    val id = tagged.select(org.apache.spark.sql.functions.col(
+      Flights.taggedColumn(tagged, "TRACK_ID").get)).as[String].head()
+    assert(id == "ASA2")
+  }
+
   test("geometry string renders the reference's '(x, y)' format (P9)") {
     val parsed = Flights.parseCsv(Seq(line("ASA2", 0, 0)).toDF("value"))
     val s = parsed.select(Flights.geometryString($"geometry")).as[String].head()
