@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "zorder64(a, b) - 2-D Morton interleave of the low 32 bits") { exprs =>
       functions.ZOrder64(exprs.head, exprs(1))
     })
+    e.injectFunction(fn("shingle_hashes",
+      "shingle_hashes(str, n) - sorted distinct xxhash64 of n-word shingles") { exprs =>
+      functions.ShingleHashes(exprs.head,
+        functions.FunctionBuilders.constInt(exprs(1), "shingle_hashes", "n"))
+    })
     e.injectFunction(fn("explode_track",
       "explode_track(array<struct>) - flatten a track to rows") { exprs =>
       functions.ExplodeTrack(exprs.head)

@@ -134,6 +134,11 @@ object VectorExprs {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder64", exprs => ZOrder64(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        FunctionBuilders.constInt(exprs(1), "shingle_hashes", "n")),
+      "scala_udf")
   }
 
   /** Plain-Scala twin of SortedJaccard.nullSafeEval for block-local

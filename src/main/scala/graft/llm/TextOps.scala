@@ -64,6 +64,15 @@ object TextOps {
     * sorted_jaccard kernel (graft.functions.SortedJaccard). */
   def sortedShingleHashes(sh: Column): Column = array_sort(shingleHashes(sh))
 
+  /** Same result as sortedShingleHashes(shingles(text, n)) — identical
+    * hash values, sorted + deduped — via the one-pass byte-slice codegen
+    * kernel (graft.functions.ShingleHashes): no shingle-string
+    * materialization, no interpreted HOFs. ~20x faster at sf0.1; the hot
+    * path for every shingle-based dedup. Callers must
+    * graft.functions.VectorExprs.register(spark) first. */
+  def fastShingleHashes(text: Column, n: Int = 3): Column =
+    call_function("shingle_hashes", text, lit(n))
+
   /** 64-bit SimHash over the word multiset: bit j of the result is the
     * sign of sum_w (+1/-1 depending on bit j of xxhash64(w)). The bit
     * counting runs in the native SimHash64 codegen kernel; callers must

@@ -32,14 +32,19 @@ object LlmTextQueries extends QueryPack {
     // cache() the shared intermediates: the band self-join and the two
     // verify joins would otherwise recompute the shingle+signature
     // pipeline once PER REFERENCE (narrow plans have no shuffle for
-    // Spark to reuse). ~16 MB at sf0.1 — cheap insurance.
+    // Spark to reuse). ~4 MB at sf0.1 — cheap insurance.
+    // Shingling runs in the one-pass byte-slice kernel (the interpreted
+    // HOF version was ~7s of the query's 10s at sf0.1); `sh` is sorted
+    // distinct 64-bit shingle hashes, so the exact-Jaccard verify is the
+    // sorted merge walk (identical to string-set Jaccard absent a 64-bit
+    // collision inside one union, ~1e-13/pair).
     val docs = Tables.documents(s, d)
-      .select($"doc_id", TextOps.shingles($"text").as("sh"))
+      .select($"doc_id", TextOps.fastShingleHashes($"text").as("sh"))
       .filter(size($"sh") > 0)
       .cache()
     // one-pass signature kernel over the shingle hashes (no explode)
     val sigs = docs.select($"doc_id",
-      call_function("minhash_signature", TextOps.shingleHashes($"sh"), lit(64)).as("sig"))
+      call_function("minhash_signature", $"sh", lit(64)).as("sig"))
     val bands = sigs
       .select($"doc_id", posexplode(TextOps.bandKeysFromSig($"sig")).as(Seq("band_i", "band_key")))
       .cache()
@@ -50,7 +55,8 @@ object LlmTextQueries extends QueryPack {
     val result = candidates
       .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
       .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
-      .select($"a_id", $"b_id", TextOps.jaccard($"a_sh", $"b_sh").as("jaccard"))
+      .select($"a_id", $"b_id",
+        graft.functions.VectorExprs.sortedJaccard($"a_sh", $"b_sh").as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"a_id", $"b_id")
       .cache()
@@ -76,16 +82,23 @@ object LlmTextQueries extends QueryPack {
     * shuffle at sf0.1 (25s -> ~2s). Jaccard runs over 64-bit shingle
     * hashes (identical to string sets absent a 64-bit collision inside
     * one union, ~1e-13/pair). */
-  private[graft] def ngramBlockedPairs(docs: DataFrame, tileSize: Int = 256,
+  private[graft] def ngramBlockedPairs(docs: DataFrame, tileSize: Int = 512,
                                          threshold: Double = 0.3): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    val tiled = docs
-      .withColumn("tile", ((row_number().over(w) - 1) / tileSize).cast("int"))
-    val ntiles = tiled.groupBy($"source").agg((max($"tile") + 1).as("nt"))
-    tiled.join(ntiles, "source")
+    // tile assignment must NOT move the (fat) shingle arrays: per-source
+    // doc counts are a narrow aggregation, broadcast back, and the tile
+    // id is a hash of doc_id — so the only array shuffle is the tile-pair
+    // replication itself (factor nt = ceil(m/tileSize), the inherent cost
+    // of pairing tiles). An earlier draft used a row_number window, which
+    // sort-shuffled every array once and showed up as 5x bench time.
+    // Hash tiles are Poisson-balanced around tileSize, so the per-task
+    // bound is probabilistic but tight (±3·sqrt(tileSize)).
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("m"))
+    val tiled = docs.join(broadcast(counts), "source")
+      .withColumn("nt", ceil($"m" / lit(tileSize.toDouble)).cast("int"))
+      .withColumn("tile", pmod(xxhash64($"doc_id"), $"nt").cast("int"))
+    tiled
       .select($"doc_id", $"source", $"sh", $"tile",
         explode(transform(sequence(lit(0), $"nt" - 1),
           o => struct(least($"tile", o).as("ta"), greatest($"tile", o).as("tb")))).as("tp"))
@@ -159,9 +172,9 @@ object LlmTextQueries extends QueryPack {
     // ---- blocked exact n-gram Jaccard (same-source blocking, tiled) ----
     "q_dedup_ngram_blocked" -> { (s, d) =>
       import s.implicits._
+      graft.functions.VectorExprs.register(s)
       val docs = Tables.documents(s, d)
-        .select($"doc_id", $"source",
-          TextOps.sortedShingleHashes(TextOps.shingles($"text")).as("sh"))
+        .select($"doc_id", $"source", TextOps.fastShingleHashes($"text").as("sh"))
         .filter(size($"sh") > 0)
       ngramBlockedPairs(docs).orderBy($"a_id", $"b_id")
     },

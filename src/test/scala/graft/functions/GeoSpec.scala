@@ -35,12 +35,35 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(lonBack - lon) < 1e-12 && math.abs(latBack - lat) < 1e-12)
   }
 
-  test("geodesic buffer: every vertex ~radius away, n vertices") {
+  test("geodesic buffer: every vertex exactly radius away (Vincenty inverse)") {
+    // direct and inverse are independent formula paths; closing the loop
+    // to < 0.1 mm validates both
     val poly = GeodesicBuffer.ngon(-79.5857, 34.2655, 100.0, 32)
     assert(poly.size == 32)
     poly.foreach { p =>
-      val d = GeodesicBuffer.haversine(-79.5857, 34.2655, p.x, p.y)
-      assert(math.abs(d - 100.0) < 0.01, s"vertex at $d m")
+      val d = GeodesicBuffer.inverse(-79.5857, 34.2655, p.x, p.y)
+      assert(math.abs(d - 100.0) < 1e-4, s"vertex at $d m")
     }
+    // the spherical (haversine) distance must AGREE only to ~0.5% — if it
+    // matched to mm the buffer would still be the spherical approximation
+    val hav = GeodesicBuffer.haversine(-79.5857, 34.2655, poly.head.x, poly.head.y)
+    assert(math.abs(hav - 100.0) < 1.0)
+  }
+
+  test("Vincenty direct: Flinders Peak -> Buninyong known line") {
+    // classic WGS84(-ish) test line: from Flinders Peak on azimuth
+    // 306°52'05.37" for 54972.271 m lands on Buninyong (public Vincenty
+    // test data; sub-meter agreement expected on WGS84 vs GDA ellipsoid)
+    val lat1 = -(37.0 + 57.0 / 60 + 3.72030 / 3600)
+    val lon1 = 144.0 + 25.0 / 60 + 29.52440 / 3600
+    val az = 306.0 + 52.0 / 60 + 5.37 / 3600
+    val p = GeodesicBuffer.direct(lon1, lat1, az, 54972.271)
+    val lat2 = -(37.0 + 39.0 / 60 + 10.15610 / 3600)
+    val lon2 = 143.0 + 55.0 / 60 + 35.38390 / 3600
+    assert(math.abs(p.y - lat2) < 1e-5, s"lat ${p.y} vs $lat2")
+    assert(math.abs(p.x - lon2) < 1e-5, s"lon ${p.x} vs $lon2")
+    // inverse on the same pair recovers the distance
+    val d = GeodesicBuffer.inverse(lon1, lat1, lon2, lat2)
+    assert(math.abs(d - 54972.271) < 0.01, s"inverse distance $d")
   }
 }

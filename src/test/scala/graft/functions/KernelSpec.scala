@@ -26,6 +26,38 @@ class KernelSpec extends SparkSpec {
     })
   }
 
+  test("ShingleHashes kernel == HOF shingles+xxhash64 path (parity + edges)") {
+    VectorExprs.register(spark)
+    import graft.llm.TextOps
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c",               // exactly n words -> 1 shingle
+      "a b",                 // < n words -> empty
+      "",                    // empty -> empty
+      "one two three two three one two three", // repeated shingles dedup
+      "double  space here splits empty words", // consecutive spaces
+      " leading and trailing spaces ",
+      "sevenwordsallthesameword sevenwordsallthesameword sevenwordsallthesameword sevenwordsallthesameword")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kernel = df.select($"id", TextOps.fastShingleHashes($"text").as("kh"))
+      .as[(Long, Array[Long])].collect().toMap
+    val hof = df.select($"id",
+        array_sort(TextOps.shingleHashes(TextOps.shingles($"text"))).as("kh"))
+      .as[(Long, Array[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong).toSeq == hof(i.toLong).toSeq,
+        s"mismatch on '${texts(i)}': ${kernel(i.toLong).toSeq} vs ${hof(i.toLong).toSeq}")
+    }
+    // interpreted (driver-side eval) must equal the codegen'd result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = ShingleHashes(Literal(
+        UTF8String.fromString(texts.head), org.apache.spark.sql.types.StringType), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(interp == kernel(0L).toSeq)
+  }
+
   test("DotProduct pipeline == driver-side sequential fold") {
     VectorExprs.register(spark)
     val a = Array(1.5, -2.25, 3.125, 0.0625)
