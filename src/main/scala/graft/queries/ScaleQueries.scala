@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators for the 100 TB design story (SURVEY.md §2.7
+  * scale notes): bucketed co-located joins and partition-pruned scans —
+  * the two layout techniques that remove whole shuffle/scan phases at
+  * cluster scale. Both are exercised end-to-end: the fixture is WRITTEN
+  * with the layout, read back, and the plan shape is pinned by PlanSpec
+  * (no shuffle before the bucketed join; partition filters pushed to the
+  * scan), while the DuckDB oracle confirms the layout loses no rows.
+  */
+object ScaleQueries extends QueryPack {
+
+  private val BucketCount = 8
+
+  /** Bucketed table fixtures: orders/customer bucketed + sorted by the
+    * join key. The in-memory catalog does not survive the JVM, so each
+    * JVM writes once (idempotent overwrite) — a production deployment
+    * would bucket at ingest and amortize the write over every later
+    * join. */
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) = {
+    val tag = math.abs(d.hashCode).toString
+    val ordersT = s"graft_orders_b$tag"
+    val custT = s"graft_customer_b$tag"
+    if (!s.catalog.tableExists(ordersT)) {
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ordersT)
+    }
+    if (!s.catalog.tableExists(custT)) {
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(custT)
+    }
+    (ordersT, custT)
+  }
+
+  /** The bucketed join, exposed for PlanSpec's no-shuffle assertion. */
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ordersT, custT) = ensureBucketed(s, d)
+    // merge hint pins SortMergeJoin (a broadcast would bypass the bucket
+    // co-location this query demonstrates); both sides bucketed by the
+    // key into the same bucket count -> the join reads bucket i against
+    // bucket i with NO ShuffleExchange on either side
+    s.table(ordersT).hint("merge")
+      .join(s.table(custT), $"o_custkey" === $"c_custkey")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- shuffle-free co-located join on bucketed storage ----
+    "q_join_bucketed" -> { (s, d) =>
+      import s.implicits._
+      bucketedJoin(s, d)
+        .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    // ---- partition-pruned scan over hive-style partitioned parquet ----
+    "q_source_partitioned_pruning" -> { (s, d) =>
+      import s.implicits._
+      val dir = partitionedDir(s, d)
+      s.read.parquet(dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .orderBy($"event_id")
+    }
+  )
+
+  /** Events re-written partitioned by event_type (5 directories); the
+    * 'purchase' filter then prunes 4/5 of the data at PLANNING time —
+    * at 100 TB this is the difference between scanning a partition and
+    * scanning the lake. One write per JVM per sf dir. */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def partitionedDir(s: SparkSession, d: String): String =
+    partitionedDirs.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      dir
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_source_partitioned_pruning" ->
+      """SELECT event_id, user_id, value, event_type
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}

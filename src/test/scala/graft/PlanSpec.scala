@@ -51,4 +51,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("bucketed join is co-located: SortMergeJoin with ZERO shuffle exchanges") {
+    val p = queries.ScaleQueries.bucketedJoin(spark, SF)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("partitioned scan prunes at planning time (PartitionFilters)") {
+    val p = plan("q_source_partitioned_pruning")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"), p)
+    // only the one matching partition directory survives pruning
+    val pruned = queries.ScaleQueries.partitionedDir(spark, SF)
+    assert(new java.io.File(pruned).listFiles().exists(_.getName.contains("event_type=")))
+  }
 }

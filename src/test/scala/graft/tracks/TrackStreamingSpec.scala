@@ -127,5 +127,15 @@ class TrackStreamingSpec extends SparkSpec {
     // state from batch 1 must have survived the restart and folded with batch 2
     assert(latestTs(sink1.toSeq) == Seq(10L, 20L, 30L, 40L))
     assert(latestTs(sink2.toSeq) == Seq(20L, 40L))
+
+    // the scale-safe snapshot path (Flights.showTempView scaladoc): read
+    // the checkpointed state DIRECTLY with the state-store reader — a
+    // batch scan over the store files, zero driver materialization and
+    // no running query needed
+    val state = spark.read.format("statestore").load(ck1)
+    assert(state.count() > 0, state.schema.treeString)
+    // the store keys decode to exactly the grouped user_ids
+    val stateKeys = state.select("key.*").collect().map(_.getLong(0)).toSet
+    assert(stateKeys == Set(1L), s"state keys $stateKeys")
   }
 }
