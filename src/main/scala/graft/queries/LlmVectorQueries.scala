@@ -29,6 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object LlmVectorQueries extends QueryPack {
 
+  /** Random-hyperplane sketch parameters. The hyperplane components are
+    * RATIONAL constants derived from a Knuth multiplicative hash —
+    * m/2^31 - 1 is exactly representable, so both engines materialize
+    * bit-identical hyperplanes, the dot products are bit-identical
+    * sequential folds, and the sign bits (the sketch) hash-compare
+    * exactly. 8 planes = 256 buckets, sized to the test corpus; a
+    * production corpus raises `SketchPlanes` to keep bucket occupancy
+    * near O(corpus / 2^planes). */
+  private val SketchPlanes = 8
+  private val Dim = 64
+  private[graft] def hyper(j: Int, k: Int): Double =
+    ((2654435761L * (j * Dim + k + 1)) % 4294967296L) / 2147483648.0 - 1.0
+
+  private def sketchCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until SketchPlanes).map { j =>
+      val h = typedlit((0 until Dim).map(k => hyper(j, k)))
+      when(dot(v, h) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** XOR masks enumerating the hamming<=2 neighborhood of an 8-bit
+    * sketch: 1 + 8 + 28 = 37 probe buckets (~14% of the key space). */
+  private val ProbeMasks: Seq[Long] = {
+    val single = (0 until SketchPlanes).map(1L << _)
+    val pairs = for {
+      a <- 0 until SketchPlanes; b <- (a + 1) until SketchPlanes
+    } yield (1L << a) | (1L << b)
+    0L +: (single ++ pairs)
+  }
+
   /** Corpus with the norm precomputed ONCE per vector (sqrt of the sum of
     * squares): per-pair cosine then needs only the dot product. Because
     * `sqrt(na)*sqrt(nb)` is exactly the op sequence DuckDB applies, the
@@ -107,6 +136,40 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"vec_id")
     },
 
+    // ---- random-hyperplane LSH sketch (hash-exact across engines) ----
+    "q_embed_lsh_sketch" -> { (s, d) =>
+      import s.implicits._
+      emb(s, d)
+        .select($"vec_id", sketchCol($"v").as("sketch"))
+        .orderBy($"vec_id")
+    },
+
+    // ---- LSH-bucketed ANN: sketch buckets + hamming<=2 multi-probe ----
+    // The second ANN scale path beside IVF: candidates come from an
+    // EQUI-join on the sketch key (shuffle on an 8-bit key, bucket sizes
+    // ~ corpus/256), probing the 37-bucket hamming<=2 neighborhood of
+    // each query's sketch. Recall vs brute force asserted in LlmSpec.
+    "q_ann_lsh" -> { (s, d) =>
+      import s.implicits._
+      val corpus = emb(s, d).withColumn("sketch", sketchCol($"v"))
+      val queries = corpus.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"sketch".as("qs"))
+      val probes = queries
+        .select($"q_id", $"qv", $"qn", $"qs",
+          explode(typedlit(ProbeMasks)).as("mask"))
+        .select($"q_id", $"qv", $"qn", $"qs".bitwiseXOR($"mask").as("sketch"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
+      probes.join(
+          corpus.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"), $"sketch"),
+          Seq("sketch"))
+        .filter($"q_id" =!= $"b_id")
+        .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
+        .orderBy($"q_id", $"rk")
+    },
+
     // ---- IVF-probed ANN (scale path; recall asserted in tests) ----
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
@@ -180,8 +243,23 @@ object LlmVectorQueries extends QueryPack {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin
-    // q_ann_ivf: approximate by design — recall vs the exact top-k is
-    // asserted in LlmVectorSpec, not hash-compared.
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // generated: the same rational hyperplanes inline, each dot as an
+    // explicit left-associated 64-term sum (the kernel's fold order) so
+    // every sign bit is computed on bit-identical doubles
+    "q_embed_lsh_sketch" -> {
+      val bits = (0 until SketchPlanes).map { j =>
+        val terms = (0 until Dim).map(k => s"ev[${k + 1}]*(${hyper(j, k)})").mkString(" + ")
+        s"(CASE WHEN ($terms) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+         |SELECT vec_id,
+         |  CAST($bits AS BIGINT) AS sketch
+         |FROM e
+         |ORDER BY vec_id""".stripMargin
+    }
+    // q_ann_ivf / q_ann_lsh: approximate by design — recall vs the exact
+    // top-k is asserted in LlmSpec, not hash-compared.
   )
 }

@@ -17,10 +17,14 @@ object ScaleQueries extends QueryPack {
   private val BucketCount = 8
 
   /** Bucketed table fixtures: orders/customer bucketed + sorted by the
-    * join key. The in-memory catalog does not survive the JVM, so each
-    * JVM writes once (idempotent overwrite) — a production deployment
-    * would bucket at ingest and amortize the write over every later
-    * join. */
+    * join key, written as EXTERNAL tables under a per-JVM temp dir. The
+    * in-memory catalog does not survive the JVM while the default
+    * warehouse directory DOES — a managed saveAsTable in a fresh JVM
+    * would hit LOCATION_ALREADY_EXISTS on the stale files. Each JVM
+    * writes once; a production deployment buckets at ingest and
+    * amortizes the write over every later join. */
+  private lazy val bucketRoot =
+    java.nio.file.Files.createTempDirectory("graft_bucket").toString
   private def ensureBucketed(s: SparkSession, d: String): (String, String) = {
     val tag = math.abs(d.hashCode).toString
     val ordersT = s"graft_orders_b$tag"
@@ -28,11 +32,13 @@ object ScaleQueries extends QueryPack {
     if (!s.catalog.tableExists(ordersT)) {
       Tables.orders(s, d).write.mode("overwrite")
         .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$bucketRoot/$ordersT")
         .format("parquet").saveAsTable(ordersT)
     }
     if (!s.catalog.tableExists(custT)) {
       Tables.customer(s, d).write.mode("overwrite")
         .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$bucketRoot/$custT")
         .format("parquet").saveAsTable(custT)
     }
     (ordersT, custT)

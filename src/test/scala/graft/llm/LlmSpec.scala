@@ -91,6 +91,18 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.45, s"IVF recall $recall too low")
   }
 
+  test("LSH-bucketed ANN recall vs brute-force top-k (second scale path)") {
+    // 8-plane sketch, hamming<=2 multi-probe = 37/256 buckets scanned;
+    // measured recall 0.356 at sf0.01 (deterministic on fixed data)
+    def pairs(name: String): Set[(Long, Long)] =
+      LlmVectorQueries.queries(name)(spark, "/root/testdata/sf0.01")
+        .select("q_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = pairs("q_ann_cosine_topk")
+    val approx = pairs("q_ann_lsh")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH ANN recall $recall too low")
+  }
+
   test("ngram block sub-tiling: oversized block matches naive all-pairs") {
     // one source with 13 docs and tileSize=3 -> 5 tiles, 15 tile-pair
     // tasks; result must equal the naive O(b²) single-task version
