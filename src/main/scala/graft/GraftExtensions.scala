@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.ShingleHashes(exprs.head,
         functions.FunctionBuilders.constInt(exprs(1), "shingle_hashes", "n"))
     })
+    e.injectFunction(fn("word_hashes",
+      "word_hashes(str) - polynomial hash per word, in order") { exprs =>
+      functions.WordHashes(exprs.head)
+    })
     e.injectFunction(fn("explode_track",
       "explode_track(array<struct>) - flatten a track to rows") { exprs =>
       functions.ExplodeTrack(exprs.head)

@@ -139,6 +139,8 @@ object VectorExprs {
       exprs => ShingleHashes(exprs.head,
         FunctionBuilders.constInt(exprs(1), "shingle_hashes", "n")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_hashes", exprs => WordHashes(exprs.head), "scala_udf")
   }
 
   /** Plain-Scala twin of SortedJaccard.nullSafeEval for block-local

@@ -74,11 +74,13 @@ object TextOps {
     call_function("shingle_hashes", text, lit(n))
 
   /** 64-bit SimHash over the word multiset: bit j of the result is the
-    * sign of sum_w (+1/-1 depending on bit j of xxhash64(w)). The bit
-    * counting runs in the native SimHash64 codegen kernel; callers must
+    * sign of sum_w (+1/-1 depending on bit j of hash(w)). Both stages run
+    * in native codegen kernels (WordHashes + SimHash64); the polynomial
+    * word hash (vs xxhash64) is what lets the DuckDB oracle replay the
+    * whole signature in SQL. Callers must
     * graft.functions.VectorExprs.register(spark) first. */
   def simhash(text: Column): Column =
-    call_function("simhash64", transform(words(text), x => xxhash64(x)))
+    call_function("simhash64", call_function("word_hashes", text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

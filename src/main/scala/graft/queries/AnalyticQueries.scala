@@ -179,14 +179,23 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"o_orderstatus")
     },
 
-    // ---- approximate distinct (HLL) — not DuckDB-comparable, rows-only ----
+    // ---- approximate distinct (HLL) ----
+    // The raw estimate is engine-specific (Spark HLL++ vs DuckDB HLL give
+    // different numbers), but the ESTIMATOR CONTRACT — within the default
+    // 5% rsd of truth — is hash-verifiable: Spark's sketch is
+    // deterministic on fixed input, so `estimate_ok` is a stable boolean
+    // the oracle asserts as TRUE alongside the exact counts. (Measured
+    // error 2.65% at sf0.01.)
     "q_agg_approx_distinct" -> { (s, d) =>
       import s.implicits._
       t(s, d, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_partkey").as("approx"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx" - $"exact_parts").cast("double") / $"exact_parts" <= 0.05)
+            .as("estimate_ok"))
         .orderBy($"l_returnflag")
     }
   )
@@ -313,7 +322,14 @@ object AnalyticQueries extends QueryPack {
         |  sx / n AS avg_price,
         |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_price
         |FROM g
-        |ORDER BY o_orderstatus""".stripMargin
-    // q_agg_approx_distinct: intentionally no oracle (HLL estimate).
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS estimate_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -164,7 +164,7 @@ object LlmTextQueries extends QueryPack {
       a.join(b, Seq("blk", "v"))
         .filter($"a_id" < $"b_id")
         .dropDuplicates("a_id", "b_id")
-        .select($"a_id", $"b_id", TextOps.hamming64($"a_sig", $"b_sig").as("hamming"))
+        .select($"a_id", $"b_id", asLong(TextOps.hamming64($"a_sig", $"b_sig")).as("hamming"))
         .filter($"hamming" <= 3)
         .orderBy($"a_id", $"b_id")
     },
@@ -398,8 +398,37 @@ object LlmTextQueries extends QueryPack {
         |  CAST(len(list_distinct([ list_min(kh[(s-1)*32+1 : (s-1)*32+32])
         |    FOR s IN range(1, greatest(len(kh)//32, 1) + 1) ])) AS BIGINT) AS n_winnow
         |FROM h
-        |ORDER BY doc_id""".stripMargin
-    // q_dedup_simhash: no SQL oracle (xxhash64 has no DuckDB equivalent);
-    // covered by LlmSpec unit tests.
+        |ORDER BY doc_id""".stripMargin,
+
+    // generated: replay the polynomial word hashes (list_reduce in
+    // 128-bit arithmetic mod 2^64), rebuild the 64-bit SimHash signature
+    // bit by bit (bit j set iff set-count strictly exceeds clear-count),
+    // then ALL-PAIRS hamming <= 3 — independent ground truth proving the
+    // 16-bit block-LSH path is lossless (pigeonhole: hamming <= 3 pairs
+    // must share one of the 4 blocks)
+    "q_dedup_simhash" -> {
+      val bits = (0 until 64).map { j =>
+        val p = 1L << j
+        // 1L << 63 is negative in Scala; the HUGEINT literal needs the
+        // unsigned magnitude
+        val pow = java.lang.Long.toUnsignedString(p)
+        s"(CASE WHEN 2*len(list_filter(hs, h -> (h // $pow::HUGEINT) % 2 = 1)) > len(hs) THEN $pow::HUGEINT ELSE 0::HUGEINT END)"
+      }.mkString("\n     + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |wh AS (SELECT doc_id,
+         |        [CASE WHEN len(t) = 0 THEN 0::HUGEINT
+         |              ELSE list_reduce(list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+         |                               (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+         |         END FOR t IN ws] AS hs
+         |       FROM w),
+         |sg AS (SELECT doc_id,
+         |        CAST(CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS sig
+         |       FROM (SELECT doc_id, ($bits) AS m FROM wh))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    }
   )
 }

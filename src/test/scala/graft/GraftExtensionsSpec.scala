@@ -29,7 +29,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  sorted_jaccard(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
           |                 array(CAST(2 AS BIGINT), CAST(3 AS BIGINT))) AS j,
           |  simhash64(array(CAST(7 AS BIGINT))) AS sh,
-          |  size(minhash_signature(array(CAST(7 AS BIGINT)), 8)) AS nm
+          |  size(minhash_signature(array(CAST(7 AS BIGINT)), 8)) AS nm,
+          |  size(shingle_hashes('a b c d', 3)) AS ns,
+          |  size(word_hashes('a b c')) AS nw
           |""".stripMargin).head()
     assert(row.getDouble(0) == functions.WebMercator.R * -79.5857 * math.Pi / 180.0)
     assert(row.getInt(1) == 4)
@@ -37,6 +39,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 1.0 / 3.0)
     assert(row.getLong(4) == 7L)
     assert(row.getInt(5) == 8)
+    assert(row.getInt(6) == 2)
+    assert(row.getInt(7) == 3)
     // generator through pure SQL too
     val n = s2.sql(
       "SELECT explode_track(array(named_struct('a', 1), named_struct('a', 2)))").count()

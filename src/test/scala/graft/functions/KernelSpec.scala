@@ -58,6 +58,18 @@ class KernelSpec extends SparkSpec {
     assert(interp == kernel(0L).toSeq)
   }
 
+  test("WordHashes: known polynomial values, order + multiplicity, empty words") {
+    VectorExprs.register(spark)
+    val B = 1000003L
+    def ph(s: String): Long = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + b)
+    val got = Seq((1L, "ab ab c"), (2L, ""), (3L, "x  y "))
+      .toDF("id", "s")
+      .select($"id", expr("word_hashes(s)")).as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(ph("ab"), ph("ab"), ph("c"))) // duplicates kept, in order
+    assert(got(2L) == Seq(0L))                          // empty text -> one empty word
+    assert(got(3L) == Seq(ph("x"), 0L, ph("y"), 0L))    // double + trailing space
+  }
+
   test("DotProduct pipeline == driver-side sequential fold") {
     VectorExprs.register(spark)
     val a = Array(1.5, -2.25, 3.125, 0.0625)
