@@ -40,6 +40,32 @@ object MultimodalOps {
   private def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
     payload // ??? <- real codec goes here; stub keeps bytes as "pixels"
 
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, byte_sum: Long)
+
+  /** Frame sampling over an opaque media payload — the video-shaped
+    * multimodal op: the payload is cut into fixed-size frames and every
+    * k-th frame is emitted with its exact byte statistics. The frame
+    * "decode" is the same honest stub as extractFeatures (bytes stand in
+    * for decoded samples); the sampling/slicing plumbing — explode shape,
+    * per-frame bounds, tail frame shorter than frameSize — is real and
+    * oracle-checked. */
+  def sampleFrames(payloads: Dataset[Payload], frameSize: Int, every: Int): Dataset[Frame] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.flatMap { p =>
+      val n = p.payload.length
+      val nFrames = (n + frameSize - 1) / frameSize
+      (0 until nFrames by every).iterator.map { f =>
+        val from = f * frameSize
+        val until = math.min(from + frameSize, n)
+        var s = 0L
+        var i = from
+        while (i < until) { s += p.payload(i) & 0xFF; i += 1 }
+        Frame(p.doc_id, f, until - from, s)
+      }
+    }
+  }
+
   /** Feature extraction as a partition-batched pass: one iterator per
     * partition (the mapInPandas batch shape, Scala-side), no per-row JVM
     * round trips, constant memory per partition. */

@@ -34,6 +34,18 @@ object MultimodalQueries extends QueryPack {
         .select($"doc_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"),
                 asLong(size($"histogram")).as("n_bins"))
         .orderBy($"doc_id")
+    },
+
+    // frame sampling: 64-byte frames, every 2nd frame kept
+    "q_multimodal_frames" -> { (s, d) =>
+      import s.implicits._
+      val payloads = MultimodalOps.payloadTable(s, d)
+        .select($"doc_id", $"payload", $"meta.width".as("width"), $"meta.height".as("height"))
+        .as[MultimodalOps.Payload]
+      MultimodalOps.sampleFrames(payloads, frameSize = 64, every = 2)
+        .toDF()
+        .select($"doc_id", asLong($"frame_idx").as("frame_idx"), $"n_bytes", $"byte_sum")
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 
@@ -60,6 +72,21 @@ object MultimodalQueries extends QueryPack {
         |        / octet_length(encode(text)), 6) AS mean_byte,
         |  CAST(8 AS BIGINT) AS n_bins
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // every 2nd 64-byte frame replayed as text slices (codepoint == byte
+    // for the ASCII corpus; tail frame shorter than 64)
+    "q_multimodal_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    [ {idx: f, sub: substring(text, CAST(f*64 + 1 AS INT), 64)}
+        |      FOR f IN range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 2) ] AS frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(u.idx AS BIGINT) AS frame_idx,
+        |  CAST(length(u.sub) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(u.sub, ''), ch -> ord(ch))) AS BIGINT) AS byte_sum
+        |FROM fr, unnest(frames) AS t(u)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -68,6 +68,23 @@ object TimeWindowQueries extends QueryPack {
         .orderBy($"day", $"event_type")
     },
 
+    // ---- REAL streaming session windows (state merges adjacent
+    // sessions as events arrive; Complete mode keeps every session) ----
+    "q_stream_session" -> { (s, d) =>
+      import s.implicits._
+      val ev = TrackStateOp.eventsStream(s, d)
+        .withColumn("ts", timestamp_micros($"tsMicros"))
+      val agg = ev
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+             asDouble(sum(dec($"value"))).as("sum_value"))
+      runToMemory(agg, "complete")
+        .select($"user_id", $"session_window.start".as("session_start"),
+                $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    },
+
     // ---- REAL streaming dedup with watermark ----
     "q_stream_dedup" -> { (s, d) =>
       import s.implicits._
@@ -134,6 +151,27 @@ object TimeWindowQueries extends QueryPack {
       """SELECT user_id, count(DISTINCT event_id) AS n_unique
         |FROM events
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // bounded input -> streaming session windows coincide with the batch
+    // gaps-and-islands form (same oracle as q_session_window)
+    "q_stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM y
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
