@@ -41,8 +41,9 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // ms precision keeps the one JSON line short enough to survive a
-    // byte-limited log tail (r1's line lost its head to truncation)
-    def r3(v: Double): String = f"$v%.3f"
+    // byte-limited log tail (r1's line lost its head to truncation);
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -44,14 +44,21 @@ object FeatureSchema {
     val root = mapper.readTree(json)
     val attrs = Option(root.get("attributes")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
+    def req(n: JsonNode, field: String, ctx: String): JsonNode = {
+      val v = n.get(field)
+      require(v != null, s"feature schema: missing '$field' in $ctx")
+      v
+    }
     val fields = attrs.map { a =>
-      val name = a.get("name").asText()
-      val dt = sparkType(a.get("dataType").asText())
+      val name = req(a, "name", "attribute").asText()
+      val dt = sparkType(req(a, "dataType", s"attribute '$name'").asText())
       val nullable = Option(a.get("nullable")).forall(_.asBoolean(true))
       val tags = Option(a.get("tags")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
       val meta = tags.headOption match {
         case Some(t: JsonNode) =>
-          new MetadataBuilder().putString("tag", t.get("name").asText()).build()
+          new MetadataBuilder()
+            .putString("tag", req(t, "name", s"tag of attribute '$name'").asText())
+            .build()
         case None => Metadata.empty
       }
       StructField(name, dt, nullable, meta)

@@ -61,8 +61,7 @@ object Flights {
 
   /** Resolve the column carrying a semantic tag (FeatureFunctions.scala:9-20). */
   def taggedColumn(df: DataFrame, tag: String): Option[String] =
-    df.schema.fields.find(f =>
-      f.metadata.contains("tag") && f.metadata.getString("tag") == tag).map(_.name)
+    FeatureSchema.taggedField(df.schema, tag)
 
   /** P9: geometry stringification — the reference's SimplePoint.toString
     * "(x, y)" (SimpleGeometry.scala:10), as printed in its README table. */

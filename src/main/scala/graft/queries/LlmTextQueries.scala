@@ -59,9 +59,11 @@ object LlmTextQueries extends QueryPack {
         graft.functions.VectorExprs.sortedJaccard($"a_sh", $"b_sh").as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"a_id", $"b_id")
-      .cache()
-    // materialize the (tiny) result, then release the big intermediates
-    result.count()
+      // localCheckpoint (eager), not cache: materializes the (tiny)
+      // result so the intermediates can be released, but the blocks are
+      // GC-managed with the DataFrame instead of pinned in the cache
+      // registry for the session lifetime on every invocation
+      .localCheckpoint()
     docs.unpersist()
     bands.unpersist()
     result
@@ -249,10 +251,14 @@ object LlmTextQueries extends QueryPack {
           asLong(size($"kh")).as("n_kgrams"),
           array_min($"kh").as("fp_min"),
           array_max($"kh").as("fp_max"),
-          // winnow-style sketch: min hash of each 32-gram stride
-          asLong(size(array_distinct(transform(
-            sequence(lit(1L), greatest(expr("size(kh) div 32"), lit(1L))),
-            i => array_min(slice($"kh", ((i - 1) * 32 + 1).cast("int"), lit(32))))))).as("n_winnow"))
+          // winnow-style sketch: min hash of each 32-gram stride.
+          // Empty kh (doc shorter than k bytes) -> 0 strides, matching the
+          // oracle (DuckDB list_distinct drops the NULL a min-of-empty
+          // stride would produce; Spark array_distinct keeps it)
+          when(size($"kh") === 0, lit(0L)).otherwise(
+            asLong(size(array_distinct(transform(
+              sequence(lit(1L), greatest(expr("size(kh) div 32"), lit(1L))),
+              i => array_min(slice($"kh", ((i - 1) * 32 + 1).cast("int"), lit(32)))))))).as("n_winnow"))
         .orderBy($"doc_id")
     }
   )

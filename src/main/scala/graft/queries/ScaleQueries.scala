@@ -26,7 +26,9 @@ object ScaleQueries extends QueryPack {
   private lazy val bucketRoot =
     java.nio.file.Files.createTempDirectory("graft_bucket").toString
   private def ensureBucketed(s: SparkSession, d: String): (String, String) = {
-    val tag = math.abs(d.hashCode).toString
+    // sanitized dir, not a hash: distinct dirs must never collide into
+    // one table name (a collision would silently serve the wrong data)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val ordersT = s"graft_orders_b$tag"
     val custT = s"graft_customer_b$tag"
     if (!s.catalog.tableExists(ordersT)) {
