@@ -67,6 +67,18 @@ object ScaleQueries extends QueryPack {
         .orderBy($"o_orderkey")
     },
 
+    // ---- skew-salted equi-join (deterministic salt; 8-way spread) ----
+    // identical results to the plain join — the salt only reshapes the
+    // shuffle, which is exactly what the oracle proves
+    "q_join_salted" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_id", $"user_id")
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      graft.operators.SaltedJoin.inner(ev, cust, "user_id", "c_custkey", salts = 8)
+        .select($"event_id", $"user_id", $"c_mktsegment")
+        .orderBy($"event_id")
+    },
+
     // ---- partition-pruned scan over hive-style partitioned parquet ----
     "q_source_partitioned_pruning" -> { (s, d) =>
       import s.implicits._
@@ -102,6 +114,11 @@ object ScaleQueries extends QueryPack {
     "q_source_partitioned_pruning" ->
       """SELECT event_id, user_id, value, event_type
         |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT event_id, user_id, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin
   )
 }
