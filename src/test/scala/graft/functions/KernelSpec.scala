@@ -58,6 +58,28 @@ class KernelSpec extends SparkSpec {
     assert(interp == kernel(0L).toSeq)
   }
 
+  test("ShingleHashes == driver-side split+hash reference (property)") {
+    // random texts over a tiny alphabet with frequent spaces: exercises
+    // empty words, runs of spaces, leading/trailing spaces, short texts
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', ' ', ' ')).map(_.mkString)
+    check(Prop.forAll(gen) { text =>
+      val words = text.split(" ", -1)
+      val expected =
+        if (words.length < 3) Seq.empty[Long]
+        else (0 to words.length - 3)
+          .map(i => words.slice(i, i + 3).mkString(" "))
+          .distinct
+          .map(sh => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sh),
+            org.apache.spark.sql.types.StringType, 42L))
+          .sorted.distinct
+      val got = ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
+        .toLongArray.toSeq
+      got == expected
+    })
+  }
+
   test("WordHashes: known polynomial values, order + multiplicity, empty words") {
     VectorExprs.register(spark)
     val B = 1000003L
