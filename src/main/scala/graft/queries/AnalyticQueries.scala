@@ -157,6 +157,22 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"user_id")
     },
 
+    // ---- unpivot / melt (inverse reshape of pivot) ----
+    "q_unpivot" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_orderkey" <= 1000)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("quantity"),
+          $"l_extendedprice".cast("double").as("extendedprice"),
+          $"l_discount".cast("double").as("discount"))
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"quantity", $"extendedprice", $"discount"),
+          "metric", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    },
+
     // ---- lateral explode with ordinality ----
     "q_explode_array" -> { (s, d) =>
       import s.implicits._
@@ -288,6 +304,18 @@ object AnalyticQueries extends QueryPack {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |         CAST(l_quantity AS DOUBLE) AS value FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |         CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |         CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey <= 1000)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     // Spark posexplode is 0-based; generate_subscripts is 1-based and
     // expands in lockstep with unnest (DuckDB lacks WITH ORDINALITY)
