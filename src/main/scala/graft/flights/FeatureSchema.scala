@@ -46,7 +46,8 @@ object FeatureSchema {
       .getOrElse(Seq.empty)
     def req(n: JsonNode, field: String, ctx: String): JsonNode = {
       val v = n.get(field)
-      require(v != null, s"feature schema: missing '$field' in $ctx")
+      // Jackson returns NullNode (not null) for an explicit JSON null
+      require(v != null && !v.isNull, s"feature schema: missing '$field' in $ctx")
       v
     }
     val fields = attrs.map { a =>

@@ -26,9 +26,11 @@ object ScaleQueries extends QueryPack {
   private lazy val bucketRoot =
     java.nio.file.Files.createTempDirectory("graft_bucket").toString
   private def ensureBucketed(s: SparkSession, d: String): (String, String) = {
-    // sanitized dir, not a hash: distinct dirs must never collide into
-    // one table name (a collision would silently serve the wrong data)
-    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    // sanitized dir PLUS an unsigned hash of the raw string: sanitizing
+    // alone is not injective ('/a/sf0.1' vs '/a/sf0_1', case-insensitive
+    // catalog), and a collision would silently serve the wrong data
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      java.lang.Integer.toHexString(d.hashCode)
     val ordersT = s"graft_orders_b$tag"
     val custT = s"graft_customer_b$tag"
     if (!s.catalog.tableExists(ordersT)) {
