@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("LSH ANN candidates come from an equi join on the sketch key") {
+    val p = plan("q_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("sketch"), p)
+  }
+
+  test("exact dedup aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q_dedup_exact")
+    // two HashAggregate levels around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("partitioned scan prunes at planning time (PartitionFilters)") {
     val p = plan("q_source_partitioned_pruning")
     assert(p.contains("PartitionFilters") && p.contains("event_type"), p)

@@ -44,6 +44,29 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows MERGE adjacent sessions across batches") {
+    val input = MemoryStream[EventRaw](spark)
+    val agg = input.toDS()
+      .withColumn("ts", timestamp_micros($"tsMicros"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"session_window.start").as("sstart"), $"user_id", $"n")
+    val qn = "sw" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    try {
+      // batch 1: two events 20 min apart -> one open session
+      input.addData(ev(1, 1.0), ev(2, 1.0 + 20.0 / 60)); q.processAllAvailable()
+      // batch 2: an event 20 min after the last -> must EXTEND the same
+      // session (state merge), plus a distant event -> a second session
+      input.addData(ev(3, 1.0 + 40.0 / 60), ev(4, 5.0)); q.processAllAvailable()
+      val rows = spark.table(qn).as[(Long, Long, Long)].collect()
+        .map { case (s, _, n) => s -> n }.toMap
+      assert(rows == Map(1L * HOUR -> 3L, 5L * HOUR -> 1L),
+        s"sessions $rows — batch-2 event must merge into the batch-1 session")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses dups across batches") {
     val input = MemoryStream[EventRaw](spark)
     val deduped = input.toDS()
