@@ -22,6 +22,26 @@ object RelationalQueries extends QueryPack {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- typed cogroup (KeyValueGroupedDataset.cogroup) ----
+    // Scale note: cogroup shuffles BOTH full datasets by key — prefer
+    // aggregate-then-join when only aggregates are needed; this query
+    // keeps per-group logic trivial on purpose (the operator under test
+    // is the typed two-sided grouping itself, oracle = outer-join of
+    // per-key counts).
+    "q_cogroup_typed" -> { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events").select($"user_id", $"event_id")
+        .as[(Long, Long)].groupByKey(_._1)
+      val ord = t(s, d, "orders").select($"o_custkey", $"o_orderkey")
+        .as[(Long, Long)].groupByKey(_._1)
+      ev.cogroup(ord) { (key, evs, ords) =>
+        val ne = evs.size.toLong
+        val no = ords.size.toLong
+        Iterator((key, ne, no, ne > 0 && no > 0))
+      }.toDF("user_id", "n_events", "n_orders", "has_both")
+        .orderBy($"user_id")
+    },
+
     // ---- A: hash aggregation, partial+final, multiple aggregate kinds ----
     "q_agg_pricing_summary" -> { (s, d) =>
       import s.implicits._
@@ -194,6 +214,16 @@ object RelationalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_cogroup_typed" ->
+      """WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+        |  coalesce(e.n_events, 0) AS n_events,
+        |  coalesce(o.n_orders, 0) AS n_orders,
+        |  e.user_id IS NOT NULL AND o.o_custkey IS NOT NULL AS has_both
+        |FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+        |ORDER BY user_id""".stripMargin,
+
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
