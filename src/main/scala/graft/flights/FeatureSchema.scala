@@ -55,13 +55,16 @@ object FeatureSchema {
       val dt = sparkType(req(a, "dataType", s"attribute '$name'").asText())
       val nullable = Option(a.get("nullable")).forall(_.asBoolean(true))
       val tags = Option(a.get("tags")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-      val meta = tags.headOption match {
-        case Some(t: JsonNode) =>
-          new MetadataBuilder()
-            .putString("tag", req(t, "name", s"tag of attribute '$name'").asText())
-            .build()
-        case None => Metadata.empty
-      }
+        .map(t => req(t, "name", s"tag of attribute '$name'").asText())
+      // ALL declared tags are kept ("tag" carries the first for the
+      // common single-tag case; "tags" the full list) — dropping extras
+      // would make taggedField silently miss a multi-tagged column
+      val meta =
+        if (tags.isEmpty) Metadata.empty
+        else new MetadataBuilder()
+          .putString("tag", tags.head)
+          .putStringArray("tags", tags.toArray)
+          .build()
       StructField(name, dt, nullable, meta)
     }
     val geomField = Option(root.get("geometry")).map { g =>
@@ -78,10 +81,13 @@ object FeatureSchema {
     StructType(fields ++ geomField)
   }
 
-  /** Resolve the column carrying a semantic tag in a declared schema. */
+  /** Resolve the column carrying a semantic tag in a declared schema
+    * (matches ANY of a field's declared tags, not just the first). */
   def taggedField(schema: StructType, tag: String): Option[String] =
-    schema.fields.find(f =>
-      f.metadata.contains("tag") && f.metadata.getString("tag") == tag).map(_.name)
+    schema.fields.find { f =>
+      (f.metadata.contains("tag") && f.metadata.getString("tag") == tag) ||
+        (f.metadata.contains("tags") && f.metadata.getStringArray("tags").contains(tag))
+    }.map(_.name)
 
   /** Stamp a DataFrame's matching columns with the declared schema's tag
     * metadata, so `Flights.taggedColumn` resolution runs off the user's

@@ -142,15 +142,24 @@ object Flights {
     val spark = snaps.sparkSession
     import spark.implicits._
     var snapshot: DataFrame = spark.emptyDataset[FlightSnap].toDF()
+    // handle to the materialized generation: freed DETERMINISTICALLY when
+    // the next one lands (waiting for driver GC + ContextCleaner would
+    // let full-snapshot generations pile up on executors)
+    var prevGen: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     snaps.writeStream.outputMode("update").foreachBatch {
       (df: Dataset[FlightSnap], batchId: Long) =>
         val updates = df.toDF()
         // update-mode emissions carry each touched track's FULL buffer,
         // so replace-whole-track-by-key merges exactly
-        snapshot = snapshot
+        val merged = snapshot
           .join(updates.select("trackId").distinct(), Seq("trackId"), "left_anti")
           .unionByName(updates)
-          .localCheckpoint() // eager: executor blocks, lineage cut
+        val gen = merged.rdd.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        gen.count() // materialize on executors before freeing the parent
+        prevGen.foreach(_.unpersist(blocking = false))
+        prevGen = Some(gen)
+        snapshot = spark.createDataFrame(gen, merged.schema)
         snapshot
           .select($"trackId".as("flightId"), $"tsMicros", $"longitude", $"latitude", $"altitude")
           .createOrReplaceTempView(viewName)

@@ -70,14 +70,17 @@ object LlmTextQueries extends QueryPack {
   }
 
   /** Block-local exact n-gram Jaccard over (doc_id, source, sh) rows,
-    * SUB-TILED so a single source can never produce an unbounded O(b²)
-    * task: each source's docs get a dense per-source index (row_number by
-    * doc_id), tiles of `tileSize` docs, and every doc is replicated to
-    * each (min(t,o), max(t,o)) tile-pair of its source. flatMapGroups
-    * then compares pairs within one tile pair — a task touches at most
-    * 2·tileSize docs regardless of block size, and a source with m docs
-    * spreads its m²/2 comparisons over (m/tileSize)²/2 independent tasks.
-    * Replication factor is m/tileSize per doc (bounded, tunable).
+    * SUB-TILED so a single source block no longer concentrates its whole
+    * O(m²) comparison in one task: docs hash into nt = ceil(m/tileSize)
+    * tiles and every doc is replicated to each (min(t,o), max(t,o))
+    * tile-pair of its source; flatMapGroups compares pairs within one
+    * tile pair, so a source's m²/2 comparisons spread over nt(nt+1)/2
+    * independent tasks with replication factor nt per doc. The per-task
+    * bound is PROBABILISTIC — hash tiles are Poisson-balanced around
+    * tileSize (±3·sqrt in practice), not hard-capped; an adversarially
+    * skewed doc_id set would need the dense-index variant (narrow
+    * row_number over (doc_id, source) joined back by id) at the cost of
+    * one extra shuffle of the ids.
     *
     * Zero per-pair array duplication inside a task — the join-shaped
     * version materialized ~4 GB of copied shingle arrays through the

@@ -25,7 +25,10 @@ object ScaleQueries extends QueryPack {
     * amortizes the write over every later join. */
   private lazy val bucketRoot =
     java.nio.file.Files.createTempDirectory("graft_bucket").toString
-  private def ensureBucketed(s: SparkSession, d: String): (String, String) = {
+  // check-then-write below is not atomic: concurrent first invocations
+  // (parallel suites sharing the JVM) must not overwrite each other's
+  // in-flight external-table commit
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) = synchronized {
     // sanitized dir PLUS an unsigned hash of the raw string: sanitizing
     // alone is not injective ('/a/sf0.1' vs '/a/sf0_1', case-insensitive
     // catalog), and a collision would silently serve the wrong data

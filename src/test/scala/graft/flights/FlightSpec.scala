@@ -59,7 +59,8 @@ class FlightSpec extends SparkSpec {
       |    { "name": "flightId", "dataType": "String", "nullable": false,
       |      "tags": [ { "name": "TRACK_ID", "types": [ "String" ] } ] },
       |    { "name": "flightTime", "dataType": "Date", "nullable": false,
-      |      "tags": [ { "name": "START_TIME", "types": [ "Date" ] } ] },
+      |      "tags": [ { "name": "START_TIME", "types": [ "Date" ] },
+      |                { "name": "END_TIME", "types": [ "Date" ] } ] },
       |    { "name": "longitude", "dataType": "Float64", "nullable": false, "tags": [] },
       |    { "name": "latitude", "dataType": "Float64", "nullable": false, "tags": [] },
       |    { "name": "origin", "dataType": "String", "nullable": false, "tags": [] },
@@ -88,6 +89,8 @@ class FlightSpec extends SparkSpec {
     assert(schema("Geometry").metadata.getLong("wkid") == 4326L)
     assert(FeatureSchema.taggedField(schema, "TRACK_ID").contains("flightId"))
     assert(FeatureSchema.taggedField(schema, "START_TIME").contains("flightTime"))
+    // multi-tagged attribute: EVERY declared tag must resolve, not just the first
+    assert(FeatureSchema.taggedField(schema, "END_TIME").contains("flightTime"))
     assert(FeatureSchema.taggedField(schema, "GEOMETRY").contains("Geometry"))
   }
 
