@@ -174,16 +174,34 @@ object LlmVectorQueries extends QueryPack {
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
       val corpus = emb(s, d)
-      // FIXED-k deterministic centroid sample (first k by vec_id hash —
-      // a uniform draw independent of corpus size), so the broadcast is
-      // O(k * dim) no matter how large the corpus grows; the earlier
-      // `vec_id % 25` scheme broadcast corpus/25 rows. Real IVF would
-      // k-means-train these; a hash sample keeps the query deterministic.
+      // FIXED-k k-means centroids, trained with one Lloyd round over a
+      // FIXED-SIZE hash sample: seeds = first k vectors by vec_id hash,
+      // refined to the mean of the sample vectors assigned to each seed.
+      // Both k and the training-set size are corpus-size-independent, so
+      // the broadcast stays O(k·dim) and the training cost O(sample·k)
+      // at any corpus scale (the earlier `vec_id % 25` scheme broadcast
+      // corpus/25 rows).
       val k = 32
-      val centroids = corpus
+      val maxTrain = 1024
+      val seeds = corpus
         .orderBy(xxhash64($"vec_id"), $"vec_id")
         .limit(k)
         .select($"vec_id".as("c_id"), $"v".as("cv"))
+      val train = corpus
+        .orderBy(xxhash64($"vec_id" + 7), $"vec_id")
+        .limit(maxTrain)
+        .select($"vec_id", $"v")
+      val trainAssigned = train.join(broadcast(seeds))
+        .groupBy($"vec_id")
+        .agg(max(struct(cosine($"v", $"cv").as("cos"), $"c_id")).getField("c_id").as("c_id"),
+             first($"v").as("v"))
+      // per-dimension mean via posexplode + rebuild ordered by position
+      val centroids = trainAssigned
+        .select($"c_id", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"c_id", $"pos").agg(avg($"x").as("x"))
+        .groupBy($"c_id")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"x"))),
+          e => e.getField("x")).as("cv"))
       // assignment pass: argmax cosine via lexicographic struct max
       val assigned = corpus.join(broadcast(centroids))
         .groupBy($"vec_id")
