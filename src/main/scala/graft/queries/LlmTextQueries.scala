@@ -210,6 +210,30 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- train/test contamination via n-gram overlap ----
+    // The standard benchmark-leakage check: a training doc is
+    // contaminated if it shares any word shingle with the holdout set.
+    // Scale shape: the holdout is a bounded benchmark — its DISTINCT
+    // shingle hashes broadcast (O(benchmark), corpus-independent) and
+    // the corpus side is one narrow explode + broadcast join + count,
+    // no corpus self-shuffle. Hash-vs-string equivalence as elsewhere
+    // (~1e-13 collision odds per pair).
+    "q_contamination" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", TextOps.fastShingleHashes($"text").as("sh"))
+        .filter(size($"sh") > 0)
+      val holdout = docs.filter($"doc_id" % 100 === 0)
+        .select(explode($"sh").as("h")).distinct()
+      docs.filter($"doc_id" % 100 =!= 0)
+        .select($"doc_id", explode($"sh").as("h"))
+        .join(broadcast(holdout), Seq("h"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"h").as("n_shared"))
+        .orderBy($"doc_id")
+    },
+
     // ---- token statistics ----
     "q_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -333,6 +357,20 @@ object LlmTextQueries extends QueryPack {
         |  AND round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
         |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) >= 0.2
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent string-shingle ground truth for the hash-side overlap
+    "q_contamination" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM docs WHERE len(w) >= 3),
+        |hold AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 != 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_shared
+        |FROM corpus JOIN hold USING (g)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
