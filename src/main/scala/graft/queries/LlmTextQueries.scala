@@ -213,18 +213,20 @@ object LlmTextQueries extends QueryPack {
     // ---- train/test contamination via n-gram overlap ----
     // The standard benchmark-leakage check: a training doc is
     // contaminated if it shares any word shingle with the holdout set.
-    // Scale shape: the holdout is a bounded benchmark — its DISTINCT
-    // shingle hashes broadcast (O(benchmark), corpus-independent) and
-    // the corpus side is one narrow explode + broadcast join + count,
-    // no corpus self-shuffle. Hash-vs-string equivalence as elsewhere
-    // (~1e-13 collision odds per pair).
+    // Scale shape: a real benchmark holdout is EXTERNALLY FIXED, so the
+    // membership rule caps it (doc_id % 100 == 0 AND doc_id < 50000 —
+    // at most 500 docs at any corpus size); its DISTINCT shingle hashes
+    // broadcast O(benchmark), corpus-independent, and the corpus side is
+    // one narrow explode + broadcast join + count, no corpus
+    // self-shuffle. Hash-vs-string equivalence as elsewhere (~1e-13
+    // collision odds per pair).
     "q_contamination" -> { (s, d) =>
       import s.implicits._
       graft.functions.VectorExprs.register(s)
       val docs = Tables.documents(s, d)
         .select($"doc_id", TextOps.fastShingleHashes($"text").as("sh"))
         .filter(size($"sh") > 0)
-      val holdout = docs.filter($"doc_id" % 100 === 0)
+      val holdout = docs.filter($"doc_id" % 100 === 0 && $"doc_id" < 50000)
         .select(explode($"sh").as("h")).distinct()
       docs.filter($"doc_id" % 100 =!= 0)
         .select($"doc_id", explode($"sh").as("h"))
@@ -366,7 +368,8 @@ object LlmTextQueries extends QueryPack {
         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                        FOR i IN range(1, len(w) - 1)]) s
         |       FROM docs WHERE len(w) >= 3),
-        |hold AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0),
+        |hold AS (SELECT DISTINCT unnest(s) AS g FROM sh
+        |         WHERE doc_id % 100 = 0 AND doc_id < 50000),
         |corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 != 0)
         |SELECT doc_id, count(DISTINCT g) AS n_shared
         |FROM corpus JOIN hold USING (g)
