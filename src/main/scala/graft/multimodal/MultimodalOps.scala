@@ -66,6 +66,34 @@ object MultimodalOps {
     }
   }
 
+  case class Resized(doc_id: Long, out_w: Int, out_h: Int, px_sum: Long, px_mean: Double)
+
+  /** Nearest-neighbor resize — the image-shaped multimodal op: the
+    * payload bytes are read as a row-major width x height "pixel" grid
+    * (stub rule: pixel(y, x) = payload[(y·width + x) mod len], standing
+    * in for a real decoded raster) and downsampled to outW x outH by
+    * source-index truncation. Integer arithmetic end to end, so the
+    * oracle replays it exactly on the text bytes. */
+  def resize(payloads: Dataset[Payload], outW: Int, outH: Int): Dataset[Resized] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.filter(_.payload.nonEmpty).map { p =>
+        val n = p.payload.length
+        var sum = 0L
+        var i = 0
+        while (i < outW * outH) {
+          val y = i / outW; val x = i % outW
+          val sy = y * p.height / outH
+          val sx = x * p.width / outW
+          sum += p.payload((sy * p.width + sx) % n) & 0xFF
+          i += 1
+        }
+        Resized(p.doc_id, outW, outH, sum, sum.toDouble / (outW * outH))
+      }
+    }
+  }
+
   /** Feature extraction as a partition-batched pass: one iterator per
     * partition (the mapInPandas batch shape, Scala-side), no per-row JVM
     * round trips, constant memory per partition. */

@@ -36,6 +36,19 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // nearest-neighbor resize to an 8x8 grid over the stub pixel raster
+    "q_multimodal_resize" -> { (s, d) =>
+      import s.implicits._
+      val payloads = MultimodalOps.payloadTable(s, d)
+        .select($"doc_id", $"payload", $"meta.width".as("width"), $"meta.height".as("height"))
+        .as[MultimodalOps.Payload]
+      MultimodalOps.resize(payloads, outW = 8, outH = 8)
+        .toDF()
+        .select($"doc_id", asLong($"out_w").as("out_w"), asLong($"out_h").as("out_h"),
+                $"px_sum", $"px_mean")
+        .orderBy($"doc_id")
+    },
+
     // frame sampling: 64-byte frames, every 2nd frame kept
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
@@ -72,6 +85,26 @@ object MultimodalQueries extends QueryPack {
         |        / octet_length(encode(text)), 6) AS mean_byte,
         |  CAST(8 AS BIGINT) AS n_bins
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the 8x8 nearest-neighbor grid replayed position by position:
+    // src index = (floor(y*h/8)*w + floor(x*w/8)) mod n_bytes, all
+    // integer arithmetic (codepoint == byte for the ASCII corpus)
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  CAST(list_sum([ ord(substring(text,
+        |        CAST((((i // 8) * (1 + n_chars % 48) // 8) * (1 + n_chars % 64)
+        |              + ((i % 8) * (1 + n_chars % 64) // 8))
+        |             % octet_length(encode(text)) + 1 AS INT), 1))
+        |      FOR i IN range(0, 64) ]) AS BIGINT) AS px_sum,
+        |  CAST(list_sum([ ord(substring(text,
+        |        CAST((((i // 8) * (1 + n_chars % 48) // 8) * (1 + n_chars % 64)
+        |              + ((i % 8) * (1 + n_chars % 64) // 8))
+        |             % octet_length(encode(text)) + 1 AS INT), 1))
+        |      FOR i IN range(0, 64) ]) AS DOUBLE) / 64.0 AS px_mean
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // every 2nd 64-byte frame replayed as text slices (codepoint == byte
