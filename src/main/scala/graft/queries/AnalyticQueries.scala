@@ -33,6 +33,22 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"c_nationkey", $"c_custkey")
     },
 
+    // ---- distribution + positional window functions ----
+    "q_window_dist" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+      t(s, d, "customer")
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("third_bal", nth_value($"c_acctbal", 3).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("first_bal", first($"c_acctbal").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_bal", last($"c_acctbal").over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .orderBy($"c_nationkey", $"c_custkey")
+    },
+
     // ---- running (cumulative) aggregate over an ordered frame ----
     "q_window_running" -> { (s, d) =>
       import s.implicits._
@@ -225,6 +241,21 @@ object AnalyticQueries extends QueryPack {
         |  ntile(4)       OVER w AS tile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    // unique ORDER BY tie-break makes cume_dist = rank/n exactly (int/int
+    // double) on both engines
+    "q_window_dist" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_acctbal, 3) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_bal,
+        |  first_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_bal,
+        |  last_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     "q_window_running" ->

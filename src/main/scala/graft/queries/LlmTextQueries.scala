@@ -210,6 +210,20 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- edit-distance verification of LSH candidates ----
+    // Levenshtein is O(len²) per pair — NEVER all-pairs at scale; here it
+    // runs only on the near-dup pairs the minhash path surfaced, the
+    // composition a real dedup pipeline uses for a final char-level check.
+    "q_text_editdist" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      minhashNearDups(s, d)
+        .join(docs.select($"doc_id".as("a_id"), $"text".as("a_text")), Seq("a_id"))
+        .join(docs.select($"doc_id".as("b_id"), $"text".as("b_text")), Seq("b_id"))
+        .select($"a_id", $"b_id", asLong(levenshtein($"a_text", $"b_text")).as("edit_dist"))
+        .orderBy($"a_id", $"b_id")
+    },
+
     // ---- train/test contamination via n-gram overlap ----
     // The standard benchmark-leakage check: a training doc is
     // contaminated if it shares any word shingle with the holdout set.
@@ -360,6 +374,26 @@ object LlmTextQueries extends QueryPack {
         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
         |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) >= 0.2
         |ORDER BY doc_id""".stripMargin,
+
+    // all-pairs exact-Jaccard pair set (independent of the LSH path) +
+    // DuckDB's own levenshtein over those pairs
+    "q_text_editdist" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM docs WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT a_id, b_id,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = a_id
+        |JOIN documents db ON db.doc_id = b_id
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // independent string-shingle ground truth for the hash-side overlap
     "q_contamination" ->
