@@ -80,6 +80,19 @@ class KernelSpec extends SparkSpec {
     })
   }
 
+  test("WordHashes == split+fold reference (property)") {
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', ' ')).map(_.mkString)
+    val B = 1000003L
+    check(Prop.forAll(gen) { text =>
+      val expected = text.split(" ", -1).toSeq
+        .map(_.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + b))
+      val got = WordHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray.toSeq
+      got == expected
+    })
+  }
+
   test("WordHashes: known polynomial values, order + multiplicity, empty words") {
     VectorExprs.register(spark)
     val B = 1000003L
