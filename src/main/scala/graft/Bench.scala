@@ -57,7 +57,11 @@ object Bench {
     // failures are NOT summed: each -1 would subtract from the headline
     // total and make a broken run read faster than a clean one
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Long per-query line FIRST, then a SHORT total line LAST: the driver's
+    // log capture keeps the tail, so the headline total + error list must be
+    // the final stdout line (r1+r2 both lost the head of a single long line).
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,21 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
 
+  /** Temp dir for per-JVM fixture copies (roundtrips, bucketed/partitioned
+    * layouts), deleted on JVM exit — without the hook each run would leak
+    * a parquet copy of every fixture table into /tmp. */
+  protected def tempFixtureDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Exact money arithmetic: DECIMAL(12,2) sums are order-insensitive so
     * the result does not depend on Spark's nondeterministic partial-agg
     * merge order (doubles would drift by ~1e-9 run to run). */

@@ -33,17 +33,22 @@ object Flights {
     // try_element_at everywhere: ANSI element_at throws on out-of-bounds,
     // which a truncated/blank socket line would hit — the tolerate-garbage
     // contract needs the try_ variants end to end.
-    val parts = split(regexp_replace(col("value"), "\"", ""), ",")
-    def f(i: Int): Column = trim(try_element_at(parts, lit(i + 1)))
-    lines.select(
+    // The split is hoisted into its OWN projection: CollapseProject keeps a
+    // non-cheap alias referenced 8x rather than inlining it, so the
+    // physical plan evaluates regexp_replace+split once per row instead of
+    // relying on codegen subexpression elimination over 8 inline copies.
+    val split1 = lines.select(
+      split(regexp_replace(col("value"), "\"", ""), ",").as("p"))
+    def f(i: Int): Column = trim(try_element_at(col("p"), lit(i + 1)))
+    split1.select(
       f(0).as("trackId"),
       f(1).as("flightTime"),
-      expr("try_cast(trim(try_element_at(split(regexp_replace(value, '\"', ''), ','), 3)) AS DOUBLE)").as("longitude"),
-      expr("try_cast(trim(try_element_at(split(regexp_replace(value, '\"', ''), ','), 4)) AS DOUBLE)").as("latitude"),
+      expr("try_cast(trim(try_element_at(p, 3)) AS DOUBLE)").as("longitude"),
+      expr("try_cast(trim(try_element_at(p, 4)) AS DOUBLE)").as("latitude"),
       f(4).as("origin"),
       f(5).as("destination"),
       f(6).as("aircraft"),
-      expr("try_cast(trim(try_element_at(split(regexp_replace(value, '\"', ''), ','), 8)) AS BIGINT)").as("altitude"))
+      expr("try_cast(trim(try_element_at(p, 8)) AS BIGINT)").as("altitude"))
       .withColumn("time", coalesce(
         try_to_timestamp(col("flightTime"), lit(TsFormat)),
         to_timestamp(lit("1970-01-01 00:00:00"))))

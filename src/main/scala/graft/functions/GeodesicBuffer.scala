@@ -107,6 +107,13 @@ object GeodesicBuffer {
       lambda = next
       iter += 1
     }
+    // fail LOUDLY on non-convergence (known Vincenty failure mode for
+    // nearly-antipodal points): callers are tests/validation, and a
+    // silently inaccurate last iterate would mask a direct/inverse
+    // mismatch instead of flagging it
+    require(math.abs(delta) <= 1e-13,
+      s"Vincenty inverse did not converge for ($lon1,$lat1)-($lon2,$lat2): " +
+        s"|delta|=${math.abs(delta)} after $iter iterations (nearly-antipodal?)")
     val u2 = cos2Alpha * (A * A - B * B) / (B * B)
     val bigA = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
     val bigB = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))

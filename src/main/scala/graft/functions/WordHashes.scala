@@ -59,8 +59,13 @@ object WordHashes {
     i = 0
     while (i < len) {
       val b = str.getByte(i)
+      // UNSIGNED byte in the fold: for >=0x80 bytes the JVM's signed
+      // getByte would make the hash diverge from any byte-oriented
+      // reference; & 0xFF pins a well-defined value on non-ASCII input
+      // (the DuckDB codepoint replay still only matches ASCII — that
+      // caveat is corpus-level, this one was kernel-level)
       if (b == ' '.toByte) { out(w) = h; w += 1; h = 0L }
-      else h = h * B + b
+      else h = h * B + (b & 0xFF)
       i += 1
     }
     out(w) = h

@@ -213,11 +213,13 @@ object AnalyticQueries extends QueryPack {
 
     // ---- approximate distinct (HLL) ----
     // The raw estimate is engine-specific (Spark HLL++ vs DuckDB HLL give
-    // different numbers), but the ESTIMATOR CONTRACT — within the default
-    // 5% rsd of truth — is hash-verifiable: Spark's sketch is
-    // deterministic on fixed input, so `estimate_ok` is a stable boolean
-    // the oracle asserts as TRUE alongside the exact counts. (Measured
-    // error 2.65% at sf0.01.)
+    // different numbers), but the ESTIMATOR CONTRACT is hash-verifiable:
+    // Spark's sketch is deterministic on fixed input, so `estimate_ok` is
+    // a stable boolean the oracle asserts as TRUE alongside the exact
+    // counts. Bound = 0.15 ≈ 3x the default 5% rsd: rsd is a standard
+    // DEVIATION, not a hard bound, so gating at 1x rsd would turn an
+    // in-spec estimator into a correctness failure on an unlucky corpus
+    // (measured error 2.65% at sf0.01 — comfortably inside).
     "q_agg_approx_distinct" -> { (s, d) =>
       import s.implicits._
       t(s, d, "lineitem")
@@ -226,7 +228,7 @@ object AnalyticQueries extends QueryPack {
           approx_count_distinct($"l_partkey").as("approx"),
           countDistinct($"l_partkey").as("exact_parts"))
         .select($"l_returnflag", $"exact_parts",
-          (abs($"approx" - $"exact_parts").cast("double") / $"exact_parts" <= 0.05)
+          (abs($"approx" - $"exact_parts").cast("double") / $"exact_parts" <= 0.15)
             .as("estimate_ok"))
         .orderBy($"l_returnflag")
     }

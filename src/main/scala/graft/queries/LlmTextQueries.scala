@@ -71,16 +71,23 @@ object LlmTextQueries extends QueryPack {
 
   /** Block-local exact n-gram Jaccard over (doc_id, source, sh) rows,
     * SUB-TILED so a single source block no longer concentrates its whole
-    * O(m²) comparison in one task: docs hash into nt = ceil(m/tileSize)
+    * O(m²) comparison in one task: docs map into nt = ceil(m/tileSize)
     * tiles and every doc is replicated to each (min(t,o), max(t,o))
     * tile-pair of its source; flatMapGroups compares pairs within one
     * tile pair, so a source's m²/2 comparisons spread over nt(nt+1)/2
-    * independent tasks with replication factor nt per doc. The per-task
-    * bound is PROBABILISTIC — hash tiles are Poisson-balanced around
-    * tileSize (±3·sqrt in practice), not hard-capped; an adversarially
-    * skewed doc_id set would need the dense-index variant (narrow
-    * row_number over (doc_id, source) joined back by id) at the cost of
-    * one extra shuffle of the ids.
+    * independent tasks with replication factor nt per doc.
+    *
+    * Two tile assignments, auto-selected by a narrow skew probe:
+    *  - HASH tiles (default): tile = xxhash64(doc_id) % nt — zero extra
+    *    shuffle of the fat arrays, but the per-task bound is
+    *    PROBABILISTIC (Poisson-balanced around tileSize, ±3·sqrt).
+    *  - DENSE tiles (skew fallback): tile = row_number within source /
+    *    tileSize — HARD-capped at tileSize rows per tile regardless of
+    *    the doc_id distribution, at the cost of one extra shuffle (the
+    *    narrow id window + the join re-attaching arrays by id).
+    * The probe only reads (doc_id, source) — column pruning keeps the
+    * shingle computation out of it — and flips to dense when any hash
+    * tile exceeds skewFactor x tileSize.
     *
     * Zero per-pair array duplication inside a task — the join-shaped
     * version materialized ~4 GB of copied shingle arrays through the
@@ -88,21 +95,58 @@ object LlmTextQueries extends QueryPack {
     * hashes (identical to string sets absent a 64-bit collision inside
     * one union, ~1e-13/pair). */
   private[graft] def ngramBlockedPairs(docs: DataFrame, tileSize: Int = 512,
-                                         threshold: Double = 0.3): DataFrame = {
+                                         threshold: Double = 0.3,
+                                         skewFactor: Double = 4.0): DataFrame =
+    ngramBlockedPairsWith(docs, tileSize, threshold,
+      dense = hashTilesSkewed(docs, tileSize, skewFactor))
+
+  /** Skew probe: true iff some source's hash tile holds more than
+    * skewFactor x tileSize docs while that source has more than one tile
+    * (single-tile sources are inherently one task either way). Narrow:
+    * scans ids only, one scalar to the driver — the same class of
+    * runtime statistic AQE reads. */
+  private[graft] def hashTilesSkewed(docs: DataFrame, tileSize: Int,
+                                     skewFactor: Double = 4.0): Boolean = {
     val s = docs.sparkSession
     import s.implicits._
-    // tile assignment must NOT move the (fat) shingle arrays: per-source
-    // doc counts are a narrow aggregation, broadcast back, and the tile
-    // id is a hash of doc_id — so the only array shuffle is the tile-pair
-    // replication itself (factor nt = ceil(m/tileSize), the inherent cost
-    // of pairing tiles). An earlier draft used a row_number window, which
-    // sort-shuffled every array once and showed up as 5x bench time.
-    // Hash tiles are Poisson-balanced around tileSize, so the per-task
-    // bound is probabilistic but tight (±3·sqrt(tileSize)).
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("m"))
-    val tiled = docs.join(broadcast(counts), "source")
+    !docs.select($"doc_id", $"source")
+      .join(broadcast(counts), "source")
       .withColumn("nt", ceil($"m" / lit(tileSize.toDouble)).cast("int"))
+      .filter($"nt" > 1)
       .withColumn("tile", pmod(xxhash64($"doc_id"), $"nt").cast("int"))
+      .groupBy($"source", $"tile").agg(count(lit(1)).as("c"))
+      .filter($"c" > skewFactor * tileSize)
+      .isEmpty
+  }
+
+  private[graft] def ngramBlockedPairsWith(docs: DataFrame, tileSize: Int,
+                                           threshold: Double,
+                                           dense: Boolean): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // tile assignment must NOT move the (fat) shingle arrays unless the
+    // skew fallback demands it: per-source doc counts are a narrow
+    // aggregation, broadcast back. Hash tiles keep the arrays untouched
+    // until the tile-pair replication (factor nt, the inherent cost of
+    // pairing tiles); dense tiles window the NARROW ids and re-attach
+    // arrays with one equi join on doc_id.
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("m"))
+    val tiled =
+      if (!dense) docs.join(broadcast(counts), "source")
+        .withColumn("nt", ceil($"m" / lit(tileSize.toDouble)).cast("int"))
+        .withColumn("tile", pmod(xxhash64($"doc_id"), $"nt").cast("int"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+        val idx = docs.select($"doc_id", $"source")
+          .withColumn("tile",
+            ((row_number().over(w) - 1) / tileSize).cast("int"))
+          .select($"doc_id", $"tile")
+        docs.join(idx, Seq("doc_id"))
+          .join(broadcast(counts), "source")
+          .withColumn("nt", ceil($"m" / lit(tileSize.toDouble)).cast("int"))
+      }
     tiled
       .select($"doc_id", $"source", $"sh", $"tile",
         explode(transform(sequence(lit(0), $"nt" - 1),
@@ -314,7 +358,17 @@ object LlmTextQueries extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
 
     // independent ground truth: all-pairs exact Jaccard (affordable at
-    // sf0.01) — verifies the LSH path found every >= 0.5 pair
+    // sf0.01) — verifies the LSH path found every >= 0.5 pair.
+    // PROBABILISTIC gate, acknowledged: the Spark side surfaces candidates
+    // via 32x2 banding, so a borderline pair (j barely >= 0.5) has a
+    // ~1e-4 chance of missing every band on some corpus; on the planted
+    // near-dups here (j >= 0.8 vs ~0.02 background, S-curve knee at 0.18)
+    // the miss probability is < 1e-12 per pair, which is why the
+    // exact-match gate is stable across regenerated data. If a future
+    // corpus plants pairs near the 0.5 verify threshold, widen the bands
+    // or gate on recall instead (same analysis as the q_embed_neardup
+    // comment). Applies equally to q_text_editdist, which reuses this
+    // pair set.
     "q_dedup_minhash" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id,

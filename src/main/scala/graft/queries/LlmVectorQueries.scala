@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.llm.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   *    dot products spread evenly across tasks with bounded memory and no
   *    corpus broadcast.
   *  - IVF: fixed-k deterministic centroid sample (broadcast O(k·dim),
-  *    corpus-size-independent), one broadcast assignment pass (argmax via
-  *    lexicographic struct max — no UDF), probe the top nprobe cells per
-  *    query. Recall vs brute force is asserted in LlmSpec rather than a
-  *    SQL oracle.
+  *    corpus-size-independent), assignment as a per-row argmax fold over
+  *    the broadcast centroid array — a pure map with ZERO exchange on the
+  *    corpus side. Every stage is deterministic and SQL-expressible, so
+  *    even the approximate pipeline is hash-compared against a DuckDB
+  *    replay (plus recall-vs-brute-force contracts in LlmSpec).
   */
 object LlmVectorQueries extends QueryPack {
 
@@ -35,25 +36,28 @@ object LlmVectorQueries extends QueryPack {
     * bit-identical hyperplanes, the dot products are bit-identical
     * sequential folds, and the sign bits (the sketch) hash-compare
     * exactly. 8 planes = 256 buckets, sized to the test corpus; a
-    * production corpus raises `SketchPlanes` to keep bucket occupancy
-    * near O(corpus / 2^planes). */
-  private val SketchPlanes = 8
+    * production corpus raises the plane count to keep bucket occupancy
+    * near O(corpus / 2^planes) — `annLsh` takes it as a parameter and
+    * LlmSpec asserts the recall contract at both 8 and 16 planes. */
+  private[graft] val SketchPlanes = 8
   private val Dim = 64
   private[graft] def hyper(j: Int, k: Int): Double =
     ((2654435761L * (j * Dim + k + 1)) % 4294967296L) / 2147483648.0 - 1.0
 
-  private def sketchCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until SketchPlanes).map { j =>
+  private[graft] def sketchCol(v: Column, planes: Int): Column =
+    (0 until planes).map { j =>
       val h = typedlit((0 until Dim).map(k => hyper(j, k)))
       when(dot(v, h) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** XOR masks enumerating the hamming<=2 neighborhood of an 8-bit
-    * sketch: 1 + 8 + 28 = 37 probe buckets (~14% of the key space). */
-  private val ProbeMasks: Seq[Long] = {
-    val single = (0 until SketchPlanes).map(1L << _)
+  /** XOR masks enumerating the hamming<=2 neighborhood of a sketch:
+    * 1 + p + p(p-1)/2 probe buckets (37 of 256 at 8 planes, 137 of 65536
+    * at 16 — the probed FRACTION of the key space shrinks as the plane
+    * count scales up with the corpus). */
+  private[graft] def probeMasks(planes: Int): Seq[Long] = {
+    val single = (0 until planes).map(1L << _)
     val pairs = for {
-      a <- 0 until SketchPlanes; b <- (a + 1) until SketchPlanes
+      a <- 0 until planes; b <- (a + 1) until planes
     } yield (1L << a) | (1L << b)
     0L +: (single ++ pairs)
   }
@@ -68,6 +72,53 @@ object LlmVectorQueries extends QueryPack {
       col("vec_id"),
       asDoubles(col("embedding")).as("v"),
       sqrt(norm2(asDoubles(col("embedding")))).as("nrm"))
+  }
+
+  /** Assign each corpus row (column `v`) to its argmax-cosine centroid —
+    * as a PER-ROW FOLD over the broadcast centroid array, not a join.
+    * `centroids` (c_id, cv) collapses to ONE array row, broadcast
+    * O(k·dim); the corpus side is then a pure map with ZERO exchange
+    * (the earlier join+groupBy argmax amplified the corpus 32x into a
+    * full shuffle carrying vector payloads — PlanSpec now guards the
+    * streamed side of this plan against any Exchange). Ties on equal
+    * cosine resolve to the HIGHEST c_id (lexicographic struct max),
+    * mirrored in the oracle as ORDER BY cos DESC, c_id DESC. */
+  private[graft] def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    corpus.crossJoin(broadcast(centArr))
+      .withColumn("cell",
+        aggregate(col("cents"),
+          struct(lit(-2.0).as("cos"), lit(-1L).as("c_id")),
+          (acc, c) => greatest(acc,
+            struct(cosine(col("v"), c.getField("cv")).as("cos"),
+                   c.getField("c_id").as("c_id"))))
+          .getField("c_id"))
+      .drop("cents")
+  }
+
+  /** LSH-bucketed ANN at a given plane count (the 100 TB scale knob):
+    * candidates from an EQUI-join on the sketch key, probing the
+    * hamming<=2 neighborhood of each query's sketch. */
+  private[graft] def annLsh(s: SparkSession, d: String, planes: Int): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, d).withColumn("sketch", sketchCol($"v", planes))
+    val queries = corpus.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"sketch".as("qs"))
+    val probes = queries
+      .select($"q_id", $"qv", $"qn", $"qs",
+        explode(typedlit(probeMasks(planes))).as("mask"))
+      .select($"q_id", $"qv", $"qn", $"qs".bitwiseXOR($"mask").as("sketch"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
+    probes.join(
+        corpus.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"), $"sketch"),
+        Seq("sketch"))
+      .filter($"q_id" =!= $"b_id")
+      .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
+      .orderBy($"q_id", $"rk")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -140,7 +191,7 @@ object LlmVectorQueries extends QueryPack {
     "q_embed_lsh_sketch" -> { (s, d) =>
       import s.implicits._
       emb(s, d)
-        .select($"vec_id", sketchCol($"v").as("sketch"))
+        .select($"vec_id", sketchCol($"v", SketchPlanes).as("sketch"))
         .orderBy($"vec_id")
     },
 
@@ -148,71 +199,54 @@ object LlmVectorQueries extends QueryPack {
     // The second ANN scale path beside IVF: candidates come from an
     // EQUI-join on the sketch key (shuffle on an 8-bit key, bucket sizes
     // ~ corpus/256), probing the 37-bucket hamming<=2 neighborhood of
-    // each query's sketch. Recall vs brute force asserted in LlmSpec.
-    "q_ann_lsh" -> { (s, d) =>
-      import s.implicits._
-      val corpus = emb(s, d).withColumn("sketch", sketchCol($"v"))
-      val queries = corpus.filter($"vec_id" < 50)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"sketch".as("qs"))
-      val probes = queries
-        .select($"q_id", $"qv", $"qn", $"qs",
-          explode(typedlit(ProbeMasks)).as("mask"))
-        .select($"q_id", $"qv", $"qn", $"qs".bitwiseXOR($"mask").as("sketch"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
-      probes.join(
-          corpus.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"), $"sketch"),
-          Seq("sketch"))
-        .filter($"q_id" =!= $"b_id")
-        .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 5)
-        .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
-        .orderBy($"q_id", $"rk")
-    },
+    // each query's sketch. Deterministic end to end, so the oracle
+    // replays the whole pipeline (sketch bits + hamming join + top-5) in
+    // SQL; recall vs brute force additionally asserted in LlmSpec at the
+    // 8- and 16-plane settings.
+    "q_ann_lsh" -> { (s, d) => annLsh(s, d, SketchPlanes) },
 
-    // ---- IVF-probed ANN (scale path; recall asserted in tests) ----
+    // ---- IVF-probed ANN (scale path; oracle-replayed AND recall-tested) ----
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
       val corpus = emb(s, d)
       // FIXED-k k-means centroids, trained with one Lloyd round over a
-      // FIXED-SIZE hash sample: seeds = first k vectors by vec_id hash,
-      // refined to the mean of the sample vectors assigned to each seed.
-      // Both k and the training-set size are corpus-size-independent, so
-      // the broadcast stays O(k·dim) and the training cost O(sample·k)
-      // at any corpus scale (the earlier `vec_id % 25` scheme broadcast
-      // corpus/25 rows).
+      // FIXED-SIZE hash sample: seeds = first k vectors by a Knuth
+      // multiplicative hash of vec_id (NOT xxhash64 — this rule runs
+      // verbatim in DuckDB, making the whole pipeline oracle-replayable;
+      // vec_id * 2654435761 cannot overflow a 64-bit long for any
+      // realistic id space). Both k and the training-set size are
+      // corpus-size-independent, so the broadcast stays O(k·dim) and the
+      // training cost O(sample·k) at any corpus scale.
       val k = 32
       val maxTrain = 1024
+      def knuth(c: Column): Column = pmod(c * lit(2654435761L), lit(4294967296L))
       val seeds = corpus
-        .orderBy(xxhash64($"vec_id"), $"vec_id")
+        .orderBy(knuth($"vec_id"), $"vec_id")
         .limit(k)
         .select($"vec_id".as("c_id"), $"v".as("cv"))
       val train = corpus
-        .orderBy(xxhash64($"vec_id" + 7), $"vec_id")
+        .orderBy(knuth($"vec_id" + 7), $"vec_id")
         .limit(maxTrain)
         .select($"vec_id", $"v")
-      val trainAssigned = train.join(broadcast(seeds))
-        .groupBy($"vec_id")
-        .agg(max(struct(cosine($"v", $"cv").as("cos"), $"c_id")).getField("c_id").as("c_id"),
-             first($"v").as("v"))
-      // per-dimension mean via posexplode + rebuild ordered by position
+      // one Lloyd round: assign the sample to seed cells (per-row argmax
+      // fold, no shuffle), then the per-dimension mean as a SORTED
+      // sequential fold — deterministic bits, replayed in the oracle via
+      // list_reduce over list(ev ORDER BY vec_id)
+      val trainAssigned = assignCells(train, seeds)
       val centroids = trainAssigned
-        .select($"c_id", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"c_id", $"pos").agg(avg($"x").as("x"))
-        .groupBy($"c_id")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"x"))),
-          e => e.getField("x")).as("cv"))
-      // assignment pass: argmax cosine via lexicographic struct max
-      val assigned = corpus.join(broadcast(centroids))
-        .groupBy($"vec_id")
-        .agg(
-          max(struct(cosine($"v", $"cv").as("cos"), $"c_id")).getField("c_id").as("cell"),
-          first($"v").as("v"), first($"nrm").as("nrm"))
-      val queries = assigned.filter($"vec_id" < 50)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
+        .select($"cell".as("c_id"),
+          transform(sequence(lit(1), lit(Dim)), i =>
+            aggregate($"vs", lit(0.0), (a, e) => a + element_at(e.getField("v"), i))
+              / size($"vs")).as("cv"))
+      // assignment pass: per-row argmax fold, zero corpus Exchange
+      val assigned = assignCells(corpus, centroids)
       // probe list: top-8 of 32 cells per query — ~1/4 of the brute-force
       // scan (recall measured and asserted in LlmSpec)
-      val probes = queries.join(broadcast(centroids))
+      val probes = assigned.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        .join(broadcast(centroids))
         .select($"q_id", $"qv", $"qn", $"c_id", cosine($"qv", $"cv").as("ccos"))
         .withColumn("pr", row_number().over(
           Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
@@ -229,6 +263,15 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"q_id", $"rk")
     }
   )
+
+  /** The generated sketch-bit SQL shared by the LSH oracles: the same
+    * rational hyperplanes inline, each dot an explicit left-associated
+    * 64-term sum (the kernel's fold order) over column `ev`. */
+  private def sketchBitsSql: String =
+    (0 until SketchPlanes).map { j =>
+      val terms = (0 until Dim).map(k => s"ev[${k + 1}]*(${hyper(j, k)})").mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n     + ")
 
   override def oracles: Map[String, String] = Map(
     "q_ann_cosine_topk" ->
@@ -263,21 +306,82 @@ object LlmVectorQueries extends QueryPack {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // generated: the same rational hyperplanes inline, each dot as an
-    // explicit left-associated 64-term sum (the kernel's fold order) so
-    // every sign bit is computed on bit-identical doubles
-    "q_embed_lsh_sketch" -> {
-      val bits = (0 until SketchPlanes).map { j =>
-        val terms = (0 until Dim).map(k => s"ev[${k + 1}]*(${hyper(j, k)})").mkString(" + ")
-        s"(CASE WHEN ($terms) >= 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString("\n     + ")
+    "q_embed_lsh_sketch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
          |SELECT vec_id,
-         |  CAST($bits AS BIGINT) AS sketch
+         |  CAST($sketchBitsSql AS BIGINT) AS sketch
          |FROM e
-         |ORDER BY vec_id""".stripMargin
-    }
-    // q_ann_ivf / q_ann_lsh: approximate by design — recall vs the exact
-    // top-k is asserted in LlmSpec, not hash-compared.
+         |ORDER BY vec_id""".stripMargin,
+
+    // full LSH-ANN replay: sketch bits + hamming<=2 candidate join (the
+    // 37-mask multi-probe IS the hamming<=2 ball, so bit_count(xor) <= 2
+    // reproduces the candidate set exactly) + cosine top-5
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |sk AS (SELECT vec_id, ev,
+         |  CAST($sketchBitsSql AS BIGINT) AS sketch
+         |FROM e),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+         |         list_cosine_similarity(q.ev, b.ev) AS cos
+         |  FROM sk q JOIN sk b
+         |    ON q.vec_id < 50 AND b.vec_id != q.vec_id
+         |   AND bit_count(xor(q.sketch, b.sketch)) <= 2)
+         |SELECT q_id, rk, b_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY cos DESC, b_id) AS rk
+         |  FROM cand) t
+         |WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // full IVF replay: Knuth-hash seeds + train sample, one Lloyd round
+    // (argmax assignment = row_number ORDER BY cos DESC, c_id DESC, the
+    // struct-max tiebreak; per-dimension mean = list_reduce over the
+    // vec_id-sorted sample, the engine's sorted fold), full-corpus
+    // assignment, top-8 probe cells per query (tie -> LOWEST c_id,
+    // matching the probe window), candidate join, cosine top-5.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS c_id, ev AS cv FROM e
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 32),
+        |train AS (
+        |  SELECT vec_id, ev FROM e
+        |  ORDER BY ((vec_id + 7) * 2654435761) % 4294967296, vec_id LIMIT 1024),
+        |ta AS (
+        |  SELECT vec_id, ev, c_id AS cell FROM (
+        |    SELECT t.vec_id, t.ev, s.c_id,
+        |           row_number() OVER (PARTITION BY t.vec_id
+        |             ORDER BY list_cosine_similarity(t.ev, s.cv) DESC, s.c_id DESC) AS rn
+        |    FROM train t CROSS JOIN seeds s) x WHERE rn = 1),
+        |cent AS (
+        |  SELECT cell AS c_id,
+        |         list_transform(range(1, 65),
+        |           i -> list_reduce(list_transform(vs, v -> v[i]), (a, b) -> a + b) / len(vs)) AS cv
+        |  FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs FROM ta GROUP BY cell) g),
+        |assigned AS (
+        |  SELECT vec_id, ev, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.ev, c.c_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.ev, c.cv) DESC, c.c_id DESC) AS rn
+        |    FROM e CROSS JOIN cent c) x WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT a.vec_id AS q_id, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |             ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, c.c_id) AS pr
+        |    FROM (SELECT vec_id, ev FROM assigned WHERE vec_id < 50) a
+        |    CROSS JOIN cent c) x
+        |  WHERE pr <= 8),
+        |cand AS (
+        |  SELECT p.q_id, b.vec_id AS b_id, list_cosine_similarity(q.ev, b.ev) AS cos
+        |  FROM probes p
+        |  JOIN assigned b ON b.cell = p.cell AND b.vec_id != p.q_id
+        |  JOIN e q ON q.vec_id = p.q_id)
+        |SELECT q_id, rk, b_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rk
+        |  FROM cand) t
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
   )
 }

@@ -23,8 +23,7 @@ object ScaleQueries extends QueryPack {
     * would hit LOCATION_ALREADY_EXISTS on the stale files. Each JVM
     * writes once; a production deployment buckets at ingest and
     * amortizes the write over every later join. */
-  private lazy val bucketRoot =
-    java.nio.file.Files.createTempDirectory("graft_bucket").toString
+  private lazy val bucketRoot = tempFixtureDir("graft_bucket")
   // check-then-write below is not atomic: concurrent first invocations
   // (parallel suites sharing the JVM) must not overwrite each other's
   // in-flight external-table commit
@@ -103,7 +102,7 @@ object ScaleQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def partitionedDir(s: SparkSession, d: String): String =
     partitionedDirs.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = tempFixtureDir("graft_part")
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)

@@ -13,8 +13,8 @@ object SourceQueries extends QueryPack {
 
   // one roundtrip dir per format per JVM (overwrite mode): repeated
   // invocations must not accumulate temp copies of the tables
-  private lazy val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
-  private lazy val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
+  private lazy val csvDir = tempFixtureDir("graft_csv")
+  private lazy val jsonDir = tempFixtureDir("graft_json")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> { (s, d) =>

@@ -65,6 +65,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("sketch"), p)
   }
 
+  test("IVF assignment is a pure map: zero Exchange on the corpus (streamed) side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    // shape-only fixtures: the guard is structural, values don't matter
+    val corpus = spark.range(100).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(4)), i => ($"id" % 7 + i).cast("double")).as("v"))
+    val cents = spark.range(4).select($"id".as("c_id"),
+      transform(sequence(lit(1), lit(4)), i => ($"id" + i).cast("double")).as("cv"))
+    val plan = queries.LlmVectorQueries.assignCells(corpus, cents)
+      .queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a broadcast of the 1-row centroid array:\n$plan")
+    // the k-row centroid agg may exchange (bounded, O(k·dim)); the CORPUS
+    // side must not — assignment was a full-corpus shuffle in r2
+    val streamed = joins.map { j =>
+      if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight) j.left else j.right
+    }
+    streamed.foreach { side =>
+      val ex = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty, s"corpus side of the assignment must not shuffle:\n$side")
+    }
+  }
+
   test("exact dedup aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q_dedup_exact")
     // two HashAggregate levels around one exchange = partial + final

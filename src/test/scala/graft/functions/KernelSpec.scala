@@ -81,11 +81,12 @@ class KernelSpec extends SparkSpec {
   }
 
   test("WordHashes == split+fold reference (property)") {
-    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', ' ')).map(_.mkString)
+    // 'é' (UTF-8 0xC3 0xA9) exercises the unsigned-byte fold on >=0x80 bytes
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'é', ' ', ' ')).map(_.mkString)
     val B = 1000003L
     check(Prop.forAll(gen) { text =>
       val expected = text.split(" ", -1).toSeq
-        .map(_.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + b))
+        .map(_.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + (b & 0xFF)))
       val got = WordHashes.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(text))
         .toLongArray.toSeq
@@ -96,7 +97,7 @@ class KernelSpec extends SparkSpec {
   test("WordHashes: known polynomial values, order + multiplicity, empty words") {
     VectorExprs.register(spark)
     val B = 1000003L
-    def ph(s: String): Long = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + b)
+    def ph(s: String): Long = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + (b & 0xFF))
     val got = Seq((1L, "ab ab c"), (2L, ""), (3L, "x  y "))
       .toDF("id", "s")
       .select($"id", expr("word_hashes(s)")).as[(Long, Seq[Long])].collect().toMap
