@@ -6,17 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extraction as a partition-batched pass.
   *
-  * The Spark-side shape is the real deliverable — schema (binary payload +
-  * struct metadata), partition-level batching, and a typed feature output —
-  * while the actual media decode is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic fake pixels from the
-  * payload bytes. Swapping in a real decoder (JNI / javacv) changes only
-  * that one function; the pipeline, schema, and batch shape stay.
+  * The image path is REAL end to end: `pngPayloadTable` encodes a
+  * deterministic synthetic raster per document as an actual PNG
+  * (javax.imageio — JDK-native, no external codec), `decodePng` decodes
+  * it back on the executors, and the feature histogram is computed over
+  * the decoded pixels. Because PNG is lossless and the planted raster is
+  * a closed-form integer rule, the DuckDB oracle replays the expected
+  * pixel statistics WITHOUT a decoder — any decode defect breaks the
+  * hash match. The frame-sampling and resize ops run on raw payload
+  * bytes (byte-level ops need no codec) with the same exact-replay
+  * oracles.
   */
 object MultimodalOps {
 
   case class Payload(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
-  case class Features(doc_id: Long, n_bytes: Long, mean_byte: Double,
+  case class Features(doc_id: Long, n_px: Long, mean_px: Double,
                       histogram: Array[Double])
 
   /** Build a multimodal table from `documents`: payload = UTF-8 bytes of
@@ -34,11 +38,63 @@ object MultimodalOps {
         lit("fake/rgb8").as("format")).as("meta"))
   }
 
-  /** STUB decoder: stands in for e.g. JPEG decode. Deterministic: "pixels"
-    * are the payload bytes themselves. A real implementation would return
-    * width*height*channels decoded samples. */
-  private def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
-    payload // ??? <- real codec goes here; stub keeps bytes as "pixels"
+  /** The planted raster: a closed-form integer rule so the oracle can
+    * recompute every pixel without decoding. */
+  def plantedPixel(docId: Long, y: Int, x: Int): Int =
+    (((docId % 256) * 31 + y * 7 + x * 13) % 256).toInt
+
+  /** Encode a raster as a REAL 8-bit grayscale PNG (lossless). */
+  def encodePng(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pix(y, x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG payload to (width, height, row-major gray samples). */
+  def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(i) = raster.getSample(x, y, 0); i += 1; x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Image payload table: one deterministic synthetic PNG per document,
+    * dimensions derived from n_chars exactly like `payloadTable`. The
+    * encode runs partition-batched on the executors (the ingest-side
+    * shape; at 100 TB real media arrives already encoded and only
+    * `decodePng` runs). */
+  def pngPayloadTable(spark: SparkSession, dir: String): Dataset[Payload] = {
+    import spark.implicits._
+    graft.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("w"),
+        (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          Payload(id, encodePng(w, h, (y, x) => plantedPixel(id, y, x)), w, h)
+        }
+      }
+  }
 
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, byte_sum: Long)
 
@@ -96,13 +152,15 @@ object MultimodalOps {
 
   /** Feature extraction as a partition-batched pass: one iterator per
     * partition (the mapInPandas batch shape, Scala-side), no per-row JVM
-    * round trips, constant memory per partition. */
+    * round trips, constant memory per partition. The decode is the REAL
+    * PNG codec — histogram and mean run over decoded samples, so the
+    * oracle's planted-raster replay verifies the decoder itself. */
   def extractFeatures(payloads: Dataset[Payload]): Dataset[Features] = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.mapPartitions { it =>
       it.map { p =>
-        val px = decodeStub(p.payload, p.width, p.height)
+        val (_, _, px) = decodePng(p.payload)
         val hist = new Array[Double](8)
         var sum = 0L
         var i = 0

@@ -5,9 +5,10 @@ import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column queries: typed metadata over binary payloads
-  * (oracle-checked) and the partition-batched feature-extraction pass
-  * (stubbed decode; Spark plumbing is real). */
+/** Multimodal-column queries: typed metadata over binary payloads,
+  * REAL PNG decode feeding the feature histogram (javax.imageio, no
+  * external codec), and byte-level frame-sampling/resize — each
+  * oracle-checked by exact replay of the planted payloads. */
 object MultimodalQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -24,15 +25,14 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // REAL PNG decode: encode the planted raster as an actual PNG per doc,
+    // decode it back with javax.imageio, histogram the decoded samples
     "q_multimodal_features" -> { (s, d) =>
       import s.implicits._
-      val payloads = MultimodalOps.payloadTable(s, d)
-        .select($"doc_id", $"payload", $"meta.width".as("width"), $"meta.height".as("height"))
-        .as[MultimodalOps.Payload]
-      MultimodalOps.extractFeatures(payloads)
+      MultimodalOps.extractFeatures(MultimodalOps.pngPayloadTable(s, d))
         .toDF()
-        .select($"doc_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"),
-                asLong(size($"histogram")).as("n_bins"))
+        .select(Seq($"doc_id", $"n_px", $"mean_px") ++
+          (0 until 8).map(b => element_at($"histogram", b + 1).as(s"h$b")): _*)
         .orderBy($"doc_id")
     },
 
@@ -73,19 +73,30 @@ object MultimodalQueries extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    // features flow through the stubbed decoder, but the byte statistics
-    // ARE exact over the payload bytes — expressible in SQL: mean byte of
-    // ASCII text = avg(ord(ch)). NOTE: ord() is a CODEPOINT, equal to the
-    // byte only for ASCII (true of all testdata text, verified); non-ASCII
-    // corpora would need a byte-level oracle instead.
-    "q_multimodal_features" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  round(CAST(list_sum(list_transform(string_split_regex(text, ''), ch -> ord(ch))) AS DOUBLE)
-        |        / octet_length(encode(text)), 6) AS mean_byte,
-        |  CAST(8 AS BIGINT) AS n_bins
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+    // the PNG path verified WITHOUT a decoder: PNG is lossless and the
+    // planted raster is a closed-form integer rule, so the oracle
+    // recomputes every expected pixel directly — pix(i) =
+    // ((doc_id%256)*31 + (i//w)*7 + (i%w)*13) % 256 — and any
+    // encode/decode defect on the Spark side breaks the hash match
+    "q_multimodal_features" -> {
+      val bins = (0 until 8).map(b =>
+        s"  CAST(len(list_filter(ps, p -> p // 32 = $b)) AS DOUBLE) / (w*h) AS h$b")
+        .mkString(",\n")
+      s"""WITH dims AS (
+         |  SELECT doc_id, 1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, w, h,
+         |    [ ((doc_id % 256) * 31 + (i // w) * 7 + (i % w) * 13) % 256
+         |      FOR i IN range(0, w * h) ] AS ps
+         |  FROM dims)
+         |SELECT doc_id,
+         |  CAST(w * h AS BIGINT) AS n_px,
+         |  CAST(list_sum(ps) AS DOUBLE) / (w * h) AS mean_px,
+         |$bins
+         |FROM px
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the 8x8 nearest-neighbor grid replayed position by position:
     // src index = (floor(y*h/8)*w + floor(x*w/8)) mod n_bytes, all

@@ -196,11 +196,17 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(negCos + 1.0) < 1e-12)
   }
 
-  test("multimodal feature stub: exact byte statistics") {
+  test("multimodal features: real PNG encode/decode round trip, exact pixel stats") {
     import graft.multimodal.MultimodalOps
-    val p = Seq(MultimodalOps.Payload(7L, "ab".getBytes("UTF-8"), 2, 1)).toDS()
+    // 2x1 gray PNG with samples 97 and 98 — decode must recover them exactly
+    val png = MultimodalOps.encodePng(2, 1, (_, x) => 97 + x)
+    // PNG magic: a real codec wrote this, not a byte passthrough
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, px) = MultimodalOps.decodePng(png)
+    assert(w == 2 && h == 1 && px.toSeq == Seq(97, 98))
+    val p = Seq(MultimodalOps.Payload(7L, png, 2, 1)).toDS()
     val f = MultimodalOps.extractFeatures(p).collect().head
-    assert(f.n_bytes == 2L && f.mean_byte == 97.5)
-    assert(f.histogram(3) == 1.0) // 'a'(97)>>5 == 3 == 'b'(98)>>5
+    assert(f.n_px == 2L && f.mean_px == 97.5)
+    assert(f.histogram(3) == 1.0) // 97>>5 == 3 == 98>>5
   }
 }
