@@ -19,14 +19,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *    regardless of partial-aggregation merge order;
   *  - integer-ish results cast to LONG (DuckDB returns BIGINT).
   */
-trait QueryPack {
-  def queries: Map[String, (SparkSession, String) => DataFrame]
-  def oracles: Map[String, String]
-
-  /** Temp dir for per-JVM fixture copies (roundtrips, bucketed/partitioned
-    * layouts), deleted on JVM exit — without the hook each run would leak
-    * a parquet copy of every fixture table into /tmp. */
-  protected def tempFixtureDir(prefix: String): String = {
+/** Self-cleaning temp dirs for per-JVM fixture copies. */
+object TempDirs {
+  def create(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -37,6 +32,16 @@ trait QueryPack {
     }))
     dir.toString
   }
+}
+
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+
+  /** Temp dir for per-JVM fixture copies (roundtrips, bucketed/partitioned
+    * layouts), deleted on JVM exit — without the hook each run would leak
+    * a parquet copy of every fixture table into /tmp. */
+  protected def tempFixtureDir(prefix: String): String = TempDirs.create(prefix)
 
   /** Exact money arithmetic: DECIMAL(12,2) sums are order-insensitive so
     * the result does not depend on Spark's nondeterministic partial-agg

