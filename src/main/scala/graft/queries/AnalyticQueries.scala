@@ -231,6 +231,29 @@ object AnalyticQueries extends QueryPack {
           (abs($"approx" - $"exact_parts").cast("double") / $"exact_parts" <= 0.15)
             .as("estimate_ok"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- approximate percentile (the sketch quantile used at 100 TB) ----
+    // Same contract pattern as the HLL row: percentile_approx is
+    // mergeable/one-pass (exact percentile needs the whole group sorted —
+    // unusable at scale), its sketch is deterministic on fixed input, and
+    // its guarantee is a RANK error <= 1/accuracy. The gate brackets the
+    // estimate between exact p45 and p55 (rank slack 0.05 >> 1e-4), all
+    // computed in one pass; the oracle asserts the boolean + the exact
+    // interpolated median.
+    "q_agg_approx_percentile" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_med"),
+          expr("percentile(o_totalprice, 0.45)").as("p45"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.55)").as("p55"))
+        .select($"o_orderstatus",
+          round($"p50", 4).as("exact_median"),
+          ($"approx_med" >= $"p45" && $"approx_med" <= $"p55").as("estimate_ok"))
+        .orderBy($"o_orderstatus")
     }
   )
 
@@ -391,6 +414,17 @@ object AnalyticQueries extends QueryPack {
         |  TRUE AS estimate_ok
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // exact interpolated median must match across engines (same rounding
+    // convention as q_agg_percentile); the sketch estimate is asserted
+    // through the rank-bracket boolean
+    "q_agg_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+        |  TRUE AS estimate_ok
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -93,6 +93,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At cluster scale a selective dim predicate should cut the fact scan
+    // BEFORE the shuffle via an injected bloom filter (Spark's runtime
+    // filtering). The size thresholds that gate injection are tuned for
+    // real tables, so the test lowers them to fire at sf0.001; broadcast
+    // is disabled because runtime filters target shuffle joins.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val orders = Tables.orders(spark, SF)
+      val cust = Tables.customer(spark, SF).filter($"c_mktsegment" === "BUILDING")
+      val p = orders.join(cust, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name")
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("exact dedup aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q_dedup_exact")
     // two HashAggregate levels around one exchange = partial + final
