@@ -120,6 +120,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // Salting (q_join_salted) is the declarative skew tool; this pins the
+    // RUNTIME one — AQE must detect a hot key's oversized shuffle
+    // partition and split it. Thresholds are lowered to fire at test
+    // scale; broadcast disabled so the join actually shuffles.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // one hot key (100k rows) against a uniform background
+      val left = spark.range(100000).select(lit(0L).as("k"), $"id".as("v"))
+        .union(spark.range(10000).select((($"id" % 999) + 1).as("k"), $"id".as("v")))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      // NOTE: no operator above the join — a parent agg imposes its own
+      // requirement path and AQE then declines the skew split
+      val j = left.join(right, "k")
+      // the adaptive plan only finalizes on execution of THIS QueryExecution
+      assert(j.collect().length == 110000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("exact dedup aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q_dedup_exact")
     // two HashAggregate levels around one exchange = partial + final
