@@ -233,6 +233,11 @@ object LlmVectorQueries extends QueryPack {
       // sequential fold — deterministic bits, replayed in the oracle via
       // list_reduce over list(ev ORDER BY vec_id)
       val trainAssigned = assignCells(train, seeds)
+      // localCheckpoint both model artifacts: centroids (k rows) feed two
+      // branches and the cell assignment (the IVF INDEX — what a real
+      // deployment persists at build time) feeds both the probe ranking
+      // and the candidate scan; without materialization each branch would
+      // re-run the training pipeline and the full-corpus argmax fold
       val centroids = trainAssigned
         .groupBy($"cell")
         .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
@@ -240,8 +245,9 @@ object LlmVectorQueries extends QueryPack {
           transform(sequence(lit(1), lit(Dim)), i =>
             aggregate($"vs", lit(0.0), (a, e) => a + element_at(e.getField("v"), i))
               / size($"vs")).as("cv"))
+        .localCheckpoint()
       // assignment pass: per-row argmax fold, zero corpus Exchange
-      val assigned = assignCells(corpus, centroids)
+      val assigned = assignCells(corpus, centroids).localCheckpoint()
       // probe list: top-8 of 32 cells per query — ~1/4 of the brute-force
       // scan (recall measured and asserted in LlmSpec)
       val probes = assigned.filter($"vec_id" < 50)
