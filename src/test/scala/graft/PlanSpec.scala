@@ -160,6 +160,28 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    // The partitioned-scan analog of the runtime bloom filter: when the
+    // partition column is the join key, a selective dim predicate must
+    // turn into a dynamicpruningexpression in the fact scan's
+    // PartitionFilters — at 100 TB this skips whole partition directories
+    // the static planner can't know about. The dim must be SCAN-backed:
+    // a LocalRelation constant-folds its filter away and DPP sees no
+    // selective predicate to reuse.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val factDir = queries.ScaleQueries.partitionedDir(spark, SF)
+    val dimDir = TempDirs.create("graft_dpp_dim")
+    Tables.events(spark, SF).select($"event_type").distinct()
+      .withColumn("flag", when($"event_type" === "purchase", 1).otherwise(2))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter($"flag" === 1)
+    val p = fact.join(dim, Seq("event_type")).select($"event_id", $"flag")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruningexpression"), p)
+  }
+
   test("partitioned scan prunes at planning time (PartitionFilters)") {
     val p = plan("q_source_partitioned_pruning")
     assert(p.contains("PartitionFilters") && p.contains("event_type"), p)
