@@ -327,6 +327,43 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- deterministic train/validation/test split ----
+    // The standard corpus-split op: assignment is a PURE function of
+    // doc_id (Knuth multiplicative hash -> 80/10/10), so it is stable
+    // across runs, engines, and corpus growth (a new doc never moves an
+    // old one between splits) — and the whole rule replays in SQL.
+    // Narrow map + one small aggregation; no shuffle of document text.
+    "q_split_train_eval" -> { (s, d) =>
+      import s.implicits._
+      val h = pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), asLong(sum($"n_chars")).as("sum_chars"))
+        .orderBy($"split", $"lang")
+    },
+
+    // ---- curriculum binning: per-source quality deciles ----
+    // ntile over (PARTITION BY source ORDER BY score) — partition-
+    // parallel (one window task per source, and sources are many at
+    // corpus scale; a GLOBAL ntile would serialize the corpus through
+    // one task). Unique (score, doc_id) tiebreak keeps the bin
+    // assignment deterministic, so the oracle replays it exactly. At
+    // 100 TB the approximate alternative is bucketing by
+    // percentile_approx thresholds (contract-verified separately in
+    // q_agg_approx_percentile).
+    "q_text_quality_bins" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.documents(s, d)
+        .select(Seq($"doc_id", $"source") ++ TextOps.qualityColumns($"text"): _*)
+      q.select($"doc_id", $"source", $"quality_score",
+          asLong(ntile(10).over(Window.partitionBy($"source")
+            .orderBy($"quality_score", $"doc_id"))).as("bin"))
+        .orderBy($"doc_id")
+    },
+
     // ---- rolling-hash fingerprint (custom codegen expression) ----
     "q_text_fingerprint" -> { (s, d) =>
       import s.implicits._
@@ -462,6 +499,39 @@ object LlmTextQueries extends QueryPack {
         |SELECT doc_id, count(DISTINCT g) AS n_shared
         |FROM corpus JOIN hold USING (g)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_train_eval" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+
+    // same quality formula as the q_text_quality oracle, then the decile
+    // assignment replayed with the identical (score, doc_id) tiebreak
+    "q_text_quality_bins" ->
+      """WITH x AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |y AS (
+        |  SELECT doc_id, source, len(w) AS n_tok,
+        |    len(list_filter(w, t -> t IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+        |    len(list_distinct(w)) AS n_dist
+        |  FROM x),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |          + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |          + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) AS quality_score
+        |  FROM y)
+        |SELECT doc_id, source, quality_score,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |                       ORDER BY quality_score, doc_id) AS BIGINT) AS bin
+        |FROM q
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
