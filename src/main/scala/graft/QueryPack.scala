@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *    regardless of partial-aggregation merge order;
   *  - integer-ish results cast to LONG (DuckDB returns BIGINT).
   */
+/** Process-wide lock for the temporary shuffle-partitions override in
+  * `QueryPack.runToMemory`: the session conf is shared, so concurrent
+  * query builds (parallel suites on the singleton session) must not
+  * interleave their set/start/restore windows — an interleaved restore
+  * would leak the temporary value into the session permanently. */
+private[graft] object StreamStartLock
+
 /** Self-cleaning temp dirs for per-JVM fixture copies. */
 object TempDirs {
   def create(prefix: String): String = {
@@ -75,9 +82,13 @@ trait QueryPack {
     val s = df.sparkSession
     val qn = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val key = "spark.sql.shuffle.partitions"
-    val saved = s.conf.getOption(key)
-    s.conf.set(key, statePartitions)
-    val q =
+    // start() clones the session conf, so the override only needs to span
+    // set..start — but that window must be exclusive (StreamStartLock):
+    // interleaved set/restore from a concurrent build would leak the
+    // temporary value into the shared session
+    val q = StreamStartLock.synchronized {
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, statePartitions)
       try df.writeStream.format("memory").queryName(qn)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -86,6 +97,7 @@ trait QueryPack {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }
     q.awaitTermination()
     // s.table() analyzes eagerly, so the returned plan holds the resolved
     // sink relation; dropping the temp view right away un-registers the

@@ -19,7 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // in-memory codec streams: the default ImageIO disk cache creates and
+  // deletes one /tmp file PER IMAGE, which would dominate the decode hot
+  // path extractFeatures is benchmarking (object init runs once per JVM,
+  // including executors)
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class Payload(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  /** The shared dims rule (1 + n_chars mod 64/48): one definition for the
+    * byte-payload metadata, the PNG fixture, and (unavoidably copied) the
+    * oracle SQL. */
+  private def widthCol = (lit(1) + pmod(col("n_chars"), lit(64))).cast("int")
+  private def heightCol = (lit(1) + pmod(col("n_chars"), lit(48))).cast("int")
   case class Features(doc_id: Long, n_px: Long, mean_px: Double,
                       histogram: Array[Double])
 
@@ -32,8 +44,8 @@ object MultimodalOps {
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       struct(
-        (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("width"),
-        (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("height"),
+        widthCol.as("width"),
+        heightCol.as("height"),
         lit(3).as("channels"),
         lit("fake/rgb8").as("format")).as("meta"))
   }
@@ -89,9 +101,7 @@ object MultimodalOps {
     val fixture = pngDirs.computeIfAbsent(dir, { _ =>
       val out = graft.TempDirs.create("graft_png")
       graft.Tables.table(spark, dir, "documents")
-        .select(col("doc_id"),
-          (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("w"),
-          (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("h"))
+        .select(col("doc_id"), widthCol.as("w"), heightCol.as("h"))
         .as[(Long, Int, Int)]
         .mapPartitions { it =>
           it.map { case (id, w, h) =>

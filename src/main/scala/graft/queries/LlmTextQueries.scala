@@ -96,9 +96,19 @@ object LlmTextQueries extends QueryPack {
     * one union, ~1e-13/pair). */
   private[graft] def ngramBlockedPairs(docs: DataFrame, tileSize: Int = 512,
                                          threshold: Double = 0.3,
-                                         skewFactor: Double = 4.0): DataFrame =
-    ngramBlockedPairsWith(docs, tileSize, threshold,
-      dense = hashTilesSkewed(docs, tileSize, skewFactor))
+                                         skewFactor: Double = 4.0): DataFrame = {
+    // one narrow counts job, materialized (localCheckpoint) so the skew
+    // probe and the tiled plan share it instead of re-aggregating docs
+    val counts = sourceCounts(docs).localCheckpoint()
+    ngramBlockedPairsImpl(docs, counts, tileSize, threshold,
+      dense = hashTilesSkewed(docs, counts, tileSize, skewFactor))
+  }
+
+  private def sourceCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupBy($"source").agg(count(lit(1)).as("m"))
+  }
 
   /** Skew probe: true iff some source's hash tile holds more than
     * skewFactor x tileSize docs while that source has more than one tile
@@ -106,10 +116,13 @@ object LlmTextQueries extends QueryPack {
     * scans ids only, one scalar to the driver — the same class of
     * runtime statistic AQE reads. */
   private[graft] def hashTilesSkewed(docs: DataFrame, tileSize: Int,
-                                     skewFactor: Double = 4.0): Boolean = {
+                                     skewFactor: Double = 4.0): Boolean =
+    hashTilesSkewed(docs, sourceCounts(docs), tileSize, skewFactor)
+
+  private def hashTilesSkewed(docs: DataFrame, counts: DataFrame,
+                              tileSize: Int, skewFactor: Double): Boolean = {
     val s = docs.sparkSession
     import s.implicits._
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("m"))
     !docs.select($"doc_id", $"source")
       .join(broadcast(counts), "source")
       .withColumn("nt", ceil($"m" / lit(tileSize.toDouble)).cast("int"))
@@ -122,16 +135,14 @@ object LlmTextQueries extends QueryPack {
 
   private[graft] def ngramBlockedPairsWith(docs: DataFrame, tileSize: Int,
                                            threshold: Double,
-                                           dense: Boolean): DataFrame = {
+                                           dense: Boolean): DataFrame =
+    ngramBlockedPairsImpl(docs, sourceCounts(docs), tileSize, threshold, dense)
+
+  private def ngramBlockedPairsImpl(docs: DataFrame, counts: DataFrame,
+                                    tileSize: Int, threshold: Double,
+                                    dense: Boolean): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // tile assignment must NOT move the (fat) shingle arrays unless the
-    // skew fallback demands it: per-source doc counts are a narrow
-    // aggregation, broadcast back. Hash tiles keep the arrays untouched
-    // until the tile-pair replication (factor nt, the inherent cost of
-    // pairing tiles); dense tiles window the NARROW ids and re-attach
-    // arrays with one equi join on doc_id.
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("m"))
     val tiled =
       if (!dense) docs.join(broadcast(counts), "source")
         .withColumn("nt", ceil($"m" / lit(tileSize.toDouble)).cast("int"))
@@ -335,7 +346,12 @@ object LlmTextQueries extends QueryPack {
     // Narrow map + one small aggregation; no shuffle of document text.
     "q_split_train_eval" -> { (s, d) =>
       import s.implicits._
-      val h = pmod($"doc_id" * lit(2654435761L), lit(4294967296L)) % 100
+      // doc_id is reduced mod 2^31 BEFORE the multiply: 2^31 * 2654435761
+      // = 5.7e18 < Long.Max, so the rule stays total (no ANSI overflow)
+      // for any 64-bit id — without the reduction ids past ~3.47e9 (a
+      // realistic 100 TB corpus) would throw
+      val h = pmod(pmod($"doc_id", lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)) % 100
       Tables.documents(s, d)
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
@@ -504,8 +520,8 @@ object LlmTextQueries extends QueryPack {
     "q_split_train_eval" ->
       """WITH s AS (
         |  SELECT lang, n_chars,
-        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
+        |    CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -213,13 +213,15 @@ object LlmVectorQueries extends QueryPack {
       // FIXED-SIZE hash sample: seeds = first k vectors by a Knuth
       // multiplicative hash of vec_id (NOT xxhash64 — this rule runs
       // verbatim in DuckDB, making the whole pipeline oracle-replayable;
-      // vec_id * 2654435761 cannot overflow a 64-bit long for any
-      // realistic id space). Both k and the training-set size are
+      // the id is reduced mod 2^31 before the multiply so the hash stays
+      // total for any 64-bit id — 2^31 * 2654435761 < Long.Max, no ANSI
+      // overflow). Both k and the training-set size are
       // corpus-size-independent, so the broadcast stays O(k·dim) and the
       // training cost O(sample·k) at any corpus scale.
       val k = 32
       val maxTrain = 1024
-      def knuth(c: Column): Column = pmod(c * lit(2654435761L), lit(4294967296L))
+      def knuth(c: Column): Column =
+        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
       val seeds = corpus
         .orderBy(knuth($"vec_id"), $"vec_id")
         .limit(k)
@@ -350,10 +352,10 @@ object LlmVectorQueries extends QueryPack {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |seeds AS (
         |  SELECT vec_id AS c_id, ev AS cv FROM e
-        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 32),
+        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 32),
         |train AS (
         |  SELECT vec_id, ev FROM e
-        |  ORDER BY ((vec_id + 7) * 2654435761) % 4294967296, vec_id LIMIT 1024),
+        |  ORDER BY (((vec_id + 7) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1024),
         |ta AS (
         |  SELECT vec_id, ev, c_id AS cell FROM (
         |    SELECT t.vec_id, t.ev, s.c_id,

@@ -110,12 +110,14 @@ class LlmSpec extends SparkSpec {
     // scanned fraction drops from 37/256 to 137/65536, so recall falls on
     // a 500-vector corpus — the knob trades candidates for key space, and
     // a production deployment raises the probe radius along with planes.
-    // This pins the knob WORKING (recall well above the ~0.039/query
-    // random-5-of-499 baseline) rather than narrated.
+    // This pins the knob WORKING (recall well above the ~0.01 random
+    // baseline) rather than narrated. Bound 0.08 leaves headroom under
+    // the measured 0.104 for regenerated fixtures — the sibling gates
+    // keep similar slack (0.3 vs 0.356, 0.55 vs 0.60).
     val approx = annPairs(LlmVectorQueries.annLsh(spark, "/root/testdata/sf0.01", 16))
     val recall = (annExact & approx).size.toDouble / annExact.size
     info(f"LSH-16 recall: $recall%.4f")
-    assert(recall >= 0.1, s"LSH-16 ANN recall $recall too low")
+    assert(recall >= 0.08, s"LSH-16 ANN recall $recall too low")
   }
 
   test("ngram block sub-tiling: oversized block matches naive all-pairs") {
