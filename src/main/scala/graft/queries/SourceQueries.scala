@@ -15,6 +15,7 @@ object SourceQueries extends QueryPack {
   // invocations must not accumulate temp copies of the tables
   private lazy val csvDir = tempFixtureDir("graft_csv")
   private lazy val jsonDir = tempFixtureDir("graft_json")
+  private lazy val orcDir = tempFixtureDir("graft_orc")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> { (s, d) =>
@@ -32,6 +33,18 @@ object SourceQueries extends QueryPack {
       src.write.mode("overwrite").json(dir)
       s.read.schema(src.schema).json(dir)
         .orderBy($"n_nationkey")
+    },
+
+    // ORC — the third columnar format beside parquet (built-in writer/
+    // reader, predicate pushdown and column pruning like parquet); the
+    // roundtrip proves the codec loses nothing (doubles bit-exact)
+    "q_source_orc_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val dir = orcDir
+      val src = Tables.supplier(s, d)
+      src.write.mode("overwrite").orc(dir)
+      s.read.schema(src.schema).orc(dir)
+        .orderBy($"s_suppkey")
     },
 
     // Kafka wire-shape roundtrip: serialize events into the Kafka source
@@ -97,6 +110,8 @@ object SourceQueries extends QueryPack {
       "SELECT * FROM region ORDER BY r_regionkey",
     "q_source_json_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_source_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "q_source_kafka_shaped" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
