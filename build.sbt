@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout passthrough for forked runs: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks line-oriented JSON
+// parsing of Bench/Verify output (all three BENCH_r{1,2,3}.json captures
+// show parsed:null with the [info] prefix present in the tail).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,7 +85,12 @@ trait QueryPack {
     // start() clones the session conf, so the override only needs to span
     // set..start — but that window must be exclusive (StreamStartLock):
     // interleaved set/restore from a concurrent build would leak the
-    // temporary value into the shared session
+    // temporary value into the shared session. Known perf-only caveat: a
+    // concurrent BATCH query that happens to plan inside this window picks
+    // up the temporary partition count (fewer shuffle tasks, same result);
+    // the gate runs queries sequentially, and parallel test suites accept
+    // the skew. A per-query conf would need a second SparkSession, which
+    // cannot see this session's temp fixtures.
     val q = StreamStartLock.synchronized {
       val saved = s.conf.getOption(key)
       s.conf.set(key, statePartitions)

@@ -520,8 +520,8 @@ object LlmTextQueries extends QueryPack {
     "q_split_train_eval" ->
       """WITH s AS (
         |  SELECT lang, n_chars,
-        |    CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |         WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
+        |    CASE WHEN (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -352,10 +352,10 @@ object LlmVectorQueries extends QueryPack {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |seeds AS (
         |  SELECT vec_id AS c_id, ev AS cv FROM e
-        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 32),
+        |  ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 32),
         |train AS (
         |  SELECT vec_id, ev FROM e
-        |  ORDER BY (((vec_id + 7) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1024),
+        |  ORDER BY ((((vec_id + 7) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1024),
         |ta AS (
         |  SELECT vec_id, ev, c_id AS cell FROM (
         |    SELECT t.vec_id, t.ev, s.c_id,
