@@ -26,7 +26,7 @@ object LlmTextQueries extends QueryPack {
     * q_dedup_minhash and the curation pipeline. Recomputed per invocation
     * on purpose: a session-lifetime memo would pin cached blocks forever
     * AND make repeated bench runs time the memo instead of the work. */
-  private def minhashNearDups(s: SparkSession, d: String): DataFrame = {
+  private[queries] def minhashNearDups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
     // cache() the shared intermediates: the band self-join and the two
