@@ -184,13 +184,22 @@ object SearchQueries extends QueryPack {
         "o_orderpriority" -> identity,
         "o_orderstatus" -> identity,
         "o_totalprice" -> (_.cast("decimal(18,2)").cast("string")))
-      val aggExprs = cols.flatMap { case (c, fmt) => Seq(
+      // TWO single-row aggregates, crossJoined: putting the string/ts
+      // min/max (var-length agg buffers -> SortAggregate) in the same
+      // aggregate as the multi-distinct Expand forces a full sort of the
+      // 6x-expanded corpus on 7 keys. Split, the distinct path keeps
+      // HashAggregate (its dedup stage has no var-length buffers) and the
+      // min/max path is a grouping-key-free SortAggregate (no sort at
+      // all) — each one scan with map-side partials.
+      val minMaxNulls = cols.flatMap { case (c, fmt) => Seq(
         (count(lit(1)) - count(col(c))).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
         fmt(min(col(c))).as(s"mn_$c"),
         fmt(max(col(c))).as(s"mx_$c"))
       }
-      o.agg(aggExprs.head, aggExprs.tail: _*)
+      val distincts = cols.map { case (c, _) => countDistinct(col(c)).as(s"nd_$c") }
+      val base = o.agg(minMaxNulls.head, minMaxNulls.tail: _*)
+      val dist = o.agg(distincts.head, distincts.tail: _*)
+      base.crossJoin(dist)
         .select(inline(array(cols.map { case (c, _) =>
           struct(lit(c).as("col_name"),
             col(s"nn_$c").as("n_nulls"),
