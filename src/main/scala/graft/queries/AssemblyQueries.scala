@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.llm.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data ASSEMBLY operators — the step after curation where a
+  * cleaned corpus becomes model-ready input: documents packed into
+  * fixed-token-budget training sequences, sliding context-window chunks,
+  * repetition-based quality gates (Gopher-style), and PII redaction.
+  * (The reference engine stops at per-record transforms —
+  * StreamWithStates.scala:1 has no corpus-assembly stage; these extend
+  * the same Spark-first design to the full pretraining pipeline.)
+  *
+  * Scale design notes (100 TB):
+  *  - packing shuffles only (doc_id, shard, n_tokens) — 20-byte rows,
+  *    never text; the text joins back to the assignment by doc_id in a
+  *    later co-partitioned pass if the caller materializes sequences.
+  *  - the sequential greedy scan is confined to one shard = one task;
+  *    shard count is a parameter that scales with corpus size
+  *    (corpus_docs / docs_per_task), so parallelism is corpus-sized,
+  *    not cluster-sized.
+  *  - chunking and redaction are narrow per-row maps (no shuffle at
+  *    all before the gate's presentation ORDER BY).
+  *  - repetition metrics use two-stage aggregation: the per-(doc,bigram)
+  *    partial count happens map-side, so the shuffle carries the
+  *    per-document bigram vocabulary, not the raw token stream.
+  */
+object AssemblyQueries extends QueryPack {
+
+  /** Knuth multiplicative hash on doc_id — the SAME membership rule as
+    * q_sample_stratified (SearchQueries.scala), replayable in DuckDB
+    * with sign-safe %. Docs are assumed non-negative (testdata ids are);
+    * the inner pmod makes it total for any 64-bit id on the Spark side. */
+  private def knuth(c: org.apache.spark.sql.Column) =
+    pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  private val PackShards = 16
+  private val PackBudget = 128 // tokens per training sequence
+  private val ChunkWin = 32
+  private val ChunkStride = 16
+
+  // NOT private: the encoder's generated deserializer instantiates it
+  // from outside this object's scope (codegen CompileException otherwise)
+  case class PackIn(doc_id: Long, shard: Int, nt: Long)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- greedy sequence packing into token-budget bins ----
+    // Deterministic distributed packing: docs hash into PackShards shards
+    // (stable under corpus growth and engine choice), and within a shard
+    // a single sequential greedy scan (ordered by doc_id) assigns bins:
+    // roll to a new sequence when the fill would exceed the budget; an
+    // oversized doc occupies a bin alone. flatMapSortedGroups gives the
+    // per-group sorted iterator WITHOUT a per-group sort-in-memory — the
+    // shuffle's sort machinery does it (secondary sort pattern).
+    "q_pack_sequences" -> { (s, d) =>
+      import s.implicits._
+      val in = Tables.documents(s, d)
+        .select($"doc_id",
+          (knuth($"doc_id") % PackShards).cast("int").as("shard"),
+          size(TextOps.words($"text")).cast("long").as("nt"))
+        .as[PackIn]
+      in.groupByKey(_.shard)
+        .flatMapSortedGroups($"doc_id") { (shard: Int, docs: Iterator[PackIn]) =>
+          var seq = 0L
+          var fill = 0L
+          docs.map { p =>
+            if (fill > 0 && fill + p.nt > PackBudget) { seq += 1; fill = p.nt }
+            else fill += p.nt
+            (p.doc_id, shard, seq, p.nt)
+          }
+        }
+        .toDF("doc_id", "shard", "seq_id", "n_tokens")
+        .orderBy($"doc_id")
+    },
+
+    // ---- sliding context-window chunking (window 32, stride 16) ----
+    // The RAG/pretraining "one doc -> many overlapping windows" op as a
+    // pure narrow map: per row, generate chunk starts with sequence()
+    // and posexplode — no shuffle, no UDF, all codegen'd built-ins.
+    "q_chunk_sliding" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextOps.words($"text").as("toks"))
+        .select($"doc_id", $"toks",
+          posexplode(sequence(lit(1), size($"toks"), lit(ChunkStride))))
+        .select(
+          $"doc_id",
+          $"pos".cast("long").as("chunk_idx"),
+          $"col".cast("long").as("start_tok"),
+          size(slice($"toks", $"col", lit(ChunkWin))).cast("long").as("n_tok"),
+          array_join(slice($"toks", $"col", lit(ChunkWin)), " ").as("chunk_text"))
+        .orderBy($"doc_id", $"start_tok")
+    },
+
+    // ---- Gopher-style repetition metrics + gate ----
+    // top_bigram_frac: occurrences of the most frequent bigram over all
+    // bigram slots; dup_bigram_frac: fraction of slots occupied by a
+    // repeated bigram. Both are exact integer ratios (deterministic as
+    // doubles across engines). keep mirrors Gopher's repetition cut.
+    "q_text_repetition" -> { (s, d) =>
+      import s.implicits._
+      val bigrams = Tables.documents(s, d)
+        .select($"doc_id", TextOps.words($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("bigram"))
+      bigrams
+        .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          max($"c").as("top_c"),
+          sum($"c").as("n_bg"),
+          count(lit(1)).as("n_distinct_bg"))
+        .select(
+          $"doc_id",
+          ($"top_c".cast("double") / $"n_bg").as("top_bigram_frac"),
+          (($"n_bg" - $"n_distinct_bg").cast("double") / $"n_bg").as("dup_bigram_frac"),
+          ($"top_c".cast("double") / $"n_bg" <= 0.18).as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- PII redaction (planted fixtures) ----
+    // The synthetic corpus carries no PII, so the fixture is planted
+    // deterministically from doc_id (email + IPv4), then redacted with
+    // engine-portable regexes (no \d, no backreferences — identical
+    // semantics in Java regex and RE2). Email first: after <EMAIL>, the
+    // remaining dotted digits are exactly the planted IP.
+    "q_text_redact" -> { (s, d) =>
+      import s.implicits._
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      Tables.documents(s, d)
+        .select($"doc_id", concat($"text",
+          lit(" contact u"), $"doc_id".cast("string"),
+          lit("@example.com from 10."), ($"doc_id" % 256).cast("string"),
+          lit(".0."), ($"doc_id" % 100).cast("string"), lit(" end")).as("text"))
+        .select(
+          $"doc_id",
+          size(regexp_extract_all($"text", lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all($"text", lit(ipPat), lit(0)))
+            .cast("long").as("n_ips"),
+          regexp_replace(regexp_replace($"text", emailPat, "<EMAIL>"),
+            ipPat, "<IP>").as("redacted"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // Greedy packing replayed exactly with a recursive CTE: the working
+    // table carries (seq_id, fill) forward one row per iteration per
+    // shard — DuckDB's recursion is the ground-truth sequential scan.
+    "q_pack_sequences" ->
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT doc_id,
+         |    CAST((((doc_id % 2147483648 + 2147483648) % 2147483648)
+         |          * 2654435761) % 4294967296 % $PackShards AS INTEGER) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    row_number() OVER (
+         |      PARTITION BY (((doc_id % 2147483648 + 2147483648) % 2147483648)
+         |                    * 2654435761) % 4294967296 % $PackShards
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |packed AS (
+         |  SELECT shard, rn, doc_id, nt, CAST(0 AS BIGINT) AS seq_id, nt AS fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.nt,
+         |    CASE WHEN p.fill + t.nt > $PackBudget THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.fill + t.nt > $PackBudget THEN t.nt ELSE p.fill + t.nt END
+         |  FROM packed p JOIN ord t ON t.shard = p.shard AND t.rn = p.rn + 1)
+         |SELECT doc_id, shard, seq_id, nt AS n_tokens
+         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list indexing is 1-based (Spark's is 0-based) — the lambda
+    // bodies differ by exactly that offset.
+    "q_chunk_sliding" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(len(list_slice(toks, s, s + ${ChunkWin - 1})) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(toks, s, s + ${ChunkWin - 1}), ' ') AS chunk_text
+         |FROM (SELECT doc_id, toks,
+         |        unnest(generate_series(1, len(toks), $ChunkStride)) AS s
+         |      FROM t)
+         |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+        |    AS bigram
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg,
+        |               count(*) AS n_distinct_bg
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(top_c AS DOUBLE) / n_bg AS top_bigram_frac,
+        |  CAST(n_bg - n_distinct_bg AS DOUBLE) / n_bg AS dup_bigram_frac,
+        |  CAST(top_c AS DOUBLE) / n_bg <= 0.18 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' end' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin
+  )
+}
