@@ -121,6 +121,34 @@ object AssemblyQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- unigram-surprisal quality score (perplexity proxy) ----
+    // The KenLM-style curation signal with the LM reduced to corpus
+    // unigrams: mean -ln P(token) over the doc's token stream. Two-stage
+    // agg builds the vocab (shuffle carries |vocab| rows); scoring joins
+    // tf rows to a BROADCAST vocab — web-scale unigram vocabs prune to
+    // ~1e7 entries (sub-GB), past that the join falls back to shuffle on
+    // term. Determinism: per-term surprisal rounds to 10 dp then sums as
+    // DECIMAL (exact, merge-order-insensitive); only the final mean is a
+    // double, rounded to 4 dp (the q_search_bm25 ln-ulp precedent).
+    "q_text_surprisal" -> { (s, d) =>
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy($"term").agg(sum($"tf").as("ctf"))
+      val total = vocab.agg(sum($"ctf").as("n_total"))
+      tf.join(broadcast(vocab), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          round(log($"n_total") - log($"ctf"), 10).cast("decimal(28,12)"))
+        .groupBy($"doc_id")
+        .agg(
+          round(sum($"surp" * $"tf").cast("double") /
+            sum($"tf").cast("double"), 4).as("mean_surprisal"),
+          asLong(sum($"tf")).as("n_tok"))
+        .orderBy($"doc_id")
+    },
+
     // ---- PII redaction (planted fixtures) ----
     // The synthetic corpus carries no PII, so the fixture is planted
     // deterministically from doc_id (email + IPv4), then redacted with
@@ -205,6 +233,22 @@ object AssemblyQueries extends QueryPack {
         |  CAST(n_bg - n_distinct_bg AS DOUBLE) / n_bg AS dup_bigram_frac,
         |  CAST(top_c AS DOUBLE) / n_bg <= 0.18 AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_surprisal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |vocab AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+        |total AS (SELECT sum(ctf) AS n_total FROM vocab)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(ln(n_total) - ln(ctf), 10)
+        |                      AS DECIMAL(28,12)) * tf) AS DOUBLE)
+        |        / CAST(sum(tf) AS DOUBLE), 4) AS mean_surprisal,
+        |  CAST(sum(tf) AS BIGINT) AS n_tok
+        |FROM tf JOIN vocab USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """WITH planted AS (

@@ -16,6 +16,7 @@ object SourceQueries extends QueryPack {
   private lazy val csvDir = tempFixtureDir("graft_csv")
   private lazy val jsonDir = tempFixtureDir("graft_json")
   private lazy val orcDir = tempFixtureDir("graft_orc")
+  private lazy val fileSinkDir = tempFixtureDir("graft_fsink")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> { (s, d) =>
@@ -71,6 +72,32 @@ object SourceQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // Durable streaming FILE sink (exactly-once): stream events into a
+    // parquet sink with a checkpoint, then read the committed output
+    // back and aggregate — the oracle over the original table proves the
+    // sink wrote every row exactly once. Streaming file sinks APPEND
+    // under a commit log (idempotent re-runs come from the log, not
+    // overwrite), so each invocation gets a fresh run dir; the per-JVM
+    // fixture dir cleans them all up at exit.
+    "q_stream_file_sink" -> { (s, d) =>
+      import s.implicits._
+      import graft.tracks.TrackStateOp
+      val run = s"$fileSinkDir/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = TrackStateOp.eventsStream(s, d)
+        .select($"event_id", $"user_id", $"eventType".as("event_type"), $"value")
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$run/out")
+        .groupBy($"event_type")
+        .agg(asLong(count(lit(1))).as("n"),
+             asDouble(sum(dec($"value"))).as("sum_value"))
+        .orderBy($"event_type")
+    },
+
     // The reference's CSV parse stack (SURVEY.md P1-P9), hash-verified:
     // synthesize FlightSim-shaped lines from `events` (quoted track id,
     // 12-hour "M/d/yyyy hh:mm:ss a" timestamp, integer-valued lon/lat so
@@ -108,6 +135,12 @@ object SourceQueries extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_stream_file_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_source_json_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q_source_orc_roundtrip" ->
