@@ -208,8 +208,67 @@ object SearchQueries extends QueryPack {
             col(s"mx_$c").as("max_value"))
         }: _*)))
         .orderBy($"col_name")
+    },
+
+    // ---- link-graph authority scoring: PageRank, Pregel shape ----
+    // The web-curation quality signal (rank pages by link authority)
+    // over the customer<->supplier interaction graph from lineitem.
+    // Each of the 4 iterations is ONE equi-join (edges ⋈ ranks on src,
+    // both sides partitioned by the 8-byte id) + a partial-aggregated
+    // sum on dst — the GraphX/Pregel shape; at cluster scale the edge
+    // table is hash-partitioned once and every iteration reuses that
+    // exchange. localCheckpoint per iteration truncates lineage.
+    //
+    // ALL arithmetic is integer fixed-point (1e12 mass units, damping
+    // 0.85 as *85 div 100): exact, overflow-free (max 85e12 << 2^63),
+    // and bit-identical in any engine — the oracle replays all 4
+    // iterations in SQL with no float in sight. Every node of the
+    // undirected graph has outdeg >= 1, so there is no dangling mass.
+    "q_graph_pagerank" -> { (s, d) =>
+      import s.implicits._
+      val e0 = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      val edges = e0.select($"a".as("src"), $"b".as("dst"))
+        .union(e0.select($"b".as("src"), $"a".as("dst")))
+      pageRank(edges, iters = 4)
+        .select($"id", $"pr".as("pr_units"))
+        .orderBy($"pr_units".desc, $"id").limit(20)
     }
   )
+
+  /** Fixed-point PageRank over an undirected edge list (`src`, `dst`,
+    * both directions present; every node thus has outdeg >= 1 — no
+    * dangling mass). Mass is 1e12 integer units; damping 0.85 applied
+    * as *85 div 100. Truncating division leaks < 1 unit per node per
+    * contribution, so sum(pr) stays within (N + E) * iters of 1e12 —
+    * exactness here means ENGINE-exact (bit-identical replay), the
+    * property the oracle needs. Returns (id, outdeg, n, pr). */
+  private[queries] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val unit = 1000000000000L
+    val e = edges.localCheckpoint() // reused every iteration: one materialization
+    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select($"id", $"outdeg", $"n", expr(s"$unit div n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(pr.select($"id".as("src"), expr("pr div outdeg").as("c")), "src")
+        .groupBy($"dst".as("id")).agg(sum($"c").as("inflow"))
+      pr = pr.drop($"pr")
+        .join(inflow, Seq("id"), "left")
+        .select($"id", $"outdeg", $"n",
+          (expr(s"(15 * ($unit div n)) div 100") +
+            expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_search_bm25" ->
@@ -309,6 +368,45 @@ object SearchQueries extends QueryPack {
         |       count(DISTINCT o_totalprice),
         |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
         |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    // integer fixed-point makes the 4 iterations exactly replayable:
+    // // is floor division, and every operand is positive, matching
+    // Spark's `div` truncation semantics
+    "q_graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |          UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+        |p0 AS (SELECT id, outdeg, n, 1000000000000 // n AS pr
+        |       FROM deg CROSS JOIN (SELECT count(*) AS n FROM deg)),
+        |i1 AS (SELECT e.dst AS id, sum(p.pr // p.outdeg) AS inflow
+        |       FROM edges e JOIN p0 p ON e.src = p.id GROUP BY e.dst),
+        |p1 AS (SELECT d.id, d.outdeg, d.n,
+        |         (15 * (1000000000000 // d.n)) // 100
+        |           + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+        |       FROM p0 d LEFT JOIN i1 i USING (id)),
+        |i2 AS (SELECT e.dst AS id, sum(p.pr // p.outdeg) AS inflow
+        |       FROM edges e JOIN p1 p ON e.src = p.id GROUP BY e.dst),
+        |p2 AS (SELECT d.id, d.outdeg, d.n,
+        |         (15 * (1000000000000 // d.n)) // 100
+        |           + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+        |       FROM p1 d LEFT JOIN i2 i USING (id)),
+        |i3 AS (SELECT e.dst AS id, sum(p.pr // p.outdeg) AS inflow
+        |       FROM edges e JOIN p2 p ON e.src = p.id GROUP BY e.dst),
+        |p3 AS (SELECT d.id, d.outdeg, d.n,
+        |         (15 * (1000000000000 // d.n)) // 100
+        |           + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+        |       FROM p2 d LEFT JOIN i3 i USING (id)),
+        |i4 AS (SELECT e.dst AS id, sum(p.pr // p.outdeg) AS inflow
+        |       FROM edges e JOIN p3 p ON e.src = p.id GROUP BY e.dst),
+        |p4 AS (SELECT d.id, d.outdeg, d.n,
+        |         (15 * (1000000000000 // d.n)) // 100
+        |           + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+        |       FROM p3 d LEFT JOIN i4 i USING (id))
+        |SELECT id, CAST(pr AS BIGINT) AS pr_units FROM p4
+        |ORDER BY pr_units DESC, id LIMIT 20""".stripMargin
   )
 }
