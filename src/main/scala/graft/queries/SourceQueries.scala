@@ -98,6 +98,45 @@ object SourceQueries extends QueryPack {
         .orderBy($"event_type")
     },
 
+    // CDC-style upsert sink (foreachBatch merge): maintain a "latest
+    // event per user" materialized view across micro-batches — per
+    // batch, union the existing view with the new rows and keep the
+    // winner per key (ts desc, event_id tiebreak). Each version writes
+    // to a fresh dir (never overwrite the files a lazy reader may still
+    // scan); the checkpoint gives exactly-once batch replay. At cluster
+    // scale the same loop is the Delta/Iceberg MERGE pattern, with the
+    // view bucketed by user_id so the merge join never reshuffles the
+    // big side; sized here for the view fitting a partition set, not
+    // the driver (no collect anywhere).
+    "q_stream_upsert" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.tracks.TrackStateOp
+      val run = s"$fileSinkDir/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      @volatile var latest: Option[String] = None
+      val q = TrackStateOp.eventsStream(s, d)
+        .select($"event_id", $"user_id", timestamp_micros($"tsMicros").as("ts"),
+          $"eventType".as("event_type"), $"value")
+        .writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val existing = latest.map(p => s.read.parquet(p))
+            .getOrElse(batch.limit(0))
+          val w = Window.partitionBy($"user_id")
+            .orderBy($"ts".desc, $"event_id".desc)
+          val path = s"$run/state_v$batchId"
+          existing.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1).drop("rn")
+            .write.mode("overwrite").parquet(path)
+          latest = Some(path)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(latest.get).orderBy($"user_id")
+    },
+
     // The reference's CSV parse stack (SURVEY.md P1-P9), hash-verified:
     // synthesize FlightSim-shaped lines from `events` (quoted track id,
     // 12-hour "M/d/yyyy hh:mm:ss a" timestamp, integer-valued lon/lat so
@@ -148,6 +187,14 @@ object SourceQueries extends QueryPack {
     "q_source_kafka_shaped" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_upsert" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT event_id, user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // expected parse output computed from the ORIGINAL columns — only a
     // correct 12-hour format+parse round-trip reproduces date_trunc-to-
