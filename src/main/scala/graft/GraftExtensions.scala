@@ -75,5 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "explode_track(array<struct>) - flatten a track to rows") { exprs =>
       functions.ExplodeTrack(exprs.head)
     })
+    // whole-operator plan node: plans graft.plans.TopKPerKeyNode into
+    // the bounded-heap TopKPerKeyExec (the DataFrame API also installs
+    // this per-session via experimental.extraStrategies for sessions
+    // created without the extension)
+    e.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
   }
 }

@@ -187,6 +187,23 @@ object RelationalQueries extends QueryPack {
         .orderBy($"o_custkey", $"rk")
     },
 
+    // ---- per-group top-k via the NATIVE plan node ----
+    // Same semantics as q_topk_per_group, planned through graft's
+    // whole-operator path (TopKPerKeyNode -> strategy ->
+    // TopKPerKeyExec): bounded heap per key, O(n log k), no per-key
+    // sort, no Window — and the exchange elides entirely when the
+    // input is already clustered on the key (TopKPerKeySpec pins both
+    // plan shapes). The oracle is the ranking-window formulation,
+    // proving native == window semantics on real data.
+    "q_topk_native" -> { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      graft.plans.TopKPerKey(li, Seq($"l_suppkey"),
+          Seq($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc), 5)
+        .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    },
+
     // ---- A2 in function form: max_by / min_by ----
     "q_agg_max_by" -> { (s, d) =>
       import s.implicits._
@@ -325,6 +342,16 @@ object RelationalQueries extends QueryPack {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |                            ORDER BY l_extendedprice DESC,
+        |                                     l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 5
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
     "q_agg_max_by" ->
       """SELECT user_id,

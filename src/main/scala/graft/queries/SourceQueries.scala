@@ -110,31 +110,15 @@ object SourceQueries extends QueryPack {
     // the driver (no collect anywhere).
     "q_stream_upsert" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       import graft.tracks.TrackStateOp
       val run = s"$fileSinkDir/${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      @volatile var latest: Option[String] = None
-      val q = TrackStateOp.eventsStream(s, d)
+      val events = TrackStateOp.eventsStream(s, d)
         .select($"event_id", $"user_id", timestamp_micros($"tsMicros").as("ts"),
           $"eventType".as("event_type"), $"value")
-        .writeStream
-        .option("checkpointLocation", s"$run/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val existing = latest.map(p => s.read.parquet(p))
-            .getOrElse(batch.limit(0))
-          val w = Window.partitionBy($"user_id")
-            .orderBy($"ts".desc, $"event_id".desc)
-          val path = s"$run/state_v$batchId"
-          existing.unionByName(batch)
-            .withColumn("rn", row_number().over(w))
-            .filter($"rn" === 1).drop("rn")
-            .write.mode("overwrite").parquet(path)
-          latest = Some(path)
-        }
-        .start()
+      val (q, latestView) = upsertSink(events, run,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
-      s.read.parquet(latest.get).orderBy($"user_id")
+      latestView().orderBy($"user_id")
     },
 
     // The reference's CSV parse stack (SURVEY.md P1-P9), hash-verified:
@@ -170,6 +154,42 @@ object SourceQueries extends QueryPack {
         .orderBy($"trackId")
     }
   )
+
+  /** CDC upsert sink: foreachBatch merge of each micro-batch into a
+    * versioned "latest event per user_id" materialized view (winner =
+    * max (ts, event_id) per key). Fresh dir per version — a lazy reader
+    * of version v never races the v+1 writer; the checkpoint replays
+    * batches exactly once on restart. Returns the started query and a
+    * thunk reading the current view (empty-schema frame before batch 0).
+    * Requires columns: event_id, user_id, ts, event_type, value. */
+  private[graft] def upsertSink(events: DataFrame, runDir: String,
+                                trigger: Option[org.apache.spark.sql.streaming.Trigger])
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val s = events.sparkSession
+    import s.implicits._
+    @volatile var latest: Option[String] = None
+    val writer0 = events.writeStream
+      .option("checkpointLocation", s"$runDir/ckpt")
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    val q = writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val existing = latest.map(p => s.read.parquet(p))
+          .getOrElse(batch.limit(0))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        val path = s"$runDir/state_v$batchId"
+        existing.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).drop("rn")
+          .write.mode("overwrite").parquet(path)
+        latest = Some(path)
+      }
+      .start()
+    (q, () => latest.map(p => s.read.parquet(p)).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        events.schema)))
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" ->

@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` door graft's custom plan nodes need: turn a
+  * LogicalPlan into a DataFrame on the session. Kept to a single method
+  * in Spark's namespace — everything else in graft uses public APIs.
+  * (The standard packaging shim for Spark extension libraries; Spark 4
+  * moved the implementation class to o.a.s.sql.classic.) */
+object GraftPlanBridge {
+  def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column -> Catalyst Expression (Spark 4 moved Column.expr behind the
+    * ColumnNode indirection). Must go through the SESSION's converter:
+    * the static ExpressionUtils path leaves an Unevaluable
+    * ColumnNodeExpression wrapper the analyzer never unwraps inside
+    * custom plan nodes. */
+  def expr(session: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    session.asInstanceOf[classic.SparkSession].expression(c)
+}
