@@ -254,6 +254,32 @@ object AnalyticQueries extends QueryPack {
           round($"p50", 4).as("exact_median"),
           ($"approx_med" >= $"p45" && $"approx_med" <= $"p55").as("estimate_ok"))
         .orderBy($"o_orderstatus")
+    },
+
+    // ---- ordered funnel conversion (view -> click -> purchase) ----
+    // Each stage is STRICTLY after the previous one for the same user:
+    // first view, first click after that view, first purchase after
+    // that click. Three filter+agg passes chained by per-user joins —
+    // every join keys on user_id with pre-aggregated (one row per user)
+    // sides, so at 100 TB each stage shuffles at most one row per user,
+    // never raw events; event filters push down to the scan.
+    "q_funnel_conversion" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"c_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"v_ts", $"c_ts", $"p_ts",
+          (lit(1) + when($"c_ts".isNotNull, 1).otherwise(0)
+            + when($"p_ts".isNotNull, 1).otherwise(0)).cast("long").as("stages"))
+        .orderBy($"user_id")
     }
   )
 
@@ -425,6 +451,27 @@ object AnalyticQueries extends QueryPack {
         |  TRUE AS estimate_ok
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_funnel_conversion" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+        |  CAST(1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin
   )
 }
