@@ -256,6 +256,30 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"o_orderstatus")
     },
 
+    // ---- robust outlier detection: median/MAD per group ----
+    // The data-quality gate that survives skew (mean/stddev get dragged
+    // by the outliers they're hunting; median/MAD do not). Two exact-
+    // percentile aggregations, then per-event flags via a broadcast of
+    // the per-group stats — the corpus shuffles ONLY for the two
+    // percentile aggs (at 100 TB swap in approx_percentile, contract-
+    // tested in q_agg_approx_percentile). 1.4826 = consistency constant
+    // to sigma under normality.
+    "q_outlier_mad" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val stats = med.join(mad, "event_type")
+      ev.join(broadcast(stats), "event_type")
+        .select($"event_id", $"event_type", $"value",
+          round($"med", 4).as("med_r"), round($"mad", 4).as("mad_r"),
+          (abs($"value" - $"med") > lit(3) * lit(1.4826) * $"mad").as("is_outlier"))
+        .orderBy($"event_id")
+    },
+
     // ---- ordered funnel conversion (view -> click -> purchase) ----
     // Each stage is STRICTLY after the previous one for the same user:
     // first view, first click after that view, first purchase after
@@ -452,6 +476,21 @@ object AnalyticQueries extends QueryPack {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(m.med, 4) AS med_r, round(d.mad, 4) AS mad_r,
+        |  abs(e.value - m.med) > 3 * 1.4826 * d.mad AS is_outlier
+        |FROM events e JOIN med m USING (event_type)
+        |              JOIN mad d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_funnel_conversion" ->
       """WITH v AS (
