@@ -269,8 +269,195 @@ object LlmVectorQueries extends QueryPack {
         .filter($"rk" <= 5)
         .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
         .orderBy($"q_id", $"rk")
+    },
+
+    // ---- product-quantization ANN (the memory-compression path) ----
+    // Completes the ANN quartet (brute / LSH / IVF / PQ): 64-dim vectors
+    // compress to 4 subspace codes of 4 bits' worth each (16 centroids
+    // per 16-dim subspace), and search ranks by ASYMMETRIC distance —
+    // exact query vs reconstructed corpus — so the corpus can live in
+    // RAM at 100 TB scale (32x smaller than raw doubles; the codebook
+    // broadcast is O(M*k*subdim), corpus-independent). Training reuses
+    // the IVF recipe per subspace: Knuth-hash seeds (offset per
+    // subspace), the shared 1024-vector train sample, one Lloyd round
+    // with vec_id-sorted mean folds. Encoding is a per-row argmin fold
+    // over the broadcast codebook — ZERO corpus exchange. Deterministic
+    // end to end: the oracle replays training, encoding, reconstruction
+    // and the 64-term ADC fold in SQL, bit-identically.
+    "q_ann_pq" -> { (s, d) =>
+      import s.implicits._
+      val corpus = emb(s, d).localCheckpoint()
+      val train = corpus
+        .orderBy(
+          pmod(pmod($"vec_id" + 7, lit(2147483648L)) * lit(2654435761L),
+            lit(4294967296L)), $"vec_id")
+        .limit(PqTrain)
+        .select($"vec_id", $"v")
+        .localCheckpoint()
+      // per-subspace codebooks: seeds -> one Lloyd round (mirrors IVF)
+      val codebooks = (0 until PqM).map { m =>
+        val off = m * PqSubDim
+        val seeds = corpus
+          .orderBy(
+            pmod(pmod($"vec_id" + PqSeedOff(m), lit(2147483648L)) * lit(2654435761L),
+              lit(4294967296L)), $"vec_id")
+          .limit(PqK)
+          .select($"vec_id".as("c_id"), slice($"v", off + 1, PqSubDim).as("cv"))
+        val ta = assignPqCell(train, seeds, off)
+        ta.groupBy($"cell")
+          .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
+          .select($"cell".as("c_id"),
+            transform(sequence(lit(1), lit(PqSubDim)), i =>
+              aggregate($"vs", lit(0.0),
+                (a, e) => a + element_at(e.getField("v"), i + off)) / size($"vs"))
+              .as("cv"))
+          .localCheckpoint()
+      }
+      // encode: per subspace argmin fold + broadcast codebook join for
+      // the reconstruction vector; recon = concat of the 4 sub-centroids
+      val encoded = (0 until PqM).foldLeft(corpus.select($"vec_id", $"v")) {
+        case (acc, m) =>
+          val off = m * PqSubDim
+          val cb = codebooks(m)
+          assignPqCell(acc, cb, off)
+            .join(broadcast(cb.select($"c_id".as("cell"), $"cv".as(s"rv_$m"))), "cell")
+            .drop("cell")
+      }
+      val recon = encoded.select($"vec_id".as("b_id"),
+        concat((0 until PqM).map(m => col(s"rv_$m")): _*).as("recon"))
+      // stage 1 — ADC shortlist: broadcast queries x one pass over the
+      // COMPRESSED corpus (64-term squared-diff fold against the
+      // reconstruction), top-PqShortlist per query. stage 2 — exact
+      // re-rank: fetch the raw vectors for shortlist hits only (the
+      // FAISS IVFPQ+refine shape: full vectors touched for 50 rows per
+      // query, not the corpus) and rank the final 5 by exact L2.
+      val queries = corpus.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"b_id")
+      val shortlist = recon.join(broadcast(queries))
+        .filter($"q_id" =!= $"b_id")
+        .select($"q_id", $"qv", $"b_id",
+          aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) =>
+            acc + (element_at($"qv", i) - element_at($"recon", i)) *
+              (element_at($"qv", i) - element_at($"recon", i))).as("adist"))
+        .withColumn("ar", row_number().over(wAdc))
+        .filter($"ar" <= PqShortlist)
+        .select($"q_id", $"qv", $"b_id")
+      val wExact = Window.partitionBy($"q_id").orderBy($"d2".asc, $"b_id")
+      shortlist
+        .join(corpus.select($"vec_id".as("b_id"), $"v".as("bv")), "b_id")
+        .select($"q_id", $"b_id",
+          aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) =>
+            acc + (element_at($"qv", i) - element_at($"bv", i)) *
+              (element_at($"qv", i) - element_at($"bv", i))).as("d2"))
+        .withColumn("rk", row_number().over(wExact))
+        .filter($"rk" <= 5)
+        .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"d2")
+        .orderBy($"q_id", $"rk")
     }
   )
+
+  // PQ parameters: 4 subspaces x 16 dims, 16 centroids each; seeds drawn
+  // with a per-subspace hash offset so the codebooks decorrelate.
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqK = 16
+  private[graft] val PqTrain = 1024
+  private[graft] val PqSeedOff: Seq[Int] = Seq(11, 24, 37, 50)
+  private[graft] val PqShortlist = 50
+
+  /** Argmin-L2 cell assignment on a 16-dim SLICE of `v` starting at
+    * `off`: a per-row fold over the broadcast codebook (the PQ cousin of
+    * `assignCells`): squared-diff sequential fold, ties to the LOWEST
+    * c_id (lexicographic struct min), mirrored in the oracle as ORDER BY
+    * d2 ASC, c_id ASC. */
+  private def assignPqCell(rows: DataFrame, codebook: DataFrame, off: Int): DataFrame = {
+    val centArr = codebook.agg(
+      array_sort(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    rows.crossJoin(broadcast(centArr))
+      .withColumn("cell",
+        aggregate(col("cents"),
+          struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c_id")),
+          (acc, c) => least(acc,
+            struct(
+              aggregate(sequence(lit(1), lit(PqSubDim)), lit(0.0), (a, i) =>
+                a + (element_at(col("v"), i + off) - element_at(c.getField("cv"), i)) *
+                  (element_at(col("v"), i + off) - element_at(c.getField("cv"), i)))
+                .as("d"),
+              c.getField("c_id").as("c_id"))))
+          .getField("c_id"))
+      .drop("cents")
+  }
+
+  /** Generated PQ oracle: per-subspace training (Knuth seeds, one Lloyd
+    * round over the vec_id-sorted sample), argmin encoding, centroid
+    * reconstruction, 64-term ADC fold — the d2 expression is the same
+    * left fold the Spark side computes ((0 + t1) + t2 ... so DuckDB's
+    * first-element-seeded list_reduce yields identical bits, the IVF
+    * oracle precedent). */
+  private def pqOracleSql: String = {
+    def knuthSql(offset: Int): String =
+      s"((((vec_id + $offset) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
+    def d2Sql(v: String, cv: String, off: Int): String =
+      s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> ($v[$off + i] - $cv[i]) * ($v[$off + i] - $cv[i])), (a, b) -> a + b)"
+    val perSub = (0 until PqM).map { m =>
+      val off = m * PqSubDim
+      s"""seeds$m AS (
+         |  SELECT vec_id AS c_id, list_slice(ev, ${off + 1}, ${off + PqSubDim}) AS cv
+         |  FROM e ORDER BY ${knuthSql(PqSeedOff(m))}, vec_id LIMIT $PqK),
+         |ta$m AS (
+         |  SELECT vec_id, ev, c_id AS cell FROM (
+         |    SELECT t.vec_id, t.ev, s.c_id,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY ${d2Sql("t.ev", "s.cv", off)} ASC, s.c_id ASC) AS rn
+         |    FROM train t CROSS JOIN seeds$m s) x WHERE rn = 1),
+         |cent$m AS (
+         |  SELECT cell AS c_id,
+         |         list_transform(range(1, ${PqSubDim + 1}),
+         |           i -> list_reduce(list_transform(vs, v -> v[$off + i]),
+         |                            (a, b) -> a + b) / len(vs)) AS cv
+         |  FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs
+         |        FROM ta$m GROUP BY cell) g),
+         |code$m AS (
+         |  SELECT vec_id, cv FROM (
+         |    SELECT e.vec_id, c.cv,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${d2Sql("e.ev", "c.cv", off)} ASC, c.c_id ASC) AS rn
+         |    FROM e CROSS JOIN cent$m c) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoin = (0 until PqM).map(m => s"JOIN code$m ON code$m.vec_id = e.vec_id")
+      .mkString(" ")
+    val reconCat = (0 until PqM).map(m => s"code$m.cv").mkString(" || ")
+    val adcFold = s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+      "i -> (q.ev[i] - b.recon[i]) * (q.ev[i] - b.recon[i])), (a, b) -> a + b)"
+    val exactFold = s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+      "i -> (s.qv[i] - bb.ev[i]) * (s.qv[i] - bb.ev[i])), (a, b) -> a + b)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |train AS (
+       |  SELECT vec_id, ev FROM e
+       |  ORDER BY ${knuthSql(7)}, vec_id LIMIT $PqTrain),
+       |$perSub,
+       |recon AS (
+       |  SELECT e.vec_id AS b_id, $reconCat AS recon
+       |  FROM e $reconJoin),
+       |shortlist AS (
+       |  SELECT q_id, qv, b_id FROM (
+       |    SELECT q.vec_id AS q_id, q.ev AS qv, b.b_id, $adcFold AS adist,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $adcFold ASC, b.b_id) AS ar
+       |    FROM e q JOIN recon b ON q.vec_id < 50 AND b.b_id != q.vec_id) x
+       |  WHERE ar <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.q_id, s.b_id, $exactFold AS d2
+       |  FROM shortlist s JOIN e bb ON bb.vec_id = s.b_id)
+       |SELECT q_id, rk, b_id, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY d2 ASC, b_id) AS rk
+       |  FROM rer) t
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   /** The generated sketch-bit SQL shared by the LSH oracles: the same
     * rational hyperplanes inline, each dot an explicit left-associated
@@ -390,6 +577,8 @@ object LlmVectorQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rk
         |  FROM cand) t
         |WHERE rk <= 5
-        |ORDER BY q_id, rk""".stripMargin
+        |ORDER BY q_id, rk""".stripMargin,
+
+    "q_ann_pq" -> pqOracleSql
   )
 }

@@ -211,4 +211,33 @@ class LlmSpec extends SparkSpec {
     assert(f.n_px == 2L && f.mean_px == 97.5)
     assert(f.histogram(3) == 1.0) // 97>>5 == 3 == 98>>5
   }
+
+  test("PQ-ADC recall vs brute-force L2 top-k (compression ANN path)") {
+    // PQ ranks by asymmetric L2 against reconstructed vectors, so the
+    // honest baseline is exact L2 top-5 (not cosine). 4x16-dim subspaces,
+    // 16 centroids each = 32x compression of the corpus representation.
+    // Uniform-random synthetic embeddings are PQ's worst case (no cluster
+    // structure to exploit); the exact re-rank of the ADC top-50 lifts
+    // recall 0.128 -> 0.424 measured (the FAISS refine stage), and the
+    // 0.3 bound leaves the usual fixture-regeneration slack.
+    import org.apache.spark.sql.functions._
+    import graft.llm.VectorOps
+    val d = "/root/testdata/sf0.01"
+    val e = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", VectorOps.asDoubles($"embedding").as("v"))
+    val q = e.filter($"vec_id" < 50).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"d2".asc, $"b_id")
+    val exactL2 = annPairs(
+      e.select($"vec_id".as("b_id"), $"v".as("bv")).join(broadcast(q))
+        .filter($"q_id" =!= $"b_id")
+        .withColumn("d2", aggregate(
+          zip_with($"qv", $"bv", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 5))
+    val approx = annPairs(LlmVectorQueries.queries("q_ann_pq")(spark, d))
+    val recall = (exactL2 & approx).size.toDouble / exactL2.size
+    info(f"PQ recall: $recall%.4f")
+    assert(recall >= 0.3, s"PQ-ADC recall $recall too low")
+  }
 }
