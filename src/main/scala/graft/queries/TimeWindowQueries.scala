@@ -97,6 +97,41 @@ object TimeWindowQueries extends QueryPack {
         .agg(count(lit(1)).as("n_unique"))
       runToMemory(deduped, "complete")
         .orderBy($"user_id")
+    },
+
+    // ---- resample to an hourly grid with forward fill ----
+    // The feature-store/time-series "as-of state at regular ticks" op:
+    // per user, an hourly grid spanning their event range, each tick
+    // carrying the last observed value at or before it. Grid rows union
+    // with events and ONE ignore-nulls running window fills forward —
+    // no per-tick as-of join. Grid ticks sort AFTER events at the same
+    // timestamp (is_grid, then event_id for duplicate event times), so
+    // a tick on an exact event time picks that event up. Ticks before a
+    // user's first observation stay NULL (honest resample semantics).
+    // Scale: one shuffle on user_id for the window; grid size is
+    // span-hours x users, independent of event density.
+    "q_resample_ffill" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"ts", $"value", $"event_id")
+      val grid = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("t0"),
+             date_trunc("hour", max($"ts")).as("t1"))
+        .select($"user_id",
+          explode(sequence($"t0", $"t1", expr("INTERVAL 1 HOUR"))).as("ts"))
+      val unioned = ev
+        .select($"user_id", $"ts", lit(0).as("is_grid"), $"event_id", $"value")
+        .unionByName(grid.select($"user_id", $"ts", lit(1).as("is_grid"),
+          lit(Long.MaxValue).as("event_id"), lit(null).cast("double").as("value")))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"is_grid", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("filled", last($"value", ignoreNulls = true).over(w))
+        .filter($"is_grid" === 1)
+        .select($"user_id", $"ts".as("grid_ts"), $"filled")
+        .orderBy($"user_id", $"grid_ts")
     }
   )
 
@@ -172,6 +207,32 @@ object TimeWindowQueries extends QueryPack {
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM y
         |GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+        |  FROM events),
+        |bounds AS (
+        |  SELECT user_id,
+        |         time_bucket(INTERVAL 1 HOUR, min(ts)) AS t0,
+        |         time_bucket(INTERVAL 1 HOUR, max(ts)) AS t1
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+        |  FROM bounds),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS is_grid, event_id, value FROM ev
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, 9223372036854775807, NULL FROM grid),
+        |f AS (
+        |  SELECT user_id, ts, is_grid,
+        |         last_value(value IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM u)
+        |SELECT user_id, ts AS grid_ts, filled
+        |FROM f WHERE is_grid = 1
+        |ORDER BY user_id, grid_ts""".stripMargin
   )
 }
