@@ -325,31 +325,31 @@ object LlmVectorQueries extends QueryPack {
       }
       val recon = encoded.select($"vec_id".as("b_id"),
         concat((0 until PqM).map(m => col(s"rv_$m")): _*).as("recon"))
+        .withColumn("rn2", dot($"recon", $"recon"))
       // stage 1 — ADC shortlist: broadcast queries x one pass over the
-      // COMPRESSED corpus (64-term squared-diff fold against the
-      // reconstruction), top-PqShortlist per query. stage 2 — exact
+      // COMPRESSED corpus, top-PqShortlist per query. stage 2 — exact
       // re-rank: fetch the raw vectors for shortlist hits only (the
       // FAISS IVFPQ+refine shape: full vectors touched for 50 rows per
-      // query, not the corpus) and rank the final 5 by exact L2.
+      // query, not the corpus) and rank the final 5 by exact L2. All
+      // distances in dot form (codegen kernel + precomputed norms, see
+      // assignPqCell) — the oracle mirrors the exact formula.
       val queries = corpus.filter($"vec_id" < 50)
         .select($"vec_id".as("q_id"), $"v".as("qv"))
+        .withColumn("qn2", dot($"qv", $"qv"))
       val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"b_id")
       val shortlist = recon.join(broadcast(queries))
         .filter($"q_id" =!= $"b_id")
-        .select($"q_id", $"qv", $"b_id",
-          aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) =>
-            acc + (element_at($"qv", i) - element_at($"recon", i)) *
-              (element_at($"qv", i) - element_at($"recon", i))).as("adist"))
+        .select($"q_id", $"qv", $"qn2", $"b_id",
+          (($"qn2" - lit(2.0) * dot($"qv", $"recon")) + $"rn2").as("adist"))
         .withColumn("ar", row_number().over(wAdc))
         .filter($"ar" <= PqShortlist)
-        .select($"q_id", $"qv", $"b_id")
+        .select($"q_id", $"qv", $"qn2", $"b_id")
       val wExact = Window.partitionBy($"q_id").orderBy($"d2".asc, $"b_id")
       shortlist
-        .join(corpus.select($"vec_id".as("b_id"), $"v".as("bv")), "b_id")
+        .join(corpus.select($"vec_id".as("b_id"), $"v".as("bv"),
+          dot($"v", $"v").as("bn2")), "b_id")
         .select($"q_id", $"b_id",
-          aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) =>
-            acc + (element_at($"qv", i) - element_at($"bv", i)) *
-              (element_at($"qv", i) - element_at($"bv", i))).as("d2"))
+          (($"qn2" - lit(2.0) * dot($"qv", $"bv")) + $"bn2").as("d2"))
         .withColumn("rk", row_number().over(wExact))
         .filter($"rk" <= 5)
         .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"d2")
@@ -368,88 +368,111 @@ object LlmVectorQueries extends QueryPack {
 
   /** Argmin-L2 cell assignment on a 16-dim SLICE of `v` starting at
     * `off`: a per-row fold over the broadcast codebook (the PQ cousin of
-    * `assignCells`): squared-diff sequential fold, ties to the LOWEST
-    * c_id (lexicographic struct min), mirrored in the oracle as ORDER BY
-    * d2 ASC, c_id ASC. */
+    * `assignCells`). Distances in DOT form — d2 = (|s|^2 - 2 s·c) +
+    * |c|^2 — so the hot inner product runs through the native codegen
+    * DotProduct kernel instead of a per-element interpreted HOF lambda
+    * (HOFs are CodegenFallback; this cut q_ann_pq ~4x at sf0.1); |c|^2
+    * rides in the broadcast codebook, |s|^2 computes once per row.
+    * Ties to the LOWEST c_id (lexicographic struct min), mirrored in
+    * the oracle as ORDER BY d2 ASC, c_id ASC with list_dot_product
+    * (verified bit-equal to the kernel's sequential fold). */
   private def assignPqCell(rows: DataFrame, codebook: DataFrame, off: Int): DataFrame = {
-    val centArr = codebook.agg(
-      array_sort(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    val centArr = codebook
+      .select(col("c_id"), col("cv"), dot(col("cv"), col("cv")).as("n2"))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cv"), col("n2"))))
+        .as("cents"))
     rows.crossJoin(broadcast(centArr))
+      .withColumn("sub", slice(col("v"), off + 1, PqSubDim))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
       .withColumn("cell",
         aggregate(col("cents"),
           struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c_id")),
           (acc, c) => least(acc,
             struct(
-              aggregate(sequence(lit(1), lit(PqSubDim)), lit(0.0), (a, i) =>
-                a + (element_at(col("v"), i + off) - element_at(c.getField("cv"), i)) *
-                  (element_at(col("v"), i + off) - element_at(c.getField("cv"), i)))
-                .as("d"),
+              ((col("sn2") - lit(2.0) * dot(col("sub"), c.getField("cv")))
+                + c.getField("n2")).as("d"),
               c.getField("c_id").as("c_id"))))
           .getField("c_id"))
-      .drop("cents")
+      .drop("cents", "sub", "sn2")
   }
 
   /** Generated PQ oracle: per-subspace training (Knuth seeds, one Lloyd
     * round over the vec_id-sorted sample), argmin encoding, centroid
-    * reconstruction, 64-term ADC fold — the d2 expression is the same
-    * left fold the Spark side computes ((0 + t1) + t2 ... so DuckDB's
-    * first-element-seeded list_reduce yields identical bits, the IVF
-    * oracle precedent). */
+    * reconstruction, ADC shortlist + exact re-rank. Distances mirror
+    * the Spark dot form exactly — (|a|^2 - 2 a·b) + |b|^2 — with
+    * list_dot_product, which is bit-equal to the codegen kernel's
+    * sequential fold (verified; the list_cosine_similarity precedent).
+    * The centroid-mean list_reduce starts at the first element where
+    * Spark's aggregate starts at 0.0: (0 + t1) = t1 exactly, so bits
+    * agree (the IVF oracle precedent). */
   private def pqOracleSql: String = {
     def knuthSql(offset: Int): String =
       s"((((vec_id + $offset) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
-    def d2Sql(v: String, cv: String, off: Int): String =
-      s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), " +
-        s"i -> ($v[$off + i] - $cv[i]) * ($v[$off + i] - $cv[i])), (a, b) -> a + b)"
+    def d2Sql(sn2: String, sub: String, cv: String, cn2: String): String =
+      s"(($sn2 - 2.0 * list_dot_product($sub, $cv)) + $cn2)"
     val perSub = (0 until PqM).map { m =>
       val off = m * PqSubDim
+      val sliceSql = s"list_slice(ev, ${off + 1}, ${off + PqSubDim})"
       s"""seeds$m AS (
-         |  SELECT vec_id AS c_id, list_slice(ev, ${off + 1}, ${off + PqSubDim}) AS cv
-         |  FROM e ORDER BY ${knuthSql(PqSeedOff(m))}, vec_id LIMIT $PqK),
+         |  SELECT vec_id AS c_id, cv, list_dot_product(cv, cv) AS n2 FROM (
+         |    SELECT vec_id, $sliceSql AS cv
+         |    FROM e ORDER BY ${knuthSql(PqSeedOff(m))}, vec_id LIMIT $PqK)),
+         |tsub$m AS (
+         |  SELECT vec_id, ev, sub, list_dot_product(sub, sub) AS sn2
+         |  FROM (SELECT vec_id, ev, $sliceSql AS sub FROM train)),
          |ta$m AS (
          |  SELECT vec_id, ev, c_id AS cell FROM (
          |    SELECT t.vec_id, t.ev, s.c_id,
          |           row_number() OVER (PARTITION BY t.vec_id
-         |             ORDER BY ${d2Sql("t.ev", "s.cv", off)} ASC, s.c_id ASC) AS rn
-         |    FROM train t CROSS JOIN seeds$m s) x WHERE rn = 1),
+         |             ORDER BY ${d2Sql("t.sn2", "t.sub", "s.cv", "s.n2")} ASC,
+         |                      s.c_id ASC) AS rn
+         |    FROM tsub$m t CROSS JOIN seeds$m s) x WHERE rn = 1),
          |cent$m AS (
-         |  SELECT cell AS c_id,
-         |         list_transform(range(1, ${PqSubDim + 1}),
-         |           i -> list_reduce(list_transform(vs, v -> v[$off + i]),
-         |                            (a, b) -> a + b) / len(vs)) AS cv
-         |  FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs
-         |        FROM ta$m GROUP BY cell) g),
+         |  SELECT c_id, cv, list_dot_product(cv, cv) AS n2 FROM (
+         |    SELECT cell AS c_id,
+         |           list_transform(range(1, ${PqSubDim + 1}),
+         |             i -> list_reduce(list_transform(vs, v -> v[$off + i]),
+         |                              (a, b) -> a + b) / len(vs)) AS cv
+         |    FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs
+         |          FROM ta$m GROUP BY cell) g)),
+         |esub$m AS (
+         |  SELECT vec_id, sub, list_dot_product(sub, sub) AS sn2
+         |  FROM (SELECT vec_id, $sliceSql AS sub FROM e)),
          |code$m AS (
          |  SELECT vec_id, cv FROM (
-         |    SELECT e.vec_id, c.cv,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${d2Sql("e.ev", "c.cv", off)} ASC, c.c_id ASC) AS rn
-         |    FROM e CROSS JOIN cent$m c) x WHERE rn = 1)""".stripMargin
+         |    SELECT t.vec_id, c.cv,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY ${d2Sql("t.sn2", "t.sub", "c.cv", "c.n2")} ASC,
+         |                      c.c_id ASC) AS rn
+         |    FROM esub$m t CROSS JOIN cent$m c) x WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val reconJoin = (0 until PqM).map(m => s"JOIN code$m ON code$m.vec_id = e.vec_id")
       .mkString(" ")
     val reconCat = (0 until PqM).map(m => s"code$m.cv").mkString(" || ")
-    val adcFold = s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
-      "i -> (q.ev[i] - b.recon[i]) * (q.ev[i] - b.recon[i])), (a, b) -> a + b)"
-    val exactFold = s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
-      "i -> (s.qv[i] - bb.ev[i]) * (s.qv[i] - bb.ev[i])), (a, b) -> a + b)"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
        |train AS (
        |  SELECT vec_id, ev FROM e
        |  ORDER BY ${knuthSql(7)}, vec_id LIMIT $PqTrain),
        |$perSub,
        |recon AS (
-       |  SELECT e.vec_id AS b_id, $reconCat AS recon
-       |  FROM e $reconJoin),
+       |  SELECT b_id, recon, list_dot_product(recon, recon) AS rn2 FROM (
+       |    SELECT e.vec_id AS b_id, $reconCat AS recon
+       |    FROM e $reconJoin)),
+       |qn AS (
+       |  SELECT vec_id AS q_id, ev AS qv, list_dot_product(ev, ev) AS qn2
+       |  FROM e WHERE vec_id < 50),
        |shortlist AS (
-       |  SELECT q_id, qv, b_id FROM (
-       |    SELECT q.vec_id AS q_id, q.ev AS qv, b.b_id, $adcFold AS adist,
-       |           row_number() OVER (PARTITION BY q.vec_id
-       |                              ORDER BY $adcFold ASC, b.b_id) AS ar
-       |    FROM e q JOIN recon b ON q.vec_id < 50 AND b.b_id != q.vec_id) x
+       |  SELECT q_id, qv, qn2, b_id FROM (
+       |    SELECT q.q_id, q.qv, q.qn2, b.b_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ((q.qn2 - 2.0 * list_dot_product(q.qv, b.recon))
+       |                        + b.rn2) ASC, b.b_id) AS ar
+       |    FROM qn q JOIN recon b ON b.b_id != q.q_id) x
        |  WHERE ar <= $PqShortlist),
        |rer AS (
-       |  SELECT s.q_id, s.b_id, $exactFold AS d2
+       |  SELECT s.q_id, s.b_id,
+       |         ((s.qn2 - 2.0 * list_dot_product(s.qv, bb.ev))
+       |           + list_dot_product(bb.ev, bb.ev)) AS d2
        |  FROM shortlist s JOIN e bb ON bb.vec_id = s.b_id)
        |SELECT q_id, rk, b_id, d2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
