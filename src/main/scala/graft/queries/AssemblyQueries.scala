@@ -40,6 +40,7 @@ object AssemblyQueries extends QueryPack {
   private val PackBudget = 128 // tokens per training sequence
   private val ChunkWin = 32
   private val ChunkStride = 16
+  private val BpeMerges = 8
 
   // NOT private: the encoder's generated deserializer instantiates it
   // from outside this object's scope (codegen CompileException otherwise)
@@ -121,6 +122,55 @@ object AssemblyQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- BPE tokenizer training (iterative pair merge) ----
+    // The missing half of the tokenizer story: counting is elsewhere
+    // (q_text_stats/heavy_hitters); this TRAINS the merge table. The
+    // only corpus-scale stage is the initial word-count aggregation —
+    // exactly how production BPE trainers scale (corpus -> counts once,
+    // then iterate on the vocab-sized counts table). Each of the 8
+    // rounds: adjacent-pair counts weighted by word freq (two-stage
+    // agg), a global argmax (cnt desc, pair asc — deterministic), and a
+    // left-to-right non-overlapping merge applied as ONE fold per word
+    // ("aaa" + (a,a) -> [aa, a], the classic semantics). try_element_at
+    // keeps the fold ANSI-safe on the empty accumulator (NULL -> no
+    // merge), bit-matching DuckDB's acc[-1] NULL. Output = the merge
+    // table, the artifact a tokenizer ships.
+    "q_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      val wc = Tables.documents(s, d)
+        .select(explode(TextOps.words($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      // Spark split() passes limit -1 to Java's split, KEEPING a trailing
+      // empty string the empty pattern produces at end-of-string; DuckDB
+      // string_split(s, '') yields bare chars — filter empties explicitly
+      var syms = wc
+        .select($"freq", expr("filter(split(term, ''), x -> x != '')").as("syms"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[DataFrame]
+      for (step <- 1 to BpeMerges) {
+        val pairs = syms
+          .filter(size($"syms") >= 2)
+          .select($"freq", explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"freq").as("cnt"))
+        val best = pairs.orderBy($"cnt".desc, $"l", $"r").limit(1)
+          .localCheckpoint() // feeds the merge fold AND the output row
+        merges += best.select(lit(step).cast("long").as("step"),
+          $"l", $"r", concat($"l", $"r").as("merged"), asLong($"cnt").as("cnt"))
+        syms = syms.crossJoin(broadcast(best.select($"l", $"r")))
+          .select($"freq",
+            aggregate($"syms", typedLit(Seq.empty[String]), (acc, sv) =>
+              when(try_element_at(acc, lit(-1)) === $"l" && sv === $"r",
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat($"l", $"r"))))
+                .otherwise(concat(acc, array(sv)))).as("syms"))
+          .localCheckpoint()
+      }
+      merges.result().reduce(_ unionByName _).orderBy($"step")
+    },
+
     // ---- unigram-surprisal quality score (perplexity proxy) ----
     // The KenLM-style curation signal with the LM reduced to corpus
     // unigrams: mean -ln P(token) over the doc's token stream. Two-stage
@@ -176,7 +226,43 @@ object AssemblyQueries extends QueryPack {
     }
   )
 
+  /** Generated BPE oracle: 8 chained (pair-count, argmax, merge-fold)
+    * CTE rounds. DuckDB's list_reduce seeds with the first element where
+    * Spark's aggregate seeds with the empty array — after Spark's first
+    * step both hold [s1], and `acc[-1]` on the seed mirrors Spark's
+    * try_element_at NULL (no merge), so the folds agree exactly. */
+  private def bpeOracleSql: String = {
+    val steps = (1 to BpeMerges).map { t =>
+      s"""p$t AS (
+         |  SELECT l, r, sum(freq) AS cnt FROM (
+         |    SELECT syms[i] AS l, syms[i + 1] AS r, freq
+         |    FROM s${t - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |    WHERE len(syms) >= 2) q
+         |  GROUP BY l, r),
+         |best$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$t AS (
+         |  SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+         |    (acc, sl) -> CASE WHEN acc[-1] = b.l AND sl[1] = b.r
+         |                      THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+         |                      ELSE list_append(acc, sl[1]) END) AS syms
+         |  FROM s${t - 1} CROSS JOIN best$t b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, l, r, l || r AS merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM best$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT term, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term),
+       |s0 AS (SELECT freq, string_split(term, '') AS syms FROM wc),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracleSql,
     // Greedy packing replayed exactly with a recursive CTE: the working
     // table carries (seq_id, fill) forward one row per iteration per
     // shard — DuckDB's recursion is the ground-truth sequential scan.
