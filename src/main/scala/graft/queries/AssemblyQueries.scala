@@ -137,38 +137,35 @@ object AssemblyQueries extends QueryPack {
     // table, the artifact a tokenizer ships.
     "q_bpe_train" -> { (s, d) =>
       import s.implicits._
-      val wc = Tables.documents(s, d)
-        .select(explode(TextOps.words($"text")).as("term"))
-        .groupBy($"term").agg(count(lit(1)).as("freq"))
-      // Spark split() passes limit -1 to Java's split, KEEPING a trailing
-      // empty string the empty pattern produces at end-of-string; DuckDB
-      // string_split(s, '') yields bare chars — filter empties explicitly
-      var syms = wc
-        .select($"freq", expr("filter(split(term, ''), x -> x != '')").as("syms"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[DataFrame]
-      for (step <- 1 to BpeMerges) {
-        val pairs = syms
-          .filter(size($"syms") >= 2)
-          .select($"freq", explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
-          .groupBy($"p.l".as("l"), $"p.r".as("r"))
-          .agg(sum($"freq").as("cnt"))
-        val best = pairs.orderBy($"cnt".desc, $"l", $"r").limit(1)
-          .localCheckpoint() // feeds the merge fold AND the output row
-        merges += best.select(lit(step).cast("long").as("step"),
-          $"l", $"r", concat($"l", $"r").as("merged"), asLong($"cnt").as("cnt"))
-        syms = syms.crossJoin(broadcast(best.select($"l", $"r")))
-          .select($"freq",
-            aggregate($"syms", typedLit(Seq.empty[String]), (acc, sv) =>
-              when(try_element_at(acc, lit(-1)) === $"l" && sv === $"r",
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat($"l", $"r"))))
-                .otherwise(concat(acc, array(sv)))).as("syms"))
-          .localCheckpoint()
-      }
-      merges.result().reduce(_ unionByName _).orderBy($"step")
+      val (merges, _) = bpeState(s, d)
+      merges.reduce(_ unionByName _).orderBy($"step")
+    },
+
+    // ---- BPE encoding (apply the trained merge table to the corpus) ----
+    // The trainer's final word->symbols state IS the encoding of every
+    // corpus word after all merges — the per-word fold the trainer runs
+    // is exactly the left-to-right merge application an encoder performs
+    // rank by rank. So encode = explode the corpus token stream, join
+    // each word to the BROADCAST vocab-sized tokenization table (the
+    // "word cache" production fast-tokenizers keep), and reassemble the
+    // per-doc token stream in word order. The corpus-scale stages are a
+    // narrow explode and a broadcast join — no corpus shuffle beyond the
+    // per-doc reassembly groupBy, which carries token ids, not text.
+    "q_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val (_, words) = bpeState(s, d)
+      Tables.documents(s, d)
+        .select($"doc_id", posexplode(TextOps.words($"text")))
+        .withColumnRenamed("col", "term")
+        .join(broadcast(words.select($"term", $"syms")), "term")
+        .groupBy($"doc_id")
+        .agg(
+          asLong(count(lit(1))).as("n_words"),
+          asLong(sum(size($"syms"))).as("n_tok"),
+          array_join(flatten(transform(
+            array_sort(collect_list(struct($"pos", $"syms"))),
+            x => x.getField("syms"))), " ").as("bpe_text"))
+        .orderBy($"doc_id")
     },
 
     // ---- unigram-surprisal quality score (perplexity proxy) ----
@@ -226,12 +223,55 @@ object AssemblyQueries extends QueryPack {
     }
   )
 
-  /** Generated BPE oracle: 8 chained (pair-count, argmax, merge-fold)
-    * CTE rounds. DuckDB's list_reduce seeds with the first element where
-    * Spark's aggregate seeds with the empty array — after Spark's first
-    * step both hold [s1], and `acc[-1]` on the seed mirrors Spark's
-    * try_element_at NULL (no merge), so the folds agree exactly. */
-  private def bpeOracleSql: String = {
+  /** Shared BPE training state: per-step merge-table rows plus the final
+    * word -> symbols table (`term` is carried through every fold so the
+    * encoder can join the corpus back to it). Spark split() passes
+    * limit -1 to Java's split, KEEPING the trailing empty string the
+    * empty pattern produces at end-of-string, while DuckDB
+    * string_split(s, '') yields bare chars — hence the explicit empty
+    * filter. try_element_at keeps the fold ANSI-safe on the empty
+    * accumulator (NULL -> no merge), bit-matching DuckDB's acc[-1]. */
+  private def bpeState(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select(explode(TextOps.words($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    var syms = wc
+      .select($"term", $"freq",
+        expr("filter(split(term, ''), x -> x != '')").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to BpeMerges) {
+      val pairs = syms
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"l", $"r").limit(1)
+        .localCheckpoint() // feeds the merge fold AND the output row
+      merges += best.select(lit(step).cast("long").as("step"),
+        $"l", $"r", concat($"l", $"r").as("merged"), asLong($"cnt").as("cnt"))
+      syms = syms.crossJoin(broadcast(best.select($"l", $"r")))
+        .select($"term", $"freq",
+          aggregate($"syms", typedLit(Seq.empty[String]), (acc, sv) =>
+            when(try_element_at(acc, lit(-1)) === $"l" && sv === $"r",
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat($"l", $"r"))))
+              .otherwise(concat(acc, array(sv)))).as("syms"))
+        .localCheckpoint()
+    }
+    (merges.result(), syms)
+  }
+
+  /** Generated BPE oracle CTEs: 8 chained (pair-count, argmax,
+    * merge-fold) rounds, `term` carried through. DuckDB's list_reduce
+    * seeds with the first element where Spark's aggregate seeds with the
+    * empty array — after Spark's first step both hold [s1], and
+    * `acc[-1]` on the seed mirrors Spark's try_element_at NULL (no
+    * merge), so the folds agree exactly. */
+  private def bpeOracleCtes: String = {
     val steps = (1 to BpeMerges).map { t =>
       s"""p$t AS (
          |  SELECT l, r, sum(freq) AS cnt FROM (
@@ -241,28 +281,50 @@ object AssemblyQueries extends QueryPack {
          |  GROUP BY l, r),
          |best$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
          |s$t AS (
-         |  SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+         |  SELECT term, freq, list_reduce(list_transform(syms, x -> [x]),
          |    (acc, sl) -> CASE WHEN acc[-1] = b.l AND sl[1] = b.r
          |                      THEN list_append(acc[1:len(acc)-1], b.l || b.r)
          |                      ELSE list_append(acc, sl[1]) END) AS syms
          |  FROM s${t - 1} CROSS JOIN best$t b)""".stripMargin
     }.mkString(",\n")
+    s"""wc AS (
+       |  SELECT term, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term),
+       |s0 AS (SELECT term, freq, string_split(term, '') AS syms FROM wc),
+       |$steps""".stripMargin
+  }
+
+  private def bpeTrainOracleSql: String = {
     val out = (1 to BpeMerges).map(t =>
       s"SELECT CAST($t AS BIGINT) AS step, l, r, l || r AS merged, " +
         s"CAST(cnt AS BIGINT) AS cnt FROM best$t")
       .mkString("\nUNION ALL\n")
-    s"""WITH wc AS (
-       |  SELECT term, count(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-       |  GROUP BY term),
-       |s0 AS (SELECT freq, string_split(term, '') AS syms FROM wc),
-       |$steps
-       |$out
-       |ORDER BY step""".stripMargin
+    s"WITH $bpeOracleCtes\n$out\nORDER BY step"
   }
 
+  /** Encode oracle: zip-unnest the corpus token stream with positions,
+    * join the final word->syms table, reassemble per doc.
+    * flatten(list(... ORDER BY pos)) mirrors Spark's
+    * array_join(flatten(transform(array_sort(...)))) exactly, including
+    * the contributes-nothing behavior of an empty symbol list. */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpeOracleCtes,
+       |dw AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS term,
+       |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_tok,
+       |  array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS bpe_text
+       |FROM dw JOIN s$BpeMerges USING (term)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    "q_bpe_train" -> bpeOracleSql,
+    "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_encode" -> bpeEncodeOracleSql,
     // Greedy packing replayed exactly with a recursive CTE: the working
     // table carries (seq_id, fill) forward one row per iteration per
     // shard — DuckDB's recursion is the ground-truth sequential scan.
