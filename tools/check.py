@@ -40,9 +40,11 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    checked = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        checked += 1
         try:
             spark_src = f"'{out_dir}/{name}/*.parquet'"
             spark_cols = sorted(con.sql(f"SELECT * FROM {spark_src} LIMIT 0").columns)
@@ -78,7 +80,9 @@ def main():
         else:
             print(f"OK    {name} ({len(spark_rows)} rows, {len(spark_cols)} cols)")
 
-    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} passed")
+    print(f"\n{checked - len(failures)}/{checked} passed"
+          + ("" if checked == len(oracles)
+             else f" (FILTERED — {len(oracles)} oracle entries total)"))
     sys.exit(1 if failures else 0)
 
 
