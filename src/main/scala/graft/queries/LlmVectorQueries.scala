@@ -97,6 +97,52 @@ object LlmVectorQueries extends QueryPack {
       .drop("cents")
   }
 
+  /** Deterministic IVF model shared by q_ann_ivf and q_dedup_semantic:
+    * FIXED-k k-means centroids, trained with one Lloyd round over a
+    * FIXED-SIZE hash sample: seeds = first k vectors by a Knuth
+    * multiplicative hash of vec_id (NOT xxhash64 — this rule runs
+    * verbatim in DuckDB, making the whole pipeline oracle-replayable;
+    * the id is reduced mod 2^31 before the multiply so the hash stays
+    * total for any 64-bit id — 2^31 * 2654435761 < Long.Max, no ANSI
+    * overflow). Both k and the training-set size are
+    * corpus-size-independent, so the broadcast stays O(k·dim) and the
+    * training cost O(sample·k) at any corpus scale. Returns
+    * (centroids, full-corpus assignment), both localCheckpointed: the
+    * model artifacts a real deployment persists at index-build time,
+    * here materialized once because each feeds two consuming branches. */
+  private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val corpus = emb(s, d)
+    val k = 32
+    val maxTrain = 1024
+    def knuth(c: Column): Column =
+      pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val seeds = corpus
+      .orderBy(knuth($"vec_id"), $"vec_id")
+      .limit(k)
+      .select($"vec_id".as("c_id"), $"v".as("cv"))
+    val train = corpus
+      .orderBy(knuth($"vec_id" + 7), $"vec_id")
+      .limit(maxTrain)
+      .select($"vec_id", $"v")
+    // one Lloyd round: assign the sample to seed cells (per-row argmax
+    // fold, no shuffle), then the per-dimension mean as a SORTED
+    // sequential fold — deterministic bits, replayed in the oracle via
+    // list_reduce over list(ev ORDER BY vec_id)
+    val trainAssigned = assignCells(train, seeds)
+    val centroids = trainAssigned
+      .groupBy($"cell")
+      .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
+      .select($"cell".as("c_id"),
+        transform(sequence(lit(1), lit(Dim)), i =>
+          aggregate($"vs", lit(0.0), (a, e) => a + element_at(e.getField("v"), i))
+            / size($"vs")).as("cv"))
+      .localCheckpoint()
+    // assignment pass: per-row argmax fold, zero corpus Exchange
+    val assigned = assignCells(corpus, centroids).localCheckpoint()
+    (centroids, assigned)
+  }
+
   /** LSH-bucketed ANN at a given plane count (the 100 TB scale knob):
     * candidates from an EQUI-join on the sketch key, probing the
     * hamming<=2 neighborhood of each query's sketch. */
@@ -208,48 +254,7 @@ object LlmVectorQueries extends QueryPack {
     // ---- IVF-probed ANN (scale path; oracle-replayed AND recall-tested) ----
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
-      val corpus = emb(s, d)
-      // FIXED-k k-means centroids, trained with one Lloyd round over a
-      // FIXED-SIZE hash sample: seeds = first k vectors by a Knuth
-      // multiplicative hash of vec_id (NOT xxhash64 — this rule runs
-      // verbatim in DuckDB, making the whole pipeline oracle-replayable;
-      // the id is reduced mod 2^31 before the multiply so the hash stays
-      // total for any 64-bit id — 2^31 * 2654435761 < Long.Max, no ANSI
-      // overflow). Both k and the training-set size are
-      // corpus-size-independent, so the broadcast stays O(k·dim) and the
-      // training cost O(sample·k) at any corpus scale.
-      val k = 32
-      val maxTrain = 1024
-      def knuth(c: Column): Column =
-        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
-      val seeds = corpus
-        .orderBy(knuth($"vec_id"), $"vec_id")
-        .limit(k)
-        .select($"vec_id".as("c_id"), $"v".as("cv"))
-      val train = corpus
-        .orderBy(knuth($"vec_id" + 7), $"vec_id")
-        .limit(maxTrain)
-        .select($"vec_id", $"v")
-      // one Lloyd round: assign the sample to seed cells (per-row argmax
-      // fold, no shuffle), then the per-dimension mean as a SORTED
-      // sequential fold — deterministic bits, replayed in the oracle via
-      // list_reduce over list(ev ORDER BY vec_id)
-      val trainAssigned = assignCells(train, seeds)
-      // localCheckpoint both model artifacts: centroids (k rows) feed two
-      // branches and the cell assignment (the IVF INDEX — what a real
-      // deployment persists at build time) feeds both the probe ranking
-      // and the candidate scan; without materialization each branch would
-      // re-run the training pipeline and the full-corpus argmax fold
-      val centroids = trainAssigned
-        .groupBy($"cell")
-        .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
-        .select($"cell".as("c_id"),
-          transform(sequence(lit(1), lit(Dim)), i =>
-            aggregate($"vs", lit(0.0), (a, e) => a + element_at(e.getField("v"), i))
-              / size($"vs")).as("cv"))
-        .localCheckpoint()
-      // assignment pass: per-row argmax fold, zero corpus Exchange
-      val assigned = assignCells(corpus, centroids).localCheckpoint()
+      val (centroids, assigned) = ivfModel(s, d)
       // probe list: top-8 of 32 cells per query — ~1/4 of the brute-force
       // scan (recall measured and asserted in LlmSpec)
       val probes = assigned.filter($"vec_id" < 50)
@@ -269,6 +274,46 @@ object LlmVectorQueries extends QueryPack {
         .filter($"rk" <= 5)
         .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
         .orderBy($"q_id", $"rk")
+    },
+
+    // ---- semantic deduplication (SemDeDup, cluster-scoped) ----
+    // The published recipe for embedding dedup at scale (SemDeDup,
+    // Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    // embeddings, then compare pairs ONLY within a cluster — the cluster
+    // structure bounds the quadratic pair work to sum(n_c^2) instead of
+    // n^2, and k scales with the corpus to keep cells task-sized. This
+    // complements q_embed_neardup: near-dup is the EXACT threshold
+    // search (tiled n^2/2, guaranteed recall); SemDeDup is the
+    // approximate screen run first at 100 TB, where cross-cluster pairs
+    // are accepted misses by design. Model = the shared deterministic
+    // IVF clustering. Keep rule: within a cell, rank by
+    // cosine-to-centroid (desc, id asc); an item is dropped when ANY
+    // higher-ranked cellmate is within cos >= 0.35 — deterministic and
+    // order-free. (The paper keeps LOW-centroid-similarity items to
+    // bias toward hard examples; the rank direction is a policy knob,
+    // the mechanism is identical.) The pair join shuffles on the cell
+    // key; vectors cross the wire once per side, no broadcast of the
+    // corpus, no driver involvement.
+    "q_dedup_semantic" -> { (s, d) =>
+      import s.implicits._
+      val (centroids, assigned) = ivfModel(s, d)
+      val ranked = assigned
+        .join(broadcast(centroids), $"cell" === $"c_id")
+        .select($"vec_id", $"v", $"nrm", $"cell",
+          cosine($"v", $"cv").as("ccos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"cell").orderBy($"ccos".desc, $"vec_id")))
+        .localCheckpoint() // feeds both sides of the in-cell pair join
+      val dropped = ranked.as("a")
+        .join(ranked.as("b"),
+          col("a.cell") === col("b.cell") && col("a.rnk") < col("b.rnk") &&
+            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.35)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      ranked.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", asLong($"cell").as("cell"), asLong($"rnk").as("rnk"),
+          $"dup".isNull.as("keep"))
+        .orderBy($"vec_id")
     },
 
     // ---- product-quantization ANN (the memory-compression path) ----
@@ -482,6 +527,35 @@ object LlmVectorQueries extends QueryPack {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** The IVF-model replay CTEs (corpus, Knuth seeds + train sample, one
+    * Lloyd round, full-corpus assignment) shared by the q_ann_ivf and
+    * q_dedup_semantic oracles. */
+  private val ivfOracleCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS c_id, ev AS cv FROM e
+      |  ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 32),
+      |train AS (
+      |  SELECT vec_id, ev FROM e
+      |  ORDER BY ((((vec_id + 7) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1024),
+      |ta AS (
+      |  SELECT vec_id, ev, c_id AS cell FROM (
+      |    SELECT t.vec_id, t.ev, s.c_id,
+      |           row_number() OVER (PARTITION BY t.vec_id
+      |             ORDER BY list_cosine_similarity(t.ev, s.cv) DESC, s.c_id DESC) AS rn
+      |    FROM train t CROSS JOIN seeds s) x WHERE rn = 1),
+      |cent AS (
+      |  SELECT cell AS c_id,
+      |         list_transform(range(1, 65),
+      |           i -> list_reduce(list_transform(vs, v -> v[i]), (a, b) -> a + b) / len(vs)) AS cv
+      |  FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs FROM ta GROUP BY cell) g),
+      |assigned AS (
+      |  SELECT vec_id, ev, c_id AS cell FROM (
+      |    SELECT e.vec_id, e.ev, c.c_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.ev, c.cv) DESC, c.c_id DESC) AS rn
+      |    FROM e CROSS JOIN cent c) x WHERE rn = 1)""".stripMargin
+
   /** The generated sketch-bit SQL shared by the LSH oracles: the same
     * rational hyperplanes inline, each dot an explicit left-associated
     * 64-term sum (the kernel's fold order) over column `ev`. */
@@ -559,30 +633,7 @@ object LlmVectorQueries extends QueryPack {
     // assignment, top-8 probe cells per query (tie -> LOWEST c_id,
     // matching the probe window), candidate join, cosine top-5.
     "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-        |seeds AS (
-        |  SELECT vec_id AS c_id, ev AS cv FROM e
-        |  ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 32),
-        |train AS (
-        |  SELECT vec_id, ev FROM e
-        |  ORDER BY ((((vec_id + 7) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1024),
-        |ta AS (
-        |  SELECT vec_id, ev, c_id AS cell FROM (
-        |    SELECT t.vec_id, t.ev, s.c_id,
-        |           row_number() OVER (PARTITION BY t.vec_id
-        |             ORDER BY list_cosine_similarity(t.ev, s.cv) DESC, s.c_id DESC) AS rn
-        |    FROM train t CROSS JOIN seeds s) x WHERE rn = 1),
-        |cent AS (
-        |  SELECT cell AS c_id,
-        |         list_transform(range(1, 65),
-        |           i -> list_reduce(list_transform(vs, v -> v[i]), (a, b) -> a + b) / len(vs)) AS cv
-        |  FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs FROM ta GROUP BY cell) g),
-        |assigned AS (
-        |  SELECT vec_id, ev, c_id AS cell FROM (
-        |    SELECT e.vec_id, e.ev, c.c_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(e.ev, c.cv) DESC, c.c_id DESC) AS rn
-        |    FROM e CROSS JOIN cent c) x WHERE rn = 1),
+      s"""WITH $ivfOracleCtes,
         |probes AS (
         |  SELECT q_id, cell FROM (
         |    SELECT a.vec_id AS q_id, c.c_id AS cell,
@@ -601,6 +652,26 @@ object LlmVectorQueries extends QueryPack {
         |  FROM cand) t
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+
+    // SemDeDup replay over the same IVF model: within-cell rank by
+    // centroid cosine (desc, id asc), drop when any higher-ranked
+    // cellmate is within cos >= 0.35.
+    "q_dedup_semantic" ->
+      s"""WITH $ivfOracleCtes,
+        |ranked AS (
+        |  SELECT a.vec_id, a.ev, a.cell,
+        |         row_number() OVER (PARTITION BY a.cell
+        |           ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, a.vec_id) AS rnk
+        |  FROM assigned a JOIN cent c ON c.c_id = a.cell),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rnk < b.rnk
+        |  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.35)
+        |SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+        |       CAST(r.rnk AS BIGINT) AS rnk,
+        |       (d.vec_id IS NULL) AS keep
+        |FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id
+        |ORDER BY r.vec_id""".stripMargin,
 
     "q_ann_pq" -> pqOracleSql
   )

@@ -212,6 +212,34 @@ class LlmSpec extends SparkSpec {
     assert(f.histogram(3) == 1.0) // 97>>5 == 3 == 98>>5
   }
 
+  test("SemDeDup: rank-1 kept per cell, kept set pairwise dissimilar in-cell") {
+    // the greedy-screen guarantee the oracle replay can't express as an
+    // invariant: dropping b only when a HIGHER-ranked cellmate is within
+    // cos >= 0.35 makes the kept set per cell (a) non-empty from rank 1
+    // and (b) pairwise dissimilar — if two kept items were similar, the
+    // lower-ranked one would have been dropped by the higher.
+    import graft.llm.VectorOps
+    val d = "/root/testdata/sf0.01"
+    val out = LlmVectorQueries.queries("q_dedup_semantic")(spark, d)
+      .select($"vec_id", $"cell", $"rnk", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == 500)
+    assert(out.filter(_._3 == 1L).forall(_._4), "every cell's rank-1 must be kept")
+    assert(out.exists(!_._4), "fixture corpus should contain semantic dups")
+    val keptByCell = out.filter(_._4).groupBy(_._2)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", VectorOps.asDoubles($"embedding").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / math.sqrt(na * nb)
+    }
+    for ((_, ks) <- keptByCell; i <- ks.indices; j <- (i + 1) until ks.length)
+      assert(cos(vecs(ks(i)._1), vecs(ks(j)._1)) < 0.35,
+        s"kept pair ${ks(i)._1},${ks(j)._1} still similar")
+  }
+
   test("PQ-ADC recall vs brute-force L2 top-k (compression ANN path)") {
     // PQ ranks by asymmetric L2 against reconstructed vectors, so the
     // honest baseline is exact L2 top-5 (not cosine). 4x16-dim subspaces,
