@@ -21,6 +21,29 @@ object AnalyticQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- rank / dense_rank / percent_rank / ntile ----
+    // ---- SCD2 dimension build (type-2 slowly changing dimension) ----
+    // The warehouse-side CDC consumer: collapse the per-user event feed
+    // into versioned state intervals, emitting a new version ONLY when
+    // the tracked attribute actually changes (run-length change
+    // detection via lag), then close each interval with the next
+    // change's timestamp (lead). All four window passes share one
+    // (user_id) partitioning — a single Exchange+Sort in the plan, the
+    // minimum any ordered change detection needs at 100 TB.
+    "q_scd2_dimension" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .select($"user_id", asLong($"version").as("version"),
+          $"event_type".as("state"), $"ts".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    },
+
     "q_window_rank" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
@@ -160,6 +183,41 @@ object AnalyticQueries extends QueryPack {
           ($"sx" / $"n").as("avg_price"),
           sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_price"))
         .orderBy($"o_orderstatus")
+    },
+
+    // ---- correlation / covariance / linear-regression aggregates ----
+    // The bivariate statistical family (corr, covar_samp/pop,
+    // regr_slope/intercept/r2) computed from EXACT decimal co-moments
+    // (n, sx, sy, sx2, sy2, sxy) rather than the built-in streaming
+    // co-moment aggregates: the decimal sums are merge-order-insensitive
+    // (partial aggregation still applies — map-side combine on six
+    // narrow columns), and the final double formulas are the same op
+    // sequence in both engines, so the results hash-compare exactly —
+    // which Welford-style merges never would across engines.
+    "q_agg_corr_regr" -> { (s, d) =>
+      import s.implicits._
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          asDouble(sum(x)).as("sx"), asDouble(sum(y)).as("sy"),
+          asDouble(sum(x * x)).as("sx2"), asDouble(sum(y * y)).as("sy2"),
+          asDouble(sum(x * y)).as("sxy"))
+        .select($"l_returnflag", $"n", $"sx", $"sy",
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sx2" - $"sx" * $"sx") *
+             sqrt($"n" * $"sy2" - $"sy" * $"sy"))).as("corr_qty_price"),
+          (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_samp"),
+          (($"sxy" - $"sx" * $"sy" / $"n") / $"n").as("covar_pop"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sx2" - $"sx" * $"sx")).as("regr_slope"))
+        .select($"l_returnflag", $"n", $"corr_qty_price",
+          $"covar_samp", $"covar_pop", $"regr_slope",
+          (($"sy" - $"regr_slope" * $"sx") / $"n").as("regr_intercept"),
+          ($"corr_qty_price" * $"corr_qty_price").as("regr_r2"))
+        .orderBy($"l_returnflag")
     },
 
     // ---- pivot (explicit value list => deterministic columns) ----
@@ -342,6 +400,29 @@ object AnalyticQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
 
+    "q_scd2_dimension" ->
+      """WITH src AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM src),
+        |k AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS BIGINT) AS version,
+        |  event_type AS state,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM k
+        |ORDER BY user_id, version""".stripMargin,
+
     "q_window_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  date_diff('day', TIMESTAMP '1970-01-01 00:00:00', CAST(l_shipdate AS TIMESTAMP)) AS ship_day,
@@ -457,6 +538,31 @@ object AnalyticQueries extends QueryPack {
         |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_price
         |FROM g
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // same two-stage shape: exact decimal co-moments -> double formulas
+    "q_agg_corr_regr" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |h AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    (n * sxy - sx * sy) /
+        |      (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price,
+        |    (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+        |    (sxy - sx * sy / n) / n AS covar_pop,
+        |    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS regr_slope
+        |  FROM g)
+        |SELECT l_returnflag, n, corr_qty_price, covar_samp, covar_pop,
+        |  regr_slope,
+        |  (sy - regr_slope * sx) / n AS regr_intercept,
+        |  corr_qty_price * corr_qty_price AS regr_r2
+        |FROM h
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_approx_distinct" ->
       """SELECT l_returnflag,
