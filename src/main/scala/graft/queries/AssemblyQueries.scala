@@ -168,6 +168,36 @@ object AssemblyQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- domain-mixture epoch construction (DoReMi-style reweighting) ----
+    // The step between curation and packing: apply per-domain mixture
+    // weights by MATERIALIZING each document's repeat count for one
+    // training pass — whole copies plus one fractional copy decided by
+    // the same Knuth-hash membership rule as q_sample_stratified (so a
+    // weight of 2.5 means 2 copies always, 3 for the hash-selected half
+    // of the stratum — deterministic across runs/engines/corpus growth).
+    // Each copy gets an epoch index and a hash shuffle position `ord`:
+    // sorting by ord IS the training-order shuffle, spread uniformly so
+    // no window of the stream over-represents a domain. Narrow map +
+    // explode; nothing shuffles until a consumer sorts by ord.
+    "q_mix_epochs" -> { (s, d) =>
+      import s.implicits._
+      val whole = typedLit(Map(
+        "en" -> 2L, "de" -> 1L, "es" -> 0L, "fr" -> 1L, "zh" -> 0L))
+      val fracPm = typedLit(Map(
+        "en" -> 500L, "de" -> 0L, "es" -> 500L, "fr" -> 500L, "zh" -> 250L))
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang")
+        .withColumn("copies",
+          whole($"lang") + when(knuth($"doc_id") % 1000 < fracPm($"lang"), 1L)
+            .otherwise(0L))
+        .filter($"copies" >= 1)
+        .select($"doc_id", $"lang",
+          explode(sequence(lit(1L), $"copies")).as("epoch"))
+        .select($"doc_id", $"lang", $"epoch",
+          knuth($"doc_id" + $"epoch" * lit(1000003L)).as("ord"))
+        .orderBy($"doc_id", $"epoch")
+    },
+
     // ---- unigram-surprisal quality score (perplexity proxy) ----
     // The KenLM-style curation signal with the LM reduced to corpus
     // unigrams: mean -ln P(token) over the doc's token stream. Two-stage
@@ -323,6 +353,25 @@ object AssemblyQueries extends QueryPack {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q_mix_epochs" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'es' THEN 0
+        |               WHEN 'fr' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN (((doc_id % 2147483648 + 2147483648) % 2147483648)
+        |              * 2654435761) % 4294967296 % 1000
+        |            < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 0
+        |                         WHEN 'es' THEN 500 WHEN 'fr' THEN 500
+        |                         ELSE 250 END)
+        |       THEN 1 ELSE 0 END) AS copies
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(ep AS BIGINT) AS epoch,
+        |  ((((doc_id + ep * 1000003) % 2147483648 + 2147483648) % 2147483648)
+        |    * 2654435761) % 4294967296 AS ord
+        |FROM b, unnest(generate_series(1, copies)) AS u(ep)
+        |WHERE copies >= 1
+        |ORDER BY doc_id, epoch""".stripMargin,
+
     "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
     // Greedy packing replayed exactly with a recursive CTE: the working
