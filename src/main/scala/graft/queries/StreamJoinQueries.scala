@@ -51,6 +51,38 @@ object StreamJoinQueries extends QueryPack {
           $"c_ts" <= $"p_ts")
         .select($"p_id", $"c_id")
       runToMemory(joined, "append").orderBy($"p_id", $"c_id")
+    },
+
+    // ---- stream ⋈ stream LEFT OUTER (watermark-driven null emission) ----
+    // Same join as above with outer semantics: matched pairs emit on
+    // match; an unmatched purchase emits its null row only when the
+    // global watermark passes its timestamp and the state store evicts
+    // it (AvailableNow's trailing watermark-advance batch). That
+    // emission rule — NOT the batch left join — is the streaming
+    // contract, and the oracle encodes it: each side's watermark tracks
+    // its own filtered max event time, so the final watermark is
+    // least(max purchase ts, max click ts) - 1h, and left rows newer
+    // than that are still held in state when the query drains. State
+    // stays O(rate x window) exactly as the inner variant.
+    "q_stream_stream_left_join" -> { (s, d) =>
+      import s.implicits._
+      val purchases = TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "purchase")
+        .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
+                $"event_id".as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "click")
+        .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
+                $"event_id".as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"c_ts" <= $"p_ts",
+        "left_outer")
+        .select($"p_id", $"c_id")
+      runToMemory(joined, "append").orderBy($"p_id", $"c_id")
     }
   )
 
@@ -68,6 +100,24 @@ object StreamJoinQueries extends QueryPack {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    // streaming left-outer contract: matched rows always emit; unmatched
+    // lefts emit only once evicted by the final watermark
+    "q_stream_stream_left_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |    - INTERVAL '1 hour' AS w),
+        |j AS (
+        |  SELECT p.event_id AS p_id, p.ts AS p_ts, c.event_id AS c_id
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts)
+        |SELECT p_id, c_id FROM j, wm
+        |WHERE c_id IS NOT NULL OR p_ts < w
         |ORDER BY p_id, c_id""".stripMargin
   )
 }
