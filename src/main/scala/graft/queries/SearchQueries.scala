@@ -237,6 +237,53 @@ object SearchQueries extends QueryPack {
       pageRank(edges, iters = 4)
         .select($"id", $"pr".as("pr_units"))
         .orderBy($"pr_units".desc, $"id").limit(20)
+    },
+
+    // ---- triangle counting (degree-ordered edge iterator) ----
+    // Per-node triangle participation over the part co-purchase graph
+    // (parts sharing an order), on a deterministic Knuth-hash 20% sample
+    // of orders — sampled motif counting is the standard practice at
+    // scale, and sampling ORDERS (not edges) preserves closed wedges
+    // within the kept orders while shrinking edge count superlinearly.
+    // The count uses the classic degree-ordered orientation: every edge
+    // points from its (deg, id)-smaller endpoint, so each triangle is
+    // found exactly once as a wedge at its minimum vertex plus the
+    // closing edge, and per-vertex out-degree — hence wedge fan-out per
+    // task — is bounded by O(sqrt(m)) regardless of hub skew. Every join
+    // is an equi-join (the closing edge's orientation is made canonical
+    // by carrying endpoint degrees into the wedge). The oracle counts
+    // the SAME triangles by the naive a<b<c triple join — an independent
+    // method, not a replay.
+    "q_graph_triangles" -> { (s, d) =>
+      import s.implicits._
+      val knuth = (c: org.apache.spark.sql.Column) =>
+        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      val ords = Tables.orders(s, d).select($"o_orderkey")
+        .filter(knuth($"o_orderkey") % 1000 < 200)
+      val li = Tables.lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .join(ords, $"ok" === $"o_orderkey").drop("o_orderkey").distinct()
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      val deg = e0.select(explode(array($"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("dg"))
+      val oriented = e0
+        .join(deg.select($"v".as("a"), $"dg".as("da")), "a")
+        .join(deg.select($"v".as("b"), $"dg".as("db")), "b")
+        .select(when(struct($"da", $"a") < struct($"db", $"b"),
+            struct($"a".as("u"), $"b".as("w"), $"db".as("dw")))
+          .otherwise(struct($"b".as("u"), $"a".as("w"), $"da".as("dw"))).as("e"))
+        .select($"e.u".as("u"), $"e.w".as("w"), $"e.dw".as("dw"))
+        .localCheckpoint() // reused by both wedge sides and the closing join
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))
+        .select(col("e1.u").as("t0"), col("e1.w").as("v1"), col("e2.w").as("v2"))
+      val tri = wedges.join(
+        oriented.select($"u".as("v1"), $"w".as("v2")), Seq("v1", "v2"))
+      tri.select(explode(array($"t0", $"v1", $"v2")).as("node"))
+        .groupBy($"node").agg(asLong(count(lit(1))).as("tri_cnt"))
+        .orderBy($"node")
     }
   )
 
@@ -408,6 +455,26 @@ object SearchQueries extends QueryPack {
         |           + (85 * coalesce(i.inflow, 0)) // 100 AS pr
         |       FROM p3 d LEFT JOIN i4 i USING (id))
         |SELECT id, CAST(pr AS BIGINT) AS pr_units FROM p4
-        |ORDER BY pr_units DESC, id LIMIT 20""".stripMargin
+        |ORDER BY pr_units DESC, id LIMIT 20""".stripMargin,
+
+    // independent method: naive a<b<c triple join (no degree ordering)
+    "q_graph_triangles" ->
+      """WITH ords AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE (((o_orderkey % 2147483648 + 2147483648) % 2147483648)
+        |         * 2654435761) % 4294967296 % 1000 < 200),
+        |li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+        |FROM n GROUP BY node ORDER BY node""".stripMargin
   )
 }
