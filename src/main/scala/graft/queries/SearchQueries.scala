@@ -239,6 +239,49 @@ object SearchQueries extends QueryPack {
         .orderBy($"pr_units".desc, $"id").limit(20)
     },
 
+    // ---- count-min sketch (the sketch path heavy-hitters narrates) ----
+    // 4 rows x 1024 counters; each term occurrence increments one bucket
+    // per row (bucket = Knuth-mixed polynomial word hash, the replayable
+    // family), and a term's estimate is the MIN over its 4 counters —
+    // an overestimate exactly when buckets collide, never under. This is
+    // the fixed-memory alternative to exact two-stage heavy hitters at
+    // 100 TB: counters partial-aggregate map-side into <= 4096 cells per
+    // task regardless of vocabulary size, and sketches merge by cell-wise
+    // addition across any partitioning. Deterministic hash functions make
+    // even the approximate estimates hash-comparable. Output: the top-20
+    // exact terms with exact and CMS counts side by side.
+    "q_sketch_cms" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val W = 1024
+      def bucket(h: org.apache.spark.sql.Column, i: Int) =
+        (pmod(h, lit(2147483648L)) * lit(2654435761L) + lit(i * 1000003L)) %
+          lit(4294967296L) % lit(W.toLong)
+      val tw = Tables.documents(s, d)
+        .select(explode(arrays_zip(
+          split($"text", " ").as("t"),
+          expr("word_hashes(text)").as("h"))).as("z"))
+        .select($"z.t".as("term"), $"z.h".as("h"))
+      val sketch = tw
+        .select(explode(array((0 until 4).map(i =>
+          struct(lit(i).as("r"), bucket($"h", i).as("b"))): _*)).as("rb"))
+        .groupBy($"rb.r".as("r"), $"rb.b".as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = tw.groupBy($"term")
+        .agg(count(lit(1)).as("exact_cnt"), max($"h").as("h"))
+        .orderBy($"exact_cnt".desc, $"term").limit(20)
+      top
+        .select($"term", $"exact_cnt", explode(array((0 until 4).map(i =>
+          struct(lit(i).as("r"), bucket($"h", i).as("b"))): _*)).as("rb"))
+        .select($"term", $"exact_cnt", $"rb.r".as("r"), $"rb.b".as("b"))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy($"term", $"exact_cnt")
+        .agg(min($"cnt").as("cms_est"))
+        .select($"term", asLong($"exact_cnt").as("exact_cnt"),
+          asLong($"cms_est").as("cms_est"))
+        .orderBy($"exact_cnt".desc, $"term")
+    },
+
     // ---- triangle counting (degree-ordered edge iterator) ----
     // Per-node triangle participation over the part co-purchase graph
     // (parts sharing an order), on a deterministic Knuth-hash 20% sample
@@ -456,6 +499,37 @@ object SearchQueries extends QueryPack {
         |       FROM p3 d LEFT JOIN i4 i USING (id))
         |SELECT id, CAST(pr AS BIGINT) AS pr_units FROM p4
         |ORDER BY pr_units DESC, id LIMIT 20""".stripMargin,
+
+    // full CMS replay: polynomial word hashes in HUGEINT, Knuth-mixed
+    // buckets, per-cell counts, min-over-rows estimates
+    "q_sketch_cms" ->
+      """WITH tw AS (
+        |  SELECT t AS term,
+        |    CASE WHEN len(t) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+        |           (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+        |    END AS h
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |en AS (
+        |  SELECT term, i AS r,
+        |    CAST(((h % 2147483648::HUGEINT) * 2654435761::HUGEINT + i * 1000003)
+        |         % 4294967296::HUGEINT % 1024 AS BIGINT) AS b
+        |  FROM tw, unnest([0, 1, 2, 3]) AS u(i)),
+        |sk AS (SELECT r, b, count(*) AS cnt FROM en GROUP BY r, b),
+        |top AS (
+        |  SELECT term, count(*) AS exact_cnt, max(h) AS h FROM tw
+        |  GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20),
+        |eb AS (
+        |  SELECT term, exact_cnt, i AS r,
+        |    CAST(((h % 2147483648::HUGEINT) * 2654435761::HUGEINT + i * 1000003)
+        |         % 4294967296::HUGEINT % 1024 AS BIGINT) AS b
+        |  FROM top, unnest([0, 1, 2, 3]) AS u(i))
+        |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(min(cnt) AS BIGINT) AS cms_est
+        |FROM eb JOIN sk USING (r, b)
+        |GROUP BY term, exact_cnt
+        |ORDER BY exact_cnt DESC, term""".stripMargin,
 
     // independent method: naive a<b<c triple join (no degree ordering)
     "q_graph_triangles" ->
