@@ -121,6 +121,26 @@ object SourceQueries extends QueryPack {
       latestView().orderBy($"user_id")
     },
 
+    // Full DataSource V2 connector (graft.sources.GenSource): the scan
+    // below plans with 17 of 32 generator slices (the id range prunes the
+    // rest BEFORE tasks launch), the id predicates pushed into the source
+    // (no post-scan Filter — DsV2Spec pins all three properties), and a
+    // 2-of-4-column read schema. The aggregation then proves the pruned,
+    // pushed scan still produces exactly the right rows: DuckDB replays
+    // the generator's integer row recipe over the same id range. All
+    // per-bucket sums stay exact in binary (val has <=3 fractional and
+    // <=7 integer bits), so the double sum is merge-order-insensitive.
+    "q_source_dsv2" -> { (s, _) =>
+      import s.implicits._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", 100000L).option("slices", 32)
+        .load()
+        .filter($"id" >= 20000 && $"id" < 70000)
+        .groupBy($"bucket")
+        .agg(asLong(count(lit(1))).as("n"), sum($"val").as("sum_val"))
+        .orderBy($"bucket")
+    },
+
     // The reference's CSV parse stack (SURVEY.md P1-P9), hash-verified:
     // synthesize FlightSim-shaped lines from `events` (quoted track id,
     // 12-hour "M/d/yyyy hh:mm:ss a" timestamp, integer-valued lon/lat so
@@ -215,6 +235,14 @@ object SourceQueries extends QueryPack {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the DSv2 generator's row recipe replayed over the pushed id range
+    "q_source_dsv2" ->
+      """SELECT bucket, count(*) AS n, sum(val) AS sum_val
+        |FROM (SELECT (id * 2654435761) % 1024 AS bucket,
+        |             ((id * id) % 997) / 8.0 AS val
+        |      FROM (SELECT range AS id FROM range(20000, 70000)))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // expected parse output computed from the ORIGINAL columns — only a
     // correct 12-hour format+parse round-trip reproduces date_trunc-to-
