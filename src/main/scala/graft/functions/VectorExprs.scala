@@ -141,6 +141,11 @@ object VectorExprs {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_hashes", exprs => WordHashes(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_hashes",
+      exprs => SpanHashes(exprs.head,
+        FunctionBuilders.constInt(exprs(1), "span_hashes", "w")),
+      "scala_udf")
   }
 
   /** Plain-Scala twin of SortedJaccard.nullSafeEval for block-local

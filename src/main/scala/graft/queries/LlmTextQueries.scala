@@ -229,6 +229,40 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     },
 
+    // ---- exact-substring (passage-level) dedup: 16-token span hashes ----
+    // Lee et al.'s "Deduplicating Training Data" finding is that exact
+    // REPEATED PASSAGES matter, not just whole-record dups: two documents
+    // count as span-duplicated when they share any run of W=16 identical
+    // tokens. One corpus pass computes every span's rolling hash
+    // (WordHashes -> SpanHashes, both codegen; O(tokens) per doc), then
+    // docs pair up through a narrow (span_hash, doc_id) equi-join —
+    // text never reaches a shuffle, exactly the inverted-posting shape
+    // of BM25. Spans shared by >32 docs (boilerplate headers — the
+    // stop-word analogue of postings) are dropped before pairing, which
+    // bounds the per-span pair fan-out at 32^2 regardless of corpus
+    // size; a production pipeline tunes that cap to its boilerplate
+    // profile. Output: doc pairs + how many distinct shared spans.
+    "q_dedup_substring" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val spanDocs = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(call_function("span_hashes",
+            call_function("word_hashes", $"text"), lit(16))).as("span_hash"))
+        .distinct()
+      val eligible = spanDocs.groupBy($"span_hash")
+        .agg(count(lit(1)).as("m"))
+        .filter($"m".between(2, 32))
+        .select($"span_hash")
+      val cand = spanDocs.join(eligible, "span_hash")
+      cand.select($"doc_id".as("doc_a"), $"span_hash")
+        .join(cand.select($"doc_id".as("doc_b"), $"span_hash"), "span_hash")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(asLong(count(lit(1))).as("n_shared_spans"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // ---- blocked exact n-gram Jaccard (same-source blocking, tiled) ----
     "q_dedup_ngram_blocked" -> { (s, d) =>
       import s.implicits._
@@ -653,6 +687,36 @@ object LlmTextQueries extends QueryPack {
          |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
-    }
+    },
+
+    // replay the polynomial word hashes (as in the simhash oracle), fold
+    // every 16-hash window with the same B=1000003 polynomial mod 2^64
+    // (list_reduce seeds with the first element — identical to a 0-seeded
+    // fold), then rebuild the capped posting join. Span-hash values stay
+    // HUGEINT here: they are only join/group keys, never output, so the
+    // signed-BIGINT mapping the simhash oracle needs is unnecessary.
+    "q_dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wh AS (SELECT doc_id,
+        |        [CASE WHEN len(t) = 0 THEN 0::HUGEINT
+        |              ELSE list_reduce(list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+        |                               (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+        |         END FOR t IN ws] AS hs
+        |       FROM w),
+        |spans AS (
+        |  SELECT DISTINCT doc_id, span_hash
+        |  FROM (SELECT doc_id,
+        |          unnest([ list_reduce(hs[i : i + 15],
+        |                     (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+        |                   FOR i IN range(1, len(hs) - 14) ]) AS span_hash
+        |        FROM wh WHERE len(hs) >= 16)),
+        |eligible AS (SELECT span_hash FROM spans
+        |             GROUP BY span_hash HAVING count(*) BETWEEN 2 AND 32)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_spans
+        |FROM spans a
+        |JOIN spans b ON a.span_hash = b.span_hash AND a.doc_id < b.doc_id
+        |JOIN eligible e ON e.span_hash = a.span_hash
+        |GROUP BY 1, 2
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

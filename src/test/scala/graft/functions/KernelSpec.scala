@@ -106,6 +106,39 @@ class KernelSpec extends SparkSpec {
     assert(got(3L) == Seq(ph("x"), 0L, ph("y"), 0L))    // double + trailing space
   }
 
+  test("SpanHashes == sliding-window fold reference (property), rolling update exact") {
+    val B = 1000003L
+    val gen = for {
+      w <- Gen.choose(1, 5)
+      xs <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    } yield (w, xs.toArray)
+    check(Prop.forAll(gen) { case (w, xs) =>
+      val expected =
+        if (xs.length < w) Seq.empty[Long]
+        else (0 to xs.length - w).map(i =>
+          xs.slice(i, i + w).foldLeft(0L)((h, x) => h * B + x))
+      val got = SpanHashes(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)), w)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      got == expected
+    })
+  }
+
+  test("SpanHashes: interpreted == codegen'd pipeline") {
+    VectorExprs.register(spark)
+    val xs = Array(0x123456789ABCDEFL, -42L, 7L, Long.MaxValue, Long.MinValue)
+    val viaPipeline = Seq(Tuple1(xs)).toDF("h")
+      .select(call_function("span_hashes", $"h", lit(3))).as[Seq[Long]].head()
+    val interp = SpanHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(viaPipeline == interp)
+  }
+
   test("DotProduct pipeline == driver-side sequential fold") {
     VectorExprs.register(spark)
     val a = Array(1.5, -2.25, 3.125, 0.0625)
