@@ -226,6 +226,65 @@ object AssemblyQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- DSIR-style hashed n-gram importance selection ----
+    // Data Selection with Importance Resampling (Xie et al. 2023): score
+    // every raw document by the log-likelihood ratio of a TARGET
+    // distribution vs the RAW distribution under a bag-of-hashed-ngrams
+    // model. Features are the unigram + bigram polynomial hashes (the
+    // same replayable WordHashes/SpanHashes family as the dedup ops)
+    // folded into 1024 buckets; the target here is the English slice of
+    // the corpus (a production run points it at a quality reference like
+    // Wikipedia). Per-bucket log-ratio weights round to 10 dp and ride a
+    // 1024-row BROADCAST onto the per-doc bucket counts, so scoring is
+    // one narrow pass: the corpus-scale shuffles carry (doc_id, bucket)
+    // and (bucket) count rows only, with map-side partial aggregation —
+    // text never enters an exchange. Smoothing (+1 per bucket) keeps
+    // zero-count buckets finite; the per-doc sum is DECIMAL-exact
+    // (merge-order-insensitive), the surprisal-query precedent.
+    "q_select_dsir" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val NB = 1024
+      val feats = Tables.documents(s, d)
+        .withColumn("wh", call_function("word_hashes", $"text"))
+        .select($"doc_id", $"lang",
+          explode(concat($"wh",
+            call_function("span_hashes", $"wh", lit(2)))).as("f"))
+        .select($"doc_id", $"lang", pmod($"f", lit(NB.toLong)).as("bucket"))
+      val docBucket = feats.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("cnt"))
+      val rawB = feats.groupBy($"bucket").agg(count(lit(1)).as("r"))
+      val tgtB = feats.filter($"lang" === "en")
+        .groupBy($"bucket").agg(count(lit(1)).as("t"))
+      val tbl = s.range(NB).select($"id".as("bucket"))
+        .join(rawB, Seq("bucket"), "left")
+        .join(tgtB, Seq("bucket"), "left")
+        .select($"bucket", coalesce($"r", lit(0L)).as("r"),
+          coalesce($"t", lit(0L)).as("t"))
+      val totals = tbl.agg(sum($"r").as("r_total"), sum($"t").as("t_total"))
+      // each ln rounds to 6 dp SEPARATELY, then the four terms combine in
+      // exact DECIMAL arithmetic: a four-ln double sum at a 1e-10 grain
+      // straddled the rounding boundary across libm implementations
+      // (caught by the gate: one bucket differed by exactly 1e-10 and a
+      // doc sum sat exactly on the 5e-5 output grain); per-term 6-dp
+      // rounding puts ~1e-9 of slack per boundary instead of ~4e-15
+      def lnDec(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")), 6).cast("decimal(28,12)")
+      val lam = tbl.crossJoin(broadcast(totals))
+        .select($"bucket",
+          (lnDec($"t" + 1) - lnDec($"t_total" + NB)
+            - lnDec($"r" + 1) + lnDec($"r_total" + NB)).as("lw"))
+      // round the DECIMAL sum (exact half-up on both engines), not the
+      // double: a doc sum landing exactly on a .00005 grain would
+      // otherwise round differently (Spark goes through BigDecimal's
+      // shortest-repr of the double, DuckDB rounds the raw double)
+      docBucket.join(broadcast(lam), "bucket")
+        .groupBy($"doc_id")
+        .agg(round(sum($"lw" * $"cnt"), 4).cast("double").as("dsir_score"),
+          asLong(sum($"cnt")).as("n_feats"),
+          (sum($"lw" * $"cnt") > 0).as("keep"))
+        .orderBy($"doc_id")
+    },
+
     // ---- PII redaction (planted fixtures) ----
     // The synthetic corpus carries no PII, so the fixture is planted
     // deterministically from doc_id (email + IPv4), then redacted with
@@ -445,6 +504,45 @@ object AssemblyQueries extends QueryPack {
         |        / CAST(sum(tf) AS DOUBLE), 4) AS mean_surprisal,
         |  CAST(sum(tf) AS BIGINT) AS n_tok
         |FROM tf JOIN vocab USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // word hashes replayed as in the dedup oracles; bigram hash = one
+    // more polynomial step; bucket = hash % 1024 on the UNSIGNED value
+    // (1024 divides 2^64, so Spark's pmod on the signed long lands on
+    // the same residue). The four-ln weight rounds to 10 dp before the
+    // DECIMAL doc sum — identical expression tree on both engines.
+    "q_select_dsir" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |wh AS (SELECT doc_id, lang,
+        |        [CASE WHEN len(t) = 0 THEN 0::HUGEINT
+        |              ELSE list_reduce(list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+        |                               (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+        |         END FOR t IN ws] AS hs
+        |       FROM w),
+        |feats AS (
+        |  SELECT doc_id, lang, CAST(f % 1024 AS BIGINT) AS bucket
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(hs || [ (hs[i] * 1000003 + hs[i+1]) % 18446744073709551616::HUGEINT
+        |                         FOR i IN range(1, len(hs)) ]) AS f
+        |        FROM wh)),
+        |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2),
+        |tbl AS (
+        |  SELECT b.bucket, coalesce(r.r, 0) AS r, coalesce(t.t, 0) AS t
+        |  FROM (SELECT range AS bucket FROM range(0, 1024)) b
+        |  LEFT JOIN (SELECT bucket, count(*) AS r FROM feats GROUP BY 1) r USING (bucket)
+        |  LEFT JOIN (SELECT bucket, count(*) AS t FROM feats WHERE lang = 'en' GROUP BY 1) t USING (bucket)),
+        |totals AS (SELECT sum(r) AS r_total, sum(t) AS t_total FROM tbl),
+        |lam AS (SELECT bucket,
+        |          CAST(round(ln(CAST(t + 1 AS DOUBLE)), 6) AS DECIMAL(28,12))
+        |          - CAST(round(ln(CAST(t_total + 1024 AS DOUBLE)), 6) AS DECIMAL(28,12))
+        |          - CAST(round(ln(CAST(r + 1 AS DOUBLE)), 6) AS DECIMAL(28,12))
+        |          + CAST(round(ln(CAST(r_total + 1024 AS DOUBLE)), 6) AS DECIMAL(28,12)) AS lw
+        |        FROM tbl CROSS JOIN totals)
+        |SELECT doc_id,
+        |  CAST(round(sum(lw * cnt), 4) AS DOUBLE) AS dsir_score,
+        |  CAST(sum(cnt) AS BIGINT) AS n_feats,
+        |  sum(lw * cnt) > 0 AS keep
+        |FROM db JOIN lam USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
