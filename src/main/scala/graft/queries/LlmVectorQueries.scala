@@ -233,6 +233,49 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"vec_id")
     },
 
+    // ---- int8 scalar quantization (SQ8) + reconstruction error ----
+    // The third compression point on the ANN storage curve (exact float
+    // -> SQ8 4x -> PQ 32x): per-DIMENSION min/max train a 256-level
+    // uniform quantizer, codes = floor((x-mn)/(mx-mn)*255) clamped, and
+    // dequantization reconstructs at bucket centers (mn+(c+.5)*step).
+    // Shape at 100 TB: training is one posexplode + 64-row aggregate
+    // (map-side combined, shuffle carries dim rows, not vectors); the
+    // model collapses to a single broadcast row (the assignCells
+    // pattern) so encoding is a pure narrow map with zero corpus
+    // exchange. Every arithmetic op is IEEE +,-,*,/ and floor — no libm
+    // — so codes AND the reconstruction SSE hash-compare raw, unrounded.
+    "q_embed_sq8" -> { (s, d) =>
+      import s.implicits._
+      val e = emb(s, d).select($"vec_id", $"v")
+      val dims = e.select(posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      val model = dims.agg(
+        transform(array_sort(collect_list(struct($"dim", $"mn"))),
+          r => r("mn")).as("mns"),
+        transform(array_sort(collect_list(struct($"dim", $"mx"))),
+          r => r("mx")).as("mxs"))
+      val coded = e.crossJoin(broadcast(model))
+        .withColumn("codes", transform(sequence(lit(1), size($"v")), i => {
+          val x = element_at($"v", i)
+          val mn = element_at($"mns", i)
+          val mx = element_at($"mxs", i)
+          when(mx === mn, lit(0L))
+            .otherwise(least(floor((x - mn) / (mx - mn) * 255.0), lit(255L)))
+        }))
+        .withColumn("err", transform(sequence(lit(1), size($"v")), i => {
+          val mn = element_at($"mns", i)
+          val mx = element_at($"mxs", i)
+          element_at($"v", i) -
+            (mn + (element_at($"codes", i) + 0.5) * (mx - mn) / 256.0)
+        }))
+      coded.select(
+        $"vec_id",
+        asLong(element_at($"codes", 1)).as("code_first"),
+        asLong(aggregate($"codes", lit(0L), (a, c) => a + c)).as("code_sum"),
+        graft.functions.VectorExprs.dotProduct($"err", $"err").as("sse"))
+        .orderBy($"vec_id")
+    },
+
     // ---- random-hyperplane LSH sketch (hash-exact across engines) ----
     "q_embed_lsh_sketch" -> { (s, d) =>
       import s.implicits._
@@ -587,6 +630,32 @@ object LlmVectorQueries extends QueryPack {
         |  round(CAST(embedding[1] AS DOUBLE)
         |        / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS first_normalized
         |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    // per-dim min/max -> codes -> bucket-center reconstruction, all
+    // IEEE-exact ops in the same order as the Spark side; the code fold
+    // and SSE compare raw (no rounding anywhere)
+    "q_embed_sq8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (
+        |  SELECT dim, min(x) AS mn, max(x) AS mx
+        |  FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM v)
+        |  GROUP BY dim),
+        |model AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |          FROM dims),
+        |coded AS (
+        |  SELECT vec_id, v, mns, mxs,
+        |    [ CASE WHEN mxs[i] = mns[i] THEN 0
+        |           ELSE CAST(least(floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255), 255) AS BIGINT)
+        |      END FOR i IN range(1, len(v) + 1) ] AS codes
+        |  FROM v CROSS JOIN model)
+        |SELECT vec_id,
+        |  codes[1] AS code_first,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  list_sum([ (v[i] - (mns[i] + (codes[i] + 0.5) * (mxs[i] - mns[i]) / 256))
+        |             * (v[i] - (mns[i] + (codes[i] + 0.5) * (mxs[i] - mns[i]) / 256))
+        |             FOR i IN range(1, len(v) + 1) ]) AS sse
+        |FROM coded
         |ORDER BY vec_id""".stripMargin,
 
     "q_embed_neardup" ->
