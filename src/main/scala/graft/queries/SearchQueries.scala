@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus search / curation queries a training-data pipeline needs beyond
@@ -101,6 +102,53 @@ object SearchQueries extends QueryPack {
       val out = scored.orderBy($"score".desc, $"doc_id").limit(10)
       tf.unpersist()
       out
+    },
+
+    // ---- TF-IDF retrieval: sparse-vector cosine via posting join ----
+    // The vector-space twin of BM25: docs as tf·idf term vectors, query
+    // docs ranked against the corpus by cosine. Same inverted-index
+    // shape — ONE tf pass (text leaves the scan as (doc_id, term, tf)),
+    // dot products from a posting equi-join on term (query side 50 docs,
+    // broadcastable), norms from a per-doc aggregate — so the corpus
+    // never self-shuffles on anything wider than a term. At web scale
+    // hot terms get df-pruned / champion-listed before the join; this
+    // corpus's synthetic 31-term vocabulary makes a df cap degenerate
+    // (every term is in >50% of docs), so the fan-out bound here is
+    // vocab-sized and pruning stays off. Determinism: idf rounds to
+    // 6 dp into DECIMAL, all dot/norm sums are exact decimal sums
+    // (merge-order-insensitive); the final cosine is IEEE-deterministic
+    // from exact inputs — compared RAW, no output rounding.
+    "q_search_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          ($"tf" * round(log($"n_docs".cast("double") / $"df"), 6)
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as("w"))
+      val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+      val qw = w.filter($"doc_id" < 50)
+        .select($"doc_id".as("q_id"), $"term", $"w".as("wq"))
+      val dots = broadcast(qw).join(w, "term")
+        .filter($"q_id" =!= $"doc_id")
+        .groupBy($"q_id", $"doc_id")
+        .agg(sum($"wq" * $"w").as("dot"))
+      val scored = dots
+        .join(norms.select($"doc_id".as("q_id"), $"n2".as("na2")), "q_id")
+        .join(norms.select($"doc_id", $"n2".as("nb2")), "doc_id")
+        .select($"q_id", $"doc_id",
+          ($"dot".cast("double") /
+            (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double")))).as("cos"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id")))
+        .filter($"rk" <= 5)
+        .select($"q_id", asLong($"rk").as("rk"), $"doc_id", $"cos")
+        .orderBy($"q_id", $"rk")
     },
 
     // ---- duplicate-cluster canonicalization (connected components) ----
@@ -362,6 +410,37 @@ object SearchQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // idf rounded to 6 dp into DECIMAL, decimal-exact dot/norm sums,
+    // raw IEEE cosine — mirrors the Spark expression tree op for op
+    "q_search_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS DECIMAL(18,6))
+        |         AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfv USING (term) CROSS JOIN n),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS q_id, b.doc_id AS c_id, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < 50 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms na ON na.doc_id = dots.q_id
+        |            JOIN norms nb ON nb.doc_id = dots.c_id)
+        |SELECT q_id, rk, doc_id, cos
+        |FROM (SELECT q_id, c_id AS doc_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+        |      FROM scored)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
     "q_search_bm25" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
