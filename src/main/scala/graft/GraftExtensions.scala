@@ -80,5 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // this per-session via experimental.extraStrategies for sessions
     // created without the extension)
     e.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
+    // optimizer rule: rewrites the row_number()-filter top-k idiom into
+    // the bounded-heap operator above (see RowNumberTopKRewrite guards)
+    e.injectOptimizerRule(_ => plans.RowNumberTopKRewrite)
   }
 }

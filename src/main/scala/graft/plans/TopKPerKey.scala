@@ -107,6 +107,19 @@ case class TopKPerKeyExec(
 }
 
 object TopKPerKey {
+  /** Install the strategy AND the window-idiom rewrite rule on a session
+    * created without GraftExtensions (idempotent; public experimental-
+    * methods hooks). After this, `row_number().over(...) <= k` queries
+    * that discard the rank column plan through TopKPerKeyExec. */
+  def installRewrite(session: org.apache.spark.sql.SparkSession): Unit = {
+    val strategies = session.experimental.extraStrategies
+    if (!strategies.contains(TopKPerKeyStrategy))
+      session.experimental.extraStrategies = strategies :+ TopKPerKeyStrategy
+    val opts = session.experimental.extraOptimizations
+    if (!opts.contains(RowNumberTopKRewrite))
+      session.experimental.extraOptimizations = opts :+ RowNumberTopKRewrite
+  }
+
   /** DataFrame API: k best rows per key under `order` (first-in-sort-
     * order wins; pass `$"x".desc` for largest-x). Include a unique
     * tiebreaker in `order` for deterministic results. Installs the

@@ -204,6 +204,26 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
     },
 
+    // ---- per-group top-k: the WINDOW IDIOM, planned natively ----
+    // Same user-facing formulation as q_topk_per_group (row_number over
+    // a window, filter <= 3) but with the rank column discarded — which
+    // lets the RowNumberTopKRewrite optimizer rule swap the whole
+    // Window+Filter for the bounded-heap TopKPerKeyExec (TopKRewriteSpec
+    // pins the plan). The oracle runs the ranking-window SQL, proving
+    // the rewrite preserves semantics on real data.
+    "q_topk_rewrite" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.TopKPerKey.installRewrite(s)
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+    },
+
     // ---- A2 in function form: max_by / min_by ----
     "q_agg_max_by" -> { (s, d) =>
       import s.implicits._
@@ -342,6 +362,15 @@ object RelationalQueries extends QueryPack {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_topk_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_topk_native" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (

@@ -218,6 +218,34 @@ object SearchQueries extends QueryPack {
     // narrow rows), which at 100 TB beats six separate scans by the full
     // scan cost. Min/max format through engine-stable renderings (decimal
     // casts, explicit date format) so the compare is exact.
+    // ---- equi-width histogram + cumulative distribution ----
+    // The profiling companion to min/max/distinct: 20 equi-width bins
+    // over o_totalprice with counts and a running cumulative count. Two
+    // scans (a 1-row min/max aggregate broadcast into the binning pass),
+    // then a 20-key groupBy with map-side partials — the shuffle carries
+    // bins, not rows, at any corpus size. Bin edges and assignment are
+    // pure IEEE -,*,/ and floor (no libm), so counts hash-compare
+    // exactly; the top edge clamps into the last bin (the max value
+    // lands on bin 20 by the formula).
+    "q_profile_histogram" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val nb = 20
+      val stats = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+      o.crossJoin(broadcast(stats))
+        .select(least(floor(($"o_totalprice" - $"mn") / ($"mx" - $"mn") * nb),
+          lit(nb - 1L)).as("bin"), $"mn", $"mx")
+        .groupBy($"bin", $"mn", $"mx")
+        .agg(asLong(count(lit(1))).as("n"))
+        .select($"bin",
+          ($"mn" + $"bin" * (($"mx" - $"mn") / nb)).as("bin_lo"),
+          ($"mn" + ($"bin" + 1) * (($"mx" - $"mn") / nb)).as("bin_hi"),
+          $"n")
+        .withColumn("cum_n", sum($"n").over(
+          Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy($"bin")
+    },
+
     "q_profile_columns" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.Column
@@ -508,6 +536,22 @@ object SearchQueries extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term
         |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "q_profile_histogram" ->
+      """WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        |binned AS (
+        |  SELECT CAST(least(floor((o_totalprice - mn) / (mx - mn) * 20), 19) AS BIGINT) AS bin,
+        |         mn, mx
+        |  FROM orders CROSS JOIN stats),
+        |counts AS (
+        |  SELECT bin, mn, mx, count(*) AS n FROM binned GROUP BY 1, 2, 3)
+        |SELECT bin,
+        |  mn + bin * ((mx - mn) / 20) AS bin_lo,
+        |  mn + (bin + 1) * ((mx - mn) / 20) AS bin_hi,
+        |  n,
+        |  sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |FROM counts
+        |ORDER BY bin""".stripMargin,
 
     "q_profile_columns" ->
       """SELECT 'o_custkey' AS col_name,

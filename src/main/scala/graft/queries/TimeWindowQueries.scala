@@ -132,6 +132,36 @@ object TimeWindowQueries extends QueryPack {
         .filter($"is_grid" === 1)
         .select($"user_id", $"ts".as("grid_ts"), $"filled")
         .orderBy($"user_id", $"grid_ts")
+    },
+
+    // ---- exponentially-weighted moving average (integer fixed-point) ----
+    // The classic sequential time-series smoother, made ENGINE-EXACT the
+    // PageRank way: values scale to 1e3 fixed-point integers and alpha is
+    // pinned at 1/2 — the dyadic choice makes each step s = (v + s_prev)
+    // DIV 2 pure integer arithmetic, so the fold is bit-identical across
+    // engines (nonneg values; both engines' integer division agree) and
+    // a DuckDB RECURSIVE CTE can replay every step. The fold itself runs
+    // as one sorted pass per key (flatMapSortedGroups: secondary sort,
+    // O(1) state, one task per user — the sessionized-fold shape that
+    // holds at any event density; keys are the parallelism unit).
+    // Floating alpha would make this a narrow window computation but
+    // sacrifice cross-engine exactness — fixed-point is the honest gate.
+    "q_ts_ewma" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          floor($"value" * 1000).cast("long").as("v"))
+        .as[EwmaIn]
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups($"ts_us", $"event_id") { (uid: Long, rows: Iterator[EwmaIn]) =>
+          var state = Long.MinValue
+          rows.map { r =>
+            state = if (state == Long.MinValue) r.v else (r.v + state) / 2
+            (r.event_id, uid, r.v, state)
+          }
+        }
+        .toDF("event_id", "user_id", "v", "ewma")
+        .orderBy($"event_id")
     }
   )
 
@@ -233,6 +263,27 @@ object TimeWindowQueries extends QueryPack {
         |  FROM u)
         |SELECT user_id, ts AS grid_ts, filled
         |FROM f WHERE is_grid = 1
-        |ORDER BY user_id, grid_ts""".stripMargin
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
+    // the integer fold replayed step by step: a recursive CTE walks each
+    // user's row_number chain; // is floor division, == the Spark side's
+    // Long division on the NONNEGATIVE fixed-point values here
+    "q_ts_ewma" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, event_id, i, v, v AS ewma FROM seq WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.i, s.v, (s.v + r.ewma) // 2
+        |  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.i = r.i + 1)
+        |SELECT event_id, user_id, v, ewma FROM rec
+        |ORDER BY event_id""".stripMargin
   )
 }
+
+/** Input row for the q_ts_ewma sorted fold (flat encoder — no object
+  * graphs in the group iterator). */
+case class EwmaIn(user_id: Long, event_id: Long, ts_us: Long, v: Long)
