@@ -168,6 +168,40 @@ object MultimodalOps {
     }
   }
 
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual dHash over the DECODED raster: nearest-neighbor resize
+    * to 9x8 (the same source-index-truncation mapping as `resize`),
+    * then bit (r*8+c) set iff the pixel right of (r,c) is brighter —
+    * the gradient fingerprint image-dedup pipelines key on. Runs
+    * through the REAL PNG codec (any decode defect changes the hash,
+    * which the oracle's closed-form raster replay would catch). One
+    * narrow partition-batched pass; the hash is 8 bytes per image, so
+    * downstream pair-finding shuffles hashes, never pixels. */
+  def dHashes(payloads: Dataset[Payload]): Dataset[PHash] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val (w, h, px) = decodePng(p.payload)
+        var v = 0L
+        var r = 0
+        while (r < 8) {
+          val sy = r * h / 8
+          var c = 0
+          while (c < 8) {
+            val left = px(sy * w + c * w / 9)
+            val right = px(sy * w + (c + 1) * w / 9)
+            if (right > left) v |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        PHash(p.doc_id, v)
+      }
+    }
+  }
+
   /** Feature extraction as a partition-batched pass: one iterator per
     * partition (the mapInPandas batch shape, Scala-side), no per-row JVM
     * round trips, constant memory per partition. The decode is the REAL

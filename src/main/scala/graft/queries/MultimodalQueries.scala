@@ -49,6 +49,30 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- perceptual image dedup (dHash + lossless block LSH) ----
+    // Near-duplicate IMAGES via the 64-bit gradient dHash of each
+    // decoded raster, paired through the same 16-bit-block LSH as the
+    // text simhash path (pigeonhole: hamming<=3 pairs must share a
+    // block — lossless, no all-pairs anywhere in the plan; the all-pairs
+    // ground truth lives in the oracle). Everything after the decode
+    // shuffles 8-byte hashes only.
+    "q_multimodal_phash" -> { (s, d) =>
+      import s.implicits._
+      import graft.llm.TextOps
+      val ph = MultimodalOps.dHashes(MultimodalOps.pngPayloadTable(s, d)).toDF()
+      val blocks = ph.select($"doc_id", $"phash",
+          explode(TextOps.simhashBlocks($"phash")).as("b"))
+        .select($"doc_id", $"phash", $"b.blk", $"b.v")
+      val a = blocks.select($"doc_id".as("a_id"), $"phash".as("a_ph"), $"blk", $"v")
+      val b = blocks.select($"doc_id".as("b_id"), $"phash".as("b_ph"), $"blk", $"v")
+      a.join(b, Seq("blk", "v"))
+        .filter($"a_id" < $"b_id")
+        .dropDuplicates("a_id", "b_id")
+        .select($"a_id", $"b_id", asLong(TextOps.hamming64($"a_ph", $"b_ph")).as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
+    },
+
     // frame sampling: 64-byte frames, every 2nd frame kept
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
@@ -117,6 +141,35 @@ object MultimodalQueries extends QueryPack {
         |FROM documents
         |WHERE octet_length(encode(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // generated: every dHash bit recomputed from the closed-form planted
+    // raster (pixel (y,x) = ((doc_id%256)*31 + y*7 + x*13) % 256, resize
+    // mapping sy = r*h//8, sx = c*w//9), summed in HUGEINT, mapped to
+    // signed BIGINT, then ALL-PAIRS hamming <= 3 — independent ground
+    // truth proving both the real PNG decode and the block-LSH pairing
+    // are lossless (the simhash-oracle pattern applied to images)
+    "q_multimodal_phash" -> {
+      def pix(r: Int, cExpr: String) =
+        s"((doc_id % 256) * 31 + (($r * h) // 8) * 7 + (($cExpr * w) // 9) * 13) % 256"
+      val bits = (for (r <- 0 until 8; c <- 0 until 8) yield {
+        val j = r * 8 + c
+        val pow = java.lang.Long.toUnsignedString(1L << j)
+        s"(CASE WHEN (${pix(r, (c + 1).toString)}) > (${pix(r, c.toString)}) THEN $pow::HUGEINT ELSE 0::HUGEINT END)"
+      }).mkString("\n     + ")
+      s"""WITH dims AS (
+         |  SELECT doc_id, 1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+         |  FROM documents),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+         |              THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS phash
+         |  FROM (SELECT doc_id, ($bits) AS m FROM dims))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // every 2nd 64-byte frame replayed as text slices (codepoint == byte
     // for the ASCII corpus; tail frame shorter than 64)
