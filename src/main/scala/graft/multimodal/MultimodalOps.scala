@@ -114,6 +114,106 @@ object MultimodalOps {
     spark.read.parquet(fixture).as[Payload]
   }
 
+  case class AudioPayload(doc_id: Long, payload: Array[Byte])
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sum_samples: Long,
+                           max_abs: Long, zero_cross: Long)
+
+  /** The planted waveform: a closed-form integer rule (range ±2000 at
+    * 16-bit depth) so the oracle recomputes every sample without a
+    * decoder — the audio twin of `plantedPixel`. */
+  def plantedSample(docId: Long, i: Int): Int =
+    (((docId * 131 + i * 17) % 4001) - 2000).toInt
+
+  def plantedSampleCount(nChars: Long): Int = (160 + nChars % 128).toInt
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    /* sampleRate = */ 8000f, /* bits = */ 16, /* channels = */ 1,
+    /* signed = */ true, /* bigEndian = */ false)
+
+  /** Encode 16-bit PCM samples as a REAL mono WAV (javax.sound.sampled —
+    * JDK-native, no external codec). */
+  def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), WavFormat, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload back to its 16-bit samples via the real parser
+    * (header, chunk layout, format negotiation — not a byte slice). */
+  def decodeWav(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"unexpected WAV format: $f")
+    val pcm = ais.readAllBytes()
+    val out = new Array[Int](pcm.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Audio payload table: one deterministic synthetic WAV per document,
+    * written once per JVM per sf dir (same ingest-side shape as
+    * `pngPayloadTable`). */
+  private val wavDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def wavPayloadTable(spark: SparkSession, dir: String): Dataset[AudioPayload] = {
+    import spark.implicits._
+    val fixture = wavDirs.computeIfAbsent(dir, { _ =>
+      val out = graft.TempDirs.create("graft_wav")
+      graft.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val n = plantedSampleCount(nc)
+            AudioPayload(id, encodeWav(Array.tabulate(n)(plantedSample(id, _))))
+          }
+        }
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(fixture).as[AudioPayload]
+  }
+
+  /** Waveform features over the DECODED samples: count, sum, peak, and
+    * zero crossings (sign boundary at >= 0) — all integer, so the oracle
+    * replays them from the closed-form waveform and any codec defect
+    * breaks the hash match. Partition-batched like extractFeatures. */
+  def extractAudioFeatures(payloads: Dataset[AudioPayload]): Dataset[AudioFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val xs = decodeWav(p.payload)
+        var sum = 0L
+        var maxAbs = 0L
+        var zc = 0L
+        var i = 0
+        while (i < xs.length) {
+          sum += xs(i)
+          if (math.abs(xs(i)) > maxAbs) maxAbs = math.abs(xs(i))
+          if (i > 0 && (xs(i) >= 0) != (xs(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        AudioFeatures(p.doc_id, xs.length.toLong, sum, maxAbs, zc)
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, byte_sum: Long)
 
   /** Frame sampling over an opaque media payload — the video-shaped

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: blocklist filtering behind a broadcast
+  * Bloom prefilter, and deterministic weighted (systematic) sampling.
+  *
+  * Scale design:
+  *  - the Bloom path is the 100 TB shape for "remove these N documents
+  *    from the corpus": the corpus side stays a NARROW MAP against a
+  *    broadcast bitset (definite-no rows never join anything); only the
+  *    tiny candidate set pays an exact-confirm join. A plain anti-join
+  *    would shuffle, or at best hash-probe, every corpus row.
+  *  - weighted sampling is one window prefix-sum; at 100 TB the same
+  *    selection rule runs as per-partition partial sums + a broadcast
+  *    offset vector (the classic distributed scan), because the rule
+  *    only needs each row's cumulative weight, not a global sort order
+  *    beyond the already-bucketed id.
+  */
+object CurationQueries extends QueryPack {
+
+  /** Bloom geometry: m = 4096 bits as 128 32-bit words stored in BIGINTs
+    * (bit index <= 31 keeps every stored word positive — no sign games
+    * in either engine), k = 3 hash probes via xxhash64(j, text). m is a
+    * power of two so reducing the 64-bit hash mod m is exact low-bit
+    * masking regardless of sign convention. Sized for the fixture
+    * blocklist (~46 texts -> k*n/m ~ 3% fill, fp ~ 1e-5 per probe
+    * triple); production sizes m to the blocklist, not the corpus. */
+  private val BloomBits = 4096L
+  private val BloomK = 3
+
+  /** Corpus rows tagged with the Bloom verdict (`cand`): build the bitset
+    * from `block`, broadcast it as ONE map row, and evaluate the k probes
+    * per corpus row as a narrow map — no corpus-side shuffle anywhere.
+    * Package-visible so the spec can assert the PRUNING contract (the
+    * oracle gate only proves the final answer; a bloom that marked every
+    * row a candidate would still pass it). */
+  private[queries] def bloomProbe(docs: DataFrame, block: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def posCol(j: Int) = pmod(xxhash64(lit(j), $"text"), lit(BloomBits))
+    val bloom = block
+      .select(explode(array((0 until BloomK).map(posCol): _*)).as("p"))
+      .select(expr("p div 32").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("bit"))
+      .groupBy($"word").agg(expr("bit_or(bit)").as("bits"))
+      .agg(map_from_entries(collect_list(struct($"word", $"bits"))).as("bm"))
+    docs
+      .select(Seq($"doc_id", $"n_chars", $"text") ++
+        (0 until BloomK).map(j => posCol(j).as(s"p$j")): _*)
+      .crossJoin(broadcast(bloom))
+      .withColumn("cand",
+        (0 until BloomK).map(j => coalesce(
+          expr(s"(element_at(bm, p$j div 32) & " +
+            s"shiftleft(cast(1 as bigint), cast(p$j % 32 as int))) != 0"),
+          lit(false))).reduce(_ && _))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- blocklist filtering: broadcast Bloom prefilter + exact confirm ----
+    // Remove every document whose text matches a blocklisted document
+    // (here: doc_id % 11 == 0 — the "opted-out / flagged provider" set).
+    // Plan: blocklist -> k bit positions -> bit_or per word -> ONE map row,
+    // broadcast; corpus rows compute the same k positions (narrow map) and
+    // only all-bits-set candidates reach the sha2-digest anti-join confirm.
+    // Bloom false negatives are impossible, so definite-no rows are exact
+    // survivors; the oracle is the plain text-level anti-join, which any
+    // bit-logic defect on the Spark side would break.
+    "q_filter_bloom" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val block = docs.filter($"doc_id" % 11 === 0)
+      val probed = bloomProbe(docs, block)
+      val confirmed = probed.filter($"cand")
+        .withColumn("h", sha2($"text", 256))
+        .join(block.select(sha2($"text", 256).as("h")).distinct(), Seq("h"), "left_anti")
+      probed.filter(!$"cand")
+        .select($"doc_id", asLong($"n_chars").as("n_chars"))
+        .unionByName(confirmed.select($"doc_id", asLong($"n_chars").as("n_chars")))
+        .orderBy($"doc_id")
+    },
+
+    // ---- weighted systematic sampling (deterministic, integer-exact) ----
+    // Select ~k documents with inclusion probability proportional to
+    // n_chars: a document is picked when its cumulative-weight interval
+    // crosses a multiple of total/k. All arithmetic is BIGINT (cum*k
+    // integer-divided by total), so both engines agree bit-for-bit —
+    // no RNG, no floating point, reproducible under reruns and
+    // repartitioning (the property a training-data sampler must have).
+    "q_sample_weighted" -> { (s, d) =>
+      import s.implicits._
+      val k = 50L
+      val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      val tot = docs.agg(sum($"n_chars").cast("long").as("total"))
+      val w = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_w", sum($"n_chars").over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(expr(s"(cum_w * $k) div total > ((cum_w - n_chars) * $k) div total"))
+        .select($"doc_id", asLong($"n_chars").as("weight"), $"cum_w")
+        .orderBy($"doc_id")
+    },
+
+    // ---- per-domain token-budget capping ----
+    // Data-mixing quota: each source (domain) contributes documents in
+    // doc_id order until its running token total reaches the cap — the
+    // "at most N tokens per domain" rule mixture recipes apply before
+    // upsampling. A doc is kept iff it STARTS under the cap (the last
+    // doc may overshoot — the standard greedy quota). One window
+    // prefix-sum partitioned by source: partition-parallel, shuffle
+    // carries (doc_id, source, n_tokens) — never text.
+    "q_cap_domain_tokens" -> { (s, d) =>
+      import s.implicits._
+      val cap = 3000L
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" - $"n_tokens" < cap)
+        .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+
+    // ---- incremental-ingest dedup: new batch vs existing corpus ----
+    // The production shape of dedup at 100 TB is INCREMENTAL: a new
+    // ingest batch (here doc_id % 5 == 0, ~20%) is screened against the
+    // standing corpus — never corpus-vs-corpus. Exact dups via a digest
+    // semi-join (broadcast when the batch's digest set is small; the
+    // standing corpus is the probe side either way), near-dups via the
+    // same MinHash band keys as q_dedup_minhash but joined NEW x OLD
+    // only — candidate volume scales with the batch, not the corpus,
+    // and exact Jaccard verifies candidates only. Output: each new doc
+    // tagged kept / exact / near (exact wins when both apply).
+    "q_dedup_incremental" -> { (s, d) =>
+      import s.implicits._
+      import graft.llm.TextOps
+      graft.functions.VectorExprs.register(s)
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", sha2($"text", 256).as("h"),
+          TextOps.fastShingleHashes($"text").as("sh"))
+        .cache()
+      val newDocs = sh.filter($"doc_id" % 5 === 0)
+      val oldDocs = sh.filter($"doc_id" % 5 =!= 0)
+      val exact = newDocs
+        .join(oldDocs.select($"h").distinct(), Seq("h"), "left_semi")
+        .select($"doc_id")
+      def bands(df: DataFrame) = df.filter(size($"sh") > 0)
+        .select($"doc_id",
+          call_function("minhash_signature", $"sh", lit(64)).as("sig"))
+        .select($"doc_id",
+          posexplode(TextOps.bandKeysFromSig($"sig")).as(Seq("band_i", "band_key")))
+      val cand = bands(newDocs).select($"doc_id".as("n_id"), $"band_i", $"band_key")
+        .join(bands(oldDocs).select($"doc_id".as("o_id"), $"band_i", $"band_key"),
+          Seq("band_i", "band_key"))
+        .select($"n_id", $"o_id").dropDuplicates("n_id", "o_id")
+      val near = cand
+        .join(newDocs.select($"doc_id".as("n_id"), $"sh".as("n_sh")), Seq("n_id"))
+        .join(oldDocs.select($"doc_id".as("o_id"), $"sh".as("o_sh")), Seq("o_id"))
+        .filter(graft.functions.VectorExprs.sortedJaccard($"n_sh", $"o_sh") >= 0.5)
+        .select($"n_id".as("doc_id")).distinct()
+      val out = newDocs.select($"doc_id")
+        .join(exact.withColumn("ex", lit(true)), Seq("doc_id"), "left")
+        .join(near.withColumn("nr", lit(true)), Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"ex", "exact").when($"nr", "near").otherwise("kept").as("status"))
+        .orderBy($"doc_id")
+        .localCheckpoint()
+      sh.unpersist()
+      out
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    // ground truth is the SEMANTIC result (text-level anti-join): a Bloom
+    // false negative would leak a blocklisted text into the survivors and
+    // break the row/hash match; a mishandled false positive would drop a
+    // legitimate survivor
+    "q_filter_bloom" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 11 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |    (SELECT sum(n_chars) FROM documents) AS total
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, CAST(cum_w AS BIGINT) AS cum_w
+        |FROM c
+        |WHERE (cum_w * 50) // total > ((cum_w - n_chars) * 50) // total
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_cap_domain_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c
+        |WHERE cum_tokens - n_tokens < 3000
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent ground truth: exact = text equality against the old
+    // partition; near = ALL-PAIRS new x old string-shingle Jaccard >= 0.5
+    // (no banding — a band-recall miss on the Spark side would flip a
+    // 'near' row to 'kept' and break the hash match, same contract as
+    // q_dedup_minhash)
+    "q_dedup_incremental" ->
+      """WITH docs AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+        |newd AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+        |old AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM docs WHERE len(w) >= 3),
+        |ex AS (SELECT DISTINCT n.doc_id FROM newd n JOIN old o ON n.text = o.text),
+        |nr AS (SELECT DISTINCT a.doc_id
+        |       FROM sh a JOIN newd n ON a.doc_id = n.doc_id,
+        |            sh b JOIN old o ON b.doc_id = o.doc_id
+        |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT n.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+        |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+        |       ELSE 'kept' END AS status
+        |FROM newd n
+        |LEFT JOIN ex ON n.doc_id = ex.doc_id
+        |LEFT JOIN nr ON n.doc_id = nr.doc_id
+        |ORDER BY n.doc_id""".stripMargin
+  )
+}

@@ -183,6 +183,37 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"q_id", $"rk")
     },
 
+    // ---- hard-negative mining for contrastive training ----
+    // For each anchor (query) vector, the top-5 most-cosine-similar
+    // corpus vectors with a DIFFERENT label — the "hard negatives" a
+    // contrastive/embedding trainer pairs with each anchor. Same scan
+    // shape as q_ann_cosine_topk (broadcast anchor block x one corpus
+    // pass, per-partition partial top-k under the rank window); the
+    // label-inequality predicate rides in the join condition, so
+    // same-label rows are rejected by an int compare before any
+    // 64-term dot product is evaluated.
+    "q_mine_hard_negatives" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val base = Tables.embeddings(s, d).select(
+        $"vec_id", asDoubles($"embedding").as("v"),
+        sqrt(norm2(asDoubles($"embedding"))).as("nrm"), $"label")
+      val corpus = base.select($"vec_id".as("b_id"), $"v".as("bv"),
+        $"nrm".as("bn"), $"label".as("b_label"))
+      val anchors = base.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          $"label".as("q_label"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
+      corpus.join(broadcast(anchors),
+          $"q_id" =!= $"b_id" && $"q_label" =!= $"b_label")
+        .select($"q_id", $"b_id", asLong($"b_label").as("neg_label"),
+          (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"neg_label", $"cos")
+        .orderBy($"q_id", $"rk")
+    },
+
     // ---- embedding-cosine near-duplicate pairs (threshold 0.35) ----
     // Tiled exact self-join. The corpus's pairwise-cosine distribution is
     // a smooth continuum through 0.35 (156 of 271 qualifying pairs sit in
@@ -617,6 +648,23 @@ object LlmVectorQueries extends QueryPack {
         |  FROM embeddings q JOIN embeddings b
         |    ON q.vec_id < 50 AND b.vec_id != q.vec_id)
         |SELECT q_id, rk, b_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY cos DESC, b_id) AS rk
+        |  FROM p) t
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // same cosine op sequence as q_ann_cosine_topk, restricted to
+    // cross-label pairs
+    "q_mine_hard_negatives" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+        |         CAST(b.label AS BIGINT) AS neg_label,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings b
+        |    ON q.vec_id < 50 AND b.vec_id != q.vec_id AND b.label != q.label)
+        |SELECT q_id, rk, b_id, neg_label, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |                               ORDER BY cos DESC, b_id) AS rk
         |  FROM p) t

@@ -73,6 +73,20 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     },
 
+    // ---- REAL WAV decode: the audio modality, end to end ----
+    // A deterministic 16-bit PCM waveform per doc is encoded as an actual
+    // RIFF/WAVE file (javax.sound.sampled) and decoded back through the
+    // real parser on the executors; count/sum/peak/zero-crossings run
+    // over the decoded samples. Integer closed-form waveform -> the
+    // oracle replays the expected features with NO decoder, so a codec
+    // defect (byte order, header offset, sign) breaks the hash match.
+    "q_multimodal_audio" -> { (s, d) =>
+      import s.implicits._
+      MultimodalOps.extractAudioFeatures(MultimodalOps.wavPayloadTable(s, d))
+        .toDF()
+        .orderBy($"doc_id")
+    },
+
     // frame sampling: 64-byte frames, every 2nd frame kept
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
@@ -170,6 +184,25 @@ object MultimodalQueries extends QueryPack {
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },
+
+    // the WAV path verified WITHOUT a decoder: the planted waveform is
+    // sample(i) = ((doc_id*131 + i*17) % 4001) - 2000 over
+    // n = 160 + n_chars % 128 samples; zero crossings count sign-boundary
+    // (>= 0) flips between consecutive samples
+    "q_multimodal_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, 160 + n_chars % 128 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    [ ((doc_id * 131 + i * 17) % 4001) - 2000 FOR i IN range(0, n) ] AS xs
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(xs) AS BIGINT) AS sum_samples,
+        |  CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS max_abs,
+        |  CAST(len(list_filter(range(1, n), i -> (xs[i+1] >= 0) != (xs[i] >= 0))) AS BIGINT) AS zero_cross
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
 
     // every 2nd 64-byte frame replayed as text slices (codepoint == byte
     // for the ASCII corpus; tail frame shorter than 64)

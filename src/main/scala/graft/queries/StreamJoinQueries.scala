@@ -83,6 +83,36 @@ object StreamJoinQueries extends QueryPack {
         "left_outer")
         .select($"p_id", $"c_id")
       runToMemory(joined, "append").orderBy($"p_id", $"c_id")
+    },
+
+    // ---- stream ⋈ stream FULL OUTER (both sides' watermark eviction) ----
+    // Completes the streaming outer-join family: unmatched PURCHASES
+    // evict (and emit their null row) once the watermark passes p_ts —
+    // same as the left join — while unmatched CLICKS must be held until
+    // no future purchase can match; the time-range condition admits
+    // p_ts in [c_ts, c_ts + 30m], so a click's state lifetime extends
+    // 30 minutes past its own timestamp and its null row emits only
+    // when watermark > c_ts + 30m. The oracle encodes BOTH eviction
+    // rules; state stays O(rate x window) on each side.
+    "q_stream_stream_full_join" -> { (s, d) =>
+      import s.implicits._
+      val purchases = TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "purchase")
+        .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
+                $"event_id".as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "click")
+        .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
+                $"event_id".as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"c_ts" <= $"p_ts",
+        "full_outer")
+        .select($"p_id", $"c_id")
+      runToMemory(joined, "append").orderBy($"p_id", $"c_id")
     }
   )
 
@@ -118,6 +148,27 @@ object StreamJoinQueries extends QueryPack {
         |   AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts)
         |SELECT p_id, c_id FROM j, wm
         |WHERE c_id IS NOT NULL OR p_ts < w
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    // full-outer contract: matched rows always emit; unmatched purchases
+    // emit once w passes p_ts; unmatched clicks once w passes the end of
+    // their match window (c_ts + 30m)
+    "q_stream_stream_full_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |    - INTERVAL '1 hour' AS w),
+        |j AS (
+        |  SELECT p.event_id AS p_id, p.ts AS p_ts, c.event_id AS c_id, c.ts AS c_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts)
+        |SELECT p_id, c_id FROM j, wm
+        |WHERE (p_id IS NOT NULL AND c_id IS NOT NULL)
+        |   OR (c_id IS NULL AND p_ts < w)
+        |   OR (p_id IS NULL AND c_ts + INTERVAL '30 minutes' < w)
         |ORDER BY p_id, c_id""".stripMargin
   )
 }

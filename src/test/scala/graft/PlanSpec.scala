@@ -154,6 +154,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom blocklist filter: broadcast-only joins on the corpus path") {
+    // the 100 TB contract of q_filter_bloom: the corpus must NEVER
+    // shuffle for the removal — the bitset arrives broadcast (nested-loop
+    // over one map row) and the exact confirm broadcasts the blocklist
+    // digests into a LeftAnti hash join; any SortMergeJoin means the
+    // corpus got shuffled
+    val p = plan("q_filter_bloom")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("exact dedup aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q_dedup_exact")
     // two HashAggregate levels around one exchange = partial + final
