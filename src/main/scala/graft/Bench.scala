@@ -29,7 +29,8 @@ object Bench {
     // run measures the co-located join / pruned scan themselves, matching
     // the production shape where layout happens at ingest, not per query.
     Seq("q_agg_pricing_summary", "q_join_bucketed",
-        "q_source_partitioned_pruning", "q_multimodal_features").foreach { w =>
+        "q_source_partitioned_pruning", "q_multimodal_features",
+        "q_multimodal_audio").foreach { w =>
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => }

@@ -390,6 +390,28 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"vec_id")
     },
 
+    // ---- cluster-balanced diversity sampling ----
+    // Topic-balanced subset selection: at most 8 vectors per IVF cell,
+    // chosen by a deterministic Knuth-hash order within the cell — the
+    // "spread the sample across semantic clusters" op dataset-balancing
+    // recipes apply where uniform sampling would mirror the corpus's
+    // topic skew. Reuses the shared deterministic IVF model (broadcast
+    // O(k·dim), zero-exchange assignment); the only shuffle is the
+    // per-cell rank window on (cell, vec_id) — narrow rows. Quota rides
+    // a rank, so it is exact per cell, not probabilistic.
+    "q_sample_diverse" -> { (s, d) =>
+      import s.implicits._
+      val (_, assigned) = ivfModel(s, d)
+      def knuth(c: Column): Column =
+        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      assigned
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"cell").orderBy(knuth($"vec_id" + 13), $"vec_id")))
+        .filter($"rk" <= 8)
+        .select($"vec_id", asLong($"cell").as("cell"), asLong($"rk").as("rk"))
+        .orderBy($"vec_id")
+    },
+
     // ---- product-quantization ANN (the memory-compression path) ----
     // Completes the ANN quartet (brute / LSH / IVF / PQ): 64-dim vectors
     // compress to 4 subspace codes of 4 bits' worth each (16 centroids
@@ -789,6 +811,19 @@ object LlmVectorQueries extends QueryPack {
         |       (d.vec_id IS NULL) AS keep
         |FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id
         |ORDER BY r.vec_id""".stripMargin,
+
+    // the same IVF assignment, then a per-cell Knuth-hash rank quota
+    "q_sample_diverse" ->
+      s"""WITH $ivfOracleCtes,
+        |sel AS (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY cell
+        |           ORDER BY ((((vec_id + 13) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296,
+        |                    vec_id) AS rk
+        |  FROM assigned)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rk AS BIGINT) AS rk
+        |FROM sel WHERE rk <= 8
+        |ORDER BY vec_id""".stripMargin,
 
     "q_ann_pq" -> pqOracleSql
   )

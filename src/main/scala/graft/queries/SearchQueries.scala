@@ -115,34 +115,59 @@ object SearchQueries extends QueryPack {
     // corpus's synthetic 31-term vocabulary makes a df cap degenerate
     // (every term is in >50% of docs), so the fan-out bound here is
     // vocab-sized and pruning stays off. Determinism: idf rounds to
-    // 6 dp into DECIMAL, all dot/norm sums are exact decimal sums
-    // (merge-order-insensitive); the final cosine is IEEE-deterministic
-    // from exact inputs — compared RAW, no output rounding.
+    // integer micro-units (fixed-point long), products are exact long
+    // multiplies summed in DECIMAL (merge-order-insensitive); the final
+    // cosine is IEEE-deterministic from exact inputs — compared RAW,
+    // no output rounding.
     "q_search_tfidf" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // localCheckpoint: tf feeds FOUR consumers (df stats, norms, the
+      // query block, the posting join) and the explode+groupBy corpus
+      // pass would otherwise re-run for each — it was ~70% of the
+      // query's wall time at sf0.1. Narrow (doc_id, term, tf) rows, so
+      // the materialization is posting-list-sized, never text-sized.
       val tf = docs
         .select($"doc_id", explode(split($"text", " ")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      // FIXED-POINT weights: idf rounds to integer micro-units (1e6), so
+      // each weight is one long multiply — exact, engine-identical.
       val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
         .select($"doc_id", $"term",
-          ($"tf" * round(log($"n_docs".cast("double") / $"df"), 6)
-            .cast("decimal(18,6)")).cast("decimal(18,6)").as("w"))
-      val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
-      val qw = w.filter($"doc_id" < 50)
-        .select($"doc_id".as("q_id"), $"term", $"w".as("wq"))
-      val dots = broadcast(qw).join(w, "term")
-        .filter($"q_id" =!= $"doc_id")
-        .groupBy($"q_id", $"doc_id")
-        .agg(sum($"wq" * $"w").as("dot"))
-      val scored = dots
-        .join(norms.select($"doc_id".as("q_id"), $"n2".as("na2")), "q_id")
-        .join(norms.select($"doc_id", $"n2".as("nb2")), "doc_id")
+          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 1e6)
+            .cast("long")).as("w6"))
+      // CHAMPION-LIST VECTORIZATION: with the scoring vocabulary bounded
+      // (this corpus's 31 terms; a df-pruned champion list in production)
+      // each doc's sparse weights collapse into a dense vocab-indexed
+      // double array, and the 250k pair scores run through the codegen
+      // dot kernel — the q_ann_cosine_topk scan shape — instead of a
+      // 5.8M-row posting fan-out into a decimal hash aggregate (2.7 s of
+      // the 5.5 s this query cost at sf0.1). Weights are integer-valued
+      // doubles (<= 2^53, exact); the pair dot is the kernel's
+      // SEQUENTIAL fold over a fixed term order, so both engines round
+      // identically. The posting join remains the unbounded-vocab path
+      // (q_search_bm25 keeps that shape).
+      graft.functions.VectorExprs.register(s)
+      import graft.llm.VectorOps.dot
+      val tids = dfv.select($"term",
+        row_number().over(Window.orderBy($"term")).as("tid"))
+      val vsz = tids.agg(max($"tid").as("vsz"))
+      val vecs = w.join(broadcast(tids), "term")
+        .groupBy($"doc_id")
+        .agg(map_from_entries(collect_list(struct($"tid", $"w6"))).as("m"))
+        .crossJoin(broadcast(vsz))
+        .select($"doc_id",
+          transform(sequence(lit(1), $"vsz"),
+            i => coalesce(element_at($"m", i), lit(0L)).cast("double")).as("v"))
+        .withColumn("n2", dot($"v", $"v"))
+      val qvecs = vecs.filter($"doc_id" < 50)
+        .select($"doc_id".as("q_id"), $"v".as("qv"), $"n2".as("na2"))
+      val scored = vecs.join(broadcast(qvecs), $"q_id" =!= $"doc_id")
         .select($"q_id", $"doc_id",
-          ($"dot".cast("double") /
-            (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double")))).as("cos"))
+          (dot($"qv", $"v") / (sqrt($"na2") * sqrt($"n2"))).as("cos"))
       scored
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id")))
@@ -449,19 +474,21 @@ object SearchQueries extends QueryPack {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |w AS (
         |  SELECT doc_id, term,
-        |    CAST(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS DECIMAL(18,6))
-        |         AS DECIMAL(18,6)) AS w
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS w6
         |  FROM tf JOIN dfv USING (term) CROSS JOIN n),
-        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
-        |dots AS (
-        |  SELECT a.doc_id AS q_id, b.doc_id AS c_id, sum(a.w * b.w) AS dot
-        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < 50 AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2),
+        |tids AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM dfv),
+        |grid AS (
+        |  SELECT d.doc_id, t.tid, CAST(coalesce(wt.w6, 0) AS DOUBLE) AS x
+        |  FROM (SELECT DISTINCT doc_id FROM w) d
+        |  CROSS JOIN tids t
+        |  LEFT JOIN (SELECT doc_id, tid, w6 FROM w JOIN tids USING (term)) wt
+        |    ON wt.doc_id = d.doc_id AND wt.tid = t.tid),
+        |vecs AS (SELECT doc_id, list(x ORDER BY tid) AS v FROM grid GROUP BY doc_id),
         |scored AS (
-        |  SELECT q_id, c_id,
-        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
-        |  FROM dots JOIN norms na ON na.doc_id = dots.q_id
-        |            JOIN norms nb ON nb.doc_id = dots.c_id)
+        |  SELECT q.doc_id AS q_id, b.doc_id AS c_id,
+        |    list_dot_product(q.v, b.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM vecs q JOIN vecs b ON q.doc_id < 50 AND b.doc_id != q.doc_id)
         |SELECT q_id, rk, doc_id, cos
         |FROM (SELECT q_id, c_id AS doc_id, cos,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
