@@ -435,55 +435,98 @@ object LlmVectorQueries extends QueryPack {
         .limit(PqTrain)
         .select($"vec_id", $"v")
         .localCheckpoint()
-      // per-subspace codebooks: seeds -> one Lloyd round (mirrors IVF)
-      val codebooks = (0 until PqM).map { m =>
+      // per-subspace codebooks, FUSED into one plan: the four seed
+      // TakeOrdereds union under an `m` tag, the train sample assigns to
+      // all four seed sets in one 4x-amplified broadcast pass, and one
+      // groupBy (m, cell) takes the Lloyd means — one job chain instead
+      // of four (each chain cost ~0.6 s of per-job scheduling at toy
+      // scale, and four sequential barriers at any scale)
+      val seedArrs = (0 until PqM).map { m =>
         val off = m * PqSubDim
-        val seeds = corpus
+        corpus
           .orderBy(
             pmod(pmod($"vec_id" + PqSeedOff(m), lit(2147483648L)) * lit(2654435761L),
               lit(4294967296L)), $"vec_id")
           .limit(PqK)
-          .select($"vec_id".as("c_id"), slice($"v", off + 1, PqSubDim).as("cv"))
-        val ta = assignPqCell(train, seeds, off)
-        ta.groupBy($"cell")
-          .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
-          .select($"cell".as("c_id"),
-            transform(sequence(lit(1), lit(PqSubDim)), i =>
-              aggregate($"vs", lit(0.0),
-                (a, e) => a + element_at(e.getField("v"), i + off)) / size($"vs"))
-              .as("cv"))
-          .localCheckpoint()
+          .select(lit(m).as("m"), $"vec_id".as("c_id"),
+            slice($"v", off + 1, PqSubDim).as("cv"))
+      }.reduce(_ unionByName _)
+        .select($"m", struct($"c_id", $"cv", dot($"cv", $"cv").as("n2")).as("e"))
+        .groupBy($"m").agg(array_sort(collect_list($"e")).as("cents"))
+      val ta = train.crossJoin(broadcast(seedArrs))
+        .withColumn("sub", slice($"v", $"m" * PqSubDim + 1, lit(PqSubDim)))
+        .withColumn("sn2", dot($"sub", $"sub"))
+        .withColumn("cell",
+          aggregate($"cents",
+            struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c_id")),
+            (acc, c) => least(acc,
+              struct(
+                (($"sn2" - lit(2.0) * dot($"sub", c.getField("cv")))
+                  + c.getField("n2")).as("d"),
+                c.getField("c_id").as("c_id"))))
+            .getField("c_id"))
+      val codebooks = ta.groupBy($"m", $"cell")
+        .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
+        .select($"m", $"cell".as("c_id"),
+          transform(sequence(lit(1), lit(PqSubDim)), i =>
+            aggregate($"vs", lit(0.0),
+              (a, e) => a + element_at(e.getField("v"), i + $"m" * PqSubDim))
+              / size($"vs")).as("cv"))
+        .localCheckpoint()
+      // encode: ONE broadcast row carries all four codebooks; each corpus
+      // row computes its four argmin cells AND picks up the centroid
+      // vectors in the same fold (the accumulator carries cv; the array
+      // field never decides the ordering because c_id is unique) — a
+      // pure zero-exchange map with no per-subspace join chain
+      val cbRow = codebooks
+        .select($"m", struct($"c_id", $"cv", dot($"cv", $"cv").as("n2")).as("e"))
+        .groupBy($"m").agg(array_sort(collect_list($"e")).as("cents"))
+        .agg(array_sort(collect_list(struct($"m", $"cents"))).as("books"))
+      val zeros = typedlit(Seq.fill(PqSubDim)(0.0))
+      val rvCols = (0 until PqM).map { m =>
+        val off = m * PqSubDim
+        val cents = element_at($"books", m + 1).getField("cents")
+        val sub = slice($"v", off + 1, PqSubDim)
+        val sn2 = dot(sub, sub)
+        aggregate(cents,
+          struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c_id"),
+            zeros.as("cv")),
+          (acc, c) => least(acc,
+            struct(
+              ((sn2 - lit(2.0) * dot(sub, c.getField("cv")))
+                + c.getField("n2")).as("d"),
+              c.getField("c_id").as("c_id"),
+              c.getField("cv").as("cv"))))
+          .getField("cv")
       }
-      // encode: per subspace argmin fold + broadcast codebook join for
-      // the reconstruction vector; recon = concat of the 4 sub-centroids
-      val encoded = (0 until PqM).foldLeft(corpus.select($"vec_id", $"v")) {
-        case (acc, m) =>
-          val off = m * PqSubDim
-          val cb = codebooks(m)
-          assignPqCell(acc, cb, off)
-            .join(broadcast(cb.select($"c_id".as("cell"), $"cv".as(s"rv_$m"))), "cell")
-            .drop("cell")
-      }
-      val recon = encoded.select($"vec_id".as("b_id"),
-        concat((0 until PqM).map(m => col(s"rv_$m")): _*).as("recon"))
+      val recon = corpus.select($"vec_id", $"v").crossJoin(broadcast(cbRow))
+        .select($"vec_id".as("b_id"), concat(rvCols: _*).as("recon"))
         .withColumn("rn2", dot($"recon", $"recon"))
       // stage 1 — ADC shortlist: broadcast queries x one pass over the
       // COMPRESSED corpus, top-PqShortlist per query. stage 2 — exact
       // re-rank: fetch the raw vectors for shortlist hits only (the
       // FAISS IVFPQ+refine shape: full vectors touched for 50 rows per
       // query, not the corpus) and rank the final 5 by exact L2. All
-      // distances in dot form (codegen kernel + precomputed norms, see
-      // assignPqCell) — the oracle mirrors the exact formula.
+      // distances in dot form — d2 = (|a|^2 - 2 a·b) + |b|^2 — so the
+      // hot inner product runs through the native codegen DotProduct
+      // kernel with precomputed norms; the oracle mirrors the exact
+      // formula (ties to the LOWEST c_id everywhere, ORDER BY d2, c_id).
       val queries = corpus.filter($"vec_id" < 50)
         .select($"vec_id".as("q_id"), $"v".as("qv"))
         .withColumn("qn2", dot($"qv", $"qv"))
       val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"b_id")
+      // adist is computed WITH qv in scope, but qv (64 doubles/row) is
+      // projected away before the rank window so the 250k-row shuffle
+      // carries (q_id, b_id, adist) only — carrying the query vectors
+      // through was ~130 MB of shuffle for rows about to be cut to 50
+      // per query; the broadcast re-attaches them to the survivors
       val shortlist = recon.join(broadcast(queries))
         .filter($"q_id" =!= $"b_id")
-        .select($"q_id", $"qv", $"qn2", $"b_id",
+        .select($"q_id", $"b_id",
           (($"qn2" - lit(2.0) * dot($"qv", $"recon")) + $"rn2").as("adist"))
         .withColumn("ar", row_number().over(wAdc))
         .filter($"ar" <= PqShortlist)
+        .join(broadcast(queries), "q_id")
         .select($"q_id", $"qv", $"qn2", $"b_id")
       val wExact = Window.partitionBy($"q_id").orderBy($"d2".asc, $"b_id")
       shortlist
@@ -506,36 +549,6 @@ object LlmVectorQueries extends QueryPack {
   private[graft] val PqTrain = 1024
   private[graft] val PqSeedOff: Seq[Int] = Seq(11, 24, 37, 50)
   private[graft] val PqShortlist = 50
-
-  /** Argmin-L2 cell assignment on a 16-dim SLICE of `v` starting at
-    * `off`: a per-row fold over the broadcast codebook (the PQ cousin of
-    * `assignCells`). Distances in DOT form — d2 = (|s|^2 - 2 s·c) +
-    * |c|^2 — so the hot inner product runs through the native codegen
-    * DotProduct kernel instead of a per-element interpreted HOF lambda
-    * (HOFs are CodegenFallback; this cut q_ann_pq ~4x at sf0.1); |c|^2
-    * rides in the broadcast codebook, |s|^2 computes once per row.
-    * Ties to the LOWEST c_id (lexicographic struct min), mirrored in
-    * the oracle as ORDER BY d2 ASC, c_id ASC with list_dot_product
-    * (verified bit-equal to the kernel's sequential fold). */
-  private def assignPqCell(rows: DataFrame, codebook: DataFrame, off: Int): DataFrame = {
-    val centArr = codebook
-      .select(col("c_id"), col("cv"), dot(col("cv"), col("cv")).as("n2"))
-      .agg(array_sort(collect_list(struct(col("c_id"), col("cv"), col("n2"))))
-        .as("cents"))
-    rows.crossJoin(broadcast(centArr))
-      .withColumn("sub", slice(col("v"), off + 1, PqSubDim))
-      .withColumn("sn2", dot(col("sub"), col("sub")))
-      .withColumn("cell",
-        aggregate(col("cents"),
-          struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c_id")),
-          (acc, c) => least(acc,
-            struct(
-              ((col("sn2") - lit(2.0) * dot(col("sub"), c.getField("cv")))
-                + c.getField("n2")).as("d"),
-              c.getField("c_id").as("c_id"))))
-          .getField("c_id"))
-      .drop("cents", "sub", "sn2")
-  }
 
   /** Generated PQ oracle: per-subspace training (Knuth seeds, one Lloyd
     * round over the vec_id-sorted sample), argmin encoding, centroid
