@@ -66,6 +66,30 @@ object AdvancedJoinQueries extends QueryPack {
         .groupBy($"r_name")
         .agg(count(lit(1)).as("n_combos"))
         .orderBy($"r_name")
+    },
+
+    // ---- point-in-time (PIT) validity join against the SCD2 dimension ----
+    // The temporal-correctness join training-data assembly depends on:
+    // each purchase fact picks up the user's dimension state AS OF its
+    // own timestamp — valid_from <= ts < valid_to — never a later
+    // version (the feature-leakage bug a plain "latest state" join
+    // commits). Equi component on user_id keys the shuffle; the
+    // validity predicate is a post-filter on the sorted run (the
+    // q_join_range shape), and each fact matches exactly one interval
+    // because the SCD2 intervals partition the user's timeline.
+    "q_join_point_in_time" -> { (s, d) =>
+      import s.implicits._
+      val dim = AnalyticQueries.scd2(s, d)
+        .select($"user_id".as("du"), $"version", $"state",
+          $"valid_from", $"valid_to")
+      val facts = Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      facts.join(dim,
+          $"user_id" === $"du" && $"valid_from" <= $"ts" &&
+            ($"valid_to".isNull || $"ts" < $"valid_to"))
+        .select($"event_id", $"user_id", $"ts", $"value", $"version", $"state")
+        .orderBy($"event_id")
     }
   )
 
@@ -91,6 +115,37 @@ object AdvancedJoinQueries extends QueryPack {
       """SELECT r_name, count(*) AS n_combos
         |FROM nation CROSS JOIN region
         |GROUP BY r_name
-        |ORDER BY r_name""".stripMargin
+        |ORDER BY r_name""".stripMargin,
+
+    // the SCD2 CTE replayed (same as q_scd2_dimension), then each
+    // purchase joined to its covering validity interval
+    "q_join_point_in_time" ->
+      """WITH src AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM src),
+        |k AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev_type IS NULL OR prev_type != event_type),
+        |dim AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS BIGINT) AS version,
+        |    event_type AS state,
+        |    ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM k)
+        |SELECT f.event_id, f.user_id, f.ts, f.value, d.version, d.state
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') f
+        |JOIN dim d
+        |  ON f.user_id = d.user_id
+        | AND d.valid_from <= f.ts
+        | AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |ORDER BY f.event_id""".stripMargin
   )
 }

@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
 object AnalyticQueries extends QueryPack {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
+  /** SCD2 ("slowly changing dimension, type 2") build over the events
+    * stream: one row per per-user state RUN with its validity interval
+    * [valid_from, valid_to). Shared with q_join_point_in_time, which
+    * joins facts back against these intervals. One shuffle on user_id
+    * serves all three window passes. */
+  private[queries] def scd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", asLong($"version").as("version"),
+        $"event_type".as("state"), $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- rank / dense_rank / percent_rank / ntile ----
     // ---- SCD2 dimension build (type-2 slowly changing dimension) ----
@@ -31,17 +50,7 @@ object AnalyticQueries extends QueryPack {
     // minimum any ordered change detection needs at 100 TB.
     "q_scd2_dimension" -> { (s, d) =>
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      Tables.events(s, d)
-        .select($"user_id", $"ts", $"event_id", $"event_type")
-        .withColumn("prev_type", lag($"event_type", 1).over(w))
-        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
-        .withColumn("version", row_number().over(w))
-        .withColumn("valid_to", lead($"ts", 1).over(w))
-        .select($"user_id", asLong($"version").as("version"),
-          $"event_type".as("state"), $"ts".as("valid_from"), $"valid_to",
-          $"valid_to".isNull.as("is_current"))
-        .orderBy($"user_id", $"version")
+      scd2(s, d).orderBy($"user_id", $"version")
     },
 
     "q_window_rank" -> { (s, d) =>

@@ -126,6 +126,35 @@ object CurationQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- deterministic negative sampling (implicit-feedback training) ----
+    // Recommender/contrastive training on interaction data needs, per
+    // user, K items the user did NOT interact with. Candidates are a
+    // pure hash function of (custkey, slot) — reproducible across runs,
+    // engines, and repartitioning, like every sampler here — and
+    // candidates that collide with a true positive are dropped by an
+    // anti-join on the narrow (custkey, partkey) pair, so no false
+    // negatives enter the training set. Positives shuffle once on the
+    // pair key; the candidate side is a narrow map (no text, no
+    // amplification beyond K rows per user).
+    "q_sample_negatives" -> { (s, d) =>
+      import s.implicits._
+      val k = 4
+      val positives = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("custkey"), $"l_partkey".as("partkey"))
+        .distinct()
+      val nPart = Tables.part(s, d).agg(max($"p_partkey").as("np"))
+      val cands = positives.select($"custkey").distinct()
+        .crossJoin(broadcast(nPart))
+        .select($"custkey", explode(sequence(lit(0), lit(k - 1))).as("slot"), $"np")
+        .select($"custkey", $"slot",
+          (pmod(pmod($"custkey" * 31 + $"slot" * 7, lit(2147483648L))
+            * lit(2654435761L), lit(4294967296L)) % $"np" + 1).as("partkey"))
+      cands.join(positives, Seq("custkey", "partkey"), "left_anti")
+        .select($"custkey", asLong($"slot").as("slot"), $"partkey")
+        .orderBy($"custkey", $"slot")
+    },
+
     // ---- incremental-ingest dedup: new batch vs existing corpus ----
     // The production shape of dedup at 100 TB is INCREMENTAL: a new
     // ingest batch (here doc_id % 5 == 0, ~20%) is screened against the
@@ -213,6 +242,23 @@ object CurationQueries extends QueryPack {
         |FROM c
         |WHERE cum_tokens - n_tokens < 3000
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_negatives" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |np AS (SELECT max(p_partkey) AS np FROM part),
+        |slots AS (SELECT unnest(range(0, 4)) AS slot),
+        |cands AS (
+        |  SELECT custkey, slot,
+        |    (((((custkey * 31 + slot * 7) % 2147483648 + 2147483648) % 2147483648)
+        |       * 2654435761) % 4294967296) % np + 1 AS partkey
+        |  FROM (SELECT DISTINCT custkey FROM pos), slots, np)
+        |SELECT custkey, CAST(slot AS BIGINT) AS slot, partkey
+        |FROM cands c
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.custkey = c.custkey AND p.partkey = c.partkey)
+        |ORDER BY custkey, slot""".stripMargin,
 
     // independent ground truth: exact = text equality against the old
     // partition; near = ALL-PAIRS new x old string-shingle Jaccard >= 0.5
