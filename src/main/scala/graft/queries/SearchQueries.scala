@@ -249,6 +249,49 @@ object SearchQueries extends QueryPack {
     // scans (a 1-row min/max aggregate broadcast into the binning pass),
     // then a 20-key groupBy with map-side partials — the shuffle carries
     // bins, not rows, at any corpus size. Bin edges and assignment are
+    // ---- corpus token entropy (dataset-quality diagnostic) ----
+    // Shannon entropy of the corpus token distribution in nats — the
+    // "is this corpus degenerate/templated?" number curation dashboards
+    // track. One explode -> two-stage vocab aggregation (the shuffle
+    // carries vocab rows, never the token stream), per-term ln rounded
+    // to 10 dp into DECIMAL so the weighted sum is exact and
+    // merge-order-insensitive (the q_text_surprisal recipe applied
+    // corpus-wide).
+    "q_text_entropy" -> { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val tot = tok.agg(sum($"cnt").as("n_total"))
+      tok.crossJoin(broadcast(tot))
+        .agg(
+          asLong(count(lit(1))).as("vocab_size"),
+          asLong(sum($"cnt")).as("n_tokens"),
+          sum((round(log($"n_total") - log($"cnt"), 10).cast("decimal(28,12)")
+            * $"cnt")).as("h"))
+        .select($"vocab_size", $"n_tokens",
+          round($"h".cast("double") / $"n_tokens".cast("double"), 4)
+            .as("entropy_nats"))
+    },
+
+    // ---- join-key skew profile (the pre-flight check for shuffle ops) ----
+    // Per-key count distribution of a join key: max/p99/mean and the
+    // max-to-mean skew ratio — the number that decides between a plain
+    // shuffle join, salting (q_join_salted), or AQE skew split before a
+    // 100 TB join is launched. Two-stage aggregation; the second pass
+    // runs over one row per key.
+    "q_profile_skew" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+        .agg(
+          asLong(count(lit(1))).as("n_keys"),
+          asLong(max($"cnt")).as("max_per_key"),
+          round(avg($"cnt"), 4).as("avg_per_key"),
+          round(expr("percentile(cnt, 0.99)"), 4).as("p99_per_key"),
+          round(max($"cnt") / avg($"cnt"), 4).as("skew_ratio"))
+    },
+
     // pure IEEE -,*,/ and floor (no libm), so counts hash-compare
     // exactly; the top edge clamps into the last bin (the max value
     // lands on bin 20 by the formula).
@@ -563,6 +606,27 @@ object SearchQueries extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term
         |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH tok AS (
+        |  SELECT term, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n_total FROM tok)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(round(ln(n_total) - ln(cnt), 10) AS DECIMAL(28,12)) * cnt)
+        |                  AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS entropy_nats
+        |FROM tok, tot""".stripMargin,
+
+    "q_profile_skew" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(cnt) AS BIGINT) AS max_per_key,
+        |       round(avg(cnt), 4) AS avg_per_key,
+        |       round(quantile_cont(cnt, 0.99), 4) AS p99_per_key,
+        |       round(max(cnt) / avg(cnt), 4) AS skew_ratio
+        |FROM c""".stripMargin,
 
     "q_profile_histogram" ->
       """WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
