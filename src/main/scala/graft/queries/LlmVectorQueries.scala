@@ -143,6 +143,71 @@ object LlmVectorQueries extends QueryPack {
     (centroids, assigned)
   }
 
+  /** The SemDeDup screen over the shared IVF model: (vec_id, cell, rnk,
+    * keep). Shared by q_dedup_semantic and the multimodal pipeline. */
+  private[queries] def semanticScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (centroids, assigned) = ivfModel(s, d)
+    val ranked = assigned
+      .join(broadcast(centroids), $"cell" === $"c_id")
+      .select($"vec_id", $"v", $"nrm", $"cell",
+        cosine($"v", $"cv").as("ccos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"cell").orderBy($"ccos".desc, $"vec_id")))
+      .localCheckpoint() // feeds both sides of the in-cell pair join
+    val dropped = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.rnk") < col("b.rnk") &&
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.35)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", asLong($"cell").as("cell"), asLong($"rnk").as("rnk"),
+        $"dup".isNull.as("keep"))
+  }
+
+  /** IVF query serving over (codebook, cell-assigned postings): probe
+    * the top-8 cells per query by centroid cosine, then rank candidates
+    * from the probed cells only (~1/4 of the brute-force scan; recall
+    * measured and asserted in LlmSpec). Shared verbatim by q_ann_ivf
+    * (in-memory model) and q_ann_ivf_persisted (reloaded artifacts). */
+  private def ivfServe(s: SparkSession, centroids: DataFrame,
+                       assigned: DataFrame): DataFrame = {
+    import s.implicits._
+    val probes = assigned.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      .join(broadcast(centroids))
+      .select($"q_id", $"qv", $"qn", $"c_id", cosine($"qv", $"cv").as("ccos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
+      .filter($"pr" <= 8)
+      .select($"q_id", $"qv", $"qn", $"c_id".as("cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
+    probes.join(assigned.select($"vec_id".as("b_id"), $"v".as("bv"),
+        $"nrm".as("bn"), $"cell"), Seq("cell"))
+      .filter($"q_id" =!= $"b_id")
+      .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Persisted IVF index artifacts, written once per JVM per sf dir:
+    * centroid codebook + postings physically partitioned by cell (the
+    * ingest-side index build; queries then read artifacts, never
+    * re-train). */
+  private val ivfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfDirs.computeIfAbsent(d, { _ =>
+      val out = graft.TempDirs.create("graft_ivf")
+      val (centroids, assigned) = ivfModel(s, d)
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      assigned.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+      out
+    })
+
   /** LSH-bucketed ANN at a given plane count (the 100 TB scale knob):
     * candidates from an EQUI-join on the sketch key, probing the
     * hamming<=2 neighborhood of each query's sketch. */
@@ -327,27 +392,28 @@ object LlmVectorQueries extends QueryPack {
 
     // ---- IVF-probed ANN (scale path; oracle-replayed AND recall-tested) ----
     "q_ann_ivf" -> { (s, d) =>
-      import s.implicits._
       val (centroids, assigned) = ivfModel(s, d)
-      // probe list: top-8 of 32 cells per query — ~1/4 of the brute-force
-      // scan (recall measured and asserted in LlmSpec)
-      val probes = assigned.filter($"vec_id" < 50)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-        .join(broadcast(centroids))
-        .select($"q_id", $"qv", $"qn", $"c_id", cosine($"qv", $"cv").as("ccos"))
-        .withColumn("pr", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
-        .filter($"pr" <= 8)
-        .select($"q_id", $"qv", $"qn", $"c_id".as("cell"))
-      // search only the probed cells
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
-      probes.join(assigned.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"), $"cell"), Seq("cell"))
-        .filter($"q_id" =!= $"b_id")
-        .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 5)
-        .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
-        .orderBy($"q_id", $"rk")
+      ivfServe(s, centroids, assigned)
+    },
+
+    // ---- IVF index persistence: build at ingest, serve from disk ----
+    // The deployment shape of ANN at 100 TB: the index artifacts
+    // (centroid codebook + cell-partitioned postings) are built ONCE at
+    // ingest and PERSISTED; query serving never re-trains — it reads
+    // the codebook (O(k·dim)) and joins the probed cells against the
+    // posting layout, which is physically partitioned BY CELL so a
+    // probed query touches cell directories, not the corpus. Identical
+    // results to q_ann_ivf (the model is deterministic), so the same
+    // oracle replay grades both the builder and the serve-from-disk
+    // path; what this query adds is the round-trip through the
+    // persisted artifact (schema, layout, reload) under the hash gate.
+    "q_ann_ivf_persisted" -> { (s, d) =>
+      import s.implicits._
+      val dir = ivfIndexDir(s, d)
+      val centroids = s.read.parquet(s"$dir/centroids")
+      val assigned = s.read.parquet(s"$dir/assigned")
+        .withColumn("cell", $"cell".cast("long"))
+      ivfServe(s, centroids, assigned)
     },
 
     // ---- semantic deduplication (SemDeDup, cluster-scoped) ----
@@ -370,24 +436,7 @@ object LlmVectorQueries extends QueryPack {
     // corpus, no driver involvement.
     "q_dedup_semantic" -> { (s, d) =>
       import s.implicits._
-      val (centroids, assigned) = ivfModel(s, d)
-      val ranked = assigned
-        .join(broadcast(centroids), $"cell" === $"c_id")
-        .select($"vec_id", $"v", $"nrm", $"cell",
-          cosine($"v", $"cv").as("ccos"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy($"cell").orderBy($"ccos".desc, $"vec_id")))
-        .localCheckpoint() // feeds both sides of the in-cell pair join
-      val dropped = ranked.as("a")
-        .join(ranked.as("b"),
-          col("a.cell") === col("b.cell") && col("a.rnk") < col("b.rnk") &&
-            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.35)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("dup", lit(true))
-      ranked.join(dropped, Seq("vec_id"), "left")
-        .select($"vec_id", asLong($"cell").as("cell"), asLong($"rnk").as("rnk"),
-          $"dup".isNull.as("keep"))
-        .orderBy($"vec_id")
+      semanticScreen(s, d).orderBy($"vec_id")
     },
 
     // ---- cluster-balanced diversity sampling ----
@@ -639,7 +688,7 @@ object LlmVectorQueries extends QueryPack {
   /** The IVF-model replay CTEs (corpus, Knuth seeds + train sample, one
     * Lloyd round, full-corpus assignment) shared by the q_ann_ivf and
     * q_dedup_semantic oracles. */
-  private val ivfOracleCtes: String =
+  private[queries] val ivfOracleCtes: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
       |seeds AS (
       |  SELECT vec_id AS c_id, ev AS cv FROM e
@@ -664,6 +713,30 @@ object LlmVectorQueries extends QueryPack {
       |           row_number() OVER (PARTITION BY e.vec_id
       |             ORDER BY list_cosine_similarity(e.ev, c.cv) DESC, c.c_id DESC) AS rn
       |    FROM e CROSS JOIN cent c) x WHERE rn = 1)""".stripMargin
+
+  /** The IVF serve replay (probe top-8 cells, rank candidates from the
+    * probed cells) shared by the q_ann_ivf and q_ann_ivf_persisted
+    * oracles. */
+  private val ivfServeOracle: String =
+    s"""WITH $ivfOracleCtes,
+      |probes AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT a.vec_id AS q_id, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, c.c_id) AS pr
+      |    FROM (SELECT vec_id, ev FROM assigned WHERE vec_id < 50) a
+      |    CROSS JOIN cent c) x
+      |  WHERE pr <= 8),
+      |cand AS (
+      |  SELECT p.q_id, b.vec_id AS b_id, list_cosine_similarity(q.ev, b.ev) AS cos
+      |  FROM probes p
+      |  JOIN assigned b ON b.cell = p.cell AND b.vec_id != p.q_id
+      |  JOIN e q ON q.vec_id = p.q_id)
+      |SELECT q_id, rk, b_id, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rk
+      |  FROM cand) t
+      |WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin
 
   /** The generated sketch-bit SQL shared by the LSH oracles: the same
     * rational hyperplanes inline, each dot an explicit left-associated
@@ -784,26 +857,10 @@ object LlmVectorQueries extends QueryPack {
     // vec_id-sorted sample, the engine's sorted fold), full-corpus
     // assignment, top-8 probe cells per query (tie -> LOWEST c_id,
     // matching the probe window), candidate join, cosine top-5.
-    "q_ann_ivf" ->
-      s"""WITH $ivfOracleCtes,
-        |probes AS (
-        |  SELECT q_id, cell FROM (
-        |    SELECT a.vec_id AS q_id, c.c_id AS cell,
-        |           row_number() OVER (PARTITION BY a.vec_id
-        |             ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, c.c_id) AS pr
-        |    FROM (SELECT vec_id, ev FROM assigned WHERE vec_id < 50) a
-        |    CROSS JOIN cent c) x
-        |  WHERE pr <= 8),
-        |cand AS (
-        |  SELECT p.q_id, b.vec_id AS b_id, list_cosine_similarity(q.ev, b.ev) AS cos
-        |  FROM probes p
-        |  JOIN assigned b ON b.cell = p.cell AND b.vec_id != p.q_id
-        |  JOIN e q ON q.vec_id = p.q_id)
-        |SELECT q_id, rk, b_id, cos FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rk
-        |  FROM cand) t
-        |WHERE rk <= 5
-        |ORDER BY q_id, rk""".stripMargin,
+    "q_ann_ivf" -> ivfServeOracle,
+    // q_ann_ivf_persisted round-trips the same deterministic model
+    // through parquet, so the identical replay grades both paths
+    "q_ann_ivf_persisted" -> ivfServeOracle,
 
     // SemDeDup replay over the same IVF model: within-cell rank by
     // centroid cosine (desc, id asc), drop when any higher-ranked

@@ -87,6 +87,47 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- end-to-end MULTIMODAL training-set assembly ----
+    // The cross-modality showpiece: text, embedding, image, and audio
+    // pipelines compose into one training record per surviving doc.
+    // Stages: exact text dedup on the sha2 digest -> text quality gate
+    // (n_tokens >= 20, score >= 0.2) -> SemDeDup semantic screen over
+    // the shared IVF model (embedding modality) -> feature columns from
+    // every modality (token count, quality, embedding L2 norm, decoded
+    // image mean, decoded audio zero-crossings). All joins key on the
+    // 8-byte doc_id; each modality contributes one narrow column set,
+    // so the pipeline's shuffles never carry payloads (text, vectors,
+    // rasters, waveforms stay inside their modality's scan). The oracle
+    // replays every stage — including both real codecs — in one SQL.
+    "q_pipeline_multimodal" -> { (s, d) =>
+      import s.implicits._
+      import graft.llm.TextOps
+      val base = graft.Tables.documents(s, d)
+      val keep = base.groupBy(sha2($"text", 256).as("dg"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val text = base.join(keep, Seq("doc_id"))
+        .select(Seq($"doc_id") ++ TextOps.qualityColumns($"text"): _*)
+        .filter($"n_tokens" >= 20 && $"quality_score" >= 0.2)
+        .select($"doc_id", $"n_tokens", $"quality_score")
+      val semantic = LlmVectorQueries.semanticScreen(s, d)
+        .filter($"keep").select($"vec_id".as("doc_id"))
+      val emb = {
+        import graft.llm.VectorOps.{asDoubles, norm2}
+        graft.functions.VectorExprs.register(s)
+        graft.Tables.embeddings(s, d).select($"vec_id".as("doc_id"),
+          round(sqrt(norm2(asDoubles($"embedding"))), 6).as("embed_norm"))
+      }
+      val img = MultimodalOps.extractFeatures(MultimodalOps.pngPayloadTable(s, d))
+        .toDF().select($"doc_id", $"mean_px")
+      val aud = MultimodalOps.extractAudioFeatures(MultimodalOps.wavPayloadTable(s, d))
+        .toDF().select($"doc_id", $"zero_cross")
+      text.join(semantic, Seq("doc_id"))
+        .join(emb, Seq("doc_id"))
+        .join(img, Seq("doc_id"))
+        .join(aud, Seq("doc_id"))
+        .orderBy($"doc_id")
+    },
+
     // frame sampling: 64-byte frames, every 2nd frame kept
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
@@ -183,6 +224,67 @@ object MultimodalQueries extends QueryPack {
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // every stage of the multimodal pipeline replayed in one SQL:
+    // the IVF/SemDeDup CTEs, the digest dedup (text-level), the quality
+    // gate, and the closed-form image/audio feature replays
+    "q_pipeline_multimodal" -> {
+      val score = """round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |          + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |          + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6)""".stripMargin
+      s"""WITH ${LlmVectorQueries.ivfOracleCtes},
+        |ranked AS (
+        |  SELECT a.vec_id, a.ev, a.cell,
+        |         row_number() OVER (PARTITION BY a.cell
+        |           ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, a.vec_id) AS rnk
+        |  FROM assigned a JOIN cent c ON c.c_id = a.cell),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rnk < b.rnk
+        |  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.35),
+        |skeep AS (SELECT r.vec_id FROM ranked r
+        |          LEFT JOIN dropped dp ON dp.vec_id = r.vec_id
+        |          WHERE dp.vec_id IS NULL),
+        |keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |q AS (
+        |  SELECT d.doc_id,
+        |    len(string_split(d.text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(d.text, ' '),
+        |        t -> t IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+        |    len(list_distinct(string_split(d.text, ' '))) AS n_dist
+        |  FROM documents d JOIN keep1 USING (doc_id)),
+        |txt AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, $score AS quality_score
+        |  FROM q
+        |  WHERE n_tok >= 20 AND $score >= 0.2),
+        |norms AS (
+        |  SELECT vec_id,
+        |    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                       x -> x * x))), 6) AS embed_norm
+        |  FROM embeddings),
+        |dims AS (SELECT doc_id, 1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+        |         FROM documents),
+        |img AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([ ((doc_id % 256) * 31 + (i // w) * 7 + (i % w) * 13) % 256
+        |                    FOR i IN range(0, w * h) ]) AS DOUBLE) / (w * h) AS mean_px
+        |  FROM dims),
+        |aud AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, 160 + n_chars % 128),
+        |      i -> ((((doc_id * 131 + i * 17) % 4001) - 2000 >= 0)
+        |            != (((doc_id * 131 + (i - 1) * 17) % 4001) - 2000 >= 0))))
+        |      AS BIGINT) AS zero_cross
+        |  FROM documents)
+        |SELECT t.doc_id, t.n_tokens, t.quality_score, n.embed_norm,
+        |       i.mean_px, a.zero_cross
+        |FROM txt t
+        |JOIN skeep k ON k.vec_id = t.doc_id
+        |JOIN norms n ON n.vec_id = t.doc_id
+        |JOIN img i ON i.doc_id = t.doc_id
+        |JOIN aud a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
     },
 
     // the WAV path verified WITHOUT a decoder: the planted waveform is
