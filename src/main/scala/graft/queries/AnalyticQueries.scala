@@ -187,10 +187,14 @@ object AnalyticQueries extends QueryPack {
           min(x).as("min_price"), max(x).as("max_price"),
           asDouble(sum(dec(x))).as("sx"),
           asDouble(sum(dec(x) * dec(x))).as("sx2"))
+        // round(6): the decimal POWER sums are exact, but casting a
+        // >2^53-scaled decimal to double can double-round differently
+        // across engines (observed: std_price off by 1 ulp at sf0.1) —
+        // 6 dp absorbs the last-ulp noise, same as the geo/bm25 oracles
         .select(
           $"o_orderstatus", $"n", $"min_price", $"max_price",
-          ($"sx" / $"n").as("avg_price"),
-          sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_price"))
+          round($"sx" / $"n", 6).as("avg_price"),
+          round(sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("std_price"))
         .orderBy($"o_orderstatus")
     },
 
@@ -214,18 +218,24 @@ object AnalyticQueries extends QueryPack {
           asDouble(sum(x)).as("sx"), asDouble(sum(y)).as("sy"),
           asDouble(sum(x * x)).as("sx2"), asDouble(sum(y * y)).as("sy2"),
           asDouble(sum(x * y)).as("sxy"))
+        // round every derived double: the co-moment sums are exact
+        // decimals but their >2^53-scaled cast to double can
+        // double-round differently across engines (observed: corr/r2
+        // off by 1 ulp at sf0.001) — fixed dp absorbs the noise
         .select($"l_returnflag", $"n", $"sx", $"sy",
           (($"n" * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n" * $"sx2" - $"sx" * $"sx") *
-             sqrt($"n" * $"sy2" - $"sy" * $"sy"))).as("corr_qty_price"),
-          (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_samp"),
-          (($"sxy" - $"sx" * $"sy" / $"n") / $"n").as("covar_pop"),
+             sqrt($"n" * $"sy2" - $"sy" * $"sy"))).as("corr_raw"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 4).as("covar_samp"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") / $"n", 4).as("covar_pop"),
           (($"n" * $"sxy" - $"sx" * $"sy") /
-            ($"n" * $"sx2" - $"sx" * $"sx")).as("regr_slope"))
-        .select($"l_returnflag", $"n", $"corr_qty_price",
-          $"covar_samp", $"covar_pop", $"regr_slope",
-          (($"sy" - $"regr_slope" * $"sx") / $"n").as("regr_intercept"),
-          ($"corr_qty_price" * $"corr_qty_price").as("regr_r2"))
+            ($"n" * $"sx2" - $"sx" * $"sx")).as("slope_raw"))
+        .select($"l_returnflag", $"n",
+          round($"corr_raw", 12).as("corr_qty_price"),
+          $"covar_samp", $"covar_pop",
+          round($"slope_raw", 8).as("regr_slope"),
+          round(($"sy" - $"slope_raw" * $"sx") / $"n", 6).as("regr_intercept"),
+          round($"corr_raw" * $"corr_raw", 12).as("regr_r2"))
         .orderBy($"l_returnflag")
     },
 
@@ -543,8 +553,8 @@ object AnalyticQueries extends QueryPack {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus, n, min_price, max_price,
-        |  sx / n AS avg_price,
-        |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_price
+        |  round(sx / n, 6) AS avg_price,
+        |  round(sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS std_price
         |FROM g
         |ORDER BY o_orderstatus""".stripMargin,
 
@@ -561,15 +571,17 @@ object AnalyticQueries extends QueryPack {
         |h AS (
         |  SELECT l_returnflag, n, sx, sy,
         |    (n * sxy - sx * sy) /
-        |      (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price,
-        |    (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-        |    (sxy - sx * sy / n) / n AS covar_pop,
-        |    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS regr_slope
+        |      (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_raw,
+        |    round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+        |    round((sxy - sx * sy / n) / n, 4) AS covar_pop,
+        |    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope_raw
         |  FROM g)
-        |SELECT l_returnflag, n, corr_qty_price, covar_samp, covar_pop,
-        |  regr_slope,
-        |  (sy - regr_slope * sx) / n AS regr_intercept,
-        |  corr_qty_price * corr_qty_price AS regr_r2
+        |SELECT l_returnflag, n,
+        |  round(corr_raw, 12) AS corr_qty_price,
+        |  covar_samp, covar_pop,
+        |  round(slope_raw, 8) AS regr_slope,
+        |  round((sy - slope_raw * sx) / n, 6) AS regr_intercept,
+        |  round(corr_raw * corr_raw, 12) AS regr_r2
         |FROM h
         |ORDER BY l_returnflag""".stripMargin,
 
