@@ -90,14 +90,26 @@ object CurationQueries extends QueryPack {
     // integer-divided by total), so both engines agree bit-for-bit —
     // no RNG, no floating point, reproducible under reruns and
     // repartitioning (the property a training-data sampler must have).
+    // The cumulative weight is a DISTRIBUTED prefix sum: per-bucket
+    // partial sums (buckets are doc_id ranges, so bucket order IS doc
+    // order), an exclusive running offset over the tiny bucket table,
+    // and a per-bucket window — no single-partition global window
+    // anywhere, so the scan stays parallel at any corpus size.
     "q_sample_weighted" -> { (s, d) =>
       import s.implicits._
       val k = 50L
       val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+        .withColumn("bkt", expr("doc_id div 256"))
       val tot = docs.agg(sum($"n_chars").cast("long").as("total"))
-      val w = Window.orderBy($"doc_id")
+      val boff = docs.groupBy($"bkt").agg(sum($"n_chars").cast("long").as("bw"))
+        .withColumn("off", coalesce(sum($"bw").over(
+          Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select($"bkt", $"off")
+      val w = Window.partitionBy($"bkt").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.withColumn("cum_w", sum($"n_chars").over(w).cast("long"))
+      docs.join(broadcast(boff), "bkt")
+        .withColumn("cum_w", $"off" + sum($"n_chars").over(w).cast("long"))
         .crossJoin(broadcast(tot))
         .filter(expr(s"(cum_w * $k) div total > ((cum_w - n_chars) * $k) div total"))
         .select($"doc_id", asLong($"n_chars").as("weight"), $"cum_w")
