@@ -204,9 +204,13 @@ object AssemblyQueries extends QueryPack {
     // agg builds the vocab (shuffle carries |vocab| rows); scoring joins
     // tf rows to a BROADCAST vocab — web-scale unigram vocabs prune to
     // ~1e7 entries (sub-GB), past that the join falls back to shuffle on
-    // term. Determinism: per-term surprisal rounds to 10 dp then sums as
-    // DECIMAL (exact, merge-order-insensitive); only the final mean is a
-    // double, rounded to 4 dp (the q_search_bm25 ln-ulp precedent).
+    // term. Determinism: per-term surprisal rounds to SIX dp (coarse on
+    // purpose — the boundary-hit window for a cross-libm ln ulp shrinks
+    // ~1e4x vs 10 dp; a 10-dp boundary hit flipped one sf0.1 row's mean
+    // across its own 4-dp output boundary) then sums as DECIMAL (exact,
+    // merge-order-insensitive); the final mean divides two
+    // exactly-representable values, so it is IEEE-identical both
+    // engines before its 4-dp round.
     "q_text_surprisal" -> { (s, d) =>
       import s.implicits._
       val tf = Tables.documents(s, d)
@@ -217,7 +221,7 @@ object AssemblyQueries extends QueryPack {
       tf.join(broadcast(vocab), "term")
         .crossJoin(broadcast(total))
         .withColumn("surp",
-          round(log($"n_total") - log($"ctf"), 10).cast("decimal(28,12)"))
+          round(log($"n_total") - log($"ctf"), 6).cast("decimal(28,12)"))
         .groupBy($"doc_id")
         .agg(
           round(sum($"surp" * $"tf").cast("double") /
@@ -499,7 +503,7 @@ object AssemblyQueries extends QueryPack {
         |vocab AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
         |total AS (SELECT sum(ctf) AS n_total FROM vocab)
         |SELECT doc_id,
-        |  round(CAST(sum(CAST(round(ln(n_total) - ln(ctf), 10)
+        |  round(CAST(sum(CAST(round(ln(n_total) - ln(ctf), 6)
         |                      AS DECIMAL(28,12)) * tf) AS DOUBLE)
         |        / CAST(sum(tf) AS DOUBLE), 4) AS mean_surprisal,
         |  CAST(sum(tf) AS BIGINT) AS n_tok

@@ -23,8 +23,13 @@ object GeoQueries extends QueryPack {
           ($"value" % 360.0 - 180.0).as("lon"),
           ($"value" % 170.0 - 85.0).as("lat"))
         .withColumn("m", expr("web_mercator(lon, lat)"))
+        // + 0.0 normalizes IEEE negative zero: at lat = 0 one engine's
+        // tan(pi/4) is 1.0 (y = +0.0) and the other's is 1 - ulp
+        // (y rounds to -0.0) — equal values, different reprs under the
+        // driver's exact compare (caught by the sf0.1 sweep)
         .select($"event_id", $"lon", $"lat",
-                round($"m.x", 6).as("mx"), round($"m.y", 6).as("my"))
+                (round($"m.x", 6) + 0.0).as("mx"),
+                (round($"m.y", 6) + 0.0).as("my"))
         .orderBy($"event_id")
     },
 
@@ -52,8 +57,8 @@ object GeoQueries extends QueryPack {
       """SELECT event_id,
         |  fmod(value, 360.0) - 180.0 AS lon,
         |  fmod(value, 170.0) - 85.0 AS lat,
-        |  round(6378137.0 * (fmod(value, 360.0) - 180.0) * pi() / 180.0, 6) AS mx,
-        |  round(6378137.0 * ln(tan(pi() / 4.0 + (fmod(value, 170.0) - 85.0) * pi() / 360.0)), 6) AS my
+        |  round(6378137.0 * (fmod(value, 360.0) - 180.0) * pi() / 180.0, 6) + 0.0 AS mx,
+        |  round(6378137.0 * ln(tan(pi() / 4.0 + (fmod(value, 170.0) - 85.0) * pi() / 360.0)), 6) + 0.0 AS my
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

@@ -254,9 +254,10 @@ object SearchQueries extends QueryPack {
     // "is this corpus degenerate/templated?" number curation dashboards
     // track. One explode -> two-stage vocab aggregation (the shuffle
     // carries vocab rows, never the token stream), per-term ln rounded
-    // to 10 dp into DECIMAL so the weighted sum is exact and
-    // merge-order-insensitive (the q_text_surprisal recipe applied
-    // corpus-wide).
+    // to 6 dp into DECIMAL so the weighted sum is exact and
+    // merge-order-insensitive, with a ~1e4x-wider safety margin against
+    // cross-libm ulp boundary hits than a 10-dp grid (the hardened
+    // q_text_surprisal recipe applied corpus-wide).
     "q_text_entropy" -> { (s, d) =>
       import s.implicits._
       val tok = Tables.documents(s, d)
@@ -267,7 +268,7 @@ object SearchQueries extends QueryPack {
         .agg(
           asLong(count(lit(1))).as("vocab_size"),
           asLong(sum($"cnt")).as("n_tokens"),
-          sum((round(log($"n_total") - log($"cnt"), 10).cast("decimal(28,12)")
+          sum((round(log($"n_total") - log($"cnt"), 6).cast("decimal(28,12)")
             * $"cnt")).as("h"))
         .select($"vocab_size", $"n_tokens",
           round($"h".cast("double") / $"n_tokens".cast("double"), 4)
@@ -615,7 +616,7 @@ object SearchQueries extends QueryPack {
         |tot AS (SELECT sum(cnt) AS n_total FROM tok)
         |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
         |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
-        |       round(CAST(sum(CAST(round(ln(n_total) - ln(cnt), 10) AS DECIMAL(28,12)) * cnt)
+        |       round(CAST(sum(CAST(round(ln(n_total) - ln(cnt), 6) AS DECIMAL(28,12)) * cnt)
         |                  AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS entropy_nats
         |FROM tok, tot""".stripMargin,
 
