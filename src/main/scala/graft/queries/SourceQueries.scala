@@ -17,8 +17,50 @@ object SourceQueries extends QueryPack {
   private lazy val jsonDir = tempFixtureDir("graft_json")
   private lazy val orcDir = tempFixtureDir("graft_orc")
   private lazy val fileSinkDir = tempFixtureDir("graft_fsink")
+  private lazy val evoDir = tempFixtureDir("graft_evo")
+  // package-visible: the spec asserts the file-count collapse (the half
+  // of the compaction contract the row-level oracle cannot see)
+  private[queries] lazy val compactDir = tempFixtureDir("graft_compact")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- schema evolution across ingest batches (mergeSchema) ----
+    // The long-lived-dataset reality: batch 1 lands without a column
+    // that batch 2 adds (here `lang`). A mergeSchema read unifies the
+    // footers at planning time and older rows surface NULL for the new
+    // column — no rewrite of the old batch, which at 100 TB is the
+    // whole point (schema-on-read evolution instead of a backfill).
+    "q_source_schema_evolution" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"n_chars")
+        .write.mode("overwrite").parquet(s"$evoDir/batch=1")
+      docs.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"n_chars", $"lang")
+        .write.mode("overwrite").parquet(s"$evoDir/batch=2")
+      s.read.option("mergeSchema", "true").parquet(evoDir)
+        .select($"doc_id", asLong($"n_chars").as("n_chars"), $"lang",
+          asLong($"batch").as("batch"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- small-file compaction (the 100 TB ingest hygiene op) ----
+    // Streaming/CDC ingest leaves thousands of KB-sized files; scans
+    // then pay per-file open/footer costs and the driver pays listing.
+    // Compaction rewrites a directory at a target file count with NO
+    // content change — the oracle proves losslessness (rows/values
+    // identical to the source table), and the spec side of the contract
+    // is the file-count collapse. Production compacts per partition and
+    // sorts within files (see q_zorder_key) — here the mechanism is the
+    // repartition(1)-rewrite of a deliberately 64-way-fragmented copy.
+    "q_source_compaction" -> { (s, d) =>
+      import s.implicits._
+      val src = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      src.repartition(64).write.mode("overwrite").parquet(s"$compactDir/small")
+      val compacted = s.read.parquet(s"$compactDir/small").repartition(1)
+      compacted.write.mode("overwrite").parquet(s"$compactDir/big")
+      s.read.parquet(s"$compactDir/big").orderBy($"o_orderkey")
+    },
+
     "q_source_csv_roundtrip" -> { (s, d) =>
       import s.implicits._
       val dir = csvDir
@@ -214,6 +256,21 @@ object SourceQueries extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    // older batch surfaces NULL for the evolved column; the batch id is
+    // the partition directory
+    "q_source_schema_evolution" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS batch
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // compaction must be content-lossless: identical to the source
+    "q_source_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_stream_file_sink" ->
       """SELECT event_type, count(*) AS n,

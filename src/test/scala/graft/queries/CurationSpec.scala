@@ -31,6 +31,20 @@ class CurationSpec extends SparkSpec {
     assert(decoded.toSeq == xs.toSeq)
   }
 
+  test("compaction collapses the file count without changing content") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    // running the query writes both layouts and returns the compacted rows
+    val rows = SourceQueries.queries("q_source_compaction")(s, d).count()
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val small = dataFiles(s"${SourceQueries.compactDir}/small")
+    val big = dataFiles(s"${SourceQueries.compactDir}/big")
+    assert(rows > 0)
+    assert(small >= 32, s"fragmented copy should have many files, got $small")
+    assert(big == 1, s"compacted copy should be one file, got $big")
+  }
+
   test("bloom prefilter: no false negatives, few false positives") {
     val s = spark
     import org.apache.spark.sql.functions._
