@@ -372,6 +372,22 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- language-ID confusion matrix (classifier diagnostics) ----
+    // The evaluation counterpart of q_text_langid: predicted-vs-labeled
+    // counts plus per-cell accuracy flag — the table a curation
+    // dashboard uses to decide whether the lang filter is safe to trust
+    // per language. Two-stage aggregation over (label, prediction) —
+    // 25 cells max, the shuffle carries cell counts, never text.
+    "q_text_lang_confusion" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang".as("labeled_lang"), TextOps.langId($"text").as("predicted_lang"))
+        .groupBy($"labeled_lang", $"predicted_lang")
+        .agg(asLong(count(lit(1))).as("n"))
+        .withColumn("is_correct", $"labeled_lang" === $"predicted_lang")
+        .orderBy($"labeled_lang", $"predicted_lang")
+    },
+
     // ---- deterministic train/validation/test split ----
     // The standard corpus-split op: assignment is a PURE function of
     // doc_id (Knuth multiplicative hash -> 80/10/10), so it is stable
@@ -630,6 +646,25 @@ object LlmTextQueries extends QueryPack {
         |  ])[-1].lang AS predicted_lang
         |FROM w
         |ORDER BY doc_id""".stripMargin,
+
+    // the langid replay grouped into the confusion matrix
+    "q_text_lang_confusion" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT lang AS labeled_lang,
+        |    list_sort([
+        |      {score: len(list_filter(ws, t -> t IN ('der','die','das','und','ist','nicht','ein'))), lang: 'de'},
+        |      {score: len(list_filter(ws, t -> t IN ('the','a','of','to','and','is','it'))), lang: 'en'},
+        |      {score: len(list_filter(ws, t -> t IN ('el','la','de','que','y','los','es'))), lang: 'es'},
+        |      {score: len(list_filter(ws, t -> t IN ('le','la','de','et','est','les','un'))), lang: 'fr'},
+        |      {score: len(list_filter(ws, t -> t IN ('de','shi','bu','le','ren','wo','you'))), lang: 'zh'}
+        |    ])[-1].lang AS predicted_lang
+        |  FROM w)
+        |SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n,
+        |       labeled_lang = predicted_lang AS is_correct
+        |FROM p
+        |GROUP BY labeled_lang, predicted_lang
+        |ORDER BY labeled_lang, predicted_lang""".stripMargin,
 
     // independent reimplementation of the KGramHashes polynomial (k=8,
     // B=1000003) in 128-bit arithmetic mod 2^64, mapped back to signed

@@ -68,6 +68,31 @@ object TimeWindowQueries extends QueryPack {
         .orderBy($"day", $"event_type")
     },
 
+    // ---- streaming trending top-k (windowed counts -> rank per window) ----
+    // The live-dashboard op: per tumbling window, the top-3 event types
+    // by count. The STREAMING stage is the watermarked windowed
+    // aggregation (state = one counter per (window, type), complete
+    // mode); the rank is a view over the drained state — ranking is not
+    // an incremental operator, so production serves it off the state
+    // snapshot exactly like this, not inside the stream.
+    "q_stream_trending" -> { (s, d) =>
+      import s.implicits._
+      val ev = TrackStateOp.eventsStream(s, d)
+        .withColumn("ts", timestamp_micros($"tsMicros"))
+      val agg = ev
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 day"), $"eventType")
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "complete")
+        .select($"window.start".as("day"), $"eventType".as("event_type"), $"n")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"day")
+            .orderBy($"n".desc, $"event_type")))
+        .filter($"rk" <= 3)
+        .select($"day", asLong($"rk").as("rk"), $"event_type", $"n")
+        .orderBy($"day", $"rk")
+    },
+
     // ---- REAL streaming session windows (state merges adjacent
     // sessions as events arrive; Complete mode keeps every session) ----
     "q_stream_session" -> { (s, d) =>
@@ -217,6 +242,18 @@ object TimeWindowQueries extends QueryPack {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_stream_trending" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, rk, event_type, n FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY day
+        |              ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM c) t
+        |WHERE rk <= 3
+        |ORDER BY day, rk""".stripMargin,
 
     // bounded input -> streaming session windows coincide with the batch
     // gaps-and-islands form (same oracle as q_session_window)
