@@ -23,6 +23,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  private def checkProp(prop: org.scalacheck.Prop): Unit = {
+    import org.scalacheck.{Test => ScTest}
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("WAV codec round-trips arbitrary 16-bit sample arrays (property)") {
+    import org.scalacheck.{Gen, Prop}
+    val samples = Gen.nonEmptyListOf(Gen.chooseNum(-32768, 32767))
+    checkProp(Prop.forAll(samples) { xs =>
+      val arr = xs.toArray
+      MultimodalOps.decodeWav(MultimodalOps.encodeWav(arr)).toSeq == arr.toSeq
+    })
+  }
+
+  test("weighted systematic sampling: bounded count, exact when no heavy item") {
+    // the crossing rule selects a row iff its cumulative interval
+    // contains >= 1 multiple of total/k, so the count is ALWAYS in
+    // [1, k] — and exactly k when every weight < total/k (a heavier
+    // item absorbs several crossing points into one selected row,
+    // the standard systematic-PPS behavior)
+    import org.scalacheck.{Gen, Prop}
+    val weights = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n * 10, Gen.chooseNum(1L, 1000L)))
+    checkProp(Prop.forAll(weights) { ws =>
+      val k = 10L
+      val total = ws.sum
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val selected = cums.zip(0L +: cums.dropRight(1)).count {
+        case (cum, prev) => cum * k / total > prev * k / total
+      }
+      val noHeavy = ws.forall(_ * k < total)
+      selected >= 1 && selected <= k && (!noHeavy || selected == k)
+    })
+  }
+
   test("planted waveform features match a direct recompute") {
     val n = MultimodalOps.plantedSampleCount(553)
     assert(n == 160 + 553 % 128)
