@@ -165,6 +165,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("PIT validity join keeps its equi component (no cartesian)") {
+    // user_id must key the shuffle; the validity-range predicate is a
+    // post-filter on the sorted run, never a cartesian pair-up
+    val p = plan("q_join_point_in_time")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental dedup candidates come from equi joins only") {
+    // new-batch x corpus candidates must join on (band_i, band_key) /
+    // digest — an all-pairs nested loop here would defeat the whole
+    // incremental design
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact dedup aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q_dedup_exact")
     // two HashAggregate levels around one exchange = partial + final
