@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.functions.{GeodesicBuffer, WebMercator}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Geometry scalar functions (SURVEY.md §2.3). The testdata has no
@@ -33,6 +34,39 @@ object GeoQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // ---- per-track great-circle distance (the track-length analytic) ----
+    // The flight-domain question the reference's tracks exist to answer:
+    // how far has each track traveled? Consecutive positions per track
+    // (user_id as the track key, event-time order) pair up via lag — ONE
+    // shuffle on the track key — and each hop is the closed-form
+    // haversine on the mean sphere, summed per track. Haversine (unlike
+    // Vincenty's iterative inverse) replays directly in SQL; per-hop
+    // distances round to 6 dp into exact DECIMAL before the sum so the
+    // per-track total is merge-order-insensitive, then the total rounds
+    // to 3 dp (mm) absorbing sin/asin libm ulps.
+    "q_geo_track_dist" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pts = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id",
+          radians($"value" % 360.0 - 180.0).as("lon"),
+          radians($"value" % 170.0 - 85.0).as("lat"))
+      val R = 6371008.8 // IUGG mean Earth radius
+      val hops = pts
+        .withColumn("plon", lag($"lon", 1).over(w))
+        .withColumn("plat", lag($"lat", 1).over(w))
+        .filter($"plon".isNotNull)
+        .withColumn("a",
+          pow(sin(($"lat" - $"plat") / 2), 2) +
+            cos($"plat") * cos($"lat") * pow(sin(($"lon" - $"plon") / 2), 2))
+        .withColumn("hop",
+          round(lit(2 * R) * asin(sqrt($"a")), 6).cast("decimal(18,6)"))
+      hops.groupBy($"user_id")
+        .agg(asLong(count(lit(1))).as("n_hops"),
+          round(sum($"hop").cast("double"), 3).as("track_m"))
+        .orderBy($"user_id")
+    },
+
     // ---- G3: geodesic buffer polygon (UDF; validated in GeoSpec) ----
     "q_geo_buffer" -> { (s, d) =>
       import s.implicits._
@@ -51,6 +85,32 @@ object GeoQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // haversine replayed hop by hop: same radian conversion, same
+    // formula, per-hop round(6) into DECIMAL, per-track round(3)
+    "q_geo_track_dist" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id,
+        |    radians(fmod(value, 360.0) - 180.0) AS lon,
+        |    radians(fmod(value, 170.0) - 85.0) AS lat
+        |  FROM events),
+        |hops AS (
+        |  SELECT user_id,
+        |    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(round(2 * 6371008.8 * asin(sqrt(
+        |      pow(sin((lat - plat) / 2), 2)
+        |      + cos(plat) * cos(lat) * pow(sin((lon - plon) / 2), 2))), 6)
+        |      AS DECIMAL(18,6)) AS hop
+        |  FROM hops WHERE plon IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
+        |       round(CAST(sum(hop) AS DOUBLE), 3) AS track_m
+        |FROM d
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // same public formula inline; ln/tan differ by <= a few ulp across
     // libms -> round(6) (micrometers) absorbs it
     "q_geo_project" ->
