@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object GeoQueries extends QueryPack {
 
+  /** The fixed geofence for q_geo_in_polygon: a non-convex pentagon in
+    * (lon, lat), integer vertices so the oracle states them exactly. */
+  private[queries] val Fence: Seq[(Double, Double)] =
+    Seq((-60.0, -40.0), (80.0, -50.0), (100.0, 30.0), (0.0, 70.0), (-90.0, 20.0))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- G2: WebMercator projection as a codegen'd native expression ----
     "q_geo_project" -> { (s, d) =>
@@ -67,6 +72,51 @@ object GeoQueries extends QueryPack {
         .orderBy($"user_id")
     },
 
+    // ---- point-in-polygon (ray casting, fixed fence) ----
+    // The geofencing primitive: which events fall inside a polygon?
+    // Crossing-number ray cast against a fixed 5-vertex fence, unrolled
+    // edge by edge — pure IEEE compares and one division per crossing
+    // edge, identical in both engines (boundary hits are measure-zero
+    // for this synthetic coordinate rule). A narrow per-row map: at
+    // 100 TB the fence (or fence SET) broadcasts and the corpus never
+    // shuffles; output is the inside flag + the per-fence hit count.
+    "q_geo_in_polygon" -> { (s, d) =>
+      import s.implicits._
+      val pts = Tables.events(s, d)
+        .select($"event_id",
+          ($"value" % 360.0 - 180.0).as("px"),
+          ($"value" % 170.0 - 85.0).as("py"))
+      val inside = GeoQueries.Fence.indices.map { i =>
+        val (x1, y1) = GeoQueries.Fence(i)
+        val (x2, y2) = GeoQueries.Fence((i + 1) % GeoQueries.Fence.length)
+        val slope = (x2 - x1) / (y2 - y1) // Scala-side constant; the
+        // generated oracle embeds the SAME double, so both engines
+        // evaluate an identical expression tree per edge
+        when(((lit(y1) > $"py") =!= (lit(y2) > $"py")) &&
+          ($"px" < ($"py" - y1) * slope + x1), 1)
+          .otherwise(0)
+      }.reduce(_ + _) % 2 === 1
+      pts.select($"event_id", $"px", $"py", inside.as("inside"))
+        .orderBy($"event_id")
+    },
+
+    // ---- spatial grid density (geohash-style cell aggregation) ----
+    // The heatmap/density op: bin events into 5-degree grid cells and
+    // count per cell — two-stage aggregation on a narrow integer cell
+    // key (floor is IEEE-exact), the spatial analogue of every other
+    // two-stage count here. At scale the cell key doubles as a
+    // partition/bucket key for spatial locality.
+    "q_geo_grid_density" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          floor(($"value" % 360.0 - 180.0) / 5.0).cast("long").as("cell_x"),
+          floor(($"value" % 170.0 - 85.0) / 5.0).cast("long").as("cell_y"))
+        .groupBy($"cell_x", $"cell_y")
+        .agg(asLong(count(lit(1))).as("n"))
+        .orderBy($"cell_x", $"cell_y")
+    },
+
     // ---- G3: geodesic buffer polygon (UDF; validated in GeoSpec) ----
     "q_geo_buffer" -> { (s, d) =>
       import s.implicits._
@@ -85,6 +135,35 @@ object GeoQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // generated: each fence edge's crossing test with the SAME
+    // precomputed slope double Spark uses (shortest-repr round-trips)
+    "q_geo_in_polygon" -> {
+      val edges = Fence.indices.map { i =>
+        val (x1, y1) = Fence(i)
+        val (x2, y2) = Fence((i + 1) % Fence.length)
+        val slope = (x2 - x1) / (y2 - y1)
+        s"""(CASE WHEN (($y1 > py) != ($y2 > py))
+           |       AND (px < (py - $y1) * ($slope) + $x1) THEN 1 ELSE 0 END)""".stripMargin
+      }.mkString("\n      + ")
+      s"""WITH pts AS (
+         |  SELECT event_id,
+         |    fmod(value, 360.0) - 180.0 AS px,
+         |    fmod(value, 170.0) - 85.0 AS py
+         |  FROM events)
+         |SELECT event_id, px, py,
+         |  ($edges) % 2 = 1 AS inside
+         |FROM pts
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "q_geo_grid_density" ->
+      """SELECT CAST(floor((fmod(value, 360.0) - 180.0) / 5.0) AS BIGINT) AS cell_x,
+        |       CAST(floor((fmod(value, 170.0) - 85.0) / 5.0) AS BIGINT) AS cell_y,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY cell_x, cell_y""".stripMargin,
+
     // haversine replayed hop by hop: same radian conversion, same
     // formula, per-hop round(6) into DECIMAL, per-track round(3)
     "q_geo_track_dist" ->
