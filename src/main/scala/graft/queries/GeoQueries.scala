@@ -117,6 +117,35 @@ object GeoQueries extends QueryPack {
         .orderBy($"cell_x", $"cell_y")
     },
 
+    // ---- spatial k-nearest-neighbor (broadcast queries x corpus scan) ----
+    // The "closest facilities" op: for each of 50 query points, the 3
+    // nearest corpus points by great-circle distance. Same scan shape as
+    // cosine top-k — the small query block broadcasts onto one corpus
+    // pass, per-partition partial top-k under the rank window, no corpus
+    // self-shuffle. Per-pair distance is the same haversine as
+    // q_geo_track_dist, rounded to 6 dp (libm ulps) with event_id
+    // breaking ties deterministically.
+    "q_geo_knn" -> { (s, d) =>
+      import s.implicits._
+      val pts = Tables.events(s, d)
+        .select($"event_id",
+          radians($"value" % 360.0 - 180.0).as("lon"),
+          radians($"value" % 170.0 - 85.0).as("lat"))
+      val queries = pts.filter($"event_id" < 50)
+        .select($"event_id".as("q_id"), $"lon".as("qlon"), $"lat".as("qlat"))
+      val R = 6371008.8
+      val w = Window.partitionBy($"q_id").orderBy($"dist_m".asc, $"event_id")
+      pts.join(broadcast(queries), $"q_id" =!= $"event_id")
+        .withColumn("a",
+          pow(sin(($"lat" - $"qlat") / 2), 2) +
+            cos($"qlat") * cos($"lat") * pow(sin(($"lon" - $"qlon") / 2), 2))
+        .withColumn("dist_m", round(lit(2 * R) * asin(sqrt($"a")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"q_id", asLong($"rk").as("rk"), $"event_id", $"dist_m")
+        .orderBy($"q_id", $"rk")
+    },
+
     // ---- G3: geodesic buffer polygon (UDF; validated in GeoSpec) ----
     "q_geo_buffer" -> { (s, d) =>
       import s.implicits._
@@ -163,6 +192,26 @@ object GeoQueries extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY cell_x, cell_y""".stripMargin,
+
+    // the same haversine + rank replay, query block restricted in SQL
+    "q_geo_knn" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    radians(fmod(value, 360.0) - 180.0) AS lon,
+        |    radians(fmod(value, 170.0) - 85.0) AS lat
+        |  FROM events),
+        |pairs AS (
+        |  SELECT q.event_id AS q_id, b.event_id,
+        |    round(2 * 6371008.8 * asin(sqrt(
+        |      pow(sin((b.lat - q.lat) / 2), 2)
+        |      + cos(q.lat) * cos(b.lat) * pow(sin((b.lon - q.lon) / 2), 2))), 6) AS dist_m
+        |  FROM pts q JOIN pts b ON q.event_id < 50 AND b.event_id != q.event_id)
+        |SELECT q_id, rk, event_id, dist_m FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |              ORDER BY dist_m ASC, event_id) AS BIGINT) AS rk
+        |  FROM pairs) t
+        |WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
 
     // haversine replayed hop by hop: same radian conversion, same
     // formula, per-hop round(6) into DECIMAL, per-track round(3)
