@@ -1,7 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Geodesic point buffer (SURVEY.md §2.3 G3; the reference's proprietary
   * "BufferCreator" tool declares `Method: Geodesic`,
@@ -12,10 +17,42 @@ import org.apache.spark.sql.functions.udf
   * the independent INVERSE solution and against the classic Flinders
   * Peak -> Buninyong test line.
   *
-  * Deliberately a UDF, not a codegen expression: it is not on any hot
-  * path (the reference comments its consumer out), and the output is a
-  * variable-length polygon — SURVEY.md §7 marks it low-priority.
+  * A native codegen expression like every other custom function here
+  * (the static-kernel pattern of WordHashes): the generated code calls
+  * `GeodesicBuffer.computeNgon` directly, so even this cold-path op
+  * stays inside whole-stage codegen instead of paying the UDF
+  * encode/decode boundary — it was the repo's last remaining UDF.
   */
+case class GeodesicNgon(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == DoubleType && fourth.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"geodesic_ngon needs (double, double, double, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+
+  override protected def nullSafeEval(lon: Any, lat: Any, r: Any, n: Any): Any =
+    GeodesicBuffer.computeNgon(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      r.asInstanceOf[Double], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, r, n) =>
+      s"${ev.value} = graft.functions.GeodesicBuffer.computeNgon($lon, $lat, $r, $n);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): GeodesicNgon =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object GeodesicBuffer {
   // WGS84 ellipsoid
   private val A = 6378137.0
@@ -139,9 +176,27 @@ object GeodesicBuffer {
     2 * EarthR * math.asin(math.sqrt(a))
   }
 
-  val bufferUdf = udf((lon: Double, lat: Double, radius: Double, n: Int) =>
-    ngon(lon, lat, radius, n))
+  /** Static kernel shared by interpreted eval and generated code:
+    * the n-gon as Catalyst array-of-struct data. */
+  def computeNgon(lon: Double, lat: Double, radius: Double, n: Int): ArrayData = {
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val p = direct(lon, lat, 360.0 * i / n, radius)
+      out(i) = new GenericInternalRow(Array[Any](p.x, p.y)): InternalRow
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "geodesic_ngon",
+      exprs => GeodesicNgon(exprs.head, exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
+
+  /** Callers must `register(spark)` on the analyzing session first
+    * (the WebMercator/VectorExprs convention). */
   def buffer(lon: Column, lat: Column, radius: Column, n: Column): Column =
-    bufferUdf(lon, lat, radius, n)
+    call_function("geodesic_ngon", lon, lat, radius, n)
 }

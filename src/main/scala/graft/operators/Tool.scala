@@ -50,12 +50,16 @@ case class BufferTool(lonCol: String, latCol: String, radiusMeters: Double,
   override def name: String = s"buffer-$radiusMeters"
 
   override def transformSchema(in: StructType): StructType =
+    // the native GeodesicNgon expression produces non-null vertices
+    // (containsNull = false) and is null only if an input column is
     in.add("buffer", ArrayType(StructType(Seq(
       StructField("x", DoubleType, nullable = false),
-      StructField("y", DoubleType, nullable = false))), containsNull = true),
-      nullable = true)
+      StructField("y", DoubleType, nullable = false))), containsNull = false),
+      nullable = in(lonCol).nullable || in(latCol).nullable)
 
-  override def apply(df: DataFrame): DataFrame =
+  override def apply(df: DataFrame): DataFrame = {
+    graft.functions.GeodesicBuffer.register(df.sparkSession)
     df.withColumn("buffer", graft.functions.GeodesicBuffer.buffer(
       col(lonCol), col(latCol), lit(radiusMeters), lit(vertices)))
+  }
 }

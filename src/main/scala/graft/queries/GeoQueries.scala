@@ -149,6 +149,7 @@ object GeoQueries extends QueryPack {
     // ---- G3: geodesic buffer polygon (UDF; validated in GeoSpec) ----
     "q_geo_buffer" -> { (s, d) =>
       import s.implicits._
+      GeodesicBuffer.register(s)
       Tables.events(s, d)
         .filter($"event_id" < 100)
         .select(

@@ -50,6 +50,16 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(hav - 100.0) < 1.0)
   }
 
+  test("GeodesicNgon: codegen'd pipeline == driver-side ngon kernel") {
+    GeodesicBuffer.register(spark)
+    val (lon, lat) = (144.42486788888888, -37.95103341666667)
+    val viaPipeline = Seq((lon, lat)).toDF("lon", "lat")
+      .select(GeodesicBuffer.buffer($"lon", $"lat", lit(250.0), lit(8)))
+      .as[Seq[(Double, Double)]].head()
+    val direct = GeodesicBuffer.ngon(lon, lat, 250.0, 8).map(p => (p.x, p.y))
+    assert(viaPipeline == direct)
+  }
+
   test("Vincenty direct: Flinders Peak -> Buninyong known line") {
     // classic WGS84(-ish) test line: from Flinders Peak on azimuth
     // 306°52'05.37" for 54972.271 m lands on Buninyong (public Vincenty
