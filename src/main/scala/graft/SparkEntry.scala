@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.queries.ScaleQueries,
     _root_.graft.queries.SearchQueries,
     _root_.graft.queries.AssemblyQueries,
-    _root_.graft.queries.CurationQueries
+    _root_.graft.queries.CurationQueries,
+    _root_.graft.queries.RefineryQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -146,6 +146,13 @@ object VectorExprs {
       exprs => SpanHashes(exprs.head,
         FunctionBuilders.constInt(exprs(1), "span_hashes", "w")),
       "scala_udf")
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression, same as Spark's own builders
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_topk",
+      exprs => MisraGriesTopK(exprs.head,
+        FunctionBuilders.constInt(exprs(1), "mg_topk", "k")),
+      "scala_udf")
   }
 
   /** Plain-Scala twin of SortedJaccard.nullSafeEval for block-local
