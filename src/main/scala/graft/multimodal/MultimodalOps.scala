@@ -268,6 +268,59 @@ object MultimodalOps {
     }
   }
 
+  case class VideoFrame(doc_id: Long, frame_idx: Int, payload: Array[Byte],
+                        width: Int, height: Int)
+  case class FramePixels(doc_id: Long, frame_idx: Int, px: Array[Int])
+
+  /** Video plant: 12 frames per doc; per-doc shot length in {2,3,4}; each
+    * shot shifts the planted raster's base by 97 (mod 256), so frames
+    * WITHIN a shot are pixel-identical and consecutive shots differ at
+    * every pixel (per-pixel |delta| is 97 or 159 — far above any noise
+    * threshold). Closed-form, so the oracle replays expected pixel sums
+    * without a decoder. */
+  val VideoFrames = 12
+  def videoShotLen(docId: Long): Int = (2 + docId % 3).toInt
+  def videoBase(docId: Long, f: Int): Int =
+    (((docId % 256) * 31 + (f / videoShotLen(docId)) * 97) % 256).toInt
+
+  /** Video payload table: VideoFrames real PNGs per doc (small rasters —
+    * the keyframe-detection shape), written once per JVM per sf dir. */
+  private val vidDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def videoPayloadTable(spark: SparkSession, dir: String): Dataset[VideoFrame] = {
+    import spark.implicits._
+    val fixture = vidDirs.computeIfAbsent(dir, { _ =>
+      val out = graft.TempDirs.create("graft_vid")
+      graft.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1) + pmod(col("n_chars"), lit(16))).cast("int").as("w"),
+          (lit(1) + pmod(col("n_chars"), lit(12))).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .flatMap { case (id, w, h) =>
+          (0 until VideoFrames).iterator.map { f =>
+            val base = videoBase(id, f)
+            VideoFrame(id, f,
+              encodePng(w, h, (y, x) => (base + y * 7 + x * 13) % 256), w, h)
+          }
+        }
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(fixture).as[VideoFrame]
+  }
+
+  /** Decode every frame through the REAL PNG codec to its pixel array —
+    * the narrow partition-batched pass feeding shot-boundary detection. */
+  def decodeFramePixels(frames: Dataset[VideoFrame]): Dataset[FramePixels] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { fr =>
+        val (_, _, px) = decodePng(fr.payload)
+        FramePixels(fr.doc_id, fr.frame_idx, px)
+      }
+    }
+  }
+
   case class PHash(doc_id: Long, phash: Long)
 
   /** Perceptual dHash over the DECODED raster: nearest-neighbor resize

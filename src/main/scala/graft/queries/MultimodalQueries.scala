@@ -128,6 +128,38 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- shot-boundary (keyframe) detection over decoded frames ----
+    // The temporal video op: every frame decodes through the REAL PNG
+    // codec, consecutive frames compare by exact sum-of-absolute-
+    // differences (zip_with + aggregate — codegen HOFs, no UDF), a
+    // boundary fires when the mean per-pixel delta exceeds 8, and
+    // running shot indices come off one window pass. Scale shape: the
+    // decode is a narrow partition-batched map; the only shuffle keys
+    // (doc_id, frame_idx) for the lag window — pixel arrays move once.
+    // The planted shot rule is closed-form, so the oracle replays every
+    // expected SAD without a decoder: a codec defect, a frame
+    // misordering, or an off-by-one in the lag breaks the hash match.
+    "q_multimodal_shots" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val px = MultimodalOps.decodeFramePixels(
+        MultimodalOps.videoPayloadTable(s, d)).toDF()
+      val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+      px.withColumn("prev", lag($"px", 1).over(w))
+        .withColumn("wh", size($"px"))
+        .withColumn("sad",
+          when($"prev".isNull, lit(0L)).otherwise(
+            aggregate(zip_with($"px", $"prev", (a, b) => abs(a - b)),
+              lit(0L), (acc, x) => acc + x)))
+        .withColumn("is_boundary", $"frame_idx" > 0 && $"sad" > lit(8) * $"wh")
+        .withColumn("shot_idx",
+          sum(when($"is_boundary", 1L).otherwise(0L)).over(w))
+        .select($"doc_id", asLong($"frame_idx").as("frame_idx"),
+          asLong($"sad").as("sad"), $"is_boundary",
+          asLong($"shot_idx").as("shot_idx"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+
     // frame sampling: 64-byte frames, every 2nd frame kept
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
@@ -142,6 +174,40 @@ object MultimodalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // closed-form replay WITHOUT a decoder: frame f's raster base is
+    // ((doc_id%256)*31 + (f // shotlen)*97) % 256 with pixel
+    // (base + y*7 + x*13) % 256, so the expected SAD between
+    // consecutive frames is an exact integer sum over the pixel grid
+    "q_multimodal_shots" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w, 1 + n_chars % 12 AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, CAST(unnest(range(0, 12)) AS BIGINT) AS f
+        |  FROM docs),
+        |fb AS (
+        |  SELECT doc_id, w, h, f,
+        |    ((doc_id % 256) * 31 + (f // (2 + doc_id % 3)) * 97) % 256 AS base
+        |  FROM f),
+        |pair AS (
+        |  SELECT a.doc_id, a.f, a.w, a.h, a.base AS b1, b.base AS b0
+        |  FROM fb a LEFT JOIN fb b ON a.doc_id = b.doc_id AND b.f = a.f - 1),
+        |px AS (
+        |  SELECT doc_id, f, w, b1, b0, unnest(range(0, w * h)) AS i
+        |  FROM pair WHERE b0 IS NOT NULL),
+        |sadt AS (
+        |  SELECT doc_id, f,
+        |    sum(abs((b1 + (i // w) * 7 + (i % w) * 13) % 256
+        |          - (b0 + (i // w) * 7 + (i % w) * 13) % 256)) AS sad
+        |  FROM px GROUP BY doc_id, f),
+        |joined AS (
+        |  SELECT p.doc_id, p.f, p.w * p.h AS wh, coalesce(s.sad, 0) AS sad
+        |  FROM pair p LEFT JOIN sadt s ON p.doc_id = s.doc_id AND p.f = s.f)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(sad AS BIGINT) AS sad,
+        |  (f > 0 AND sad > 8 * wh) AS is_boundary,
+        |  CAST(sum(CASE WHEN f > 0 AND sad > 8 * wh THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) AS shot_idx
+        |FROM joined ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -292,6 +292,44 @@ object RefineryQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- incremental aggregate maintenance (materialized-view delta) ----
+    // The 100 TB re-aggregation pattern: a per-source stats table is
+    // maintained by MERGING stored algebraic partials with the new
+    // batch's partials — count+count, sum+sum, min(min), max(max) — and
+    // derived values (avg) come off the merged partials at read time.
+    // The corpus is NEVER rescanned on update: the stored v1 partials
+    // are written to parquet and read back (the artifact path a real
+    // view-maintenance job uses), the delta scans ONLY the new batch,
+    // and the merge is a union + regroup over O(keys) rows. The oracle
+    // recomputes the aggregate from the FULL corpus, so any partial
+    // that is not correctly mergeable (a non-algebraic sneak like a
+    // stored average, min/max mixed up, double drift) hash-mismatches.
+    "q_agg_incremental" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def partial(df: DataFrame) = df.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_sum"),
+        min($"n_chars").as("chars_min"),
+        max($"n_chars").as("chars_max"))
+      val dir = tempFixtureDir("graft_agg_v1") + "/v1"
+      partial(docs.filter($"doc_id" % 3 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      val v1 = s.read.parquet(dir)
+      v1.unionByName(partial(docs.filter($"doc_id" % 3 === 0)))
+        .groupBy($"source").agg(
+          sum($"n_docs").as("n_docs"),
+          sum($"chars_sum").as("chars_sum"),
+          min($"chars_min").as("chars_min"),
+          max($"chars_max").as("chars_max"))
+        .select($"source", asLong($"n_docs").as("n_docs"),
+          asLong($"chars_sum").as("chars_sum"),
+          asLong($"chars_min").as("chars_min"),
+          asLong($"chars_max").as("chars_max"),
+          ($"chars_sum".cast("double") / $"n_docs").as("avg_chars"))
+        .orderBy($"source")
+    },
+
     // ---- native Misra-Gries heavy-hitter sketch ----
     // One-pass O(k)-memory top-k via the native TypedImperativeAggregate
     // (functions/MisraGriesTopK): partial sketches per partition, merged
@@ -490,6 +528,17 @@ object RefineryQueries extends QueryPack {
         |SELECT doc_id, CAST(length(messy) AS BIGINT) AS n_before,
         |  CAST(length(norm_text) AS BIGINT) AS n_after, norm_text
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // independent ground truth = ONE aggregate over the full corpus: the
+    // incremental merge must land on exactly this
+    "q_agg_incremental" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(min(n_chars) AS BIGINT) AS chars_min,
+        |  CAST(max(n_chars) AS BIGINT) AS chars_max,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the bound booleans are mathematically TRUE for a correct MG sketch
     // under ANY merge order, so the oracle states them as literals over
