@@ -310,6 +310,36 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"l_returnflag")
     },
 
+    // ---- mergeable HLL sketches (Apache DataSketches, Spark 4) ----
+    // The production cardinality shape approx_count_distinct cannot do:
+    // the sketch itself is a first-class MERGEABLE value. Build one HLL
+    // per group with hll_sketch_agg, then hll_union_agg the group
+    // sketches into the global cardinality WITHOUT rescanning the data —
+    // at 100 TB this is how per-day/per-shard sketches roll up into
+    // monthly/global uniques (re-aggregation from stored binaries, zero
+    // raw-data reads). lgConfigK=14 -> ~0.8% rsd, asserted per group and
+    // on the merged rollup against the exact counts.
+    "q_sketch_hll" -> { (s, d) =>
+      import s.implicits._
+      val perGroup = t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(hll_sketch_agg($"l_partkey", lit(14)).as("sk"),
+          countDistinct($"l_partkey").as("exact_parts"))
+      val groups = perGroup
+        .select($"l_returnflag", $"exact_parts",
+          (abs(hll_sketch_estimate($"sk") - $"exact_parts").cast("double")
+            / $"exact_parts" <= 0.05).as("estimate_ok"))
+      // the union side: merge the 3 group sketches, no raw-data rescan
+      val merged = perGroup
+        .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"))
+        .crossJoin(t(s, d, "lineitem")
+          .agg(countDistinct($"l_partkey").as("exact_parts")))
+        .select(lit("ALL").as("l_returnflag"), $"exact_parts",
+          (abs($"est" - $"exact_parts").cast("double")
+            / $"exact_parts" <= 0.05).as("estimate_ok"))
+      groups.unionAll(merged).orderBy($"l_returnflag")
+    },
+
     // ---- approximate percentile (the sketch quantile used at 100 TB) ----
     // Same contract pattern as the HLL row: percentile_approx is
     // mergeable/one-pass (exact percentile needs the whole group sorted —
@@ -591,6 +621,16 @@ object AnalyticQueries extends QueryPack {
         |  TRUE AS estimate_ok
         |FROM lineitem
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // exact counts must match; the sketch estimates (per group AND the
+    // merged rollup) are asserted through the 5%-relative-error boolean
+    "q_sketch_hll" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS estimate_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem
         |ORDER BY l_returnflag""".stripMargin,
 
     // exact interpolated median must match across engines (same rounding

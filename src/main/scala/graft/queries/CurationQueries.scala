@@ -213,6 +213,64 @@ object CurationQueries extends QueryPack {
         .localCheckpoint()
       sh.unpersist()
       out
+    },
+
+    // ---- multinomial Naive Bayes language classifier (train + score) ----
+    // The fastText-shaped step every curation pipeline runs (CCNet,
+    // RefinedWeb): TRAIN a classifier on labeled docs, SCORE the rest.
+    // Train split = the repo's Knuth-hash 80% rule (q_split_train_eval);
+    // the model is per-(lang, term) Laplace-smoothed log-likelihoods plus
+    // log-priors, fit with two aggregations. Scoring left-joins the
+    // holdout's (doc, term, tf) rows against the model and argmaxes the
+    // per-lang decimal score. Cross-engine determinism: every ln lands on
+    // the 6-dp grid and rides DECIMAL(28,12) (order-insensitive sums, the
+    // surprisal convention); argmax ties break on lang.
+    //
+    // 100 TB shape: the model is O(vocab x langs) -> BROADCAST; scoring
+    // is one narrow join on the token stream + a (doc, lang) partial agg
+    // (langs a small constant), so corpus rows shuffle once, carrying
+    // (doc_id, lang, decimal) — no text. Training shuffles (lang, term)
+    // count rows with map-side combine. Nothing all-pairs, nothing on
+    // the driver.
+    "q_classify_nb" -> { (s, d) =>
+      import s.implicits._
+      val h = pmod(pmod($"doc_id", lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)) % 100
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(h < 80)
+      val holdout = docs.filter(h >= 80)
+      val counts = train
+        .select($"lang", explode(split($"text", " ")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+      val vocab = counts.select($"term").distinct()
+        .agg(count(lit(1)).as("v"))
+      val langTotals = counts.groupBy($"lang").agg(sum($"c").as("tot"))
+      val priors = train.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+        .select($"lang",
+          round(log($"n_docs") - log($"n_train"), 6)
+            .cast("decimal(28,12)").as("lp"))
+      val evalTf = holdout
+        .select($"doc_id", $"lang".as("actual"),
+          explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"actual", $"term").agg(count(lit(1)).as("tf"))
+      val scored = evalTf
+        .crossJoin(broadcast(langTotals.crossJoin(vocab)))
+        .join(broadcast(counts), Seq("lang", "term"), "left")
+        .withColumn("ll",
+          round(log(coalesce($"c", lit(0L)) + 1) - log($"tot" + $"v"), 6)
+            .cast("decimal(28,12)"))
+        .groupBy($"doc_id", $"actual", $"lang")
+        .agg(sum($"ll" * $"tf").as("sll"))
+        .join(broadcast(priors), Seq("lang"))
+        .withColumn("score", $"sll" + $"lp")
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"lang".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"lang".as("pred_lang"), $"actual",
+          asLong($"lang" === $"actual").as("correct"),
+          round($"score".cast("double"), 6).as("score"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -298,6 +356,49 @@ object CurationQueries extends QueryPack {
         |FROM newd n
         |LEFT JOIN ex ON n.doc_id = ex.doc_id
         |LEFT JOIN nr ON n.doc_id = nr.doc_id
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // full replay: same split, same smoothing, same 6-dp ln grid over
+    // DECIMAL(28,12), same lang tiebreak
+    "q_classify_nb" ->
+      """WITH h AS (
+        |  SELECT *, (((doc_id % 2147483648 + 2147483648) % 2147483648)
+        |             * 2654435761) % 4294967296 % 100 AS hh
+        |  FROM documents),
+        |train AS (SELECT * FROM h WHERE hh < 80),
+        |holdout AS (SELECT * FROM h WHERE hh >= 80),
+        |counts AS (
+        |  SELECT lang, term, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM train)
+        |  GROUP BY lang, term),
+        |vocab AS (SELECT count(DISTINCT term) AS v FROM counts),
+        |lang_totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY lang),
+        |priors AS (
+        |  SELECT lang,
+        |    CAST(round(ln(count(*)) - ln((SELECT count(*) FROM train)), 6)
+        |         AS DECIMAL(28,12)) AS lp
+        |  FROM train GROUP BY lang),
+        |evtf AS (
+        |  SELECT doc_id, actual, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang AS actual,
+        |               unnest(string_split(text, ' ')) AS term FROM holdout)
+        |  GROUP BY doc_id, actual, term),
+        |scored AS (
+        |  SELECT e.doc_id, e.actual, l.lang,
+        |    sum(CAST(round(ln(coalesce(c.c, 0) + 1) - ln(l.tot + v.v), 6)
+        |             AS DECIMAL(28,12)) * e.tf) AS sll
+        |  FROM evtf e CROSS JOIN vocab v CROSS JOIN lang_totals l
+        |  LEFT JOIN counts c ON c.lang = l.lang AND c.term = e.term
+        |  GROUP BY e.doc_id, e.actual, l.lang),
+        |ranked AS (
+        |  SELECT s.doc_id, s.actual, s.lang, s.sll + p.lp AS score,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY s.sll + p.lp DESC, s.lang) AS rn
+        |  FROM scored s JOIN priors p ON p.lang = s.lang)
+        |SELECT doc_id, lang AS pred_lang, actual,
+        |  CAST(lang = actual AS BIGINT) AS correct,
+        |  round(CAST(score AS DOUBLE), 6) AS score
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -138,6 +138,37 @@ object ScalarQueries extends QueryPack {
         asDouble(array_max($"embedding")).as("max_val"),
         asLong(size(filter($"embedding", x => x < 0))).as("n_negative"))
         .orderBy($"vec_id")
+    },
+
+    // ---- Spark 4 VARIANT: semi-structured binary type, typed-path reads ----
+    // Build a nested JSON document from typed columns, parse it ONCE into
+    // a VARIANT (binary semi-structured encoding), then read typed values
+    // back by path — including a doubly-nested hop (the original `props`
+    // JSON string rides inside the outer document and is re-parsed from
+    // the variant). The oracle compares every extraction against the
+    // ORIGINAL columns, proving encode -> variant -> typed path is
+    // lossless. At 100 TB this is the semi-structured scan shape: parse
+    // once at ingest, store binary, and every downstream query does cheap
+    // typed path reads instead of re-tokenizing JSON strings per query
+    // (with parquet shredding, path reads prune to subcolumns).
+    "q_scalar_variant" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_id".as("eid"),
+          parse_json(to_json(struct($"event_type", $"value",
+            struct($"user_id", $"event_id").as("ids"), $"props"))).as("v"))
+        .select(
+          $"eid".as("event_id"),
+          expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+          expr("variant_get(v, '$.value', 'double')").as("value"),
+          expr("variant_get(v, '$.ids.user_id', 'long')").as("user_id"),
+          expr("variant_get(parse_json(variant_get(v, '$.props', 'string')), " +
+            "'$.k', 'long')").as("k"),
+          asLong(expr("variant_get(v, '$.ids.event_id', 'long')") === $"eid")
+            .as("id_roundtrip"),
+          asLong(expr("variant_get(v, '$.no_such_path', 'string')").isNull)
+            .as("missing_is_null"))
+        .orderBy($"event_id")
     }
   )
 
@@ -269,6 +300,16 @@ object ScalarQueries extends QueryPack {
         |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
         |  CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_negative
         |FROM embeddings
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // The oracle reads the ORIGINAL columns — if the variant encode or a
+    // typed path read lost anything, the compare fails.
+    "q_scalar_variant" ->
+      """SELECT event_id, event_type, value, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS id_roundtrip,
+        |  CAST(1 AS BIGINT) AS missing_is_null
+        |FROM events
+        |ORDER BY event_id""".stripMargin
   )
 }

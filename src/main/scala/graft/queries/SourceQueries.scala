@@ -140,6 +140,47 @@ object SourceQueries extends QueryPack {
         .orderBy($"event_type")
     },
 
+    // State-store BATCH reader (Spark 4 `statestore` format): run a
+    // streaming aggregation to a checkpoint, then open the committed
+    // state itself as a DataFrame — the operational introspection path
+    // for long-lived streaming jobs (state audits, backfills, migration
+    // validation) without stopping the query or replaying the stream.
+    // The oracle recomputes the same aggregation from the raw table: the
+    // store's (key -> aggregation buffer) rows must equal the batch
+    // answer exactly. partition_id is deliberately NOT selected — state
+    // fan-out is a deployment knob (statePartitions), not part of the
+    // answer. At 100 TB the reader scans state files partition-parallel,
+    // so auditing a multi-TB store is an ordinary distributed scan.
+    "q_source_state_reader" -> { (s, d) =>
+      import s.implicits._
+      import graft.tracks.TrackStateOp
+      val run = s"$fileSinkDir/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val agg = TrackStateOp.eventsStream(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum(dec($"value")).as("sum_value"))
+      val key = "spark.sql.shuffle.partitions"
+      val q = graft.StreamStartLock.synchronized {
+        val saved = s.conf.getOption(key)
+        s.conf.set(key, 8) // state-store count: sized to state, not cores
+        try agg.writeStream.format("noop")
+          .outputMode("update")
+          .option("checkpointLocation", s"$run/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+      q.awaitTermination()
+      s.read.format("statestore").load(s"$run/ckpt")
+        .filter(!$"value.isEmpty")
+        .select($"key.user_id".as("user_id"),
+          asLong($"value.count").as("n_events"),
+          asDouble($"value.sum").as("sum_value"))
+        .orderBy($"user_id")
+    },
+
     // CDC-style upsert sink (foreachBatch merge): maintain a "latest
     // event per user" materialized view across micro-batches — per
     // batch, union the existing view with the new rows and keep the
@@ -277,6 +318,13 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // the committed streaming-agg state must equal the batch aggregation
+    "q_source_state_reader" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_source_json_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q_source_orc_roundtrip" ->
