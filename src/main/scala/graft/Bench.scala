@@ -30,7 +30,8 @@ object Bench {
     // the production shape where layout happens at ingest, not per query.
     Seq("q_agg_pricing_summary", "q_join_bucketed",
         "q_source_partitioned_pruning", "q_multimodal_features",
-        "q_multimodal_audio", "q_ann_ivf_persisted").foreach { w =>
+        "q_multimodal_audio", "q_ann_ivf_persisted",
+        "q_multimodal_shots").foreach { w =>
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => }

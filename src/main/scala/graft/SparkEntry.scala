@@ -26,7 +26,8 @@ object SparkEntry {
     _root_.graft.queries.SearchQueries,
     _root_.graft.queries.AssemblyQueries,
     _root_.graft.queries.CurationQueries,
-    _root_.graft.queries.RefineryQueries
+    _root_.graft.queries.RefineryQueries,
+    _root_.graft.queries.SqlSurfaceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -321,10 +321,19 @@ object AnalyticQueries extends QueryPack {
     // on the merged rollup against the exact counts.
     "q_sketch_hll" -> { (s, d) =>
       import s.implicits._
-      val perGroup = t(s, d, "lineitem")
+      // HLL is duplicate-insensitive, so both the sketches and the exact
+      // counts build from ONE distinct (group, key) pass — no second
+      // lineitem scan for the exact side, and no expand-based
+      // countDistinct running beside the sketch aggregate. The distinct
+      // shuffles with map-side partial aggregation; everything after it
+      // runs over O(groups x distinct-keys) rows.
+      val base = t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_partkey").distinct()
+        .localCheckpoint()
+      val perGroup = base
         .groupBy($"l_returnflag")
         .agg(hll_sketch_agg($"l_partkey", lit(14)).as("sk"),
-          countDistinct($"l_partkey").as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
       val groups = perGroup
         .select($"l_returnflag", $"exact_parts",
           (abs(hll_sketch_estimate($"sk") - $"exact_parts").cast("double")
@@ -332,8 +341,7 @@ object AnalyticQueries extends QueryPack {
       // the union side: merge the 3 group sketches, no raw-data rescan
       val merged = perGroup
         .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"))
-        .crossJoin(t(s, d, "lineitem")
-          .agg(countDistinct($"l_partkey").as("exact_parts")))
+        .crossJoin(base.agg(countDistinct($"l_partkey").as("exact_parts")))
         .select(lit("ALL").as("l_returnflag"), $"exact_parts",
           (abs($"est" - $"exact_parts").cast("double")
             / $"exact_parts" <= 0.05).as("estimate_ok"))

@@ -127,7 +127,14 @@ object GeoQueries extends QueryPack {
     // breaking ties deterministically.
     "q_geo_knn" -> { (s, d) =>
       import s.implicits._
+      // repartition BEFORE the x50 pair fan-out: the sf file is one scan
+      // split, and the expensive stage (pairs x trig + the partial
+      // top-k's per-partition sort) inherits the scan's partitioning —
+      // unsplit, one task does all the work. The shuffle moves only the
+      // skinny base points; on a cluster the scan arrives pre-split and
+      // the same repartition just rebalances.
       val pts = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"event_id",
           radians($"value" % 360.0 - 180.0).as("lon"),
           radians($"value" % 170.0 - 85.0).as("lat"))

@@ -153,7 +153,11 @@ object ScalarQueries extends QueryPack {
     // (with parquet shredding, path reads prune to subcolumns).
     "q_scalar_variant" -> { (s, d) =>
       import s.implicits._
+      // the sf file is one scan split and the JSON encode/parse is the
+      // per-row cost — spread it before paying it (the shuffle moves
+      // skinny source rows; a cluster scan arrives pre-split)
       t(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"event_id".as("eid"),
           parse_json(to_json(struct($"event_type", $"value",
             struct($"user_id", $"event_id").as("ids"), $"props"))).as("v"))

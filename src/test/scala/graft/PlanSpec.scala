@@ -216,4 +216,38 @@ class PlanSpec extends SparkSpec {
     val pruned = queries.ScaleQueries.partitionedDir(spark, SF)
     assert(new java.io.File(pruned).listFiles().exists(_.getName.contains("event_type=")))
   }
+
+  test("LATERAL limit-subquery decorrelates to partial top-k, not per-row rescans") {
+    val p = plan("q_sql_lateral")
+    // per-key LIMIT becomes WindowGroupLimit (Partial before the shuffle,
+    // so at 100 TB each task forwards <= k rows per key), then one
+    // broadcast join reattaches the outer row — no re-scan per customer.
+    // When another suite has installed RowNumberTopKRewrite on the shared
+    // session, the same idiom plans as the native TopKPerKey node instead
+    // — strictly better (bounded heap, no sort); accept either form.
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("correlated EXISTS/scalar subqueries decorrelate to hash joins") {
+    val p = plan("q_sql_correlated")
+    assert(p.contains("ExistenceJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("NB scoring joins the model by broadcast — the token stream never sort-merges") {
+    val p = plan("q_classify_nb")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("geo knn keeps the pair fan-out bounded by a partial WindowGroupLimit") {
+    val p = plan("q_geo_knn")
+    // without the partial group limit every task would sort its full
+    // pair stream; with it, <= k rows per query survive each partition
+    // (or the native TopKPerKey bounded heap when the rewrite is installed)
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerKey"), p)
+    assert(p.contains("Partial") || p.contains("TopKPerKey"), p)
+  }
 }
