@@ -232,21 +232,27 @@ object LlmVectorQueries extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Brute-force cosine top-k for query set vec_id < 50 — the exact
+    * baseline every ANN variant is graded against. Broadcast query block
+    * x one partitioned corpus scan, partial top-k per partition under the
+    * rank window; no corpus self-shuffle (the GEMM-shaped pattern). */
+  private[queries] def cosineRanked(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, d).select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
+    val queries = emb(s, d).filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
+    corpus.join(broadcast(queries), $"q_id" =!= $"b_id")
+      .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
+      .orderBy($"q_id", $"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 for query set vec_id < 50 ----
-    "q_ann_cosine_topk" -> { (s, d) =>
-      import s.implicits._
-      val corpus = emb(s, d).select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
-      val queries = emb(s, d).filter($"vec_id" < 50)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"b_id")
-      corpus.join(broadcast(queries), $"q_id" =!= $"b_id")
-        .select($"q_id", $"b_id", (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 5)
-        .select($"q_id", asLong($"rk").as("rk"), $"b_id", $"cos")
-        .orderBy($"q_id", $"rk")
-    },
+    "q_ann_cosine_topk" -> { (s, d) => cosineRanked(s, d, 5) },
 
     // ---- hard-negative mining for contrastive training ----
     // For each anchor (query) vector, the top-5 most-cosine-similar
@@ -414,6 +420,52 @@ object LlmVectorQueries extends QueryPack {
       val assigned = s.read.parquet(s"$dir/assigned")
         .withColumn("cell", $"cell".cast("long"))
       ivfServe(s, centroids, assigned)
+    },
+
+    // ---- ANN quality eval: recall@10 vs nprobe (the tuning curve) ----
+    // The evaluation harness every ANN deployment runs before picking its
+    // speed/recall operating point: recall@10 of the IVF index against
+    // the exact brute-force top-10, at nprobe = 1, 2, 4, 8. One probe
+    // ranking pass (pr <= max nprobe) is shared by all curve points —
+    // each nprobe setting is a PREFIX of the same probe list, so the
+    // curve costs one small cross join on the probe table, not four
+    // re-plans. The exact baseline is the one corpus scan cosineRanked
+    // already implements; candidate ranking fans out over (nprobe, query)
+    // but candidates stay cell-sized. Fully deterministic (shared IVF
+    // model), so the whole curve — counts AND ratios — hash-compares
+    // against the DuckDB replay; no recall-contract weakening needed.
+    "q_ann_recall_curve" -> { (s, d) =>
+      import s.implicits._
+      val (centroids, assigned) = ivfModel(s, d)
+      val exact = cosineRanked(s, d, 10).select($"q_id", $"b_id")
+      val probes = assigned.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        .join(broadcast(centroids))
+        .select($"q_id", $"qv", $"qn", $"c_id",
+          cosine($"qv", $"cv").as("ccos"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
+        .filter($"pr" <= 8)
+      val nps = Seq(1L, 2L, 4L, 8L).toDF("np")
+      val cand = probes.crossJoin(broadcast(nps)).filter($"pr" <= $"np")
+        .select($"np", $"q_id", $"qv", $"qn", $"c_id".as("cell"))
+        .join(assigned.select($"vec_id".as("b_id"), $"v".as("bv"),
+          $"nrm".as("bn"), $"cell"), Seq("cell"))
+        .filter($"q_id" =!= $"b_id")
+        .select($"np", $"q_id", $"b_id",
+          (dot($"qv", $"bv") / ($"qn" * $"bn")).as("cos"))
+      val ranked = cand.withColumn("rk", row_number().over(
+          Window.partitionBy($"np", $"q_id").orderBy($"cos".desc, $"b_id")))
+        .filter($"rk" <= 10)
+        .select($"np", $"q_id", $"b_id")
+      val hits = ranked.join(exact, Seq("q_id", "b_id"))
+        .groupBy($"np").agg(count(lit(1)).as("h"))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      nps.join(hits, Seq("np"), "left").crossJoin(broadcast(denom))
+        .select(asLong($"np").as("nprobe"),
+          asLong(coalesce($"h", lit(0L))).as("hits"),
+          (coalesce($"h", lit(0L)).cast("double") / $"n_exact").as("recall"))
+        .orderBy($"nprobe")
     },
 
     // ---- semantic deduplication (SemDeDup, cluster-scoped) ----
@@ -738,6 +790,50 @@ object LlmVectorQueries extends QueryPack {
       |WHERE rk <= 5
       |ORDER BY q_id, rk""".stripMargin
 
+  /** The recall-curve replay: same IVF model CTEs, probe list to pr<=8,
+    * exact top-10 brute force, then each nprobe grades a prefix of the
+    * probe list. Counts are exact integers; the recall ratio is one
+    * double division of exact integers — IEEE-identical per engine. */
+  private def recallCurveOracle: String =
+    s"""WITH $ivfOracleCtes,
+       |probes AS (
+       |  SELECT q_id, cell, pr FROM (
+       |    SELECT a.vec_id AS q_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, c.c_id) AS pr
+       |    FROM (SELECT vec_id, ev FROM assigned WHERE vec_id < 50) a
+       |    CROSS JOIN cent c) x
+       |  WHERE pr <= 8),
+       |exact AS (
+       |  SELECT q_id, b_id FROM (
+       |    SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.ev, b.ev) DESC, b.vec_id) AS rk
+       |    FROM e q JOIN e b ON q.vec_id < 50 AND b.vec_id != q.vec_id) t
+       |  WHERE rk <= 10),
+       |nps(np) AS (VALUES (1), (2), (4), (8)),
+       |cand AS (
+       |  SELECT n.np, p.q_id, b.vec_id AS b_id,
+       |         list_cosine_similarity(q.ev, b.ev) AS cos
+       |  FROM nps n
+       |  JOIN probes p ON p.pr <= n.np
+       |  JOIN assigned b ON b.cell = p.cell AND b.vec_id != p.q_id
+       |  JOIN e q ON q.vec_id = p.q_id),
+       |ranked AS (
+       |  SELECT np, q_id, b_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY np, q_id
+       |               ORDER BY cos DESC, b_id) AS rk FROM cand) t
+       |  WHERE rk <= 10),
+       |hits AS (
+       |  SELECT np, count(*) AS h
+       |  FROM ranked JOIN exact USING (q_id, b_id) GROUP BY np),
+       |nx AS (SELECT count(*) AS n_exact FROM exact)
+       |SELECT CAST(np AS BIGINT) AS nprobe,
+       |       CAST(coalesce(h, 0) AS BIGINT) AS hits,
+       |       CAST(coalesce(h, 0) AS DOUBLE) / n_exact AS recall
+       |FROM nps LEFT JOIN hits USING (np) CROSS JOIN nx
+       |ORDER BY nprobe""".stripMargin
+
   /** The generated sketch-bit SQL shared by the LSH oracles: the same
     * rational hyperplanes inline, each dot an explicit left-associated
     * 64-term sum (the kernel's fold order) over column `ev`. */
@@ -861,6 +957,8 @@ object LlmVectorQueries extends QueryPack {
     // q_ann_ivf_persisted round-trips the same deterministic model
     // through parquet, so the identical replay grades both paths
     "q_ann_ivf_persisted" -> ivfServeOracle,
+
+    "q_ann_recall_curve" -> recallCurveOracle,
 
     // SemDeDup replay over the same IVF model: within-cell rank by
     // centroid cosine (desc, id asc), drop when any higher-ranked
