@@ -57,6 +57,57 @@ object SearchQueries extends QueryPack {
     labels
   }
 
+  /** TF-IDF vector-space scoring shared by q_search_tfidf (rank@5 with
+    * the raw cosine) and q_search_rrf (rank@10 as the lexical arm of the
+    * hybrid fusion): (q_id, doc_id, cos) for the 50 query docs against
+    * the corpus. One tf pass (localCheckpoint: it feeds df stats, the
+    * vectorization, and the query block — re-running the explode+groupBy
+    * per consumer was ~70% of the query's wall time at sf0.1).
+    * FIXED-POINT weights: idf rounds to integer micro-units (1e6), so
+    * each weight is one long multiply — exact, engine-identical.
+    * CHAMPION-LIST VECTORIZATION: with the scoring vocabulary bounded
+    * (this corpus's 31 terms; a df-pruned champion list in production)
+    * each doc's sparse weights collapse into a dense vocab-indexed
+    * double array and the pair scores run through the codegen dot
+    * kernel — the q_ann_cosine_topk scan shape — instead of a 5.8M-row
+    * posting fan-out into a decimal hash aggregate. Weights are
+    * integer-valued doubles (<= 2^53, exact); the pair dot is the
+    * kernel's SEQUENTIAL fold over a fixed term order, so both engines
+    * round identically. The posting join remains the unbounded-vocab
+    * path (q_search_bm25 keeps that shape). */
+  private def tfidfScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 1e6)
+          .cast("long")).as("w6"))
+    graft.functions.VectorExprs.register(s)
+    import graft.llm.VectorOps.dot
+    val tids = dfv.select($"term",
+      row_number().over(Window.orderBy($"term")).as("tid"))
+    val vsz = tids.agg(max($"tid").as("vsz"))
+    val vecs = w.join(broadcast(tids), "term")
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"tid", $"w6"))).as("m"))
+      .crossJoin(broadcast(vsz))
+      .select($"doc_id",
+        transform(sequence(lit(1), $"vsz"),
+          i => coalesce(element_at($"m", i), lit(0L)).cast("double")).as("v"))
+      .withColumn("n2", dot($"v", $"v"))
+    val qvecs = vecs.filter($"doc_id" < 50)
+      .select($"doc_id".as("q_id"), $"v".as("qv"), $"n2".as("na2"))
+    vecs.join(broadcast(qvecs), $"q_id" =!= $"doc_id")
+      .select($"q_id", $"doc_id",
+        (dot($"qv", $"v") / (sqrt($"na2") * sqrt($"n2"))).as("cos"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- BM25 ranked retrieval (Lucene-variant idf), inverted-index shape ----
@@ -121,58 +172,46 @@ object SearchQueries extends QueryPack {
     // no output rounding.
     "q_search_tfidf" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      // localCheckpoint: tf feeds FOUR consumers (df stats, norms, the
-      // query block, the posting join) and the explode+groupBy corpus
-      // pass would otherwise re-run for each — it was ~70% of the
-      // query's wall time at sf0.1. Narrow (doc_id, term, tf) rows, so
-      // the materialization is posting-list-sized, never text-sized.
-      val tf = docs
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      // FIXED-POINT weights: idf rounds to integer micro-units (1e6), so
-      // each weight is one long multiply — exact, engine-identical.
-      val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
-        .select($"doc_id", $"term",
-          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 1e6)
-            .cast("long")).as("w6"))
-      // CHAMPION-LIST VECTORIZATION: with the scoring vocabulary bounded
-      // (this corpus's 31 terms; a df-pruned champion list in production)
-      // each doc's sparse weights collapse into a dense vocab-indexed
-      // double array, and the 250k pair scores run through the codegen
-      // dot kernel — the q_ann_cosine_topk scan shape — instead of a
-      // 5.8M-row posting fan-out into a decimal hash aggregate (2.7 s of
-      // the 5.5 s this query cost at sf0.1). Weights are integer-valued
-      // doubles (<= 2^53, exact); the pair dot is the kernel's
-      // SEQUENTIAL fold over a fixed term order, so both engines round
-      // identically. The posting join remains the unbounded-vocab path
-      // (q_search_bm25 keeps that shape).
-      graft.functions.VectorExprs.register(s)
-      import graft.llm.VectorOps.dot
-      val tids = dfv.select($"term",
-        row_number().over(Window.orderBy($"term")).as("tid"))
-      val vsz = tids.agg(max($"tid").as("vsz"))
-      val vecs = w.join(broadcast(tids), "term")
-        .groupBy($"doc_id")
-        .agg(map_from_entries(collect_list(struct($"tid", $"w6"))).as("m"))
-        .crossJoin(broadcast(vsz))
-        .select($"doc_id",
-          transform(sequence(lit(1), $"vsz"),
-            i => coalesce(element_at($"m", i), lit(0L)).cast("double")).as("v"))
-        .withColumn("n2", dot($"v", $"v"))
-      val qvecs = vecs.filter($"doc_id" < 50)
-        .select($"doc_id".as("q_id"), $"v".as("qv"), $"n2".as("na2"))
-      val scored = vecs.join(broadcast(qvecs), $"q_id" =!= $"doc_id")
-        .select($"q_id", $"doc_id",
-          (dot($"qv", $"v") / (sqrt($"na2") * sqrt($"n2"))).as("cos"))
-      scored
+      tfidfScored(s, d)
         .withColumn("rk", row_number().over(
           Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id")))
         .filter($"rk" <= 5)
         .select($"q_id", asLong($"rk").as("rk"), $"doc_id", $"cos")
+        .orderBy($"q_id", $"rk")
+    },
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of lexical + semantic ----
+    // The production hybrid-search shape: a lexical ranking (TF-IDF
+    // cosine over the inverted index) and a semantic ranking (embedding
+    // cosine over the vector index) fused per query by RRF
+    // (Cormack et al. 2009): score = sum over systems of 1/(60 + rank).
+    // Each system contributes only its top-10, so the fusion join runs
+    // over O(queries x k) rows — the corpus-scale work lives entirely
+    // inside the two component retrievers, and the fusion itself is a
+    // full-outer join on (query, doc) + one rank window, independent of
+    // corpus size. Determinism: each 1/(60+rank) is rounded to integer
+    // micro-units (ppm) — BIGINT sums, no float accumulation; 1e6/(60+r)
+    // never lands on a .5 rounding boundary for r in 1..10 (2e6 has no
+    // divisor in [61, 70] with an odd quotient), so both engines round
+    // identically.
+    "q_search_rrf" -> { (s, d) =>
+      import s.implicits._
+      val lex = tfidfScored(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id")))
+        .filter($"rk" <= 10)
+        .select($"q_id", $"doc_id", $"rk".as("rk_lex"))
+      val sem = LlmVectorQueries.cosineRanked(s, d, 10)
+        .select($"q_id", $"b_id".as("doc_id"), $"rk".as("rk_sem"))
+      lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+        .select($"q_id", $"doc_id",
+          (coalesce(round(lit(1000000.0) / (lit(60) + $"rk_lex")).cast("long"), lit(0L))
+            + coalesce(round(lit(1000000.0) / (lit(60) + $"rk_sem")).cast("long"), lit(0L)))
+            .as("rrf_ppm"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"rrf_ppm".desc, $"doc_id")))
+        .filter($"rk" <= 10)
+        .select($"q_id", asLong($"rk").as("rk"), $"doc_id", $"rrf_ppm")
         .orderBy($"q_id", $"rk")
     },
 
@@ -506,38 +545,76 @@ object SearchQueries extends QueryPack {
     pr
   }
 
+  /** TF-IDF scoring replay CTEs (through `scored` = (q_id, c_id, cos)),
+    * shared by the q_search_tfidf and q_search_rrf oracles: idf in
+    * integer micro-units, dense vocab-ordered vectors, list_dot_product
+    * cosine — mirrors the Spark expression tree op for op. */
+  private val tfidfOracleCtes: String =
+    """tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT doc_id, term,
+      |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS w6
+      |  FROM tf JOIN dfv USING (term) CROSS JOIN n),
+      |tids AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM dfv),
+      |grid AS (
+      |  SELECT d.doc_id, t.tid, CAST(coalesce(wt.w6, 0) AS DOUBLE) AS x
+      |  FROM (SELECT DISTINCT doc_id FROM w) d
+      |  CROSS JOIN tids t
+      |  LEFT JOIN (SELECT doc_id, tid, w6 FROM w JOIN tids USING (term)) wt
+      |    ON wt.doc_id = d.doc_id AND wt.tid = t.tid),
+      |vecs AS (SELECT doc_id, list(x ORDER BY tid) AS v FROM grid GROUP BY doc_id),
+      |scored AS (
+      |  SELECT q.doc_id AS q_id, b.doc_id AS c_id,
+      |    list_dot_product(q.v, b.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM vecs q JOIN vecs b ON q.doc_id < 50 AND b.doc_id != q.doc_id)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    // idf rounded to 6 dp into DECIMAL, decimal-exact dot/norm sums,
-    // raw IEEE cosine — mirrors the Spark expression tree op for op
     "q_search_tfidf" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |  GROUP BY 1, 2),
-        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |w AS (
-        |  SELECT doc_id, term,
-        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS w6
-        |  FROM tf JOIN dfv USING (term) CROSS JOIN n),
-        |tids AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM dfv),
-        |grid AS (
-        |  SELECT d.doc_id, t.tid, CAST(coalesce(wt.w6, 0) AS DOUBLE) AS x
-        |  FROM (SELECT DISTINCT doc_id FROM w) d
-        |  CROSS JOIN tids t
-        |  LEFT JOIN (SELECT doc_id, tid, w6 FROM w JOIN tids USING (term)) wt
-        |    ON wt.doc_id = d.doc_id AND wt.tid = t.tid),
-        |vecs AS (SELECT doc_id, list(x ORDER BY tid) AS v FROM grid GROUP BY doc_id),
-        |scored AS (
-        |  SELECT q.doc_id AS q_id, b.doc_id AS c_id,
-        |    list_dot_product(q.v, b.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        |  FROM vecs q JOIN vecs b ON q.doc_id < 50 AND b.doc_id != q.doc_id)
+      s"""WITH $tfidfOracleCtes
         |SELECT q_id, rk, doc_id, cos
         |FROM (SELECT q_id, c_id AS doc_id, cos,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
         |      FROM scored)
         |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // both component rankings replayed (lexical from the shared tfidf
+    // CTEs, semantic from the embedding cosine), fused in exact integer
+    // ppm units — see the query comment for the rounding-boundary proof
+    "q_search_rrf" ->
+      s"""WITH $tfidfOracleCtes,
+        |lex AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, c_id AS doc_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |    FROM scored) t
+        |  WHERE rk <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |sem AS (
+        |  SELECT q_id, b_id AS doc_id, rk FROM (
+        |    SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(q.ev, b.ev) DESC, b.vec_id) AS rk
+        |    FROM e q JOIN e b ON q.vec_id < 50 AND b.vec_id != q.vec_id) t
+        |  WHERE rk <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+        |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |         coalesce(CAST(round(1000000.0 / (60 + l.rk)) AS BIGINT), 0)
+        |           + coalesce(CAST(round(1000000.0 / (60 + s.rk)) AS BIGINT), 0) AS rrf_ppm
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf_ppm FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY rrf_ppm DESC, doc_id) AS rk
+        |  FROM fused) t
+        |WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
 
     "q_search_bm25" ->
