@@ -468,6 +468,59 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"nprobe")
     },
 
+    // ---- MMR diversified re-rank over the cosine shortlist ----
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998): from each
+    // query's top-10 cosine shortlist, greedily pick 5 results balancing
+    // relevance against redundancy — pick_i = argmax over remaining of
+    // lambda*rel - (1-lambda)*max-sim-to-already-picked, lambda = 1/2.
+    // The scale shape: the corpus-sized work is the ONE shortlist scan
+    // (cosineRanked); everything after runs over O(queries x k) rows —
+    // the within-shortlist pair sims are a k^2-bounded self-join and each
+    // of the 4 greedy rounds is an anti-join + max-aggregate + rank
+    // window over shortlist-sized data. The selection is fully
+    // deterministic (bit-identical cosines, ties to the lower id), so
+    // the picked SET and ORDER hash-compare against a DuckDB replay
+    // with the greedy rounds unrolled as generated CTEs.
+    "q_ann_mmr" -> { (s, d) =>
+      import s.implicits._
+      val corpus = emb(s, d)
+      val sl = cosineRanked(s, d, 10)
+        .select($"q_id", $"b_id", $"cos".as("rel"))
+        .localCheckpoint() // shortlist feeds pairs + every greedy round
+      val withV = sl.join(corpus.select($"vec_id".as("b_id"), $"v", $"nrm"),
+        Seq("b_id"))
+      val pairs = withV.as("x").join(withV.as("y"),
+          col("x.q_id") === col("y.q_id") && col("x.b_id") =!= col("y.b_id"))
+        .select(col("x.q_id").as("q_id"), col("x.b_id").as("a_id"),
+          col("y.b_id").as("c_id"),
+          (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
+        .localCheckpoint() // k^2-bounded; reused by every round
+      var selected = sl.withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"rel".desc, $"b_id")))
+        .filter($"rn" === 1)
+        .select($"q_id", $"b_id", lit(1L).as("pick"))
+        .localCheckpoint()
+      for (i <- 2 to 5) {
+        val cand = sl.join(selected.select($"q_id", $"b_id"),
+          Seq("q_id", "b_id"), "left_anti")
+        val ms = pairs.join(selected.select($"q_id", $"b_id".as("c_id")),
+            Seq("q_id", "c_id"))
+          .groupBy($"q_id", $"a_id").agg(max($"sim").as("maxsim"))
+          .withColumnRenamed("a_id", "b_id")
+        val next = cand.join(ms, Seq("q_id", "b_id"))
+          .withColumn("mmr", lit(0.5) * $"rel" - lit(0.5) * $"maxsim")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"mmr".desc, $"b_id")))
+          .filter($"rn" === 1)
+          .select($"q_id", $"b_id", lit(i.toLong).as("pick"))
+        // localCheckpoint per round: selected feeds the next round twice
+        // (anti-join + sim lookup) — without the cut the plan doubles
+        // per round (the connectedComponents pattern)
+        selected = selected.union(next).localCheckpoint()
+      }
+      selected.select($"q_id", $"pick", $"b_id").orderBy($"q_id", $"pick")
+    },
+
     // ---- semantic deduplication (SemDeDup, cluster-scoped) ----
     // The published recipe for embedding dedup at scale (SemDeDup,
     // Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
@@ -834,6 +887,57 @@ object LlmVectorQueries extends QueryPack {
        |FROM nps LEFT JOIN hits USING (np) CROSS JOIN nx
        |ORDER BY nprobe""".stripMargin
 
+  /** The MMR replay: shortlist + within-shortlist pair sims, then the 4
+    * greedy rounds unrolled as generated CTEs (sel_i = the argmax of
+    * 0.5*rel - 0.5*max-sim-to-selected over the remaining candidates;
+    * all_i accumulates). Doubles are the same bit-identical cosines the
+    * other vector oracles rely on; the output carries only ids + order. */
+  private def mmrOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      s"""cand$i AS (
+         |  SELECT sl.* FROM sl
+         |  LEFT JOIN all${i - 1} a ON a.q_id = sl.q_id AND a.b_id = sl.b_id
+         |  WHERE a.b_id IS NULL),
+         |ms$i AS (
+         |  SELECT p.q_id, p.a_id AS b_id, max(p.sim) AS maxsim
+         |  FROM pairs p JOIN all${i - 1} a ON a.q_id = p.q_id AND a.b_id = p.c_id
+         |  GROUP BY p.q_id, p.a_id),
+         |sel$i AS (
+         |  SELECT q_id, b_id, $i AS pick FROM (
+         |    SELECT c.q_id, c.b_id,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY (0.5 * c.rel - 0.5 * m.maxsim) DESC, c.b_id) AS rn
+         |    FROM cand$i c JOIN ms$i m ON m.q_id = c.q_id AND m.b_id = c.b_id) t
+         |  WHERE rn = 1),
+         |all$i AS (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |sl AS (
+       |  SELECT q_id, b_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |               ORDER BY rel DESC, b_id) AS rk
+       |    FROM (SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+       |                 list_cosine_similarity(q.ev, b.ev) AS rel
+       |          FROM e q JOIN e b ON q.vec_id < 50 AND b.vec_id != q.vec_id) s) t
+       |  WHERE rk <= 10),
+       |pairs AS (
+       |  SELECT x.q_id, x.b_id AS a_id, y.b_id AS c_id,
+       |         list_cosine_similarity(ex.ev, ey.ev) AS sim
+       |  FROM sl x JOIN sl y ON x.q_id = y.q_id AND x.b_id != y.b_id
+       |  JOIN e ex ON ex.vec_id = x.b_id
+       |  JOIN e ey ON ey.vec_id = y.b_id),
+       |sel1 AS (
+       |  SELECT q_id, b_id, 1 AS pick FROM (
+       |    SELECT q_id, b_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY rel DESC, b_id) AS rn FROM sl) t
+       |  WHERE rn = 1),
+       |all1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT q_id, CAST(pick AS BIGINT) AS pick, b_id
+       |FROM all5
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
   /** The generated sketch-bit SQL shared by the LSH oracles: the same
     * rational hyperplanes inline, each dot an explicit left-associated
     * 64-term sum (the kernel's fold order) over column `ev`. */
@@ -959,6 +1063,8 @@ object LlmVectorQueries extends QueryPack {
     "q_ann_ivf_persisted" -> ivfServeOracle,
 
     "q_ann_recall_curve" -> recallCurveOracle,
+
+    "q_ann_mmr" -> mmrOracle,
 
     // SemDeDup replay over the same IVF model: within-cell rank by
     // centroid cosine (desc, id asc), drop when any higher-ranked
