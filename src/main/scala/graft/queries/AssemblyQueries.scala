@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.llm.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data ASSEMBLY operators — the step after curation where a
@@ -227,6 +228,46 @@ object AssemblyQueries extends QueryPack {
           round(sum($"surp" * $"tf").cast("double") /
             sum($"tf").cast("double"), 4).as("mean_surprisal"),
           asLong(sum($"tf")).as("n_tok"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- bigram-LM surprisal (the next-order perplexity proxy) ----
+    // The same KenLM-style curation signal as q_text_surprisal with the
+    // LM upgraded to add-one-smoothed corpus bigrams: per doc, the mean
+    // of -ln P(b|a) = ln(c1(a)+V) - ln(c2(a,b)+1) over its bigram
+    // stream. Bigrams form with ONE lead() window per doc (narrow
+    // (doc_id, pos, token) rows — the only corpus shuffle keyed wider
+    // than a term); counts are two-stage aggs whose shuffles carry
+    // bigram-vocab rows, not the token stream. The model table
+    // broadcasts (31-term synthetic vocab -> <=961 bigrams; a web-scale
+    // bigram LM prunes/quantizes to fit or falls back to a shuffle join
+    // on the pair key). Determinism: the surprisal-query recipe — each
+    // ln rounds to 6 dp, terms sum in exact DECIMAL, the final mean
+    // divides exactly-representable values.
+    "q_text_bigram_lm" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      val bg = toks
+        .withColumn("nxt", lead($"w", 1).over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .filter($"nxt".isNotNull)
+        .select($"doc_id", $"w".as("a"), $"nxt".as("b"))
+      val bgTf = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("tf"))
+      val c2 = bgTf.groupBy($"a", $"b").agg(sum($"tf").as("c2"))
+      val uni = toks.groupBy($"w").agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w", "a")
+      val v = uni.agg(count(lit(1)).as("vsz"))
+      bgTf.join(broadcast(c2), Seq("a", "b")).join(broadcast(uni), Seq("a"))
+        .crossJoin(broadcast(v))
+        .withColumn("surp",
+          round(log($"c1" + $"vsz") - log($"c2" + lit(1L)), 6)
+            .cast("decimal(28,12)"))
+        .groupBy($"doc_id")
+        .agg(
+          round(sum($"surp" * $"tf").cast("double") /
+            sum($"tf").cast("double"), 4).as("mean_bigram_surprisal"),
+          asLong(sum($"tf")).as("n_bigrams"))
         .orderBy($"doc_id")
     },
 
@@ -508,6 +549,28 @@ object AssemblyQueries extends QueryPack {
         |        / CAST(sum(tf) AS DOUBLE), 4) AS mean_surprisal,
         |  CAST(sum(tf) AS BIGINT) AS n_tok
         |FROM tf JOIN vocab USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigrams rebuilt positionally via a list comprehension; same
+    // 6-dp-ln-into-DECIMAL recipe as q_text_surprisal
+    "q_text_bigram_lm" ->
+      """WITH bgl AS (
+        |  SELECT doc_id,
+        |    unnest([{'a': ws[i], 'b': ws[i+1]} FOR i IN range(1, len(ws))]) AS p
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |bgtf AS (SELECT doc_id, p.a AS a, p.b AS b, count(*) AS tf
+        |         FROM bgl GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b, sum(tf) AS c2 FROM bgtf GROUP BY 1, 2),
+        |uni AS (SELECT w AS a, count(*) AS c1
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        GROUP BY 1),
+        |v AS (SELECT count(*) AS vsz FROM uni)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(ln(c1 + vsz) - ln(c2 + 1), 6)
+        |                      AS DECIMAL(28,12)) * tf) AS DOUBLE)
+        |        / CAST(sum(tf) AS DOUBLE), 4) AS mean_bigram_surprisal,
+        |  CAST(sum(tf) AS BIGINT) AS n_bigrams
+        |FROM bgtf JOIN c2 USING (a, b) JOIN uni USING (a) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // word hashes replayed as in the dedup oracles; bigram hash = one
