@@ -271,6 +271,45 @@ object AssemblyQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- PMI collocation mining (top word associations) ----
+    // Pointwise mutual information over the corpus bigram table: the
+    // classic collocation detector (Church & Hanks 1990) and the
+    // association signal behind phrase mining / tokenizer seeding.
+    // PMI(a,b) = ln(p(a,b) / (p(a)p(b))) with marginals from the bigram
+    // table itself (left/right token counts). Shuffles carry bigram-vocab
+    // rows only; marginals broadcast back onto the pair table. A
+    // min-count gate (c2 >= 5) drops the rare-pair noise PMI is known
+    // for. DETERMINISM: pairs are RANKED by the raw double ratio
+    // (c2*N)/(ca*cb) — one division of exact integers, IEEE-identical
+    // per engine (no ln in the sort key); the reported pmi value is the
+    // single ln of that ratio on the 6-dp grid.
+    "q_text_pmi" -> { (s, d) =>
+      import s.implicits._
+      val bg = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+        .withColumn("nxt", lead($"w", 1).over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .filter($"nxt".isNotNull)
+        .select($"w".as("a"), $"nxt".as("b"))
+      val c2 = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
+      val ca = c2.groupBy($"a").agg(sum($"c2").as("ca"))
+      val cb = c2.groupBy($"b").agg(sum($"c2").as("cb"))
+      val n = c2.agg(sum($"c2").as("nbg"))
+      c2.filter($"c2" >= 5)
+        .join(broadcast(ca), Seq("a")).join(broadcast(cb), Seq("b"))
+        .crossJoin(broadcast(n))
+        .withColumn("ratio",
+          ($"c2" * $"nbg").cast("double") / ($"ca" * $"cb").cast("double"))
+        // top-20 via TakeOrderedAndProject FIRST; the single-partition
+        // rank window then runs over 20 rows, not the pair table
+        .orderBy($"ratio".desc, $"a", $"b").limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"ratio".desc, $"a", $"b")))
+        .select(asLong($"rk").as("rk"), $"a", $"b", asLong($"c2").as("c2"),
+          round(log($"ratio"), 6).as("pmi"))
+        .orderBy($"rk")
+    },
+
     // ---- DSIR-style hashed n-gram importance selection ----
     // Data Selection with Importance Resampling (Xie et al. 2023): score
     // every raw document by the log-likelihood ratio of a TARGET
@@ -550,6 +589,27 @@ object AssemblyQueries extends QueryPack {
         |  CAST(sum(tf) AS BIGINT) AS n_tok
         |FROM tf JOIN vocab USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ranked by the exact-integer double ratio (no ln in the sort key);
+    // the pmi output is one ln on the 6-dp grid
+    "q_text_pmi" ->
+      """WITH bgl AS (
+        |  SELECT doc_id,
+        |    unnest([{'a': ws[i], 'b': ws[i+1]} FOR i IN range(1, len(ws))]) AS p
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |c2 AS (SELECT p.a AS a, p.b AS b, count(*) AS c2 FROM bgl GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(c2) AS ca FROM c2 GROUP BY 1),
+        |cb AS (SELECT b, sum(c2) AS cb FROM c2 GROUP BY 1),
+        |n AS (SELECT sum(c2) AS nbg FROM c2),
+        |scored AS (
+        |  SELECT a, b, c2,
+        |         CAST(c2 * nbg AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS ratio
+        |  FROM c2 JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+        |  WHERE c2 >= 5)
+        |SELECT CAST(row_number() OVER (ORDER BY ratio DESC, a, b) AS BIGINT) AS rk,
+        |       a, b, CAST(c2 AS BIGINT) AS c2, round(ln(ratio), 6) AS pmi
+        |FROM scored
+        |ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
 
     // bigrams rebuilt positionally via a list comprehension; same
     // 6-dp-ln-into-DECIMAL recipe as q_text_surprisal

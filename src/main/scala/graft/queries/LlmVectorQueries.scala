@@ -468,6 +468,51 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"nprobe")
     },
 
+    // ---- k-means training loop (3 Lloyd rounds to a usable codebook) ----
+    // The iterative-ML-training shape on Spark: the one-round Lloyd step
+    // the IVF index uses, LOOPED — each round assigns the fixed 1024-
+    // vector training sample to the current centroids (per-row argmax
+    // fold over the broadcast codebook, zero sample Exchange) and
+    // re-estimates centroids as sorted sequential-fold means, with a
+    // localCheckpoint per round cutting lineage (the Pregel pattern).
+    // Training cost is O(sample x k x rounds), corpus-size-independent;
+    // the corpus appears exactly twice — the sample draw and the final
+    // full-corpus assignment that grades the codebook (cell sizes +
+    // centroid digests). Every round is deterministic, so the WHOLE
+    // 3-round trajectory hash-compares against a DuckDB replay with the
+    // rounds unrolled as generated CTEs.
+    "q_kmeans_train" -> { (s, d) =>
+      import s.implicits._
+      val corpus = emb(s, d)
+      def knuth(c: Column): Column =
+        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      val k = 32
+      val seeds = corpus.orderBy(knuth($"vec_id"), $"vec_id").limit(k)
+        .select($"vec_id".as("c_id"), $"v".as("cv"))
+      val train = corpus.orderBy(knuth($"vec_id" + 7), $"vec_id").limit(1024)
+        .select($"vec_id", $"v").localCheckpoint()
+      var cents = seeds
+      for (_ <- 1 to 3) {
+        cents = assignCells(train, cents)
+          .groupBy($"cell")
+          .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("vs"))
+          .select($"cell".as("c_id"),
+            transform(sequence(lit(1), lit(Dim)), i =>
+              aggregate($"vs", lit(0.0),
+                (a, e) => a + element_at(e.getField("v"), i)) / size($"vs"))
+              .as("cv"))
+          .localCheckpoint()
+      }
+      assignCells(corpus, cents)
+        .groupBy($"cell").agg(count(lit(1)).as("n_members"))
+        .join(cents.withColumnRenamed("c_id", "cell"), Seq("cell"))
+        .select(asLong($"cell").as("cell"),
+          asLong($"n_members").as("n_members"),
+          element_at($"cv", 1).as("c_first"),
+          aggregate($"cv", lit(0.0), (a, x) => a + x).as("c_sum"))
+        .orderBy($"cell")
+    },
+
     // ---- MMR diversified re-rank over the cosine shortlist ----
     // Maximal Marginal Relevance (Carbonell & Goldstein 1998): from each
     // query's top-10 cosine shortlist, greedily pick 5 results balancing
@@ -887,6 +932,48 @@ object LlmVectorQueries extends QueryPack {
        |FROM nps LEFT JOIN hits USING (np) CROSS JOIN nx
        |ORDER BY nprobe""".stripMargin
 
+  /** The k-means replay: Knuth seeds + train sample, then 3 Lloyd rounds
+    * unrolled (assign = argmax-cosine with ties to the HIGHER c_id,
+    * centroids = sorted sequential-fold means — the ivfOracleCtes
+    * recipe), then the corpus-wide assignment graded by cell size and
+    * centroid digests. list_reduce starts at the first element where
+    * Spark's aggregate starts at 0.0: (0 + t1) = t1 exactly. */
+  private def kmeansOracle: String = {
+    def assignSql(src: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, ev, c_id AS cell FROM (
+         |    SELECT t.vec_id, t.ev, s.c_id,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY list_cosine_similarity(t.ev, s.cv) DESC, s.c_id DESC) AS rn
+         |    FROM $src t CROSS JOIN $cents s) x WHERE rn = 1)""".stripMargin
+    def centSql(asg: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cell AS c_id,
+         |         list_transform(range(1, 65),
+         |           i -> list_reduce(list_transform(vs, v -> v[i]), (a, b) -> a + b) / len(vs)) AS cv
+         |  FROM (SELECT cell, list(ev ORDER BY vec_id) AS vs FROM $asg GROUP BY cell) g)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "seeds" else s"c${r - 1}"
+      assignSql("train", prev, s"a$r") + ",\n" + centSql(s"a$r", s"c$r")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, ev AS cv FROM e
+       |  ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 32),
+       |train AS (
+       |  SELECT vec_id, ev FROM e
+       |  ORDER BY ((((vec_id + 7) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1024),
+       |$rounds,
+       |${assignSql("e", "c3", "af")},
+       |sizes AS (SELECT cell, count(*) AS n_members FROM af GROUP BY cell)
+       |SELECT CAST(sizes.cell AS BIGINT) AS cell,
+       |       CAST(n_members AS BIGINT) AS n_members,
+       |       cv[1] AS c_first,
+       |       list_reduce(cv, (a, b) -> a + b) AS c_sum
+       |FROM sizes JOIN c3 ON c3.c_id = sizes.cell
+       |ORDER BY sizes.cell""".stripMargin
+  }
+
   /** The MMR replay: shortlist + within-shortlist pair sims, then the 4
     * greedy rounds unrolled as generated CTEs (sel_i = the argmax of
     * 0.5*rel - 0.5*max-sim-to-selected over the remaining candidates;
@@ -1065,6 +1152,8 @@ object LlmVectorQueries extends QueryPack {
     "q_ann_recall_curve" -> recallCurveOracle,
 
     "q_ann_mmr" -> mmrOracle,
+
+    "q_kmeans_train" -> kmeansOracle,
 
     // SemDeDup replay over the same IVF model: within-cell rank by
     // centroid cosine (desc, id asc), drop when any higher-ranked
