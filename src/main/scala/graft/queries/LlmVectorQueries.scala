@@ -468,6 +468,46 @@ object LlmVectorQueries extends QueryPack {
         .orderBy($"nprobe")
     },
 
+    // ---- ANN ranking quality: NDCG@5 for both index types ----
+    // The rank-aware companion to q_ann_recall_curve: recall counts set
+    // overlap; NDCG grades ORDER. Graded relevance comes from the exact
+    // cosine ranking (rel = 11 - exact_rank over the top-10, else 0);
+    // both ANN systems (LSH multi-probe, IVF nprobe=8) are scored as
+    // sum(rel_i * w_i) / ideal with the standard 1/log2(pos+1) discount.
+    // Scale shape: the corpus-sized work is the three retrievals
+    // (exact baseline + the two index probes, each already analyzed);
+    // the NDCG arithmetic runs over O(queries x k) rows. Determinism:
+    // discounts are computed IN-ENGINE as round(1/log2(pos+1), 6) into
+    // DECIMAL (every discount sits >= 3.6e-9 from its rounding boundary
+    // — far beyond a cross-libm log2 ulp), sums are exact decimal, and
+    // the final ratio divides two exactly-representable values.
+    "q_ann_ndcg" -> { (s, d) =>
+      import s.implicits._
+      val exact = cosineRanked(s, d, 10)
+        .select($"q_id", $"b_id", (lit(11L) - $"rk").as("rel"))
+      val (cents, assigned) = ivfModel(s, d)
+      val sys = annLsh(s, d, SketchPlanes)
+        .select(lit("lsh").as("system"), $"q_id", $"rk", $"b_id")
+        .union(ivfServe(s, cents, assigned)
+          .select(lit("ivf").as("system"), $"q_id", $"rk", $"b_id"))
+      val dcg = sys.join(exact, Seq("q_id", "b_id"), "left")
+        .withColumn("rel", coalesce($"rel", lit(0L)))
+        .withColumn("w",
+          round(lit(1.0) / log2($"rk" + lit(1)), 6).cast("decimal(28,12)"))
+        .groupBy($"system", $"q_id").agg(sum($"w" * $"rel").as("dcg"))
+      val ideal = exact
+        .withColumn("i", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"rel".desc)))
+        .filter($"i" <= 5)
+        .withColumn("w",
+          round(lit(1.0) / log2($"i" + lit(1)), 6).cast("decimal(28,12)"))
+        .groupBy($"q_id").agg(sum($"w" * $"rel").as("idcg"))
+      dcg.join(ideal, Seq("q_id"))
+        .select($"system", $"q_id",
+          round($"dcg".cast("double") / $"idcg".cast("double"), 4).as("ndcg"))
+        .orderBy($"system", $"q_id")
+    },
+
     // ---- k-means training loop (3 Lloyd rounds to a usable codebook) ----
     // The iterative-ML-training shape on Spark: the one-round Lloyd step
     // the IVF index uses, LOOPED — each round assigns the fixed 1024-
@@ -932,6 +972,70 @@ object LlmVectorQueries extends QueryPack {
        |FROM nps LEFT JOIN hits USING (np) CROSS JOIN nx
        |ORDER BY nprobe""".stripMargin
 
+  /** The NDCG replay: IVF serve + LSH multi-probe rankings (both from
+    * their existing replay recipes), exact top-10 relevance, in-engine
+    * 6-dp log2 discounts into DECIMAL sums, final ratio over exact
+    * values. */
+  private def ndcgOracle: String =
+    s"""WITH $ivfOracleCtes,
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT a.vec_id AS q_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY list_cosine_similarity(a.ev, c.cv) DESC, c.c_id) AS pr
+       |    FROM (SELECT vec_id, ev FROM assigned WHERE vec_id < 50) a
+       |    CROSS JOIN cent c) x
+       |  WHERE pr <= 8),
+       |ivfr AS (
+       |  SELECT q_id, rk, b_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rk
+       |    FROM (SELECT p.q_id, b.vec_id AS b_id,
+       |                 list_cosine_similarity(q.ev, b.ev) AS cos
+       |          FROM probes p
+       |          JOIN assigned b ON b.cell = p.cell AND b.vec_id != p.q_id
+       |          JOIN e q ON q.vec_id = p.q_id) c) t
+       |  WHERE rk <= 5),
+       |sk AS (SELECT vec_id, ev,
+       |  CAST($sketchBitsSql AS BIGINT) AS sketch
+       |FROM e),
+       |lshr AS (
+       |  SELECT q_id, rk, b_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rk
+       |    FROM (SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+       |                 list_cosine_similarity(q.ev, b.ev) AS cos
+       |          FROM sk q JOIN sk b
+       |            ON q.vec_id < 50 AND b.vec_id != q.vec_id
+       |           AND bit_count(xor(q.sketch, b.sketch)) <= 2) c) t
+       |  WHERE rk <= 5),
+       |exact AS (
+       |  SELECT q_id, b_id, 11 - rk AS rel FROM (
+       |    SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.ev, b.ev) DESC, b.vec_id) AS rk
+       |    FROM e q JOIN e b ON q.vec_id < 50 AND b.vec_id != q.vec_id) t
+       |  WHERE rk <= 10),
+       |sys AS (
+       |  SELECT 'ivf' AS system, q_id, rk, b_id FROM ivfr
+       |  UNION ALL
+       |  SELECT 'lsh' AS system, q_id, rk, b_id FROM lshr),
+       |dcg AS (
+       |  SELECT system, sys.q_id AS q_id,
+       |         sum(CAST(round(1.0 / log2(rk + 1), 6) AS DECIMAL(28,12))
+       |             * coalesce(rel, 0)) AS dcg
+       |  FROM sys LEFT JOIN exact
+       |    ON exact.q_id = sys.q_id AND exact.b_id = sys.b_id
+       |  GROUP BY 1, 2),
+       |ideal AS (
+       |  SELECT q_id,
+       |         sum(CAST(round(1.0 / log2(i + 1), 6) AS DECIMAL(28,12)) * rel) AS idcg
+       |  FROM (SELECT q_id, rel, row_number() OVER (PARTITION BY q_id
+       |               ORDER BY rel DESC) AS i FROM exact) x
+       |  WHERE i <= 5 GROUP BY q_id)
+       |SELECT system, q_id,
+       |       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) AS ndcg
+       |FROM dcg JOIN ideal USING (q_id)
+       |ORDER BY system, q_id""".stripMargin
+
   /** The k-means replay: Knuth seeds + train sample, then 3 Lloyd rounds
     * unrolled (assign = argmax-cosine with ties to the HIGHER c_id,
     * centroids = sorted sequential-fold means — the ivfOracleCtes
@@ -1154,6 +1258,8 @@ object LlmVectorQueries extends QueryPack {
     "q_ann_mmr" -> mmrOracle,
 
     "q_kmeans_train" -> kmeansOracle,
+
+    "q_ann_ndcg" -> ndcgOracle,
 
     // SemDeDup replay over the same IVF model: within-cell rank by
     // centroid cosine (desc, id asc), drop when any higher-ranked
