@@ -236,7 +236,7 @@ object LlmVectorQueries extends QueryPack {
     * baseline every ANN variant is graded against. Broadcast query block
     * x one partitioned corpus scan, partial top-k per partition under the
     * rank window; no corpus self-shuffle (the GEMM-shaped pattern). */
-  private[queries] def cosineRanked(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def cosineRanked(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
     val corpus = emb(s, d).select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
     val queries = emb(s, d).filter($"vec_id" < 50)

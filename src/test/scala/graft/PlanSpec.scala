@@ -242,6 +242,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("RRF fusion joins ranked lists only — no cartesian anywhere in the hybrid") {
+    val p = plan("q_search_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // both component retrievers broadcast their small side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("recall curve shares one probe pass across nprobe settings, no cartesian") {
+    val p = plan("q_ann_recall_curve")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("MMR rounds stay shortlist-sized: no cartesian, no nested loop on corpus") {
+    val p = plan("q_ann_mmr")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("geo knn keeps the pair fan-out bounded by a partial WindowGroupLimit") {
     val p = plan("q_geo_knn")
     // without the partial group limit every task would sort its full

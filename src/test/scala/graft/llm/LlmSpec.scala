@@ -104,6 +104,31 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH ANN recall $recall too low")
   }
 
+  test("MMR picks live in the shortlist and actually trade relevance for diversity") {
+    // the oracle hash-compare proves the exact pick sequence; this
+    // asserts the CONTRACT the sequence must satisfy: every pick comes
+    // from the query's cosine top-10, pick 1 IS the top-1, and the
+    // diversity term moves a nontrivial share of picks away from the
+    // plain top-5 (otherwise lambda=1/2 would be a no-op)
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val mmr = LlmVectorQueries.queries("q_ann_mmr")(spark, d)
+      .select($"q_id", $"pick", $"b_id").collect()
+    val shortlist = LlmVectorQueries.cosineRanked(spark, d, 10)
+      .select($"q_id", $"rk", $"b_id").collect()
+    val slSet = shortlist.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val top1 = shortlist.filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val top5 = shortlist.filter(_.getLong(1) <= 5L)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(mmr.forall(r => slSet((r.getLong(0), r.getLong(2)))), "pick outside shortlist")
+    assert(mmr.filter(_.getLong(1) == 1L)
+      .forall(r => top1((r.getLong(0), r.getLong(2)))), "pick 1 must be the top-1")
+    val moved = mmr.count(r => !top5((r.getLong(0), r.getLong(2))))
+    info(s"MMR diversity-driven picks: $moved / ${mmr.length}")
+    assert(moved > mmr.length / 10, "diversity term never fired")
+  }
+
   test("LSH ANN scale knob: 16-plane sketch (the 100 TB key-space setting)") {
     // 16 planes = 65k buckets lifts the shuffle-parallelism ceiling from
     // 256 keys to 65k (the r2 scale concern); at FIXED probe radius 2 the
