@@ -288,6 +288,48 @@ object AnalyticQueries extends QueryPack {
         .orderBy($"o_orderstatus")
     },
 
+    // ---- exact distributed median via two-pass bucket bracketing ----
+    // The way you take an EXACT median of 100 TB without sorting it:
+    // pass 1 bins values into 1024 integer buckets per group and
+    // shuffles ONLY (group, bucket, count) rows; the cumulative count
+    // locates the bucket containing the k-th element (k = ceil(n/2),
+    // the percentile_disc(0.5) element). Pass 2 re-scans just that
+    // bucket (~n/1024 rows per group, with the bucket predicate
+    // evaluated at the scan) and picks the exact offset with one
+    // bucket-local rank. Values are exact integer cents end to end —
+    // binning is pure integer div — so the selected element is
+    // engine-identical; the oracle is DuckDB's OWN percentile_disc,
+    // an entirely independent algorithm.
+    "q_median_bracket" -> { (s, d) =>
+      import s.implicits._
+      val NB = 1024
+      val li = t(s, d, "lineitem")
+        .select($"l_returnflag".as("g"),
+          ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long").as("xc"))
+      val stats = li.groupBy($"g")
+        .agg(min($"xc").as("mnc"), max($"xc").as("mxc"), count(lit(1)).as("n"))
+      val binned = li.join(broadcast(stats), Seq("g"))
+        .withColumn("bucket",
+          expr(s"((xc - mnc) * $NB) div (mxc - mnc + 1)"))
+      // pass 1: shuffle carries (group, bucket, count) — 1024 rows/group
+      val target = binned.groupBy($"g", $"bucket").agg(count(lit(1)).as("c"))
+        .join(broadcast(stats.select($"g", expr("(n + 1) div 2").as("k"))),
+          Seq("g"))
+        .withColumn("cum",
+          sum($"c").over(Window.partitionBy($"g").orderBy($"bucket")))
+        .filter($"cum" >= $"k" && ($"cum" - $"c") < $"k")
+        .select($"g", $"bucket", ($"k" - ($"cum" - $"c")).as("off"))
+      // pass 2: only the bracket bucket survives; exact offset by a
+      // bucket-local rank (ties on equal cents pick the same VALUE)
+      binned.join(broadcast(target), Seq("g", "bucket"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy($"xc")))
+        .filter($"rn" === $"off")
+        .select($"g".as("l_returnflag"),
+          ($"xc" / lit(100.0)).as("median"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- approximate distinct (HLL) ----
     // The raw estimate is engine-specific (Spark HLL++ vs DuckDB HLL give
     // different numbers), but the ESTIMATOR CONTRACT is hash-verifiable:
@@ -582,6 +624,17 @@ object AnalyticQueries extends QueryPack {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // INDEPENDENT ground truth: DuckDB's own percentile_disc (a sort-
+    // based selection) against the bracket algorithm's two-pass pick
+    "q_median_bracket" ->
+      """SELECT l_returnflag,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (
+        |    ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    / 100.0 AS DOUBLE) AS median
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->
       """WITH g AS (
