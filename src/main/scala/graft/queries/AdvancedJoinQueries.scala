@@ -25,6 +25,36 @@ object AdvancedJoinQueries extends QueryPack {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- interval-overlap join via grid binning (range -> equi) ----
+    // The scalable algorithm for joining two interval sets with NO
+    // shared equi key (q_join_range leans on user_id; here the predicate
+    // is pure time overlap): quantize time into grid cells one interval-
+    // width wide, explode each interval to the <=2 cells it touches,
+    // EQUI-join on the cell, then apply the exact overlap predicate and
+    // dedupe pairs discovered in both shared cells. Spark plans a plain
+    // shuffled hash join on the cell key — the same query written as a
+    // raw theta join is a cartesian product; at 100 TB the cell key also
+    // gives the skew/AQE machinery something to split. The oracle is
+    // DuckDB's native range join (IEJoin) — an independent algorithm.
+    "q_join_interval_binned" -> { (s, d) =>
+      import s.implicits._
+      val Grid = 1800000000L // 30 min in micros = the interval width
+      val ev = Tables.events(s, d)
+      def side(tpe: String, p: String): DataFrame = ev
+        .filter($"event_type" === tpe && $"user_id" < 200)
+        .select($"event_id".as(s"${p}_id"), unix_micros($"ts").as(s"${p}_lo"),
+          (unix_micros($"ts") + Grid).as(s"${p}_hi"))
+        .withColumn("cell", explode(sequence(
+          expr(s"${p}_lo div $Grid"), expr(s"(${p}_hi - 1) div $Grid"))))
+      side("click", "a").join(side("view", "b"), Seq("cell"))
+        .filter($"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+        .select($"a_id", $"b_id",
+          (least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo")).as("overlap_us"))
+        .distinct()
+        .orderBy($"a_id", $"b_id")
+    },
+
     // ---- range (theta) join: pairs of events <= 5 min apart, same user ----
     "q_join_range" -> { (s, d) =>
       import s.implicits._
@@ -94,6 +124,21 @@ object AdvancedJoinQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // DIRECT range join (DuckDB IEJoin) — independent of the binning
+    "q_join_interval_binned" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_us(ts) AS a_lo,
+        |         epoch_us(ts) + 1800000000 AS a_hi
+        |  FROM events WHERE event_type = 'click' AND user_id < 200),
+        |b AS (
+        |  SELECT event_id AS b_id, epoch_us(ts) AS b_lo,
+        |         epoch_us(ts) + 1800000000 AS b_hi
+        |  FROM events WHERE event_type = 'view' AND user_id < 200)
+        |SELECT a_id, b_id,
+        |       CAST(least(a_hi, b_hi) - greatest(a_lo, b_lo) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_join_range" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b

@@ -242,6 +242,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("binned interval join is an equi join on the grid cell, never a cartesian") {
+    val p = plan("q_join_interval_binned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell"), p)
+  }
+
   test("RRF fusion joins ranked lists only — no cartesian anywhere in the hybrid") {
     val p = plan("q_search_rrf")
     assert(!p.contains("CartesianProduct"), p)
