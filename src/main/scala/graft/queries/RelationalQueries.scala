@@ -112,6 +112,29 @@ object RelationalQueries extends QueryPack {
         .orderBy($"nationkey")
     },
 
+    // ---- null-safe equality join (<=>): NULL keys MATCH ----
+    // The join-semantics corner plain equi joins get wrong: a nullable
+    // join key (here status with 'O' collapsed to NULL — the "unknown"
+    // bucket every dirty dataset has) silently DROPS its null rows under
+    // `=`; `<=>` (IS NOT DISTINCT FROM) matches NULL to NULL, so the
+    // unknown bucket survives the join as a first-class group. Catalyst
+    // treats EqualNullSafe as a hash-join key (no fallback to a
+    // nested loop), so the plan is the same shuffled join as `=`.
+    "q_join_null_safe" -> { (s, d) =>
+      import s.implicits._
+      val o = t(s, d, "orders")
+        .select(when($"o_orderstatus" === "O", lit(null))
+            .otherwise($"o_orderstatus").as("k"),
+          dec($"o_totalprice").as("p"))
+      val counts = o.groupBy($"k").agg(asLong(count(lit(1))).as("n_orders"))
+        .withColumnRenamed("k", "lk")
+      val sums = o.groupBy($"k").agg(asDouble(sum($"p")).as("sum_price"))
+        .withColumnRenamed("k", "rk")
+      counts.join(sums, $"lk" <=> $"rk")
+        .select($"lk".as("k"), $"n_orders", $"sum_price")
+        .orderBy($"k")
+    },
+
     // ---- semi join: customers with >= 1 urgent open order (EXISTS) ----
     "q_join_semi" -> { (s, d) =>
       import s.implicits._
@@ -251,6 +274,20 @@ object RelationalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+        |              ELSE o_orderstatus END AS k,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        |  FROM orders),
+        |counts AS (SELECT k AS lk, CAST(count(*) AS BIGINT) AS n_orders
+        |           FROM o GROUP BY 1),
+        |sums AS (SELECT k AS rk, CAST(sum(p) AS DOUBLE) AS sum_price
+        |         FROM o GROUP BY 1)
+        |SELECT lk AS k, n_orders, sum_price
+        |FROM counts JOIN sums ON lk IS NOT DISTINCT FROM rk
+        |ORDER BY k""".stripMargin,
+
     "q_cogroup_typed" ->
       """WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
         |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)

@@ -16,6 +16,7 @@ object SourceQueries extends QueryPack {
   private lazy val csvDir = tempFixtureDir("graft_csv")
   private lazy val jsonDir = tempFixtureDir("graft_json")
   private lazy val orcDir = tempFixtureDir("graft_orc")
+  private lazy val xmlDir = tempFixtureDir("graft_xml")
   private lazy val fileSinkDir = tempFixtureDir("graft_fsink")
   private lazy val evoDir = tempFixtureDir("graft_evo")
   // package-visible: the spec asserts the file-count collapse (the half
@@ -75,6 +76,19 @@ object SourceQueries extends QueryPack {
       val src = Tables.nation(s, d)
       src.write.mode("overwrite").json(dir)
       s.read.schema(src.schema).json(dir)
+        .orderBy($"n_nationkey")
+    },
+
+    // XML — built into Spark 4 (the spark-xml merge): rowTag-delimited
+    // records with automatic entity escaping, read back under an
+    // explicit schema. The roundtrip proves writer escaping + reader
+    // unescaping compose to the identity on arbitrary text columns.
+    "q_source_xml_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val dir = xmlDir
+      val src = Tables.nation(s, d)
+      src.write.mode("overwrite").option("rowTag", "nation").xml(dir)
+      s.read.schema(src.schema).option("rowTag", "nation").xml(dir)
         .orderBy($"n_nationkey")
     },
 
@@ -329,6 +343,8 @@ object SourceQueries extends QueryPack {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q_source_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "q_source_xml_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "q_source_kafka_shaped" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
