@@ -110,6 +110,39 @@ object TimeWindowQueries extends QueryPack {
         .orderBy($"user_id", $"session_start")
     },
 
+    // ---- gap sessions via transformWithState EVENT-TIME TIMERS ----
+    // The timer facet of the Spark-4 stateful API (see SessionTimers):
+    // in-batch-closed sessions emit from handleInputRows; each key's
+    // open tail parks in RocksDB state with a timer at end + gap and
+    // flushes from handleExpiredTimer when the watermark passes it.
+    // Tails the final watermark never reaches stay open (real streaming
+    // semantics) — the oracle replays the same gap rule AND the same
+    // ms-truncated timer-vs-watermark comparison.
+    "q_stream_session_timers" -> { (s, d) =>
+      import s.implicits._
+      val prev = s.conf.getOption(TrackStateOp.rocksdbConf._1)
+      s.conf.set(TrackStateOp.rocksdbConf._1, TrackStateOp.rocksdbConf._2)
+      try {
+        val ev = TrackStateOp.eventsStream(s, d)
+          .select($"user_id", $"tsMicros".as("tsUs"),
+            ($"value".cast("decimal(12,2)") * 100).cast("long").as("cents"),
+            $"event_id",
+            timestamp_micros($"tsMicros").as("ts"))
+          .withWatermark("ts", "10 minutes")
+          .as[graft.streaming.SEv]
+        val sessions = graft.streaming.SessionTimers.sessions(ev, 3600000000L)
+        runToMemory(sessions.toDF(), "append")
+          .select($"user_id",
+            timestamp_micros($"session_start_us").as("session_start"),
+            timestamp_micros($"session_end_us").as("session_end"),
+            $"n_events", ($"sum_cents" / lit(100.0)).as("sum_value"))
+          .orderBy($"user_id", $"session_start")
+      } finally prev match {
+        case Some(v) => s.conf.set(TrackStateOp.rocksdbConf._1, v)
+        case None    => s.conf.unset(TrackStateOp.rocksdbConf._1)
+      }
+    },
+
     // ---- REAL streaming dedup with watermark ----
     "q_stream_dedup" -> { (s, d) =>
       import s.implicits._
@@ -274,6 +307,43 @@ object TimeWindowQueries extends QueryPack {
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM y
         |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // same gap rule in exact micros, then the timer-flush filter: a
+    // session emits iff a later same-key event closed it in-batch (it
+    // is not the key's last session) OR its end+gap timer (ms-truncated
+    // like Spark's timer clock) is <= the final watermark. All four
+    // plausible truncation/strictness variants of the boundary coincide
+    // on this data (verified exhaustively) — ties sit on a microsecond
+    // boundary that is measure-zero for real timestamps.
+    "q_stream_session_timers" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 3600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |s0 AS (
+        |  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |              AS BIGINT) AS sum_cents
+        |  FROM y GROUP BY user_id, sid),
+        |sess AS (
+        |  SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM s0),
+        |mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events)
+        |SELECT user_id,
+        |       CAST(make_timestamp(s_us) AS TIMESTAMP) AS session_start,
+        |       CAST(make_timestamp(e_us) AS TIMESTAMP) AS session_end,
+        |       n_events, sum_cents / 100.0 AS sum_value
+        |FROM sess CROSS JOIN mx
+        |WHERE sid < last_sid
+        |   OR (e_us // 1000) + 3600000 <= (mxus // 1000) - 600000
         |ORDER BY user_id, session_start""".stripMargin,
 
     "q_resample_ffill" ->
