@@ -31,7 +31,10 @@ object Bench {
     Seq("q_agg_pricing_summary", "q_join_bucketed",
         "q_source_partitioned_pruning", "q_multimodal_features",
         "q_multimodal_audio", "q_ann_ivf_persisted",
-        "q_multimodal_shots").foreach { w =>
+        "q_multimodal_shots",
+        // JSON encode/parse codegen is the dominant first-touch JIT cost
+        // (6.6 s cold vs 1.5 s steady-state for the same plan)
+        "q_source_kafka_shaped").foreach { w =>
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => }
