@@ -110,6 +110,31 @@ object TimeWindowQueries extends QueryPack {
         .orderBy($"user_id", $"session_start")
     },
 
+    // ---- per-key MAP STATE counters (transformWithState MapState) ----
+    // One RocksDB entry per (user, event_type): a point write per
+    // counter bump instead of rewriting a per-user blob (see
+    // MapStateCounts). Running counts are monotone, so max() per
+    // (user, type) over the update-mode emissions is batch-split-proof
+    // and equals the plain batch groupBy — the oracle.
+    "q_stream_map_state" -> { (s, d) =>
+      import s.implicits._
+      val prev = s.conf.getOption(TrackStateOp.rocksdbConf._1)
+      s.conf.set(TrackStateOp.rocksdbConf._1, TrackStateOp.rocksdbConf._2)
+      try {
+        val ev = TrackStateOp.eventsStream(s, d)
+          .select($"user_id", $"eventType".as("event_type"))
+          .as[graft.streaming.TypeEv]
+        val out = graft.streaming.MapStateCounts.typeCounts(ev)
+        runToMemory(out.toDF(), "update")
+          .groupBy($"user_id", $"event_type")
+          .agg(asLong(max($"n")).as("n"))
+          .orderBy($"user_id", $"event_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(TrackStateOp.rocksdbConf._1, v)
+        case None    => s.conf.unset(TrackStateOp.rocksdbConf._1)
+      }
+    },
+
     // ---- gap sessions via transformWithState EVENT-TIME TIMERS ----
     // The timer facet of the Spark-4 stateful API (see SessionTimers):
     // in-batch-closed sessions emit from handleInputRows; each key's
@@ -308,6 +333,12 @@ object TimeWindowQueries extends QueryPack {
         |FROM y
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_map_state" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // same gap rule in exact micros, then the timer-flush filter: a
     // session emits iff a later same-key event closed it in-batch (it

@@ -242,6 +242,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("SQL join hints steer the strategy from the SQL surface") {
+    import org.apache.spark.sql.execution.ExplainMode
+    Tables.orders(spark, SF).createOrReplaceTempView("hint_o")
+    Tables.lineitem(spark, SF).createOrReplaceTempView("hint_l")
+    def p(hint: String) = spark.sql(
+      s"""SELECT $hint o.o_orderkey, count(*) AS n
+         |FROM hint_o o JOIN hint_l l ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderkey""".stripMargin)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // MERGE must suppress the (size-eligible) broadcast; BROADCAST must
+    // force it — the hint wins over the planner's size estimate each way
+    assert(p("/*+ MERGE(l) */").contains("SortMergeJoin"), "MERGE hint ignored")
+    assert(p("/*+ BROADCAST(l) */").contains("BroadcastHashJoin"), "BROADCAST hint ignored")
+  }
+
+  test("DISTRIBUTE BY / SORT BY plans a hash exchange + local sort, no global sort") {
+    import org.apache.spark.sql.execution.ExplainMode
+    Tables.lineitem(spark, SF).createOrReplaceTempView("dist_l")
+    val p = spark.sql(
+      """SELECT l_orderkey, l_quantity FROM dist_l
+        |DISTRIBUTE BY l_orderkey SORT BY l_orderkey""".stripMargin)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), "global sort where a local one was asked")
+  }
+
   test("binned interval join is an equi join on the grid cell, never a cartesian") {
     val p = plan("q_join_interval_binned")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
