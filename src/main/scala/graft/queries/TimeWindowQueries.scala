@@ -135,6 +135,37 @@ object TimeWindowQueries extends QueryPack {
       }
     },
 
+    // ---- per-key LIST STATE rolling buffer (transformWithState) ----
+    // The third state-handle type (see RecentEventsList): last-10
+    // events per user kept as RocksDB point APPENDS with 2x slack, one
+    // compacting rewrite per 10 appends instead of a blob rewrite per
+    // event. Emissions carry a monotone per-key `seen`; the newest-10
+    // set depends only on which events arrived, so each key's max-seen
+    // emission equals the batch top-10 window query — the oracle.
+    "q_stream_list_state" -> { (s, d) =>
+      import s.implicits._
+      val prev = s.conf.getOption(TrackStateOp.rocksdbConf._1)
+      s.conf.set(TrackStateOp.rocksdbConf._1, TrackStateOp.rocksdbConf._2)
+      try {
+        val ev = TrackStateOp.eventsStream(s, d)
+          .select($"user_id", $"tsMicros".as("tsUs"), $"event_id",
+            $"eventType".as("event_type"))
+          .as[graft.streaming.RecentEv]
+        val out = graft.streaming.RecentEventsList.recent(ev)
+        val snap = runToMemory(out.toDF(), "update")
+        snap
+          .withColumn("mx", max($"seen").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+          .filter($"seen" === $"mx")
+          .select($"user_id", timestamp_micros($"tsUs").as("ts"),
+            $"event_id", $"event_type")
+          .orderBy($"user_id", $"ts".desc, $"event_id".desc)
+      } finally prev match {
+        case Some(v) => s.conf.set(TrackStateOp.rocksdbConf._1, v)
+        case None    => s.conf.unset(TrackStateOp.rocksdbConf._1)
+      }
+    },
+
     // ---- gap sessions via transformWithState EVENT-TIME TIMERS ----
     // The timer facet of the Spark-4 stateful API (see SessionTimers):
     // in-batch-closed sessions emit from handleInputRows; each key's
@@ -339,6 +370,15 @@ object TimeWindowQueries extends QueryPack {
         |FROM events
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_list_state" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |FROM (SELECT user_id, ts, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM events)
+        |WHERE rk <= 10
+        |ORDER BY user_id, ts DESC, event_id DESC""".stripMargin,
 
     // same gap rule in exact micros, then the timer-flush filter: a
     // session emits iff a later same-key event closed it in-batch (it
