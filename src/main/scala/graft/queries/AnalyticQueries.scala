@@ -76,8 +76,16 @@ object AnalyticQueries extends QueryPack {
           w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("first_bal", first($"c_acctbal").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("last_bal", last($"c_acctbal").over(
-          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        // last over (currentRow, unboundedFollowing) is a SHRINKING
+        // frame — Spark recomputes it from scratch per row, O(n^2) per
+        // partition (25x work at 5x rows in the scale sweep). The same
+        // value is first over the REVERSED order's growing frame, which
+        // evaluates incrementally in O(n): the scale idiom for
+        // suffix-window aggregates.
+        .withColumn("last_bal", first($"c_acctbal").over(
+          Window.partitionBy($"c_nationkey")
+            .orderBy($"c_acctbal".desc, $"c_custkey".desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy($"c_nationkey", $"c_custkey")
     },
 

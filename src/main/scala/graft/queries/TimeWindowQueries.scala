@@ -166,6 +166,60 @@ object TimeWindowQueries extends QueryPack {
       }
     },
 
+    // ---- WARM START: initial state bootstrap (transformWithState) ----
+    // The state-bootstrap facet (StatefulProcessorWithInitialState): at
+    // 100 TB state is NOT rebuilt by replaying history — a snapshot
+    // table seeds every key's RocksDB entries on the first batch, then
+    // the stream folds deltas. Staged so the seeded state MUST surface:
+    // each user's newest half becomes the snapshot, the oldest half
+    // replays as an out-of-order backfill stream (>=1 stream event per
+    // user, so every key emits; event-time ordering absorbs the
+    // inversion). Dropping the initial state would change the answer.
+    // Oracle: the same batch top-10 window query over ALL events.
+    "q_stream_warm_start" -> { (s, d) =>
+      import s.implicits._
+      val prev = s.conf.getOption(TrackStateOp.rocksdbConf._1)
+      s.conf.set(TrackStateOp.rocksdbConf._1, TrackStateOp.rocksdbConf._2)
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        val ranked = Tables.events(s, d)
+          .select($"user_id", unix_micros($"ts").as("tsUs"),
+            $"event_id", $"event_type", $"ts")
+          .withColumn("rk", row_number().over(w))
+          .withColumn("half", (count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"user_id"))
+            / 2).cast("int"))
+        // snapshot: each user's newest floor(n/2) events, pre-trimmed to
+        // the buffer cap (a snapshot holds at most cap rows per key)
+        val snap = ranked.filter($"rk" <= least($"half", lit(10)))
+          .groupBy($"user_id")
+          .agg(collect_list(struct($"user_id", $"tsUs", $"event_id",
+            $"event_type")).as("events"))
+          .as[graft.streaming.RecentSnapshot]
+        // backfill stream: everything NOT in the snapshot half, admitted
+        // via a stream-static anti join on event_id
+        val initIds = ranked.filter($"rk" <= $"half").select($"event_id")
+        val streamEv = TrackStateOp.eventsStream(s, d)
+          .select($"user_id", $"tsMicros".as("tsUs"), $"event_id",
+            $"eventType".as("event_type"))
+          .join(initIds, Seq("event_id"), "left_anti")
+          .as[graft.streaming.RecentEv]
+        val out = graft.streaming.RecentEventsList.warmStart(streamEv, snap)
+        val sink = runToMemory(out.toDF(), "update")
+        sink
+          .withColumn("mx", max($"seen").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+          .filter($"seen" === $"mx")
+          .select($"user_id", timestamp_micros($"tsUs").as("ts"),
+            $"event_id", $"event_type")
+          .orderBy($"user_id", $"ts".desc, $"event_id".desc)
+      } finally prev match {
+        case Some(v) => s.conf.set(TrackStateOp.rocksdbConf._1, v)
+        case None    => s.conf.unset(TrackStateOp.rocksdbConf._1)
+      }
+    },
+
     // ---- gap sessions via transformWithState EVENT-TIME TIMERS ----
     // The timer facet of the Spark-4 stateful API (see SessionTimers):
     // in-batch-closed sessions emit from handleInputRows; each key's
@@ -372,6 +426,17 @@ object TimeWindowQueries extends QueryPack {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "q_stream_list_state" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |FROM (SELECT user_id, ts, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM events)
+        |WHERE rk <= 10
+        |ORDER BY user_id, ts DESC, event_id DESC""".stripMargin,
+
+    // warm start must reconstruct the SAME answer as the cold run: the
+    // snapshot/backfill split is internal staging, not semantics
+    "q_stream_warm_start" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
         |FROM (SELECT user_id, ts, event_id, event_type,
         |             row_number() OVER (PARTITION BY user_id

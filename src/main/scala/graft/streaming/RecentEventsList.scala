@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key LIST STATE — the last transformWithState handle type the
   * repo's processors didn't exercise (TrackProcessor: ValueState;
@@ -32,22 +32,18 @@ case class RecentEv(user_id: Long, tsUs: Long, event_id: Long,
 case class RecentRow(user_id: Long, seen: Long, tsUs: Long,
                      event_id: Long, event_type: String)
 
-class RecentEventsProcessor(cap: Int)
-    extends StatefulProcessor[Long, RecentEv, RecentRow] {
-  @transient private var recent: ListState[RecentEv] = _
-  @transient private var seen: ValueState[Long] = _
+/** Per-key state snapshot row for the warm-start (initial state) path:
+  * one row per key, the key's buffer as a nested list. */
+case class RecentSnapshot(user_id: Long, events: List[RecentEv])
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    recent = getHandle.getListState[RecentEv](
-      "recent", Encoders.product[RecentEv], TTLConfig.NONE)
-    seen = getHandle.getValueState[Long](
-      "seen", Encoders.scalaLong, TTLConfig.NONE)
-  }
+/** The shared fold both processors run per (key, batch): merge new rows
+  * into the stored list (appends while under 2*cap slack, one compacting
+  * rewrite past it), bump the monotone `seen`, emit the newest-cap. */
+private[streaming] object RecentFold {
+  def newestFirst(e: RecentEv): (Long, Long) = (-e.tsUs, -e.event_id)
 
-  private def newestFirst(e: RecentEv) = (-e.tsUs, -e.event_id)
-
-  override def handleInputRows(key: Long, rows: Iterator[RecentEv],
-                               tv: TimerValues): Iterator[RecentRow] = {
+  def apply(recent: ListState[RecentEv], seen: ValueState[Long], cap: Int,
+            key: Long, rows: Iterator[RecentEv]): Iterator[RecentRow] = {
     val add = rows.toVector
     val stored = recent.get().toVector
     val merged = (stored ++ add).sortBy(newestFirst)
@@ -60,6 +56,51 @@ class RecentEventsProcessor(cap: Int)
   }
 }
 
+class RecentEventsProcessor(cap: Int)
+    extends StatefulProcessor[Long, RecentEv, RecentRow] {
+  @transient private var recent: ListState[RecentEv] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[RecentEv](
+      "recent", Encoders.product[RecentEv], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long](
+      "seen", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[RecentEv],
+                               tv: TimerValues): Iterator[RecentRow] =
+    RecentFold(recent, seen, cap, key, rows)
+}
+
+/** WARM START: the same operator bootstrapped from a batch snapshot via
+  * StatefulProcessorWithInitialState — the state-bootstrap facet of
+  * transformWithState. At 100 TB you do not replay history to rebuild
+  * state: the initial-state dataset (a snapshot table, e.g. from the
+  * statestore reader) seeds every key's RocksDB entries on the FIRST
+  * batch, and the stream then folds deltas — here an out-of-order
+  * backfill log, which event-time ordering absorbs by construction. */
+class WarmStartProcessor(cap: Int)
+    extends StatefulProcessorWithInitialState[Long, RecentEv, RecentRow, RecentSnapshot] {
+  @transient private var recent: ListState[RecentEv] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[RecentEv](
+      "recent", Encoders.product[RecentEv], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long](
+      "seen", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, snap: RecentSnapshot,
+                                  tv: TimerValues): Unit =
+    recent.put(snap.events.sortBy(RecentFold.newestFirst).take(cap).toArray)
+
+  override def handleInputRows(key: Long, rows: Iterator[RecentEv],
+                               tv: TimerValues): Iterator[RecentRow] =
+    RecentFold(recent, seen, cap, key, rows)
+}
+
 object RecentEventsList {
   def recent(events: Dataset[RecentEv], cap: Int = 10): Dataset[RecentRow] = {
     val spark = events.sparkSession
@@ -68,5 +109,18 @@ object RecentEventsList {
       .groupByKey(_.user_id)
       .transformWithState(new RecentEventsProcessor(cap),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Same operator, state seeded from a batch snapshot (one
+    * RecentSnapshot row per key) before the first streaming batch. */
+  def warmStart(events: Dataset[RecentEv], init: Dataset[RecentSnapshot],
+                cap: Int = 10): Dataset[RecentRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new WarmStartProcessor(cap),
+        TimeMode.None(), OutputMode.Update(),
+        init.groupByKey(_.user_id))
   }
 }
