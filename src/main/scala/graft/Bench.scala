@@ -39,18 +39,26 @@ object Bench {
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => }
     }
+    // SPARK_GRAFT_BENCH_REPEATS > 1 reports each query's MIN over N runs:
+    // the steady-state number, insensitive to driver-machine contention
+    // (the documented ±25% run-to-run swing on a shared host). Default 1
+    // keeps the driver's single-pass wall-clock semantics.
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
+      }
+      if (times.exists(_ < 0)) failed += name
       // -1 marks a failure: elapsed-to-crash would read as a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
     // ms precision keeps the one JSON line short enough to survive a
     // byte-limited log tail (r1's line lost its head to truncation);

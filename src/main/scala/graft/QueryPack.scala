@@ -19,12 +19,29 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *    regardless of partial-aggregation merge order;
   *  - integer-ish results cast to LONG (DuckDB returns BIGINT).
   */
-/** Process-wide lock for the temporary shuffle-partitions override in
-  * `QueryPack.runToMemory`: the session conf is shared, so concurrent
-  * query builds (parallel suites on the singleton session) must not
-  * interleave their set/start/restore windows — an interleaved restore
-  * would leak the temporary value into the session permanently. */
-private[graft] object StreamStartLock
+/** Per-stream conf scoping for the state-store fan-out override: clone
+  * the session (conf + temp views + functions copied; SparkContext
+  * shared), set the override on the CLONE, and transplant the analyzed
+  * plan onto it. The shared session's conf is never touched, so a
+  * concurrent batch query planned while a stream starts keeps its own
+  * partition count — no lock, no set/restore window (round-4 advice #3). */
+private[graft] object ScopedStream {
+  import org.apache.spark.sql.GraftPlanBridge
+
+  /** Rebind `df` to a cloned session carrying `statePartitions` as its
+    * shuffle/state fan-out; returns (clonedSession, reboundDf). */
+  def apply(df: DataFrame, statePartitions: Int): (SparkSession, DataFrame) = {
+    val scoped = GraftPlanBridge.cloneSession(df.sparkSession)
+    scoped.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    (scoped, GraftPlanBridge.ofRows(scoped, df.queryExecution.analyzed))
+  }
+
+  /** Rebind a result built on the scoped clone back onto the outer
+    * session (the analyzed plan is self-contained, so the clone can be
+    * discarded). */
+  def rebind(outer: SparkSession, df: DataFrame): DataFrame =
+    GraftPlanBridge.ofRows(outer, df.queryExecution.analyzed)
+}
 
 /** Self-cleaning temp dirs for per-JVM fixture copies. */
 object TempDirs {
@@ -79,37 +96,25 @@ trait QueryPack {
     * scales UP: state_bytes / target_store_size, not executor cores. */
   protected def runToMemory(df: DataFrame, mode: String,
                             statePartitions: Int = 8): DataFrame = {
-    val s = df.sparkSession
+    val outer = df.sparkSession
     val qn = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val key = "spark.sql.shuffle.partitions"
-    // start() clones the session conf, so the override only needs to span
-    // set..start — but that window must be exclusive (StreamStartLock):
-    // interleaved set/restore from a concurrent build would leak the
-    // temporary value into the shared session. Known perf-only caveat: a
-    // concurrent BATCH query that happens to plan inside this window picks
-    // up the temporary partition count (fewer shuffle tasks, same result);
-    // the gate runs queries sequentially, and parallel test suites accept
-    // the skew. A per-query conf would need a second SparkSession, which
-    // cannot see this session's temp fixtures.
-    val q = StreamStartLock.synchronized {
-      val saved = s.conf.getOption(key)
-      s.conf.set(key, statePartitions)
-      try df.writeStream.format("memory").queryName(qn)
-        .outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      finally saved match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    }
+    // the override lives on a per-stream session CLONE (ScopedStream) —
+    // the shared session conf is never written, so nothing can leak into
+    // concurrently-planned queries and no start lock is needed
+    val (scoped, sdf) = ScopedStream(df, statePartitions)
+    val q = sdf.writeStream.format("memory").queryName(qn)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    // s.table() analyzes eagerly, so the returned plan holds the resolved
+    // table() analyzes eagerly, so the rebound plan holds the resolved
     // sink relation; dropping the temp view right away un-registers the
     // name without copying the data (collecting large streaming results
-    // to the driver cost 3.5x on the stream-stream join at sf0.1)
-    val sink = s.table(qn)
-    s.catalog.dropTempView(qn)
+    // to the driver cost 3.5x on the stream-stream join at sf0.1). The
+    // rebind hands the result back on the OUTER session so downstream
+    // composition never sees the throwaway clone.
+    val sink = ScopedStream.rebind(outer, scoped.table(qn))
+    scoped.catalog.dropTempView(qn)
     sink
   }
 }

@@ -173,7 +173,11 @@ object Flights {
           println(s"========= $viewName $batchId =========")
           spark.sql(q).show(truncate = false)
         } else {
-          spark.sql(q).collect()
+          // evaluate the per-batch SQL WITHOUT materializing the snapshot
+          // on the driver: a noop write runs the full plan distributed
+          // (collect() here would pull every track's buffer to the driver
+          // each batch — fine at demo scale, a wall at 100 TB)
+          spark.sql(q).write.format("noop").mode("overwrite").save()
         }
         ()
     }.start()

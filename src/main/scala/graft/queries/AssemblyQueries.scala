@@ -31,11 +31,9 @@ import org.apache.spark.sql.functions._
 object AssemblyQueries extends QueryPack {
 
   /** Knuth multiplicative hash on doc_id — the SAME membership rule as
-    * q_sample_stratified (SearchQueries.scala), replayable in DuckDB
-    * with sign-safe %. Docs are assumed non-negative (testdata ids are);
-    * the inner pmod makes it total for any 64-bit id on the Spark side. */
-  private def knuth(c: org.apache.spark.sql.Column) =
-    pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    * q_sample_stratified (SearchQueries.scala), replayed in DuckDB with
+    * sign-safe %; total for any 64-bit id (see [[Hashing]]). */
+  private def knuth(c: org.apache.spark.sql.Column) = Hashing.knuth(c)
 
   private val PackShards = 16
   private val PackBudget = 128 // tokens per training sequence

@@ -160,8 +160,7 @@ object CurationQueries extends QueryPack {
         .crossJoin(broadcast(nPart))
         .select($"custkey", explode(sequence(lit(0), lit(k - 1))).as("slot"), $"np")
         .select($"custkey", $"slot",
-          (pmod(pmod($"custkey" * 31 + $"slot" * 7, lit(2147483648L))
-            * lit(2654435761L), lit(4294967296L)) % $"np" + 1).as("partkey"))
+          (Hashing.knuth($"custkey" * 31 + $"slot" * 7) % $"np" + 1).as("partkey"))
       cands.join(positives, Seq("custkey", "partkey"), "left_anti")
         .select($"custkey", asLong($"slot").as("slot"), $"partkey")
         .orderBy($"custkey", $"slot")
@@ -234,8 +233,7 @@ object CurationQueries extends QueryPack {
     // the driver.
     "q_classify_nb" -> { (s, d) =>
       import s.implicits._
-      val h = pmod(pmod($"doc_id", lit(2147483648L)) * lit(2654435761L),
-        lit(4294967296L)) % 100
+      val h = Hashing.knuth($"doc_id") % 100
       val docs = Tables.documents(s, d)
       val train = docs.filter(h < 80)
       val holdout = docs.filter(h >= 80)

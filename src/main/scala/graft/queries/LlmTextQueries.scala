@@ -406,8 +406,7 @@ object LlmTextQueries extends QueryPack {
       // = 5.7e18 < Long.Max, so the rule stays total (no ANSI overflow)
       // for any 64-bit id — without the reduction ids past ~3.47e9 (a
       // realistic 100 TB corpus) would throw
-      val h = pmod(pmod($"doc_id", lit(2147483648L)) * lit(2654435761L),
-        lit(4294967296L)) % 100
+      val h = Hashing.knuth($"doc_id") % 100
       Tables.documents(s, d)
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "validation").otherwise("test"))

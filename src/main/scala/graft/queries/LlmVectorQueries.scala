@@ -115,8 +115,7 @@ object LlmVectorQueries extends QueryPack {
     val corpus = emb(s, d)
     val k = 32
     val maxTrain = 1024
-    def knuth(c: Column): Column =
-      pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    def knuth(c: Column): Column = Hashing.knuth(c)
     val seeds = corpus
       .orderBy(knuth($"vec_id"), $"vec_id")
       .limit(k)
@@ -524,8 +523,7 @@ object LlmVectorQueries extends QueryPack {
     "q_kmeans_train" -> { (s, d) =>
       import s.implicits._
       val corpus = emb(s, d)
-      def knuth(c: Column): Column =
-        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      def knuth(c: Column): Column = Hashing.knuth(c)
       val k = 32
       val seeds = corpus.orderBy(knuth($"vec_id"), $"vec_id").limit(k)
         .select($"vec_id".as("c_id"), $"v".as("cv"))
@@ -641,8 +639,7 @@ object LlmVectorQueries extends QueryPack {
     "q_sample_diverse" -> { (s, d) =>
       import s.implicits._
       val (_, assigned) = ivfModel(s, d)
-      def knuth(c: Column): Column =
-        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      def knuth(c: Column): Column = Hashing.knuth(c)
       assigned
         .withColumn("rk", row_number().over(
           Window.partitionBy($"cell").orderBy(knuth($"vec_id" + 13), $"vec_id")))
@@ -668,9 +665,7 @@ object LlmVectorQueries extends QueryPack {
       import s.implicits._
       val corpus = emb(s, d).localCheckpoint()
       val train = corpus
-        .orderBy(
-          pmod(pmod($"vec_id" + 7, lit(2147483648L)) * lit(2654435761L),
-            lit(4294967296L)), $"vec_id")
+        .orderBy(Hashing.knuth($"vec_id" + 7), $"vec_id")
         .limit(PqTrain)
         .select($"vec_id", $"v")
         .localCheckpoint()
@@ -683,9 +678,7 @@ object LlmVectorQueries extends QueryPack {
       val seedArrs = (0 until PqM).map { m =>
         val off = m * PqSubDim
         corpus
-          .orderBy(
-            pmod(pmod($"vec_id" + PqSeedOff(m), lit(2147483648L)) * lit(2654435761L),
-              lit(4294967296L)), $"vec_id")
+          .orderBy(Hashing.knuth($"vec_id" + PqSeedOff(m)), $"vec_id")
           .limit(PqK)
           .select(lit(m).as("m"), $"vec_id".as("c_id"),
             slice($"v", off + 1, PqSubDim).as("cv"))

@@ -250,8 +250,7 @@ object SearchQueries extends QueryPack {
       import s.implicits._
       val permille = typedLit(Map(
         "en" -> 100L, "de" -> 400L, "es" -> 400L, "fr" -> 400L, "zh" -> 400L))
-      val h = pmod(pmod($"doc_id", lit(2147483648L)) * lit(2654435761L),
-        lit(4294967296L)) % 1000
+      val h = Hashing.knuth($"doc_id") % 1000
       Tables.documents(s, d)
         .withColumn("keep_below", coalesce(permille($"lang"), lit(200L)))
         .filter(h < $"keep_below")
@@ -332,22 +331,34 @@ object SearchQueries extends QueryPack {
           round(max($"cnt") / avg($"cnt"), 4).as("skew_ratio"))
     },
 
-    // pure IEEE -,*,/ and floor (no libm), so counts hash-compare
-    // exactly; the top edge clamps into the last bin (the max value
-    // lands on bin 20 by the formula).
+    // engine-exact by construction: prices become integer cents up
+    // front (round(x*100) — o_totalprice is dollars-and-cents in a
+    // double), the bin index is pure BIGINT arithmetic (`div` here,
+    // `//` in the DuckDB oracle; identical truncation for the
+    // non-negative operands), and the bin bounds are floored to whole
+    // cents then emitted as DECIMAL(18,2) with no rounding step — no
+    // IEEE double ever reaches an output column or a comparison, so
+    // the hash compare cannot drift across engines/platforms. The top
+    // edge clamps into the last bin (the max value lands on bin 20 by
+    // the formula).
     "q_profile_histogram" -> { (s, d) =>
       import s.implicits._
       val o = Tables.orders(s, d)
+        .select(round($"o_totalprice" * 100).cast("long").as("pc"))
       val nb = 20
-      val stats = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+      val stats = o.agg(min($"pc").as("mn"), max($"pc").as("mx"))
+        .select($"mn", greatest($"mx" - $"mn", lit(1L)).as("rng"))
       o.crossJoin(broadcast(stats))
-        .select(least(floor(($"o_totalprice" - $"mn") / ($"mx" - $"mn") * nb),
-          lit(nb - 1L)).as("bin"), $"mn", $"mx")
-        .groupBy($"bin", $"mn", $"mx")
+        .select(least(expr(s"(pc - mn) * $nb div rng"), lit(nb - 1L)).as("bin"),
+          $"mn", $"rng")
+        .groupBy($"bin", $"mn", $"rng")
         .agg(asLong(count(lit(1))).as("n"))
+        // bound in cent-twentieths = mn*20 + bin*rng; floor to cents
         .select($"bin",
-          ($"mn" + $"bin" * (($"mx" - $"mn") / nb)).as("bin_lo"),
-          ($"mn" + ($"bin" + 1) * (($"mx" - $"mn") / nb)).as("bin_hi"),
+          (expr(s"(mn * $nb + bin * rng) div $nb").cast("decimal(18,0)") / 100)
+            .cast("decimal(18,2)").as("bin_lo"),
+          (expr(s"(mn * $nb + (bin + 1) * rng) div $nb").cast("decimal(18,0)") / 100)
+            .cast("decimal(18,2)").as("bin_hi"),
           $"n")
         .withColumn("cum_n", sum($"n").over(
           Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -483,8 +494,7 @@ object SearchQueries extends QueryPack {
     // method, not a replay.
     "q_graph_triangles" -> { (s, d) =>
       import s.implicits._
-      val knuth = (c: org.apache.spark.sql.Column) =>
-        pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      val knuth = (c: org.apache.spark.sql.Column) => Hashing.knuth(c)
       val ords = Tables.orders(s, d).select($"o_orderkey")
         .filter(knuth($"o_orderkey") % 1000 < 200)
       val li = Tables.lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
@@ -707,16 +717,16 @@ object SearchQueries extends QueryPack {
         |FROM c""".stripMargin,
 
     "q_profile_histogram" ->
-      """WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      """WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |stats AS (SELECT min(pc) AS mn, greatest(max(pc) - min(pc), 1) AS rng FROM cents),
         |binned AS (
-        |  SELECT CAST(least(floor((o_totalprice - mn) / (mx - mn) * 20), 19) AS BIGINT) AS bin,
-        |         mn, mx
-        |  FROM orders CROSS JOIN stats),
+        |  SELECT least((pc - mn) * 20 // rng, 19) AS bin, mn, rng
+        |  FROM cents CROSS JOIN stats),
         |counts AS (
-        |  SELECT bin, mn, mx, count(*) AS n FROM binned GROUP BY 1, 2, 3)
+        |  SELECT bin, mn, rng, count(*) AS n FROM binned GROUP BY 1, 2, 3)
         |SELECT bin,
-        |  mn + bin * ((mx - mn) / 20) AS bin_lo,
-        |  mn + (bin + 1) * ((mx - mn) / 20) AS bin_hi,
+        |  CAST(CAST((mn * 20 + bin * rng) // 20 AS DECIMAL(18,0)) / 100 AS DECIMAL(18,2)) AS bin_lo,
+        |  CAST(CAST((mn * 20 + (bin + 1) * rng) // 20 AS DECIMAL(18,0)) / 100 AS DECIMAL(18,2)) AS bin_hi,
         |  n,
         |  sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
         |FROM counts

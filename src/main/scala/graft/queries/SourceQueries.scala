@@ -119,13 +119,7 @@ object SourceQueries extends QueryPack {
         lit("events").as("topic"),
         pmod($"user_id", lit(8)).cast("int").as("partition"),
         $"event_id".as("offset"))
-      val payload = "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
-      wire
-        .select(from_json($"value".cast("string"), payload, Map.empty[String, String]).as("r"))
-        .select($"r.event_id".as("event_id"), timestamp_micros($"r.ts_us").as("ts"),
-                $"r.user_id".as("user_id"), $"r.event_type".as("event_type"),
-                $"r.value".as("value"))
-        .orderBy($"event_id")
+      kafkaWireDecode(wire).orderBy($"event_id")
     },
 
     // Durable streaming FILE sink (exactly-once): stream events into a
@@ -172,26 +166,34 @@ object SourceQueries extends QueryPack {
       val agg = TrackStateOp.eventsStream(s, d)
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"), sum(dec($"value")).as("sum_value"))
-      val key = "spark.sql.shuffle.partitions"
-      val q = graft.StreamStartLock.synchronized {
-        val saved = s.conf.getOption(key)
-        s.conf.set(key, 8) // state-store count: sized to state, not cores
-        try agg.writeStream.format("noop")
-          .outputMode("update")
-          .option("checkpointLocation", s"$run/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally saved match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
-      }
+      // state-store count sized to state, not cores — scoped to a session
+      // clone so the shared conf is never mutated
+      val (_, sagg) = graft.ScopedStream(agg, 8)
+      val q = sagg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
-      s.read.format("statestore").load(s"$run/ckpt")
-        .filter(!$"value.isEmpty")
+      val state = s.read.format("statestore").load(s"$run/ckpt")
+      // `value.{count,sum,isEmpty}` are Spark's INTERNAL aggregation-
+      // buffer field names — resolve them against the loaded schema so a
+      // buffer-layout change in a future Spark minor fails with a
+      // diagnostic naming the drift, not a bare column-not-found
+      val bufFields = state.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      def buf(n: String) = {
+        require(bufFields.contains(n),
+          s"statestore aggregation-buffer layout changed: expected field " +
+            s"'$n' in value struct, got {${bufFields.mkString(", ")}} — " +
+            "Spark state-schema drift; update the q_source_state_reader mapping")
+        col(s"value.$n")
+      }
+      state
+        .filter(!buf("isEmpty"))
         .select($"key.user_id".as("user_id"),
-          asLong($"value.count").as("n_events"),
-          asDouble($"value.sum").as("sum_value"))
+          asLong(buf("count")).as("n_events"),
+          asDouble(buf("sum")).as("sum_value"))
         .orderBy($"user_id")
     },
 
@@ -272,11 +274,40 @@ object SourceQueries extends QueryPack {
     }
   )
 
+  /** Versions kept by the upsert sink's GC: current + a lag window for
+    * readers that resolved `latest` just before a commit. */
+  private[graft] val UpsertRetainVersions = 2
+
+  /** The Kafka value-payload schema for the events wire format. */
+  private[graft] val KafkaPayloadSchema =
+    "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+  /** Decode Kafka-shaped records (binary `value` carrying the JSON
+    * payload) back into typed event rows — the consumer half of the wire
+    * contract. Works identically on a batch frame (q_source_kafka_shaped)
+    * and a streaming one (KafkaShapedBridgeSpec drives it from the
+    * reference's TCP socket source), so the same code path serves both
+    * the gate replay and a live ingest. */
+  private[graft] def kafkaWireDecode(wire: DataFrame): DataFrame = {
+    val s = wire.sparkSession
+    import s.implicits._
+    wire
+      .select(from_json($"value".cast("string"), KafkaPayloadSchema,
+        Map.empty[String, String]).as("r"))
+      .select($"r.event_id".as("event_id"), timestamp_micros($"r.ts_us").as("ts"),
+              $"r.user_id".as("user_id"), $"r.event_type".as("event_type"),
+              $"r.value".as("value"))
+  }
+
   /** CDC upsert sink: foreachBatch merge of each micro-batch into a
     * versioned "latest event per user_id" materialized view (winner =
     * max (ts, event_id) per key). Fresh dir per version — a lazy reader
     * of version v never races the v+1 writer; the checkpoint replays
-    * batches exactly once on restart. Returns the started query and a
+    * batches exactly once on restart. After each commit, versions older
+    * than the [[UpsertRetainVersions]] window are deleted (the
+    * Delta/Iceberg VACUUM analogue) so the versioned-view pattern holds
+    * bounded storage over an unbounded stream instead of accumulating
+    * one full snapshot per micro-batch. Returns the started query and a
     * thunk reading the current view (empty-schema frame before batch 0).
     * Requires columns: event_id, user_id, ts, event_type, value. */
   private[graft] def upsertSink(events: DataFrame, runDir: String,
@@ -301,6 +332,19 @@ object SourceQueries extends QueryPack {
           .filter($"rn" === 1).drop("rn")
           .write.mode("overwrite").parquet(path)
         latest = Some(path)
+        // GC superseded versions beyond the retention window; runs AFTER
+        // the new version is committed, so the view is never unreadable
+        val fs = new org.apache.hadoop.fs.Path(runDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val base = new org.apache.hadoop.fs.Path(runDir)
+        fs.listStatus(base).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("state_v"))
+          .flatMap(st => scala.util.Try(
+            st.getPath.getName.stripPrefix("state_v").toLong).toOption
+            .map(_ -> st.getPath))
+          .sortBy(_._1)
+          .dropRight(UpsertRetainVersions)
+          .foreach { case (_, p) => fs.delete(p, true) }
       }
       .start()
     (q, () => latest.map(p => s.read.parquet(p)).getOrElse(

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object SqlSurfaceQueries extends QueryPack {
 
-  /** Register `table` for `d` under a collision-free name, return the name. */
+  /** Register `table` for `d` under a collision-free name, return the name.
+    * The suffix is the full MD5 of the data dir — a 32-bit String.hashCode
+    * could collide across scale dirs on the shared session and silently
+    * resolve a query against the wrong scale's data (round-4 advice). */
   private def view(s: SparkSession, d: String, table: String): String = {
-    val name =
-      s"${table}_v${java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)}"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val name = s"${table}_v$digest"
     Tables.table(s, d, table).createOrReplaceTempView(name)
     name
   }

@@ -19,6 +19,34 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoinQueries extends QueryPack {
 
+  /** The outer stream-stream join, watermark-parameterized: purchases ⋈
+    * clicks on user with c_ts in [p_ts - 30m, p_ts]. The watermark delay
+    * sets each side's state lifetime AND when unmatched rows emit their
+    * null form — the subtlest contract in the engine, so the spec drives
+    * this exact builder at TWO horizons (the gate queries use "1 hour"). */
+  private[graft] def streamStreamOuter(s: SparkSession, d: String,
+                                       joinType: String,
+                                       watermark: String): DataFrame = {
+    import s.implicits._
+    val purchases = TrackStateOp.eventsStream(s, d)
+      .filter($"eventType" === "purchase")
+      .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
+              $"event_id".as("p_id"))
+      .withWatermark("p_ts", watermark)
+    val clicks = TrackStateOp.eventsStream(s, d)
+      .filter($"eventType" === "click")
+      .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
+              $"event_id".as("c_id"))
+      .withWatermark("c_ts", watermark)
+    val joined = purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"c_ts" <= $"p_ts",
+      joinType)
+      .select($"p_id", $"c_id")
+    runToMemory(joined, "append").orderBy($"p_id", $"c_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- stream ⋈ static dimension ----
     "q_stream_static_join" -> { (s, d) =>
@@ -65,24 +93,7 @@ object StreamJoinQueries extends QueryPack {
     // than that are still held in state when the query drains. State
     // stays O(rate x window) exactly as the inner variant.
     "q_stream_stream_left_join" -> { (s, d) =>
-      import s.implicits._
-      val purchases = TrackStateOp.eventsStream(s, d)
-        .filter($"eventType" === "purchase")
-        .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
-                $"event_id".as("p_id"))
-        .withWatermark("p_ts", "1 hour")
-      val clicks = TrackStateOp.eventsStream(s, d)
-        .filter($"eventType" === "click")
-        .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
-                $"event_id".as("c_id"))
-        .withWatermark("c_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        $"p_user" === $"c_user" &&
-          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
-          $"c_ts" <= $"p_ts",
-        "left_outer")
-        .select($"p_id", $"c_id")
-      runToMemory(joined, "append").orderBy($"p_id", $"c_id")
+      streamStreamOuter(s, d, "left_outer", "1 hour")
     },
 
     // ---- stream ⋈ stream FULL OUTER (both sides' watermark eviction) ----
@@ -95,24 +106,7 @@ object StreamJoinQueries extends QueryPack {
     // when watermark > c_ts + 30m. The oracle encodes BOTH eviction
     // rules; state stays O(rate x window) on each side.
     "q_stream_stream_full_join" -> { (s, d) =>
-      import s.implicits._
-      val purchases = TrackStateOp.eventsStream(s, d)
-        .filter($"eventType" === "purchase")
-        .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
-                $"event_id".as("p_id"))
-        .withWatermark("p_ts", "1 hour")
-      val clicks = TrackStateOp.eventsStream(s, d)
-        .filter($"eventType" === "click")
-        .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
-                $"event_id".as("c_id"))
-        .withWatermark("c_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        $"p_user" === $"c_user" &&
-          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
-          $"c_ts" <= $"p_ts",
-        "full_outer")
-        .select($"p_id", $"c_id")
-      runToMemory(joined, "append").orderBy($"p_id", $"c_id")
+      streamStreamOuter(s, d, "full_outer", "1 hour")
     }
   )
 

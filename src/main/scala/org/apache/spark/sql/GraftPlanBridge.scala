@@ -18,4 +18,12 @@ object GraftPlanBridge {
     * custom plan nodes. */
   def expr(session: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     session.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Clone the session: same SparkContext/SharedState, but a COPY of the
+    * session state (conf, temp views, registered functions). Lets a
+    * streaming query start under a per-query conf override (state-store
+    * fan-out) without ever mutating the shared session's conf — the
+    * round-4 "runToMemory set/restore window" landmine. */
+  def cloneSession(session: SparkSession): SparkSession =
+    session.asInstanceOf[classic.SparkSession].cloneSession()
 }

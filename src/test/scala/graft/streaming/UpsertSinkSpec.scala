@@ -43,6 +43,21 @@ class UpsertSinkSpec extends SparkSpec {
       input.addData((5L, 20L, 500L, "view", 5.0), (6L, 30L, 100L, "buy", 6.0))
       q.processAllAvailable()
       assert(state() == Map(10L -> (3L, 3.0), 20L -> (2L, 2.0), 30L -> (6L, 6.0)))
+
+      // GC: after 3 commits only the UpsertRetainVersions newest version
+      // dirs survive (v0 pruned), and a reader lagging one version behind
+      // `latest` (the retention window's purpose) still reads cleanly
+      def versions(): Seq[Long] = {
+        val base = new java.io.File(run)
+        base.listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("state_v"))
+          .map(_.getName.stripPrefix("state_v").toLong).sorted
+      }
+      assert(versions() == Seq(1L, 2L),
+        s"expected GC to retain exactly v1+v2, got ${versions()}")
+      val lagging = spark.read.parquet(s"$run/state_v1")
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+      assert(lagging == Map(10L -> 3L, 20L -> 2L, 30L -> 4L))
     } finally q.stop()
   }
 }
