@@ -26,16 +26,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-# key family -> (table, column) sites that must shift together
+# key family -> (table, column) sites that must shift together.
+# A family spans EVERY column any query joins against any other member:
+# events.user_id joins o_custkey/c_custkey (q_cogroup_typed, the stream-
+# static join), so it shares the cust unit — a separate unit would make
+# copy c's user ids collide with copy 0's custkeys and the scaled data
+# would not be K disjoint copies of the original join graph. Likewise
+# doc_id <-> vec_id correspondence (q_search_rrf fusion) shares one unit.
 FAMILIES = {
-    "cust": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "cust": [("customer", "c_custkey"), ("orders", "o_custkey"),
+             ("events", "user_id")],
     "supp": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
     "part": [("part", "p_partkey"), ("lineitem", "l_partkey")],
     "ord":  [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
     "ev":   [("events", "event_id")],
-    "user": [("events", "user_id")],
-    "doc":  [("documents", "doc_id")],
-    "vec":  [("embeddings", "vec_id")],
+    "doc":  [("documents", "doc_id"), ("embeddings", "vec_id")],
 }
 AS_IS = ["region", "nation"]
 SCALED = ["customer", "supplier", "part", "orders", "lineitem",
