@@ -27,7 +27,8 @@ object SparkEntry {
     _root_.graft.queries.AssemblyQueries,
     _root_.graft.queries.CurationQueries,
     _root_.graft.queries.RefineryQueries,
-    _root_.graft.queries.SqlSurfaceQueries
+    _root_.graft.queries.SqlSurfaceQueries,
+    _root_.graft.queries.AcidQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

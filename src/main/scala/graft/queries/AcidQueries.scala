@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.acid.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ACID commit-log table coverage (graft.acid.GraftTable): the operations
+  * a production CDC/lakehouse user leans on — MERGE upsert, time travel,
+  * change feed — each hash-verified by replaying the commit sequence in
+  * SQL over the raw table. The commit sequence is deterministic (events
+  * split by event_id % 3 into three commits), so the oracle can state
+  * each version's exact content.
+  *
+  * Scale: the table fixtures build ONCE per JVM per scale dir; every
+  * query then runs ordinary distributed parquet scans over the active
+  * file set — the log adds O(files) metadata resolution, no row-data
+  * driver traffic.
+  */
+object AcidQueries extends QueryPack {
+
+  private lazy val acidDir = tempFixtureDir("graft_acid")
+
+  /** (mergeTableRoot, appendTableRoot) per scale dir, built once: three
+    * deterministic commits each — append %3==0, then %3==1, %3==2 as
+    * MERGE (latest-per-user wins) on one table and plain appends on the
+    * other. */
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+  }
+
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
+    val (m, a) = fixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val ev = events(s, d)
+      val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val mergeRoot = s"$acidDir/merge_$key"
+      val appendRoot = s"$acidDir/append_$key"
+      val mt = new GraftTable(s, mergeRoot)
+      mt.append(slice(0L))
+      mt.merge(slice(1L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      mt.merge(slice(2L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      val at = new GraftTable(s, appendRoot)
+      (1L to 3L).foreach(v => at.append(slice(v - 1L)))
+      (mergeRoot, appendRoot)
+    })
+    (new GraftTable(s, m), new GraftTable(s, a))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MERGE through the commit log: after append(0) + merge(1) + merge(2)
+    // the snapshot must hold exactly the latest event per user over ALL
+    // events — same contract as q_stream_upsert, now with real atomic
+    // version swaps instead of the versioned-directory emulation.
+    "q_acid_merge" -> { (s, d) =>
+      import s.implicits._
+      tables(s, d)._1.snapshot().orderBy($"user_id")
+    },
+
+    // Time travel: each retained version of the append table reads back
+    // its exact historical content (immutable files + per-version
+    // manifest), summarized per version.
+    "q_acid_time_travel" -> { (s, d) =>
+      import s.implicits._
+      val at = tables(s, d)._2
+      at.versions.map { v =>
+        at.snapshot(Some(v))
+          .agg(asLong(count(lit(1))).as("n_rows"),
+               asDouble(sum(dec($"value"))).as("sum_value"))
+          .select(lit(v).as("version"), $"n_rows", $"sum_value")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    },
+
+    // Change feed v1 -> v3 of the merge table: the row-level diff an
+    // incremental consumer replays — inserts are v3-only rows (new
+    // winners), deletes are v1 rows a later event displaced.
+    "q_acid_change_feed" -> { (s, d) =>
+      import s.implicits._
+      tables(s, d)._1.changeFeed(1L, 3L)
+        .orderBy($"_change", $"user_id", $"event_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_acid_merge" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT event_id, user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // version v of the append table = events with event_id % 3 < v
+    "q_acid_time_travel" ->
+      """SELECT CAST(v AS BIGINT) AS version, count(*) AS n_rows,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events, unnest([1, 2, 3]) AS u(v)
+        |WHERE event_id % 3 < v
+        |GROUP BY v ORDER BY version""".stripMargin,
+
+    // v1 = the raw %3==0 slice (plain append, not deduped); v3 = the
+    // final latest-per-user state; feed = symmetric EXCEPT ALL tagged
+    // insert/delete
+    "q_acid_change_feed" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events WHERE event_id % 3 = 0),
+        |v3 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  WHERE rn = 1),
+        |ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+        |del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+        |SELECT * FROM (
+        |  SELECT *, 'insert' AS _change FROM ins
+        |  UNION ALL
+        |  SELECT *, 'delete' AS _change FROM del)
+        |ORDER BY _change, user_id, event_id""".stripMargin
+  )
+}

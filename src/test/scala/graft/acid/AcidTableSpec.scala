@@ -1,0 +1,105 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The commit-log table's ACID invariants, each pinned structurally:
+  * exclusive commit (optimistic concurrency), snapshot isolation over
+  * immutable files, orphan invisibility, vacuum retention, and the
+  * streaming foreachBatch MERGE equaling the batch answer. */
+class AcidTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): GraftTable =
+    new GraftTable(spark, graft.TempDirs.create("graft_acid_spec"))
+
+  private def rows(n: Int, off: Int = 0) =
+    (1 to n).map(i => (i.toLong + off, s"u${i + off}", i * 1.5)).toDF("id", "name", "v")
+
+  test("exclusive commit: the second writer to a version loses with ConcurrentCommitException") {
+    val t = freshTable()
+    t.append(rows(3))
+    // two writers both saw latest=1 and race to publish version 2
+    val files = t.writeData(rows(2, 100), 2L)
+    t.commit(2L, files)
+    val loser = t.writeData(rows(2, 200), 2L)
+    intercept[ConcurrentCommitException] { t.commit(2L, loser) }
+    // the loser's data stayed invisible: version 2 is the winner's
+    assert(t.snapshot(Some(2L)).count() == 2)
+    assert(t.snapshot(Some(2L)).select($"id").as[Long].collect().toSet == Set(101L, 102L))
+  }
+
+  test("snapshot isolation: a resolved snapshot survives later overwrites unchanged") {
+    val t = freshTable()
+    t.append(rows(3))
+    val v1 = t.snapshot(Some(1L))
+    t.overwrite(rows(5, 1000))
+    t.append(rows(2, 2000))
+    // v1's files are immutable and still referenced by its manifest
+    assert(v1.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.snapshot().count() == 7)
+  }
+
+  test("orphaned data files (crash before manifest) are invisible and vacuumed") {
+    val t = freshTable()
+    t.append(rows(3))
+    val orphans = t.writeData(rows(10, 500), 99L) // no commit follows
+    assert(orphans.nonEmpty)
+    assert(t.snapshot().count() == 3, "orphans must not leak into reads")
+    val removed = t.vacuum(retain = 1)
+    assert(orphans.toSet.subsetOf(removed.toSet), s"vacuum missed orphans: $orphans")
+    assert(t.snapshot().count() == 3)
+  }
+
+  test("vacuum keeps the retention window readable and bounds storage") {
+    val t = freshTable()
+    t.append(rows(3))          // v1
+    t.overwrite(rows(4, 10))   // v2
+    t.overwrite(rows(5, 20))   // v3
+    val removed = t.vacuum(retain = 2)
+    assert(t.versions == Seq(2L, 3L), "v1's manifest must be gone")
+    assert(removed.nonEmpty, "v1's unshared files must be deleted")
+    // both retained versions still read their exact content
+    assert(t.snapshot(Some(2L)).count() == 4)
+    assert(t.snapshot(Some(3L)).count() == 5)
+    intercept[Exception] { t.snapshot(Some(1L)).count() }
+  }
+
+  test("append shares prior files instead of rewriting them") {
+    val t = freshTable()
+    t.append(rows(3))
+    t.append(rows(2, 100))
+    val v1 = t.activeFiles(1L).toSet
+    val v2 = t.activeFiles(2L).toSet
+    assert(v1.subsetOf(v2), "append must reference v1's files, not copy them")
+    assert(v2.size > v1.size)
+  }
+
+  test("streaming foreachBatch MERGE into the table equals the batch latest-per-key") {
+    val t = freshTable()
+    val input = MemoryStream[(Long, Long, Long, Double)](spark)
+    val events = input.toDS().toDF("event_id", "user_id", "tsm", "value")
+    val q = events.writeStream
+      .option("checkpointLocation", graft.TempDirs.create("graft_acid_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (t.versions.isEmpty) t.append(batch)
+        else t.merge(batch, Seq("user_id"),
+          Seq(col("tsm").desc, col("event_id").desc))
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, 10L, 100L, 1.0), (2L, 20L, 200L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, 10L, 300L, 3.0), (4L, 30L, 50L, 4.0))
+      q.processAllAvailable()
+      input.addData((5L, 20L, 150L, 5.0)) // LATE for user 20: must lose
+      q.processAllAvailable()
+      val got = t.snapshot().select($"user_id", $"event_id", $"value")
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, e, v) => u -> (e, v) }.toMap
+      assert(got == Map(10L -> (3L, 3.0), 20L -> (2L, 2.0), 30L -> (4L, 4.0)))
+    } finally q.stop()
+  }
+}
