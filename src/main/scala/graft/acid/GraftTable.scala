@@ -142,6 +142,15 @@ final class GraftTable(spark: SparkSession, root: String) {
     overwrite(merged)
   }
 
+  /** OPTIMIZE: rewrite the active set into `targetFiles` files as a new
+    * version — the small-file compaction an append-heavy table needs
+    * (every append adds files; scan cost grows with file count, not
+    * data). Content-lossless by construction: the rewrite is one
+    * distributed repartition of the snapshot, and old versions remain
+    * time-travelable until vacuumed. */
+  def compact(targetFiles: Int): Long =
+    overwrite(snapshot().repartition(targetFiles))
+
   /** Row-level diff `fromV` → `toV`: every row present in `toV` but not
     * `fromV` tagged `insert`, the reverse tagged `delete` (an update
     * surfaces as delete+insert of the key's old/new rows) — the change

@@ -21,12 +21,13 @@ object AcidQueries extends QueryPack {
 
   private lazy val acidDir = tempFixtureDir("graft_acid")
 
-  /** (mergeTableRoot, appendTableRoot) per scale dir, built once: three
-    * deterministic commits each — append %3==0, then %3==1, %3==2 as
-    * MERGE (latest-per-user wins) on one table and plain appends on the
-    * other. */
+  /** (mergeRoot, appendRoot, compactRoot) per scale dir, built once:
+    * three deterministic commits each — append %3==0, then %3==1, %3==2
+    * as MERGE (latest-per-user wins) on one table, plain appends on the
+    * second; the third is the appends followed by an OPTIMIZE
+    * (compact to 4 files). */
   private val fixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   private def events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -34,8 +35,8 @@ object AcidQueries extends QueryPack {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
   }
 
-  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
-    val (m, a) = fixtures.computeIfAbsent(d, { _ =>
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable) = {
+    val (m, a, c) = fixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val ev = events(s, d)
       val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
@@ -44,15 +45,19 @@ object AcidQueries extends QueryPack {
           .getMostSignificantBits)
       val mergeRoot = s"$acidDir/merge_$key"
       val appendRoot = s"$acidDir/append_$key"
+      val compactRoot = s"$acidDir/compact_$key"
       val mt = new GraftTable(s, mergeRoot)
       mt.append(slice(0L))
       mt.merge(slice(1L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
       mt.merge(slice(2L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
       val at = new GraftTable(s, appendRoot)
       (1L to 3L).foreach(v => at.append(slice(v - 1L)))
-      (mergeRoot, appendRoot)
+      val ct = new GraftTable(s, compactRoot)
+      (1L to 3L).foreach(v => ct.append(slice(v - 1L)))
+      ct.compact(targetFiles = 4)
+      (mergeRoot, appendRoot, compactRoot)
     })
-    (new GraftTable(s, m), new GraftTable(s, a))
+    (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,6 +92,15 @@ object AcidQueries extends QueryPack {
       import s.implicits._
       tables(s, d)._1.changeFeed(1L, 3L)
         .orderBy($"_change", $"user_id", $"event_id")
+    },
+
+    // OPTIMIZE: after three appends + compact-to-4-files, the snapshot
+    // must still be the COMPLETE event set (content-lossless rewrite;
+    // AcidTableSpec pins the file-count collapse and the pre-compaction
+    // version staying time-travelable).
+    "q_acid_compact" -> { (s, d) =>
+      import s.implicits._
+      tables(s, d)._3.snapshot().orderBy($"event_id")
     }
   )
 
@@ -126,6 +140,10 @@ object AcidQueries extends QueryPack {
         |  SELECT *, 'insert' AS _change FROM ins
         |  UNION ALL
         |  SELECT *, 'delete' AS _change FROM del)
-        |ORDER BY _change, user_id, event_id""".stripMargin
+        |ORDER BY _change, user_id, event_id""".stripMargin,
+
+    "q_acid_compact" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

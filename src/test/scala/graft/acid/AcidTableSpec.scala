@@ -76,6 +76,19 @@ class AcidTableSpec extends SparkSpec {
     assert(v2.size > v1.size)
   }
 
+  test("compact rewrites many small files into few, content-lossless and time-travelable") {
+    val t = freshTable()
+    (0 until 6).foreach(i => t.append(rows(2, i * 10)))
+    val before = t.activeFiles(t.latestVersion.get)
+    assert(before.size >= 6, "six appends should leave at least six files")
+    val content = t.snapshot().select($"id").as[Long].collect().sorted.toSeq
+    val v = t.compact(targetFiles = 1)
+    assert(t.activeFiles(v).size == 1)
+    assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq == content)
+    // pre-compaction version still reads (old files untouched until vacuum)
+    assert(t.snapshot(Some(v - 1)).count() == content.size)
+  }
+
   test("streaming foreachBatch MERGE into the table equals the batch latest-per-key") {
     val t = freshTable()
     val input = MemoryStream[(Long, Long, Long, Double)](spark)
