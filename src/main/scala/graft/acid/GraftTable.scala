@@ -48,7 +48,7 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * one shuffle on the merge key; at partitioned scale the same loop
   * rewrites only the impacted partitions' files.
   */
-final class GraftTable(spark: SparkSession, root: String) {
+final class GraftTable(spark: SparkSession, val root: String) {
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =
@@ -141,6 +141,15 @@ final class GraftTable(spark: SparkSession, root: String) {
       .filter(col("__rn") === 1).drop("__rn")
     overwrite(merged)
   }
+
+  /** Row-level DELETE: publish a new version without the rows matching
+    * `predicate` — the compliance path (right-to-be-forgotten) a raw
+    * parquet directory cannot offer. The rewrite is one distributed
+    * filter job over the active set; deleted rows leave the LOG when the
+    * prior versions are vacuumed (physical erasure = delete + vacuum,
+    * same two-step contract as the production lakehouse formats). */
+  def delete(predicate: Column): Long =
+    overwrite(snapshot().filter(!predicate))
 
   /** OPTIMIZE: rewrite the active set into `targetFiles` files as a new
     * version — the small-file compaction an append-heavy table needs

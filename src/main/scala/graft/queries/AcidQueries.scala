@@ -21,13 +21,15 @@ object AcidQueries extends QueryPack {
 
   private lazy val acidDir = tempFixtureDir("graft_acid")
 
-  /** (mergeRoot, appendRoot, compactRoot) per scale dir, built once:
-    * three deterministic commits each — append %3==0, then %3==1, %3==2
-    * as MERGE (latest-per-user wins) on one table, plain appends on the
-    * second; the third is the appends followed by an OPTIMIZE
-    * (compact to 4 files). */
+  /** (mergeRoot, appendRoot, compactRoot, deleteRoot) per scale dir,
+    * built once: three deterministic commits each — append %3==0, then
+    * %3==1, %3==2 as MERGE (latest-per-user wins) on one table, plain
+    * appends on the second; the third is the appends followed by an
+    * OPTIMIZE (compact to 4 files); the fourth is the appends followed
+    * by a row-level DELETE of every user_id % 10 == 0 row (the
+    * compliance-erasure path). */
   private val fixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
 
   private def events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -35,8 +37,8 @@ object AcidQueries extends QueryPack {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
   }
 
-  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable) = {
-    val (m, a, c) = fixtures.computeIfAbsent(d, { _ =>
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable) = {
+    val (m, a, c, x) = fixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val ev = events(s, d)
       val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
@@ -55,9 +57,14 @@ object AcidQueries extends QueryPack {
       val ct = new GraftTable(s, compactRoot)
       (1L to 3L).foreach(v => ct.append(slice(v - 1L)))
       ct.compact(targetFiles = 4)
-      (mergeRoot, appendRoot, compactRoot)
+      val deleteRoot = s"$acidDir/delete_$key"
+      val xt = new GraftTable(s, deleteRoot)
+      (1L to 3L).foreach(v => xt.append(slice(v - 1L)))
+      xt.delete(pmod($"user_id", lit(10L)) === 0L)
+      (mergeRoot, appendRoot, compactRoot, deleteRoot)
     })
-    (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c))
+    (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c),
+     new GraftTable(s, x))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -101,6 +108,15 @@ object AcidQueries extends QueryPack {
     "q_acid_compact" -> { (s, d) =>
       import s.implicits._
       tables(s, d)._3.snapshot().orderBy($"event_id")
+    },
+
+    // Row-level DELETE (right-to-be-forgotten): after erasing every
+    // user_id % 10 == 0 event, the snapshot holds exactly the remaining
+    // rows — and the erased users' history leaves physical storage once
+    // the prior versions vacuum out (AcidTableSpec pins that two-step).
+    "q_acid_delete" -> { (s, d) =>
+      import s.implicits._
+      tables(s, d)._4.snapshot().orderBy($"event_id")
     }
   )
 
@@ -144,6 +160,10 @@ object AcidQueries extends QueryPack {
 
     "q_acid_compact" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_acid_delete" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id % 10 <> 0 ORDER BY event_id""".stripMargin
   )
 }

@@ -89,6 +89,24 @@ class AcidTableSpec extends SparkSpec {
     assert(t.snapshot(Some(v - 1)).count() == content.size)
   }
 
+  test("delete + vacuum physically erases the rows (the compliance two-step)") {
+    val t = freshTable()
+    t.append(rows(10))
+    t.delete($"id" % 2 === 0)
+    // logically gone immediately...
+    assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 9L))
+    // ...but still time-travelable (v1 retains the full set) until vacuum
+    assert(t.snapshot(Some(1L)).count() == 10)
+    t.vacuum(retain = 1)
+    assert(t.versions == Seq(2L))
+    // no surviving data file may contain an erased row
+    val ids = t.activeFiles(2L)
+      .flatMap(f => spark.read.parquet(s"${t.root}/$f")
+        .select($"id").as[Long].collect())
+    assert(ids.sorted == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("streaming foreachBatch MERGE into the table equals the batch latest-per-key") {
     val t = freshTable()
     val input = MemoryStream[(Long, Long, Long, Double)](spark)
