@@ -48,7 +48,8 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * one shuffle on the merge key; at partitioned scale the same loop
   * rewrites only the impacted partitions' files.
   */
-final class GraftTable(spark: SparkSession, val root: String) {
+final class GraftTable(spark: SparkSession, val root: String,
+                       statsCol: Option[String] = None) {
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =
@@ -65,13 +66,29 @@ final class GraftTable(spark: SparkSession, val root: String) {
 
   def latestVersion: Option[Long] = versions.lastOption
 
-  /** Active data files (root-relative) of version `v`. */
-  private[graft] def activeFiles(v: Long): Seq[String] = {
+  /** One manifest line: a data file plus optional per-file column stats
+    * (min/max of the table's stats column) for data skipping. */
+  private[graft] case class FileEntry(path: String,
+                                      stats: Option[(Long, Long)]) {
+    def line: String =
+      stats.fold(path) { case (lo, hi) => s"$path\t$lo\t$hi" }
+  }
+
+  private def parseEntry(line: String): FileEntry = line.split('\t') match {
+    case Array(p, lo, hi) => FileEntry(p, Some((lo.toLong, hi.toLong)))
+    case _ => FileEntry(line, None)
+  }
+
+  /** Active file entries (path + optional stats) of version `v`. */
+  private[graft] def entries(v: Long): Seq[FileEntry] = {
     val in = fs.open(manifestPath(v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
+      .getLines().map(_.trim).filter(_.nonEmpty).map(parseEntry).toList
     finally in.close()
   }
+
+  /** Active data files (root-relative) of version `v`. */
+  private[graft] def activeFiles(v: Long): Seq[String] = entries(v).map(_.path)
 
   /** Snapshot read of `version` (default: latest). The file list resolves
     * ONCE here; the files are immutable, so the returned frame is a
@@ -84,20 +101,33 @@ final class GraftTable(spark: SparkSession, val root: String) {
   }
 
   /** Write `df` as a fresh immutable file set for candidate version `v`;
-    * returns the root-relative paths. NOT visible until a manifest names
-    * them — a crash here orphans them for vacuum, readers never see a
-    * partial write. */
-  private[graft] def writeData(df: DataFrame, v: Long): Seq[String] = {
+    * returns the root-relative entries. NOT visible until a manifest
+    * names them — a crash here orphans them for vacuum, readers never
+    * see a partial write. With a `statsCol`, one extra distributed pass
+    * records each file's min/max of that column into the manifest line
+    * (O(files) metadata to the driver, never row data) — the data-
+    * skipping index [[snapshotRange]] prunes with. */
+  private[graft] def writeData(df: DataFrame, v: Long): Seq[FileEntry] = {
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.write.parquet(new Path(rootPath, sub).toString)
+    val dir = new Path(rootPath, sub).toString
+    df.write.parquet(dir)
+    val stats: Map[String, (Long, Long)] = statsCol.fold(
+      Map.empty[String, (Long, Long)]) { c =>
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+        .collect()
+        .map(r => new Path(r.getString(0)).getName -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
     fs.listStatus(new Path(rootPath, sub)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("part-"))
-      .sorted.map(n => s"$sub/$n")
+      .sorted.map(n => FileEntry(s"$sub/$n", stats.get(n)))
   }
 
   /** Publish `files` as version `v` via exclusive manifest create — the
     * ONE atomicity point in the format. */
-  private[graft] def commit(v: Long, files: Seq[String]): Long = {
+  private[graft] def commit(v: Long, files: Seq[FileEntry]): Long = {
     fs.mkdirs(logDir)
     val p = manifestPath(v)
     if (fs.exists(p))
@@ -109,7 +139,8 @@ final class GraftTable(spark: SparkSession, val root: String) {
         throw new ConcurrentCommitException(
           s"lost the commit race for version $v at $root; rebase and retry")
       }
-    try out.write(files.mkString("\n").getBytes(UTF_8)) finally out.close()
+    try out.write(files.map(_.line).mkString("\n").getBytes(UTF_8))
+    finally out.close()
     v
   }
 
@@ -118,7 +149,7 @@ final class GraftTable(spark: SparkSession, val root: String) {
   /** Append `df`: new version = previous active set + the new files. */
   def append(df: DataFrame): Long = {
     val v = nextVersion
-    val prev = latestVersion.map(activeFiles).getOrElse(Nil)
+    val prev = latestVersion.map(entries).getOrElse(Nil)
     commit(v, prev ++ writeData(df, v))
   }
 
@@ -140,6 +171,30 @@ final class GraftTable(spark: SparkSession, val root: String) {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     overwrite(merged)
+  }
+
+  /** Files of `version` whose stats window overlaps [lo, hi] — a file
+    * with no recorded stats is never skipped (correctness over pruning). */
+  private[graft] def filesForRange(lo: Long, hi: Long,
+                                   version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    entries(v).filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
+      .map(_.path)
+  }
+
+  /** Data-skipping range read: scan ONLY the files whose manifest
+    * min/max window of the stats column overlaps [lo, hi], then apply
+    * the exact row filter. On a clustered table this turns a full scan
+    * into an O(matching files) scan straight from manifest metadata —
+    * partition pruning for unpartitioned tables, decided driver-side
+    * with zero file-footer reads. */
+  def snapshotRange(lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    val c = statsCol.getOrElse(
+      throw new IllegalStateException("snapshotRange needs a statsCol-enabled table"))
+    spark.read.parquet(
+      filesForRange(lo, hi, version).map(f => new Path(rootPath, f).toString): _*)
+      .filter(col(c) >= lo && col(c) <= hi)
   }
 
   /** Row-level DELETE: publish a new version without the rows matching

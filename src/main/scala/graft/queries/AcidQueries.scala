@@ -29,7 +29,7 @@ object AcidQueries extends QueryPack {
     * by a row-level DELETE of every user_id % 10 == 0 row (the
     * compliance-erasure path). */
   private val fixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String)]()
 
   private def events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -37,8 +37,8 @@ object AcidQueries extends QueryPack {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
   }
 
-  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable) = {
-    val (m, a, c, x) = fixtures.computeIfAbsent(d, { _ =>
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
+    val (m, a, c, x, k) = fixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val ev = events(s, d)
       val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
@@ -61,10 +61,17 @@ object AcidQueries extends QueryPack {
       val xt = new GraftTable(s, deleteRoot)
       (1L to 3L).foreach(v => xt.append(slice(v - 1L)))
       xt.delete(pmod($"user_id", lit(10L)) === 0L)
-      (mergeRoot, appendRoot, compactRoot, deleteRoot)
+      // range-CLUSTERED appends (user ranges disjoint per commit) with a
+      // user_id stats column: the shape manifest data skipping prunes
+      val skipRoot = s"$acidDir/skip_$key"
+      val st = new GraftTable(s, skipRoot, statsCol = Some("user_id"))
+      st.append(ev.filter($"user_id" <= 50L))
+      st.append(ev.filter($"user_id" > 50L && $"user_id" <= 100L))
+      st.append(ev.filter($"user_id" > 100L))
+      (mergeRoot, appendRoot, compactRoot, deleteRoot, skipRoot)
     })
     (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c),
-     new GraftTable(s, x))
+     new GraftTable(s, x), new GraftTable(s, k, statsCol = Some("user_id")))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,6 +124,15 @@ object AcidQueries extends QueryPack {
     "q_acid_delete" -> { (s, d) =>
       import s.implicits._
       tables(s, d)._4.snapshot().orderBy($"event_id")
+    },
+
+    // Manifest data skipping: the range read [40, 90] resolves its file
+    // list from manifest min/max stats (the third commit's files never
+    // open — AcidTableSpec pins the pruning count) yet returns exactly
+    // the filter's rows.
+    "q_acid_skipping" -> { (s, d) =>
+      import s.implicits._
+      tables(s, d)._5.snapshotRange(40L, 90L).orderBy($"event_id")
     }
   )
 
@@ -164,6 +180,10 @@ object AcidQueries extends QueryPack {
 
     "q_acid_delete" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        |FROM events WHERE user_id % 10 <> 0 ORDER BY event_id""".stripMargin
+        |FROM events WHERE user_id % 10 <> 0 ORDER BY event_id""".stripMargin,
+
+    "q_acid_skipping" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id BETWEEN 40 AND 90 ORDER BY event_id""".stripMargin
   )
 }

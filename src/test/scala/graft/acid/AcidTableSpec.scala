@@ -44,7 +44,7 @@ class AcidTableSpec extends SparkSpec {
   test("orphaned data files (crash before manifest) are invisible and vacuumed") {
     val t = freshTable()
     t.append(rows(3))
-    val orphans = t.writeData(rows(10, 500), 99L) // no commit follows
+    val orphans = t.writeData(rows(10, 500), 99L).map(_.path) // no commit follows
     assert(orphans.nonEmpty)
     assert(t.snapshot().count() == 3, "orphans must not leak into reads")
     val removed = t.vacuum(retain = 1)
@@ -87,6 +87,29 @@ class AcidTableSpec extends SparkSpec {
     assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq == content)
     // pre-compaction version still reads (old files untouched until vacuum)
     assert(t.snapshot(Some(v - 1)).count() == content.size)
+  }
+
+  test("manifest stats skip non-overlapping files on range reads") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_skip"),
+      statsCol = Some("id"))
+    // three appends with DISJOINT id ranges: a clustered/ingest-ordered
+    // table, the shape data skipping exists for
+    Seq(0, 1000, 2000).foreach { off =>
+      t.append(rows(100, off).repartition(2))
+    }
+    val all = t.activeFiles(t.latestVersion.get)
+    val hit = t.filesForRange(1001L, 1050L)
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"expected pruning: ${hit.size} of ${all.size} files")
+    // every surviving file belongs to the middle commit's range
+    val got = t.snapshotRange(1001L, 1050L).select($"id").as[Long].collect().sorted
+    val want = t.snapshot().filter($"id" >= 1001 && $"id" <= 1050)
+      .select($"id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // merge/compact rewrites keep the stats fresh (recomputed per write)
+    t.compact(targetFiles = 3)
+    val got2 = t.snapshotRange(1001L, 1050L).select($"id").as[Long].collect().sorted
+    assert(got2.toSeq == want.toSeq)
   }
 
   test("delete + vacuum physically erases the rows (the compliance two-step)") {
