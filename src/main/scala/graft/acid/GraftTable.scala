@@ -211,9 +211,21 @@ final class GraftTable(spark: SparkSession, val root: String,
     * (every append adds files; scan cost grows with file count, not
     * data). Content-lossless by construction: the rewrite is one
     * distributed repartition of the snapshot, and old versions remain
-    * time-travelable until vacuumed. */
-  def compact(targetFiles: Int): Long =
-    overwrite(snapshot().repartition(targetFiles))
+    * time-travelable until vacuumed.
+    *
+    * With `clusterBy`, the rewrite RANGE-partitions on those columns
+    * (OPTIMIZE ... ZORDER's one-dimension analogue; compose with
+    * [[graft.functions]]' ZOrder64 key for multi-dim): each output file
+    * covers a narrow value range, so the manifest stats turn
+    * [[snapshotRange]] into an O(matching files) read even when ingest
+    * order scattered the column. */
+  def compact(targetFiles: Int, clusterBy: Seq[String] = Nil): Long = {
+    val snap = snapshot()
+    val laid =
+      if (clusterBy.isEmpty) snap.repartition(targetFiles)
+      else snap.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+    overwrite(laid)
+  }
 
   /** Row-level diff `fromV` → `toV`: every row present in `toV` but not
     * `fromV` tagged `insert`, the reverse tagged `delete` (an update

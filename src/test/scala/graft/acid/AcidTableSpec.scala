@@ -89,6 +89,26 @@ class AcidTableSpec extends SparkSpec {
     assert(t.snapshot(Some(v - 1)).count() == content.size)
   }
 
+  test("change feed replay reconstructs any later version from an earlier one") {
+    val t = freshTable()
+    t.append(rows(4))                                    // v1
+    t.overwrite(rows(3).union(rows(2, 100)))             // v2: drop id 4, add 101-102
+    t.append(rows(1, 200))                               // v3: add 201
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"name", $"v").as[(Long, String, Double)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap // multiset
+    // base ∪ inserts ∖ deletes, applied as multisets, must equal the target
+    val feed = t.changeFeed(1L, 3L)
+    val ins = rowSet(feed.filter($"_change" === "insert").drop("_change"))
+    val del = rowSet(feed.filter($"_change" === "delete").drop("_change"))
+    val base = rowSet(t.snapshot(Some(1L)))
+    val replayed = (base.keySet ++ ins.keySet).map { k =>
+      k -> (base.getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0))
+    }.filter(_._2 > 0).toMap
+    assert(replayed == rowSet(t.snapshot(Some(3L))),
+      "v1 + inserts - deletes must reconstruct v3 exactly")
+  }
+
   test("manifest stats skip non-overlapping files on range reads") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_skip"),
       statsCol = Some("id"))
@@ -110,6 +130,27 @@ class AcidTableSpec extends SparkSpec {
     t.compact(targetFiles = 3)
     val got2 = t.snapshotRange(1001L, 1050L).select($"id").as[Long].collect().sorted
     assert(got2.toSeq == want.toSeq)
+  }
+
+  test("clustered compaction restores skipping on a scattered table") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_cluster"),
+      statsCol = Some("id"))
+    // ingest order SCATTERS ids across files: interleave the three ranges
+    // so every file's min/max window spans nearly the whole id space
+    val scattered = rows(100).union(rows(100, 1000)).union(rows(100, 2000))
+      .orderBy($"name") // u1, u10, u100, u1000... — decorrelates id order
+      .repartition(6)
+    t.append(scattered)
+    val before = t.filesForRange(1001L, 1050L)
+    assert(before.size == t.activeFiles(1L).size,
+      "scattered layout should defeat skipping (every file overlaps)")
+    // OPTIMIZE with range clustering: each file now owns a narrow range
+    val v = t.compact(targetFiles = 6, clusterBy = Seq("id"))
+    val after = t.filesForRange(1001L, 1050L, Some(v))
+    assert(after.size < t.activeFiles(v).size,
+      s"clustered layout must prune: ${after.size} of ${t.activeFiles(v).size}")
+    val got = t.snapshotRange(1001L, 1050L).select($"id").as[Long].collect().sorted
+    assert(got.toSeq == (1001L to 1050L).map(identity))
   }
 
   test("delete + vacuum physically erases the rows (the compliance two-step)") {
