@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicates declaratively and never pre-materialize.
   */
 object Tables {
-  import org.apache.spark.sql.functions.{expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** The driver testdata stores timestamps as Parquet TIMESTAMP(NANOS),
     * which Spark's vectorized reader rejects outright. We read them as
@@ -30,9 +30,18 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    nanosTimestampCols.getOrElse(name, Nil)
+    val deNanoed = nanosTimestampCols.getOrElse(name, Nil)
       .filter(c => raw.schema.fieldNames.contains(c) && raw.schema(c).dataType == LongType)
       .foldLeft(raw)((df, c) => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+    // Newer driver testdata writes parquet TIMESTAMP(MICROS, isAdjustedToUTC
+    // =false), which Spark 4 infers as TIMESTAMP_NTZ. The stored wall times
+    // ARE the UTC instants (same values the nanos encoding carried), so
+    // normalize every NTZ column to TimestampType: under the pinned UTC
+    // session the cast reinterprets wall time as the identical instant, and
+    // every time function (unix_micros, window, watermarks) works unchanged.
+    deNanoed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(deNanoed)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
