@@ -39,9 +39,11 @@ object Tables {
     // normalize every NTZ column to TimestampType: under the pinned UTC
     // session the cast reinterprets wall time as the identical instant, and
     // every time function (unix_micros, window, watermarks) works unchanged.
+    // df(name) resolves the field literally (col() would parse dots/backticks
+    // in the name as a nested path).
     deNanoed.schema.fields.filter(_.dataType == TimestampNTZType)
       .foldLeft(deNanoed)((df, f) =>
-        df.withColumn(f.name, col(f.name).cast(TimestampType)))
+        df.withColumn(f.name, df(f.name).cast(TimestampType)))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

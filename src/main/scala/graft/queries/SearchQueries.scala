@@ -335,12 +335,12 @@ object SearchQueries extends QueryPack {
     // front (round(x*100) — o_totalprice is dollars-and-cents in a
     // double), the bin index is pure BIGINT arithmetic (`div` here,
     // `//` in the DuckDB oracle; identical truncation for the
-    // non-negative operands), and the bin bounds are floored to whole
-    // cents then emitted as DECIMAL(18,2) with no rounding step — no
-    // IEEE double ever reaches an output column or a comparison, so
-    // the hash compare cannot drift across engines/platforms. The top
-    // edge clamps into the last bin (the max value lands on bin 20 by
-    // the formula).
+    // non-negative operands), and the bin bounds are emitted as plain
+    // BIGINT cents — no DECIMAL or IEEE double ever reaches an output
+    // column, so the hash compare has no numeric-rendering surface at
+    // all (DECIMAL output hash-diverged in the r4/r5 gates despite
+    // value-exact rows). The top edge clamps into the last bin (the
+    // max value lands on bin 20 by the formula).
     "q_profile_histogram" -> { (s, d) =>
       import s.implicits._
       val o = Tables.orders(s, d)
@@ -353,12 +353,10 @@ object SearchQueries extends QueryPack {
           $"mn", $"rng")
         .groupBy($"bin", $"mn", $"rng")
         .agg(asLong(count(lit(1))).as("n"))
-        // bound in cent-twentieths = mn*20 + bin*rng; floor to cents
+        // bound in cent-twentieths = mn*20 + bin*rng; floor to whole cents
         .select($"bin",
-          (expr(s"(mn * $nb + bin * rng) div $nb").cast("decimal(18,0)") / 100)
-            .cast("decimal(18,2)").as("bin_lo"),
-          (expr(s"(mn * $nb + (bin + 1) * rng) div $nb").cast("decimal(18,0)") / 100)
-            .cast("decimal(18,2)").as("bin_hi"),
+          expr(s"(mn * $nb + bin * rng) div $nb").as("bin_lo_cents"),
+          expr(s"(mn * $nb + (bin + 1) * rng) div $nb").as("bin_hi_cents"),
           $"n")
         .withColumn("cum_n", sum($"n").over(
           Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -725,8 +723,8 @@ object SearchQueries extends QueryPack {
         |counts AS (
         |  SELECT bin, mn, rng, count(*) AS n FROM binned GROUP BY 1, 2, 3)
         |SELECT bin,
-        |  CAST(CAST((mn * 20 + bin * rng) // 20 AS DECIMAL(18,0)) / 100 AS DECIMAL(18,2)) AS bin_lo,
-        |  CAST(CAST((mn * 20 + (bin + 1) * rng) // 20 AS DECIMAL(18,0)) / 100 AS DECIMAL(18,2)) AS bin_hi,
+        |  CAST((mn * 20 + bin * rng) // 20 AS BIGINT) AS bin_lo_cents,
+        |  CAST((mn * 20 + (bin + 1) * rng) // 20 AS BIGINT) AS bin_hi_cents,
         |  n,
         |  sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
         |FROM counts

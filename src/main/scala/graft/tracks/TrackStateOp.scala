@@ -109,10 +109,25 @@ object TrackStateOp {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   def eventsStream(spark: SparkSession, dir: String): Dataset[EventRaw] = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // UTC is the oracle contract (see graft.Tables.table) and also makes the
+    // NTZ->instant reinterpretation below exact.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = schemaCache.computeIfAbsent(dir,
-      d => spark.read.parquet(s"$d/events.parquet").schema) // ts: long nanos
+      d => spark.read.parquet(s"$d/events.parquet").schema)
+    // The testdata generator has stored `ts` as either int64 nanos (read as
+    // LongType under nanosAsLong) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (inferred as TIMESTAMP_NTZ). Dispatch on the footer schema so a fixture
+    // regeneration can't break the streaming path (round-5 lesson).
+    val tsMicros = schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")                    // nanos -> µs
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) // wall time IS the UTC instant
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected int64 nanos or timestamp")
+    }
     // The file stream source wants a directory: stream the sf dir but only
     // admit the events file.
     spark.readStream.schema(schema)
@@ -120,7 +135,7 @@ object TrackStateOp {
       .parquet(dir)
       .select(
         col("event_id"),
-        expr("ts div 1000").as("tsMicros"),
+        tsMicros.as("tsMicros"),
         col("user_id"),
         col("event_type").as("eventType"),
         col("value"))
