@@ -76,10 +76,10 @@ object Bench {
     // Long per-query line FIRST, then a SHORT total line LAST: the driver's
     // log capture keeps the tail, so the headline total + error list must be
     // the final stdout line (r1+r2 both lost the head of a single long line).
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
     // "summary", not "total": only ONE record may carry metric=total or a
     // by-metric aggregation would double-count the headline number
-    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,12 +44,22 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * 100 TB design: the log carries FILE PATHS — O(active files) metadata,
   * never row data — and every data operation (append, merge rewrite,
   * snapshot scan) is an ordinary distributed parquet job; nothing funnels
-  * through the driver but the path list. Merge rewrites the table through
-  * one shuffle on the merge key; at partitioned scale the same loop
-  * rewrites only the impacted partitions' files.
+  * through the driver but the path list. With a `partitionCol`, writes are
+  * range-clustered on that column and each manifest line records the
+  * file's partition min/max, so MERGE/DELETE rewrite ONLY the files whose
+  * partition window intersects the touched values — copy-on-write scoped
+  * to the delta, not the table. The change feed likewise derives from the
+  * manifests' file diff (added vs removed files), O(delta) per diff.
+  *
+  * Partition-scoped MERGE correctness contract (same as the production
+  * lakehouse formats' partition-pruned merge): the partition value must be
+  * functionally determined by the merge key (a key never moves between
+  * partitions), otherwise a key's old row in an untouched partition would
+  * survive next to its new row.
   */
 final class GraftTable(spark: SparkSession, val root: String,
-                       statsCol: Option[String] = None) {
+                       statsCol: Option[String] = None,
+                       partitionCol: Option[String] = None) {
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =
@@ -66,17 +76,34 @@ final class GraftTable(spark: SparkSession, val root: String,
 
   def latestVersion: Option[Long] = versions.lastOption
 
-  /** One manifest line: a data file plus optional per-file column stats
-    * (min/max of the table's stats column) for data skipping. */
+  /** One manifest line: a data file plus optional per-file column windows
+    * — `s=lo,hi` (stats column, drives [[snapshotRange]] data skipping)
+    * and `p=lo,hi` (partition column, drives partition-scoped rewrites).
+    * Tab-separated tagged fields; order-insensitive on parse. */
   private[graft] case class FileEntry(path: String,
-                                      stats: Option[(Long, Long)]) {
+                                      stats: Option[(Long, Long)],
+                                      part: Option[(Long, Long)] = None) {
     def line: String =
-      stats.fold(path) { case (lo, hi) => s"$path\t$lo\t$hi" }
+      (path +: (stats.map { case (lo, hi) => s"s=$lo,$hi" }.toSeq ++
+                part.map { case (lo, hi) => s"p=$lo,$hi" }.toSeq))
+        .mkString("\t")
+  }
+
+  private def parseRange(v: String): (Long, Long) = {
+    val Array(lo, hi) = v.split(',')
+    (lo.toLong, hi.toLong)
   }
 
   private def parseEntry(line: String): FileEntry = line.split('\t') match {
-    case Array(p, lo, hi) => FileEntry(p, Some((lo.toLong, hi.toLong)))
-    case _ => FileEntry(line, None)
+    // legacy untagged form from pre-partition manifests: path\tlo\thi
+    case Array(p, lo, hi) if !lo.contains('=') =>
+      FileEntry(p, Some((lo.toLong, hi.toLong)))
+    case fields =>
+      val tags = fields.tail.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> parseRange(v))
+        case _           => None
+      }).toMap
+      FileEntry(fields.head, tags.get("s"), tags.get("p"))
   }
 
   /** Active file entries (path + optional stats) of version `v`. */
@@ -111,19 +138,53 @@ final class GraftTable(spark: SparkSession, val root: String,
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val dir = new Path(rootPath, sub).toString
     df.write.parquet(dir)
-    val stats: Map[String, (Long, Long)] = statsCol.fold(
-      Map.empty[String, (Long, Long)]) { c =>
-      spark.read.parquet(dir)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
-        .collect()
-        .map(r => new Path(r.getString(0)).getName -> (r.getLong(1), r.getLong(2)))
-        .toMap
-    }
+    // One distributed pass records every tracked column window per file
+    // (O(files) metadata to the driver, never row data). A file whose
+    // window is unknown (all-null column) is conservatively un-windowed:
+    // never skipped, always rewritten.
+    val tracked: Seq[(String, String)] =
+      statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq
+    val windows: Map[String, Map[String, (Long, Long)]] =
+      if (tracked.isEmpty) Map.empty
+      else {
+        val aggs = tracked.flatMap { case (tag, c) =>
+          Seq(min(col(c)).cast("long").as(s"${tag}_lo"),
+              max(col(c)).cast("long").as(s"${tag}_hi"))
+        }
+        spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val byTag = tracked.map { case (tag, _) =>
+              val (i, j) = (r.fieldIndex(s"${tag}_lo"), r.fieldIndex(s"${tag}_hi"))
+              tag -> (if (r.isNullAt(i) || r.isNullAt(j)) None
+                      else Some((r.getLong(i), r.getLong(j))))
+            }.collect { case (tag, Some(w)) => tag -> w }.toMap
+            new Path(r.getString(0)).getName -> byTag
+          }.toMap
+      }
     fs.listStatus(new Path(rootPath, sub)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("part-"))
-      .sorted.map(n => FileEntry(s"$sub/$n", stats.get(n)))
+      .sorted.map { n =>
+        val w = windows.getOrElse(n, Map.empty)
+        FileEntry(s"$sub/$n", w.get("s"), w.get("p"))
+      }
   }
+
+  /** Range-cluster `df` on the partition column (when configured) so each
+    * written file covers a narrow partition window — what makes the
+    * partition-scoped rewrite actually skip files. The partition count is
+    * pinned explicitly (one per distinct value, capped) because an
+    * unsized range shuffle is AQE-coalescible: tiny commits would merge
+    * into one wide-window file and defeat scoping. Beyond the cap,
+    * adjacent values share a file — windows stay narrow, pruning degrades
+    * gracefully instead of file counts exploding. */
+  private def clusterByPartition(df: DataFrame): DataFrame =
+    partitionCol.fold(df) { pc =>
+      val n = df.select(col(pc)).distinct().count()
+      df.repartitionByRange(math.max(1L, math.min(n, 1024L)).toInt, col(pc))
+    }
 
   /** Publish `files` as version `v` via exclusive manifest create — the
     * ONE atomicity point in the format. */
@@ -150,27 +211,64 @@ final class GraftTable(spark: SparkSession, val root: String,
   def append(df: DataFrame): Long = {
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
-    commit(v, prev ++ writeData(df, v))
+    commit(v, prev ++ writeData(clusterByPartition(df), v))
   }
 
   /** Replace the table content with `df`. */
   def overwrite(df: DataFrame): Long = {
     val v = nextVersion
-    commit(v, writeData(df, v))
+    commit(v, writeData(clusterByPartition(df), v))
   }
+
+  /** The touched partition windows test: does `e`'s partition window
+    * contain any of the (sorted) touched values? A file with no recorded
+    * window is conservatively impacted. */
+  private def touches(e: FileEntry, touched: Seq[Long]): Boolean =
+    e.part.forall { case (lo, hi) => touched.exists(x => x >= lo && x <= hi) }
+
+  /** Distinct partition values present in `df`; None when any row's
+    * partition is null (scoping impossible — fall back to full rewrite). */
+  private def touchedPartitions(df: DataFrame): Option[Seq[Long]] = {
+    val pc = partitionCol.get
+    val vals = df.select(col(pc).cast("long").as("p")).distinct().collect()
+    if (vals.exists(_.isNullAt(0))) None
+    else Some(vals.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  /** Read the given entries' files as one DataFrame (empty entry list →
+    * empty frame with `like`'s schema). */
+  private def readEntries(es: Seq[FileEntry], like: => DataFrame): DataFrame =
+    if (es.isEmpty) like.limit(0).filter(lit(false))
+    else spark.read.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
 
   /** MERGE (upsert): keep the winner per `keyCols` between the current
     * snapshot and `updates`, winner = first row under `winnerOrder`.
     * Reads the old (immutable) files while writing the new ones, so the
-    * rewrite needs no lock; the swap is the manifest commit. */
+    * rewrite needs no lock; the swap is the manifest commit.
+    *
+    * On a `partitionCol` table the rewrite is PARTITION-SCOPED: only the
+    * files whose partition window intersects the updates' partition values
+    * are read+rewritten; every other file entry carries over verbatim
+    * (same immutable file, zero I/O). Requires the partition value to be
+    * functionally determined by the merge key — see the class docs. */
   def merge(updates: DataFrame, keyCols: Seq[String],
             winnerOrder: Seq[Column]): Long = {
-    val cur = snapshot()
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(winnerOrder: _*)
-    val merged = cur.unionByName(updates)
+    def winners(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    overwrite(merged)
+    val scoped = partitionCol.flatMap(_ => touchedPartitions(updates))
+    scoped match {
+      case None =>
+        overwrite(winners(snapshot().unionByName(updates)))
+      case Some(touched) =>
+        val v = nextVersion
+        val prev = latestVersion.map(entries).getOrElse(Nil)
+        val (rewrite, keep) = prev.partition(touches(_, touched))
+        val base = readEntries(rewrite, updates)
+        val merged = winners(base.unionByName(updates))
+        commit(v, keep ++ writeData(clusterByPartition(merged), v))
+    }
   }
 
   /** Files of `version` whose stats window overlaps [lo, hi] — a file
@@ -206,6 +304,26 @@ final class GraftTable(spark: SparkSession, val root: String,
   def delete(predicate: Column): Long =
     overwrite(snapshot().filter(!predicate))
 
+  /** Partition-scoped row DELETE: erase rows matching `predicate` within
+    * the given partition values, rewriting ONLY the files whose partition
+    * window intersects `partitions` — every other file entry carries over
+    * verbatim. Semantically `delete(predicate && partitionCol IN
+    * partitions)` at O(impacted files) rewrite cost. */
+  def deleteInPartitions(predicate: Column, partitions: Seq[Long]): Long = {
+    val pc = partitionCol.getOrElse(throw new IllegalStateException(
+      "deleteInPartitions needs a partitionCol-enabled table"))
+    val v = nextVersion
+    val prev = latestVersion.map(entries).getOrElse(Nil)
+    val touched = partitions.sorted
+    val (rewrite, keep) = prev.partition(touches(_, touched))
+    if (rewrite.isEmpty) commit(v, keep)
+    else {
+      val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
+      val kept = readEntries(rewrite, snapshot()).filter(!scoped)
+      commit(v, keep ++ writeData(clusterByPartition(kept), v))
+    }
+  }
+
   /** OPTIMIZE: rewrite the active set into `targetFiles` files as a new
     * version — the small-file compaction an append-heavy table needs
     * (every append adds files; scan cost grows with file count, not
@@ -224,19 +342,43 @@ final class GraftTable(spark: SparkSession, val root: String,
     val laid =
       if (clusterBy.isEmpty) snap.repartition(targetFiles)
       else snap.repartitionByRange(targetFiles, clusterBy.map(col): _*)
-    overwrite(laid)
+    // bypass overwrite's partition clustering: compact's caller owns the
+    // layout (targetFiles / clusterBy) explicitly
+    val v = nextVersion
+    commit(v, writeData(laid, v))
   }
 
   /** Row-level diff `fromV` → `toV`: every row present in `toV` but not
     * `fromV` tagged `insert`, the reverse tagged `delete` (an update
     * surfaces as delete+insert of the key's old/new rows) — the change
     * feed a downstream incremental consumer replays instead of re-reading
-    * the full table. */
+    * the full table.
+    *
+    * O(delta), not O(table): with both snapshots written as immutable
+    * files, the manifests' file diff IS the row diff — rows in files
+    * shared by both versions cancel in the multiset subtraction
+    * ((U+A) ∖ (U+R) = A ∖ R), so only the ADDED and REMOVED files are
+    * scanned. A pure append diffs by reading just the appended files; a
+    * compaction boundary degenerates gracefully to the full diff (every
+    * file changed) with no special-casing. */
   def changeFeed(fromV: Long, toV: Long): DataFrame = {
-    val newer = snapshot(Some(toV))
-    val older = snapshot(Some(fromV))
-    newer.exceptAll(older).withColumn("_change", lit("insert"))
-      .unionByName(older.exceptAll(newer).withColumn("_change", lit("delete")))
+    val fromFiles = activeFiles(fromV)
+    val toFiles = activeFiles(toV)
+    val added = (toFiles.toSet -- fromFiles).toSeq.sorted
+    val removed = (fromFiles.toSet -- toFiles).toSeq.sorted
+    // schema anchor for an empty side: any live file of either version
+    lazy val like: DataFrame = spark.read.parquet(
+      (toFiles ++ fromFiles).headOption
+        .map(f => new Path(rootPath, f).toString)
+        .getOrElse(throw new IllegalStateException(
+          s"changeFeed over two empty versions at $root")))
+    def read(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) like.limit(0).filter(lit(false))
+      else spark.read.parquet(paths.map(f => new Path(rootPath, f).toString): _*)
+    val newRows = read(added)
+    val oldRows = read(removed)
+    newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
   }
 
   /** Keep the newest `retain` versions; delete older manifests and every

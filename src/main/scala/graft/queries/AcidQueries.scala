@@ -29,7 +29,7 @@ object AcidQueries extends QueryPack {
     * by a row-level DELETE of every user_id % 10 == 0 row (the
     * compliance-erasure path). */
   private val fixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String, String)]()
 
   private def events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -37,8 +37,8 @@ object AcidQueries extends QueryPack {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
   }
 
-  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
-    val (m, a, c, x, k) = fixtures.computeIfAbsent(d, { _ =>
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
+    val (m, a, c, x, k, p) = fixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val ev = events(s, d)
       val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
@@ -68,10 +68,21 @@ object AcidQueries extends QueryPack {
       st.append(ev.filter($"user_id" <= 50L))
       st.append(ev.filter($"user_id" > 50L && $"user_id" <= 100L))
       st.append(ev.filter($"user_id" > 100L))
-      (mergeRoot, appendRoot, compactRoot, deleteRoot, skipRoot)
+      // PARTITIONED merge table: pid = user_id % 8 is functionally
+      // determined by the merge key, so the partition-scoped rewrite is
+      // exact; commits rewrite only the touched partitions' files.
+      val partRoot = s"$acidDir/part_$key"
+      val pt = new GraftTable(s, partRoot, partitionCol = Some("pid"))
+      val evp = ev.withColumn("pid", pmod($"user_id", lit(8L)))
+      val pslice = (r: Long) => evp.filter(pmod($"event_id", lit(3L)) === r)
+      pt.append(pslice(0L))
+      pt.merge(pslice(1L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      pt.merge(pslice(2L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      (mergeRoot, appendRoot, compactRoot, deleteRoot, skipRoot, partRoot)
     })
     (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c),
-     new GraftTable(s, x), new GraftTable(s, k, statsCol = Some("user_id")))
+     new GraftTable(s, x), new GraftTable(s, k, statsCol = Some("user_id")),
+     new GraftTable(s, p, partitionCol = Some("pid")))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -124,6 +135,16 @@ object AcidQueries extends QueryPack {
     "q_acid_delete" -> { (s, d) =>
       import s.implicits._
       tables(s, d)._4.snapshot().orderBy($"event_id")
+    },
+
+    // Partition-scoped MERGE: the same latest-per-user contract as
+    // q_acid_merge, but on a pid-partitioned table where each merge
+    // rewrote only the files whose partition window the updates touched
+    // (AcidTableSpec pins the untouched-files-carry-over invariant; this
+    // row pins that the scoped rewrite loses/duplicates no rows).
+    "q_acid_partition_merge" -> { (s, d) =>
+      import s.implicits._
+      tables(s, d)._6.snapshot().orderBy($"user_id")
     },
 
     // Manifest data skipping: the range read [40, 90] resolves its file
@@ -184,6 +205,15 @@ object AcidQueries extends QueryPack {
 
     "q_acid_skipping" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        |FROM events WHERE user_id BETWEEN 40 AND 90 ORDER BY event_id""".stripMargin
+        |FROM events WHERE user_id BETWEEN 40 AND 90 ORDER BY event_id""".stripMargin,
+
+    "q_acid_partition_merge" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |       user_id % 8 AS pid
+        |FROM (SELECT event_id, user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -153,6 +153,71 @@ class AcidTableSpec extends SparkSpec {
     assert(got.toSeq == (1001L to 1050L).map(identity))
   }
 
+  test("partition-scoped merge carries untouched partitions' files over verbatim") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_part"),
+      partitionCol = Some("pid"))
+    // 4 partitions x 25 rows; pid = id / 100 is functionally determined by
+    // the merge key (id), satisfying the partition-scoped merge contract
+    def part(p: Int, off: Int = 0) =
+      (1 to 25).map(i => (p * 100L + i + off, p.toLong, s"u$p-$i", i * 1.0))
+        .toDF("id", "pid", "name", "v")
+    t.append(part(0).union(part(1)).union(part(2)).union(part(3)))
+    val before = t.entries(t.latestVersion.get)
+    assert(before.forall(_.part.isDefined), "every file needs a partition window")
+    // merge touches ONLY partition 1
+    val v = t.merge(part(1, 1000).withColumn("v", lit(99.0)),
+      Seq("id"), Seq($"v".desc))
+    val after = t.entries(v).map(_.path).toSet
+    val untouched = before.filter(e =>
+      e.part.exists { case (lo, hi) => hi < 1L || lo > 1L })
+    assert(untouched.nonEmpty, "range clustering should isolate partition 1")
+    assert(untouched.forall(e => after.contains(e.path)),
+      "files outside the touched partition must carry over verbatim (zero I/O)")
+    // rewritten partition-1 files are NEW paths (copy-on-write of the delta)
+    val touchedOld = before.filter(e =>
+      e.part.exists { case (lo, hi) => lo <= 1L && 1L <= hi }).map(_.path)
+    assert(touchedOld.forall(p => !after.contains(p)))
+    // content: partition 1 holds old ∪ new (disjoint ids), others unchanged
+    assert(t.snapshot().count() == 125)
+    assert(t.snapshot().filter($"pid" === 1L).count() == 50)
+  }
+
+  test("deleteInPartitions rewrites only the impacted partition's files") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_pdel"),
+      partitionCol = Some("pid"))
+    def part(p: Int) =
+      (1 to 20).map(i => (p * 100L + i, p.toLong, i * 1.0)).toDF("id", "pid", "v")
+    t.append(part(0).union(part(1)).union(part(2)))
+    val before = t.entries(t.latestVersion.get)
+    val v = t.deleteInPartitions($"id" % 2 === 0, Seq(2L))
+    val after = t.entries(v).map(_.path).toSet
+    val untouched = before.filter(e =>
+      e.part.exists { case (lo, hi) => hi < 2L || lo > 2L })
+    assert(untouched.nonEmpty && untouched.forall(e => after.contains(e.path)))
+    // partition 2 lost its even ids; partitions 0-1 intact
+    assert(t.snapshot().filter($"pid" === 2L).count() == 10)
+    assert(t.snapshot().filter($"pid" =!= 2L).count() == 40)
+  }
+
+  test("change feed after an append scans only the appended files (O(delta))") {
+    val t = freshTable()
+    t.append(rows(100))            // v1
+    t.append(rows(5, 1000))        // v2: small append
+    val v1Files = t.activeFiles(1L).toSet
+    val addedFiles = t.activeFiles(2L).toSet -- v1Files
+    val feed = t.changeFeed(1L, 2L)
+    // plan check: the diff must read ONLY the added files, never v1's
+    val scanned = feed.inputFiles.map(f =>
+      f.stripPrefix("file:").dropWhile(_ == '/').reverse.takeWhile(_ != '/').reverse).toSet
+    val addedNames = addedFiles.map(f => f.split('/').last)
+    val v1Names = v1Files.map(f => f.split('/').last)
+    assert(scanned.subsetOf(addedNames), s"feed scanned beyond the delta: $scanned")
+    assert(scanned.intersect(v1Names).isEmpty)
+    // row semantics unchanged: 5 inserts, 0 deletes
+    assert(feed.filter($"_change" === "insert").count() == 5)
+    assert(feed.filter($"_change" === "delete").count() == 0)
+  }
+
   test("delete + vacuum physically erases the rows (the compliance two-step)") {
     val t = freshTable()
     t.append(rows(10))
