@@ -22,6 +22,52 @@ object SourceQueries extends QueryPack {
   // package-visible: the spec asserts the file-count collapse (the half
   // of the compaction contract the row-level oracle cannot see)
   private[queries] lazy val compactDir = tempFixtureDir("graft_compact")
+  private lazy val busDir = tempFixtureDir("graft_bus")
+
+  /** Bus-log fixture per scale dir: events keyed by user, value = the
+    * kafka-wire JSON, 4 bus partitions (user_id % 4), offsets assigned in
+    * event_id order. BULK-LOADED distributedly: Spark writes each
+    * partition's line file in parallel jobs and only the atomic
+    * segment-publish rename happens driver-side — no row ever crosses the
+    * driver (the 100 TB load path for [[graft.sources.BusLog]]). */
+  private val busFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def busRoot(s: SparkSession, d: String): String =
+    busFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      import org.apache.hadoop.fs.Path
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val root = s"$busDir/log_$key"
+      val conf = s.sparkContext.hadoopConfiguration
+      val ev = Tables.events(s, d)
+      (0 until 4).foreach { pid =>
+        // Spark's base64() is the chunking MIME encoder (a \r\n every 76
+        // chars — would split one record across lines); strip the chunk
+        // breaks to plain RFC 4648, which BusLog's strict decoder expects.
+        def b64(c: org.apache.spark.sql.Column) =
+          regexp_replace(base64(c), "[\\r\\n]", "")
+        val lines = ev.filter(pmod($"user_id", lit(4L)) === pid.toLong)
+          .select($"event_id", concat_ws("\t",
+            b64($"user_id".cast("string").cast("binary")),
+            b64(to_json(struct($"event_id", unix_micros($"ts").as("ts_us"),
+                               $"user_id", $"event_type", $"value"))
+              .cast("binary")),
+            unix_micros($"ts").cast("string")).as("line"))
+          .repartition(1).sortWithinPartitions($"event_id")
+          .select($"line")
+        val load = s"$root/_load/p$pid"
+        lines.write.mode("overwrite").text(load)
+        val fs = new Path(load).getFileSystem(conf)
+        val part = fs.listStatus(new Path(load)).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        val n = s.read.textFile(load).count()
+        graft.sources.BusLog.publish(conf, root, pid, part, n)
+      }
+      root
+    })
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- schema evolution across ingest batches (mergeSchema) ----
@@ -120,6 +166,27 @@ object SourceQueries extends QueryPack {
         pmod($"user_id", lit(8)).cast("int").as("partition"),
         $"event_id".as("offset"))
       kafkaWireDecode(wire).orderBy($"event_id")
+    },
+
+    // Message-bus DSv2 STREAMING source (graft.sources.BusSource): the
+    // events table bulk-loaded into a 4-partition offset-addressed
+    // segment log, consumed as a micro-batch stream (AvailableNow),
+    // values JSON-decoded and aggregated per (partition, event_type).
+    // sum(offset) is the exactly-once witness: it only matches the
+    // oracle's row_number replay if every offset arrives exactly once in
+    // event_id order. This is the broker integration surface minus the
+    // wire protocol (no broker exists in this sandbox).
+    "q_source_bus_stream" -> { (s, d) =>
+      import s.implicits._
+      val root = busRoot(s, d)
+      val bus = s.readStream.format("graft-bus").option("path", root).load()
+      val parsed = bus.select(
+        $"partition".cast("long").as("bus_partition"),
+        $"offset",
+        get_json_object($"value".cast("string"), "$.event_type").as("event_type"))
+      val agg = parsed.groupBy($"bus_partition", $"event_type")
+        .agg(asLong(count(lit(1))).as("n"), asLong(sum($"offset")).as("sum_off"))
+      runToMemory(agg, "complete").orderBy($"bus_partition", $"event_type")
     },
 
     // Durable streaming FILE sink (exactly-once): stream events into a
@@ -392,6 +459,18 @@ object SourceQueries extends QueryPack {
     "q_source_kafka_shaped" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // replay the bus load: offsets = event_id rank within user_id % 4;
+    // sum(off) only matches if the stream delivered each offset once
+    "q_source_bus_stream" ->
+      """WITH p AS (
+        |  SELECT user_id % 4 AS bus_partition, event_type,
+        |         row_number() OVER (PARTITION BY user_id % 4
+        |                            ORDER BY event_id) - 1 AS off
+        |  FROM events)
+        |SELECT bus_partition, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(off) AS BIGINT) AS sum_off
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_upsert" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value

@@ -1,0 +1,282 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.util.SerializableConfiguration
+
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** A partitioned, offset-addressed message-bus source — the full DataSource
+  * V2 STREAMING integration surface a broker client needs (micro-batch
+  * offsets, per-partition splits, exactly-once resume from checkpoint),
+  * backed by an append-only segment log on any Hadoop filesystem instead of
+  * a network broker (none exists in this sandbox; reference analogue: the
+  * socket ingest feeding the stateful core,
+  * StatefulStreamingWithMultipleStates.scala:76).
+  *
+  * Log layout (immutable once published, like a broker's segment files):
+  * {{{
+  *   <root>/p<k>/seg-<baseOffset%020d>-<count>.log
+  * }}}
+  * one record per line: `base64(key)\tbase64(value)\t<tsMicros>` (`-` for a
+  * null key). Offsets are line positions: segment base + line index —
+  * contiguous per partition, resolvable from FILE NAMES alone, so offset
+  * range planning lists directories and never opens a segment.
+  *
+  * Exactly-once contract: Spark's streaming engine persists each batch's
+  * [start, end) offset map in the checkpoint's offset log; segments are
+  * immutable and offsets deterministic, so any batch replays identically
+  * after a crash — the same guarantee surface as the Kafka source, minus
+  * only the wire protocol.
+  *
+  * Read schema mirrors a broker record: `key binary, value binary,
+  * partition int, offset long, timestamp long (epoch micros)`.
+  *
+  * 100 TB design: one [[InputPartition]] per bus partition per batch —
+  * parallelism tracks the bus's own partitioning (scale partitions, not
+  * readers); planning is O(segments) directory listing driver-side; data
+  * never funnels through the driver. BATCH_READ reads the [earliest,
+  * latest] snapshot through the identical split/reader path.
+  */
+class BusSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-bus"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BusSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-bus needs a 'path' option"))
+    new BusTable(root)
+  }
+}
+
+object BusSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+}
+
+/** Producer/admin API for the bus log (the "broker" side). Segment writes
+  * go through a temp file + rename so a concurrent reader never lists a
+  * half-written segment. */
+object BusLog {
+  final case class Segment(base: Long, count: Long, path: Path) {
+    def end: Long = base + count
+  }
+
+  private val SegName = """seg-(\d{20})-(\d+)\.log""".r
+
+  def partitionDirs(fs: FileSystem, root: Path): Seq[(Int, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).flatMap { p =>
+        p.getName match {
+          case s if s.startsWith("p") && s.drop(1).forall(_.isDigit) =>
+            Some(s.drop(1).toInt -> p)
+          case _ => None
+        }
+      }.sortBy(_._1)
+
+  def segments(fs: FileSystem, pdir: Path): Seq[Segment] =
+    if (!fs.exists(pdir)) Nil
+    else fs.listStatus(pdir).toSeq.map(_.getPath).flatMap { f =>
+      f.getName match {
+        case SegName(base, count) => Some(Segment(base.toLong, count.toLong, f))
+        case _ => None
+      }
+    }.sortBy(_.base)
+
+  /** Per-partition [earliest, latest) offsets, from file names alone. */
+  def range(fs: FileSystem, root: Path): Map[Int, (Long, Long)] =
+    partitionDirs(fs, root).map { case (pid, pdir) =>
+      val segs = segments(fs, pdir)
+      pid -> (if (segs.isEmpty) (0L, 0L)
+              else (segs.head.base, segs.last.end))
+    }.toMap
+
+  private def encode(key: Array[Byte], value: Array[Byte], ts: Long): String = {
+    val b64 = java.util.Base64.getEncoder
+    val k = if (key == null) "-" else b64.encodeToString(key)
+    s"$k\t${b64.encodeToString(value)}\t$ts"
+  }
+
+  /** Append `records` to `partition` as one new immutable segment; returns
+    * the segment's base offset. Single-writer-per-partition discipline
+    * (like a broker's partition leader). */
+  def append(conf: Configuration, root: String, partition: Int,
+             records: Seq[(Array[Byte], Array[Byte], Long)]): Long = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val pdir = new Path(rootPath, s"p$partition")
+    fs.mkdirs(pdir)
+    val base = segments(fs, pdir).lastOption.fold(0L)(_.end)
+    val tmp = new Path(pdir, f".seg-$base%020d-${records.size}.log.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(records.map { case (k, v, ts) => encode(k, v, ts) }
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+    fs.rename(tmp, new Path(pdir, f"seg-$base%020d-${records.size}.log"))
+    base
+  }
+
+  /** Publish an already-written line file (e.g. a distributed text-write
+    * part file) as `partition`'s next segment of `count` records — the
+    * bulk-load path: Spark writes the lines in parallel, only the RENAME
+    * happens here. */
+  def publish(conf: Configuration, root: String, partition: Int,
+              lineFile: Path, count: Long): Long = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val pdir = new Path(rootPath, s"p$partition")
+    fs.mkdirs(pdir)
+    val base = segments(fs, pdir).lastOption.fold(0L)(_.end)
+    fs.rename(lineFile, new Path(pdir, f"seg-$base%020d-$count.log"))
+    base
+  }
+}
+
+class BusTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-bus($root)"
+  override def schema(): StructType = BusSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new BusScan(root)
+}
+
+/** Offset = per-partition next-offset-to-read map, JSON `{"0":12,"1":30}`
+  * (sorted keys — the offset log compares serialized forms). */
+case class BusOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object BusOffset {
+  private val Entry = """"(\d+)":(\d+)""".r
+  def fromJson(s: String): BusOffset =
+    BusOffset(Entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+class BusScan(root: String) extends Scan {
+  override def readSchema(): StructType = BusSource.schema
+  override def description(): String = s"graft.BusScan root=$root"
+
+  /** Batch read: the [earliest, latest] snapshot resolved at planning. */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(root).getFileSystem(conf)
+      BusLog.range(fs, new Path(root)).toSeq.sortBy(_._1).collect {
+        case (pid, (lo, hi)) if hi > lo => BusSlice(root, pid, lo, hi): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new BusReaderFactory(serializableConf)
+  }
+
+  private def serializableConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BusMicroBatchStream(root, serializableConf)
+}
+
+class BusMicroBatchStream(root: String, conf: SerializableConfiguration)
+    extends MicroBatchStream {
+  private def fs = new Path(root).getFileSystem(conf.value)
+  private def rangeNow: Map[Int, (Long, Long)] = BusLog.range(fs, new Path(root))
+
+  /** First run starts at each partition's earliest retained offset. */
+  override def initialOffset(): Offset =
+    BusOffset(rangeNow.map { case (p, (lo, _)) => p -> lo })
+
+  override def latestOffset(): Offset =
+    BusOffset(rangeNow.map { case (p, (_, hi)) => p -> hi })
+
+  /** One split per bus partition with records in [start, end) — new
+    * partitions appearing mid-stream start at their earliest offset. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].offsets
+    val e = end.asInstanceOf[BusOffset].offsets
+    val earliest = rangeNow
+    e.toSeq.sortBy(_._1).flatMap { case (pid, until) =>
+      val from = s.getOrElse(pid, earliest.get(pid).map(_._1).getOrElse(0L))
+      if (until > from) Some(BusSlice(root, pid, from, until): InputPartition) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BusReaderFactory(conf)
+
+  override def deserializeOffset(json: String): Offset = BusOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()  // retention is external (vacuum)
+  override def stop(): Unit = ()
+}
+
+case class BusSlice(root: String, pid: Int, from: Long, until: Long)
+    extends InputPartition
+
+class BusReaderFactory(conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[BusSlice]
+    new PartitionReader[InternalRow] {
+      private val pdir = new Path(new Path(slice.root), s"p${slice.pid}")
+      private val fs = pdir.getFileSystem(conf.value)
+      // only the segments whose [base, end) window intersects the slice —
+      // resolved from names, no file opens outside the read range
+      private val segs = BusLog.segments(fs, pdir).iterator
+        .filter(s => s.end > slice.from && s.base < slice.until)
+      private val b64 = java.util.Base64.getDecoder
+      private var lines: Iterator[(String, Long)] = Iterator.empty
+      private var in: java.io.BufferedReader = null
+      private var row: InternalRow = null
+
+      private def nextSegment(): Boolean = {
+        close()
+        if (!segs.hasNext) return false
+        val seg = segs.next()
+        in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(seg.path), UTF_8))
+        lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .zipWithIndex.map { case (l, i) => (l, seg.base + i) }
+          .filter { case (_, off) => off >= slice.from && off < slice.until }
+        true
+      }
+
+      override def next(): Boolean = {
+        while (!lines.hasNext) if (!nextSegment()) return false
+        val (line, off) = lines.next()
+        val fields = line.split('\t')
+        if (fields.length != 3)
+          throw new IllegalStateException(
+            s"malformed bus record at p${slice.pid} offset $off: " +
+              s"${fields.length} fields (expected key\\tvalue\\tts)")
+        val Array(k, v, ts) = fields
+        row = InternalRow(
+          if (k == "-") null else b64.decode(k),
+          b64.decode(v),
+          slice.pid,
+          off,
+          ts.toLong)
+        true
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = if (in != null) { in.close(); in = null }
+    }
+  }
+}

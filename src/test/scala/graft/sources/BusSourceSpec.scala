@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The message-bus DSv2 streaming source: offset resolution from segment
+  * names, batch + micro-batch reads, exactly-once checkpoint resume, and
+  * mid-stream partition discovery. */
+class BusSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def produce(root: String, pid: Int, n: Int, off: Int = 0): Unit =
+    BusLog.append(conf, root, pid,
+      (0 until n).map { i =>
+        val id = off + i
+        (s"k$id".getBytes("UTF-8"), s"""{"id":$id,"pid":$pid}""".getBytes("UTF-8"),
+         1000000L + id)
+      })
+
+  test("batch read returns every record with contiguous per-partition offsets") {
+    val root = graft.TempDirs.create("graft_bus_batch")
+    produce(root, 0, 5)
+    produce(root, 1, 3)
+    produce(root, 0, 4, off = 100)   // second segment, base offset 5
+    val df = spark.read.format("graft-bus").option("path", root).load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("key", "value", "partition", "offset", "timestamp"))
+    val rows = df.select($"partition", $"offset",
+        $"key".cast("string"), $"value".cast("string"))
+      .as[(Int, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.length == 12)
+    // offsets are 0..n-1 per partition regardless of segment boundaries
+    assert(rows.filter(_._1 == 0).map(_._2).toSeq == (0L to 8L))
+    assert(rows.filter(_._1 == 1).map(_._2).toSeq == (0L to 2L))
+    // second segment's records carry on from the first's end offset
+    assert(rows.find(r => r._1 == 0 && r._2 == 5L).get._3 == "k100")
+  }
+
+  test("null keys round-trip") {
+    val root = graft.TempDirs.create("graft_bus_nullkey")
+    BusLog.append(conf, root, 0, Seq((null, "v".getBytes("UTF-8"), 7L)))
+    val r = spark.read.format("graft-bus").option("path", root).load()
+      .select($"key", $"value".cast("string"), $"timestamp")
+      .as[(Array[Byte], String, Long)].collect()
+    assert(r.length == 1 && r.head._1 == null && r.head._2 == "v" && r.head._3 == 7L)
+  }
+
+  /** Run the bus stream AvailableNow against `ckpt` (the memory sink
+    * refuses checkpoint recovery, so deliveries accumulate through
+    * foreachBatch — the production restart-capable sink shape) and
+    * return the (partition, offset) pairs THIS run delivered. */
+  private def runOnce(root: String, ckpt: String): Set[(Int, Long)] = {
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+    val q = spark.readStream.format("graft-bus").option("path", root).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"partition", $"offset").as[(Int, Long)]
+          .collect().foreach(seen.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSet
+  }
+
+  test("micro-batch stream is exactly-once across a checkpoint restart") {
+    val root = graft.TempDirs.create("graft_bus_stream")
+    val ckpt = graft.TempDirs.create("graft_bus_ckpt")
+    produce(root, 0, 6)
+    produce(root, 1, 4)
+    val first = runOnce(root, ckpt)
+    assert(first.size == 10, "first run must deliver all 10 records once")
+    // new data lands between runs; the resumed stream must deliver ONLY it
+    produce(root, 0, 3, off = 50)
+    val second = runOnce(root, ckpt)
+    assert(second == Set((0, 6L), (0, 7L), (0, 8L)),
+      s"resume must start after the committed offsets, got $second")
+  }
+
+  test("a partition appearing mid-stream is picked up from its earliest offset") {
+    val root = graft.TempDirs.create("graft_bus_newpart")
+    val ckpt = graft.TempDirs.create("graft_bus_ckpt2")
+    produce(root, 0, 2)
+    assert(runOnce(root, ckpt) == Set((0, 0L), (0, 1L)))
+    produce(root, 3, 2)   // partition p3 did not exist during run 1
+    assert(runOnce(root, ckpt) == Set((3, 0L), (3, 1L)))
+  }
+
+  test("offset json round-trips") {
+    val o = BusOffset(Map(0 -> 12L, 7 -> 0L, 21 -> 9999999999L))
+    assert(BusOffset.fromJson(o.json()) == o)
+    assert(o.json() == """{"0":12,"7":0,"21":9999999999}""")
+  }
+}
