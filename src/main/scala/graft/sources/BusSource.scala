@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -153,7 +153,18 @@ class BusTable(root: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new BusScan(root)
+    new BusScanBuilder(root, options)
+}
+
+/** Column pruning: an unrequested `key`/`value` is never base64-decoded,
+  * unrequested metadata never allocated — the required-schema handshake
+  * reaching all the way into the record parse. */
+class BusScanBuilder(root: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BusSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new BusScan(root, required,
+    Option(options.get("maxRecordsPerBatch")).map(_.toLong))
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON `{"0":12,"1":30}`
@@ -170,9 +181,11 @@ object BusOffset {
     BusOffset(Entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
 }
 
-class BusScan(root: String) extends Scan {
-  override def readSchema(): StructType = BusSource.schema
-  override def description(): String = s"graft.BusScan root=$root"
+class BusScan(root: String, required: StructType,
+              maxRecordsPerBatch: Option[Long]) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft.BusScan root=$root cols=${required.fieldNames.mkString(",")}"
 
   /** Batch read: the [earliest, latest] snapshot resolved at planning. */
   override def toBatch: Batch = new Batch {
@@ -185,27 +198,77 @@ class BusScan(root: String) extends Scan {
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new BusReaderFactory(serializableConf)
+      new BusReaderFactory(serializableConf, required)
   }
 
   private def serializableConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BusMicroBatchStream(root, serializableConf)
+    new BusMicroBatchStream(root, serializableConf, required, maxRecordsPerBatch)
 }
 
-class BusMicroBatchStream(root: String, conf: SerializableConfiguration)
-    extends MicroBatchStream {
+class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
+                          required: StructType, maxRecordsPerBatch: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def fs = new Path(root).getFileSystem(conf.value)
   private def rangeNow: Map[Int, (Long, Long)] = BusLog.range(fs, new Path(root))
+
+  // Trigger.AvailableNow: snapshot the end goal once at query start; every
+  // rate-limited batch advances toward the SNAPSHOT, never past data that
+  // arrived after the trigger fired.
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(rangeNow.map { case (p, (_, hi)) => p -> hi })
 
   /** First run starts at each partition's earliest retained offset. */
   override def initialOffset(): Offset =
     BusOffset(rangeNow.map { case (p, (lo, _)) => p -> lo })
 
-  override def latestOffset(): Offset =
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerBatch.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
     BusOffset(rangeNow.map { case (p, (_, hi)) => p -> hi })
+
+  /** Admission control: cap this batch at `maxRows` records, the budget
+    * split across partitions proportionally to their backlog (largest
+    * backlogs first get the rounding remainder) — no partition starves
+    * and a post-downtime catch-up becomes bounded, sized batches instead
+    * of one unbounded batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BusOffset].offsets
+    val endGoal: Map[Int, Long] = availableNowEnd.getOrElse(
+      rangeNow.map { case (p, (_, hi)) => p -> hi })
+    val capped = limit match {
+      case mr: ReadMaxRows =>
+        val backlog = endGoal.map { case (p, hi) =>
+          p -> math.max(0L, hi - s.getOrElse(p, 0L)) }
+        val total = backlog.values.sum
+        val budget = mr.maxRows()
+        if (total <= budget) endGoal
+        else {
+          // floor-proportional split, remainder to the largest backlogs
+          val base = backlog.map { case (p, b) => p -> (b * budget / total) }
+          var left = budget - base.values.sum
+          val order = backlog.toSeq.sortBy { case (p, b) => (-b, p) }.map(_._1)
+          val extra = order.map { p =>
+            val give = if (left > 0) 1L else 0L; left -= give; p -> give
+          }.toMap
+          endGoal.map { case (p, _) =>
+            p -> (s.getOrElse(p, 0L) +
+              base.getOrElse(p, 0L) + extra.getOrElse(p, 0L))
+          }
+        }
+      case _ => endGoal
+    }
+    BusOffset(capped)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   /** One split per bus partition with records in [start, end) — new
     * partitions appearing mid-stream start at their earliest offset. */
@@ -220,7 +283,7 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BusReaderFactory(conf)
+    new BusReaderFactory(conf, required)
 
   override def deserializeOffset(json: String): Offset = BusOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()  // retention is external (vacuum)
@@ -230,7 +293,8 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration)
 case class BusSlice(root: String, pid: Int, from: Long, until: Long)
     extends InputPartition
 
-class BusReaderFactory(conf: SerializableConfiguration) extends PartitionReaderFactory {
+class BusReaderFactory(conf: SerializableConfiguration, required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[BusSlice]
     new PartitionReader[InternalRow] {
@@ -241,6 +305,19 @@ class BusReaderFactory(conf: SerializableConfiguration) extends PartitionReaderF
       private val segs = BusLog.segments(fs, pdir).iterator
         .filter(s => s.end > slice.from && s.base < slice.until)
       private val b64 = java.util.Base64.getDecoder
+      // per-column extractors in REQUIRED order: an unrequested key/value
+      // is never base64-decoded (the pruning contract, see BusScanBuilder)
+      private val extract: Array[(Array[String], Long) => Any] =
+        required.fieldNames.map {
+          case "key"       => (f: Array[String], _: Long) =>
+            if (f(0) == "-") null else b64.decode(f(0))
+          case "value"     => (f: Array[String], _: Long) => b64.decode(f(1))
+          case "partition" => (_: Array[String], _: Long) => slice.pid
+          case "offset"    => (_: Array[String], off: Long) => off
+          case "timestamp" => (f: Array[String], _: Long) => f(2).toLong
+          case other => throw new IllegalArgumentException(
+            s"unknown bus column $other")
+        }
       private var lines: Iterator[(String, Long)] = Iterator.empty
       private var in: java.io.BufferedReader = null
       private var row: InternalRow = null
@@ -265,13 +342,7 @@ class BusReaderFactory(conf: SerializableConfiguration) extends PartitionReaderF
           throw new IllegalStateException(
             s"malformed bus record at p${slice.pid} offset $off: " +
               s"${fields.length} fields (expected key\\tvalue\\tts)")
-        val Array(k, v, ts) = fields
-        row = InternalRow(
-          if (k == "-") null else b64.decode(k),
-          b64.decode(v),
-          slice.pid,
-          off,
-          ts.toLong)
+        row = InternalRow.fromSeq(extract.map(_(fields, off)).toIndexedSeq)
         true
       }
 

@@ -92,6 +92,42 @@ class BusSourceSpec extends SparkSpec {
     assert(runOnce(root, ckpt) == Set((3, 0L), (3, 1L)))
   }
 
+  test("maxRecordsPerBatch rate-limits the catch-up into bounded batches") {
+    val root = graft.TempDirs.create("graft_bus_limit")
+    val ckpt = graft.TempDirs.create("graft_bus_limit_ckpt")
+    produce(root, 0, 9)
+    produce(root, 1, 5)
+    val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val q = spark.readStream.format("graft-bus")
+      .option("path", root).option("maxRecordsPerBatch", "4").load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 14, s"all records exactly once, got $sizes")
+    assert(sizes.forall(_ <= 4), s"every batch within the cap, got $sizes")
+    assert(sizes.length >= 4, s"catch-up must split into bounded batches, got $sizes")
+  }
+
+  test("batch-path column pruning reaches the scan") {
+    val root = graft.TempDirs.create("graft_bus_prune")
+    produce(root, 0, 3)
+    val pruned = spark.read.format("graft-bus").option("path", root).load()
+      .select($"partition", $"offset")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("partition", "offset"),
+      s"required-schema handshake must prune key/value, got ${scan.scan.readSchema()}")
+    assert(pruned.count() == 3)
+  }
+
   test("offset json round-trips") {
     val o = BusOffset(Map(0 -> 12L, 7 -> 0L, 21 -> 9999999999L))
     assert(BusOffset.fromJson(o.json()) == o)
