@@ -32,9 +32,12 @@ object Bench {
         "q_source_partitioned_pruning", "q_multimodal_features",
         "q_multimodal_audio", "q_ann_ivf_persisted",
         "q_multimodal_shots",
-        // builds the once-per-JVM ACID table fixture (3 commits x 2
-        // tables) so the timed region measures the snapshot/diff reads
+        // builds the once-per-JVM ACID table fixtures (all six tables,
+        // incl. the partitioned merge table) so the timed region
+        // measures the snapshot/diff reads
         "q_acid_merge",
+        // builds the once-per-JVM bus log fixture (4 partition bulk load)
+        "q_source_bus_stream",
         // JSON encode/parse codegen is the dominant first-touch JIT cost
         // (6.6 s cold vs 1.5 s steady-state for the same plan)
         "q_source_kafka_shaped").foreach { w =>

@@ -207,6 +207,27 @@ final class GraftTable(spark: SparkSession, val root: String,
 
   private def nextVersion: Long = latestVersion.getOrElse(0L) + 1
 
+  /** Optimistic-concurrency retry loop: re-evaluates `op` (any
+    * single-commit mutation — merge / append / delete / compact) after a
+    * lost commit race. Each retry re-reads the NEW latest snapshot, so
+    * the rebase is automatic: every mutation here resolves its base
+    * state at call time. A losing attempt's already-written data files
+    * become orphans (invisible; reclaimed by [[vacuum]]) — the same
+    * cleanup contract as a crash between write and commit. This is the
+    * loop a concurrent foreachBatch writer wraps its MERGE in. */
+  def commitWithRetry(maxAttempts: Int = 5)(op: => Long): Long = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Append `df`: new version = previous active set + the new files. */
   def append(df: DataFrame): Long = {
     val v = nextVersion

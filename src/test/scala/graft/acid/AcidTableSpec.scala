@@ -236,6 +236,30 @@ class AcidTableSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("commitWithRetry rebases concurrent writers so both land") {
+    val t = freshTable()
+    t.append(rows(3))
+    // two writers race repeatedly: each appends 5 disjoint batches under
+    // the retry loop; every lost race must rebase and still land
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (0 until 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (0 until 5).foreach { i =>
+              t.commitWithRetry(maxAttempts = 20) {
+                t.append(rows(2, 1000 * (w + 1) + 10 * i))
+              }
+            }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // all 10 appends landed exactly once on top of the base 3 rows
+    assert(t.snapshot().count() == 3 + 10 * 2)
+    assert(t.versions.size == 11, s"11 committed versions, got ${t.versions}")
+  }
+
   test("streaming foreachBatch MERGE into the table equals the batch latest-per-key") {
     val t = freshTable()
     val input = MemoryStream[(Long, Long, Long, Double)](spark)
