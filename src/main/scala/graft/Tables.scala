@@ -39,11 +39,28 @@ object Tables {
     // normalize every NTZ column to TimestampType: under the pinned UTC
     // session the cast reinterprets wall time as the identical instant, and
     // every time function (unix_micros, window, watermarks) works unchanged.
-    // df(name) resolves the field literally (col() would parse dots/backticks
-    // in the name as a nested path).
-    deNanoed.schema.fields.filter(_.dataType == TimestampNTZType)
+    // Recursive: NTZ leaves nested in structs/arrays/maps normalize through
+    // one composite cast (struct casts apply field-wise). df(name) resolves
+    // the field literally (col() would parse dots/backticks as a path).
+    deNanoed.schema.fields
+      .filter(f => deNtz(f.dataType) != f.dataType)
       .foldLeft(deNanoed)((df, f) =>
-        df.withColumn(f.name, df(f.name).cast(TimestampType)))
+        df.withColumn(f.name, df(f.name).cast(deNtz(f.dataType))))
+  }
+
+  /** The field's type with every TIMESTAMP_NTZ leaf (top-level or nested
+    * in struct/array/map) replaced by TimestampType. */
+  private[graft] def deNtz(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = deNtz(f.dataType))))
+      case a: ArrayType => a.copy(elementType = deNtz(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = deNtz(m.keyType), valueType = deNtz(m.valueType))
+      case other => other
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -189,6 +189,25 @@ object SourceQueries extends QueryPack {
       runToMemory(agg, "complete").orderBy($"bus_partition", $"event_type")
     },
 
+    // Bus + EVENT-TIME machinery: the bus's timestamp column (epoch
+    // micros from the record header, like a broker's log-append/create
+    // time) drives a watermarked tumbling-window aggregation — proving a
+    // custom DSv2 streaming source composes with watermarks and windows
+    // exactly like the built-in sources.
+    "q_source_bus_windowed" -> { (s, d) =>
+      import s.implicits._
+      val root = busRoot(s, d)
+      val bus = s.readStream.format("graft-bus").option("path", root).load()
+      val ev = bus.select(timestamp_micros($"timestamp").as("ts"),
+        get_json_object($"value".cast("string"), "$.event_type").as("event_type"))
+      val agg = ev.withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(asLong(count(lit(1))).as("n"))
+      runToMemory(agg, "complete")
+        .select($"window.start".as("day"), $"event_type", $"n")
+        .orderBy($"day", $"event_type")
+    },
+
     // Durable streaming FILE sink (exactly-once): stream events into a
     // parquet sink with a checkpoint, then read the committed output
     // back and aggregate — the oracle over the original table proves the
@@ -459,6 +478,13 @@ object SourceQueries extends QueryPack {
     "q_source_kafka_shaped" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_source_bus_windowed" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |       event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
 
     // replay the bus load: offsets = event_id rank within user_id % 4;
     // sum(off) only matches if the stream delivered each offset once

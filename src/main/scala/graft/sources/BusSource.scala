@@ -131,6 +131,21 @@ object BusLog {
     base
   }
 
+  /** Retention: delete `partition`'s segments wholly below `beforeOffset`
+    * (a segment any retained offset still needs is kept — truncation is
+    * segment-granular, like a broker's log cleaner). Readers of retained
+    * offsets stay valid; [[BusMicroBatchStream.initialOffset]] naturally
+    * starts new consumers at the post-truncation earliest. Returns the
+    * deleted segment paths. */
+  def truncate(conf: Configuration, root: String, partition: Int,
+               beforeOffset: Long): Seq[Path] = {
+    val pdir = new Path(new Path(root), s"p$partition")
+    val fs = pdir.getFileSystem(conf)
+    val victims = segments(fs, pdir).filter(_.end <= beforeOffset)
+    victims.foreach(s => fs.delete(s.path, false))
+    victims.map(_.path)
+  }
+
   /** Publish an already-written line file (e.g. a distributed text-write
     * part file) as `partition`'s next segment of `count` records — the
     * bulk-load path: Spark writes the lines in parallel, only the RENAME

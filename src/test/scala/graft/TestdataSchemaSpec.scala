@@ -45,6 +45,28 @@ class TestdataSchemaSpec extends SparkSpec {
     assert(typeOf("embeddings", "embedding") == ArrayType(FloatType, containsNull = true))
   }
 
+  test("NTZ normalization recurses into structs and arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = graft.TempDirs.create("graft_ntz_nested")
+    Seq(("2024-01-01 00:00:00", 1L)).toDF("t", "id")
+      .select($"id",
+        struct(to_timestamp_ntz($"t").as("ts"), $"id".as(raw"v")).as("s"),
+        array(to_timestamp_ntz($"t")).as("arr"),
+        to_timestamp_ntz($"t").as("top"))
+      .write.parquet(s"$dir/nested.parquet")
+    val got = Tables.table(spark, dir, "nested")
+    assert(got.schema("top").dataType == TimestampType)
+    assert(got.schema("s").dataType.asInstanceOf[StructType]("ts").dataType == TimestampType)
+    assert(got.schema("arr").dataType == ArrayType(TimestampType, containsNull = true))
+    // value preserved: wall time reinterpreted as the same UTC instant
+    val micros = got.select(unix_micros($"top"), unix_micros($"s.ts"),
+        unix_micros(element_at($"arr", 1)))
+      .as[(Long, Long, Long)].head()
+    assert(micros._1 == micros._2 && micros._2 == micros._3)
+    assert(micros._1 == 1704067200L * 1000000L) // 2024-01-01T00:00:00Z
+  }
+
   test("eventsStream analyzes against the current fixtures") {
     assume(available)
     // Analysis alone exercises the ts-type dispatch; no stream is started.

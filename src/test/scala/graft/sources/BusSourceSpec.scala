@@ -128,6 +128,22 @@ class BusSourceSpec extends SparkSpec {
     assert(pruned.count() == 3)
   }
 
+  test("truncate drops whole old segments and consumers start at the new earliest") {
+    val root = graft.TempDirs.create("graft_bus_trunc")
+    produce(root, 0, 4)              // seg [0,4)
+    produce(root, 0, 3, off = 100)   // seg [4,7)
+    produce(root, 0, 2, off = 200)   // seg [7,9)
+    // retain offsets >= 5: the [4,7) segment is partially needed → kept
+    val gone = BusLog.truncate(conf, root, 0, beforeOffset = 5L)
+    assert(gone.map(_.getName) == Seq("seg-00000000000000000000-4.log"))
+    val df = spark.read.format("graft-bus").option("path", root).load()
+    val offs = df.select($"offset").as[Long].collect().sorted.toSeq
+    assert(offs == (4L to 8L), s"retained offsets intact, got $offs")
+    // a fresh stream starts at the post-truncation earliest (4), not 0
+    val ckpt = graft.TempDirs.create("graft_bus_trunc_ckpt")
+    assert(runOnce(root, ckpt).map(_._2).min == 4L)
+  }
+
   test("offset json round-trips") {
     val o = BusOffset(Map(0 -> 12L, 7 -> 0L, 21 -> 9999999999L))
     assert(BusOffset.fromJson(o.json()) == o)
