@@ -179,7 +179,27 @@ class BusScanBuilder(root: String, options: CaseInsensitiveStringMap)
   private var required: StructType = BusSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = new BusScan(root, required,
-    Option(options.get("maxRecordsPerBatch")).map(_.toLong))
+    Option(options.get("maxRecordsPerBatch")).map(_.toLong),
+    BusBounds.parse(Option(options.get("startingOffsets"))),
+    BusBounds.parse(Option(options.get("endingOffsets"))))
+}
+
+/** `startingOffsets` / `endingOffsets` option values: `"earliest"`,
+  * `"latest"`, or an explicit per-partition JSON map `{"0":12,"1":30}`
+  * (same surface as the Kafka source). A partition absent from an
+  * explicit map falls back to earliest (start) / latest (end). */
+private[sources] sealed trait BusBounds
+private[sources] object BusBounds {
+  case object Earliest extends BusBounds
+  case object Latest extends BusBounds
+  final case class Explicit(offsets: Map[Int, Long]) extends BusBounds
+  def parse(v: Option[String]): Option[BusBounds] = v.map(_.trim match {
+    case "earliest" => Earliest
+    case "latest"   => Latest
+    case json if json.startsWith("{") => Explicit(BusOffset.fromJson(json).offsets)
+    case other => throw new IllegalArgumentException(
+      s"offsets option must be 'earliest', 'latest', or a {\"<pid>\":<off>} map; got: $other")
+  })
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON `{"0":12,"1":30}`
@@ -197,19 +217,36 @@ object BusOffset {
 }
 
 class BusScan(root: String, required: StructType,
-              maxRecordsPerBatch: Option[Long]) extends Scan {
+              maxRecordsPerBatch: Option[Long],
+              starting: Option[BusBounds], ending: Option[BusBounds]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft.BusScan root=$root cols=${required.fieldNames.mkString(",")}"
 
-  /** Batch read: the [earliest, latest] snapshot resolved at planning. */
+  /** Resolve a bounds option against the log's current range. */
+  private def resolve(b: Option[BusBounds], range: Map[Int, (Long, Long)],
+                      default: ((Long, Long)) => Long): Map[Int, Long] =
+    b match {
+      case Some(BusBounds.Earliest) => range.map { case (p, w) => p -> w._1 }
+      case Some(BusBounds.Latest)   => range.map { case (p, w) => p -> w._2 }
+      case Some(BusBounds.Explicit(m)) =>
+        range.map { case (p, w) => p -> m.getOrElse(p, default(w)) }
+      case None => range.map { case (p, w) => p -> default(w) }
+    }
+
+  /** Batch read: the [startingOffsets, endingOffsets] snapshot (defaults:
+    * [earliest, latest]) resolved at planning. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = org.apache.spark.sql.SparkSession.active
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(root).getFileSystem(conf)
-      BusLog.range(fs, new Path(root)).toSeq.sortBy(_._1).collect {
-        case (pid, (lo, hi)) if hi > lo => BusSlice(root, pid, lo, hi): InputPartition
+      val range = BusLog.range(fs, new Path(root))
+      val from = resolve(starting, range, _._1)
+      val until = resolve(ending, range, _._2)
+      range.toSeq.sortBy(_._1).collect {
+        case (pid, _) if until(pid) > from(pid) =>
+          BusSlice(root, pid, from(pid), until(pid)): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -220,11 +257,13 @@ class BusScan(root: String, required: StructType,
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BusMicroBatchStream(root, serializableConf, required, maxRecordsPerBatch)
+    new BusMicroBatchStream(root, serializableConf, required,
+      maxRecordsPerBatch, starting)
 }
 
 class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
-                          required: StructType, maxRecordsPerBatch: Option[Long])
+                          required: StructType, maxRecordsPerBatch: Option[Long],
+                          starting: Option[BusBounds] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def fs = new Path(root).getFileSystem(conf.value)
@@ -237,9 +276,15 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(rangeNow.map { case (p, (_, hi)) => p -> hi })
 
-  /** First run starts at each partition's earliest retained offset. */
-  override def initialOffset(): Offset =
-    BusOffset(rangeNow.map { case (p, (lo, _)) => p -> lo })
+  /** First run starts at `startingOffsets` (default: each partition's
+    * earliest retained offset). Only consulted on a FRESH checkpoint —
+    * a restart resumes from the committed offset log. */
+  override def initialOffset(): Offset = BusOffset(starting match {
+    case Some(BusBounds.Latest) => rangeNow.map { case (p, (_, hi)) => p -> hi }
+    case Some(BusBounds.Explicit(m)) =>
+      rangeNow.map { case (p, (lo, _)) => p -> m.getOrElse(p, lo) }
+    case _ => rangeNow.map { case (p, (lo, _)) => p -> lo }
+  })
 
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerBatch.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())

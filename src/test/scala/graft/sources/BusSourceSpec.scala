@@ -144,6 +144,31 @@ class BusSourceSpec extends SparkSpec {
     assert(runOnce(root, ckpt).map(_._2).min == 4L)
   }
 
+  test("startingOffsets/endingOffsets bound batch reads and stream starts (Kafka parity)") {
+    val root = graft.TempDirs.create("graft_bus_bounds")
+    produce(root, 0, 6)
+    produce(root, 1, 4)
+    // batch: explicit window [2,5) on p0, full range on p1 via fallback
+    val windowed = spark.read.format("graft-bus").option("path", root)
+      .option("startingOffsets", """{"0":2}""")
+      .option("endingOffsets", """{"0":5}""")
+      .load().select($"partition", $"offset").as[(Int, Long)].collect().toSet
+    assert(windowed == Set((0, 2L), (0, 3L), (0, 4L),
+      (1, 0L), (1, 1L), (1, 2L), (1, 3L)), s"got $windowed")
+    // stream: startingOffsets=latest on a fresh checkpoint skips the backlog
+    val ckpt = graft.TempDirs.create("graft_bus_bounds_ckpt")
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.format("graft-bus").option("path", root)
+      .option("startingOffsets", "latest").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(b.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.get() == 0L, "latest start on a drained log delivers nothing")
+  }
+
   test("offset json round-trips") {
     val o = BusOffset(Map(0 -> 12L, 7 -> 0L, 21 -> 9999999999L))
     assert(BusOffset.fromJson(o.json()) == o)
