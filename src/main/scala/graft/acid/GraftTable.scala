@@ -106,12 +106,49 @@ final class GraftTable(spark: SparkSession, val root: String,
       FileEntry(fields.head, tags.get("s"), tags.get("p"))
   }
 
-  /** Active file entries (path + optional stats) of version `v`. */
+  /** Active file entries (path + optional stats) of version `v`.
+    * Header lines (`# key=value ...`) carry commit metadata, not files. */
   private[graft] def entries(v: Long): Seq[FileEntry] = {
     val in = fs.open(manifestPath(v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).map(parseEntry).toList
+      .getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseEntry).toList
     finally in.close()
+  }
+
+  /** One commit's provenance: version, operation, wall-clock commit time
+    * (epoch millis; 0 for pre-header manifests), active file count. */
+  final case class CommitInfo(version: Long, op: String, commitMs: Long,
+                              nFiles: Int)
+
+  /** The table's commit history, oldest first — the DESCRIBE HISTORY
+    * surface: which operation produced each version and when. O(versions)
+    * manifest header reads, no data I/O. */
+  def history(): Seq[CommitInfo] = versions.map { v =>
+    val in = fs.open(manifestPath(v))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+    val meta = lines.headOption.filter(_.startsWith("#")).map { h =>
+      h.drop(1).trim.split("\\s+").flatMap(_.split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _ => None
+      }).toMap
+    }.getOrElse(Map.empty)
+    CommitInfo(v, meta.getOrElse("op", "unknown"),
+      meta.get("ts").flatMap(_.toLongOption).getOrElse(0L),
+      lines.count(l => !l.startsWith("#")))
+  }
+
+  /** Time travel BY TIMESTAMP (epoch millis): the snapshot of the newest
+    * version committed at or before `tsMillis` — what "the table as of
+    * last night's run" resolves through. */
+  def snapshotAt(tsMillis: Long): DataFrame = {
+    val v = history().filter(_.commitMs <= tsMillis).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no commit at or before $tsMillis in table at $root"))
+    snapshot(Some(v.version))
   }
 
   /** Active data files (root-relative) of version `v`. */
@@ -187,8 +224,10 @@ final class GraftTable(spark: SparkSession, val root: String,
     }
 
   /** Publish `files` as version `v` via exclusive manifest create — the
-    * ONE atomicity point in the format. */
-  private[graft] def commit(v: Long, files: Seq[FileEntry]): Long = {
+    * ONE atomicity point in the format. The header line records the
+    * operation and wall-clock commit time for [[history]]/[[snapshotAt]]. */
+  private[graft] def commit(v: Long, files: Seq[FileEntry],
+                            op: String = "commit"): Long = {
     fs.mkdirs(logDir)
     val p = manifestPath(v)
     if (fs.exists(p))
@@ -200,7 +239,8 @@ final class GraftTable(spark: SparkSession, val root: String,
         throw new ConcurrentCommitException(
           s"lost the commit race for version $v at $root; rebase and retry")
       }
-    try out.write(files.map(_.line).mkString("\n").getBytes(UTF_8))
+    val header = s"# op=$op ts=${System.currentTimeMillis()}"
+    try out.write((header +: files.map(_.line)).mkString("\n").getBytes(UTF_8))
     finally out.close()
     v
   }
@@ -232,13 +272,15 @@ final class GraftTable(spark: SparkSession, val root: String,
   def append(df: DataFrame): Long = {
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
-    commit(v, prev ++ writeData(clusterByPartition(df), v))
+    commit(v, prev ++ writeData(clusterByPartition(df), v), op = "append")
   }
 
   /** Replace the table content with `df`. */
-  def overwrite(df: DataFrame): Long = {
+  def overwrite(df: DataFrame): Long = replaceWith(df, "overwrite")
+
+  private def replaceWith(df: DataFrame, op: String): Long = {
     val v = nextVersion
-    commit(v, writeData(clusterByPartition(df), v))
+    commit(v, writeData(clusterByPartition(df), v), op)
   }
 
   /** The touched partition windows test: does `e`'s partition window
@@ -281,14 +323,14 @@ final class GraftTable(spark: SparkSession, val root: String,
     val scoped = partitionCol.flatMap(_ => touchedPartitions(updates))
     scoped match {
       case None =>
-        overwrite(winners(snapshot().unionByName(updates)))
+        replaceWith(winners(snapshot().unionByName(updates)), "merge")
       case Some(touched) =>
         val v = nextVersion
         val prev = latestVersion.map(entries).getOrElse(Nil)
         val (rewrite, keep) = prev.partition(touches(_, touched))
         val base = readEntries(rewrite, updates)
         val merged = winners(base.unionByName(updates))
-        commit(v, keep ++ writeData(clusterByPartition(merged), v))
+        commit(v, keep ++ writeData(clusterByPartition(merged), v), op = "merge")
     }
   }
 
@@ -323,7 +365,7 @@ final class GraftTable(spark: SparkSession, val root: String,
     * prior versions are vacuumed (physical erasure = delete + vacuum,
     * same two-step contract as the production lakehouse formats). */
   def delete(predicate: Column): Long =
-    overwrite(snapshot().filter(!predicate))
+    replaceWith(snapshot().filter(!predicate), "delete")
 
   /** Partition-scoped row DELETE: erase rows matching `predicate` within
     * the given partition values, rewriting ONLY the files whose partition
@@ -337,11 +379,11 @@ final class GraftTable(spark: SparkSession, val root: String,
     val prev = latestVersion.map(entries).getOrElse(Nil)
     val touched = partitions.sorted
     val (rewrite, keep) = prev.partition(touches(_, touched))
-    if (rewrite.isEmpty) commit(v, keep)
+    if (rewrite.isEmpty) commit(v, keep, op = "delete")
     else {
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val kept = readEntries(rewrite, snapshot()).filter(!scoped)
-      commit(v, keep ++ writeData(clusterByPartition(kept), v))
+      commit(v, keep ++ writeData(clusterByPartition(kept), v), op = "delete")
     }
   }
 
@@ -366,7 +408,7 @@ final class GraftTable(spark: SparkSession, val root: String,
     // bypass overwrite's partition clustering: compact's caller owns the
     // layout (targetFiles / clusterBy) explicitly
     val v = nextVersion
-    commit(v, writeData(laid, v))
+    commit(v, writeData(laid, v), op = "compact")
   }
 
   /** Row-level diff `fromV` → `toV`: every row present in `toV` but not

@@ -236,6 +236,26 @@ class AcidTableSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("history records each commit's operation; snapshotAt time-travels by timestamp") {
+    val t = freshTable()
+    t.append(rows(3))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.merge(rows(2, 100), Seq("id"), Seq($"v".desc))
+    t.delete($"id" === 1L)
+    t.compact(targetFiles = 1)
+    val h = t.history()
+    assert(h.map(_.version) == Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_.op) == Seq("append", "merge", "delete", "compact"))
+    assert(h.forall(_.commitMs > 0L))
+    assert(h.map(_.commitMs) == h.map(_.commitMs).sorted, "monotone commit times")
+    assert(h.last.nFiles == 1)
+    // timestamp time travel: "as of just after v1" resolves to v1's content
+    assert(t.snapshotAt(afterV1).select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    intercept[IllegalStateException] { t.snapshotAt(0L) }
+  }
+
   test("commitWithRetry rebases concurrent writers so both land") {
     val t = freshTable()
     t.append(rows(3))
