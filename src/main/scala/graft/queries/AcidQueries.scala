@@ -29,7 +29,7 @@ object AcidQueries extends QueryPack {
     * by a row-level DELETE of every user_id % 10 == 0 row (the
     * compliance-erasure path). */
   private val fixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String, String, String)]()
 
   private def events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -37,8 +37,8 @@ object AcidQueries extends QueryPack {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
   }
 
-  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
-    val (m, a, c, x, k, p) = fixtures.computeIfAbsent(d, { _ =>
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
+    val (m, a, c, x, k, p, b) = fixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val ev = events(s, d)
       val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
@@ -78,11 +78,19 @@ object AcidQueries extends QueryPack {
       pt.append(pslice(0L))
       pt.merge(pslice(1L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
       pt.merge(pslice(2L), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
-      (mergeRoot, appendRoot, compactRoot, deleteRoot, skipRoot, partRoot)
+      // BLOOM-indexed table on event_id: the %3 slices interleave ids
+      // across every commit's files, so min/max windows span the whole id
+      // space and CANNOT prune a point lookup — the per-file bloom can.
+      val bloomRoot = s"$acidDir/bloom_$key"
+      val bt = new GraftTable(s, bloomRoot, bloomCol = Some("event_id"))
+      (1L to 3L).foreach(v => bt.append(slice(v - 1L)))
+      (mergeRoot, appendRoot, compactRoot, deleteRoot, skipRoot, partRoot,
+       bloomRoot)
     })
     (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c),
      new GraftTable(s, x), new GraftTable(s, k, statsCol = Some("user_id")),
-     new GraftTable(s, p, partitionCol = Some("pid")))
+     new GraftTable(s, p, partitionCol = Some("pid")),
+     new GraftTable(s, b, bloomCol = Some("event_id")))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,6 +153,17 @@ object AcidQueries extends QueryPack {
     "q_acid_partition_merge" -> { (s, d) =>
       import s.implicits._
       tables(s, d)._6.snapshot().orderBy($"user_id")
+    },
+
+    // Bloom-indexed point lookups: three needle reads on event_id, each
+    // resolving its file list from the per-file manifest blooms (the ids
+    // are scattered across every commit's files, so min/max windows
+    // cannot prune — AcidTableSpec pins the bloom's file-count cut).
+    "q_acid_point" -> { (s, d) =>
+      import s.implicits._
+      val bt = tables(s, d)._7
+      Seq(100L, 500L, 900L).map(bt.snapshotPoint(_))
+        .reduce(_.unionByName(_)).orderBy($"event_id")
     },
 
     // Manifest data skipping: the range read [40, 90] resolves its file
@@ -214,6 +233,10 @@ object AcidQueries extends QueryPack {
         |        row_number() OVER (PARTITION BY user_id
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_acid_point" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin
   )
 }

@@ -218,6 +218,32 @@ class AcidTableSpec extends SparkSpec {
     assert(feed.filter($"_change" === "delete").count() == 0)
   }
 
+  test("per-file bloom prunes point lookups on a scattered (unclusterable) column") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_bloom"),
+      bloomCol = Some("id"))
+    // ids deliberately interleaved across files: every file's min/max
+    // window spans the whole space, so range stats CANNOT prune here
+    val ids = (1L to 600L)
+    val scattered = ids.map(i => (i, s"u$i")).toDF("id", "name")
+      .orderBy($"name").repartition(6)
+    t.append(scattered)
+    val all = t.activeFiles(t.latestVersion.get)
+    assert(all.size >= 4, s"need several files, got ${all.size}")
+    // a present key: bloom keeps only the file(s) that may contain it
+    val hit = t.filesForPoint(137L)
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"bloom must prune: ${hit.size} of ${all.size} files")
+    val got = t.snapshotPoint(137L).select($"id", $"name")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((137L, "u137")))
+    // an absent key: with high probability no file passes all 4 probes
+    val missRows = t.snapshotPoint(999999L).count()
+    assert(missRows == 0)
+    // rewrites refresh the bloom (recomputed per write)
+    t.append(Seq((5000L, "u5000")).toDF("id", "name"))
+    assert(t.snapshotPoint(5000L).count() == 1)
+  }
+
   test("delete + vacuum physically erases the rows (the compliance two-step)") {
     val t = freshTable()
     t.append(rows(10))
