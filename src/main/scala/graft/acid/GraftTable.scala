@@ -504,6 +504,18 @@ final class GraftTable(spark: SparkSession, val root: String,
       .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
   }
 
+  /** Apply a [[changeFeed]] to THIS table (the downstream-mirror
+    * primitive): multiset-subtract the `delete`-tagged rows, add the
+    * `insert`-tagged rows, publish as one commit. By the change-feed
+    * identity, a mirror at the feed's `fromV` content lands exactly at
+    * its `toV` content — incremental sync without re-reading the source
+    * table. */
+  def applyChanges(feed: DataFrame): Long = {
+    val ins = feed.filter(col("_change") === "insert").drop("_change")
+    val del = feed.filter(col("_change") === "delete").drop("_change")
+    replaceWith(snapshot().exceptAll(del).unionByName(ins), "apply_changes")
+  }
+
   /** Keep the newest `retain` versions; delete older manifests and every
     * data file they alone referenced. Returns the deleted data files. */
   def vacuum(retain: Int): Seq[String] = {

@@ -155,6 +155,22 @@ object AcidQueries extends QueryPack {
       tables(s, d)._6.snapshot().orderBy($"user_id")
     },
 
+    // CDC apply: a downstream mirror seeded at the merge table's v1
+    // replays the v1->v3 change feed via applyChanges and must land on
+    // exactly v3's content (the latest-per-user state) — the incremental
+    // sync loop (O(delta) feed -> one commit) a consumer runs instead of
+    // re-reading the source. Fresh mirror root per invocation; the
+    // per-JVM temp dir cleans them up at exit.
+    "q_acid_apply_changes" -> { (s, d) =>
+      import s.implicits._
+      val mt = tables(s, d)._1
+      val mir = new GraftTable(s,
+        s"$acidDir/mirror_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      mir.append(mt.snapshot(Some(1L)))
+      mir.applyChanges(mt.changeFeed(1L, 3L))
+      mir.snapshot().orderBy($"user_id")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -237,6 +253,15 @@ object AcidQueries extends QueryPack {
 
     "q_acid_point" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    // mirror@v1 + feed(1,3) = source@v3 = latest event per user
+    "q_acid_apply_changes" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT event_id, user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -109,6 +109,22 @@ class AcidTableSpec extends SparkSpec {
       "v1 + inserts - deletes must reconstruct v3 exactly")
   }
 
+  test("applyChanges keeps a downstream mirror in sync through rewrites") {
+    val src = freshTable()
+    val mirror = freshTable()
+    src.append(rows(4))                                  // v1
+    mirror.append(src.snapshot(Some(1L)))                // mirror seeded at v1
+    src.merge(rows(2, 100).withColumn("v", lit(9.9)),    // v2: upsert
+      Seq("id"), Seq($"v".desc))
+    src.delete($"id" === 2L)                             // v3: erase id 2
+    mirror.applyChanges(src.changeFeed(1L, 3L))
+    def content(t: GraftTable) =
+      t.snapshot().select($"id", $"name", $"v").as[(Long, String, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(content(mirror) == content(src),
+      "mirror at v1 + feed(1,3) must equal the source at v3")
+  }
+
   test("manifest stats skip non-overlapping files on range reads") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_skip"),
       statsCol = Some("id"))
