@@ -146,6 +146,53 @@ object BusLog {
     victims.map(_.path)
   }
 
+  /** Consumer-progress registry: each streaming consumer (keyed by a
+    * digest of its checkpoint location) records its committed offsets
+    * under `<root>/_consumers/` at every completed batch — the metadata
+    * [[safeTruncate]] uses to retire segments no consumer still needs
+    * (a broker's consumer-group offset store + retention-by-consumption). */
+  def recordConsumer(conf: Configuration, root: String, consumerId: String,
+                     offsets: Map[Int, Long]): Unit = {
+    val dir = new Path(new Path(root), "_consumers")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".$consumerId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(BusOffset(offsets).json().getBytes(UTF_8))
+    finally out.close()
+    fs.delete(new Path(dir, consumerId), false)
+    fs.rename(tmp, new Path(dir, consumerId))
+  }
+
+  def consumerOffsets(conf: Configuration, root: String): Map[String, Map[Int, Long]] = {
+    val dir = new Path(new Path(root), "_consumers")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        st.getPath.getName -> BusOffset.fromJson(s).offsets
+      }.toMap
+  }
+
+  /** Retire every segment ALL registered consumers have fully consumed:
+    * per partition, truncate below the minimum committed offset across
+    * consumers (a consumer with no record for a partition holds it at 0
+    * — nothing retires until every consumer has seen it). No-op when no
+    * consumer is registered. Returns deleted segments per partition. */
+  def safeTruncate(conf: Configuration, root: String): Map[Int, Seq[Path]] = {
+    val consumers = consumerOffsets(conf, root)
+    if (consumers.isEmpty) return Map.empty
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    partitionDirs(fs, rootPath).map { case (pid, _) =>
+      val cutoff = consumers.values.map(_.getOrElse(pid, 0L)).min
+      pid -> truncate(conf, root, pid, cutoff)
+    }.toMap
+  }
+
   /** Publish an already-written line file (e.g. a distributed text-write
     * part file) as `partition`'s next segment of `count` records — the
     * bulk-load path: Spark writes the lines in parallel, only the RENAME
@@ -258,12 +305,15 @@ class BusScan(root: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BusMicroBatchStream(root, serializableConf, required,
-      maxRecordsPerBatch, starting)
+      maxRecordsPerBatch, starting,
+      consumerId = java.util.UUID.nameUUIDFromBytes(
+        checkpointLocation.getBytes(UTF_8)).toString)
 }
 
 class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
                           required: StructType, maxRecordsPerBatch: Option[Long],
-                          starting: Option[BusBounds] = None)
+                          starting: Option[BusBounds] = None,
+                          consumerId: String = "anonymous")
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def fs = new Path(root).getFileSystem(conf.value)
@@ -331,9 +381,18 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   /** One split per bus partition with records in [start, end) — new
-    * partitions appearing mid-stream start at their earliest offset. */
+    * partitions appearing mid-stream start at their earliest offset.
+    *
+    * Side channel: `start` comes from the engine's durable offset log —
+    * this consumer will never re-read data below it — so it doubles as
+    * safe consumer-progress metadata for [[BusLog.safeTruncate]]. (The
+    * engine's `commit` callback alone is not enough: it defers to the
+    * NEXT batch's construction, which an AvailableNow drain never
+    * reaches.) */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BusOffset].offsets
+    try BusLog.recordConsumer(conf.value, root, consumerId, s)
+    catch { case _: java.io.IOException => () } // advisory metadata only
     val e = end.asInstanceOf[BusOffset].offsets
     val earliest = rangeNow
     e.toSeq.sortBy(_._1).flatMap { case (pid, until) =>
@@ -346,7 +405,15 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
     new BusReaderFactory(conf, required)
 
   override def deserializeOffset(json: String): Offset = BusOffset.fromJson(json)
-  override def commit(end: Offset): Unit = ()  // retention is external (vacuum)
+
+  /** Record this consumer's progress in the bus's consumer registry —
+    * what [[BusLog.safeTruncate]] keys retention on. (The offset LOG in
+    * the checkpoint is still the restart source of truth; this registry
+    * is advisory metadata for the log cleaner.) */
+  override def commit(end: Offset): Unit =
+    BusLog.recordConsumer(conf.value, root, consumerId,
+      end.asInstanceOf[BusOffset].offsets)
+
   override def stop(): Unit = ()
 }
 

@@ -169,6 +169,29 @@ class BusSourceSpec extends SparkSpec {
     assert(seen.get() == 0L, "latest start on a drained log delivers nothing")
   }
 
+  test("safeTruncate retires only segments every registered consumer has passed") {
+    // progress is recorded from each batch plan's durable START offsets,
+    // so a consumer's registry entry reflects its last completed run
+    val root = graft.TempDirs.create("graft_bus_safetrunc")
+    val ckptA = graft.TempDirs.create("graft_bus_ckA")
+    val ckptB = graft.TempDirs.create("graft_bus_ckB")
+    produce(root, 0, 4)                        // seg [0,4)
+    assert(runOnce(root, ckptA).size == 4)     // A drains [0,4)
+    produce(root, 0, 3, off = 50)              // seg [4,7)
+    assert(runOnce(root, ckptA).size == 3)     // A's restart records A@4
+    assert(runOnce(root, ckptB).size == 7)     // B drains from scratch (@0)
+    produce(root, 0, 1, off = 90)              // seg [7,8)
+    assert(runOnce(root, ckptB).size == 1)     // B's restart records B@7
+    val consumers = BusLog.consumerOffsets(conf, root)
+    assert(consumers.size == 2, s"got $consumers")
+    assert(consumers.values.map(_(0)).toSet == Set(4L, 7L), s"got $consumers")
+    // cutoff = slowest registered consumer (A @4): only seg [0,4) retires
+    val gone = BusLog.safeTruncate(conf, root)
+    assert(gone(0).map(_.getName) == Seq("seg-00000000000000000000-4.log"))
+    // A resumes from its own checkpoint (@7) and reads the retained tail
+    assert(runOnce(root, ckptA).map(_._2).toSeq.sorted == Seq(7L))
+  }
+
   test("offset json round-trips") {
     val o = BusOffset(Map(0 -> 12L, 7 -> 0L, 21 -> 9999999999L))
     assert(BusOffset.fromJson(o.json()) == o)
