@@ -516,6 +516,13 @@ final class GraftTable(spark: SparkSession, val root: String,
     replaceWith(snapshot().exceptAll(del).unionByName(ins), "apply_changes")
   }
 
+  /** Time-based retention (the production "vacuum older than 7 days"):
+    * drop versions committed BEFORE `cutoffMs`, always keeping at least
+    * the latest. Commit times are monotone, so this reduces to the
+    * count-based [[vacuum]] over the [[history]] suffix. */
+  def vacuumOlderThan(cutoffMs: Long): Seq[String] =
+    vacuum(math.max(1, history().count(_.commitMs >= cutoffMs)))
+
   /** Keep the newest `retain` versions; delete older manifests and every
     * data file they alone referenced. Returns the deleted data files. */
   def vacuum(retain: Int): Seq[String] = {

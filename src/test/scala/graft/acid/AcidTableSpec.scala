@@ -298,6 +298,22 @@ class AcidTableSpec extends SparkSpec {
     intercept[IllegalStateException] { t.snapshotAt(0L) }
   }
 
+  test("vacuumOlderThan drops pre-cutoff versions but never the latest") {
+    val t = freshTable()
+    t.append(rows(2))
+    t.append(rows(2, 10))
+    Thread.sleep(5)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(rows(2, 20))              // v3: the only post-cutoff commit
+    t.vacuumOlderThan(cutoff)
+    assert(t.versions == Seq(3L))
+    assert(t.snapshot().count() == 6)  // latest content intact
+    // cutoff in the future: still keeps the latest version
+    t.vacuumOlderThan(System.currentTimeMillis() + 1000000L)
+    assert(t.versions == Seq(3L))
+  }
+
   test("commitWithRetry rebases concurrent writers so both land") {
     val t = freshTable()
     t.append(rows(3))
