@@ -60,8 +60,36 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 final class GraftTable(spark: SparkSession, val root: String,
                        statsCol: Option[String] = None,
                        partitionCol: Option[String] = None,
-                       bloomCol: Option[String] = None) {
+                       bloomCol: Option[String] = None,
+                       constraints: Seq[String] = Nil) {
   import GraftTable.{BloomBits, BloomK, bloomPositions}
+
+  /** A write violated a table constraint; nothing was committed. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Enforce the table's CHECK constraints on INCOMING rows (one agg
+    * pass over the incoming data only, before anything is written —
+    * fail fast, commit nothing). A NULL constraint result counts as a
+    * violation, matching SQL CHECK semantics under enforcement. */
+  private def validated(df: DataFrame): DataFrame = {
+    if (constraints.nonEmpty) {
+      val counts = df.agg(
+        count(lit(1)).as("_n"),
+        constraints.zipWithIndex.map { case (c, i) =>
+          coalesce(sum(when(coalesce(expr(c), lit(false)), 0L).otherwise(1L)),
+            lit(0L)).as(s"_c$i")
+        }: _*).head()
+      val bad = constraints.zipWithIndex
+        .map { case (c, i) => c -> counts.getLong(counts.fieldIndex(s"_c$i")) }
+        .filter(_._2 > 0L)
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          bad.map { case (c, n) => s"CHECK ($c): $n row(s) violate" }
+            .mkString("; "))
+    }
+    df
+  }
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =
@@ -301,15 +329,17 @@ final class GraftTable(spark: SparkSession, val root: String,
     throw new IllegalStateException("unreachable")
   }
 
-  /** Append `df`: new version = previous active set + the new files. */
+  /** Append `df`: new version = previous active set + the new files.
+    * Incoming rows are CHECK-validated first (commit nothing on
+    * violation). */
   def append(df: DataFrame): Long = {
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
-    commit(v, prev ++ writeData(clusterByPartition(df), v), op = "append")
+    commit(v, prev ++ writeData(clusterByPartition(validated(df)), v), op = "append")
   }
 
-  /** Replace the table content with `df`. */
-  def overwrite(df: DataFrame): Long = replaceWith(df, "overwrite")
+  /** Replace the table content with `df` (CHECK-validated). */
+  def overwrite(df: DataFrame): Long = replaceWith(validated(df), "overwrite")
 
   private def replaceWith(df: DataFrame, op: String): Long = {
     val v = nextVersion
@@ -347,8 +377,9 @@ final class GraftTable(spark: SparkSession, val root: String,
     * are read+rewritten; every other file entry carries over verbatim
     * (same immutable file, zero I/O). Requires the partition value to be
     * functionally determined by the merge key — see the class docs. */
-  def merge(updates: DataFrame, keyCols: Seq[String],
+  def merge(rawUpdates: DataFrame, keyCols: Seq[String],
             winnerOrder: Seq[Column]): Long = {
+    val updates = validated(rawUpdates)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(winnerOrder: _*)
     def winners(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(w))

@@ -298,6 +298,25 @@ class AcidTableSpec extends SparkSpec {
     intercept[IllegalStateException] { t.snapshotAt(0L) }
   }
 
+  test("CHECK constraints gate every write path and commit nothing on violation") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_check"),
+      constraints = Seq("v IS NOT NULL", "id > 0"))
+    t.append(rows(3))                       // clean rows pass
+    val bad = Seq((-1L, "neg", 1.0), (5L, "ok", 2.0)).toDF("id", "name", "v")
+    val e = intercept[Exception] { t.append(bad) }
+    assert(e.getMessage.contains("id > 0") && e.getMessage.contains("1 row(s)"))
+    assert(t.versions == Seq(1L), "a violating append must commit NOTHING")
+    // null constraint result = violation (SQL CHECK under enforcement)
+    val nullV = Seq((7L, "n", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "name", "v")
+    intercept[Exception] { t.overwrite(nullV) }
+    // merge validates its updates too
+    intercept[Exception] {
+      t.merge(bad, Seq("id"), Seq($"v".desc))
+    }
+    assert(t.snapshot().count() == 3)
+  }
+
   test("vacuumOlderThan drops pre-cutoff versions but never the latest") {
     val t = freshTable()
     t.append(rows(2))
