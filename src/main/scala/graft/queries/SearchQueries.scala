@@ -726,7 +726,7 @@ object SearchQueries extends QueryPack {
         |  CAST((mn * 20 + bin * rng) // 20 AS BIGINT) AS bin_lo_cents,
         |  CAST((mn * 20 + (bin + 1) * rng) // 20 AS BIGINT) AS bin_hi_cents,
         |  n,
-        |  sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
         |FROM counts
         |ORDER BY bin""".stripMargin,
 

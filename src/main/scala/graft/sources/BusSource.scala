@@ -98,11 +98,51 @@ object BusLog {
       }
     }.sortBy(_.base)
 
-  /** Per-partition [earliest, latest) offsets, from file names alone. */
+  /** Per-partition high-water-mark: the log-end offset persisted across
+    * truncation. Without it, a retention pass that retires EVERY segment of
+    * a partition would erase the only record of the log end (offsets are
+    * otherwise derived from segment file names), and the next [[append]]
+    * would re-base at 0 — a checkpointed consumer holding start=N>0 would
+    * then plan empty batches forever and silently lose the re-based
+    * records. A broker never loses its log-end offset because the broker
+    * process persists it; this file is that persistence for a filesystem
+    * log. Written atomically (tmp + rename) BEFORE segments are deleted,
+    * so a crash mid-truncate can only leave the hwm higher than needed —
+    * never a regressed offset. */
+  private val HwmFile = "_hwm"
+
+  def highWaterMark(fs: FileSystem, pdir: Path): Long = {
+    val f = new Path(pdir, HwmFile)
+    if (!fs.exists(f)) 0L
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeHighWaterMark(fs: FileSystem, pdir: Path, hwm: Long): Unit = {
+    val tmp = new Path(pdir, s".$HwmFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(hwm.toString.getBytes(UTF_8)) finally out.close()
+    fs.delete(new Path(pdir, HwmFile), false)
+    fs.rename(tmp, new Path(pdir, HwmFile))
+  }
+
+  /** The partition's log-end offset: last segment's end, or the persisted
+    * high-water-mark when truncation has emptied the partition. */
+  def logEnd(fs: FileSystem, pdir: Path): Long = {
+    val segs = segments(fs, pdir)
+    math.max(segs.lastOption.fold(0L)(_.end), highWaterMark(fs, pdir))
+  }
+
+  /** Per-partition [earliest, latest) offsets, from file names alone
+    * (plus the high-water-mark for fully-truncated partitions — a drained
+    * partition reports (end, end), never a regressed (0, 0)). */
   def range(fs: FileSystem, root: Path): Map[Int, (Long, Long)] =
     partitionDirs(fs, root).map { case (pid, pdir) =>
       val segs = segments(fs, pdir)
-      pid -> (if (segs.isEmpty) (0L, 0L)
+      pid -> (if (segs.isEmpty) { val e = highWaterMark(fs, pdir); (e, e) }
               else (segs.head.base, segs.last.end))
     }.toMap
 
@@ -121,7 +161,7 @@ object BusLog {
     val fs = rootPath.getFileSystem(conf)
     val pdir = new Path(rootPath, s"p$partition")
     fs.mkdirs(pdir)
-    val base = segments(fs, pdir).lastOption.fold(0L)(_.end)
+    val base = logEnd(fs, pdir)
     val tmp = new Path(pdir, f".seg-$base%020d-${records.size}.log.tmp")
     val out = fs.create(tmp, true)
     try out.write(records.map { case (k, v, ts) => encode(k, v, ts) }
@@ -142,6 +182,12 @@ object BusLog {
     val pdir = new Path(new Path(root), s"p$partition")
     val fs = pdir.getFileSystem(conf)
     val victims = segments(fs, pdir).filter(_.end <= beforeOffset)
+    if (victims.nonEmpty) {
+      // persist the log end FIRST so offsets stay monotone even if this
+      // pass retires every segment of the partition (see highWaterMark)
+      val hwm = math.max(victims.map(_.end).max, highWaterMark(fs, pdir))
+      writeHighWaterMark(fs, pdir, hwm)
+    }
     victims.foreach(s => fs.delete(s.path, false))
     victims.map(_.path)
   }
@@ -203,7 +249,7 @@ object BusLog {
     val fs = rootPath.getFileSystem(conf)
     val pdir = new Path(rootPath, s"p$partition")
     fs.mkdirs(pdir)
-    val base = segments(fs, pdir).lastOption.fold(0L)(_.end)
+    val base = logEnd(fs, pdir)
     fs.rename(lineFile, new Path(pdir, f"seg-$base%020d-$count.log"))
     base
   }
@@ -411,8 +457,9 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
     * the checkpoint is still the restart source of truth; this registry
     * is advisory metadata for the log cleaner.) */
   override def commit(end: Offset): Unit =
-    BusLog.recordConsumer(conf.value, root, consumerId,
+    try BusLog.recordConsumer(conf.value, root, consumerId,
       end.asInstanceOf[BusOffset].offsets)
+    catch { case _: java.io.IOException => () } // advisory metadata only
 
   override def stop(): Unit = ()
 }

@@ -192,6 +192,35 @@ class BusSourceSpec extends SparkSpec {
     assert(runOnce(root, ckptA).map(_._2).toSeq.sorted == Seq(7L))
   }
 
+  test("offsets stay monotone after FULL truncation (high-water-mark survives)") {
+    // the data-loss scenario: every consumer caught up → safeTruncate
+    // retires ALL segments → without a persisted log-end, the next append
+    // would re-base at 0 and a checkpointed consumer holding start=5 would
+    // silently never see the re-based records
+    val root = graft.TempDirs.create("graft_bus_hwm")
+    val ckpt = graft.TempDirs.create("graft_bus_hwm_ckpt")
+    produce(root, 0, 5)                          // seg [0,5)
+    assert(runOnce(root, ckpt).size == 5)        // consumer checkpoint → 5
+    // the consumer's CHECKPOINT is at 5 but its advisory registry entry
+    // lags at its last batch START (0); catch the registry up to match the
+    // all-consumers-caught-up steady state the scenario needs
+    BusLog.consumerOffsets(conf, root).keys.foreach(id =>
+      BusLog.recordConsumer(conf, root, id, Map(0 -> 5L)))
+    BusLog.recordConsumer(conf, root, "drained", Map(0 -> 5L))
+    val gone = BusLog.safeTruncate(conf, root)   // cutoff = log end → all retire
+    assert(gone(0).size == 1)
+    val pdir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), "p0")
+    val fs = pdir.getFileSystem(conf)
+    assert(BusLog.segments(fs, pdir).isEmpty, "partition fully truncated")
+    assert(BusLog.range(fs, new org.apache.hadoop.fs.Path(root))(0) == (5L, 5L),
+      "a drained partition reports (end, end), never a regressed (0, 0)")
+    produce(root, 0, 3, off = 50)                // append AFTER full truncation
+    assert(BusLog.segments(fs, pdir).head.base == 5L,
+      "new segment must continue at the high-water-mark, not re-base at 0")
+    // the checkpointed consumer (start=5) receives exactly the new records
+    assert(runOnce(root, ckpt) == Set((0, 5L), (0, 6L), (0, 7L)))
+  }
+
   test("offset json round-trips") {
     val o = BusOffset(Map(0 -> 12L, 7 -> 0L, 21 -> 9999999999L))
     assert(BusOffset.fromJson(o.json()) == o)

@@ -16,9 +16,42 @@ import math
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def arrow_type_str(t):
+    """Normalized Arrow type name: collapses aliases that hash identically
+    at the driver (large_string vs string) but keeps width/precision
+    differences (int64 vs decimal128) that make its hash diverge."""
+    import re
+    s = str(t)
+    s = s.replace("large_string", "string").replace("large_binary", "binary")
+    # Spark parquet INT96 timestamps surface as ns in pyarrow while DuckDB
+    # emits us — the driver's hasher canonicalizes timestamp values (every
+    # such pair has hash-matched at the gate), so unit is not a divergence.
+    s = re.sub(r"timestamp\[(ns|us|ms|s)", "timestamp[us", s)
+    return s
+
+
+def type_mismatches(out_dir, name, con, sql):
+    """Compare physical Arrow types of the Spark parquet output vs the
+    DuckDB oracle result — the exact surface the driver hashes on."""
+    import glob
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        return ["no spark parquet output"]
+    spark_schema = pq.read_schema(files[0])
+    oracle_schema = con.sql(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+    spark_types = {f.name: arrow_type_str(f.type) for f in spark_schema}
+    oracle_types = {f.name: arrow_type_str(f.type) for f in oracle_schema}
+    bad = []
+    for col in sorted(set(spark_types) & set(oracle_types)):
+        if spark_types[col] != oracle_types[col]:
+            bad.append(f"{col}: spark={spark_types[col]} oracle={oracle_types[col]}")
+    return bad
 
 
 def canon(v):
@@ -77,6 +110,14 @@ def main():
         if bad:
             failures.append((name, f"value mismatch at sorted row {bad[0]}"))
             print(f"FAIL  {name}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            continue
+        try:
+            tbad = type_mismatches(out_dir, name, con, sql)
+        except Exception as e:
+            tbad = [f"type-lint error: {e}"]
+        if tbad:
+            failures.append((name, f"arrow type mismatch: {'; '.join(tbad)}"))
+            print(f"FAIL  {name}: ARROW TYPE {'; '.join(tbad)}")
         else:
             print(f"OK    {name} ({len(spark_rows)} rows, {len(spark_cols)} cols)")
 
