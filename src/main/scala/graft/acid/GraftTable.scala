@@ -68,27 +68,30 @@ final class GraftTable(spark: SparkSession, val root: String,
   final class ConstraintViolationException(msg: String)
     extends IllegalArgumentException(msg)
 
-  /** Enforce the table's CHECK constraints on INCOMING rows (one agg
-    * pass over the incoming data only, before anything is written —
-    * fail fast, commit nothing). A NULL constraint result counts as a
-    * violation, matching SQL CHECK semantics under enforcement. */
-  private def validated(df: DataFrame): DataFrame = {
-    if (constraints.nonEmpty) {
-      val counts = df.agg(
-        count(lit(1)).as("_n"),
-        constraints.zipWithIndex.map { case (c, i) =>
-          coalesce(sum(when(coalesce(expr(c), lit(false)), 0L).otherwise(1L)),
-            lit(0L)).as(s"_c$i")
-        }: _*).head()
-      val bad = constraints.zipWithIndex
-        .map { case (c, i) => c -> counts.getLong(counts.fieldIndex(s"_c$i")) }
-        .filter(_._2 > 0L)
-      if (bad.nonEmpty)
-        throw new ConstraintViolationException(
-          bad.map { case (c, n) => s"CHECK ($c): $n row(s) violate" }
-            .mkString("; "))
-    }
-    df
+  /** Enforce the table's CHECK constraints on the rows ACTUALLY WRITTEN
+    * for a commit candidate (one agg pass re-reading the new immutable
+    * files, before any manifest names them). Validating the written files
+    * rather than the incoming frame means the input expression evaluates
+    * exactly once — a non-deterministic input cannot slip a violating row
+    * past a separate validation pass — and a violation leaves only orphan
+    * files (invisible to every reader; [[vacuum]] reclaims them), with
+    * nothing committed. A NULL constraint result PASSES, matching ANSI
+    * SQL (and Delta Lake) CHECK semantics: only a FALSE predicate
+    * violates. */
+  private def validateWritten(dir: String): Unit = if (constraints.nonEmpty) {
+    val counts = spark.read.parquet(dir).agg(
+      count(lit(1)).as("_n"),
+      constraints.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(coalesce(expr(c), lit(true)), 0L).otherwise(1L)),
+          lit(0L)).as(s"_c$i")
+      }: _*).head()
+    val bad = constraints.zipWithIndex
+      .map { case (c, i) => c -> counts.getLong(counts.fieldIndex(s"_c$i")) }
+      .filter(_._2 > 0L)
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(
+        bad.map { case (c, n) => s"CHECK ($c): $n row(s) violate" }
+          .mkString("; "))
   }
 
   private val rootPath = new Path(root)
@@ -144,8 +147,12 @@ final class GraftTable(spark: SparkSession, val root: String,
   }
 
   /** Active file entries (path + optional stats) of version `v`.
-    * Header lines (`# key=value ...`) carry commit metadata, not files. */
-  private[graft] def entries(v: Long): Seq[FileEntry] = {
+    * Version 0 is the empty pre-first-commit state — no manifest, no
+    * files — so `changeFeed(0, v)` (and the streaming source's first
+    * batch) reads "everything since the table began" without a special
+    * case. Header lines (`# key=value ...`) carry commit metadata, not
+    * files. */
+  private[graft] def entries(v: Long): Seq[FileEntry] = if (v == 0L) Nil else {
     val in = fs.open(manifestPath(v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().map(_.trim)
@@ -212,6 +219,7 @@ final class GraftTable(spark: SparkSession, val root: String,
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val dir = new Path(rootPath, sub).toString
     df.write.parquet(dir)
+    validateWritten(dir)
     // One distributed pass records every tracked column window per file
     // (O(files) metadata to the driver, never row data). A file whose
     // window is unknown (all-null column) is conservatively un-windowed:
@@ -330,16 +338,16 @@ final class GraftTable(spark: SparkSession, val root: String,
   }
 
   /** Append `df`: new version = previous active set + the new files.
-    * Incoming rows are CHECK-validated first (commit nothing on
-    * violation). */
+    * The written rows are CHECK-validated before the manifest publishes
+    * them (commit nothing on violation). */
   def append(df: DataFrame): Long = {
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
-    commit(v, prev ++ writeData(clusterByPartition(validated(df)), v), op = "append")
+    commit(v, prev ++ writeData(clusterByPartition(df), v), op = "append")
   }
 
-  /** Replace the table content with `df` (CHECK-validated). */
-  def overwrite(df: DataFrame): Long = replaceWith(validated(df), "overwrite")
+  /** Replace the table content with `df` (CHECK-validated at write). */
+  def overwrite(df: DataFrame): Long = replaceWith(df, "overwrite")
 
   private def replaceWith(df: DataFrame, op: String): Long = {
     val v = nextVersion
@@ -377,9 +385,8 @@ final class GraftTable(spark: SparkSession, val root: String,
     * are read+rewritten; every other file entry carries over verbatim
     * (same immutable file, zero I/O). Requires the partition value to be
     * functionally determined by the merge key — see the class docs. */
-  def merge(rawUpdates: DataFrame, keyCols: Seq[String],
+  def merge(updates: DataFrame, keyCols: Seq[String],
             winnerOrder: Seq[Column]): Long = {
-    val updates = validated(rawUpdates)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(winnerOrder: _*)
     def winners(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(w))
@@ -449,14 +456,79 @@ final class GraftTable(spark: SparkSession, val root: String,
       .filter(col(c) === value)
   }
 
+  /** Partition values `pred` pins through top-level AND-conjuncts of the
+    * form `partitionCol = literal`, `literal = partitionCol`, or
+    * `partitionCol IN (literals)` — the shapes where the predicate
+    * PROVABLY implies a partition membership, so [[delete]] can route to
+    * the partition-scoped rewrite without the caller knowing
+    * [[deleteInPartitions]]. Anything else (OR at the top, ranges,
+    * expressions over the column) returns None: correctness over scoping. */
+  private def pinnedPartitions(pred: Column): Option[Seq[Long]] =
+    partitionCol.flatMap { pc =>
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+      // a Column converts to UNRESOLVED function nodes ('and, '=, 'in) in
+      // Spark 4; match both those and the resolved catalyst forms
+      object Fn {
+        def unapply(e: Expression): Option[(String, Seq[Expression])] = e match {
+          case f: UnresolvedFunction =>
+            Some((f.nameParts.last.toLowerCase, f.arguments))
+          case _ => None
+        }
+      }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r)           => conjuncts(l) ++ conjuncts(r)
+        case Fn("and", args)     => args.flatMap(conjuncts)
+        case o                   => Seq(o)
+      }
+      def isPc(e: Expression): Boolean = e match {
+        case a: UnresolvedAttribute => a.nameParts.last.equalsIgnoreCase(pc)
+        case a: AttributeReference  => a.name.equalsIgnoreCase(pc)
+        case _                      => false
+      }
+      def litLong(e: Expression): Option[Long] = e match {
+        case Literal(v, org.apache.spark.sql.types.ByteType |
+                        org.apache.spark.sql.types.ShortType |
+                        org.apache.spark.sql.types.IntegerType |
+                        org.apache.spark.sql.types.LongType) =>
+          Some(v.toString.toLong)
+        case _ => None
+      }
+      def pinned(e: Expression): Option[Seq[Long]] = e match {
+        case EqualTo(a, l) if isPc(a)      => litLong(l).map(Seq(_))
+        case EqualTo(l, a) if isPc(a)      => litLong(l).map(Seq(_))
+        case Fn("=" | "==", Seq(a, l)) if isPc(a) => litLong(l).map(Seq(_))
+        case Fn("=" | "==", Seq(l, a)) if isPc(a) => litLong(l).map(Seq(_))
+        case In(a, vs) if isPc(a) =>
+          val ls = vs.map(litLong)
+          if (ls.nonEmpty && ls.forall(_.isDefined)) Some(ls.flatten.distinct)
+          else None
+        case Fn("in", a +: vs) if isPc(a) && vs.nonEmpty =>
+          val ls = vs.map(litLong)
+          if (ls.forall(_.isDefined)) Some(ls.flatten.distinct) else None
+        case _ => None
+      }
+      val predExpr = org.apache.spark.sql.GraftPlanBridge.expr(spark, pred)
+      conjuncts(predExpr).iterator.map(pinned)
+        .collectFirst { case Some(vals) => vals }
+    }
+
   /** Row-level DELETE: publish a new version without the rows matching
     * `predicate` — the compliance path (right-to-be-forgotten) a raw
-    * parquet directory cannot offer. The rewrite is one distributed
-    * filter job over the active set; deleted rows leave the LOG when the
-    * prior versions are vacuumed (physical erasure = delete + vacuum,
-    * same two-step contract as the production lakehouse formats). */
-  def delete(predicate: Column): Long =
-    replaceWith(snapshot().filter(!predicate), "delete")
+    * parquet directory cannot offer. SQL DELETE semantics: a row is
+    * removed only when the predicate is TRUE (a NULL predicate keeps the
+    * row). When the predicate pins the partition column (e.g.
+    * `delete($"day" === 5)` on a day-partitioned table) the rewrite
+    * auto-routes to the partition-scoped path and touches only the
+    * matching files; otherwise it is one distributed filter job over the
+    * active set. Deleted rows leave the LOG when the prior versions are
+    * vacuumed (physical erasure = delete + vacuum, same two-step contract
+    * as the production lakehouse formats). */
+  def delete(predicate: Column): Long = pinnedPartitions(predicate) match {
+    case Some(vals) => deleteInPartitions(predicate, vals)
+    case None =>
+      replaceWith(snapshot().filter(!coalesce(predicate, lit(false))), "delete")
+  }
 
   /** Partition-scoped row DELETE: erase rows matching `predicate` within
     * the given partition values, rewriting ONLY the files whose partition
@@ -473,7 +545,7 @@ final class GraftTable(spark: SparkSession, val root: String,
     if (rewrite.isEmpty) commit(v, keep, op = "delete")
     else {
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
-      val kept = readEntries(rewrite, snapshot()).filter(!scoped)
+      val kept = readEntries(rewrite, snapshot()).filter(!coalesce(scoped, lit(false)))
       commit(v, keep ++ writeData(clusterByPartition(kept), v), op = "delete")
     }
   }
@@ -540,11 +612,35 @@ final class GraftTable(spark: SparkSession, val root: String,
     * `insert`-tagged rows, publish as one commit. By the change-feed
     * identity, a mirror at the feed's `fromV` content lands exactly at
     * its `toV` content — incremental sync without re-reading the source
-    * table. */
+    * table.
+    *
+    * On a `partitionCol` mirror the apply is PARTITION-SCOPED, mirroring
+    * [[merge]]: every changed row carries its partition value, so only
+    * the files whose partition window intersects the feed's values are
+    * read+rewritten — the apply loop stays O(delta) end to end instead of
+    * un-doing the O(delta) change feed with an O(table) rewrite. Every
+    * other file entry carries over verbatim (same immutable file, zero
+    * I/O). Falls back to the full rewrite without a partitionCol or when
+    * a feed row's partition is null. */
   def applyChanges(feed: DataFrame): Long = {
     val ins = feed.filter(col("_change") === "insert").drop("_change")
     val del = feed.filter(col("_change") === "delete").drop("_change")
-    replaceWith(snapshot().exceptAll(del).unionByName(ins), "apply_changes")
+    val scoped = partitionCol.flatMap(_ => touchedPartitions(feed.drop("_change")))
+    scoped match {
+      case None =>
+        // a never-committed mirror bootstraps from its first feed
+        val base = latestVersion.map(_ => snapshot())
+          .getOrElse(ins.limit(0).filter(lit(false)))
+        replaceWith(base.exceptAll(del).unionByName(ins), "apply_changes")
+      case Some(touched) =>
+        val v = nextVersion
+        val prev = latestVersion.map(entries).getOrElse(Nil)
+        val (rewrite, keep) = prev.partition(touches(_, touched))
+        val base = readEntries(rewrite, ins)
+        val applied = base.exceptAll(del).unionByName(ins)
+        commit(v, keep ++ writeData(clusterByPartition(applied), v),
+          op = "apply_changes")
+    }
   }
 
   /** Time-based retention (the production "vacuum older than 7 days"):

@@ -29,7 +29,7 @@ object AcidQueries extends QueryPack {
     * by a row-level DELETE of every user_id % 10 == 0 row (the
     * compliance-erasure path). */
   private val fixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String, String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String, String, String, String, String)]()
 
   private def events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -37,8 +37,8 @@ object AcidQueries extends QueryPack {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
   }
 
-  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
-    val (m, a, c, x, k, p, b) = fixtures.computeIfAbsent(d, { _ =>
+  private def tables(s: SparkSession, d: String): (GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable, GraftTable) = {
+    val (m, a, c, x, k, p, b, mi) = fixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val ev = events(s, d)
       val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
@@ -84,13 +84,22 @@ object AcidQueries extends QueryPack {
       val bloomRoot = s"$acidDir/bloom_$key"
       val bt = new GraftTable(s, bloomRoot, bloomCol = Some("event_id"))
       (1L to 3L).foreach(v => bt.append(slice(v - 1L)))
+      // CDC mirror of the merge table, built ONCE like every other
+      // fixture (a fresh mirror + two commits per invocation would make a
+      // read-gate row measure table writes and leak mirrors across bench
+      // repeats): seeded at v1, then one applyChanges of the v1->v3 feed.
+      val mirrorRoot = s"$acidDir/mirror_$key"
+      val mir = new GraftTable(s, mirrorRoot)
+      mir.append(mt.snapshot(Some(1L)))
+      mir.applyChanges(mt.changeFeed(1L, 3L))
       (mergeRoot, appendRoot, compactRoot, deleteRoot, skipRoot, partRoot,
-       bloomRoot)
+       bloomRoot, mirrorRoot)
     })
     (new GraftTable(s, m), new GraftTable(s, a), new GraftTable(s, c),
      new GraftTable(s, x), new GraftTable(s, k, statsCol = Some("user_id")),
      new GraftTable(s, p, partitionCol = Some("pid")),
-     new GraftTable(s, b, bloomCol = Some("event_id")))
+     new GraftTable(s, b, bloomCol = Some("event_id")),
+     new GraftTable(s, mi))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,16 +168,30 @@ object AcidQueries extends QueryPack {
     // replays the v1->v3 change feed via applyChanges and must land on
     // exactly v3's content (the latest-per-user state) — the incremental
     // sync loop (O(delta) feed -> one commit) a consumer runs instead of
-    // re-reading the source. Fresh mirror root per invocation; the
-    // per-JVM temp dir cleans them up at exit.
+    // re-reading the source. The mirror is a per-JVM fixture like every
+    // other ACID table; this row READS its snapshot.
     "q_acid_apply_changes" -> { (s, d) =>
       import s.implicits._
+      tables(s, d)._8.snapshot().orderBy($"user_id")
+    },
+
+    // The table AS a streaming source: readStream.format("graft-table")
+    // replays the merge table's commit history as per-commit change
+    // batches (maxVersionsPerBatch=1), each batch the FILE-level diff of
+    // one commit (rows of added files tagged insert, removed files
+    // delete; the two merges are full rewrites, so each tags the whole
+    // pre/post state — deterministic content). The drain is synchronous
+    // (AvailableNow -> memory sink); restart-resume and the mirror apply
+    // loop are pinned by TableStreamSpec.
+    "q_acid_stream_feed" -> { (s, d) =>
+      import s.implicits._
       val mt = tables(s, d)._1
-      val mir = new GraftTable(s,
-        s"$acidDir/mirror_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      mir.append(mt.snapshot(Some(1L)))
-      mir.applyChanges(mt.changeFeed(1L, 3L))
-      mir.snapshot().orderBy($"user_id")
+      val feed = s.readStream.format("graft-table")
+        .option("path", mt.root)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+      runToMemory(feed, "append")
+        .orderBy($"_commit_version", $"_change", $"event_id")
     },
 
     // Bloom-indexed point lookups: three needle reads on event_id, each
@@ -254,6 +277,34 @@ object AcidQueries extends QueryPack {
     "q_acid_point" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    // per-commit stream batches over the merge table: @1 the v1 content
+    // as inserts; the merges are FULL rewrites, so @2/@3 tag the whole
+    // prior state delete + the whole new state insert (v2 = latest per
+    // user over the %3<=1 slice, v3 = latest per user over all events)
+    "q_acid_stream_feed" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events WHERE event_id % 3 = 0),
+        |v2 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE event_id % 3 <= 1)
+        |  WHERE rn = 1),
+        |v3 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT *, 'insert' AS _change, CAST(1 AS BIGINT) AS _commit_version FROM v1
+        |  UNION ALL SELECT *, 'insert', CAST(2 AS BIGINT) FROM v2
+        |  UNION ALL SELECT *, 'delete', CAST(2 AS BIGINT) FROM v1
+        |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
+        |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
+        |ORDER BY _commit_version, _change, event_id""".stripMargin,
 
     // mirror@v1 + feed(1,3) = source@v3 = latest event per user
     "q_acid_apply_changes" ->

@@ -198,6 +198,60 @@ class AcidTableSpec extends SparkSpec {
     assert(t.snapshot().filter($"pid" === 1L).count() == 50)
   }
 
+  test("applyChanges rewrites only the feed's partitions; mirror matches source") {
+    def part(p: Int) =
+      (1 to 25).map(i => (p * 100L + i, p.toLong, s"u$p-$i", i * 1.0))
+        .toDF("id", "pid", "name", "v")
+    val src = new GraftTable(spark, graft.TempDirs.create("graft_acid_cdc_src"),
+      partitionCol = Some("pid"))
+    val mirror = new GraftTable(spark, graft.TempDirs.create("graft_acid_cdc_mir"),
+      partitionCol = Some("pid"))
+    src.append(part(0).union(part(1)).union(part(2)).union(part(3)))
+    mirror.applyChanges(src.changeFeed(0L, 1L)
+      .withColumn("_change", lit("insert")))  // seed: v0→v1 is all inserts
+    val before = mirror.entries(mirror.latestVersion.get)
+    assert(before.forall(_.part.isDefined))
+    // source update confined to partition 2 → feed touches only pid=2
+    val v2 = src.merge(part(2).withColumn("v", lit(42.0)),
+      Seq("id"), Seq($"v".desc))
+    val mv = mirror.applyChanges(src.changeFeed(1L, v2))
+    val after = mirror.entries(mv).map(_.path).toSet
+    val untouched = before.filter(e =>
+      e.part.exists { case (lo, hi) => hi < 2L || lo > 2L })
+    assert(untouched.nonEmpty, "range clustering should isolate partition 2")
+    assert(untouched.forall(e => after.contains(e.path)),
+      "apply must carry untouched partitions' files over verbatim (O(delta))")
+    // the mirror's content equals the source's, exactly
+    assert(mirror.snapshot().exceptAll(src.snapshot()).isEmpty &&
+           src.snapshot().exceptAll(mirror.snapshot()).isEmpty)
+  }
+
+  test("delete auto-routes to the partition-scoped path when the predicate pins it") {
+    def part(p: Int) =
+      (1 to 25).map(i => (p * 100L + i, p.toLong, s"u$p-$i", i * 1.0))
+        .toDF("id", "pid", "name", "v")
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_autodel"),
+      partitionCol = Some("pid"))
+    t.append(part(0).union(part(1)).union(part(2)).union(part(3)))
+    val before = t.entries(t.latestVersion.get)
+    val v = t.delete($"pid" === 2L && $"v" > 5.0)
+    val after = t.entries(v).map(_.path).toSet
+    val untouched = before.filter(e =>
+      e.part.exists { case (lo, hi) => hi < 2L || lo > 2L })
+    assert(untouched.nonEmpty)
+    assert(untouched.forall(e => after.contains(e.path)),
+      "a pid-pinned delete must rewrite only pid-2 files")
+    assert(t.snapshot().filter($"pid" === 2L).count() == 5)
+    assert(t.snapshot().count() == 80)
+    // IN-list pinning scopes too; unpinnable predicates stay correct
+    val v3 = t.delete($"pid".isin(0L, 1L) && $"name".endsWith("-1"))
+    assert(t.entries(v3).map(_.path).toSet
+      .intersect(before.map(_.path).toSet).nonEmpty)
+    assert(t.snapshot().count() == 78)
+    t.delete($"v" > 24.0)   // no partition pin → full path, still right
+    assert(t.snapshot().filter($"v" > 24.0).count() == 0)
+  }
+
   test("deleteInPartitions rewrites only the impacted partition's files") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_acid_pdel"),
       partitionCol = Some("pid"))
@@ -306,10 +360,16 @@ class AcidTableSpec extends SparkSpec {
     val e = intercept[Exception] { t.append(bad) }
     assert(e.getMessage.contains("id > 0") && e.getMessage.contains("1 row(s)"))
     assert(t.versions == Seq(1L), "a violating append must commit NOTHING")
-    // null constraint result = violation (SQL CHECK under enforcement)
+    // a FALSE constraint result violates (v IS NOT NULL on a null v) ...
     val nullV = Seq((7L, "n", null.asInstanceOf[java.lang.Double]))
       .toDF("id", "name", "v")
     intercept[Exception] { t.overwrite(nullV) }
+    // ... but a NULL constraint result PASSES — ANSI SQL / Delta CHECK
+    // semantics: only FALSE violates (v > 0 over a null v is NULL)
+    val t2 = new GraftTable(spark, graft.TempDirs.create("graft_acid_checknull"),
+      constraints = Seq("v > 0"))
+    t2.append(nullV)
+    assert(t2.snapshot().count() == 1)
     // merge validates its updates too
     intercept[Exception] {
       t.merge(bad, Seq("id"), Seq($"v".desc))

@@ -1,0 +1,125 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The ACID table as a streaming source (`format("graft-table")`):
+  * change-feed batches, restart resume from the committed version, and
+  * the net-per-batch apply contract. */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Seq[Long], tag: String) =
+    ids.map(i => (i, tag, i * 1.0)).toDF("id", "name", "v")
+
+  /** Drain the table stream AvailableNow against `ckpt` through
+    * foreachBatch (restart-capable sink shape) and return the delivered
+    * (change, version, id) triples of THIS run. */
+  private def runOnce(root: String, ckpt: String,
+                      opts: Map[String, String] = Map.empty): Seq[(String, Long, Long)] = {
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long)]()
+    var reader = spark.readStream.format("graft-table").option("path", root)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"_change", $"_commit_version", $"id")
+          .as[(String, Long, Long)].collect().foreach(seen.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSeq
+  }
+
+  test("restart resumes from the committed version and delivers only new commits") {
+    val root = graft.TempDirs.create("graft_tstream")
+    val ckpt = graft.TempDirs.create("graft_tstream_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L, 3L), "a"))                    // v1
+    val first = runOnce(root, ckpt)
+    assert(first.map(r => (r._1, r._2, r._3)).sorted ==
+      Seq(("insert", 1L, 1L), ("insert", 1L, 2L), ("insert", 1L, 3L)),
+      s"first run must deliver v1's content as inserts, got $first")
+    // two more commits land while the stream is down
+    t.append(rows(Seq(4L), "b"))                            // v2
+    t.delete($"id" === 1L)                                  // v3 (full rewrite)
+    val second = runOnce(root, ckpt)
+    assert(second.forall(_._2 == 3L), "_commit_version = the batch's target version")
+    // file-level diff v1 -> v3: the delete rewrote every file, so carried
+    // rows appear as self-canceling delete+insert pairs; the multiset
+    // APPLY of the batch must land exactly on the v1 -> v3 row change
+    val ins = second.filter(_._1 == "insert").map(_._3).groupBy(identity)
+    val del = second.filter(_._1 == "delete").map(_._3).groupBy(identity)
+    val net = (ins.keySet ++ del.keySet).toSeq.map(id =>
+      id -> (ins.getOrElse(id, Nil).size - del.getOrElse(id, Nil).size))
+      .filter(_._2 != 0).sortBy(_._1)
+    assert(net == Seq(1L -> -1, 4L -> 1),
+      s"batch must net to the v1->v3 change (+4, -1), got $net from $second")
+    // nothing new → an empty run
+    assert(runOnce(root, ckpt).isEmpty)
+  }
+
+  test("maxVersionsPerBatch=1 yields per-commit change batches") {
+    val root = graft.TempDirs.create("graft_tstream_percommit")
+    val ckpt = graft.TempDirs.create("graft_tstream_percommit_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L), "a"))        // v1
+    t.append(rows(Seq(3L), "b"))            // v2: append shares v1's files
+    val got = runOnce(root, ckpt, Map("maxVersionsPerBatch" -> "1"))
+    assert(got.toSet == Set(
+      ("insert", 1L, 1L), ("insert", 1L, 2L),   // v1's commit
+      ("insert", 2L, 3L)),                      // v2's commit, its file only
+      s"per-commit batches must tag each commit's own delta, got $got")
+    assert(got.map(_._2).distinct.size == 2,
+      "rate limit must split the catch-up into one batch per commit")
+  }
+
+  test("a batch spanning versions nets out churn, so applyChanges mirrors any cut") {
+    val root = graft.TempDirs.create("graft_tstream_net")
+    val ckpt = graft.TempDirs.create("graft_tstream_net_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L), "a"))                          // v1: {1}
+    t.overwrite(rows(Seq(2L), "b"))                       // v2: {2}
+    t.overwrite(rows(Seq(3L), "c"))                       // v3: {3}
+    // one batch [0 -> 3]: the intermediate {1},{2} churn must cancel
+    val got = runOnce(root, ckpt)
+    assert(got == Seq(("insert", 3L, 3L)),
+      s"net feed over [0,3] is just v3's content, got $got")
+    // the mirror loop: foreachBatch applyChanges lands on source content
+    val mirror = new GraftTable(spark, graft.TempDirs.create("graft_tstream_mir"))
+    val ckpt2 = graft.TempDirs.create("graft_tstream_ckpt2")
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) mirror.applyChanges(batch.drop("_commit_version"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(mirror.snapshot().exceptAll(t.snapshot()).isEmpty &&
+           t.snapshot().exceptAll(mirror.snapshot()).isEmpty,
+      "readStream + foreachBatch applyChanges = the streaming mirror loop")
+  }
+
+  test("startingVersion bounds the first batch (latest skips the backlog)") {
+    val root = graft.TempDirs.create("graft_tstream_start")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L), "a"))        // v1
+    t.append(rows(Seq(3L), "b"))            // v2
+    // latest on a fresh checkpoint: nothing until a NEW commit lands
+    val ckptL = graft.TempDirs.create("graft_tstream_start_l")
+    assert(runOnce(root, ckptL, Map("startingVersion" -> "latest")).isEmpty)
+    t.append(rows(Seq(4L), "c"))            // v3, after stream start
+    assert(runOnce(root, ckptL, Map("startingVersion" -> "latest"))
+      .map(_._3) == Seq(4L))
+    // explicit startingVersion=2: deliver version 2 onward
+    val ckptE = graft.TempDirs.create("graft_tstream_start_e")
+    assert(runOnce(root, ckptE, Map("startingVersion" -> "2"))
+      .map(_._3).sorted == Seq(3L, 4L))
+  }
+}
