@@ -1,0 +1,194 @@
+package graft.acid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 `TableCatalog` exposing [[GraftTable]]s to SQL — the
+  * third leg next to the catalyst extension point and the DSv2 read
+  * paths: named ACID tables become plain SQL surface
+  * (`SELECT * FROM graft.t`, `INSERT INTO graft.t`, `SELECT * FROM
+  * graft.t VERSION AS OF 3` / `TIMESTAMP AS OF ...`), the reference's
+  * whole query interface being SQL over named tables
+  * (StatefulStreamingWithMultipleStates.scala:25-30, "any SQL you want").
+  *
+  * Registration (session conf):
+  * {{{
+  *   spark.sql.catalog.graft      = graft.acid.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse/graft
+  * }}}
+  * A table named `graft.ns.t` lives at `<root>/ns/t` — an ordinary
+  * [[GraftTable]] root, fully interoperable with the Scala API and the
+  * `graft-table` streaming source.
+  *
+  * READ path: `newScanBuilder` resolves the manifest's active file list
+  * once per query plan (snapshot isolation — concurrent commits never
+  * tear a running query) and delegates to Spark's native parquet
+  * DSv2 table over exactly those files, keeping vectorized reads,
+  * whole-stage codegen, filter pushdown and column pruning — the scan a
+  * 1000-executor cluster wants, with zero custom row-reading code.
+  *
+  * WRITE path: the V1 write fallback (`V1Write`/`InsertableRelation` —
+  * the same bridge the production lakehouse catalogs use): the incoming
+  * query lands as a DataFrame and routes through [[GraftTable.append]] /
+  * [[GraftTable.overwrite]], so SQL INSERTs get the same CHECK
+  * validation, partition clustering, stats/bloom indexing and atomic
+  * manifest commit as the Scala API — one write path, not two.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+  private var spark: SparkSession = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name needs spark.sql.catalog.$name.root"))
+    spark = SparkSession.active
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(new Path(root))(new Path(_, _))
+
+  private def schemaFile(dir: Path): Path = new Path(dir, "_schema.json")
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    fs.exists(new Path(d, "_log")) || fs.exists(schemaFile(d))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(new Path(root))(new Path(_, _))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_log")) || fs.exists(schemaFile(p)))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  private def load(ident: Identifier, version: Option[Long],
+                   tsMillis: Option[Long]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val t = new GraftTable(spark, dir.toString)
+    val pinned = (version, tsMillis) match {
+      case (Some(v), _) =>
+        if (!t.versions.contains(v)) throw new NoSuchTableException(ident)
+        Some(v)
+      case (_, Some(ms)) =>
+        val h = t.history().filter(_.commitMs <= ms)
+        if (h.isEmpty) throw new NoSuchTableException(ident)
+        Some(h.last.version)
+      case _ => None
+    }
+    val declared =
+      if (fs.exists(schemaFile(dir))) {
+        val in = fs.open(schemaFile(dir))
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(StructType.fromDDL(json))
+      } else None
+    new GraftTableV2(spark, t, (ident.namespace() :+ ident.name()).mkString("."),
+      pinned, declared)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None, None)
+
+  /** `VERSION AS OF n`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong), None)
+
+  /** `TIMESTAMP AS OF ts` — the engine passes epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, None, Some(timestamp / 1000L))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = tableDir(ident)
+    fs.mkdirs(dir)
+    // the declared schema rides a sidecar so an empty table is queryable
+    // before its first commit; data commits are the source of truth after
+    val out = fs.create(schemaFile(dir), false)
+    try out.write(schema.toDDL.getBytes(UTF_8)) finally out.close()
+    load(ident, None, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported; evolve via overwrite")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tableDir(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(tableDir(newIdent).getParent)
+    fs.rename(tableDir(oldIdent), tableDir(newIdent))
+  }
+}
+
+/** The DSv2 face of one [[GraftTable]] (optionally pinned to a time-travel
+  * version): reads delegate to Spark's native parquet table over the
+  * snapshot's active files; writes fall back to V1 and route through the
+  * commit log. */
+private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
+                                 ident: String, pinned: Option[Long],
+                                 declared: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    pinned.orElse(t.latestVersion) match {
+      case Some(v) => t.snapshot(Some(v)).schema
+      case None => declared.getOrElse(throw new IllegalStateException(
+        s"table $ident has neither commits nor a declared schema"))
+    }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** Active-file resolution happens HERE, once per query plan: the file
+    * list is immutable, so the scan is a consistent snapshot however many
+    * commits land while the query runs. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = pinned.orElse(t.latestVersion)
+    val files = v.map(t.activeFiles).getOrElse(Nil)
+      .map(f => new Path(new Path(t.root), f).toString)
+    val delegate = new ParquetTable(ident, spark, options, files,
+      Some(schema()), classOf[ParquetFileFormat])
+    delegate.newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+              if (overwrite || overwriteFlag) t.overwrite(data)
+              else t.append(data)
+          }
+      }
+    }
+}

@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.acid.GraftTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** ACID commit-log table coverage (graft.acid.GraftTable): the operations
   * a production CDC/lakehouse user leans on — MERGE upsert, time travel,
@@ -194,6 +195,27 @@ object AcidQueries extends QueryPack {
         .orderBy($"_commit_version", $"_change", $"event_id")
     },
 
+    // SQL-over-named-tables through the graft TableCatalog: the append
+    // fixture read by name with VERSION AS OF time travel — the same
+    // per-version aggregate as q_acid_time_travel, but the entire query
+    // surface is SQL (catalog registration + identifier resolution +
+    // DSv2 parquet scan + version pinning), the reference's "any SQL you
+    // want" interface over the ACID log. GraftCatalogSpec pins INSERT
+    // INTO / TIMESTAMP AS OF / pushdown; this row pins SQL read parity.
+    "q_acid_sql" -> { (s, d) =>
+      import s.implicits._
+      val at = tables(s, d)._2
+      s.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val name = new Path(at.root).getName
+      (1 to 3).map { v =>
+        s.sql(
+          s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM graft.`$name` VERSION AS OF $v""".stripMargin)
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -277,6 +299,14 @@ object AcidQueries extends QueryPack {
     "q_acid_point" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    // SQL time travel = the same per-version content as the API path
+    "q_acid_sql" ->
+      """SELECT CAST(v AS BIGINT) AS version, count(*) AS n_rows,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events, unnest([1, 2, 3]) AS u(v)
+        |WHERE event_id % 3 < v
+        |GROUP BY v ORDER BY version""".stripMargin,
 
     // per-commit stream batches over the merge table: @1 the v1 content
     // as inserts; the merges are FULL rewrites, so @2/@3 tag the whole
