@@ -64,7 +64,13 @@ object SourceQueries extends QueryPack {
         val part = fs.listStatus(new Path(load)).map(_.getPath)
           .find(_.getName.startsWith("part-")).get
         val n = s.read.textFile(load).count()
-        graft.sources.BusLog.publish(conf, root, pid, part, n)
+        // min/max record ts (epoch micros) → the segment name's time
+        // index, what startingTimestamp resolution plans against
+        val bounds = ev.filter(pmod($"user_id", lit(4L)) === pid.toLong)
+          .agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+        val tsBounds = if (bounds.isNullAt(0)) None
+          else Some((bounds.getLong(0), bounds.getLong(1)))
+        graft.sources.BusLog.publish(conf, root, pid, part, n, tsBounds)
       }
       root
     })
@@ -206,6 +212,27 @@ object SourceQueries extends QueryPack {
       runToMemory(agg, "complete")
         .select($"window.start".as("day"), $"event_type", $"n")
         .orderBy($"day", $"event_type")
+    },
+
+    // Timestamp-addressed replay (Kafka offsetsForTimes): startingTimestamp
+    // resolves, per partition, to the first offset whose record ts >= T via
+    // the name-carried segment time index — "replay since Jan 16" without
+    // knowing offsets. BATCH read here so the gate pins the resolution
+    // itself: n/sum_off/min_off only match the oracle's replay if every
+    // partition started at exactly min(offset | ts >= T) — records BELOW
+    // that offset (even late ones with ts >= T... none here; ts is near-
+    // monotone) are excluded, records at/after it included regardless of ts.
+    "q_source_bus_from_ts" -> { (s, d) =>
+      import s.implicits._
+      val root = busRoot(s, d)
+      val t = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      val tMicros = t.getEpochSecond * 1000000L
+      s.read.format("graft-bus").option("path", root)
+        .option("startingTimestamp", tMicros.toString).load()
+        .groupBy($"partition".cast("long").as("bus_partition"))
+        .agg(asLong(count(lit(1))).as("n"), asLong(sum($"offset")).as("sum_off"),
+          asLong(min($"offset")).as("min_off"))
+        .orderBy($"bus_partition")
     },
 
     // Durable streaming FILE sink (exactly-once): stream events into a
@@ -485,6 +512,27 @@ object SourceQueries extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+
+    // replay the load's offset assignment, then each partition's start =
+    // its first offset with ts >= T (Kafka offsetsForTimes semantics);
+    // everything at/after that offset is read regardless of its own ts
+    "q_source_bus_from_ts" ->
+      """WITH p AS (
+        |  SELECT user_id % 4 AS bus_partition, ts,
+        |         row_number() OVER (PARTITION BY user_id % 4
+        |                            ORDER BY event_id) - 1 AS off
+        |  FROM events),
+        |starts AS (
+        |  SELECT bus_partition,
+        |         min(off) FILTER (WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |           AS start_off
+        |  FROM p GROUP BY 1)
+        |SELECT p.bus_partition, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(p.off) AS BIGINT) AS sum_off,
+        |       CAST(min(p.off) AS BIGINT) AS min_off
+        |FROM p JOIN starts USING (bus_partition)
+        |WHERE p.off >= starts.start_off
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replay the bus load: offsets = event_id rank within user_id % 4;
     // sum(off) only matches if the stream delivered each offset once

@@ -25,12 +25,15 @@ import scala.jdk.CollectionConverters._
   *
   * Log layout (immutable once published, like a broker's segment files):
   * {{{
-  *   <root>/p<k>/seg-<baseOffset%020d>-<count>.log
+  *   <root>/p<k>/seg-<baseOffset%020d>-<count>[-ts<minTs>-<maxTs>].log
   * }}}
   * one record per line: `base64(key)\tbase64(value)\t<tsMicros>` (`-` for a
   * null key). Offsets are line positions: segment base + line index —
   * contiguous per partition, resolvable from FILE NAMES alone, so offset
-  * range planning lists directories and never opens a segment.
+  * range planning lists directories and never opens a segment. The optional
+  * `ts` suffix is the segment's record-timestamp range — the per-segment
+  * time index behind `startingTimestamp`/`endingTimestamp` (Kafka's
+  * offsetsForTimes), again resolvable without opening segments.
   *
   * Exactly-once contract: Spark's streaming engine persists each batch's
   * [start, end) offset map in the checkpoint's offset log; segments are
@@ -72,11 +75,25 @@ object BusSource {
   * go through a temp file + rename so a concurrent reader never lists a
   * half-written segment. */
 object BusLog {
-  final case class Segment(base: Long, count: Long, path: Path) {
+  /** `tsMin`/`tsMax` are the segment's record-timestamp bounds (epoch
+    * micros) when the segment name carries them — the per-segment time
+    * index that lets [[offsetForTimestamp]] skip whole segments without
+    * opening them (a broker's `.timeindex` file, folded into the name so
+    * the index travels with the immutable segment). `None` for segments
+    * published without bounds — those fall back to a one-time scan. */
+  final case class Segment(base: Long, count: Long, path: Path,
+                           tsMin: Option[Long] = None, tsMax: Option[Long] = None) {
     def end: Long = base + count
   }
 
   private val SegName = """seg-(\d{20})-(\d+)\.log""".r
+  private val SegNameTs = """seg-(\d{20})-(\d+)-ts(\d+)-(\d+)\.log""".r
+
+  private def segName(base: Long, count: Long, ts: Option[(Long, Long)]): String =
+    ts match {
+      case Some((lo, hi)) => f"seg-$base%020d-$count-ts$lo-$hi.log"
+      case None           => f"seg-$base%020d-$count.log"
+    }
 
   def partitionDirs(fs: FileSystem, root: Path): Seq[(Int, Path)] =
     if (!fs.exists(root)) Nil
@@ -93,6 +110,8 @@ object BusLog {
     if (!fs.exists(pdir)) Nil
     else fs.listStatus(pdir).toSeq.map(_.getPath).flatMap { f =>
       f.getName match {
+        case SegNameTs(base, count, lo, hi) =>
+          Some(Segment(base.toLong, count.toLong, f, Some(lo.toLong), Some(hi.toLong)))
         case SegName(base, count) => Some(Segment(base.toLong, count.toLong, f))
         case _ => None
       }
@@ -162,12 +181,15 @@ object BusLog {
     val pdir = new Path(rootPath, s"p$partition")
     fs.mkdirs(pdir)
     val base = logEnd(fs, pdir)
-    val tmp = new Path(pdir, f".seg-$base%020d-${records.size}.log.tmp")
+    val name = segName(base, records.size,
+      if (records.isEmpty) None
+      else Some((records.map(_._3).min, records.map(_._3).max)))
+    val tmp = new Path(pdir, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(records.map { case (k, v, ts) => encode(k, v, ts) }
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
-    fs.rename(tmp, new Path(pdir, f"seg-$base%020d-${records.size}.log"))
+    fs.rename(tmp, new Path(pdir, name))
     base
   }
 
@@ -242,16 +264,47 @@ object BusLog {
   /** Publish an already-written line file (e.g. a distributed text-write
     * part file) as `partition`'s next segment of `count` records — the
     * bulk-load path: Spark writes the lines in parallel, only the RENAME
-    * happens here. */
+    * happens here. Pass `tsBounds` (min/max record ts, epoch micros —
+    * cheap to compute in the same distributed job that wrote the lines)
+    * to give the segment a time index; without it, timestamp-addressed
+    * reads fall back to scanning the segment once at planning. */
   def publish(conf: Configuration, root: String, partition: Int,
-              lineFile: Path, count: Long): Long = {
+              lineFile: Path, count: Long,
+              tsBounds: Option[(Long, Long)] = None): Long = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     val pdir = new Path(rootPath, s"p$partition")
     fs.mkdirs(pdir)
     val base = logEnd(fs, pdir)
-    fs.rename(lineFile, new Path(pdir, f"seg-$base%020d-$count.log"))
+    fs.rename(lineFile, new Path(pdir, segName(base, count, tsBounds)))
     base
+  }
+
+  /** Record timestamps of one segment, in offset order (a driver-side
+    * fallback scan for segments published without name-carried bounds). */
+  private def segmentTimestamps(fs: FileSystem, seg: Segment): Seq[Long] = {
+    val in = fs.open(seg.path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.split('\t')(2).toLong).toList
+    finally in.close()
+  }
+
+  /** The earliest retained offset whose record timestamp is `>= tsMicros`
+    * — Kafka's `offsetsForTimes` contract. Resolution walks the segment
+    * list (offset order), skipping every segment whose name-carried
+    * `tsMax < tsMicros` WITHOUT opening it; only the first candidate
+    * segment (and index-less legacy segments) are scanned. Returns the
+    * log end when no retained record is that recent (the consumer starts
+    * at "only records from the future"), which Kafka surfaces as null →
+    * latest. */
+  def offsetForTimestamp(fs: FileSystem, pdir: Path, tsMicros: Long): Long = {
+    val segs = segments(fs, pdir)
+    segs.iterator.flatMap { seg =>
+      if (seg.tsMax.exists(_ < tsMicros)) Iterator.empty
+      else segmentTimestamps(fs, seg).iterator.zipWithIndex.collectFirst {
+        case (ts, i) if ts >= tsMicros => seg.base + i
+      }.iterator
+    }.nextOption().getOrElse(logEnd(fs, pdir))
   }
 }
 
@@ -273,26 +326,43 @@ class BusScanBuilder(root: String, options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = new BusScan(root, required,
     Option(options.get("maxRecordsPerBatch")).map(_.toLong),
-    BusBounds.parse(Option(options.get("startingOffsets"))),
-    BusBounds.parse(Option(options.get("endingOffsets"))))
+    BusBounds.parse("starting", Option(options.get("startingOffsets")),
+      Option(options.get("startingTimestamp"))),
+    BusBounds.parse("ending", Option(options.get("endingOffsets")),
+      Option(options.get("endingTimestamp"))))
 }
 
 /** `startingOffsets` / `endingOffsets` option values: `"earliest"`,
   * `"latest"`, or an explicit per-partition JSON map `{"0":12,"1":30}`
   * (same surface as the Kafka source). A partition absent from an
-  * explicit map falls back to earliest (start) / latest (end). */
+  * explicit map falls back to earliest (start) / latest (end).
+  *
+  * `startingTimestamp` / `endingTimestamp` (epoch MICROS, the unit of the
+  * source's `timestamp` column) address the log by time instead: each
+  * partition resolves to its first offset whose record timestamp is
+  * `>= ts` via the name-carried segment time index
+  * ([[BusLog.offsetForTimestamp]]) — "replay since last night" without
+  * knowing offsets. Mutually exclusive with the offsets option of the
+  * same side, like Kafka's `startingOffsetsByTimestamp`. */
 private[sources] sealed trait BusBounds
 private[sources] object BusBounds {
   case object Earliest extends BusBounds
   case object Latest extends BusBounds
   final case class Explicit(offsets: Map[Int, Long]) extends BusBounds
-  def parse(v: Option[String]): Option[BusBounds] = v.map(_.trim match {
-    case "earliest" => Earliest
-    case "latest"   => Latest
-    case json if json.startsWith("{") => Explicit(BusOffset.fromJson(json).offsets)
-    case other => throw new IllegalArgumentException(
-      s"offsets option must be 'earliest', 'latest', or a {\"<pid>\":<off>} map; got: $other")
-  })
+  final case class AtTimestamp(tsMicros: Long) extends BusBounds
+  def parse(side: String, offsets: Option[String], timestamp: Option[String]): Option[BusBounds] = {
+    if (offsets.nonEmpty && timestamp.nonEmpty)
+      throw new IllegalArgumentException(
+        s"${side}Offsets and ${side}Timestamp are mutually exclusive")
+    timestamp.map(t => AtTimestamp(t.trim.toLong): BusBounds).orElse(
+      offsets.map(_.trim match {
+        case "earliest" => Earliest
+        case "latest"   => Latest
+        case json if json.startsWith("{") => Explicit(BusOffset.fromJson(json).offsets)
+        case other => throw new IllegalArgumentException(
+          s"offsets option must be 'earliest', 'latest', or a {\"<pid>\":<off>} map; got: $other")
+      }))
+  }
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON `{"0":12,"1":30}`
@@ -318,12 +388,15 @@ class BusScan(root: String, required: StructType,
 
   /** Resolve a bounds option against the log's current range. */
   private def resolve(b: Option[BusBounds], range: Map[Int, (Long, Long)],
-                      default: ((Long, Long)) => Long): Map[Int, Long] =
+                      fs: FileSystem, default: ((Long, Long)) => Long): Map[Int, Long] =
     b match {
       case Some(BusBounds.Earliest) => range.map { case (p, w) => p -> w._1 }
       case Some(BusBounds.Latest)   => range.map { case (p, w) => p -> w._2 }
       case Some(BusBounds.Explicit(m)) =>
         range.map { case (p, w) => p -> m.getOrElse(p, default(w)) }
+      case Some(BusBounds.AtTimestamp(ts)) =>
+        range.map { case (p, _) =>
+          p -> BusLog.offsetForTimestamp(fs, new Path(new Path(root), s"p$p"), ts) }
       case None => range.map { case (p, w) => p -> default(w) }
     }
 
@@ -335,8 +408,8 @@ class BusScan(root: String, required: StructType,
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(root).getFileSystem(conf)
       val range = BusLog.range(fs, new Path(root))
-      val from = resolve(starting, range, _._1)
-      val until = resolve(ending, range, _._2)
+      val from = resolve(starting, range, fs, _._1)
+      val until = resolve(ending, range, fs, _._2)
       range.toSeq.sortBy(_._1).collect {
         case (pid, _) if until(pid) > from(pid) =>
           BusSlice(root, pid, from(pid), until(pid)): InputPartition
@@ -372,13 +445,16 @@ class BusMicroBatchStream(root: String, conf: SerializableConfiguration,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(rangeNow.map { case (p, (_, hi)) => p -> hi })
 
-  /** First run starts at `startingOffsets` (default: each partition's
-    * earliest retained offset). Only consulted on a FRESH checkpoint —
-    * a restart resumes from the committed offset log. */
+  /** First run starts at `startingOffsets`/`startingTimestamp` (default:
+    * each partition's earliest retained offset). Only consulted on a
+    * FRESH checkpoint — a restart resumes from the committed offset log. */
   override def initialOffset(): Offset = BusOffset(starting match {
     case Some(BusBounds.Latest) => rangeNow.map { case (p, (_, hi)) => p -> hi }
     case Some(BusBounds.Explicit(m)) =>
       rangeNow.map { case (p, (lo, _)) => p -> m.getOrElse(p, lo) }
+    case Some(BusBounds.AtTimestamp(ts)) =>
+      rangeNow.map { case (p, _) =>
+        p -> BusLog.offsetForTimestamp(fs, new Path(new Path(root), s"p$p"), ts) }
     case _ => rangeNow.map { case (p, (lo, _)) => p -> lo }
   })
 

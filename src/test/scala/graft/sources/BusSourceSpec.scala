@@ -135,7 +135,8 @@ class BusSourceSpec extends SparkSpec {
     produce(root, 0, 2, off = 200)   // seg [7,9)
     // retain offsets >= 5: the [4,7) segment is partially needed → kept
     val gone = BusLog.truncate(conf, root, 0, beforeOffset = 5L)
-    assert(gone.map(_.getName) == Seq("seg-00000000000000000000-4.log"))
+    assert(gone.map(_.getName) ==
+      Seq("seg-00000000000000000000-4-ts1000000-1000003.log"))
     val df = spark.read.format("graft-bus").option("path", root).load()
     val offs = df.select($"offset").as[Long].collect().sorted.toSeq
     assert(offs == (4L to 8L), s"retained offsets intact, got $offs")
@@ -187,7 +188,8 @@ class BusSourceSpec extends SparkSpec {
     assert(consumers.values.map(_(0)).toSet == Set(4L, 7L), s"got $consumers")
     // cutoff = slowest registered consumer (A @4): only seg [0,4) retires
     val gone = BusLog.safeTruncate(conf, root)
-    assert(gone(0).map(_.getName) == Seq("seg-00000000000000000000-4.log"))
+    assert(gone(0).map(_.getName) ==
+      Seq("seg-00000000000000000000-4-ts1000000-1000003.log"))
     // A resumes from its own checkpoint (@7) and reads the retained tail
     assert(runOnce(root, ckptA).map(_._2).toSeq.sorted == Seq(7L))
   }
@@ -219,6 +221,81 @@ class BusSourceSpec extends SparkSpec {
       "new segment must continue at the high-water-mark, not re-base at 0")
     // the checkpointed consumer (start=5) receives exactly the new records
     assert(runOnce(root, ckpt) == Set((0, 5L), (0, 6L), (0, 7L)))
+  }
+
+  test("startingTimestamp/endingTimestamp resolve time→offset via the segment index") {
+    val root = graft.TempDirs.create("graft_bus_ts")
+    produce(root, 0, 3)              // ts 1000000..1000002, offsets [0,3)
+    produce(root, 0, 3, off = 3)     // ts 1000003..1000005, offsets [3,6)
+    def offs(opts: (String, String)*): Seq[Long] = {
+      val r = opts.foldLeft(spark.read.format("graft-bus").option("path", root)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      r.load().select($"offset").as[Long].collect().sorted.toSeq
+    }
+    // start mid-segment-2: only the second segment is opened (first's
+    // name-carried tsMax=1000002 < 1000004 → skipped without a read)
+    assert(offs("startingTimestamp" -> "1000004") == Seq(4L, 5L))
+    // exclusive end at the first offset with ts >= endingTimestamp
+    assert(offs("startingTimestamp" -> "1000001",
+                "endingTimestamp" -> "1000004") == Seq(1L, 2L, 3L))
+    // a timestamp beyond every record resolves to the log end → empty
+    assert(offs("startingTimestamp" -> "9999999").isEmpty)
+    // records below the resolved offset are excluded even though a ts
+    // index miss would have included them
+    assert(offs("startingTimestamp" -> "1000000") == (0L to 5L))
+    // mutual exclusion, Kafka-style
+    val err = intercept[Throwable] {
+      spark.read.format("graft-bus").option("path", root)
+        .option("startingOffsets", "earliest")
+        .option("startingTimestamp", "1000000").load().collect()
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("mutually exclusive"), s"got: $msgs")
+  }
+
+  test("startingTimestamp falls back to a scan for index-less legacy segments") {
+    val root = graft.TempDirs.create("graft_bus_ts_legacy")
+    // publish WITHOUT tsBounds → old-format name, no time index
+    val load = new org.apache.hadoop.fs.Path(root, "_load")
+    val fs = load.getFileSystem(conf)
+    fs.mkdirs(load)
+    val f = new org.apache.hadoop.fs.Path(load, "lines")
+    val out = fs.create(f, true)
+    val b64 = java.util.Base64.getEncoder
+    out.write((0 until 4).map { i =>
+      s"${b64.encodeToString(s"k$i".getBytes)}\t${b64.encodeToString(s"v$i".getBytes)}\t${2000000L + i}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    BusLog.publish(conf, root, 0, f, 4)
+    val pdir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), "p0")
+    assert(BusLog.segments(fs, pdir).head.tsMax.isEmpty, "legacy name has no index")
+    val offs = spark.read.format("graft-bus").option("path", root)
+      .option("startingTimestamp", "2000002").load()
+      .select($"offset").as[Long].collect().sorted.toSeq
+    assert(offs == Seq(2L, 3L))
+  }
+
+  test("a fresh stream with startingTimestamp begins at the resolved offset") {
+    val root = graft.TempDirs.create("graft_bus_ts_stream")
+    val ckpt = graft.TempDirs.create("graft_bus_ts_stream_ckpt")
+    produce(root, 0, 5)    // ts 1000000..1000004
+    produce(root, 1, 5)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+    val q = spark.readStream.format("graft-bus").option("path", root)
+      .option("startingTimestamp", "1000003").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select($"partition", $"offset").as[(Int, Long)].collect().foreach(seen.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet ==
+      Set((0, 3L), (0, 4L), (1, 3L), (1, 4L)),
+      s"stream must start at first offset with ts >= T per partition, got $seen")
   }
 
   test("offset json round-trips") {
