@@ -75,6 +75,34 @@ object SourceQueries extends QueryPack {
       root
     })
 
+  /** A second bus root loaded through the DSv2 WRITE path (BusSink) —
+    * `df.write.format("graft-bus")` — instead of the manual publish: the
+    * producer side of the broker surface. Single sorted task per
+    * partition keeps offset assignment deterministic (event_id rank), so
+    * the same replay oracle pins the write path end-to-end. */
+  private val busSinkFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def busSinkRoot(s: SparkSession, d: String): String =
+    busSinkFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("sink" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val root = s"$busDir/sink_$key"
+      Tables.events(s, d)
+        .select($"event_id",
+          $"user_id".cast("string").cast("binary").as("key"),
+          to_json(struct($"event_id", $"user_id", $"event_type", $"value"))
+            .cast("binary").as("value"),
+          pmod($"user_id", lit(4L)).cast("int").as("partition"),
+          unix_micros($"ts").as("timestamp"))
+        .coalesce(1).sortWithinPartitions($"event_id")
+        .drop("event_id")
+        .write.format("graft-bus").option("path", root).mode("append").save()
+      root
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- schema evolution across ingest batches (mergeSchema) ----
     // The long-lived-dataset reality: batch 1 lands without a column
@@ -233,6 +261,22 @@ object SourceQueries extends QueryPack {
         .agg(asLong(count(lit(1))).as("n"), asLong(sum($"offset")).as("sum_off"),
           asLong(min($"offset")).as("min_off"))
         .orderBy($"bus_partition")
+    },
+
+    // Producer path (BusSink): the events table written INTO a bus via
+    // df.write.format("graft-bus") — executor-staged line files, driver
+    // publish-by-rename — then read back and aggregated. n/sum_off match
+    // the replay oracle only if the write assigned every offset exactly
+    // once in event_id order and lost/duplicated nothing.
+    "q_source_bus_sink_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val root = busSinkRoot(s, d)
+      s.read.format("graft-bus").option("path", root).load()
+        .select($"partition".cast("long").as("bus_partition"), $"offset",
+          get_json_object($"value".cast("string"), "$.event_type").as("event_type"))
+        .groupBy($"bus_partition", $"event_type")
+        .agg(asLong(count(lit(1))).as("n"), asLong(sum($"offset")).as("sum_off"))
+        .orderBy($"bus_partition", $"event_type")
     },
 
     // Durable streaming FILE sink (exactly-once): stream events into a
@@ -533,6 +577,18 @@ object SourceQueries extends QueryPack {
         |FROM p JOIN starts USING (bus_partition)
         |WHERE p.off >= starts.start_off
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the DSv2-writer-loaded bus replays identically: offsets = event_id
+    // rank within user_id % 4 (single sorted writer task per partition)
+    "q_source_bus_sink_roundtrip" ->
+      """WITH p AS (
+        |  SELECT user_id % 4 AS bus_partition, event_type,
+        |         row_number() OVER (PARTITION BY user_id % 4
+        |                            ORDER BY event_id) - 1 AS off
+        |  FROM events)
+        |SELECT bus_partition, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(off) AS BIGINT) AS sum_off
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // replay the bus load: offsets = event_id rank within user_id % 4;
     // sum(off) only matches if the stream delivered each offset once

@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** DataSource V2 WRITE path for the bus log — the producer side of the
+  * broker integration ([[BusSource]] is the consumer side): `df.write
+  * .format("graft-bus")` appends a batch, `writeStream.format("graft-bus")`
+  * is a streaming sink (the Kafka-producer-sink shape).
+  *
+  * Input schema (by name, order-free): `value binary` required; `key
+  * binary`, `partition int`, `timestamp long` (epoch micros) optional.
+  * Routing: an explicit `partition` column wins; otherwise records route by
+  * key-hash modulo the `numPartitions` option (null key → partition 0) —
+  * the Kafka producer's partitioner contract.
+  *
+  * 100 TB design — NO row crosses the driver:
+  *   - each TASK streams its rows straight into per-bus-partition staged
+  *     line files under `<root>/_staged/<query>/`, accumulating count and
+  *     min/max timestamp as it writes (the segment time index comes free);
+  *   - task commit messages carry only (partition, path, count, tsBounds)
+  *     — O(files) metadata;
+  *   - the driver's job commit publishes each staged file as a segment via
+  *     pure RENAME ([[BusLog.publish]]), in (taskId, partition) order so a
+  *     re-run of the same deterministic input publishes identical content.
+  *
+  * Delivery semantics, matching the Kafka sink's contract:
+  *   - task retries never duplicate (only committed tasks' staged files
+  *     publish — Spark's output-commit coordination);
+  *   - a streaming epoch is idempotent across engine-side batch replay: a
+  *     committed epoch writes a `_epochs/<queryId>-<epoch>` marker first
+  *     checked on re-commit (restart replays of the last un-logged batch
+  *     are skipped instead of re-published);
+  *   - a driver crash in the middle of the publish loop itself can leave a
+  *     partially-published epoch (at-least-once on that window, exactly
+  *     like the Kafka sink — the log has no cross-segment transaction).
+  */
+class BusWriteBuilder(root: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new BusWrite(root, info)
+}
+
+class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
+  private def conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def layout: BusRowLayout = {
+    val s = info.schema()
+    def idx(name: String, t: DataType): Option[Int] = {
+      val i = s.fieldNames.indexOf(name)
+      if (i < 0) None
+      else if (s.fields(i).dataType != t)
+        throw new IllegalArgumentException(
+          s"graft-bus sink column '$name' must be $t, got ${s.fields(i).dataType}")
+      else Some(i)
+    }
+    val value = idx("value", BinaryType).getOrElse(throw new IllegalArgumentException(
+      s"graft-bus sink needs a 'value' binary column; got schema $s"))
+    val known = Set("key", "value", "partition", "timestamp")
+    val unknown = s.fieldNames.filterNot(known)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"graft-bus sink: unknown columns ${unknown.mkString(", ")} " +
+        "(allowed: key binary, value binary, partition int, timestamp long)")
+    BusRowLayout(idx("key", BinaryType), value,
+      idx("partition", IntegerType), idx("timestamp", LongType),
+      numPartitions = Option(info.options().get("numPartitions"))
+        .map(_.toInt).getOrElse(1))
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val stage = s"$root/_staged/${info.queryId()}"
+    override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+      val (c, l, st) = (conf, layout, stage)
+      new DataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+          new BusDataWriter(c, st, l, taskId)
+      }
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      BusCommit.publish(conf.value, root, stage, messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      BusCommit.cleanup(conf.value, stage)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val stage = s"$root/_staged/${info.queryId()}"
+    override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      val (c, l, st) = (conf, layout, stage)
+      new StreamingDataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long,
+                                  epochId: Long): DataWriter[InternalRow] =
+          new BusDataWriter(c, s"$st/e$epochId", l, taskId)
+      }
+    }
+    /** Idempotent per epoch: the `_epochs/<queryId>-<epoch>` marker is
+      * checked before publishing, so the engine's replay of the last
+      * not-yet-logged batch after a restart publishes nothing twice. */
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(root).getFileSystem(conf.value)
+      val marker = new Path(new Path(root), s"_epochs/${info.queryId()}-$epochId")
+      if (fs.exists(marker)) {
+        BusCommit.cleanup(conf.value, s"$stage/e$epochId")
+        return
+      }
+      BusCommit.publish(conf.value, root, s"$stage/e$epochId", messages)
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+    }
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      BusCommit.cleanup(conf.value, s"$stage/e$epochId")
+  }
+}
+
+/** Resolved input-column positions + routing config, shipped to tasks. */
+case class BusRowLayout(key: Option[Int], value: Int, partition: Option[Int],
+                        timestamp: Option[Int], numPartitions: Int)
+    extends Serializable
+
+/** One task's staged output: (bus partition, staged path, count, tsMin,
+  * tsMax) per partition this task touched — O(partitions) metadata. */
+case class BusWriteMessage(taskId: Long,
+                           entries: Seq[(Int, String, Long, Long, Long)])
+    extends WriterCommitMessage
+
+object BusCommit {
+  /** Driver-side job commit: publish every committed task's staged files
+    * as segments, in (taskId, partition) order — deterministic offsets
+    * for a deterministic input — then clear the staging dir. Only RENAMEs
+    * and an O(files) loop; no data moves. */
+  def publish(conf: org.apache.hadoop.conf.Configuration, root: String,
+              stage: String, messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: BusWriteMessage => m }
+      .sortBy(_.taskId)
+      .foreach(_.entries.sortBy(_._1).foreach { case (pid, path, n, lo, hi) =>
+        BusLog.publish(conf, root, pid, new Path(path), n, Some((lo, hi)))
+      })
+    cleanup(conf, stage)
+  }
+
+  def cleanup(conf: org.apache.hadoop.conf.Configuration, stage: String): Unit = {
+    val p = new Path(stage)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    // opportunistically retire now-empty staging ancestors up to _staged/
+    // itself (non-recursive delete refuses non-empty dirs — another
+    // in-flight write's staging is never touched)
+    var d = p.getParent
+    while (d != null && (d.getName == "_staged" || d.getParent != null &&
+           d.getParent.getName == "_staged")) {
+      try { if (!fs.delete(d, false)) return } catch { case _: Exception => return }
+      d = d.getParent
+    }
+  }
+}
+
+/** Executor-side writer: streams rows into one staged line file per bus
+  * partition this task sees (lazily opened), tracking count and ts bounds
+  * — constant memory per partition, no buffering of rows. */
+class BusDataWriter(conf: SerializableConfiguration, stage: String,
+                    layout: BusRowLayout, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fs = new Path(stage).getFileSystem(conf.value)
+  private val b64 = java.util.Base64.getEncoder
+  private final class Sink(val path: Path) {
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(path, true), UTF_8))
+    var n = 0L
+    var tsMin = Long.MaxValue
+    var tsMax = Long.MinValue
+  }
+  private val sinks = scala.collection.mutable.Map.empty[Int, Sink]
+
+  private def route(row: InternalRow): Int = layout.partition match {
+    case Some(i) if !row.isNullAt(i) => row.getInt(i)
+    case _ =>
+      val k = layout.key.filterNot(row.isNullAt).map(row.getBinary)
+      k.fold(0)(b => math.floorMod(java.util.Arrays.hashCode(b), layout.numPartitions))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val pid = route(row)
+    val sink = sinks.getOrElseUpdate(pid,
+      new Sink(new Path(stage, s"t$taskId-p$pid.log")))
+    val key = layout.key.filterNot(row.isNullAt).map(row.getBinary)
+    val ts = layout.timestamp.filterNot(row.isNullAt).map(row.getLong).getOrElse(0L)
+    sink.out.write(key.fold("-")(b64.encodeToString))
+    sink.out.write('\t')
+    sink.out.write(b64.encodeToString(row.getBinary(layout.value)))
+    sink.out.write('\t')
+    sink.out.write(ts.toString)
+    sink.out.write('\n')
+    sink.n += 1
+    if (ts < sink.tsMin) sink.tsMin = ts
+    if (ts > sink.tsMax) sink.tsMax = ts
+  }
+
+  override def commit(): WriterCommitMessage = {
+    sinks.values.foreach(_.out.close())
+    BusWriteMessage(taskId, sinks.toSeq.sortBy(_._1).map { case (pid, s) =>
+      (pid, s.path.toString, s.n, s.tsMin, s.tsMax)
+    })
+  }
+
+  override def abort(): Unit = {
+    sinks.values.foreach(s => { s.out.close(); fs.delete(s.path, false) })
+    sinks.clear()
+  }
+
+  override def close(): Unit = ()
+}

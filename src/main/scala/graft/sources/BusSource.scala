@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -308,13 +309,19 @@ object BusLog {
   }
 }
 
-class BusTable(root: String) extends Table with SupportsRead {
+class BusTable(root: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-bus($root)"
   override def schema(): StructType = BusSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      // accepts any write schema subset (value required, the rest
+      // optional) — BusWrite validates by name, not by position
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BusScanBuilder(root, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BusWriteBuilder(root, info)
 }
 
 /** Column pruning: an unrequested `key`/`value` is never base64-decoded,
