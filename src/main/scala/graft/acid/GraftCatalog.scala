@@ -84,7 +84,10 @@ class GraftCatalog extends TableCatalog {
                    tsMillis: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    val t = new GraftTable(spark, dir.toString)
+    // load, not new: recover the table's physical config (partition/stats/
+    // bloom columns, CHECKs) from the log so SQL writes cluster and SQL
+    // deletes partition-scope exactly like the creating API caller's
+    val t = GraftTable.load(spark, dir.toString)
     val pinned = (version, tsMillis) match {
       case (Some(v), _) =>
         if (!t.versions.contains(v)) throw new NoSuchTableException(ident)
@@ -147,11 +150,48 @@ class GraftCatalog extends TableCatalog {
 /** The DSv2 face of one [[GraftTable]] (optionally pinned to a time-travel
   * version): reads delegate to Spark's native parquet table over the
   * snapshot's active files; writes fall back to V1 and route through the
-  * commit log. */
+  * commit log. `DELETE FROM graft.t WHERE ...` routes through
+  * [[GraftTable.delete]], so SQL deletes get the same auto-partition-
+  * scoped copy-on-write (only intersecting files rewrite) as the API. */
 private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
                                  ident: String, pinned: Option[Long],
                                  declared: Option[StructType])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not => fnot}
+  import org.apache.spark.sql.sources
+
+  /** V1 filter → Column; None = untranslatable (canDeleteWhere says no and
+    * Spark raises a clear AnalysisException instead of a partial delete). */
+  private def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case sources.And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case sources.Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case sources.Not(c)    => toColumn(c).map(fnot)
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinned.isEmpty && filters.forall(toColumn(_).nonEmpty)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(pinned.isEmpty, s"cannot DELETE from a time-travel snapshot of $ident")
+    t.delete(filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true)))
+  }
 
   override def name(): String = ident
 

@@ -166,6 +166,23 @@ final class GraftTable(spark: SparkSession, val root: String,
   final case class CommitInfo(version: Long, op: String, commitMs: Long,
                               nFiles: Int)
 
+  /** Parsed `# key=value ...` header of version `v`'s manifest (empty for
+    * pre-header manifests) — commit provenance plus the table's physical
+    * config ([[GraftTable.load]] recovers stats/partition/bloom columns
+    * and CHECK constraints from here). */
+  private[acid] def headerMeta(v: Long): Map[String, String] = {
+    val in = fs.open(manifestPath(v))
+    val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).find(_.nonEmpty)
+    finally in.close()
+    first.filter(_.startsWith("#")).map { h =>
+      h.drop(1).trim.split("\\s+").flatMap(_.split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _ => None
+      }).toMap
+    }.getOrElse(Map.empty)
+  }
+
   /** The table's commit history, oldest first — the DESCRIBE HISTORY
     * surface: which operation produced each version and when. O(versions)
     * manifest header reads, no data I/O. */
@@ -308,7 +325,21 @@ final class GraftTable(spark: SparkSession, val root: String,
         throw new ConcurrentCommitException(
           s"lost the commit race for version $v at $root; rebase and retry")
       }
-    val header = s"# op=$op ts=${System.currentTimeMillis()}"
+    // The header ALSO carries the table's physical config (the Delta
+    // metaData-action pattern): a fresh handle on the same root —
+    // the SQL catalog, the streaming source, another session — recovers
+    // clustering/scoping/validation via GraftTable.load instead of
+    // silently degrading to an unconfigured table. Constraints are
+    // base64-coded (they contain spaces; header fields split on them).
+    val cfg = (statsCol.map(c => s"scol=$c").toSeq ++
+      partitionCol.map(c => s"pcol=$c").toSeq ++
+      bloomCol.map(c => s"bcol=$c").toSeq ++
+      (if (constraints.isEmpty) Nil
+       else Seq("checks=" + constraints.map(c =>
+         java.util.Base64.getUrlEncoder.withoutPadding
+           .encodeToString(c.getBytes(UTF_8))).mkString(",")))).mkString(" ")
+    val header = (s"# op=$op ts=${System.currentTimeMillis()}" +
+      (if (cfg.isEmpty) "" else s" $cfg"))
     try out.write((header +: files.map(_.line)).mkString("\n").getBytes(UTF_8))
     finally out.close()
     v
@@ -677,6 +708,26 @@ final class GraftTable(spark: SparkSession, val root: String,
 }
 
 object GraftTable {
+  /** A handle whose physical config (stats/partition/bloom columns, CHECK
+    * constraints) is RECOVERED from the latest commit's manifest header —
+    * how every consumer that didn't create the table (the SQL catalog,
+    * the streaming source, another session) gets the same clustering,
+    * partition-scoped rewrites and validation as the original writer.
+    * A fresh root (no commits yet) loads unconfigured. */
+  def load(spark: SparkSession, root: String): GraftTable = {
+    val probe = new GraftTable(spark, root)
+    probe.latestVersion.fold(probe) { v =>
+      val m = probe.headerMeta(v)
+      new GraftTable(spark, root,
+        statsCol = m.get("scol"),
+        partitionCol = m.get("pcol"),
+        bloomCol = m.get("bcol"),
+        constraints = m.get("checks").toSeq.flatMap(_.split(','))
+          .filter(_.nonEmpty)
+          .map(s => new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)))
+    }
+  }
+
   /** Per-file bloom geometry: 8192 bits (128 longs, ~1.4 KB base64 per
     * manifest line), 4 probes — ~1.2% false-positive rate at 1000
     * distinct values per file, shrinking fast with fewer. */

@@ -60,7 +60,7 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
                     parameters: Map[String, String]): GraftTable = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-table needs a 'path' option (the table root)"))
-    new GraftTable(sqlContext.sparkSession, root)
+    GraftTable.load(sqlContext.sparkSession, root)
   }
 
   private def streamSchema(t: GraftTable): StructType = {

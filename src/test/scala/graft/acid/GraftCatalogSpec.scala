@@ -66,6 +66,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Set("fresh").subsetOf(names), s"got $names")
   }
 
+  test("SQL DELETE routes through the commit log with partition scoping") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/del", partitionCol = Some("day"))
+    t.append((1L to 40L).map(i => (i, i % 4, s"n$i")).toDF("id", "day", "name"))
+    // partition-pinned DELETE: only day-2 files rewrite
+    val before = t.activeFiles(t.latestVersion.get).toSet
+    spark.sql("DELETE FROM graft.del WHERE day = 2")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del").as[Long].head() == 30L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.del WHERE day = 2").as[Long].head() == 0L)
+    val after = t.activeFiles(t.latestVersion.get).toSet
+    assert((before -- after).nonEmpty, "day-2 files replaced")
+    assert((before & after).nonEmpty,
+      "untouched partitions' files must carry over (scoped rewrite)")
+    assert(t.history().last.op.contains("delete"))
+    // arbitrary-predicate DELETE still works (full copy-on-write path)
+    spark.sql("DELETE FROM graft.del WHERE id > 35")
+    assert(spark.sql("SELECT max(id) AS m FROM graft.del").as[Long].head() <= 35L)
+    // DELETE against a time-travel snapshot is rejected
+    val err = intercept[Throwable] {
+      spark.sql("DELETE FROM graft.del VERSION AS OF 1 WHERE id = 1")
+    }
+    assert(err != null)
+  }
+
   test("filter pushdown and pruning reach the parquet scan through the catalog") {
     enableCatalog()
     val t = new GraftTable(spark, s"$warehouse/scan")
