@@ -83,5 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: rewrites the row_number()-filter top-k idiom into
     // the bounded-heap operator above (see RowNumberTopKRewrite guards)
     e.injectOptimizerRule(_ => plans.RowNumberTopKRewrite)
+    // SQL UPDATE / MERGE INTO on graft-catalog ACID tables (the catalog
+    // also self-installs these on initialize for extension-less sessions)
+    e.injectOptimizerRule(_ => acid.GraftSqlRowOps)
+    e.injectPlannerStrategy(_ => acid.GraftRowCommandStrategy)
   }
 }

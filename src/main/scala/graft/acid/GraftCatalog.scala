@@ -56,6 +56,16 @@ class GraftCatalog extends TableCatalog {
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"catalog $name needs spark.sql.catalog.$name.root"))
     spark = SparkSession.active
+    // SQL UPDATE / MERGE INTO for this catalog's tables: the rewrite rule
+    // + command strategy install idempotently on the live session via the
+    // public experimental hooks — configuring the catalog is the only
+    // setup a SQL user needs (GraftExtensions installs them too)
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(GraftSqlRowOps))
+      spark.experimental.extraOptimizations = opts :+ GraftSqlRowOps
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(GraftRowCommandStrategy))
+      spark.experimental.extraStrategies = strategies :+ GraftRowCommandStrategy
   }
 
   override def name(): String = catalogName
@@ -157,6 +167,12 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
                                  ident: String, pinned: Option[Long],
                                  declared: Option[StructType])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** The commit-log table behind this DSv2 face (SQL row-op rewrites
+    * route through its API) and whether DML may touch it (never a
+    * time-travel pin). */
+  private[acid] def underlying: GraftTable = t
+  private[acid] def writable: Boolean = pinned.isEmpty
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit, not => fnot}

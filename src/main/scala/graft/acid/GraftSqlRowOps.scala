@@ -1,0 +1,250 @@
+package graft.acid
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** SQL `UPDATE` / `MERGE INTO` for graft-catalog tables — the remaining
+  * two row-level DML verbs next to the catalog's native DELETE.
+  *
+  * Spark's built-in path for these statements requires a connector-side
+  * `SupportsRowLevelOperations` write machine; the lakehouse pattern
+  * (what Delta ships) is instead a planner-level rewrite of the analyzed
+  * `UpdateTable` / `MergeIntoTable` command into the table's own commit
+  * path. That is what this rule does: it re-expresses the analyzed
+  * assignments/conditions against [[GraftTable]]'s API and routes to
+  * [[GraftTable.update]] / [[GraftTable.mergeIntoGeneral]] — so SQL DML
+  * gets CHECK validation, partition clustering, stats/bloom indexing and
+  * partition-SCOPED rewrites, one code path with the Scala API.
+  *
+  * Installed idempotently on the live session by [[GraftCatalog
+  * .initialize]] via the public `spark.experimental` hooks (the same
+  * mechanism as [[graft.plans.TopKPerKey]]) — a user who configures the
+  * catalog gets SQL DML with no extra setup. The rule runs in the
+  * user-provided optimizer batch, safely BEFORE the planner would reject
+  * the command as unsupported; statements it cannot faithfully convert
+  * (subqueries in conditions, nested-field assignments, unresolvable
+  * references) are left untouched so Spark's own clear error surfaces
+  * instead of a wrong rewrite.
+  *
+  * Scale shape: UPDATE auto-routes partition-pinned predicates to the
+  * scoped rewrite (O(impacted files)); MERGE detects the canonical
+  * upsert shape — `ON t.<partitionCol> = s.<x>` with inserts assigning
+  * the partition column from `s.<x>` and no NOT MATCHED BY SOURCE — and
+  * passes `distinct(s.x)` as the partition cover, so only impacted
+  * partitions rewrite.
+  */
+object GraftSqlRowOps extends Rule[LogicalPlan] {
+
+  /** The graft table behind `p` with the attribute output the statement's
+    * expressions are bound to. Matches the relation both pre- and post-
+    * optimization (scan pushdown rewrites DataSourceV2Relation into
+    * DataSourceV2ScanRelation before planning — the strategy sees the
+    * latter). */
+  private def graftRel(p: LogicalPlan): Option[(Seq[Attribute], GraftTableV2)] =
+    p.collectFirst {
+      case d: DataSourceV2Relation if d.table.isInstanceOf[GraftTableV2] =>
+        (d.output, d.table.asInstanceOf[GraftTableV2])
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if s.relation.table.isInstanceOf[GraftTableV2] =>
+        (s.output, s.relation.table.asInstanceOf[GraftTableV2])
+    }
+
+  /** Rebind `e` by NAME against a target frame: every attribute reference
+    * becomes `UnresolvedAttribute(rename(name))`, resolved later against
+    * the frame the Column is applied to. None when the expression cannot
+    * be faithfully rebound (unknown attribute, subquery). */
+  private def rebind(e: Expression, names: Map[Long, String]): Option[Expression] = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    var ok = true
+    val r = e.transform {
+      case a: AttributeReference =>
+        names.get(a.exprId.id) match {
+          case Some(n) => UnresolvedAttribute.quoted(n)
+          case None    => ok = false; a
+        }
+    }
+    if (ok) Some(r) else None
+  }
+
+  private def rebindCol(e: Expression, names: Map[Long, String]): Option[Column] =
+    rebind(e, names).map(GraftPlanBridge.column)
+
+  /** Assignment list → target-column-name -> value-Column map. Keys must
+    * be plain top-level target columns (no nested fields). */
+  private def assigns(as: Seq[Assignment], targetNames: Map[Long, String],
+                      names: Map[Long, String]): Option[Map[String, Column]] = {
+    val pairs = as.map { a =>
+      val key = a.key match {
+        case ar: AttributeReference => targetNames.get(ar.exprId.id)
+        case _                      => None
+      }
+      for (k <- key; v <- rebindCol(a.value, names)) yield k -> v
+    }
+    if (pairs.forall(_.nonEmpty)) Some(pairs.flatten.toMap) else None
+  }
+
+  /** Optimizer-rule face (the GraftExtensions packaging path). NOTE:
+    * Spark's optimizer does not run user rules over top-level command
+    * nodes in every execution mode, so the load-bearing conversion path
+    * is [[GraftRowCommandStrategy]] at planning time; this rule is a
+    * best-effort early rewrite where the optimizer does descend. */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case u @ UpdateTable(target, assignments, condition) =>
+      convertUpdate(target, assignments, condition).getOrElse(u)
+    case m: MergeIntoTable =>
+      convertMerge(m).getOrElse(m)
+  }
+
+  private[acid] def convertUpdate(target: LogicalPlan, assignments: Seq[Assignment],
+                                  condition: Option[Expression]): Option[GraftRowLevelCommand] =
+    graftRel(target).filter(_._2.writable).flatMap { case (out, v2) =>
+      val names = out.map(a => a.exprId.id -> a.name).toMap
+      for {
+        sets <- assigns(assignments, names, names)
+        pred <- condition.fold(Option(lit(true)))(rebindCol(_, names))
+      } yield GraftRowLevelCommand(s"UPDATE ${v2.name}",
+        () => { v2.underlying.update(pred, sets); () })
+    }
+
+  private[acid] def convertMerge(m: MergeIntoTable): Option[GraftRowLevelCommand] = {
+    if (m.schemaEvolutionEnabled) return None
+    graftRel(m.targetTable).filter(_._2.writable).flatMap { case (tOut, v2) =>
+      val src = m.sourceTable
+      // one frame each side; duplicate names would make the __t_/__s_
+      // disambiguation ambiguous — bail to Spark's error instead
+      if (tOut.map(_.name.toLowerCase).distinct.size != tOut.size ||
+          src.output.map(_.name.toLowerCase).distinct.size != src.output.size)
+        return None
+      val tNames = tOut.map(a => a.exprId.id -> a.name).toMap
+      val names = tOut.map(a => a.exprId.id -> s"__t_${a.name}").toMap ++
+        src.output.map(a => a.exprId.id -> s"__s_${a.name}").toMap
+
+      // Some(None) = unconditional action; None = cannot convert
+      def optCond(c: Option[Expression]): Option[Option[Column]] = c match {
+        case None    => Some(None)
+        case Some(x) => rebindCol(x, names).map(Some(_))
+      }
+      def action(a: MergeAction): Option[(Option[Column], Option[Map[String, Column]])] =
+        a match {
+          case UpdateAction(c, as, _) =>
+            for (cc <- optCond(c); s <- assigns(as, tNames, names)) yield (cc, Some(s))
+          case DeleteAction(c) =>
+            optCond(c).map(cc => (cc, None))
+          case InsertAction(c, as) =>
+            for (cc <- optCond(c); s <- assigns(as, tNames, names)) yield (cc, Some(s))
+          case _ => None
+        }
+
+      val matched = m.matchedActions.map(action)
+      val notMatched = m.notMatchedActions.map(action)
+      val nmbs = m.notMatchedBySourceActions.map(action)
+      if ((matched ++ notMatched ++ nmbs).exists(_.isEmpty)) return None
+      // inserts must be assignment actions (DeleteAction can't appear in
+      // NOT MATCHED; guard anyway)
+      val inserts = notMatched.flatten
+      if (inserts.exists(_._2.isEmpty)) return None
+
+      for (cond <- rebindCol(m.mergeCondition, names)) yield {
+        val spark = v2.underlying.spark
+        val sourceDf = GraftPlanBridge.ofRows(spark, src)
+        // canonical-upsert scope detection: ON pins the partition column
+        // to a source column, and every insert assigns it from the same
+        val scopeSrcCol: Option[String] = v2.underlying.partitionColName.flatMap { pc =>
+          def conjuncts(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              conjuncts(l) ++ conjuncts(r)
+            case o => Seq(o)
+          }
+          val sIds = src.output.map(a => a.exprId.id -> a.name).toMap
+          val tIds = tOut.filter(_.name.equalsIgnoreCase(pc))
+            .map(_.exprId.id).toSet
+          conjuncts(m.mergeCondition).collectFirst {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+              if tIds.contains(a.exprId.id) && sIds.contains(b.exprId.id) =>
+              sIds(b.exprId.id)
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+              if tIds.contains(a.exprId.id) && sIds.contains(b.exprId.id) =>
+              sIds(b.exprId.id)
+          }.filter { sc =>
+            // every insert's pc assignment is exactly __s_<sc>
+            m.notMatchedActions.forall {
+              case InsertAction(_, as) => as.exists { asg =>
+                asg.key match {
+                  case k: AttributeReference if k.name.equalsIgnoreCase(pc) =>
+                    asg.value match {
+                      case vr: AttributeReference => sIds.get(vr.exprId.id).contains(sc)
+                      case _ => false
+                    }
+                  case _ => false
+                }
+              }
+              case _ => false
+            }
+          }
+        }
+        GraftRowLevelCommand(s"MERGE INTO ${v2.name}", () => {
+          val scoped =
+            if (m.notMatchedBySourceActions.nonEmpty) None
+            else scopeSrcCol.map { sc =>
+              sourceDf.select(col(sc).cast("long")).distinct()
+                .collect().toSeq.filterNot(_.isNullAt(0)).map(_.getLong(0))
+            }
+          v2.underlying.mergeIntoGeneral(sourceDf, cond,
+            matched.flatten, inserts.map { case (c, s) => (c, s.get) },
+            nmbs.flatten, scoped)
+          ()
+        })
+      }
+    }
+  }
+}
+
+/** The rewritten row-level DML statement: a leaf command whose execution
+  * runs one GraftTable commit. */
+case class GraftRowLevelCommand(label: String, run: () => Unit)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+  override def simpleString(maxFields: Int): String = s"GraftRowLevelCommand $label"
+}
+
+/** The load-bearing conversion point: experimental/injected strategies
+  * are consulted BEFORE Spark's built-in ones, so an `UpdateTable` /
+  * `MergeIntoTable` over a graft table plans here instead of hitting
+  * BasicOperators' unsupported-operation throw (the optimizer skips user
+  * rules over top-level commands, so rewriting at planning is the only
+  * hook a runtime-installed extension reliably owns). Non-graft tables
+  * and unconvertible statements return Nil — Spark's own error stands. */
+object GraftRowCommandStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftRowLevelCommand => GraftRowLevelCommandExec(c.label, c.run) :: Nil
+    case UpdateTable(target, assignments, condition) =>
+      GraftSqlRowOps.convertUpdate(target, assignments, condition)
+        .map(c => GraftRowLevelCommandExec(c.label, c.run) :: Nil).getOrElse(Nil)
+    case m: MergeIntoTable =>
+      GraftSqlRowOps.convertMerge(m)
+        .map(c => GraftRowLevelCommandExec(c.label, c.run) :: Nil).getOrElse(Nil)
+    case _ => Nil
+  }
+}
+
+/** Executes the commit exactly once however the engine drives the plan
+  * (collect for eager commands, execute for composed plans). */
+case class GraftRowLevelCommandExec(label: String, run: () => Unit)
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit = run()
+  override protected def doExecute(): RDD[InternalRow] = {
+    done; sparkContext.emptyRDD[InternalRow]
+  }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override def executeTake(n: Int): Array[InternalRow] = { done; Array.empty }
+  override def executeTail(n: Int): Array[InternalRow] = { done; Array.empty }
+}

@@ -57,11 +57,13 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * partitions), otherwise a key's old row in an untouched partition would
   * survive next to its new row.
   */
-final class GraftTable(spark: SparkSession, val root: String,
+final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        statsCol: Option[String] = None,
                        partitionCol: Option[String] = None,
                        bloomCol: Option[String] = None,
                        constraints: Seq[String] = Nil) {
+
+  private[acid] def partitionColName: Option[String] = partitionCol
   import GraftTable.{BloomBits, BloomK, bloomPositions}
 
   /** A write violated a table constraint; nothing was committed. */
@@ -436,6 +438,83 @@ final class GraftTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** General MERGE INTO with full SQL semantics — arbitrary WHEN MATCHED
+    * (update/delete), WHEN NOT MATCHED (insert), and WHEN NOT MATCHED BY
+    * SOURCE (update/delete) action lists, each optionally conditioned,
+    * first-applicable-wins ([[merge]] is the specialized key-upsert).
+    *
+    * All conditions/assignments are Columns over a DISAMBIGUATED join
+    * frame: target columns appear as `__t_<name>`, source columns as
+    * `__s_<name>` (SQL's `t.x` / `s.x` qualification, made collision-proof
+    * for the one full-outer join this evaluates through). For matched /
+    * not-matched-by-source actions `None` assignments mean DELETE.
+    *
+    * One pass: full-outer-join target with source on the merge condition,
+    * pick each row's branch (matched / source-only / target-only) and its
+    * first applicable action, emit the surviving rows as the new version.
+    * With `scopedTouched` (the partition values the caller PROVED cover
+    * every matched target row and every insert — e.g. the merge condition
+    * pins `__t_<partitionCol> = __s_<x>` and inserts assign the partition
+    * column from `__s_<x>`, so `distinct(x)` is a cover) and no
+    * not-matched-by-source actions, only intersecting files rewrite;
+    * everything else carries over verbatim — the O(impacted partitions)
+    * MERGE a 100 TB table needs. */
+  def mergeIntoGeneral(source: DataFrame, condition: Column,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      notMatched: Seq[(Option[Column], Map[String, Column])],
+      notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])],
+      scopedTouched: Option[Seq[Long]] = None): Long = {
+
+    def assemble(base: DataFrame): DataFrame = {
+      val schema = base.schema
+      def ren(df: DataFrame, p: String, present: String) =
+        df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
+          lit(true).as(present): _*)
+      val joined = ren(base, "__t_", "__t_present")
+        .join(ren(source, "__s_", "__s_present"), condition, "full_outer")
+      val tp = coalesce(col("__t_present"), lit(false))
+      val sp = coalesce(col("__s_present"), lit(false))
+      def applies(c: Option[Column]): Column =
+        coalesce(c.getOrElse(lit(true)), lit(false))
+      def chainKeep(actions: Seq[(Option[Column], Boolean)], default: Boolean): Column =
+        actions.foldRight(lit(default): Column) { case ((cond, keeps), els) =>
+          when(applies(cond), lit(keeps)).otherwise(els)
+        }
+      def chainVal(actions: Seq[(Option[Column], Option[Column])], default: Column): Column =
+        actions.foldRight(default) { case ((cond, v), els) =>
+          when(applies(cond), v.getOrElse(default)).otherwise(els)
+        }
+      val keep =
+        when(tp && sp, chainKeep(matched.map { case (c, o) => (c, o.nonEmpty) }, default = true))
+          .when(sp && !tp, chainKeep(notMatched.map { case (c, _) => (c, true) }, default = false))
+          .otherwise(chainKeep(
+            notMatchedBySource.map { case (c, o) => (c, o.nonEmpty) }, default = true))
+      def norm(m: Map[String, Column]) = m.map { case (k, v) => k.toLowerCase -> v }
+      val out = schema.fields.toIndexedSeq.map { f =>
+        val tc = col(s"__t_${f.name}")
+        val key = f.name.toLowerCase
+        when(tp && sp, chainVal(matched.map { case (c, o) =>
+            (c, o.map(m => norm(m).getOrElse(key, tc))) }, tc))
+          .when(sp && !tp, chainVal(notMatched.map { case (c, m) =>
+            (c, Some(norm(m).getOrElse(key, lit(null)))) }, lit(null)))
+          .otherwise(chainVal(notMatchedBySource.map { case (c, o) =>
+            (c, o.map(m => norm(m).getOrElse(key, tc))) }, tc))
+          .cast(f.dataType).as(f.name)
+      }
+      joined.filter(keep).select(out: _*)
+    }
+
+    scopedTouched.filter(_ => notMatchedBySource.isEmpty && partitionCol.nonEmpty) match {
+      case Some(vals) =>
+        val v = nextVersion
+        val prev = latestVersion.map(entries).getOrElse(Nil)
+        val (rewrite, keep) = prev.partition(touches(_, vals.sorted))
+        val result = assemble(readEntries(rewrite, snapshot()))
+        commit(v, keep ++ writeData(clusterByPartition(result), v), op = "merge")
+      case None => replaceWith(assemble(snapshot()), "merge")
+    }
+  }
+
   /** Files of `version` whose stats window overlaps [lo, hi] — a file
     * with no recorded stats is never skipped (correctness over pruning). */
   private[graft] def filesForRange(lo: Long, hi: Long,
@@ -578,6 +657,63 @@ final class GraftTable(spark: SparkSession, val root: String,
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val kept = readEntries(rewrite, snapshot()).filter(!coalesce(scoped, lit(false)))
       commit(v, keep ++ writeData(clusterByPartition(kept), v), op = "delete")
+    }
+  }
+
+  /** Row-level UPDATE: publish a new version where rows matching
+    * `predicate` have the `set` assignments applied. SQL UPDATE
+    * semantics: every right-hand side evaluates against the OLD row
+    * (single-select application, so `SET a = b, b = a` swaps), and a
+    * NULL predicate leaves the row untouched. A partition-pinned
+    * predicate auto-routes to the scoped rewrite exactly like
+    * [[delete]]; assigning TO the partition column disables scoping
+    * (rows could migrate out of the pinned partitions). */
+  def update(predicate: Column, set: Map[String, Column]): Long = {
+    val scoped = pinnedPartitions(predicate)
+      .filter(_ => !partitionCol.exists(set.keySet.map(_.toLowerCase)
+        .contains(_)))
+    scoped match {
+      case Some(vals) => updateInPartitions(predicate, set, vals)
+      case None =>
+        replaceWith(applyAssignments(snapshot(), predicate, set), "update")
+    }
+  }
+
+  /** `df` with `set` applied to rows matching `predicate` — one SELECT,
+    * so all assignments see the pre-update row. Values cast back to the
+    * column's declared type (the analyzer does this for SQL; API callers
+    * get the same coercion). */
+  private def applyAssignments(df: DataFrame, predicate: Column,
+                               set: Map[String, Column]): DataFrame = {
+    val byName = set.map { case (k, v) => k.toLowerCase -> v }
+    val unknown = byName.keySet -- df.columns.map(_.toLowerCase).toSet
+    require(unknown.isEmpty, s"unknown update columns: ${unknown.mkString(", ")}")
+    val hit = coalesce(predicate, lit(false))
+    df.select(df.columns.toIndexedSeq.map { c =>
+      byName.get(c.toLowerCase)
+        .map(v => when(hit, v).otherwise(col(c))
+          .cast(df.schema(c).dataType).as(c))
+        .getOrElse(col(c))
+    }: _*)
+  }
+
+  /** Partition-scoped row UPDATE: apply `set` to rows matching
+    * `predicate` within the given partition values, rewriting ONLY the
+    * intersecting files — every other file entry carries over verbatim
+    * ([[deleteInPartitions]]' shape for updates). */
+  def updateInPartitions(predicate: Column, set: Map[String, Column],
+                         partitions: Seq[Long]): Long = {
+    val pc = partitionCol.getOrElse(throw new IllegalStateException(
+      "updateInPartitions needs a partitionCol-enabled table"))
+    val v = nextVersion
+    val prev = latestVersion.map(entries).getOrElse(Nil)
+    val touched = partitions.sorted
+    val (rewrite, keep) = prev.partition(touches(_, touched))
+    if (rewrite.isEmpty) commit(v, keep, op = "update")
+    else {
+      val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
+      val updated = applyAssignments(readEntries(rewrite, snapshot()), scoped, set)
+      commit(v, keep ++ writeData(clusterByPartition(updated), v), op = "update")
     }
   }
 

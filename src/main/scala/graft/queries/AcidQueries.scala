@@ -103,6 +103,54 @@ object AcidQueries extends QueryPack {
      new GraftTable(s, mi))
   }
 
+  /** SQL-DML fixture tables (built once per JVM per scale dir): a
+    * pid-partitioned copy of events mutated by SQL `UPDATE`, and a
+    * pid-partitioned latest-per-user table built by SQL `MERGE INTO`
+    * (CDC upsert shape: ON pins the partition column, so the merge
+    * rewrites only impacted partitions — GraftCatalogSpec pins the
+    * carried-files invariant; these rows pin row-level correctness). */
+  private val sqlDmlFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def sqlDmlTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
+    val (u, m) = sqlDmlFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("sqldml" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      s.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val ev = events(s, d).withColumn("pid", pmod($"user_id", lit(8L)))
+      val uRoot = s"$acidDir/squpd_$key"
+      val ut = new GraftTable(s, uRoot, partitionCol = Some("pid"))
+      ut.append(ev)
+      s.sql(s"UPDATE graft.`${new Path(uRoot).getName}` " +
+        "SET value = value * 2 WHERE pid = 3")
+      val mRoot = s"$acidDir/sqmrg_$key"
+      val mt2 = new GraftTable(s, mRoot, partitionCol = Some("pid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      def latest(df: DataFrame) = df.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      mt2.append(latest(ev.filter(pmod($"event_id", lit(3L)) === 0L)))
+      latest(ev.filter(pmod($"event_id", lit(3L)) =!= 0L))
+        .createOrReplaceTempView("graft_sql_merge_src")
+      s.sql(
+        s"""MERGE INTO graft.`${new Path(mRoot).getName}` t
+           |USING graft_sql_merge_src s
+           |ON t.user_id = s.user_id AND t.pid = s.pid
+           |WHEN MATCHED AND (s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id))
+           |  THEN UPDATE SET event_id = s.event_id, ts = s.ts,
+           |                  event_type = s.event_type, value = s.value
+           |WHEN NOT MATCHED THEN
+           |  INSERT (event_id, user_id, ts, event_type, value, pid)
+           |  VALUES (s.event_id, s.user_id, s.ts, s.event_type, s.value, s.pid)
+           |""".stripMargin)
+      (uRoot, mRoot)
+    })
+    (GraftTable.load(s, u), GraftTable.load(s, m))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MERGE through the commit log: after append(0) + merge(1) + merge(2)
@@ -216,6 +264,25 @@ object AcidQueries extends QueryPack {
       }.reduce(_.unionByName(_)).orderBy($"version")
     },
 
+    // SQL UPDATE through the catalog: value doubled for one partition via
+    // plain SQL, routed through the commit log's partition-scoped rewrite
+    // (only pid-3 files rewrote — GraftCatalogSpec pins the file
+    // carry-over; this row pins every value, touched and untouched).
+    "q_acid_sql_update" -> { (s, d) =>
+      import s.implicits._
+      sqlDmlTables(s, d)._1.snapshot().orderBy($"event_id")
+    },
+
+    // SQL MERGE INTO through the catalog: the CDC upsert (matched-and-
+    // newer update / not-matched insert) lands the latest-per-user state,
+    // and because ON pins the partition column the merge rewrote only
+    // impacted partitions. Same end-state contract as q_acid_merge, now
+    // produced entirely by a SQL statement.
+    "q_acid_sql_merge" -> { (s, d) =>
+      import s.implicits._
+      sqlDmlTables(s, d)._2.snapshot().orderBy($"user_id")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -299,6 +366,24 @@ object AcidQueries extends QueryPack {
     "q_acid_point" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    // doubling a double is exponent arithmetic — bit-exact cross-engine
+    "q_acid_sql_update" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CASE WHEN user_id % 8 = 3 THEN value * 2 ELSE value END AS value,
+        |       user_id % 8 AS pid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // seed = latest-per-user of the %3==0 slice; merge of the latest-per-
+    // user remainder under "newer wins" lands the overall latest per user
+    "q_acid_sql_merge" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |       user_id % 8 AS pid
+        |FROM (SELECT event_id, user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // SQL time travel = the same per-version content as the API path
     "q_acid_sql" ->

@@ -19,6 +19,13 @@ object GraftPlanBridge {
   def expr(session: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     session.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Catalyst Expression -> Column (the reverse door): wraps a resolved
+    * or unresolved expression so DataFrame combinators can keep building
+    * on it. Used by the SQL row-op rewrites, which re-express analyzed
+    * UPDATE/MERGE expressions against a differently-shaped frame. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Clone the session: same SparkContext/SharedState, but a COPY of the
     * session state (conf, temp views, registered functions). Lets a
     * streaming query start under a per-query conf override (state-store

@@ -91,6 +91,57 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err != null)
   }
 
+  test("SQL UPDATE applies old-row semantics with a partition-scoped rewrite") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/upd", partitionCol = Some("day"))
+    t.append((1L to 40L).map(i => (i, i % 4, i * 1.0)).toDF("id", "day", "v"))
+    val before = t.activeFiles(t.latestVersion.get).toSet
+    spark.sql("UPDATE graft.upd SET v = v + 100 WHERE day = 2")
+    val after = t.activeFiles(t.latestVersion.get).toSet
+    assert((before & after).nonEmpty, "untouched partitions' files carry over")
+    assert((before -- after).nonEmpty, "day-2 files replaced")
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.upd WHERE day = 2")
+      .as[Double].head() == (2.0 + 6 + 10 + 14 + 18 + 22 + 26 + 30 + 34 + 38) + 1000.0)
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.upd WHERE day = 1")
+      .as[Double].head() == 1.0 + 5 + 9 + 13 + 17 + 21 + 25 + 29 + 33 + 37)
+    assert(t.history().last.op == "update")
+    // every RHS evaluates against the OLD row: SET a = b, b = a swaps
+    val sw = new GraftTable(spark, s"$warehouse/swp")
+    sw.append(Seq((1L, 2L)).toDF("a", "b"))
+    spark.sql("UPDATE graft.swp SET a = b, b = a")
+    assert(spark.sql("SELECT a, b FROM graft.swp").as[(Long, Long)].head() == (2L, 1L))
+  }
+
+  test("SQL MERGE INTO: conditioned update/delete/insert and partition-scoped upsert") {
+    enableCatalog()
+    // canonical upsert, ON pinning the partition column → scoped rewrite
+    val t = new GraftTable(spark, s"$warehouse/mrg", partitionCol = Some("day"))
+    t.append((1L to 40L).map(i => (i, i % 4, i * 1.0)).toDF("id", "day", "v"))
+    val before = t.activeFiles(t.latestVersion.get).toSet
+    spark.sql("""MERGE INTO graft.mrg t
+      USING (SELECT CAST(2 AS BIGINT) AS mid, CAST(2 AS BIGINT) AS mday, 999.0 AS mv
+             UNION ALL SELECT 99, 2, 123.0) s
+      ON t.id = s.mid AND t.day = s.mday
+      WHEN MATCHED THEN UPDATE SET v = s.mv
+      WHEN NOT MATCHED THEN INSERT (id, day, v) VALUES (s.mid, s.mday, s.mv)""")
+    val after = t.activeFiles(t.latestVersion.get).toSet
+    assert((before & after).nonEmpty, "only day-2 files rewrite on a pinned merge")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mrg").as[Long].head() == 41L)
+    assert(spark.sql("SELECT v FROM graft.mrg WHERE id = 2").as[Double].head() == 999.0)
+    assert(spark.sql("SELECT v FROM graft.mrg WHERE id = 99").as[Double].head() == 123.0)
+    assert(t.history().last.op == "merge")
+    // general actions: matched DELETE + NOT MATCHED BY SOURCE UPDATE
+    val g = new GraftTable(spark, s"$warehouse/mrg2")
+    g.append(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+    spark.sql("""MERGE INTO graft.mrg2 t
+      USING (SELECT CAST(2 AS BIGINT) AS id UNION ALL SELECT 9) s
+      ON t.id = s.id
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * 2""")
+    assert(spark.sql("SELECT id, v FROM graft.mrg2 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 20.0), (3L, 60.0)))
+  }
+
   test("filter pushdown and pruning reach the parquet scan through the catalog") {
     enableCatalog()
     val t = new GraftTable(spark, s"$warehouse/scan")
