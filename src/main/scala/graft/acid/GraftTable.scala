@@ -315,7 +315,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * ONE atomicity point in the format. The header line records the
     * operation and wall-clock commit time for [[history]]/[[snapshotAt]]. */
   private[graft] def commit(v: Long, files: Seq[FileEntry],
-                            op: String = "commit"): Long = {
+                            op: String = "commit",
+                            txn: Option[(String, Long)] = None): Long = {
     fs.mkdirs(logDir)
     val p = manifestPath(v)
     if (fs.exists(p))
@@ -333,7 +334,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // clustering/scoping/validation via GraftTable.load instead of
     // silently degrading to an unconfigured table. Constraints are
     // base64-coded (they contain spaces; header fields split on them).
-    val cfg = (statsCol.map(c => s"scol=$c").toSeq ++
+    val cfg = (txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
+      statsCol.map(c => s"scol=$c").toSeq ++
       partitionCol.map(c => s"pcol=$c").toSeq ++
       bloomCol.map(c => s"bcol=$c").toSeq ++
       (if (constraints.isEmpty) Nil
@@ -373,19 +375,38 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   /** Append `df`: new version = previous active set + the new files.
     * The written rows are CHECK-validated before the manifest publishes
     * them (commit nothing on violation). */
-  def append(df: DataFrame): Long = {
+  /** Append `df` as one commit. `txn = (writerId, epoch)` stamps the
+    * commit with an idempotence token (Delta's txn action): a streaming
+    * writer records its (queryId, batchId) here and [[lastTxn]] answers
+    * "did this epoch already land?" across restarts — exactly-once
+    * streaming writes with no side ledger. */
+  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
-    commit(v, prev ++ writeData(clusterByPartition(df), v), op = "append")
+    commit(v, prev ++ writeData(clusterByPartition(df), v), op = "append", txn = txn)
   }
 
   /** Replace the table content with `df` (CHECK-validated at write). */
-  def overwrite(df: DataFrame): Long = replaceWith(df, "overwrite")
+  def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Long =
+    replaceWith(df, "overwrite", txn)
 
-  private def replaceWith(df: DataFrame, op: String): Long = {
+  private def replaceWith(df: DataFrame, op: String,
+                          txn: Option[(String, Long)] = None): Long = {
     val v = nextVersion
-    commit(v, writeData(clusterByPartition(df), v), op)
+    commit(v, writeData(clusterByPartition(df), v), op, txn)
   }
+
+  /** The newest epoch `writerId` has committed (manifest headers scanned
+    * newest-first, O(versions) metadata reads) — the restart question a
+    * streaming sink asks before applying a replayed batch. */
+  def lastTxn(writerId: String): Option[Long] =
+    versions.reverseIterator.flatMap { v =>
+      val m = headerMeta(v)
+      m.get("txn").flatMap(_.split(":", 2) match {
+        case Array(id, epoch) if id == writerId => epoch.toLongOption
+        case _ => None
+      })
+    }.nextOption()
 
   /** The touched partition windows test: does `e`'s partition window
     * contain any of the (sorted) touched values? A file with no recorded

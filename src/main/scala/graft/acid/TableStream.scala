@@ -2,9 +2,10 @@ package graft.acid
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Source, Offset => OffsetV1}
+import org.apache.spark.sql.execution.streaming.{Sink, Source, Offset => OffsetV1}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** `spark.readStream.format("graft-table")` — the ACID table AS a
@@ -53,8 +54,43 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * this reason); the admission-control/AvailableNow mixins below are the
   * ones Spark's own `FileStreamSource` pairs with V1.
   */
-class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftTableSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** `writeStream.format("graft-table")` — the ACID table AS a streaming
+    * SINK, closing the loop with the source above: a pipeline can
+    * `readStream` one table and `writeStream` another with exactly-once
+    * end to end and no hand-written foreachBatch.
+    *
+    * Exactly-once via the commit log itself (Delta's txn action, no side
+    * ledger): every batch commit is stamped `txn=<writerId>:<batchId>`
+    * (writerId = digest of the checkpoint location) and [[GraftTable
+    * .lastTxn]] answers "did this batch already land?" — so the engine's
+    * replay of the last un-logged batch after a restart commits nothing
+    * twice, and a concurrent API writer is safe because the stamped
+    * append goes through the same optimistic-concurrency commit as every
+    * other mutation.
+    *
+    * Output modes: Append → one log append per batch; Complete → one
+    * atomic overwrite per batch (the table tracks the full aggregation
+    * state — its history is the per-batch state timeline). Table options
+    * (`partitionCol`, `statsCol`, `bloomCol`) configure a FRESH table's
+    * first commit; an existing table's persisted config wins. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table sink needs a 'path' option (the table root)"))
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-table sink supports Append and Complete modes, got $outputMode")
+    val writerId = java.util.UUID.nameUUIDFromBytes(
+      parameters.getOrElse("checkpointLocation", root)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    new GraftTableSink(sqlContext.sparkSession, root, parameters,
+      overwriteEachBatch = outputMode == OutputMode.Complete(), writerId)
+  }
 
   private def table(sqlContext: SQLContext,
                     parameters: Map[String, String]): GraftTable = {
@@ -88,6 +124,40 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
 /** Offset = committed table version. */
 case class TableVersionOffset(v: Long) extends OffsetV1 {
   override def json: String = v.toString
+}
+
+/** The streaming sink: one txn-stamped commit per micro-batch (see
+  * [[GraftTableSourceProvider.createSink]] for the exactly-once
+  * contract). A fresh root's first commit takes its physical config from
+  * the sink options; afterwards [[GraftTable.load]] recovers it from the
+  * log, so restarts and concurrent readers agree. */
+class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
+                     parameters: Map[String, String],
+                     overwriteEachBatch: Boolean, writerId: String)
+    extends Sink {
+
+  private def table(): GraftTable = {
+    val loaded = GraftTable.load(spark, root)
+    if (loaded.latestVersion.nonEmpty) loaded
+    else new GraftTable(spark, root,
+      statsCol = parameters.get("statsCol"),
+      partitionCol = parameters.get("partitionCol"),
+      bloomCol = parameters.get("bloomCol"))
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val t = table()
+    // engine replay of an already-landed batch (restart before the commit
+    // log recorded it): the txn stamp says so — skip, don't double-commit
+    if (t.lastTxn(writerId).exists(_ >= batchId)) return
+    val df = org.apache.spark.sql.GraftPlanBridge.asBatchDataFrame(spark, data)
+    t.commitWithRetry() {
+      if (overwriteEachBatch) t.overwrite(df, txn = Some((writerId, batchId)))
+      else t.append(df, txn = Some((writerId, batchId)))
+    }
+  }
+
+  override def toString: String = s"GraftTableSink[$root]"
 }
 
 class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,

@@ -151,6 +151,35 @@ object AcidQueries extends QueryPack {
     (GraftTable.load(s, u), GraftTable.load(s, m))
   }
 
+  /** Source→sink pipeline fixture: the append table's commit history
+    * streamed through readStream("graft-table") INTO a downstream table
+    * via writeStream("graft-table") — no foreachBatch anywhere. Built
+    * once per JVM; the gate row reads the downstream snapshot. */
+  private val streamSinkFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamSinkTable(s: SparkSession, d: String): GraftTable = {
+    val root = streamSinkFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("ssink" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val at = tables(s, d)._2
+      val down = s"$acidDir/ssink_$key"
+      val ckpt = s"$acidDir/ssink_ckpt_$key"
+      val q = s.readStream.format("graft-table").option("path", at.root).load()
+        .filter($"_change" === "insert")
+        .drop("_change", "_commit_version")
+        .writeStream.format("graft-table")
+        .option("path", down).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      down
+    })
+    GraftTable.load(s, root)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MERGE through the commit log: after append(0) + merge(1) + merge(2)
@@ -283,6 +312,16 @@ object AcidQueries extends QueryPack {
       sqlDmlTables(s, d)._2.snapshot().orderBy($"user_id")
     },
 
+    // Table-to-table streaming pipeline: the append table's commits flow
+    // through readStream("graft-table") into a downstream ACID table via
+    // writeStream("graft-table") — txn-stamped exactly-once commits on
+    // the sink side, no foreachBatch. The downstream snapshot must hold
+    // exactly the upstream content (every appended row once).
+    "q_acid_stream_sink" -> { (s, d) =>
+      import s.implicits._
+      streamSinkTable(s, d).snapshot().orderBy($"event_id")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -366,6 +405,11 @@ object AcidQueries extends QueryPack {
     "q_acid_point" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    // the pipeline moves every appended row exactly once
+    "q_acid_stream_sink" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // doubling a double is exponent arithmetic — bit-exact cross-engine
     "q_acid_sql_update" ->

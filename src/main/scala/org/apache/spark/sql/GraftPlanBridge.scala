@@ -26,6 +26,17 @@ object GraftPlanBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Re-wrap a Sink.addBatch frame as a standalone batch DataFrame: the
+    * incoming frame is backed by the streaming micro-batch's incremental
+    * execution and cannot be re-planned with arbitrary batch transforms;
+    * its already-planned InternalRow RDD can (the pattern every
+    * production lakehouse streaming sink uses). */
+  def asBatchDataFrame(session: SparkSession, df: DataFrame): DataFrame = {
+    val cs = session.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.DataFrame].queryExecution.toRdd, df.schema)
+  }
+
   /** Clone the session: same SparkContext/SharedState, but a COPY of the
     * session state (conf, temp views, registered functions). Lets a
     * streaming query start under a per-query conf override (state-store

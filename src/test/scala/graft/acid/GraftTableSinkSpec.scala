@@ -1,0 +1,130 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** `writeStream.format("graft-table")` — the ACID table as a streaming
+  * SINK: per-batch txn-stamped commits, replay idempotence, Complete-mode
+  * overwrite, and config recovery on a fresh root. */
+class GraftTableSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append mode commits one txn-stamped version per batch; replayed batches are no-ops") {
+    val input = MemoryStream[(Long, Long)](spark)
+    val root = graft.TempDirs.create("graft_tsink")
+    val ckpt = graft.TempDirs.create("graft_tsink_ckpt")
+    val q = input.toDS().toDF("id", "day")
+      .writeStream.format("graft-table")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("partitionCol", "day")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      input.addData((1L, 0L), (2L, 1L))
+      q.processAllAvailable()
+      input.addData((3L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = GraftTable.load(spark, root)
+    assert(t.versions == Seq(1L, 2L), s"one commit per batch, got ${t.versions}")
+    assert(t.history().map(_.op) == Seq("append", "append"))
+    assert(t.snapshot().orderBy($"id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 0L)))
+    // txn stamps recorded: the writer's last epoch is batch 1
+    val writerId = java.util.UUID.nameUUIDFromBytes(
+      ckpt.getBytes("UTF-8")).toString
+    assert(t.lastTxn(writerId).contains(1L))
+    // the sink-configured partitionCol persisted into the log
+    assert(t.partitionColName.contains("day"))
+    // direct replay of a landed batch (the engine's restart path for the
+    // last un-logged batch) commits nothing
+    val sink = new GraftTableSink(spark, root, Map.empty,
+      overwriteEachBatch = false, writerId)
+    sink.addBatch(1L, Seq((99L, 9L)).toDF("id", "day"))
+    assert(GraftTable.load(spark, root).versions == Seq(1L, 2L),
+      "replayed batch must not commit")
+    assert(GraftTable.load(spark, root).snapshot().count() == 3L)
+    // a NEW batch from the same writer does commit
+    sink.addBatch(2L, Seq((4L, 1L)).toDF("id", "day"))
+    assert(GraftTable.load(spark, root).snapshot().count() == 4L)
+  }
+
+  test("complete mode overwrites the table with each batch's full state") {
+    val input = MemoryStream[(String, Long)](spark)
+    val root = graft.TempDirs.create("graft_tsink_complete")
+    val ckpt = graft.TempDirs.create("graft_tsink_complete_ckpt")
+    val agg = input.toDS().toDF("k", "n").groupBy($"k")
+      .agg(sum($"n").as("total"))
+    val q = agg.writeStream.format("graft-table")
+      .outputMode("complete")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      input.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      input.addData(("a", 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = GraftTable.load(spark, root)
+    assert(t.snapshot().orderBy($"k").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 11L), ("b", 2L)), "latest batch's full state")
+    assert(t.history().map(_.op).forall(_ == "overwrite"))
+    // time travel over the state timeline: batch 0's aggregation state
+    assert(t.snapshot(Some(1L)).orderBy($"k").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("source-to-sink pipeline is exactly-once across a restart") {
+    // upstream table commits flow through readStream(graft-table) into a
+    // downstream mirror table via the sink — no foreachBatch anywhere
+    val upRoot = graft.TempDirs.create("graft_tsink_up")
+    val downRoot = graft.TempDirs.create("graft_tsink_down")
+    val ckpt = graft.TempDirs.create("graft_tsink_pipe_ckpt")
+    val up = new GraftTable(spark, upRoot)
+    up.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", upRoot).load()
+        .filter($"_change" === "insert")
+        .select($"id", $"name")
+        .writeStream.format("graft-table")
+        .option("path", downRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pump()
+    val down = GraftTable.load(spark, downRoot)
+    assert(down.snapshot().count() == 2L)
+    // restart with new upstream data: only the delta flows
+    up.append(Seq((3L, "c")).toDF("id", "name"))
+    pump()
+    assert(GraftTable.load(spark, downRoot).snapshot()
+      .orderBy($"id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // idle restart moves nothing
+    pump()
+    assert(GraftTable.load(spark, downRoot).snapshot().count() == 3L)
+  }
+
+  test("update output mode is rejected") {
+    val input = MemoryStream[(Long, Long)](spark)
+    val err = intercept[Throwable] {
+      input.toDS().toDF("id", "day").groupBy($"id").count()
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("path", graft.TempDirs.create("graft_tsink_bad"))
+        .option("checkpointLocation", graft.TempDirs.create("graft_tsink_bad_ckpt"))
+        .start()
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.toLowerCase.contains("append and complete"), s"got: $msgs")
+  }
+}
