@@ -142,9 +142,38 @@ class GraftCatalog extends TableCatalog {
     load(ident, None, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported; evolve via overwrite")
+  /** `ALTER TABLE graft.t ADD COLUMNS (...)`: a METADATA-ONLY schema
+    * commit on a committed table (files carry over verbatim; existing
+    * rows read the new columns as NULL — see [[GraftTable.addColumns]]),
+    * or a sidecar rewrite on a still-empty table. Other ALTERs
+    * (drop/rename/retype) are rejected: they would need column-mapping
+    * indirection to avoid rewriting every file. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other " +
+          "(only top-level ADD COLUMNS)")
+    }
+    val dir = tableDir(ident)
+    val t = GraftTable.load(spark, dir.toString)
+    if (t.latestVersion.isDefined) t.addColumns(added)
+    else {
+      // pre-first-commit: evolve the declared sidecar schema in place
+      val base = StructType.fromDDL {
+        val in = fs.open(schemaFile(dir))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val out = fs.create(schemaFile(dir), true)
+      try out.write(StructType(base.fields ++ added).toDDL.getBytes(UTF_8))
+      finally out.close()
+    }
+    load(ident, None, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tableDir(ident), true)
@@ -243,7 +272,10 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
               if (overwrite || overwriteFlag) t.overwrite(data)
-              else t.append(data)
+              // mergeSchema bootstraps schema TRACKING on first insert
+              // (the analyzer already coerced `data` to the declared
+              // schema, so no columns can actually evolve here)
+              else t.append(data, mergeSchema = true)
           }
       }
     }

@@ -3,6 +3,7 @@ package graft.acid
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -204,6 +205,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       lines.count(l => !l.startsWith("#")))
   }
 
+  /** The DECLARED schema of version `v` (None for manifests predating
+    * schema tracking): the schema-evolution source of truth, recorded in
+    * the manifest header exactly like the rest of the physical config —
+    * so each version time-travels with ITS OWN schema, and files written
+    * before an [[addColumn]] project the added columns as NULL. */
+  private[acid] def schemaOf(v: Long): Option[StructType] =
+    headerMeta(v).get("schema").map(s => StructType.fromDDL(
+      new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)))
+
+  /** The current declared schema (None until a schema-tracking commit —
+    * an [[addColumn]] or a `mergeSchema` append — first records one). */
+  def tableSchema: Option[StructType] = latestVersion.flatMap(schemaOf)
+
   /** Time travel BY TIMESTAMP (epoch millis): the snapshot of the newest
     * version committed at or before `tsMillis` — what "the table as of
     * last night's run" resolves through. */
@@ -223,7 +237,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def snapshot(version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
-    spark.read.parquet(
+    // an explicit declared schema makes evolution work on read: parquet
+    // matches columns BY NAME, so files predating an added column simply
+    // project it as NULL — no file rewrite on ALTER TABLE ADD COLUMN
+    val reader = schemaOf(v).fold(spark.read)(spark.read.schema)
+    reader.parquet(
       activeFiles(v).map(f => new Path(rootPath, f).toString): _*)
   }
 
@@ -316,8 +334,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * operation and wall-clock commit time for [[history]]/[[snapshotAt]]. */
   private[graft] def commit(v: Long, files: Seq[FileEntry],
                             op: String = "commit",
-                            txn: Option[(String, Long)] = None): Long = {
+                            txn: Option[(String, Long)] = None,
+                            schema: Option[StructType] = None): Long = {
     fs.mkdirs(logDir)
+    // a commit that doesn't change the schema CARRIES the declared schema
+    // forward (a delete doesn't un-evolve the table); schema-changing
+    // commits (addColumn / mergeSchema append / overwrite) pass theirs.
+    // Resolved BEFORE the manifest create: fs.create makes the (empty)
+    // file visible immediately, so a later latestVersion would read the
+    // in-flight manifest itself and find no header.
+    val declared = schema.orElse(latestVersion.flatMap(schemaOf))
     val p = manifestPath(v)
     if (fs.exists(p))
       throw new ConcurrentCommitException(
@@ -335,6 +361,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // silently degrading to an unconfigured table. Constraints are
     // base64-coded (they contain spaces; header fields split on them).
     val cfg = (txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
+      declared.map(s => "schema=" + java.util.Base64.getUrlEncoder
+        .withoutPadding.encodeToString(s.toDDL.getBytes(UTF_8))).toSeq ++
       statsCol.map(c => s"scol=$c").toSeq ++
       partitionCol.map(c => s"pcol=$c").toSeq ++
       bloomCol.map(c => s"bcol=$c").toSeq ++
@@ -380,11 +408,65 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * writer records its (queryId, batchId) here and [[lastTxn]] answers
     * "did this epoch already land?" across restarts — exactly-once
     * streaming writes with no side ledger. */
-  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+  def append(df: DataFrame, txn: Option[(String, Long)] = None,
+             mergeSchema: Boolean = false): Long = {
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
-    commit(v, prev ++ writeData(clusterByPartition(df), v), op = "append", txn = txn)
+    val (data, evolved) = conformForWrite(df, mergeSchema)
+    commit(v, prev ++ writeData(clusterByPartition(data), v), op = "append",
+      txn = txn, schema = evolved)
   }
+
+  /** Conform an incoming append to the declared schema (when one exists):
+    * declared columns the frame lacks fill NULL, present columns cast to
+    * their declared type, and EXTRA columns either evolve the schema
+    * (`mergeSchema = true` — they append to the declared schema, forced
+    * nullable because every existing file lacks them) or reject the
+    * write. Without a declared schema, `mergeSchema = true` starts
+    * schema tracking at this frame's schema. */
+  private def conformForWrite(df: DataFrame,
+                              mergeSchema: Boolean): (DataFrame, Option[StructType]) =
+    tableSchema match {
+      case None =>
+        (df, if (mergeSchema) Some(df.schema) else None)
+      case Some(s) =>
+        val have = df.columns.map(_.toLowerCase).toSet
+        val declared = s.fieldNames.map(_.toLowerCase).toSet
+        val extra = df.schema.fields.filter(f => !declared(f.name.toLowerCase))
+          .map(_.copy(nullable = true))
+        require(mergeSchema || extra.isEmpty,
+          s"append to $root: columns ${extra.map(_.name).mkString(", ")} are " +
+            "not in the table schema (pass mergeSchema = true to evolve)")
+        val merged = StructType(s.fields ++ extra)
+        val out = df.select(merged.fields.toIndexedSeq.map { f =>
+          if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        (out, Some(merged))
+    }
+
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: the file entries
+    * carry over verbatim (zero data I/O — the 100 TB property of schema
+    * evolution), only the declared schema in the new manifest grows.
+    * Reads of the new version project the added columns as NULL for
+    * every pre-existing file; prior versions time-travel with their own
+    * schema. Added columns are forced nullable (existing rows have no
+    * value for them). */
+  def addColumns(cols: Seq[StructField]): Long = {
+    val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"addColumns on $root: the table has no commits yet"))
+    val clash = cols.map(_.name.toLowerCase)
+      .intersect(base.fieldNames.map(_.toLowerCase).toSeq)
+    require(clash.isEmpty, s"addColumns: ${clash.mkString(", ")} already exist")
+    val v = nextVersion
+    val prev = latestVersion.map(entries).getOrElse(Nil)
+    commit(v, prev, op = "add_column",
+      schema = Some(StructType(base.fields ++ cols.map(_.copy(nullable = true)))))
+  }
+
+  def addColumn(name: String, dataType: DataType): Long =
+    addColumns(Seq(StructField(name, dataType, nullable = true)))
 
   /** Replace the table content with `df` (CHECK-validated at write). */
   def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Long =
@@ -393,7 +475,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def replaceWith(df: DataFrame, op: String,
                           txn: Option[(String, Long)] = None): Long = {
     val v = nextVersion
-    commit(v, writeData(clusterByPartition(df), v), op, txn)
+    // on a schema-tracking table the replacement's schema becomes the
+    // declared schema (an overwrite may legitimately reshape the table;
+    // delete/update/merge pass frames derived from the declared snapshot,
+    // so for them this is the identity)
+    val evolved = if (tableSchema.isDefined) Some(df.schema) else None
+    commit(v, writeData(clusterByPartition(df), v), op, txn, schema = evolved)
   }
 
   /** The newest epoch `writerId` has committed (manifest headers scanned
@@ -427,7 +514,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * empty frame with `like`'s schema). */
   private def readEntries(es: Seq[FileEntry], like: => DataFrame): DataFrame =
     if (es.isEmpty) like.limit(0).filter(lit(false))
-    else spark.read.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    else tableSchema.fold(spark.read)(spark.read.schema)
+      .parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
 
   /** MERGE (upsert): keep the winner per `keyCols` between the current
     * snapshot and `updates`, winner = first row under `winnerOrder`.
@@ -781,14 +869,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val added = (toFiles.toSet -- fromFiles).toSeq.sorted
     val removed = (fromFiles.toSet -- toFiles).toSeq.sorted
     // schema anchor for an empty side: any live file of either version
-    lazy val like: DataFrame = spark.read.parquet(
-      (toFiles ++ fromFiles).headOption
+    lazy val like: DataFrame = schemaOf(toV).fold(spark.read)(spark.read.schema)
+      .parquet((toFiles ++ fromFiles).headOption
         .map(f => new Path(rootPath, f).toString)
         .getOrElse(throw new IllegalStateException(
           s"changeFeed over two empty versions at $root")))
+    // both sides read in toV's DECLARED schema (when one exists): a diff
+    // across an evolution boundary states the old rows in the new schema
+    // (added columns NULL), keeping the insert/delete union well-typed
     def read(paths: Seq[String]): DataFrame =
       if (paths.isEmpty) like.limit(0).filter(lit(false))
-      else spark.read.parquet(paths.map(f => new Path(rootPath, f).toString): _*)
+      else schemaOf(toV).fold(spark.read)(spark.read.schema)
+        .parquet(paths.map(f => new Path(rootPath, f).toString): _*)
     val newRows = read(added)
     val oldRows = read(removed)
     newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))

@@ -235,9 +235,16 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       val toFiles = table.activeFiles(toV)
       val added = (toFiles.toSet -- fromFiles).toSeq.sorted
       val removed = (fromFiles.toSet -- toFiles).toSeq.sorted
+      // pin every batch read to the STREAM's data schema (fixed at query
+      // start): commits that evolve the table mid-stream still produce
+      // this stream's columns — added columns project NULL from older
+      // files and are dropped from newer ones, never a schema tear
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f =>
+          f.name == "_change" || f.name == "_commit_version"))
       def read(paths: Seq[String], tag: String): Option[DataFrame] =
         if (paths.isEmpty) None
-        else Some(spark.read.parquet(paths.map(f =>
+        else Some(spark.read.schema(dataSchema).parquet(paths.map(f =>
             new org.apache.hadoop.fs.Path(
               new org.apache.hadoop.fs.Path(table.root), f).toString): _*)
           .withColumn("_change", lit(tag)))

@@ -70,12 +70,14 @@ case class MisraGriesTopK(
           m.put(key.clone(), 1L)
         case None =>
           // classic MG decrement step: all k counters give up one unit
-          // (O(k) worst case; k is a small constant by construction)
-          val dead = mutable.ArrayBuffer.empty[UTF8String]
-          m.foreach { case (kk, c) =>
-            if (c == 1L) dead += kk else m.update(kk, c - 1)
+          // (O(k) worst case; k is a small constant by construction).
+          // Iterate a SNAPSHOT: scala 2.13's HashMap.update grows the
+          // table preemptively (contentSize+1 >= threshold) even when
+          // only replacing a value, so updating during m.foreach can
+          // resize mid-iteration and silently skip entries.
+          m.toArray.foreach { case (kk, c) =>
+            if (c == 1L) m.remove(kk) else m.update(kk, c - 1)
           }
-          dead.foreach(m.remove)
       }
     }
     m
@@ -90,11 +92,11 @@ case class MisraGriesTopK(
       // counter from every entry, drop the non-positive — keeps <= k
       // entries and preserves the n/(k+1) error bound for the union
       val cut = m.values.toArray.sortWith(_ > _).apply(k)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      m.foreach { case (kk, c) =>
-        if (c <= cut) dead += kk else m.update(kk, c - cut)
+      // snapshot before mutating — see the update() comment: value
+      // replacement alone can resize a 2.13 HashMap mid-foreach
+      m.toArray.foreach { case (kk, c) =>
+        if (c <= cut) m.remove(kk) else m.update(kk, c - cut)
       }
-      dead.foreach(m.remove)
     }
     m
   }

@@ -102,9 +102,10 @@ class MisraGriesSpec extends SparkSpec {
             case Some(c) => m.update(key, c + 1)
             case None if m.size < k => m.put(key, 1L)
             case None =>
-              val dead = mutable.ArrayBuffer.empty[UTF8String]
-              m.foreach { case (kk, c) => if (c == 1L) dead += kk else m.update(kk, c - 1) }
-              dead.foreach(m.remove)
+              // snapshot first: updating during m.foreach can resize a
+              // 2.13 HashMap mid-iteration (same fix as the production op)
+              m.toArray.foreach { case (kk, c) =>
+                if (c == 1L) m.remove(kk) else m.update(kk, c - 1) }
           }
         }
         m
