@@ -151,6 +151,33 @@ object AcidQueries extends QueryPack {
     (GraftTable.load(s, u), GraftTable.load(s, m))
   }
 
+  /** Schema-evolution fixture (built once per JVM per scale dir): half
+    * the events land BEFORE an ALTER TABLE ADD COLUMNS (so their files
+    * physically lack the column), half after with values — the gate row
+    * reads the evolved snapshot where the old half projects NULL. */
+  private val evoFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def evoTable(s: SparkSession, d: String): GraftTable = {
+    val root = evoFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("evo" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val ev = events(s, d)
+      val r = s"$acidDir/evo_$key"
+      val t = new GraftTable(s, r)
+      t.append(ev.filter(pmod($"event_id", lit(2L)) === 0L)
+        .select($"event_id", $"user_id", $"event_type"))
+      t.addColumn("vtag", org.apache.spark.sql.types.StringType)
+      t.append(ev.filter(pmod($"event_id", lit(2L)) === 1L)
+        .select($"event_id", $"user_id", $"event_type",
+          concat(lit("v:"), $"event_type").as("vtag")))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** Source→sink pipeline fixture: the append table's commit history
     * streamed through readStream("graft-table") INTO a downstream table
     * via writeStream("graft-table") — no foreachBatch anywhere. Built
@@ -322,6 +349,17 @@ object AcidQueries extends QueryPack {
       streamSinkTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // Schema evolution: ALTER TABLE ADD COLUMNS as a metadata-only
+    // commit. The even-id half committed BEFORE the evolution (its files
+    // physically lack `vtag` and must project NULL), the odd-id half
+    // after, carrying values — one snapshot read spans both file
+    // generations under the declared schema. SchemaEvolutionSpec pins
+    // the zero-rewrite invariant and per-version schema time travel.
+    "q_acid_evolution" -> { (s, d) =>
+      import s.implicits._
+      evoTable(s, d).snapshot().orderBy($"event_id")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -464,6 +502,12 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // old half NULL, new half tagged — the evolved-snapshot projection
+    "q_acid_evolution" ->
+      """SELECT event_id, user_id, event_type,
+        |       CASE WHEN event_id % 2 = 1 THEN 'v:' || event_type END AS vtag
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // mirror@v1 + feed(1,3) = source@v3 = latest event per user
     "q_acid_apply_changes" ->

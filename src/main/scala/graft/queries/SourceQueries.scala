@@ -75,6 +75,51 @@ object SourceQueries extends QueryPack {
       root
     })
 
+  /** COMPACTED bus fixture: three deterministic segments per partition
+    * (event_id % 3 slices, event_id order within each), keyed by user —
+    * then [[graft.sources.BusLog.compactKeyedAll]] rewrites the two
+    * SEALED segments latest-per-key while the third stays active. The
+    * gate row replays the compacted-topic contract in SQL. */
+  private val busCompactFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def busCompactRoot(s: SparkSession, d: String): String =
+    busCompactFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      import org.apache.hadoop.fs.Path
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("compact" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val root = s"$busDir/compact_$key"
+      val conf = s.sparkContext.hadoopConfiguration
+      val ev = Tables.events(s, d)
+      def b64(c: org.apache.spark.sql.Column) =
+        regexp_replace(base64(c), "[\\r\\n]", "")
+      (0 until 4).foreach { pid =>
+        (0L to 2L).foreach { slice =>
+          val part = ev.filter(pmod($"user_id", lit(4L)) === pid.toLong &&
+              pmod($"event_id", lit(3L)) === slice)
+          val lines = part
+            .select($"event_id", concat_ws("\t",
+              b64($"user_id".cast("string").cast("binary")),
+              b64(to_json(struct($"event_id", $"user_id", $"event_type"))
+                .cast("binary")),
+              unix_micros($"ts").cast("string")).as("line"))
+            .repartition(1).sortWithinPartitions($"event_id")
+            .select($"line")
+          val load = s"$root/_load/p${pid}_s$slice"
+          lines.write.mode("overwrite").text(load)
+          val fs = new Path(load).getFileSystem(conf)
+          val pf = fs.listStatus(new Path(load)).map(_.getPath)
+            .find(_.getName.startsWith("part-")).get
+          val n = s.read.textFile(load).count()
+          graft.sources.BusLog.publish(conf, root, pid, pf, n)
+        }
+      }
+      graft.sources.BusLog.compactKeyedAll(conf, root)
+      root
+    })
+
   /** A second bus root loaded through the DSv2 WRITE path (BusSink) —
     * `df.write.format("graft-bus")` — instead of the manual publish: the
     * producer side of the broker surface. Single sorted task per
@@ -261,6 +306,26 @@ object SourceQueries extends QueryPack {
         .agg(asLong(count(lit(1))).as("n"), asLong(sum($"offset")).as("sum_off"),
           asLong(min($"offset")).as("min_off"))
         .orderBy($"bus_partition")
+    },
+
+    // KEYED LOG COMPACTION (compacted-topic semantics): two sealed
+    // segments per partition rewritten latest-per-key (original offsets
+    // preserved, gaps where records cleaned), the third segment active
+    // and untouched. The read returns the compacted winners + the active
+    // slice; event_ids only match the oracle's replay if compaction kept
+    // EXACTLY the highest-offset record per user among sealed segments
+    // and never touched the active one. BusCompactionSpec pins offsets,
+    // tombstones and crash-swap recovery.
+    "q_source_bus_compacted" -> { (s, d) =>
+      import s.implicits._
+      val root = busCompactRoot(s, d)
+      s.read.format("graft-bus").option("path", root).load()
+        .select(
+          get_json_object($"value".cast("string"), "$.event_id")
+            .cast("long").as("event_id"),
+          $"key".cast("string").cast("long").as("user_id"),
+          get_json_object($"value".cast("string"), "$.event_type").as("event_type"))
+        .orderBy($"event_id")
     },
 
     // Producer path (BusSink): the events table written INTO a bus via
@@ -632,6 +697,21 @@ object SourceQueries extends QueryPack {
         |  '(' || CAST(CAST(-(user_id % 180) AS DOUBLE) AS VARCHAR) || ', '
         |      || CAST(CAST(event_id % 89 AS DOUBLE) AS VARCHAR) || ')' AS geom_str
         |FROM events
-        |ORDER BY trackId""".stripMargin
+        |ORDER BY trackId""".stripMargin,
+
+    // compacted sealed region (event_id % 3 <= 1): latest record per user
+    // = greatest (slice, event_id) since slice-1 offsets all exceed
+    // slice-0's; the active slice (% 3 = 2) survives untouched
+    "q_source_bus_compacted" ->
+      """WITH sealed AS (SELECT event_id, user_id, event_type FROM events
+        |                WHERE event_id % 3 <= 1),
+        |win AS (SELECT event_id, user_id, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY (event_id % 3) DESC, event_id DESC) AS rn FROM sealed)
+        |  WHERE rn = 1),
+        |active AS (SELECT event_id, user_id, event_type FROM events
+        |           WHERE event_id % 3 = 2)
+        |SELECT * FROM (SELECT * FROM win UNION ALL SELECT * FROM active)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -34,7 +34,11 @@ import scala.jdk.CollectionConverters._
   * range planning lists directories and never opens a segment. The optional
   * `ts` suffix is the segment's record-timestamp range — the per-segment
   * time index behind `startingTimestamp`/`endingTimestamp` (Kafka's
-  * offsetsForTimes), again resolvable without opening segments.
+  * offsetsForTimes), again resolvable without opening segments. A `-c<gen>`
+  * suffix marks a KEY-COMPACTED segment ([[BusLog.compactKeyed]]): its name
+  * keeps the original offset span while each line carries its record's
+  * original offset as a 4th field (compaction cleans superseded keys but
+  * never renumbers offsets).
   *
   * Exactly-once contract: Spark's streaming engine persists each batch's
   * [start, end) offset map in the checkpoint's offset log; segments are
@@ -82,19 +86,30 @@ object BusLog {
     * opening them (a broker's `.timeindex` file, folded into the name so
     * the index travels with the immutable segment). `None` for segments
     * published without bounds — those fall back to a one-time scan. */
+  /** `count` is the segment's OFFSET SPAN (end = base + count). For raw
+    * segments span == record count (offsets are positional); a COMPACTED
+    * segment (`gen > 0`) keeps the original span in its name while its
+    * lines carry explicit offsets (4th field) — compaction preserves
+    * offsets and leaves gaps, exactly like a broker's log cleaner. */
   final case class Segment(base: Long, count: Long, path: Path,
-                           tsMin: Option[Long] = None, tsMax: Option[Long] = None) {
+                           tsMin: Option[Long] = None, tsMax: Option[Long] = None,
+                           gen: Long = 0L) {
     def end: Long = base + count
   }
 
   private val SegName = """seg-(\d{20})-(\d+)\.log""".r
   private val SegNameTs = """seg-(\d{20})-(\d+)-ts(\d+)-(\d+)\.log""".r
+  private val SegNameC = """seg-(\d{20})-(\d+)-c(\d+)\.log""".r
+  private val SegNameCTs = """seg-(\d{20})-(\d+)-c(\d+)-ts(\d+)-(\d+)\.log""".r
 
-  private def segName(base: Long, count: Long, ts: Option[(Long, Long)]): String =
+  private def segName(base: Long, count: Long, ts: Option[(Long, Long)],
+                      gen: Long = 0L): String = {
+    val g = if (gen > 0L) s"-c$gen" else ""
     ts match {
-      case Some((lo, hi)) => f"seg-$base%020d-$count-ts$lo-$hi.log"
-      case None           => f"seg-$base%020d-$count.log"
+      case Some((lo, hi)) => f"seg-$base%020d-$count$g-ts$lo-$hi.log"
+      case None           => f"seg-$base%020d-$count$g.log"
     }
+  }
 
   def partitionDirs(fs: FileSystem, root: Path): Seq[(Int, Path)] =
     if (!fs.exists(root)) Nil
@@ -107,16 +122,31 @@ object BusLog {
         }
       }.sortBy(_._1)
 
-  def segments(fs: FileSystem, pdir: Path): Seq[Segment] =
-    if (!fs.exists(pdir)) Nil
-    else fs.listStatus(pdir).toSeq.map(_.getPath).flatMap { f =>
-      f.getName match {
-        case SegNameTs(base, count, lo, hi) =>
-          Some(Segment(base.toLong, count.toLong, f, Some(lo.toLong), Some(hi.toLong)))
-        case SegName(base, count) => Some(Segment(base.toLong, count.toLong, f))
-        case _ => None
+  def segments(fs: FileSystem, pdir: Path): Seq[Segment] = {
+    val parsed =
+      if (!fs.exists(pdir)) Nil
+      else fs.listStatus(pdir).toSeq.map(_.getPath).flatMap { f =>
+        f.getName match {
+          case SegNameCTs(base, count, g, lo, hi) =>
+            Some(Segment(base.toLong, count.toLong, f,
+              Some(lo.toLong), Some(hi.toLong), g.toLong))
+          case SegNameC(base, count, g) =>
+            Some(Segment(base.toLong, count.toLong, f, gen = g.toLong))
+          case SegNameTs(base, count, lo, hi) =>
+            Some(Segment(base.toLong, count.toLong, f, Some(lo.toLong), Some(hi.toLong)))
+          case SegName(base, count) => Some(Segment(base.toLong, count.toLong, f))
+          case _ => None
+        }
       }
-    }.sortBy(_.base)
+    // crash-swap recovery (a broker's .swap handling): compaction renames
+    // the compacted segment IN before deleting its victims, so a crash can
+    // briefly leave both. A segment fully covered by a higher-generation
+    // one is superseded — hide it from every reader; the next compaction
+    // pass (or any truncate) physically reclaims it.
+    parsed.filterNot(s => parsed.exists(c =>
+      c.gen > s.gen && c.base <= s.base && c.end >= s.end))
+      .sortBy(_.base)
+  }
 
   /** Per-partition high-water-mark: the log-end offset persisted across
     * truncation. Without it, a retention pass that retires EVERY segment of
@@ -281,12 +311,17 @@ object BusLog {
     base
   }
 
-  /** Record timestamps of one segment, in offset order (a driver-side
-    * fallback scan for segments published without name-carried bounds). */
-  private def segmentTimestamps(fs: FileSystem, seg: Segment): Seq[Long] = {
+  /** (timestamp, offset) pairs of one segment, in offset order (a
+    * driver-side fallback scan for segments published without
+    * name-carried bounds). Compacted lines carry their offset explicitly;
+    * raw lines are positional from the segment base. */
+  private def segmentTimestamps(fs: FileSystem, seg: Segment): Seq[(Long, Long)] = {
     val in = fs.open(seg.path)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.split('\t')(2).toLong).toList
+      .zipWithIndex.map { case (l, i) =>
+        val f = l.split('\t')
+        (f(2).toLong, if (f.length >= 4) f(3).toLong else seg.base + i)
+      }.toList
     finally in.close()
   }
 
@@ -302,10 +337,82 @@ object BusLog {
     val segs = segments(fs, pdir)
     segs.iterator.flatMap { seg =>
       if (seg.tsMax.exists(_ < tsMicros)) Iterator.empty
-      else segmentTimestamps(fs, seg).iterator.zipWithIndex.collectFirst {
-        case (ts, i) if ts >= tsMicros => seg.base + i
+      else segmentTimestamps(fs, seg).iterator.collectFirst {
+        case (ts, off) if ts >= tsMicros => off
       }.iterator
     }.nextOption().getOrElse(logEnd(fs, pdir))
+  }
+
+  /** KEYED LOG COMPACTION (a broker's compacted-topic cleaner): rewrite
+    * every SEALED segment of `partition` (all but the newest — the active
+    * segment never compacts) keeping only the LATEST record per key;
+    * a latest record with an EMPTY value is a TOMBSTONE and removes its
+    * key entirely. Null-key records cannot compact and are kept as-is.
+    *
+    * Offsets are PRESERVED: the compacted segment's name keeps the
+    * original offset span while its lines carry explicit per-record
+    * offsets (gaps where records were cleaned), so checkpointed consumer
+    * offsets stay valid and replays see each surviving record at its
+    * original position. Crash-safe swap: the compacted segment renames IN
+    * (with a generation tag that supersedes the covered raw segments —
+    * see [[segments]]) BEFORE the victims delete, so no crash point loses
+    * records or double-reads offsets.
+    *
+    * Scale: one partition compacts in one streaming pass over its sealed
+    * segment bytes with memory O(live keys); partitions are independent
+    * (parallelize across a cluster exactly like a broker fleet's
+    * per-partition cleaners). Returns the compacted segment's path, or
+    * None when there is nothing sealed to compact. */
+  def compactKeyed(conf: Configuration, root: String, partition: Int): Option[Path] = {
+    val pdir = new Path(new Path(root), s"p$partition")
+    val fs = pdir.getFileSystem(conf)
+    val segs = segments(fs, pdir)
+    if (segs.size <= 1) return None
+    val sealedSegs = segs.dropRight(1)
+    // one pass, newest-wins per key: latest (key -> (line fields, offset))
+    val latest = new scala.collection.mutable.LinkedHashMap[String, (String, String, Long)]
+    val nullKeyed = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+    sealedSegs.foreach { seg =>
+      val in = fs.open(seg.path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .zipWithIndex.foreach { case (l, i) =>
+          val f = l.split('\t')
+          val off = if (f.length >= 4) f(3).toLong else seg.base + i
+          if (f(0) == "-") nullKeyed += ((f(0), f(1), f(2), off))
+          else latest.update(f(0), (f(1), f(2), off))
+        }
+      finally in.close()
+    }
+    val live = latest.iterator.collect {
+      // empty value = tombstone: the key's history is fully cleaned
+      case (k, (v, ts, off)) if v.nonEmpty => (k, v, ts, off)
+    } ++ nullKeyed.iterator
+    val survivors = live.toSeq.sortBy(_._4)
+    val base = sealedSegs.head.base
+    val span = sealedSegs.last.end - base
+    val gen = segs.map(_.gen).max + 1
+    val tsBounds =
+      if (survivors.isEmpty) None
+      else Some((survivors.map(_._3.toLong).min, survivors.map(_._3.toLong).max))
+    val name = segName(base, span, tsBounds, gen)
+    val tmp = new Path(pdir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(survivors.map { case (k, v, ts, off) => s"$k\t$v\t$ts\t$off" }
+      .mkString("", "\n", if (survivors.isEmpty) "" else "\n").getBytes(UTF_8))
+    finally out.close()
+    val dst = new Path(pdir, name)
+    fs.rename(tmp, dst)
+    sealedSegs.foreach(s => fs.delete(s.path, false))
+    Some(dst)
+  }
+
+  /** [[compactKeyed]] across every partition of the log. */
+  def compactKeyedAll(conf: Configuration, root: String): Map[Int, Option[Path]] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    partitionDirs(fs, rootPath).map { case (pid, _) =>
+      pid -> compactKeyed(conf, root, pid)
+    }.toMap
   }
 }
 
@@ -575,7 +682,7 @@ class BusReaderFactory(conf: SerializableConfiguration, required: StructType)
           case other => throw new IllegalArgumentException(
             s"unknown bus column $other")
         }
-      private var lines: Iterator[(String, Long)] = Iterator.empty
+      private var lines: Iterator[(Array[String], Long)] = Iterator.empty
       private var in: java.io.BufferedReader = null
       private var row: InternalRow = null
 
@@ -585,20 +692,25 @@ class BusReaderFactory(conf: SerializableConfiguration, required: StructType)
         val seg = segs.next()
         in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(seg.path), UTF_8))
+        // raw segments: positional offsets (base + line index); compacted
+        // segments carry each surviving record's ORIGINAL offset as a 4th
+        // field (compaction leaves gaps, offsets never renumber)
         lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .zipWithIndex.map { case (l, i) => (l, seg.base + i) }
+          .zipWithIndex.map { case (l, i) =>
+            val fields = l.split('\t')
+            if (fields.length != 3 && fields.length != 4)
+              throw new IllegalStateException(
+                s"malformed bus record in ${seg.path.getName} line $i: " +
+                  s"${fields.length} fields (expected key\\tvalue\\tts[\\toffset])")
+            (fields, if (fields.length >= 4) fields(3).toLong else seg.base + i)
+          }
           .filter { case (_, off) => off >= slice.from && off < slice.until }
         true
       }
 
       override def next(): Boolean = {
         while (!lines.hasNext) if (!nextSegment()) return false
-        val (line, off) = lines.next()
-        val fields = line.split('\t')
-        if (fields.length != 3)
-          throw new IllegalStateException(
-            s"malformed bus record at p${slice.pid} offset $off: " +
-              s"${fields.length} fields (expected key\\tvalue\\tts)")
+        val (fields, off) = lines.next()
         row = InternalRow.fromSeq(extract.map(_(fields, off)).toIndexedSeq)
         true
       }
