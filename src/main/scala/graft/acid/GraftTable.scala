@@ -62,7 +62,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        statsCol: Option[String] = None,
                        partitionCol: Option[String] = None,
                        bloomCol: Option[String] = None,
-                       constraints: Seq[String] = Nil) {
+                       constraints: Seq[String] = Nil,
+                       indexCols: Seq[String] = Nil) {
 
   private[acid] def partitionColName: Option[String] = partitionCol
   import GraftTable.{BloomBits, BloomK, bloomPositions}
@@ -122,11 +123,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private[graft] case class FileEntry(path: String,
                                       stats: Option[(Long, Long)],
                                       part: Option[(Long, Long)] = None,
-                                      bloom: Option[Array[Long]] = None) {
+                                      bloom: Option[Array[Long]] = None,
+                                      windows: Map[String, (Long, Long)] = Map.empty) {
     def line: String =
       (path +: (stats.map { case (lo, hi) => s"s=$lo,$hi" }.toSeq ++
                 part.map { case (lo, hi) => s"p=$lo,$hi" }.toSeq ++
-                bloom.map(b => s"b=${GraftTable.encodeBloom(b)}").toSeq))
+                bloom.map(b => s"b=${GraftTable.encodeBloom(b)}").toSeq ++
+                windows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+                  s"w:$c=$lo,$hi" }))
         .mkString("\t")
   }
 
@@ -146,7 +150,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       }).toMap
       FileEntry(fields.head, tags.get("s").map(parseRange),
         tags.get("p").map(parseRange),
-        tags.get("b").map(GraftTable.decodeBloom))
+        tags.get("b").map(GraftTable.decodeBloom),
+        tags.collect { case (k, v) if k.startsWith("w:") =>
+          k.drop(2) -> parseRange(v) })
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -262,7 +268,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // window is unknown (all-null column) is conservatively un-windowed:
     // never skipped, always rewritten.
     val tracked: Seq[(String, String)] =
-      statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq
+      statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq ++
+        indexCols.map(c => s"w:$c" -> c)
     val windows: Map[String, Map[String, (Long, Long)]] =
       if (tracked.isEmpty) Map.empty
       else {
@@ -311,7 +318,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .map(_.getPath.getName).filter(_.startsWith("part-"))
       .sorted.map { n =>
         val w = windows.getOrElse(n, Map.empty)
-        FileEntry(s"$sub/$n", w.get("s"), w.get("p"), blooms.get(n))
+        FileEntry(s"$sub/$n", w.get("s"), w.get("p"), blooms.get(n),
+          w.collect { case (tag, win) if tag.startsWith("w:") =>
+            tag.drop(2) -> win })
       }
   }
 
@@ -366,6 +375,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       statsCol.map(c => s"scol=$c").toSeq ++
       partitionCol.map(c => s"pcol=$c").toSeq ++
       bloomCol.map(c => s"bcol=$c").toSeq ++
+      (if (indexCols.isEmpty) Nil
+       else Seq(s"icols=${indexCols.mkString(",")}")) ++
       (if (constraints.isEmpty) Nil
        else Seq("checks=" + constraints.map(c =>
          java.util.Base64.getUrlEncoder.withoutPadding
@@ -646,6 +657,71 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     spark.read.parquet(
       filesForRange(lo, hi, version).map(f => new Path(rootPath, f).toString): _*)
       .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Files of `version` whose recorded window for indexed column `c`
+    * overlaps [lo, hi] — a file with no window for `c` is never skipped. */
+  private[graft] def filesForColumnRange(c: String, lo: Long, hi: Long,
+                                         version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    entries(v).filter(_.windows.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      .map(_.path)
+  }
+
+  /** MULTI-COLUMN data-skipping range read: like [[snapshotRange]] but on
+    * any `indexCols` column — with a Z-ORDER layout ([[compactZOrder]])
+    * every indexed dimension's per-file windows are narrow
+    * SIMULTANEOUSLY, so range predicates on EITHER column prune files
+    * from manifest metadata alone (the multi-dimensional clustering +
+    * skipping pair the production lakehouse formats ship as
+    * OPTIMIZE ZORDER BY). */
+  def snapshotRangeOn(c: String, lo: Long, hi: Long,
+                      version: Option[Long] = None): DataFrame = {
+    require(indexCols.contains(c), s"column $c is not in indexCols $indexCols")
+    val files = filesForColumnRange(c, lo, hi, version)
+    if (files.isEmpty) snapshot(version).filter(lit(false))
+    else {
+      val v = version.orElse(latestVersion)
+      val reader = v.flatMap(schemaOf).fold(spark.read)(spark.read.schema)
+      reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+        .filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** OPTIMIZE ... ZORDER BY (a, b): rewrite the active set clustered on
+    * the two columns' INTERLEAVED bits (the space-filling-curve layout),
+    * so every output file covers a narrow window in BOTH dimensions at
+    * once — range reads on either column ([[snapshotRangeOn]]) then
+    * prune to O(matching files) where a single-column sort could only
+    * serve one dimension.
+    *
+    * Layout job: one agg for the two columns' min/max, each value scaled
+    * to 16 bits, interleaved by the native codegen
+    * [[graft.functions.ZOrder64]] expression, then one
+    * repartitionByRange + in-partition sort on the z-key — fully
+    * distributed, no extra shuffle beyond the one any compaction pays.
+    * Old versions stay time-travelable until vacuumed. */
+  def compactZOrder(cols: (String, String), targetFiles: Int): Long = {
+    val (a, b) = cols
+    val snap = snapshot()
+    val mm = snap.agg(
+      min(col(a)).cast("long").as("alo"), max(col(a)).cast("long").as("ahi"),
+      min(col(b)).cast("long").as("blo"), max(col(b)).cast("long").as("bhi")).head()
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("long") - lit(lo)).cast("double") / lit((hi - lo).toDouble)
+        * lit(65535.0)).cast("long")
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    val zkey = bridge.column(graft.functions.ZOrder64(
+      bridge.expr(spark, scaled(a, mm.getLong(0), mm.getLong(1))),
+      bridge.expr(spark, scaled(b, mm.getLong(2), mm.getLong(3)))))
+    val laid = snap.withColumn("__z", zkey)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val v = nextVersion
+    commit(v, writeData(laid, v), op = "zorder")
   }
 
   /** Files of `version` whose bloom may contain `value` — a file with no
@@ -973,7 +1049,8 @@ object GraftTable {
         bloomCol = m.get("bcol"),
         constraints = m.get("checks").toSeq.flatMap(_.split(','))
           .filter(_.nonEmpty)
-          .map(s => new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)))
+          .map(s => new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)),
+        indexCols = m.get("icols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     }
   }
 

@@ -178,6 +178,28 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** Z-ORDER fixture: events z-order-compacted on (user_id, event_id) —
+    * two independent dimensions — with both columns index-tracked, so
+    * range reads on EITHER prune files from manifest windows
+    * (ZOrderSpec pins the pruning counts; the gate row pins exactness). */
+  private val zorderFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zorderTable(s: SparkSession, d: String): GraftTable = {
+    val root = zorderFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("zorder" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/zorder_$key"
+      val t = new GraftTable(s, r, indexCols = Seq("user_id", "event_id"))
+      t.append(events(s, d).repartition(8))
+      t.compactZOrder(("user_id", "event_id"), targetFiles = 16)
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** Source→sink pipeline fixture: the append table's commit history
     * streamed through readStream("graft-table") INTO a downstream table
     * via writeStream("graft-table") — no foreachBatch anywhere. Built
@@ -360,6 +382,18 @@ object AcidQueries extends QueryPack {
       evoTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // OPTIMIZE ZORDER BY (user_id, event_id): after the interleaved-bit
+    // rewrite, BOTH dimensions' range reads resolve their file lists
+    // from manifest windows. Two pruned reads — one per dimension —
+    // must return exactly the filters' rows (pruning never drops a row).
+    "q_acid_zorder" -> { (s, d) =>
+      import s.implicits._
+      val zt = zorderTable(s, d)
+      zt.snapshotRangeOn("user_id", 20L, 60L)
+        .unionByName(zt.snapshotRangeOn("event_id", 1000L, 1999L))
+        .orderBy($"event_id", $"user_id")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -502,6 +536,16 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // union of the two pruned range reads (a row in both windows appears
+    // twice, exactly like the engine's union)
+    "q_acid_zorder" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id BETWEEN 20 AND 60
+        |UNION ALL
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id BETWEEN 1000 AND 1999
+        |ORDER BY event_id, user_id""".stripMargin,
 
     // old half NULL, new half tagged — the evolved-snapshot projection
     "q_acid_evolution" ->

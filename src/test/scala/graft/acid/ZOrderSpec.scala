@@ -1,0 +1,61 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE ZORDER BY on the commit-log table: after the interleaved-bit
+  * rewrite, range reads on EITHER indexed column prune files from
+  * manifest windows alone, and the rewrite is content-lossless. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // x and y are independent permutations, so a single-column sort could
+  // cluster only one of them; z-order must narrow BOTH
+  private def grid(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, ((i * 131) % n).toLong, ((i * 191) % n).toLong)
+    }.toDF("id", "x", "y")
+
+  test("z-order narrows per-file windows in both dimensions") {
+    val t = new GraftTable(spark,
+      graft.TempDirs.create("graft_zorder"),
+      indexCols = Seq("x", "y"))
+    t.append(grid(4096).repartition(8))  // ingest order scatters x and y
+    t.compactZOrder(("x", "y"), targetFiles = 16)
+    val all = t.activeFiles(t.latestVersion.get).size
+    assert(all >= 12, s"expected ~16 files, got $all")
+    // a 1/8 range in each dimension should hit a small fraction of files
+    val hitX = t.filesForColumnRange("x", 0L, 511L).size
+    val hitY = t.filesForColumnRange("y", 0L, 511L).size
+    assert(hitX <= all / 2, s"x-range hit $hitX of $all files")
+    assert(hitY <= all / 2, s"y-range hit $hitY of $all files")
+    // and the pruned reads are exact
+    assert(t.snapshotRangeOn("x", 0L, 511L).count() == 512L)
+    assert(t.snapshotRangeOn("y", 100L, 199L).agg(sum($"id")).head().getLong(0) ==
+      grid(4096).filter($"y".between(100, 199)).agg(sum($"id")).head().getLong(0))
+  }
+
+  test("z-order rewrite is content-lossless and time-travelable") {
+    val t = new GraftTable(spark,
+      graft.TempDirs.create("graft_zorder_tt"),
+      indexCols = Seq("x", "y"))
+    t.append(grid(1000))
+    t.compactZOrder(("x", "y"), targetFiles = 4)
+    assert(t.snapshot().count() == 1000L)
+    assert(t.snapshot().select(sum($"id")).head().getLong(0) == 499500L)
+    assert(t.snapshot(Some(1L)).count() == 1000L) // pre-zorder version intact
+    assert(t.history().last.op == "zorder")
+  }
+
+  test("index windows persist in the log and recover via load") {
+    val root = graft.TempDirs.create("graft_zorder_load")
+    val t = new GraftTable(spark, root, indexCols = Seq("x", "y"))
+    t.append(grid(256))
+    t.compactZOrder(("x", "y"), targetFiles = 4)
+    val reloaded = GraftTable.load(spark, root)
+    // recovered handle prunes and reads identically
+    assert(reloaded.snapshotRangeOn("x", 0L, 63L).count() == 64L)
+    assert(reloaded.filesForColumnRange("x", 0L, 63L).size <=
+      reloaded.activeFiles(reloaded.latestVersion.get).size)
+  }
+}
