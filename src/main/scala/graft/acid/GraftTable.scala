@@ -999,6 +999,28 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF `v` (the production lakehouse
+    * rollback): publish a NEW commit whose active set is exactly version
+    * `v`'s — metadata-only (the old immutable files are re-referenced,
+    * zero data I/O), history-preserving (the bad commits stay
+    * time-travelable until vacuumed), and safe under the same optimistic
+    * concurrency as any commit. The restored version's declared schema
+    * comes back with it. */
+  def restore(version: Long): Long = {
+    require(versions.contains(version),
+      s"restore: version $version is not retained at $root")
+    val v = nextVersion
+    commit(v, entries(version), op = "restore", schema = schemaOf(version))
+  }
+
+  /** RESTORE to the newest version committed at or before `tsMillis`. */
+  def restoreAt(tsMillis: Long): Long = {
+    val target = history().filter(_.commitMs <= tsMillis).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no commit at or before $tsMillis in table at $root"))
+    restore(target.version)
+  }
+
   /** Time-based retention (the production "vacuum older than 7 days"):
     * drop versions committed BEFORE `cutoffMs`, always keeping at least
     * the latest. Commit times are monotone, so this reduces to the

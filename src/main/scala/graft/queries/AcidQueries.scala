@@ -178,6 +178,28 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** RESTORE fixture: three appends (the %3 slices), then a rollback to
+    * v2 — the snapshot must be exactly the first two slices, served by
+    * RE-REFERENCED v2 files (RestoreSpec pins the zero-I/O property). */
+  private val restoreFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def restoreTable(s: SparkSession, d: String): GraftTable = {
+    val root = restoreFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("restore" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/restore_$key"
+      val t = new GraftTable(s, r)
+      val ev = events(s, d)
+      (0L to 2L).foreach(v => t.append(ev.filter(pmod($"event_id", lit(3L)) === v)))
+      t.restore(2L)
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** Z-ORDER fixture: events z-order-compacted on (user_id, event_id) —
     * two independent dimensions — with both columns index-tracked, so
     * range reads on EITHER prune files from manifest windows
@@ -382,6 +404,14 @@ object AcidQueries extends QueryPack {
       evoTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // RESTORE TABLE ... TO VERSION AS OF 2: the rollback commit
+    // re-references v2's files, so the snapshot is exactly the first two
+    // %3 slices even though a third slice landed in between.
+    "q_acid_restore" -> { (s, d) =>
+      import s.implicits._
+      restoreTable(s, d).snapshot().orderBy($"event_id")
+    },
+
     // OPTIMIZE ZORDER BY (user_id, event_id): after the interleaved-bit
     // rewrite, BOTH dimensions' range reads resolve their file lists
     // from manifest windows. Two pruned reads — one per dimension —
@@ -536,6 +566,11 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // post-restore content = the first two appended slices
+    "q_acid_restore" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id % 3 <= 1 ORDER BY event_id""".stripMargin,
 
     // union of the two pruned range reads (a row in both windows appears
     // twice, exactly like the engine's union)
