@@ -963,6 +963,43 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
   }
 
+  /** KEYED change feed (the production CDF shape): [[changeFeed]]'s
+    * insert/delete rows re-classified per `keyCols` — a key present on
+    * both sides becomes an `update_preimage`/`update_postimage` PAIR,
+    * an insert-only key stays `insert`, a delete-only key `delete`.
+    * Downstream consumers that react differently to updates vs
+    * inserts/deletes (audit trails, incremental aggregates subtracting
+    * preimages) read this instead of reconstructing pairs themselves.
+    *
+    * O(delta): one equi-shuffle of the feed on the key columns (the file
+    * diff is already O(delta); this adds a full-outer self-join of the
+    * two tagged sides, never a table scan). Requires each key to appear
+    * at most once per side of the diff — the merge/upsert tables this
+    * serves hold one live row per key by construction. */
+  def changeFeedKeyed(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    val feed = changeFeed(fromV, toV)
+    val cols = feed.columns.filterNot(_ == "_change").toIndexedSeq
+    val ins = feed.filter(col("_change") === "insert").drop("_change")
+    val del = feed.filter(col("_change") === "delete").drop("_change")
+    def ren(df: DataFrame, p: String, present: String) =
+      df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
+        lit(true).as(present): _*)
+    val joined = ren(ins, "__n_", "__n_present")
+      .join(ren(del, "__o_", "__o_present"),
+        keyCols.map(k => col(s"__n_$k") <=> col(s"__o_$k")).reduce(_ && _),
+        "full_outer")
+    val np = coalesce(col("__n_present"), lit(false))
+    val op = coalesce(col("__o_present"), lit(false))
+    def side(p: String, tag: String) =
+      cols.map(c => col(s"$p$c").as(c)) :+ lit(tag).as("_change")
+    // update pairs explode into two rows (pre + post), one-sided keys one
+    val pre = joined.filter(np && op).select(side("__o_", "update_preimage"): _*)
+    val post = joined.filter(np && op).select(side("__n_", "update_postimage"): _*)
+    val insOnly = joined.filter(np && !op).select(side("__n_", "insert"): _*)
+    val delOnly = joined.filter(op && !np).select(side("__o_", "delete"): _*)
+    insOnly.unionByName(delOnly).unionByName(pre).unionByName(post)
+  }
+
   /** Apply a [[changeFeed]] to THIS table (the downstream-mirror
     * primitive): multiset-subtract the `delete`-tagged rows, add the
     * `insert`-tagged rows, publish as one commit. By the change-feed

@@ -178,6 +178,33 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** Keyed-CDF fixture: v1 = the deduped (latest-per-user) %3==0 slice,
+    * v2 = one MERGE of the remaining slices — both versions hold at most
+    * one row per user, the shape [[GraftTable.changeFeedKeyed]] serves. */
+  private val cdfFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfTable(s: SparkSession, d: String): GraftTable = {
+    val root = cdfFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cdf" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/cdf_$key"
+      val t = new GraftTable(s, r)
+      val ev = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      def latest(df: DataFrame) = df.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      t.append(latest(ev.filter(pmod($"event_id", lit(3L)) === 0L)))
+      t.merge(ev.filter(pmod($"event_id", lit(3L)) =!= 0L),
+        Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** RESTORE fixture: three appends (the %3 slices), then a rollback to
     * v2 — the snapshot must be exactly the first two slices, served by
     * RE-REFERENCED v2 files (RestoreSpec pins the zero-I/O property). */
@@ -404,6 +431,17 @@ object AcidQueries extends QueryPack {
       evoTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // Keyed CDF: the v1->v2 row diff re-classified per user_id — a user
+    // whose live row CHANGED surfaces as an update_preimage/postimage
+    // PAIR, a first-seen user as insert (no user disappears here). The
+    // classification only matches the oracle if the join pairs exactly
+    // the keys present on both sides of the multiset diff.
+    "q_acid_cdf" -> { (s, d) =>
+      import s.implicits._
+      cdfTable(s, d).changeFeedKeyed(1L, 2L, Seq("user_id"))
+        .orderBy($"user_id", $"_change")
+    },
+
     // RESTORE TABLE ... TO VERSION AS OF 2: the rollback commit
     // re-references v2's files, so the snapshot is exactly the first two
     // %3 slices even though a third slice landed in between.
@@ -566,6 +604,31 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // v1 = latest-per-user of the %3==0 slice; v2 = latest per user over
+    // all events; diff rows classified update-pair vs insert by whether
+    // the user appears on both sides of the multiset diff
+    "q_acid_cdf" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE event_id % 3 = 0) WHERE rn = 1),
+        |v2 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |ins AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+        |del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2),
+        |paired AS (SELECT user_id FROM ins INTERSECT SELECT user_id FROM del)
+        |SELECT * FROM (
+        |  SELECT ins.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
+        |    THEN 'update_postimage' ELSE 'insert' END AS _change FROM ins
+        |  UNION ALL
+        |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
+        |    THEN 'update_preimage' ELSE 'delete' END AS _change FROM del)
+        |ORDER BY user_id, _change""".stripMargin,
 
     // post-restore content = the first two appended slices
     "q_acid_restore" ->
