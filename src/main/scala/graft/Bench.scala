@@ -36,8 +36,14 @@ object Bench {
         // incl. the partitioned merge table) so the timed region
         // measures the snapshot/diff reads
         "q_acid_merge",
+        // round-7 fixture families: schema evolution, z-order layout,
+        // restore rollback, keyed CDF — each builds its table on first
+        // touch; warmed so the timed region measures the reads
+        "q_acid_evolution", "q_acid_zorder", "q_acid_restore", "q_acid_cdf",
         // builds the once-per-JVM bus log fixture (4 partition bulk load)
         "q_source_bus_stream",
+        // builds + compacts the keyed bus fixture (12 segment publishes)
+        "q_source_bus_compacted",
         // JSON encode/parse codegen is the dominant first-touch JIT cost
         // (6.6 s cold vs 1.5 s steady-state for the same plan)
         "q_source_kafka_shaped").foreach { w =>

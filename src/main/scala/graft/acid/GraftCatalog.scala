@@ -90,14 +90,35 @@ class GraftCatalog extends TableCatalog {
       .map(p => Identifier.of(namespace, p.getName))
   }
 
+  /** Sidecar contents: the declared DDL plus optional `@pcol=` line (the
+    * CREATE TABLE partition column, needed before the first commit can
+    * record it in the log). */
+  private def readSidecar(dir: Path): (Option[StructType], Option[String]) =
+    if (!fs.exists(schemaFile(dir))) (None, None)
+    else {
+      val in = fs.open(schemaFile(dir))
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val (ddlLines, tagLines) = raw.linesIterator.toSeq.partition(!_.startsWith("@"))
+      (Some(StructType.fromDDL(ddlLines.mkString("\n"))),
+       tagLines.collectFirst { case l if l.startsWith("@pcol=") => l.drop(6) })
+    }
+
   private def load(ident: Identifier, version: Option[Long],
                    tsMillis: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
+    val (declared, sidecarPcol) = readSidecar(dir)
     // load, not new: recover the table's physical config (partition/stats/
     // bloom columns, CHECKs) from the log so SQL writes cluster and SQL
-    // deletes partition-scope exactly like the creating API caller's
-    val t = GraftTable.load(spark, dir.toString)
+    // deletes partition-scope exactly like the creating API caller's.
+    // Before the FIRST commit the log is empty, so the CREATE TABLE
+    // partition column comes from the sidecar — the first INSERT then
+    // clusters on it and records it in the log for good.
+    val t0 = GraftTable.load(spark, dir.toString)
+    val t = if (t0.latestVersion.isEmpty && sidecarPcol.nonEmpty)
+      new GraftTable(spark, dir.toString, partitionCol = sidecarPcol)
+    else t0
     val pinned = (version, tsMillis) match {
       case (Some(v), _) =>
         if (!t.versions.contains(v)) throw new NoSuchTableException(ident)
@@ -108,13 +129,6 @@ class GraftCatalog extends TableCatalog {
         Some(h.last.version)
       case _ => None
     }
-    val declared =
-      if (fs.exists(schemaFile(dir))) {
-        val in = fs.open(schemaFile(dir))
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        Some(StructType.fromDDL(json))
-      } else None
     new GraftTableV2(spark, t, (ident.namespace() :+ ident.name()).mkString("."),
       pinned, declared)
   }
@@ -135,10 +149,27 @@ class GraftCatalog extends TableCatalog {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     fs.mkdirs(dir)
-    // the declared schema rides a sidecar so an empty table is queryable
-    // before its first commit; data commits are the source of truth after
+    // `PARTITIONED BY (col)` → the table's partitionCol (range-clustered
+    // writes + partition-scoped rewrites). Only a single identity
+    // transform maps onto the log's partition model; reject the rest
+    // loudly instead of silently dropping the user's layout request.
+    val pcol = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) => t.references.toSeq match {
+        case Seq(ref) if t.name == "identity" => Some(ref.fieldNames.mkString("."))
+        case _ => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform $t " +
+            "(only PARTITIONED BY (<one column>))")
+      }
+      case many => throw new UnsupportedOperationException(
+        s"graft catalog: at most one partition column (got ${many.size})")
+    }
+    // the declared schema (and partition column) ride a sidecar so an
+    // empty table is queryable + correctly configured before its first
+    // commit; the commit log is the source of truth after
     val out = fs.create(schemaFile(dir), false)
-    try out.write(schema.toDDL.getBytes(UTF_8)) finally out.close()
+    try out.write((schema.toDDL + pcol.fold("")("\n@pcol=" + _)).getBytes(UTF_8))
+    finally out.close()
     load(ident, None, None)
   }
 
@@ -163,13 +194,11 @@ class GraftCatalog extends TableCatalog {
     if (t.latestVersion.isDefined) t.addColumns(added)
     else {
       // pre-first-commit: evolve the declared sidecar schema in place
-      val base = StructType.fromDDL {
-        val in = fs.open(schemaFile(dir))
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      }
+      // (preserving the CREATE TABLE partition column tag)
+      val (base, pcol) = readSidecar(dir)
+      val evolved = StructType(base.getOrElse(new StructType()).fields ++ added)
       val out = fs.create(schemaFile(dir), true)
-      try out.write(StructType(base.fields ++ added).toDDL.getBytes(UTF_8))
+      try out.write((evolved.toDDL + pcol.fold("")("\n@pcol=" + _)).getBytes(UTF_8))
       finally out.close()
     }
     load(ident, None, None)
@@ -239,6 +268,10 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
   }
 
   override def name(): String = ident
+
+  override def partitioning(): Array[Transform] =
+    t.partitionColName.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   override def schema(): StructType =
     pinned.orElse(t.latestVersion) match {

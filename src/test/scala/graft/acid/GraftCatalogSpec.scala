@@ -157,4 +157,29 @@ class GraftCatalogSpec extends SparkSpec {
       "unreferenced columns must prune out of the scan")
     assert(df.as[String].collect().toSeq == Seq("n7"))
   }
+
+  test("CREATE TABLE PARTITIONED BY wires the partition column into the log") {
+    enableCatalog()
+    spark.sql("CREATE TABLE graft.parted (id BIGINT, day BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft.parted SELECT id, id % 4 AS day, id * 1.5 " +
+      "FROM range(40)")
+    // the first INSERT recorded pcol in the log: a plain load recovers it
+    val t = GraftTable.load(spark, s"$warehouse/parted")
+    assert(t.partitionColName.contains("day"))
+    // and a partition-pinned SQL DELETE rewrites only intersecting files
+    val before = t.snapshot().inputFiles.toSet
+    spark.sql("DELETE FROM graft.parted WHERE day = 2")
+    val after = GraftTable.load(spark, s"$warehouse/parted").snapshot().inputFiles.toSet
+    assert((before intersect after).nonEmpty, "untouched partitions must carry over")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.parted").as[Long].head() == 30L)
+    // DESCRIBE surfaces the partitioning
+    val desc = spark.sql("DESCRIBE TABLE graft.parted").collect().map(_.getString(0))
+    assert(desc.contains("# Partition Information"), s"got ${desc.toSeq}")
+    // multi-column / non-identity partitioning is rejected loudly
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.bad (id BIGINT, a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (a, b)")
+    }
+  }
 }
