@@ -990,14 +990,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         "full_outer")
     val np = coalesce(col("__n_present"), lit(false))
     val op = coalesce(col("__o_present"), lit(false))
-    def side(p: String, tag: String) =
-      cols.map(c => col(s"$p$c").as(c)) :+ lit(tag).as("_change")
-    // update pairs explode into two rows (pre + post), one-sided keys one
-    val pre = joined.filter(np && op).select(side("__o_", "update_preimage"): _*)
-    val post = joined.filter(np && op).select(side("__n_", "update_postimage"): _*)
-    val insOnly = joined.filter(np && !op).select(side("__n_", "insert"): _*)
-    val delOnly = joined.filter(op && !np).select(side("__o_", "delete"): _*)
-    insOnly.unionByName(delOnly).unionByName(pre).unionByName(post)
+    def side(p: String, tag: String): Column =
+      struct(cols.map(c => col(s"$p$c").as(c)) :+ lit(tag).as("_change"): _*)
+    // ONE pass over the join (a 4-way union of filtered selects would
+    // re-execute it per branch): each joined row yields its change rows
+    // as an array — an update pair explodes into pre + post — and one
+    // explode flattens them
+    joined.select(explode(
+      when(np && op, array(side("__o_", "update_preimage"),
+                           side("__n_", "update_postimage")))
+        .when(np && !op, array(side("__n_", "insert")))
+        .otherwise(array(side("__o_", "delete")))).as("__c"))
+      .select(col("__c.*"))
   }
 
   /** Apply a [[changeFeed]] to THIS table (the downstream-mirror
