@@ -124,11 +124,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       stats: Option[(Long, Long)],
                                       part: Option[(Long, Long)] = None,
                                       bloom: Option[Array[Long]] = None,
-                                      windows: Map[String, (Long, Long)] = Map.empty) {
+                                      windows: Map[String, (Long, Long)] = Map.empty,
+                                      rows: Option[Long] = None) {
     def line: String =
       (path +: (stats.map { case (lo, hi) => s"s=$lo,$hi" }.toSeq ++
                 part.map { case (lo, hi) => s"p=$lo,$hi" }.toSeq ++
                 bloom.map(b => s"b=${GraftTable.encodeBloom(b)}").toSeq ++
+                rows.map(n => s"n=$n").toSeq ++
                 windows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
                   s"w:$c=$lo,$hi" }))
         .mkString("\t")
@@ -152,7 +154,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         tags.get("p").map(parseRange),
         tags.get("b").map(GraftTable.decodeBloom),
         tags.collect { case (k, v) if k.startsWith("w:") =>
-          k.drop(2) -> parseRange(v) })
+          k.drop(2) -> parseRange(v) },
+        tags.get("n").flatMap(_.toLongOption))
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -270,26 +273,27 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val tracked: Seq[(String, String)] =
       statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq ++
         indexCols.map(c => s"w:$c" -> c)
-    val windows: Map[String, Map[String, (Long, Long)]] =
-      if (tracked.isEmpty) Map.empty
-      else {
-        val aggs = tracked.flatMap { case (tag, c) =>
-          Seq(min(col(c)).cast("long").as(s"${tag}_lo"),
-              max(col(c)).cast("long").as(s"${tag}_hi"))
-        }
-        spark.read.parquet(dir)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val byTag = tracked.map { case (tag, _) =>
-              val (i, j) = (r.fieldIndex(s"${tag}_lo"), r.fieldIndex(s"${tag}_hi"))
-              tag -> (if (r.isNullAt(i) || r.isNullAt(j)) None
-                      else Some((r.getLong(i), r.getLong(j))))
-            }.collect { case (tag, Some(w)) => tag -> w }.toMap
-            new Path(r.getString(0)).getName -> byTag
-          }.toMap
-      }
+    // the same per-file pass also records each file's ROW COUNT (the
+    // Delta-style stats action): snapshot counts and CBO sizing then
+    // resolve from manifest metadata with zero file opens
+    val aggs = tracked.flatMap { case (tag, c) =>
+      Seq(min(col(c)).cast("long").as(s"${tag}_lo"),
+          max(col(c)).cast("long").as(s"${tag}_hi"))
+    } :+ count(lit(1)).as("__nrows")
+    val perFile: Map[String, (Map[String, (Long, Long)], Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val byTag = tracked.map { case (tag, _) =>
+            val (i, j) = (r.fieldIndex(s"${tag}_lo"), r.fieldIndex(s"${tag}_hi"))
+            tag -> (if (r.isNullAt(i) || r.isNullAt(j)) None
+                    else Some((r.getLong(i), r.getLong(j))))
+          }.collect { case (tag, Some(w)) => tag -> w }.toMap
+          new Path(r.getString(0)).getName ->
+            (byTag, r.getLong(r.fieldIndex("__nrows")))
+        }.toMap
     // Per-file bloom build, fully distributed: each row explodes into its
     // K bit positions, positions fold into per-(file, word) masks with a
     // map-side-combinable bit_or, and only O(files x 128) mask rows reach
@@ -317,10 +321,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     fs.listStatus(new Path(rootPath, sub)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("part-"))
       .sorted.map { n =>
-        val w = windows.getOrElse(n, Map.empty)
+        val (w, nrows) = perFile.getOrElse(n, (Map.empty[String, (Long, Long)], 0L))
         FileEntry(s"$sub/$n", w.get("s"), w.get("p"), blooms.get(n),
           w.collect { case (tag, win) if tag.startsWith("w:") =>
-            tag.drop(2) -> win })
+            tag.drop(2) -> win },
+          rows = Some(nrows))
       }
   }
 
@@ -722,6 +727,149 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .drop("__z")
     val v = nextVersion
     commit(v, writeData(laid, v), op = "zorder")
+  }
+
+  /** O(metadata) row count: the sum of per-file row counts recorded at
+    * write time — zero file opens. Falls back to a distributed count for
+    * versions containing pre-stats files. */
+  def fastCount(version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val es = entries(v)
+    if (es.forall(_.rows.isDefined)) es.flatMap(_.rows).sum
+    else snapshot(Some(v)).count()
+  }
+
+  /** One conjunct's pruning constraint on one column, derived from the
+    * predicate: a lower/upper bound or a point set. */
+  private case class ColBound(col: String, lo: Option[Long], hi: Option[Long],
+                              points: Option[Seq[Long]])
+
+  /** Pruning constraints provable from `pred`'s top-level AND-conjuncts:
+    * `col (=|>=|>|<=|<) literal` (either order) and `col IN (...)`.
+    * Conjuncts in any other shape contribute no pruning (correctness
+    * over skipping — the exact filter still applies on read). Strict
+    * bounds relax to inclusive ones: a window test may keep an extra
+    * file, never drop a matching one. */
+  private def predicateBounds(pred: Column): Seq[ColBound] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    object Fn {
+      def unapply(e: Expression): Option[(String, Seq[Expression])] = e match {
+        case f: UnresolvedFunction => Some((f.nameParts.last.toLowerCase, f.arguments))
+        case _ => None
+      }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r)       => conjuncts(l) ++ conjuncts(r)
+      case Fn("and", args) => args.flatMap(conjuncts)
+      case o               => Seq(o)
+    }
+    def colName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference  => Some(a.name)
+      case _                      => None
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v, org.apache.spark.sql.types.ByteType |
+                      org.apache.spark.sql.types.ShortType |
+                      org.apache.spark.sql.types.IntegerType |
+                      org.apache.spark.sql.types.LongType) =>
+        Some(v.toString.toLong)
+      case _ => None
+    }
+    def bound(e: Expression): Option[ColBound] = e match {
+      case EqualTo(a, l) => for (c <- colName(a); v <- litLong(l))
+        yield ColBound(c, None, None, Some(Seq(v)))
+      case EqualTo(l, a) => for (c <- colName(a); v <- litLong(l))
+        yield ColBound(c, None, None, Some(Seq(v)))
+      case GreaterThanOrEqual(a, l) => ge(a, l)
+      case GreaterThan(a, l)        => ge(a, l)
+      case LessThanOrEqual(a, l)    => le(a, l)
+      case LessThan(a, l)           => le(a, l)
+      case GreaterThanOrEqual(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty => le(a, l)
+      case GreaterThan(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty        => le(a, l)
+      case LessThanOrEqual(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty    => ge(a, l)
+      case LessThan(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty           => ge(a, l)
+      case In(a, vs) => inBound(a, vs)
+      case Fn("=" | "==", Seq(x, y)) =>
+        bound(EqualTo(x, y))
+      case Fn(">=" | ">", Seq(a, l)) if colName(a).nonEmpty => ge(a, l)
+      case Fn(">=" | ">", Seq(l, a)) if colName(a).nonEmpty => le(a, l)
+      case Fn("<=" | "<", Seq(a, l)) if colName(a).nonEmpty => le(a, l)
+      case Fn("<=" | "<", Seq(l, a)) if colName(a).nonEmpty => ge(a, l)
+      case Fn("in", a +: vs) => inBound(a, vs)
+      case Fn("between", Seq(a, lo, hi)) =>
+        for (c <- colName(a); l <- litLong(lo); h <- litLong(hi))
+          yield ColBound(c, Some(l), Some(h), None)
+      case _ => None
+    }
+    def ge(a: Expression, l: Expression): Option[ColBound] =
+      for (c <- colName(a); v <- litLong(l)) yield ColBound(c, Some(v), None, None)
+    def le(a: Expression, l: Expression): Option[ColBound] =
+      for (c <- colName(a); v <- litLong(l)) yield ColBound(c, None, Some(v), None)
+    def inBound(a: Expression, vs: Seq[Expression]): Option[ColBound] = {
+      val ls = vs.map(litLong)
+      if (vs.nonEmpty && ls.forall(_.isDefined))
+        colName(a).map(ColBound(_, None, None, Some(ls.flatten.distinct)))
+      else None
+    }
+    conjuncts(org.apache.spark.sql.GraftPlanBridge.expr(spark, pred))
+      .flatMap(bound)
+  }
+
+  /** The recorded window for column `c` in entry `e`, whichever index
+    * tracks it (stats / partition / indexCols). */
+  private def windowOf(e: FileEntry, c: String): Option[(Long, Long)] =
+    if (statsCol.exists(_.equalsIgnoreCase(c))) e.stats
+    else if (partitionCol.exists(_.equalsIgnoreCase(c))) e.part
+    else e.windows.collectFirst { case (k, w) if k.equalsIgnoreCase(c) => w }
+
+  /** UNIFIED predicate-driven data skipping — the production "query
+    * predicate → file list" surface: every pruning constraint provable
+    * from `predicate`'s conjuncts is checked against EVERY index the
+    * manifest carries for that column (min/max windows from
+    * statsCol/partitionCol/indexCols, per-file blooms for point
+    * predicates on the bloom column); a file survives only if ALL
+    * constraints are satisfiable in it. The exact predicate still
+    * filters the surviving files, so unprovable conjuncts cost pruning,
+    * never correctness. Decided driver-side from manifest metadata with
+    * zero file opens — on a Z-ORDERed table a conjunctive range on any
+    * indexed dimension reads O(matching files). */
+  def snapshotWhere(predicate: Column, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val files = filesForPredicate(predicate, Some(v))
+    if (files.isEmpty) snapshot(Some(v)).filter(lit(false))
+    else schemaOf(v).fold(spark.read)(spark.read.schema)
+      .parquet(files.map(f => new Path(rootPath, f).toString): _*)
+      .filter(predicate)
+  }
+
+  /** Files [[snapshotWhere]] would read for `predicate` — the pruning
+    * witness specs and EXPLAIN-style tooling inspect. */
+  private[graft] def filesForPredicate(predicate: Column,
+                                       version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val bounds = predicateBounds(predicate)
+    entries(v).filter { e =>
+      bounds.forall { b =>
+        val winOk = windowOf(e, b.col).forall { case (mn, mx) =>
+          b.points match {
+            case Some(ps) => ps.exists(p => p >= mn && p <= mx)
+            case None => b.lo.forall(_ <= mx) && b.hi.forall(_ >= mn)
+          }
+        }
+        val bloomOk = b.points match {
+          case Some(ps) if bloomCol.exists(_.equalsIgnoreCase(b.col)) =>
+            e.bloom.forall(arr => ps.exists(p => bloomPositions(p)
+              .forall(pos => (arr(pos / 64) & (1L << (pos % 64))) != 0L)))
+          case _ => true
+        }
+        winOk && bloomOk
+      }
+    }.map(_.path)
   }
 
   /** Files of `version` whose bloom may contain `value` — a file with no

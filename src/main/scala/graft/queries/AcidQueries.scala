@@ -462,6 +462,19 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_id", $"user_id")
     },
 
+    // Unified predicate-driven skipping: one compound predicate over the
+    // z-ordered table; snapshotWhere derives the file list from BOTH
+    // dimensions' manifest windows at once (PredicateSkippingSpec pins
+    // the 2-D pruning counts), then applies the exact filter — rows must
+    // equal the oracle's plain WHERE.
+    "q_acid_where" -> { (s, d) =>
+      import s.implicits._
+      zorderTable(s, d)
+        .snapshotWhere($"user_id" >= 20L && $"user_id" <= 60L &&
+          $"event_id" >= 1000L && $"event_id" <= 4999L)
+        .orderBy($"event_id")
+    },
+
     // Bloom-indexed point lookups: three needle reads on event_id, each
     // resolving its file list from the per-file manifest blooms (the ids
     // are scattered across every commit's files, so min/max windows
@@ -629,6 +642,13 @@ object AcidQueries extends QueryPack {
         |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
         |    THEN 'update_preimage' ELSE 'delete' END AS _change FROM del)
         |ORDER BY user_id, _change""".stripMargin,
+
+    // the compound predicate replayed as a plain WHERE
+    "q_acid_where" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 20 AND 60 AND event_id BETWEEN 1000 AND 4999
+        |ORDER BY event_id""".stripMargin,
 
     // post-restore content = the first two appended slices
     "q_acid_restore" ->

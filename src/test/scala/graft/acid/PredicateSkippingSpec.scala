@@ -1,0 +1,73 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unified predicate-driven data skipping (snapshotWhere): conjuncts
+  * checked against every manifest index (stats/partition/indexCols
+  * windows, point blooms), strict bounds relaxed, unprovable conjuncts
+  * ignored, correctness always exact. Plus the O(metadata) fastCount. */
+class PredicateSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conjunctive ranges prune on every indexed dimension at once") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predskip"),
+      indexCols = Seq("x", "y"))
+    val df = (0 until 4096).map { i =>
+      (i.toLong, ((i * 131) % 4096).toLong, ((i * 191) % 4096).toLong)
+    }.toDF("id", "x", "y")
+    t.append(df.repartition(8))
+    t.compactZOrder(("x", "y"), targetFiles = 16)
+    val all = t.activeFiles(t.latestVersion.get).size
+    val pred = $"x" >= 0L && $"x" <= 511L && $"y" >= 0L && $"y" <= 511L
+    val hit = t.filesForPredicate(pred).size
+    assert(hit < all / 2, s"2-D conjunctive range hit $hit of $all files")
+    // the combined prune is at least as tight as either single dimension
+    assert(hit <= t.filesForColumnRange("x", 0L, 511L).size)
+    assert(hit <= t.filesForColumnRange("y", 0L, 511L).size)
+    // exactness: same rows as the unpruned filter
+    assert(t.snapshotWhere(pred).count() ==
+      df.filter($"x" <= 511 && $"y" <= 511).count())
+  }
+
+  test("point predicates consult the bloom; unprovable conjuncts don't break reads") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predbloom"),
+      bloomCol = Some("id"))
+    (0 until 3).foreach { s =>
+      t.append((0 until 900).collect {
+        case i if i % 3 == s => (i.toLong, s"v$i")
+      }.toDF("id", "name"))
+    }
+    val all = t.activeFiles(t.latestVersion.get).size
+    val hit = t.filesForPredicate($"id" === 300L).size
+    assert(hit < all, s"bloom point lookup hit $hit of $all files")
+    val out = t.snapshotWhere($"id" === 300L && length($"name") > 1)
+    assert(out.select($"name").as[String].collect().toSeq == Seq("v300"))
+    // a predicate with no provable conjunct scans everything but stays exact
+    assert(t.snapshotWhere(length($"name") === 2).count() == 10L) // v0..v9
+  }
+
+  test("IN lists, reversed literals and strict bounds prune conservatively") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predin"),
+      statsCol = Some("k"))
+    t.append((0L to 99L).map(k => (k, k * 2)).toDF("k", "v"))
+    t.append((100L to 199L).map(k => (k, k * 2)).toDF("k", "v"))
+    t.append((200L to 299L).map(k => (k, k * 2)).toDF("k", "v"))
+    val all = t.activeFiles(t.latestVersion.get).size
+    assert(t.filesForPredicate($"k".isin(5L, 7L)).size < all)
+    assert(t.snapshotWhere($"k".isin(5L, 7L)).count() == 2L)
+    assert(t.snapshotWhere(lit(150L) <= $"k" && $"k" < 160L).count() == 10L)
+    assert(t.filesForPredicate(lit(150L) <= $"k" && $"k" < 160L).size < all)
+  }
+
+  test("fastCount resolves from manifest metadata and tracks mutations") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_fastcount"))
+    t.append((1L to 500L).toDF("id"))
+    t.append((501L to 700L).toDF("id"))
+    assert(t.fastCount() == 700L)
+    t.delete($"id" > 600L)
+    assert(t.fastCount() == 600L)
+    assert(t.fastCount(Some(2L)) == 700L) // per-version
+    assert(t.fastCount() == t.snapshot().count())
+  }
+}
