@@ -286,14 +286,23 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
 
   /** Active-file resolution happens HERE, once per query plan: the file
     * list is immutable, so the scan is a consistent snapshot however many
-    * commits land while the query runs. */
+    * commits land while the query runs. The builder adds MANIFEST FILE
+    * SKIPPING: filters the engine pushes down also prune the file list
+    * through the table's recorded windows/blooms
+    * ([[GraftTable.filesForPredicate]]), so SQL range/point reads on a
+    * clustered table open O(matching files) — identical pruning to the
+    * Scala API's `snapshotWhere`, now from any `SELECT ... WHERE`. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pinned.orElse(t.latestVersion)
-    val files = v.map(t.activeFiles).getOrElse(Nil)
-      .map(f => new Path(new Path(t.root), f).toString)
-    val delegate = new ParquetTable(ident, spark, options, files,
-      Some(schema()), classOf[ParquetFileFormat])
-    delegate.newScanBuilder(options)
+    def abs(f: String) = new Path(new Path(t.root), f).toString
+    val files = v.map(t.activeFiles).getOrElse(Nil).map(abs)
+    new org.apache.spark.sql.GraftPruningScanBuilder(
+      spark, ident, options, files, schema(),
+      prune = exprs => exprs.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And).fold(files) { e =>
+        t.filesForPredicate(
+          org.apache.spark.sql.GraftPlanBridge.column(e), v).map(abs)
+      })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

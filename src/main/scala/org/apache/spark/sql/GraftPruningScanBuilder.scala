@@ -1,0 +1,76 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** ScanBuilder for catalog-backed commit-log tables that adds MANIFEST
+  * FILE SKIPPING in front of Spark's native parquet scan: the catalyst
+  * filters the engine pushes down are (a) forwarded verbatim to a
+  * parquet delegate builder — keeping row-group pushdown, column
+  * pruning and vectorized reads exactly as before — and (b) handed to
+  * the table's manifest index (`prune`), so the delegate built at
+  * `build()` covers ONLY the files whose recorded min/max windows /
+  * blooms can satisfy the predicate. `SELECT ... WHERE k BETWEEN ...`
+  * on a clustered table then reads O(matching files) straight from SQL,
+  * the same skipping the Scala API's snapshotWhere does.
+  *
+  * Lives in Spark's namespace for the one `private[sql]` trait file
+  * sources negotiate catalyst-filter pushdown through
+  * ([[SupportsPushDownCatalystFilters]]) — same packaging pattern as
+  * [[GraftPlanBridge]].
+  *
+  * The pushdown NEGOTIATION (which filters the scan handles) happens
+  * against a probe delegate over the full file list; `build()` replays
+  * the identical calls onto a fresh delegate over the pruned list, so
+  * the negotiated contract is unchanged — manifest pruning only ever
+  * shrinks the file set, never the filter semantics. */
+class GraftPruningScanBuilder(
+    spark: SparkSession,
+    ident: String,
+    options: CaseInsensitiveStringMap,
+    allFiles: Seq[String],
+    dataSchema: StructType,
+    prune: Seq[Expression] => Seq[String])
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  private def mkDelegate(files: Seq[String]): FileScanBuilder =
+    new ParquetTable(ident, spark, options, files, Some(dataSchema),
+      classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+  private val probe = mkDelegate(allFiles)
+  private var pushed: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    probe.pushFilters(filters)
+  }
+
+  override def pushedFilters(): Array[Predicate] = probe.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    probe.pruneColumns(requiredSchema)
+  }
+
+  override def build(): Scan = {
+    val files = if (pushed.isEmpty) allFiles else prune(pushed)
+    if (files.size == allFiles.size) probe.build()
+    else {
+      val b = mkDelegate(files)
+      if (pushed.nonEmpty) b.pushFilters(pushed)
+      required.foreach(b.pruneColumns)
+      b.build()
+    }
+  }
+}

@@ -158,6 +158,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("n7"))
   }
 
+  test("SQL WHERE prunes files through the manifest index") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/mskip", statsCol = Some("k"))
+    t.append((0L to 99L).map(k => (k, k * 2)).toDF("k", "v"))
+    t.append((100L to 199L).map(k => (k, k * 2)).toDF("k", "v"))
+    t.append((200L to 299L).map(k => (k, k * 2)).toDF("k", "v"))
+    val allFiles = t.activeFiles(t.latestVersion.get).size
+    val df = spark.sql("SELECT k, v FROM graft.mskip WHERE k BETWEEN 120 AND 150")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.get
+    // the scan covers ONLY the files whose manifest window overlaps —
+    // decided from metadata, with row-group pushdown still negotiated
+    assert(df.inputFiles.length < allFiles,
+      s"expected a manifest-pruned scan, got ${df.inputFiles.length} of $allFiles files")
+    assert(scan.scan.description().contains("PushedFilters"),
+      "parquet pushdown must survive the manifest pruning wrapper")
+    assert(df.count() == 31L)
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.mskip").as[Double].head() ==
+      (0L to 299L).map(_ * 2.0).sum)
+  }
+
   test("CREATE TABLE PARTITIONED BY wires the partition column into the log") {
     enableCatalog()
     spark.sql("CREATE TABLE graft.parted (id BIGINT, day BIGINT, v DOUBLE) " +
