@@ -90,34 +90,53 @@ class GraftCatalog extends TableCatalog {
       .map(p => Identifier.of(namespace, p.getName))
   }
 
-  /** Sidecar contents: the declared DDL plus optional `@pcol=` line (the
-    * CREATE TABLE partition column, needed before the first commit can
-    * record it in the log). */
-  private def readSidecar(dir: Path): (Option[StructType], Option[String]) =
-    if (!fs.exists(schemaFile(dir))) (None, None)
+  /** Sidecar contents: the declared DDL plus `@tag=` config lines (the
+    * CREATE TABLE physical config — partition/stats/bloom/index columns
+    * and CHECKs — needed before the first commit can record it in the
+    * log). */
+  private case class Sidecar(schema: Option[StructType],
+                             pcol: Option[String], scol: Option[String],
+                             bcol: Option[String], icols: Seq[String],
+                             checks: Seq[String]) {
+    def hasConfig: Boolean =
+      pcol.nonEmpty || scol.nonEmpty || bcol.nonEmpty ||
+        icols.nonEmpty || checks.nonEmpty
+  }
+
+  private def readSidecar(dir: Path): Sidecar =
+    if (!fs.exists(schemaFile(dir))) Sidecar(None, None, None, None, Nil, Nil)
     else {
       val in = fs.open(schemaFile(dir))
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val (ddlLines, tagLines) = raw.linesIterator.toSeq.partition(!_.startsWith("@"))
-      (Some(StructType.fromDDL(ddlLines.mkString("\n"))),
-       tagLines.collectFirst { case l if l.startsWith("@pcol=") => l.drop(6) })
+      def tag(name: String): Seq[String] =
+        tagLines.collect { case l if l.startsWith(s"@$name=") =>
+          l.drop(name.length + 2) }
+      Sidecar(Some(StructType.fromDDL(ddlLines.mkString("\n"))),
+        tag("pcol").headOption, tag("scol").headOption, tag("bcol").headOption,
+        tag("icols").headOption.toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
+        tag("check").map(s => new String(
+          java.util.Base64.getUrlDecoder.decode(s), UTF_8)))
     }
 
   private def load(ident: Identifier, version: Option[Long],
                    tsMillis: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    val (declared, sidecarPcol) = readSidecar(dir)
+    val sc = readSidecar(dir)
+    val declared = sc.schema
     // load, not new: recover the table's physical config (partition/stats/
     // bloom columns, CHECKs) from the log so SQL writes cluster and SQL
     // deletes partition-scope exactly like the creating API caller's.
     // Before the FIRST commit the log is empty, so the CREATE TABLE
-    // partition column comes from the sidecar — the first INSERT then
-    // clusters on it and records it in the log for good.
+    // config comes from the sidecar — the first INSERT then applies it
+    // and records it in the log for good.
     val t0 = GraftTable.load(spark, dir.toString)
-    val t = if (t0.latestVersion.isEmpty && sidecarPcol.nonEmpty)
-      new GraftTable(spark, dir.toString, partitionCol = sidecarPcol)
+    val t = if (t0.latestVersion.isEmpty && sc.hasConfig)
+      new GraftTable(spark, dir.toString, statsCol = sc.scol,
+        partitionCol = sc.pcol, bloomCol = sc.bcol,
+        constraints = sc.checks, indexCols = sc.icols)
     else t0
     val pinned = (version, tsMillis) match {
       case (Some(v), _) =>
@@ -164,11 +183,34 @@ class GraftCatalog extends TableCatalog {
       case many => throw new UnsupportedOperationException(
         s"graft catalog: at most one partition column (got ${many.size})")
     }
-    // the declared schema (and partition column) ride a sidecar so an
+    // TBLPROPERTIES → the rest of the physical config: statsCol /
+    // bloomCol / indexCols (comma-separated) / check.<name> constraint
+    // expressions — the full CREATE-TABLE-declares-the-layout surface:
+    //   CREATE TABLE graft.t (...) PARTITIONED BY (day)
+    //   TBLPROPERTIES ('statsCol'='k', 'bloomCol'='id',
+    //                  'indexCols'='x,y', 'check.positive'='v > 0')
+    val props = properties.asScala
+    val known = Set("statsCol", "bloomCol", "indexCols")
+    val tags =
+      props.get("statsCol").map("@scol=" + _).toSeq ++
+      props.get("bloomCol").map("@bcol=" + _).toSeq ++
+      props.get("indexCols").map("@icols=" + _).toSeq ++
+      props.collect { case (k, v) if k.startsWith("check.") =>
+        "@check=" + java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(v.getBytes(UTF_8)) }.toSeq
+    props.keys.filterNot(k => known(k) || k.startsWith("check.") ||
+        k.startsWith("option.") || k == "provider" || k == "location" ||
+        k == "owner" || k == "external" || k == "comment")
+      .foreach(k => throw new IllegalArgumentException(
+        s"graft catalog: unknown table property '$k' " +
+          "(supported: statsCol, bloomCol, indexCols, check.<name>)"))
+    // the declared schema (and physical config) ride a sidecar so an
     // empty table is queryable + correctly configured before its first
     // commit; the commit log is the source of truth after
     val out = fs.create(schemaFile(dir), false)
-    try out.write((schema.toDDL + pcol.fold("")("\n@pcol=" + _)).getBytes(UTF_8))
+    try out.write((schema.toDDL +
+      (pcol.map("@pcol=" + _).toSeq ++ tags).map("\n" + _).mkString)
+      .getBytes(UTF_8))
     finally out.close()
     load(ident, None, None)
   }
@@ -193,12 +235,17 @@ class GraftCatalog extends TableCatalog {
     val t = GraftTable.load(spark, dir.toString)
     if (t.latestVersion.isDefined) t.addColumns(added)
     else {
-      // pre-first-commit: evolve the declared sidecar schema in place
-      // (preserving the CREATE TABLE partition column tag)
-      val (base, pcol) = readSidecar(dir)
-      val evolved = StructType(base.getOrElse(new StructType()).fields ++ added)
+      // pre-first-commit: evolve the declared sidecar schema in place,
+      // preserving every CREATE TABLE config tag
+      val in = fs.open(schemaFile(dir))
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val (ddlLines, tagLines) = raw.linesIterator.toSeq.partition(!_.startsWith("@"))
+      val evolved = StructType(
+        StructType.fromDDL(ddlLines.mkString("\n")).fields ++ added)
       val out = fs.create(schemaFile(dir), true)
-      try out.write((evolved.toDDL + pcol.fold("")("\n@pcol=" + _)).getBytes(UTF_8))
+      try out.write((evolved.toDDL + tagLines.map("\n" + _).mkString)
+        .getBytes(UTF_8))
       finally out.close()
     }
     load(ident, None, None)

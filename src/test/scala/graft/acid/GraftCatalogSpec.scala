@@ -180,6 +180,32 @@ class GraftCatalogSpec extends SparkSpec {
       (0L to 299L).map(_ * 2.0).sum)
   }
 
+  test("TBLPROPERTIES declare the physical config: stats/bloom/index/CHECK") {
+    enableCatalog()
+    spark.sql("""CREATE TABLE graft.conf (k BIGINT, id BIGINT, x BIGINT, y BIGINT,
+      v DOUBLE) TBLPROPERTIES ('statsCol'='k', 'bloomCol'='id',
+      'indexCols'='x,y', 'check.positive'='v >= 0')""")
+    spark.sql("INSERT INTO graft.conf SELECT id AS k, id, id % 7 AS x, " +
+      "id % 11 AS y, id * 0.5 AS v FROM range(100)")
+    val t = GraftTable.load(spark, s"$warehouse/conf")
+    // the first INSERT recorded the whole config in the log
+    assert(t.fastCount() == 100L)
+    assert(t.filesForPredicate($"id" === 5L).nonEmpty)
+    assert(t.snapshotRangeOn("x", 0L, 3L).count() ==
+      (0L until 100L).count(_ % 7 <= 3))
+    // the CHECK from TBLPROPERTIES rejects violating SQL INSERTs
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO graft.conf VALUES (1, 1, 1, 1, -5.0)")
+    }
+    assert(err.getMessage != null)
+    assert(t.fastCount() == 100L, "a violating INSERT must commit nothing")
+    // unknown properties are rejected loudly, not silently dropped
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.badprop (id BIGINT) " +
+        "TBLPROPERTIES ('zorderBy'='id')")
+    }
+  }
+
   test("CREATE TABLE PARTITIONED BY wires the partition column into the log") {
     enableCatalog()
     spark.sql("CREATE TABLE graft.parted (id BIGINT, day BIGINT, v DOUBLE) " +
