@@ -227,6 +227,21 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * an [[addColumn]] or a `mergeSchema` append — first records one). */
   def tableSchema: Option[StructType] = latestVersion.flatMap(schemaOf)
 
+  /** [[history]] as a DataFrame — the DESCRIBE HISTORY surface for SQL
+    * consumers (`t.historyDF.createOrReplaceTempView(...)`): version,
+    * operation, commit timestamp, active file count, plus the recorded
+    * row count when every file in the version carries one. */
+  def historyDF: DataFrame = {
+    import spark.implicits._
+    history().map { ci =>
+      val es = entries(ci.version)
+      val rows = if (es.nonEmpty && es.forall(_.rows.isDefined))
+        Some(es.flatMap(_.rows).sum) else None
+      (ci.version, ci.op, new java.sql.Timestamp(ci.commitMs),
+        ci.nFiles, rows)
+    }.toDF("version", "operation", "commit_ts", "n_files", "n_rows")
+  }
+
   /** Time travel BY TIMESTAMP (epoch millis): the snapshot of the newest
     * version committed at or before `tsMillis` — what "the table as of
     * last night's run" resolves through. */

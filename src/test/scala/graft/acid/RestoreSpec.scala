@@ -42,6 +42,19 @@ class RestoreSpec extends SparkSpec {
     assert(t.snapshot().count() == 3L)
   }
 
+  test("historyDF surfaces version, op, timestamp and recorded row counts") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_histdf"))
+    t.append(rows(3))
+    t.overwrite(rows(5, 10))
+    t.restore(1L)
+    val h = t.historyDF.orderBy($"version")
+      .select($"version", $"operation", $"n_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2)))
+    assert(h.toSeq == Seq((1L, "append", 3L), (2L, "overwrite", 5L),
+      (3L, "restore", 3L)))
+    assert(t.historyDF.filter($"commit_ts".isNull).count() == 0)
+  }
+
   test("restoreAt resolves by commit timestamp") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_restore_ts"))
     t.append(rows(1))
