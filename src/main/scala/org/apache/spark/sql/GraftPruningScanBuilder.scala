@@ -1,8 +1,9 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -40,7 +41,9 @@ class GraftPruningScanBuilder(
     prune: Seq[Expression] => Seq[String])
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownCatalystFilters {
+  with SupportsPushDownCatalystFilters
+  with SupportsPushDownAggregates
+  with SupportsPushDownVariantExtractions {
 
   private def mkDelegate(files: Seq[String]): FileScanBuilder =
     new ParquetTable(ident, spark, options, files, Some(dataSchema),
@@ -50,6 +53,13 @@ class GraftPruningScanBuilder(
   private val probe = mkDelegate(allFiles)
   private var pushed: Seq[Expression] = Nil
   private var required: Option[StructType] = None
+  private var agg: Option[Aggregation] = None
+  private var variants: Option[Array[VariantExtraction]] = None
+
+  private def delegateAggs(b: FileScanBuilder) =
+    b.asInstanceOf[SupportsPushDownAggregates]
+  private def delegateVariants(b: FileScanBuilder) =
+    b.asInstanceOf[SupportsPushDownVariantExtractions]
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
@@ -63,6 +73,26 @@ class GraftPruningScanBuilder(
     probe.pruneColumns(requiredSchema)
   }
 
+  // the parquet delegate's footer-stats aggregate pushdown (MIN/MAX/
+  // COUNT under spark.sql.parquet.aggregatePushDown) and variant
+  // extraction pushdown pass straight through — the wrapper adds file
+  // pruning, never subtracts a delegate capability
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegateAggs(probe).supportCompletePushDown(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = delegateAggs(probe).pushAggregation(aggregation)
+    if (ok) agg = Some(aggregation)
+    ok
+  }
+
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] = {
+    val res = delegateVariants(probe).pushVariantExtractions(extractions)
+    if (res.exists(identity)) variants = Some(extractions)
+    res
+  }
+
   override def build(): Scan = {
     val files = if (pushed.isEmpty) allFiles else prune(pushed)
     if (files.size == allFiles.size) probe.build()
@@ -70,6 +100,8 @@ class GraftPruningScanBuilder(
       val b = mkDelegate(files)
       if (pushed.nonEmpty) b.pushFilters(pushed)
       required.foreach(b.pruneColumns)
+      agg.foreach(delegateAggs(b).pushAggregation)
+      variants.foreach(delegateVariants(b).pushVariantExtractions)
       b.build()
     }
   }

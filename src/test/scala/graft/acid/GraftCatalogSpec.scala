@@ -180,6 +180,23 @@ class GraftCatalogSpec extends SparkSpec {
       (0L to 299L).map(_ * 2.0).sum)
   }
 
+  test("parquet footer-stats aggregate pushdown survives the pruning wrapper") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/aggpd")
+    t.append((1L to 1000L).map(i => (i, i * 3)).toDF("id", "v"))
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try {
+      val df = spark.sql("SELECT count(*) AS n, min(id) AS lo, max(id) AS hi " +
+        "FROM graft.aggpd")
+      assert(df.as[(Long, Long, Long)].head() == (1000L, 1L, 1000L))
+      // AQE wraps the agg plan; the final executed plan's scan node
+      // carries the PushedAggregation marker when footers answered it
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedAggregation"),
+        s"count/min/max must push into the parquet footers:\n$planStr")
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
+  }
+
   test("TBLPROPERTIES declare the physical config: stats/bloom/index/CHECK") {
     enableCatalog()
     spark.sql("""CREATE TABLE graft.conf (k BIGINT, id BIGINT, x BIGINT, y BIGINT,
