@@ -349,6 +349,15 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
           org.apache.spark.sql.catalyst.expressions.And).fold(files) { e =>
         t.filesForPredicate(
           org.apache.spark.sql.GraftPlanBridge.column(e), v).map(abs)
+      },
+      // unfiltered COUNT(*) from the manifest's recorded row counts —
+      // None (→ parquet fallback) if any file predates row-count stats
+      manifestCount = () => v match {
+        case None => Some(0L)
+        case Some(ver) =>
+          val es = t.entries(ver)
+          if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
+          else None
       })
   }
 

@@ -1,9 +1,10 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -38,7 +39,8 @@ class GraftPruningScanBuilder(
     options: CaseInsensitiveStringMap,
     allFiles: Seq[String],
     dataSchema: StructType,
-    prune: Seq[Expression] => Seq[String])
+    prune: Seq[Expression] => Seq[String],
+    manifestCount: () => Option[Long] = () => None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -73,18 +75,38 @@ class GraftPruningScanBuilder(
     probe.pruneColumns(requiredSchema)
   }
 
+  /** Unfiltered, ungrouped COUNT(*) answered from the MANIFEST's
+    * recorded per-file row counts — `SELECT count(*) FROM graft.t`
+    * becomes an O(metadata) constant, no file (or even footer) opens.
+    * Any pushed filter or group-by disqualifies it. */
+  private def metaCountFor(aggregation: Aggregation): Option[Long] =
+    if (pushed.isEmpty && aggregation.groupByExpressions.isEmpty &&
+        aggregation.aggregateExpressions.nonEmpty &&
+        aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      manifestCount()
+    else None
+
+  private var metaCount: Option[Long] = None
+
   // the parquet delegate's footer-stats aggregate pushdown (MIN/MAX/
   // COUNT under spark.sql.parquet.aggregatePushDown) and variant
   // extraction pushdown pass straight through — the wrapper adds file
   // pruning, never subtracts a delegate capability
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    delegateAggs(probe).supportCompletePushDown(aggregation)
+    metaCountFor(aggregation).isDefined ||
+      delegateAggs(probe).supportCompletePushDown(aggregation)
 
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = delegateAggs(probe).pushAggregation(aggregation)
-    if (ok) agg = Some(aggregation)
-    ok
-  }
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    metaCountFor(aggregation) match {
+      case some @ Some(_) =>
+        metaCount = some
+        agg = Some(aggregation)
+        true
+      case None =>
+        val ok = delegateAggs(probe).pushAggregation(aggregation)
+        if (ok) agg = Some(aggregation)
+        ok
+    }
 
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] = {
@@ -93,16 +115,28 @@ class GraftPruningScanBuilder(
     res
   }
 
-  override def build(): Scan = {
-    val files = if (pushed.isEmpty) allFiles else prune(pushed)
-    if (files.size == allFiles.size) probe.build()
-    else {
-      val b = mkDelegate(files)
-      if (pushed.nonEmpty) b.pushFilters(pushed)
-      required.foreach(b.pruneColumns)
-      agg.foreach(delegateAggs(b).pushAggregation)
-      variants.foreach(delegateVariants(b).pushVariantExtractions)
-      b.build()
-    }
+  override def build(): Scan = metaCount match {
+    case Some(n) =>
+      val k = agg.map(_.aggregateExpressions.length).getOrElse(1)
+      new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(Seq.fill(k)(n)))
+        override def readSchema(): StructType = StructType(
+          (1 to k).map(_ => org.apache.spark.sql.types.StructField(
+            "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+        override def description(): String =
+          s"graft.ManifestCountScan[$ident] rows=$n"
+      }
+    case None =>
+      val files = if (pushed.isEmpty) allFiles else prune(pushed)
+      if (files.size == allFiles.size) probe.build()
+      else {
+        val b = mkDelegate(files)
+        if (pushed.nonEmpty) b.pushFilters(pushed)
+        required.foreach(b.pruneColumns)
+        agg.foreach(delegateAggs(b).pushAggregation)
+        variants.foreach(delegateVariants(b).pushVariantExtractions)
+        b.build()
+      }
   }
 }

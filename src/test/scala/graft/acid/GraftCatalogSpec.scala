@@ -197,6 +197,25 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
   }
 
+  test("unfiltered COUNT(*) answers from manifest row counts, zero file opens") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/metacount")
+    t.append((1L to 800L).toDF("id"))
+    t.append((801L to 1000L).toDF("id"))
+    val df = spark.sql("SELECT count(*) AS n FROM graft.metacount")
+    assert(df.as[Long].head() == 1000L)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("ManifestCountScan") || planStr.contains("LocalTableScan"),
+      s"count(*) must resolve from the manifest, not a parquet scan:\n$planStr")
+    assert(df.inputFiles.isEmpty, "a manifest count must open no data files")
+    // a filtered count still scans (and is exact)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.metacount WHERE id <= 10")
+      .as[Long].head() == 10L)
+    // mutations keep the metadata count honest
+    spark.sql("DELETE FROM graft.metacount WHERE id > 900")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.metacount").as[Long].head() == 900L)
+  }
+
   test("TBLPROPERTIES declare the physical config: stats/bloom/index/CHECK") {
     enableCatalog()
     spark.sql("""CREATE TABLE graft.conf (k BIGINT, id BIGINT, x BIGINT, y BIGINT,
