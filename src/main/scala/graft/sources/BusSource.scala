@@ -406,6 +406,25 @@ object BusLog {
     Some(dst)
   }
 
+  /** Per-consumer, per-partition LAG (log-end offset minus the
+    * consumer's committed offset) — the broker-side monitoring surface
+    * an operator alerts on. Resolved entirely from metadata (segment
+    * names + the consumer registry), no segment opens. A consumer with
+    * no record for a partition lags by the partition's full retained
+    * backlog. */
+  def consumerLag(conf: Configuration, root: String): Map[String, Map[Int, Long]] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val ends = partitionDirs(fs, rootPath).map { case (pid, pdir) =>
+      pid -> logEnd(fs, pdir)
+    }.toMap
+    consumerOffsets(conf, root).map { case (cid, offs) =>
+      cid -> ends.map { case (pid, end) =>
+        pid -> math.max(0L, end - offs.getOrElse(pid, 0L))
+      }
+    }
+  }
+
   /** [[compactKeyed]] across every partition of the log. */
   def compactKeyedAll(conf: Configuration, root: String): Map[Int, Option[Path]] = {
     val rootPath = new Path(root)

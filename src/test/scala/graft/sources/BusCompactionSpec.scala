@@ -103,6 +103,17 @@ class BusCompactionSpec extends SparkSpec {
       Seq((1L, "a", "a2"), (2L, "b", "b1")))
   }
 
+  test("consumerLag reports end-minus-committed per consumer and partition") {
+    val root = graft.TempDirs.create("graft_bus_lag")
+    BusLog.append(conf, root, 0, (0 until 10).map(i => rec(s"k$i", "v", i.toLong)))
+    BusLog.append(conf, root, 1, (0 until 4).map(i => rec(s"k$i", "v", i.toLong)))
+    BusLog.recordConsumer(conf, root, "c1", Map(0 -> 7L, 1 -> 4L))
+    BusLog.recordConsumer(conf, root, "c2", Map(0 -> 10L)) // nothing for p1
+    val lag = BusLog.consumerLag(conf, root)
+    assert(lag("c1") == Map(0 -> 3L, 1 -> 0L))
+    assert(lag("c2") == Map(0 -> 0L, 1 -> 4L))
+  }
+
   test("compactKeyedAll sweeps every partition; single-segment partitions are left alone") {
     val root = graft.TempDirs.create("graft_bus_all")
     BusLog.append(conf, root, 0, Seq(rec("a", "a1", 1L)))
