@@ -87,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also self-installs these on initialize for extension-less sessions)
     e.injectOptimizerRule(_ => acid.GraftSqlRowOps)
     e.injectPlannerStrategy(_ => acid.GraftRowCommandStrategy)
+    // lakehouse maintenance SQL over graft-catalog tables:
+    // OPTIMIZE [TARGET n FILES] [ZORDER BY (a, b)] / VACUUM [RETAIN n
+    // VERSIONS] / RESTORE ... TO VERSION AS OF v / DESCRIBE HISTORY
+    e.injectParser((_, delegate) => new acid.GraftSqlParser(delegate))
   }
 }

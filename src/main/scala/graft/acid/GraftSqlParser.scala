@@ -1,0 +1,107 @@
+package graft.acid
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delegating SQL parser adding the lakehouse MAINTENANCE statements the
+  * ANSI grammar lacks — the surface Delta ships as its SQL extension,
+  * re-derived over the graft commit log:
+  *
+  * {{{
+  *   OPTIMIZE <table> [TARGET <n> FILES] [ZORDER BY (a, b)]
+  *   VACUUM <table> [RETAIN <n> VERSIONS]
+  *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
+  *   DESCRIBE HISTORY <table>
+  * }}}
+  *
+  * `<table>` is a graft-catalog identifier (`cat.ns.t` where
+  * `spark.sql.catalog.<cat>` is [[GraftCatalog]]); the statement resolves
+  * the table root from the catalog's configured root. Every other
+  * statement delegates verbatim to Spark's parser — this parser adds
+  * grammar, it never changes any.
+  *
+  * Install via `GraftExtensions` (`injectParser`). DESCRIBE HISTORY
+  * returns [[GraftTable.historyDF]]'s plan (a real result set); the
+  * mutating statements plan through the same
+  * [[GraftRowLevelCommand]] / [[GraftRowCommandStrategy]] pair as SQL
+  * UPDATE/MERGE.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+
+  private def spark = SparkSession.active
+
+  /** Resolve `cat.ns.t` to the GraftTable at the catalog's root; None if
+    * the first name part is not a configured graft catalog (the
+    * statement then falls through to Spark's parser and its error). */
+  private def resolve(tableRef: String): Option[GraftTable] = {
+    val parts = delegate.parseMultipartIdentifier(tableRef)
+    if (parts.length < 2) return None
+    val cat = parts.head
+    val conf = spark.conf
+    if (!conf.getOption(s"spark.sql.catalog.$cat")
+        .contains(classOf[GraftCatalog].getName)) return None
+    conf.getOption(s"spark.sql.catalog.$cat.root").map { root =>
+      GraftTable.load(spark, (parts.tail.foldLeft(
+        new org.apache.hadoop.fs.Path(root))(new org.apache.hadoop.fs.Path(_, _))).toString)
+    }
+  }
+
+  private def strip(id: String) = id.replace("`", "")
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(ref, target, za, zb) =>
+      resolve(ref).map { t =>
+        val n = Option(target).map(_.toInt)
+          .getOrElse(spark.sessionState.conf.numShufflePartitions)
+        val label = s"OPTIMIZE ${ref.trim}"
+        if (za != null && zb != null)
+          GraftRowLevelCommand(label,
+            () => { t.compactZOrder((strip(za), strip(zb)), n); () })
+        else
+          GraftRowLevelCommand(label, () => { t.compact(n); () })
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case Vacuum(ref, retain) =>
+      resolve(ref).map { t =>
+        val keep = Option(retain).map(_.toInt).getOrElse(1)
+        GraftRowLevelCommand(s"VACUUM ${ref.trim}",
+          () => { t.vacuum(keep); () })
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case Restore(ref, v) =>
+      resolve(ref).map { t =>
+        GraftRowLevelCommand(s"RESTORE ${ref.trim}",
+          () => { t.restore(v.toLong); () })
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case History(ref) =>
+      resolve(ref).map(_.historyDF.queryExecution.logical)
+        .getOrElse(delegate.parsePlan(sqlText))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -46,4 +46,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT explode_track(array(named_struct('a', 1), named_struct('a', 2)))").count()
     assert(n == 2)
   }
+
+  test("maintenance SQL: OPTIMIZE ZORDER, DESCRIBE HISTORY, RESTORE, VACUUM") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    val wh = TempDirs.create("graft_maint_wh")
+    s2.conf.set("spark.sql.catalog.gmaint", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmaint.root", wh)
+    val t = new graft.acid.GraftTable(s2, s"$wh/m", indexCols = Seq("x", "y"))
+    t.append((0 until 512).map(i =>
+      (i.toLong, ((i * 131) % 512).toLong, ((i * 191) % 512).toLong))
+      .toDF("id", "x", "y").repartition(4))
+    // OPTIMIZE ... ZORDER BY through plain SQL
+    s2.sql("OPTIMIZE gmaint.m TARGET 8 FILES ZORDER BY (x, y)")
+    val reloaded = graft.acid.GraftTable.load(s2, s"$wh/m")
+    assert(reloaded.history().last.op == "zorder")
+    assert(reloaded.snapshot().count() == 512L)
+    // DESCRIBE HISTORY returns a real result set
+    val ops = s2.sql("DESCRIBE HISTORY gmaint.m")
+      .orderBy($"version").select($"operation").as[String].collect().toSeq
+    assert(ops == Seq("append", "zorder"))
+    // RESTORE rolls back; VACUUM trims retention
+    s2.sql("RESTORE gmaint.m TO VERSION AS OF 1")
+    assert(graft.acid.GraftTable.load(s2, s"$wh/m").history().last.op == "restore")
+    s2.sql("VACUUM gmaint.m RETAIN 1 VERSIONS")
+    assert(graft.acid.GraftTable.load(s2, s"$wh/m").versions.size == 1)
+    assert(graft.acid.GraftTable.load(s2, s"$wh/m").snapshot().count() == 512L)
+    // a non-graft reference falls through to Spark's parser (and errors)
+    intercept[Exception] { s2.sql("OPTIMIZE nosuch.cat.table") }
+  }
 }
