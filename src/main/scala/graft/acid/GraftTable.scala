@@ -164,14 +164,46 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * batch) reads "everything since the table began" without a special
     * case. Header lines (`# key=value ...`) carry commit metadata, not
     * files. */
-  private[graft] def entries(v: Long): Seq[FileEntry] = if (v == 0L) Nil else {
-    val in = fs.open(manifestPath(v))
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseEntry).toList
-    finally in.close()
+  /** All lines of version `v`'s manifest, retrying until the terminator
+    * line proves the commit COMPLETE. The exclusive create is the
+    * atomicity point for WHO wins a version, but on a filesystem the
+    * bytes land after the create — a concurrent reader (another writer's
+    * rebase, a snapshot resolving mid-commit) can otherwise observe a
+    * partial manifest (or a local-FS checksum tear) and silently parse a
+    * truncated file list. Writers put `# ok` as the LAST line in the
+    * same single write; readers spin briefly (the write is a few KB —
+    * milliseconds) and then fail LOUDLY: an in-flight commit resolves,
+    * a torn one (crash between create and write) surfaces as an error,
+    * never as a silently-smaller table. */
+  private def manifestLines(v: Long): List[String] = {
+    var attempt = 0
+    while (true) {
+      val lines =
+        try {
+          val in = fs.open(manifestPath(v))
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().map(_.trim).toList)
+          finally in.close()
+        } catch { case _: org.apache.hadoop.fs.ChecksumException => None }
+      lines match {
+        case Some(ls) if ls.lastOption.contains(CommitMarker) => return ls
+        case _ =>
+          attempt += 1
+          if (attempt >= 200) throw new IllegalStateException(
+            s"manifest v$v at $root is incomplete after ${attempt} reads " +
+              "(in-flight or torn commit)")
+          Thread.sleep(5)
+      }
+    }
+    Nil // unreachable
   }
+
+  private val CommitMarker = "# ok"
+
+  private[graft] def entries(v: Long): Seq[FileEntry] = if (v == 0L) Nil else
+    manifestLines(v)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseEntry)
 
   /** One commit's provenance: version, operation, wall-clock commit time
     * (epoch millis; 0 for pre-header manifests), active file count. */
@@ -183,10 +215,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * config ([[GraftTable.load]] recovers stats/partition/bloom columns
     * and CHECK constraints from here). */
   private[acid] def headerMeta(v: Long): Map[String, String] = {
-    val in = fs.open(manifestPath(v))
-    val first = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).find(_.nonEmpty)
-    finally in.close()
+    val first = manifestLines(v).find(_.nonEmpty)
     first.filter(_.startsWith("#")).map { h =>
       h.drop(1).trim.split("\\s+").flatMap(_.split("=", 2) match {
         case Array(k, value) => Some(k -> value)
@@ -199,10 +228,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * surface: which operation produced each version and when. O(versions)
     * manifest header reads, no data I/O. */
   def history(): Seq[CommitInfo] = versions.map { v =>
-    val in = fs.open(manifestPath(v))
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    val lines = manifestLines(v).filter(_.nonEmpty)
     val meta = lines.headOption.filter(_.startsWith("#")).map { h =>
       h.drop(1).trim.split("\\s+").flatMap(_.split("=", 2) match {
         case Array(k, value) => Some(k -> value)
@@ -403,7 +429,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
            .encodeToString(c.getBytes(UTF_8))).mkString(",")))).mkString(" ")
     val header = (s"# op=$op ts=${System.currentTimeMillis()}" +
       (if (cfg.isEmpty) "" else s" $cfg"))
-    try out.write((header +: files.map(_.line)).mkString("\n").getBytes(UTF_8))
+    // one write, terminator LAST: readers treat a manifest without the
+    // final marker as in-flight (see manifestLines)
+    try out.write(((header +: files.map(_.line)) :+ CommitMarker)
+      .mkString("\n").getBytes(UTF_8))
     finally out.close()
     v
   }

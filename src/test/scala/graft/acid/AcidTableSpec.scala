@@ -17,6 +17,21 @@ class AcidTableSpec extends SparkSpec {
   private def rows(n: Int, off: Int = 0) =
     (1 to n).map(i => (i.toLong + off, s"u${i + off}", i * 1.5)).toDF("id", "name", "v")
 
+  test("a torn commit (manifest without the terminator) fails loudly, never reads as empty") {
+    val t = freshTable()
+    t.append(rows(3))
+    // simulate a writer that crashed between the exclusive create and the
+    // content write: an empty manifest claims version 2
+    val torn = new org.apache.hadoop.fs.Path(t.root, "_log/v00000000000000000002.manifest")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(torn, false).close()
+    val err = intercept[IllegalStateException] { t.snapshot(Some(2L)).count() }
+    assert(err.getMessage.contains("incomplete"),
+      s"a torn manifest must error, not parse as an empty table: ${err.getMessage}")
+    // v1 (complete) stays readable
+    assert(t.snapshot(Some(1L)).count() == 3)
+  }
+
   test("exclusive commit: the second writer to a version loses with ConcurrentCommitException") {
     val t = freshTable()
     t.append(rows(3))
