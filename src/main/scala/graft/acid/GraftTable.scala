@@ -400,6 +400,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // in-flight manifest itself and find no header.
     val declared = schema.orElse(latestVersion.flatMap(schemaOf))
     val p = manifestPath(v)
+    // Exclusive create is the atomicity point. On HDFS/object stores the
+    // create (conditional put) is atomic by itself; Hadoop's LOCAL
+    // filesystem implements `create(overwrite = false)` as a
+    // check-then-create, so same-process writers additionally serialize
+    // the create+write window on a per-root monitor (cross-process
+    // local-FS racing remains best-effort — local disks are the test
+    // harness, not the deployment target).
+    GraftTable.commitMonitor(root).synchronized {
     if (fs.exists(p))
       throw new ConcurrentCommitException(
         s"version $v already committed at $root; rebase and retry")
@@ -435,6 +443,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .mkString("\n").getBytes(UTF_8))
     finally out.close()
     v
+    }
   }
 
   private def nextVersion: Long = latestVersion.getOrElse(0L) + 1
@@ -470,11 +479,34 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * streaming writes with no side ledger. */
   def append(df: DataFrame, txn: Option[(String, Long)] = None,
              mergeSchema: Boolean = false): Long = {
-    val v = nextVersion
-    val prev = latestVersion.map(entries).getOrElse(Nil)
     val (data, evolved) = conformForWrite(df, mergeSchema)
-    commit(v, prev ++ writeData(clusterByPartition(data), v), op = "append",
-      txn = txn, schema = evolved)
+    val written = writeData(clusterByPartition(data), nextVersion)
+    // APPENDS AUTO-RESOLVE commit races (the Delta blind-append rule):
+    // an append only ADDS files, so losing the race to another commit
+    // never invalidates the already-written (and already-validated)
+    // data — rebase by re-reading the new latest's entries and re-commit
+    // the same files, no data rewrite, no caller-side retry loop. On a
+    // schema-tracking table the rebase re-merges against the CURRENT
+    // declared schema so a concurrently-added column is never dropped
+    // (parquet reads by name; our files simply lack it -> NULL).
+    var attempt = 0
+    while (true) {
+      val v = nextVersion
+      val prev = latestVersion.map(entries).getOrElse(Nil)
+      val schemaNow = evolved.map { s =>
+        val cur = tableSchema.getOrElse(s)
+        StructType(cur.fields ++
+          s.fields.filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+      }
+      try return commit(v, prev ++ written, op = "append", txn = txn,
+        schema = schemaNow)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Conform an incoming append to the declared schema (when one exists):
@@ -1288,6 +1320,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 }
 
 object GraftTable {
+  /** Per-root monitor serializing same-JVM commit creates (local-FS
+    * exclusive create is check-then-create, not atomic). */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[acid] def commitMonitor(root: String): Object =
+    commitMonitors.computeIfAbsent(root, _ => new Object)
+
   /** A handle whose physical config (stats/partition/bloom columns, CHECK
     * constraints) is RECOVERED from the latest commit's manifest header —
     * how every consumer that didn't create the table (the SQL catalog,

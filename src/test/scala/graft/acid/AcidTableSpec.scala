@@ -17,6 +17,25 @@ class AcidTableSpec extends SparkSpec {
   private def rows(n: Int, off: Int = 0) =
     (1 to n).map(i => (i.toLong + off, s"u${i + off}", i * 1.5)).toDF("id", "name", "v")
 
+  test("concurrent appends auto-resolve: both land, no data rewritten, no caller retry") {
+    val t = freshTable()
+    t.append(rows(2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = t.append(rows(3, 100 * (i + 1)))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // every append landed as its own version, nothing lost or doubled
+    assert(t.versions == (1L to 5L))
+    assert(t.snapshot().count() == 2 + 4 * 3)
+    assert(t.snapshot().select($"id").as[Long].collect().distinct.length == 14)
+    assert(t.history().count(_.op == "append") == 5)
+  }
+
   test("a torn commit (manifest without the terminator) fails loudly, never reads as empty") {
     val t = freshTable()
     t.append(rows(3))
