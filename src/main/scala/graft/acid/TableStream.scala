@@ -166,12 +166,24 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
     extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Version BEFORE the first change this stream delivers (0 = the empty
-    * pre-first-commit state). Only consulted on a fresh checkpoint. */
-  private val baseVersion: Long = parameters.get("startingVersion") match {
-    case Some("latest")            => table.latestVersion.getOrElse(0L)
-    case Some("earliest") | None   => 0L
-    case Some(n)                   => n.toLong - 1L  // deliver version n onward
-  }
+    * pre-first-commit state). Only consulted on a fresh checkpoint.
+    * `startingTimestamp` (epoch millis) delivers every commit AFTER that
+    * wall-clock instant — "stream the changes since last night" without
+    * knowing version numbers (the Delta startingTimestamp contract). */
+  private val baseVersion: Long =
+    (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-table: startingVersion and startingTimestamp are exclusive")
+      case (Some("latest"), _)          => table.latestVersion.getOrElse(0L)
+      case (Some("earliest"), _)        => 0L
+      case (Some(n), _)                 => n.toLong - 1L // deliver version n onward
+      case (None, Some(ts)) =>
+        // newest version committed at or before ts = already-seen state;
+        // the stream starts with the next commit
+        table.history().filter(_.commitMs <= ts.toLong)
+          .lastOption.map(_.version).getOrElse(0L)
+      case (None, None) => 0L
+    }
 
   private val maxVersionsPerBatch: Option[Long] =
     parameters.get("maxVersionsPerBatch").map(_.toLong)

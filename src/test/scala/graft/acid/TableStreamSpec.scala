@@ -122,4 +122,26 @@ class TableStreamSpec extends SparkSpec {
     assert(runOnce(root, ckptE, Map("startingVersion" -> "2"))
       .map(_._3).sorted == Seq(3L, 4L))
   }
+
+  test("startingTimestamp delivers only commits after the instant") {
+    val root = graft.TempDirs.create("graft_tstream_ts")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L), "a"))            // v1
+    Thread.sleep(5)
+    val cut = t.history().last.commitMs     // at-or-before v1
+    Thread.sleep(5)
+    t.append(rows(Seq(2L), "b"))            // v2
+    t.append(rows(Seq(3L), "c"))            // v3
+    val ckpt = graft.TempDirs.create("graft_tstream_ts_ck")
+    assert(runOnce(root, ckpt, Map("startingTimestamp" -> cut.toString))
+      .map(_._3).sorted == Seq(2L, 3L))
+    // a timestamp before every commit replays from the beginning
+    val ckpt0 = graft.TempDirs.create("graft_tstream_ts_ck0")
+    assert(runOnce(root, ckpt0, Map("startingTimestamp" -> "0"))
+      .map(_._3).sorted == Seq(1L, 2L, 3L))
+    intercept[Exception] {
+      runOnce(root, graft.TempDirs.create("graft_tstream_ts_x"),
+        Map("startingTimestamp" -> "0", "startingVersion" -> "1"))
+    }
+  }
 }
