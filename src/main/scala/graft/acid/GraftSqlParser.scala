@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   VACUUM <table> [RETAIN <n> VERSIONS]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   DESCRIBE HISTORY <table>
+  *   DESCRIBE CHANGES <table> FROM <v> TO <v>   -- the change feed as SQL
   * }}}
   *
   * `<table>` is a graft-catalog identifier (`cat.ns.t` where
@@ -39,6 +40,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val Changes =
+    """(?is)\s*DESCRIBE\s+CHANGES\s+(.+?)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""".r
 
   private def spark = SparkSession.active
 
@@ -83,6 +86,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftRowLevelCommand(s"RESTORE ${ref.trim}",
           () => { t.restore(v.toLong); () })
       }.getOrElse(delegate.parsePlan(sqlText))
+    case Changes(ref, fromV, toV) =>
+      resolve(ref).map(_.changeFeed(fromV.toLong, toV.toLong)
+          .queryExecution.logical)
+        .getOrElse(delegate.parsePlan(sqlText))
     case History(ref) =>
       resolve(ref).map(_.historyDF.queryExecution.logical)
         .getOrElse(delegate.parsePlan(sqlText))

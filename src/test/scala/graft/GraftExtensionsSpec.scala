@@ -79,5 +79,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").snapshot().count() == 512L)
     // a non-graft reference falls through to Spark's parser (and errors)
     intercept[Exception] { s2.sql("OPTIMIZE nosuch.cat.table") }
+    // DESCRIBE CHANGES = the change feed as a SQL result set
+    val t2 = new graft.acid.GraftTable(s2, s"$wh/cf")
+    t2.append(Seq((1L, "a")).toDF("id", "v"))
+    t2.append(Seq((2L, "b")).toDF("id", "v"))
+    val feed = s2.sql("DESCRIBE CHANGES gmaint.cf FROM 1 TO 2")
+      .select($"id", $"_change").as[(Long, String)].collect().toSeq
+    assert(feed == Seq((2L, "insert")), s"got $feed")
   }
 }
