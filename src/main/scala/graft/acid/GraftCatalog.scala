@@ -46,7 +46,7 @@ import scala.jdk.CollectionConverters._
   * validation, partition clustering, stats/bloom indexing and atomic
   * manifest commit as the Scala API — one write path, not two.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
   private var spark: SparkSession = _
@@ -254,6 +254,62 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tableDir(ident), true)
 
+  // ---- SupportsNamespaces: a namespace is a ROOT SUBDIRECTORY that is
+  // not itself a table (no _log / _schema.json) — multi-schema layouts
+  // (`graft.raw.t`, `graft.curated.t`) over one warehouse root, the
+  // standard database/schema level every SQL tool expects.
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_log")) || fs.exists(schemaFile(p))
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(root))(new Path(_, _))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsDir(namespace)) && !isTableDir(nsDir(namespace)))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Array.empty
+    else fs.listStatus(r).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir).map(p => Array(p.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir(namespace)).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir).map(p => namespace :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    fs.delete(nsDir(namespace), true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
@@ -311,7 +367,11 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(pinned.isEmpty, s"cannot DELETE from a time-travel snapshot of $ident")
-    t.delete(filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true)))
+    // SQL-managed tables stay copy-on-write: the DSv2 scan below reads
+    // raw files and cannot apply deletion vectors, so SQL DML never
+    // creates them (the Scala API's merge-on-read path is opt-in there)
+    t.delete(filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true)),
+      useDv = false)
   }
 
   override def name(): String = ident
@@ -342,6 +402,15 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pinned.orElse(t.latestVersion)
     def abs(f: String) = new Path(new Path(t.root), f).toString
+    // fail LOUDLY rather than resurrect deleted rows: this raw-file scan
+    // cannot apply deletion vectors (only the Scala API's readers do).
+    // SQL DML never writes DVs, so this only trips on an API-mutated
+    // table registered in the catalog — reorg() materializes the DVs.
+    v.foreach { ver =>
+      require(t.entries(ver).forall(_.dvRef.isEmpty),
+        s"table $ident carries deletion vectors the SQL scan cannot apply; " +
+          "run reorg() (or compact) to materialize them first")
+    }
     val files = v.map(t.activeFiles).getOrElse(Nil).map(abs)
     new org.apache.spark.sql.GraftPruningScanBuilder(
       spark, ident, options, files, schema(),
@@ -356,7 +425,7 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
         case None => Some(0L)
         case Some(ver) =>
           val es = t.entries(ver)
-          if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
+          if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.liveRows).sum)
           else None
       })
   }

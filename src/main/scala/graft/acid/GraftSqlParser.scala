@@ -49,7 +49,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * the first name part is not a configured graft catalog (the
     * statement then falls through to Spark's parser and its error). */
   private def resolve(tableRef: String): Option[GraftTable] = {
-    val parts = delegate.parseMultipartIdentifier(tableRef)
+    // a near-miss the regex over-captured (e.g. `VACUUM t RETAIN 168
+    // HOURS` captures `t RETAIN 168 HOURS`) is not an identifier: fall
+    // through to the delegate parser's own error, don't throw here
+    val parts =
+      try delegate.parseMultipartIdentifier(tableRef)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None }
     if (parts.length < 2) return None
     val cat = parts.head
     val conf = spark.conf

@@ -63,7 +63,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        partitionCol: Option[String] = None,
                        bloomCol: Option[String] = None,
                        constraints: Seq[String] = Nil,
-                       indexCols: Seq[String] = Nil) {
+                       indexCols: Seq[String] = Nil,
+                       checkpointInterval: Int = 10,
+                       dvMaxRows: Int = 100000) {
 
   private[acid] def partitionColName: Option[String] = partitionCol
   import GraftTable.{BloomBits, BloomK, bloomPositions}
@@ -115,30 +117,52 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   /** One manifest line: a data file plus optional per-file metadata —
     * `s=lo,hi` (stats window, drives [[snapshotRange]] data skipping),
-    * `p=lo,hi` (partition window, drives partition-scoped rewrites), and
-    * `b=<base64>` (a 8192-bit bloom over the bloom column, drives
-    * [[snapshotPoint]] file skipping for point lookups on UNclustered
-    * columns — where a min/max window spans everything, the bloom still
-    * prunes). Tab-separated tagged fields; order-insensitive on parse. */
+    * `p=lo,hi` (partition window, drives partition-scoped rewrites),
+    * `b=<base64>` (legacy inline 8192-bit bloom; new commits write
+    * `bf=<version>` pointing at the `v<version>.blooms` SIDECAR instead,
+    * keeping the hot manifest line KB-free — pruning paths load sidecars
+    * lazily), `w:<col>=lo,hi` per-indexed-column numeric windows,
+    * `sw:<col>=<b64lo>,<b64hi>` truncated STRING windows (lo is a prefix
+    * lower bound, hi a rounded-up upper bound — string predicates prune
+    * on them), `dv=<version>` a deletion-vector reference into the
+    * `v<version>.dvs` sidecar with `dn=<count>` deleted positions, and
+    * `n=<rows>` the file's physical row count. Tab-separated tagged
+    * fields; order-insensitive on parse. */
   private[graft] case class FileEntry(path: String,
                                       stats: Option[(Long, Long)],
                                       part: Option[(Long, Long)] = None,
                                       bloom: Option[Array[Long]] = None,
                                       windows: Map[String, (Long, Long)] = Map.empty,
-                                      rows: Option[Long] = None) {
+                                      rows: Option[Long] = None,
+                                      bloomRef: Option[Long] = None,
+                                      strWindows: Map[String, (String, String)] = Map.empty,
+                                      dvRef: Option[Long] = None,
+                                      dvCount: Long = 0L) {
+    /** Rows surviving the deletion vector — what a reader sees. */
+    def liveRows: Option[Long] = rows.map(_ - dvCount)
     def line: String =
       (path +: (stats.map { case (lo, hi) => s"s=$lo,$hi" }.toSeq ++
                 part.map { case (lo, hi) => s"p=$lo,$hi" }.toSeq ++
                 bloom.map(b => s"b=${GraftTable.encodeBloom(b)}").toSeq ++
+                bloomRef.map(v => s"bf=$v").toSeq ++
+                dvRef.map(v => s"dv=$v").toSeq ++
+                (if (dvCount > 0L) Seq(s"dn=$dvCount") else Nil) ++
                 rows.map(n => s"n=$n").toSeq ++
                 windows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-                  s"w:$c=$lo,$hi" }))
+                  s"w:$c=$lo,$hi" } ++
+                strWindows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+                  s"sw:$c=${GraftTable.b64(lo)},${GraftTable.b64(hi)}" }))
         .mkString("\t")
   }
 
   private def parseRange(v: String): (Long, Long) = {
     val Array(lo, hi) = v.split(',')
     (lo.toLong, hi.toLong)
+  }
+
+  private def parseStrRange(v: String): (String, String) = {
+    val Array(lo, hi) = v.split(',')
+    (GraftTable.unb64(lo), GraftTable.unb64(hi))
   }
 
   private def parseEntry(line: String): FileEntry = line.split('\t') match {
@@ -155,7 +179,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         tags.get("b").map(GraftTable.decodeBloom),
         tags.collect { case (k, v) if k.startsWith("w:") =>
           k.drop(2) -> parseRange(v) },
-        tags.get("n").flatMap(_.toLongOption))
+        tags.get("n").flatMap(_.toLongOption),
+        tags.get("bf").flatMap(_.toLongOption),
+        tags.collect { case (k, v) if k.startsWith("sw:") =>
+          k.drop(3) -> parseStrRange(v) },
+        tags.get("dv").flatMap(_.toLongOption),
+        tags.get("dn").flatMap(_.toLongOption).getOrElse(0L))
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -175,19 +204,38 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * milliseconds) and then fail LOUDLY: an in-flight commit resolves,
     * a torn one (crash between create and write) surfaces as an error,
     * never as a silently-smaller table. */
+  private def readLines(p: Path): Option[List[String]] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).toList)
+      finally in.close()
+    } catch { case _: org.apache.hadoop.fs.ChecksumException => None }
+
   private def manifestLines(v: Long): List[String] = {
+    manifestCache.get(v) match {
+      case null =>
+      case ls   => return ls
+    }
     var attempt = 0
+    var prev: Option[List[String]] = None
     while (true) {
-      val lines =
-        try {
-          val in = fs.open(manifestPath(v))
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().map(_.trim).toList)
-          finally in.close()
-        } catch { case _: org.apache.hadoop.fs.ChecksumException => None }
+      val lines = readLines(manifestPath(v))
       lines match {
-        case Some(ls) if ls.lastOption.contains(CommitMarker) => return ls
+        case Some(ls) if ls.lastOption.contains(CommitMarker) =>
+          cachePut(manifestCache, v, ls); return ls
+        // LEGACY fallback: manifests written before the terminator existed
+        // never carry `# ok`. A well-formed header (`# op=...`) with no
+        // format-version tag, stable across two reads, is accepted as
+        // complete — so pre-existing tables stay readable instead of
+        // spinning into a format-break error. A torn NEW commit (header
+        // carries kind=/fv=) still fails loudly below.
+        case Some(ls) if attempt >= 20 && prev.contains(ls) &&
+            ls.headOption.exists(h => h.startsWith("# op=") &&
+              !h.contains(" kind=")) && ls.length > 1 =>
+          cachePut(manifestCache, v, ls); return ls
         case _ =>
+          prev = lines
           attempt += 1
           if (attempt >= 200) throw new IllegalStateException(
             s"manifest v$v at $root is incomplete after ${attempt} reads " +
@@ -200,10 +248,92 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   private val CommitMarker = "# ok"
 
-  private[graft] def entries(v: Long): Seq[FileEntry] = if (v == 0L) Nil else
-    manifestLines(v)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseEntry)
+  // Per-handle caches over IMMUTABLE log artifacts (a published version's
+  // manifest/checkpoint/sidecar never changes), bounded so a long-lived
+  // handle over many versions stays O(1) memory. Correctness does not
+  // depend on them — they only cut re-reads on the hot paths (every
+  // commit resolves entries(v-1); a streaming source resolves per batch).
+  private def bounded[V]() =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, V](32, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Long, V]) =
+          size() > 16
+      })
+  private val manifestCache = bounded[List[String]]()
+  private val entriesCache = bounded[Seq[FileEntry]]()
+  private val bloomSidecars = bounded[Map[String, Array[Long]]]()
+  private val dvSidecars = bounded[Map[String, Array[Long]]]()
+  private def cachePut[V](m: java.util.Map[Long, V], k: Long, v: V): Unit =
+    m.put(k, v)
+
+  private def checkpointPath(v: Long) = new Path(logDir, f"v$v%020d.checkpoint")
+  private def bloomSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.blooms")
+  private def dvSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.dvs")
+
+  /** Resolve version `v`'s ACTIVE entry list. Incremental-log resolution
+    * (the Delta/Iceberg checkpoint pattern): a version materializes from
+    * the nearest FULL statement of the table at or below it — a
+    * `.checkpoint` sidecar (written every [[checkpointInterval]] commits
+    * and by [[vacuum]]), a `kind=full` manifest, or a legacy full-list
+    * manifest — plus the replay of the delta manifests above it. Commit
+    * cost is therefore O(changed files), not O(active files), and the
+    * walk is bounded by the checkpoint cadence. */
+  private[graft] def entries(v: Long): Seq[FileEntry] = {
+    if (v == 0L) return Nil
+    entriesCache.get(v) match {
+      case null =>
+      case es   => return es
+    }
+    // walk down to the nearest full statement, collecting deltas to replay
+    var base = v
+    var deltas: List[List[String]] = Nil
+    var baseEntries: Seq[FileEntry] = Nil
+    var resolved = false
+    while (!resolved) {
+      if (base == 0L) { baseEntries = Nil; resolved = true }
+      else entriesCache.get(base) match {
+        case es if es != null => baseEntries = es; resolved = true
+        case _ =>
+          val cp =
+            if (fs.exists(checkpointPath(base))) checkpointEntries(base)
+            else None
+          if (cp.isDefined) {
+            // a checkpoint short-circuits the walk (an incomplete one —
+            // crash mid-write — is ignored; the manifest chain is always
+            // sufficient on its own)
+            baseEntries = cp.get; resolved = true
+          } else {
+            val lines = manifestLines(base)
+            val isDelta = lines.headOption.exists(_.contains(" kind=delta"))
+            if (isDelta) {
+              deltas = lines :: deltas
+              base -= 1
+            } else {
+              baseEntries = lines
+                .filter(l => l.nonEmpty && !l.startsWith("#"))
+                .map(parseEntry)
+              resolved = true
+            }
+          }
+      }
+    }
+    // replay the deltas upward: `-\t<path>` drops, `+\t<entry>` appends
+    // (a replaced entry — new stats/DV on the same path — is a drop+add)
+    var acc = baseEntries
+    deltas.foreach { lines =>
+      val removes = lines.collect { case l if l.startsWith("-\t") => l.drop(2) }.toSet
+      val adds = lines.collect { case l if l.startsWith("+\t") => parseEntry(l.drop(2)) }
+      acc = acc.filterNot(e => removes.contains(e.path)) ++ adds
+    }
+    cachePut(entriesCache, v, acc)
+    acc
+  }
+
+  private def checkpointEntries(v: Long): Option[Seq[FileEntry]] = {
+    val lines = readLines(checkpointPath(v)).getOrElse(Nil)
+    if (!lines.lastOption.contains(CommitMarker)) None // crash mid-write
+    else Some(lines.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntry))
+  }
 
   /** One commit's provenance: version, operation, wall-clock commit time
     * (epoch millis; 0 for pre-header manifests), active file count. */
@@ -226,18 +356,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   /** The table's commit history, oldest first — the DESCRIBE HISTORY
     * surface: which operation produced each version and when. O(versions)
-    * manifest header reads, no data I/O. */
+    * manifest header reads, no data I/O: the active file count is
+    * recorded in the header at commit time (`nf=`), so a delta manifest
+    * never needs its chain resolved just to describe itself (legacy full
+    * manifests fall back to counting their own lines). */
   def history(): Seq[CommitInfo] = versions.map { v =>
-    val lines = manifestLines(v).filter(_.nonEmpty)
-    val meta = lines.headOption.filter(_.startsWith("#")).map { h =>
-      h.drop(1).trim.split("\\s+").flatMap(_.split("=", 2) match {
-        case Array(k, value) => Some(k -> value)
-        case _ => None
-      }).toMap
-    }.getOrElse(Map.empty)
+    val meta = headerMeta(v)
+    val nf = meta.get("nf").flatMap(_.toIntOption).getOrElse(
+      manifestLines(v).count(l => l.nonEmpty && !l.startsWith("#")))
     CommitInfo(v, meta.getOrElse("op", "unknown"),
-      meta.get("ts").flatMap(_.toLongOption).getOrElse(0L),
-      lines.count(l => !l.startsWith("#")))
+      meta.get("ts").flatMap(_.toLongOption).getOrElse(0L), nf)
   }
 
   /** The DECLARED schema of version `v` (None for manifests predating
@@ -260,9 +388,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def historyDF: DataFrame = {
     import spark.implicits._
     history().map { ci =>
-      val es = entries(ci.version)
-      val rows = if (es.nonEmpty && es.forall(_.rows.isDefined))
-        Some(es.flatMap(_.rows).sum) else None
+      // live row count from the commit header when recorded (nr=), else
+      // from the resolved entries (legacy manifests)
+      val rows = headerMeta(ci.version).get("nr").flatMap(_.toLongOption)
+        .orElse {
+          val es = entries(ci.version)
+          if (es.nonEmpty && es.forall(_.rows.isDefined))
+            Some(es.flatMap(_.liveRows).sum) else None
+        }
       (ci.version, ci.op, new java.sql.Timestamp(ci.commitMs),
         ci.nFiles, rows)
     }.toDF("version", "operation", "commit_ts", "n_files", "n_rows")
@@ -281,18 +414,78 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   /** Active data files (root-relative) of version `v`. */
   private[graft] def activeFiles(v: Long): Seq[String] = entries(v).map(_.path)
 
+  private def sidecarMap(cache: java.util.Map[Long, Map[String, Array[Long]]],
+                         path: Long => Path, v: Long): Map[String, Array[Long]] = {
+    val hit = cache.get(v)
+    if (hit != null) hit
+    else { val m = readSidecar(path(v)); cachePut(cache, v, m); m }
+  }
+
+  /** `e`'s bloom words plus whether they use the HASHED scheme (sidecar
+    * blooms pre-hash values with xxhash64 — any type indexes; legacy
+    * inline blooms hashed the raw long cast). */
+  private def bloomOf(e: FileEntry): Option[(Boolean, Array[Long])] =
+    e.bloom.map((false, _)).orElse(e.bloomRef.flatMap(v =>
+      sidecarMap(bloomSidecars, bloomSidecarPath, v).get(e.path).map((true, _))))
+
+  private def dvPositions(e: FileEntry): Array[Long] =
+    e.dvRef.map(v => sidecarMap(dvSidecars, dvSidecarPath, v)
+      .getOrElse(e.path, Array.empty[Long])).getOrElse(Array.empty[Long])
+
+  /** Read `es`'s files as one frame under the declared `schema`,
+    * MERGE-ON-READ applying deletion vectors: files carrying a DV read
+    * with parquet's hidden `_metadata` (file name + row index) and
+    * anti-join the broadcast (file, deleted position) set — a one-row
+    * DELETE costs zero data-file writes and the read stays one
+    * distributed scan plus a broadcast hash anti-join (no shuffle).
+    * Entries without DVs take the plain vectorized-scan path untouched. */
+  private def readWithDv(es: Seq[FileEntry], schema: Option[StructType],
+                         like: => DataFrame): DataFrame = {
+    if (es.isEmpty) return like.limit(0).filter(lit(false))
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val df = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    val dved = es.filter(_.dvRef.isDefined)
+    if (dved.isEmpty) df
+    else {
+      import spark.implicits._
+      val pairs: Seq[(String, Long)] = dved.flatMap { e =>
+        val name = new Path(e.path).getName
+        dvPositions(e).map(name -> _).toSeq
+      }
+      val dvDF = pairs.toDF("__dv_file", "__dv_pos")
+      val dataCols = df.columns.toIndexedSeq
+      df.withColumn("__dv_f", col("_metadata.file_name"))
+        .withColumn("__dv_p", col("_metadata.row_index"))
+        .join(broadcast(dvDF),
+          col("__dv_f") === col("__dv_file") && col("__dv_p") === col("__dv_pos"),
+          "left_anti")
+        .select(dataCols.map(col): _*)
+    }
+  }
+
   /** Snapshot read of `version` (default: latest). The file list resolves
     * ONCE here; the files are immutable, so the returned frame is a
-    * consistent view however many commits land afterwards. */
+    * consistent view however many commits land afterwards. Deletion
+    * vectors apply on read ([[readWithDv]]). */
   def snapshot(version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     // an explicit declared schema makes evolution work on read: parquet
     // matches columns BY NAME, so files predating an added column simply
     // project it as NULL — no file rewrite on ALTER TABLE ADD COLUMN
-    val reader = schemaOf(v).fold(spark.read)(spark.read.schema)
-    reader.parquet(
-      activeFiles(v).map(f => new Path(rootPath, f).toString): _*)
+    val es = entries(v)
+    if (es.isEmpty) {
+      // an empty active set (everything deleted) still has a schema: the
+      // declared one, or the newest prior version's physical one
+      val s = schemaOf(v).orElse(
+        versions.filter(_ < v).sorted.reverseIterator.map(entries)
+          .collectFirst { case nes if nes.nonEmpty =>
+            spark.read.parquet(new Path(rootPath, nes.head.path).toString).schema })
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $root has no files and no declared schema"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else readWithDv(es, schemaOf(v),
+      throw new IllegalStateException("unreachable: es.nonEmpty"))
   }
 
   /** Write `df` as a fresh immutable file set for candidate version `v`;
@@ -307,45 +500,69 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val dir = new Path(rootPath, sub).toString
     df.write.parquet(dir)
     validateWritten(dir)
+    val written = spark.read.parquet(dir)
+    def isStringCol(c: String): Boolean = written.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
     // One distributed pass records every tracked column window per file
     // (O(files) metadata to the driver, never row data). A file whose
     // window is unknown (all-null column) is conservatively un-windowed:
-    // never skipped, always rewritten.
+    // never skipped, always rewritten. Numeric windows cast BEFORE
+    // aggregating (a lexicographic string min/max cast after the agg can
+    // invert the window and mis-skip); STRING columns record truncated
+    // string windows instead — lo a prefix (valid lower bound), hi
+    // rounded up past the truncation (valid upper bound) — so string
+    // predicates (the content-hash doc_id shape) prune too.
     val tracked: Seq[(String, String)] =
       statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq ++
         indexCols.map(c => s"w:$c" -> c)
+    val (strTracked, numTracked) = tracked.partition { case (tag, c) =>
+      tag.startsWith("w:") && isStringCol(c) }
     // the same per-file pass also records each file's ROW COUNT (the
     // Delta-style stats action): snapshot counts and CBO sizing then
     // resolve from manifest metadata with zero file opens
-    val aggs = tracked.flatMap { case (tag, c) =>
-      Seq(min(col(c)).cast("long").as(s"${tag}_lo"),
-          max(col(c)).cast("long").as(s"${tag}_hi"))
+    val aggs = numTracked.flatMap { case (tag, c) =>
+      Seq(min(col(c).cast("long")).as(s"${tag}_lo"),
+          max(col(c).cast("long")).as(s"${tag}_hi"))
+    } ++ strTracked.flatMap { case (tag, c) =>
+      Seq(min(col(c)).as(s"${tag}_slo"), max(col(c)).as(s"${tag}_shi"))
     } :+ count(lit(1)).as("__nrows")
-    val perFile: Map[String, (Map[String, (Long, Long)], Long)] =
-      spark.read.parquet(dir)
+    case class PerFile(num: Map[String, (Long, Long)],
+                       str: Map[String, (String, String)], nrows: Long)
+    val perFile: Map[String, PerFile] =
+      written
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val byTag = tracked.map { case (tag, _) =>
+          val byTag = numTracked.map { case (tag, _) =>
             val (i, j) = (r.fieldIndex(s"${tag}_lo"), r.fieldIndex(s"${tag}_hi"))
             tag -> (if (r.isNullAt(i) || r.isNullAt(j)) None
                     else Some((r.getLong(i), r.getLong(j))))
           }.collect { case (tag, Some(w)) => tag -> w }.toMap
+          val byStr = strTracked.flatMap { case (tag, _) =>
+            val (i, j) = (r.fieldIndex(s"${tag}_slo"), r.fieldIndex(s"${tag}_shi"))
+            if (r.isNullAt(i) || r.isNullAt(j)) None
+            else GraftTable.truncWindow(r.getString(i), r.getString(j))
+              .map(tag -> _)
+          }.toMap
           new Path(r.getString(0)).getName ->
-            (byTag, r.getLong(r.fieldIndex("__nrows")))
+            PerFile(byTag, byStr, r.getLong(r.fieldIndex("__nrows")))
         }.toMap
-    // Per-file bloom build, fully distributed: each row explodes into its
-    // K bit positions, positions fold into per-(file, word) masks with a
-    // map-side-combinable bit_or, and only O(files x 128) mask rows reach
-    // the driver for assembly — never row data.
+    // Per-file bloom build, fully distributed: each row pre-hashes the
+    // bloom column with xxhash64 (so ANY type — a string content-hash
+    // doc_id as much as a long key — indexes identically), explodes into
+    // its K bit positions, positions fold into per-(file, word) masks
+    // with a map-side-combinable bit_or, and only O(files x 128) mask
+    // rows reach the driver for assembly — never row data. The driver-
+    // side probe twin is GraftTable.bloomPositionsHashed.
     val blooms: Map[String, Array[Long]] = bloomCol.fold(
       Map.empty[String, Array[Long]]) { c =>
-      val x = col(c).cast("long")
+      val x = xxhash64(col(c))
       val posCols = (0 until BloomK).map(i =>
         pmod(xxhash64(x, lit(i.toLong)), lit(BloomBits.toLong)))
-      spark.read.parquet(dir)
-        .where(x.isNotNull)
+      written
+        .where(col(c).isNotNull)
         .select(input_file_name().as("f"),
           explode(array(posCols: _*)).as("pos"))
         .select(col("f"), expr("cast(pos div 64 as int)").as("w"),
@@ -362,11 +579,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     fs.listStatus(new Path(rootPath, sub)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("part-"))
       .sorted.map { n =>
-        val (w, nrows) = perFile.getOrElse(n, (Map.empty[String, (Long, Long)], 0L))
-        FileEntry(s"$sub/$n", w.get("s"), w.get("p"), blooms.get(n),
-          w.collect { case (tag, win) if tag.startsWith("w:") =>
+        val pf = perFile.getOrElse(n, PerFile(Map.empty, Map.empty, 0L))
+        FileEntry(s"$sub/$n", pf.num.get("s"), pf.num.get("p"), blooms.get(n),
+          pf.num.collect { case (tag, win) if tag.startsWith("w:") =>
             tag.drop(2) -> win },
-          rows = Some(nrows))
+          rows = Some(pf.nrows),
+          strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
+            tag.drop(2) -> win })
       }
   }
 
@@ -378,19 +597,52 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * into one wide-window file and defeat scoping. Beyond the cap,
     * adjacent values share a file — windows stay narrow, pruning degrades
     * gracefully instead of file counts exploding. */
-  private def clusterByPartition(df: DataFrame): DataFrame =
+  private def clusterByPartition(df: DataFrame,
+                                 knownPartitions: Option[Int] = None): DataFrame =
     partitionCol.fold(df) { pc =>
-      val n = df.select(col(pc)).distinct().count()
+      // a scoped mutation already collected the touched partition values —
+      // reuse that count instead of paying a second distinct-count job
+      // over the frame (one planning scan per mutation, not two)
+      val n = knownPartitions.map(_.toLong)
+        .getOrElse(df.select(col(pc)).distinct().count())
       df.repartitionByRange(math.max(1L, math.min(n, 1024L)).toInt, col(pc))
     }
 
+  private def writeSidecar(p: Path, payload: Seq[(String, Array[Long])]): Unit = {
+    val out = fs.create(p, false)
+    try out.write((payload.map { case (path, words) =>
+      s"$path\t${GraftTable.encodeBloom(words)}" } :+ CommitMarker)
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(p: Path): Map[String, Array[Long]] =
+    readLines(p).getOrElse(Nil)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap(_.split('\t') match {
+        case Array(path, b64) => Some(path -> GraftTable.decodeBloom(b64))
+        case _ => None
+      }).toMap
+
   /** Publish `files` as version `v` via exclusive manifest create — the
     * ONE atomicity point in the format. The header line records the
-    * operation and wall-clock commit time for [[history]]/[[snapshotAt]]. */
+    * operation, wall-clock commit time, and the active file/row counts
+    * (`nf=`/`nr=` — what [[history]] describes a delta commit from).
+    *
+    * INCREMENTAL LOG: the manifest body is the add/remove DELTA against
+    * version v-1 (`kind=delta`) — O(changed files) bytes per commit —
+    * unless the delta would be larger than the full list (overwrite,
+    * compact), in which case a `kind=full` manifest is written. Every
+    * [[checkpointInterval]] commits a `.checkpoint` sidecar additionally
+    * materializes the full entry list so resolution replays a bounded
+    * chain. Fresh per-file blooms move to a `.blooms` sidecar (entries
+    * carry `bf=<v>` references), keeping manifest lines KB-free; `dvs`
+    * carries this commit's deletion vectors the same way. */
   private[graft] def commit(v: Long, files: Seq[FileEntry],
                             op: String = "commit",
                             txn: Option[(String, Long)] = None,
-                            schema: Option[StructType] = None): Long = {
+                            schema: Option[StructType] = None,
+                            dvs: Map[String, Array[Long]] = Map.empty): Long = {
     fs.mkdirs(logDir)
     // a commit that doesn't change the schema CARRIES the declared schema
     // forward (a delete doesn't un-evolve the table); schema-changing
@@ -417,34 +669,85 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         throw new ConcurrentCommitException(
           s"lost the commit race for version $v at $root; rebase and retry")
       }
-    // The header ALSO carries the table's physical config (the Delta
-    // metaData-action pattern): a fresh handle on the same root —
-    // the SQL catalog, the streaming source, another session — recovers
-    // clustering/scoping/validation via GraftTable.load instead of
-    // silently degrading to an unconfigured table. Constraints are
-    // base64-coded (they contain spaces; header fields split on them).
-    val cfg = (txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
-      declared.map(s => "schema=" + java.util.Base64.getUrlEncoder
-        .withoutPadding.encodeToString(s.toDDL.getBytes(UTF_8))).toSeq ++
-      statsCol.map(c => s"scol=$c").toSeq ++
-      partitionCol.map(c => s"pcol=$c").toSeq ++
-      bloomCol.map(c => s"bcol=$c").toSeq ++
-      (if (indexCols.isEmpty) Nil
-       else Seq(s"icols=${indexCols.mkString(",")}")) ++
-      (if (constraints.isEmpty) Nil
-       else Seq("checks=" + constraints.map(c =>
-         java.util.Base64.getUrlEncoder.withoutPadding
-           .encodeToString(c.getBytes(UTF_8))).mkString(",")))).mkString(" ")
-    val header = (s"# op=$op ts=${System.currentTimeMillis()}" +
-      (if (cfg.isEmpty) "" else s" $cfg"))
-    // one write, terminator LAST: readers treat a manifest without the
-    // final marker as in-flight (see manifestLines)
-    try out.write(((header +: files.map(_.line)) :+ CommitMarker)
-      .mkString("\n").getBytes(UTF_8))
-    finally out.close()
+    // From here we OWN version v (the create won): the v-numbered
+    // sidecars are exclusively ours, and the manifest reads as in-flight
+    // until the terminator lands in the single content write below.
+    try {
+      // 1. fresh inline blooms (new data files) move to the bloom sidecar
+      val fresh = files.filter(e => e.bloom.isDefined && e.bloomRef.isEmpty)
+      val bloomed =
+        if (fresh.isEmpty) files
+        else {
+          writeSidecar(bloomSidecarPath(v), fresh.map(e => e.path -> e.bloom.get))
+          val freshPaths = fresh.map(_.path).toSet
+          files.map(e => if (freshPaths.contains(e.path))
+            e.copy(bloom = None, bloomRef = Some(v)) else e)
+        }
+      // 2. this commit's deletion vectors go to the dv sidecar; touched
+      // entries re-reference it (full merged position set per file)
+      val finalFiles =
+        if (dvs.isEmpty) bloomed
+        else {
+          writeSidecar(dvSidecarPath(v), dvs.toSeq.sortBy(_._1))
+          bloomed.map(e => dvs.get(e.path).fold(e)(pos =>
+            e.copy(dvRef = Some(v), dvCount = pos.length.toLong)))
+        }
+      // 3. delta vs full body
+      val prev = entries(v - 1)
+      val prevLines = prev.map(e => e.path -> e.line).toMap
+      val newLines = finalFiles.map(e => e.path -> e.line).toMap
+      val removed = prev.filter(e => !newLines.get(e.path).contains(e.line))
+        .map(e => s"-\t${e.path}")
+      val added = finalFiles.filter(e => !prevLines.get(e.path).contains(e.line))
+        .map(e => s"+\t${e.line}")
+      val asDelta = removed ++ added
+      val full = asDelta.length > finalFiles.length
+      val kind = if (full) "full" else "delta"
+      val body = if (full) finalFiles.map(_.line) else asDelta
+      val nr = if (finalFiles.forall(_.rows.isDefined))
+        Seq(s"nr=${finalFiles.map(e => e.rows.get - e.dvCount).sum}") else Nil
+      // The header ALSO carries the table's physical config (the Delta
+      // metaData-action pattern): a fresh handle on the same root —
+      // the SQL catalog, the streaming source, another session — recovers
+      // clustering/scoping/validation via GraftTable.load instead of
+      // silently degrading to an unconfigured table. Constraints are
+      // base64-coded (they contain spaces; header fields split on them).
+      val cfg = (Seq(s"kind=$kind", s"nf=${finalFiles.size}") ++ nr ++
+        txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
+        declared.map(s => "schema=" + java.util.Base64.getUrlEncoder
+          .withoutPadding.encodeToString(s.toDDL.getBytes(UTF_8))).toSeq ++
+        statsCol.map(c => s"scol=$c").toSeq ++
+        partitionCol.map(c => s"pcol=$c").toSeq ++
+        bloomCol.map(c => s"bcol=$c").toSeq ++
+        (if (indexCols.isEmpty) Nil
+         else Seq(s"icols=${indexCols.mkString(",")}")) ++
+        (if (constraints.isEmpty) Nil
+         else Seq("checks=" + constraints.map(c =>
+           java.util.Base64.getUrlEncoder.withoutPadding
+             .encodeToString(c.getBytes(UTF_8))).mkString(",")))).mkString(" ")
+      val header = s"# op=$op ts=${System.currentTimeMillis()} $cfg"
+      // one write, terminator LAST: readers treat a manifest without the
+      // final marker as in-flight (see manifestLines)
+      out.write(((header +: body) :+ CommitMarker)
+        .mkString("\n").getBytes(UTF_8))
+      cachePut(entriesCache, v, finalFiles)
+      if (dvs.nonEmpty) cachePut(dvSidecars, v, dvs)
+      // 4. periodic checkpoint: a full materialization every N commits
+      // bounds every later resolution's replay chain. Failure-tolerant:
+      // the manifest chain alone is always sufficient.
+      if (v % checkpointInterval == 0) writeCheckpoint(v, finalFiles)
+    } finally out.close()
     v
     }
   }
+
+  private def writeCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
+    try {
+      val out = fs.create(checkpointPath(v), false)
+      try out.write(((s"# checkpoint v=$v" +: files.map(_.line)) :+ CommitMarker)
+        .mkString("\n").getBytes(UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
 
   private def nextVersion: Long = latestVersion.getOrElse(0L) + 1
 
@@ -530,9 +833,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           s"append to $root: columns ${extra.map(_.name).mkString(", ")} are " +
             "not in the table schema (pass mergeSchema = true to evolve)")
         val merged = StructType(s.fields ++ extra)
+        val incoming = df.schema.fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap
         val out = df.select(merged.fields.toIndexedSeq.map { f =>
-          if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          if (have(f.name.toLowerCase)) {
+            // schema ENFORCEMENT, not silent coercion: only an up-cast-
+            // safe type (int -> long, never string -> long or long ->
+            // int) may conform — incompatible data errors instead of
+            // landing as NULL/truncated rows
+            val from = incoming(f.name.toLowerCase)
+            if (from != f.dataType &&
+                !org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(from, f.dataType))
+              throw new IllegalArgumentException(
+                s"append to $root: column ${f.name} has type ${from.sql}, " +
+                  s"which cannot safely widen to declared ${f.dataType.sql}")
+            col(f.name).cast(f.dataType).as(f.name)
+          } else lit(null).cast(f.dataType).as(f.name)
         }: _*)
         (out, Some(merged))
     }
@@ -603,11 +920,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   }
 
   /** Read the given entries' files as one DataFrame (empty entry list →
-    * empty frame with `like`'s schema). */
+    * empty frame with `like`'s schema), deletion vectors applied. */
   private def readEntries(es: Seq[FileEntry], like: => DataFrame): DataFrame =
-    if (es.isEmpty) like.limit(0).filter(lit(false))
-    else tableSchema.fold(spark.read)(spark.read.schema)
-      .parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    readWithDv(es, tableSchema, like)
 
   /** MERGE (upsert): keep the winner per `keyCols` between the current
     * snapshot and `updates`, winner = first row under `winnerOrder`.
@@ -635,7 +950,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         val (rewrite, keep) = prev.partition(touches(_, touched))
         val base = readEntries(rewrite, updates)
         val merged = winners(base.unionByName(updates))
-        commit(v, keep ++ writeData(clusterByPartition(merged), v), op = "merge")
+        commit(v, keep ++ writeData(
+          clusterByPartition(merged, Some(touched.size)), v), op = "merge")
     }
   }
 
@@ -711,7 +1027,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         val prev = latestVersion.map(entries).getOrElse(Nil)
         val (rewrite, keep) = prev.partition(touches(_, vals.sorted))
         val result = assemble(readEntries(rewrite, snapshot()))
-        commit(v, keep ++ writeData(clusterByPartition(result), v), op = "merge")
+        commit(v, keep ++ writeData(
+          clusterByPartition(result, Some(vals.size)), v), op = "merge")
       case None => replaceWith(assemble(snapshot()), "merge")
     }
   }
@@ -735,8 +1052,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def snapshotRange(lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
     val c = statsCol.getOrElse(
       throw new IllegalStateException("snapshotRange needs a statsCol-enabled table"))
-    spark.read.parquet(
-      filesForRange(lo, hi, version).map(f => new Path(rootPath, f).toString): _*)
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val keep = entries(v).filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
+    readWithDv(keep, schemaOf(v), snapshot(Some(v)))
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -760,14 +1079,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def snapshotRangeOn(c: String, lo: Long, hi: Long,
                       version: Option[Long] = None): DataFrame = {
     require(indexCols.contains(c), s"column $c is not in indexCols $indexCols")
-    val files = filesForColumnRange(c, lo, hi, version)
-    if (files.isEmpty) snapshot(version).filter(lit(false))
-    else {
-      val v = version.orElse(latestVersion)
-      val reader = v.flatMap(schemaOf).fold(spark.read)(spark.read.schema)
-      reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
-        .filter(col(c) >= lo && col(c) <= hi)
-    }
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val keep = entries(v).filter(
+      _.windows.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    readWithDv(keep, schemaOf(v), snapshot(Some(v)))
+      .filter(col(c) >= lo && col(c) <= hi)
   }
 
   /** OPTIMIZE ... ZORDER BY (a, b): rewrite the active set clustered on
@@ -812,21 +1129,26 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     val es = entries(v)
-    if (es.forall(_.rows.isDefined)) es.flatMap(_.rows).sum
+    if (es.forall(_.rows.isDefined)) es.flatMap(_.liveRows).sum
     else snapshot(Some(v)).count()
   }
 
   /** One conjunct's pruning constraint on one column, derived from the
-    * predicate: a lower/upper bound or a point set. */
-  private case class ColBound(col: String, lo: Option[Long], hi: Option[Long],
-                              points: Option[Seq[Long]])
+    * predicate: a lower/upper bound or a point set — numeric (`lo`/`hi`/
+    * `points`) or string (`slo`/`shi`/`spoints`, pruned against truncated
+    * string windows and hashed blooms). */
+  private case class ColBound(col: String,
+                              lo: Option[Long] = None, hi: Option[Long] = None,
+                              points: Option[Seq[Long]] = None,
+                              slo: Option[String] = None, shi: Option[String] = None,
+                              spoints: Option[Seq[String]] = None)
 
   /** Pruning constraints provable from `pred`'s top-level AND-conjuncts:
-    * `col (=|>=|>|<=|<) literal` (either order) and `col IN (...)`.
-    * Conjuncts in any other shape contribute no pruning (correctness
-    * over skipping — the exact filter still applies on read). Strict
-    * bounds relax to inclusive ones: a window test may keep an extra
-    * file, never drop a matching one. */
+    * `col (=|>=|>|<=|<) literal` (either order) and `col IN (...)`, for
+    * integral AND string literals. Conjuncts in any other shape
+    * contribute no pruning (correctness over skipping — the exact filter
+    * still applies on read). Strict bounds relax to inclusive ones: a
+    * window test may keep an extra file, never drop a matching one. */
   private def predicateBounds(pred: Column): Seq[ColBound] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
@@ -854,40 +1176,58 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         Some(v.toString.toLong)
       case _ => None
     }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        Some(v.toString)
+      case _ => None
+    }
+    def isLit(e: Expression): Boolean = litLong(e).nonEmpty || litStr(e).nonEmpty
     def bound(e: Expression): Option[ColBound] = e match {
-      case EqualTo(a, l) => for (c <- colName(a); v <- litLong(l))
-        yield ColBound(c, None, None, Some(Seq(v)))
-      case EqualTo(l, a) => for (c <- colName(a); v <- litLong(l))
-        yield ColBound(c, None, None, Some(Seq(v)))
-      case GreaterThanOrEqual(a, l) => ge(a, l)
-      case GreaterThan(a, l)        => ge(a, l)
-      case LessThanOrEqual(a, l)    => le(a, l)
-      case LessThan(a, l)           => le(a, l)
-      case GreaterThanOrEqual(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty => le(a, l)
-      case GreaterThan(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty        => le(a, l)
-      case LessThanOrEqual(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty    => ge(a, l)
-      case LessThan(l, a) if colName(a).nonEmpty && litLong(l).nonEmpty           => ge(a, l)
+      case EqualTo(a, l) if colName(a).nonEmpty => eq(a, l)
+      case EqualTo(l, a) if colName(a).nonEmpty => eq(a, l)
+      case GreaterThanOrEqual(a, l) if colName(a).nonEmpty => ge(a, l)
+      case GreaterThan(a, l) if colName(a).nonEmpty        => ge(a, l)
+      case LessThanOrEqual(a, l) if colName(a).nonEmpty    => le(a, l)
+      case LessThan(a, l) if colName(a).nonEmpty           => le(a, l)
+      case GreaterThanOrEqual(l, a) if colName(a).nonEmpty && isLit(l) => le(a, l)
+      case GreaterThan(l, a) if colName(a).nonEmpty && isLit(l)        => le(a, l)
+      case LessThanOrEqual(l, a) if colName(a).nonEmpty && isLit(l)    => ge(a, l)
+      case LessThan(l, a) if colName(a).nonEmpty && isLit(l)           => ge(a, l)
       case In(a, vs) => inBound(a, vs)
       case Fn("=" | "==", Seq(x, y)) =>
-        bound(EqualTo(x, y))
+        bound(EqualTo(x, y)).orElse(bound(EqualTo(y, x)))
       case Fn(">=" | ">", Seq(a, l)) if colName(a).nonEmpty => ge(a, l)
       case Fn(">=" | ">", Seq(l, a)) if colName(a).nonEmpty => le(a, l)
       case Fn("<=" | "<", Seq(a, l)) if colName(a).nonEmpty => le(a, l)
       case Fn("<=" | "<", Seq(l, a)) if colName(a).nonEmpty => ge(a, l)
       case Fn("in", a +: vs) => inBound(a, vs)
       case Fn("between", Seq(a, lo, hi)) =>
-        for (c <- colName(a); l <- litLong(lo); h <- litLong(hi))
-          yield ColBound(c, Some(l), Some(h), None)
+        (for (c <- colName(a); l <- litLong(lo); h <- litLong(hi))
+          yield ColBound(c, lo = Some(l), hi = Some(h)))
+        .orElse(for (c <- colName(a); l <- litStr(lo); h <- litStr(hi))
+          yield ColBound(c, slo = Some(l), shi = Some(h)))
       case _ => None
     }
+    def eq(a: Expression, l: Expression): Option[ColBound] =
+      colName(a).flatMap(c =>
+        litLong(l).map(v => ColBound(c, points = Some(Seq(v))))
+          .orElse(litStr(l).map(s => ColBound(c, spoints = Some(Seq(s))))))
     def ge(a: Expression, l: Expression): Option[ColBound] =
-      for (c <- colName(a); v <- litLong(l)) yield ColBound(c, Some(v), None, None)
+      colName(a).flatMap(c =>
+        litLong(l).map(v => ColBound(c, lo = Some(v)))
+          .orElse(litStr(l).map(s => ColBound(c, slo = Some(s)))))
     def le(a: Expression, l: Expression): Option[ColBound] =
-      for (c <- colName(a); v <- litLong(l)) yield ColBound(c, None, Some(v), None)
+      colName(a).flatMap(c =>
+        litLong(l).map(v => ColBound(c, hi = Some(v)))
+          .orElse(litStr(l).map(s => ColBound(c, shi = Some(s)))))
     def inBound(a: Expression, vs: Seq[Expression]): Option[ColBound] = {
-      val ls = vs.map(litLong)
-      if (vs.nonEmpty && ls.forall(_.isDefined))
-        colName(a).map(ColBound(_, None, None, Some(ls.flatten.distinct)))
+      if (vs.isEmpty) None
+      else if (vs.forall(litLong(_).isDefined))
+        colName(a).map(c => ColBound(c,
+          points = Some(vs.flatMap(litLong).distinct)))
+      else if (vs.forall(litStr(_).isDefined))
+        colName(a).map(c => ColBound(c,
+          spoints = Some(vs.flatMap(litStr).distinct)))
       else None
     }
     conjuncts(org.apache.spark.sql.GraftPlanBridge.expr(spark, pred))
@@ -900,6 +1240,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     if (statsCol.exists(_.equalsIgnoreCase(c))) e.stats
     else if (partitionCol.exists(_.equalsIgnoreCase(c))) e.part
     else e.windows.collectFirst { case (k, w) if k.equalsIgnoreCase(c) => w }
+
+  private def strWindowOf(e: FileEntry, c: String): Option[(String, String)] =
+    e.strWindows.collectFirst { case (k, w) if k.equalsIgnoreCase(c) => w }
 
   /** UNIFIED predicate-driven data skipping — the production "query
     * predicate → file list" surface: every pruning constraint provable
@@ -915,19 +1258,40 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def snapshotWhere(predicate: Column, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
-    val files = filesForPredicate(predicate, Some(v))
-    if (files.isEmpty) snapshot(Some(v)).filter(lit(false))
-    else schemaOf(v).fold(spark.read)(spark.read.schema)
-      .parquet(files.map(f => new Path(rootPath, f).toString): _*)
-      .filter(predicate)
+    val keep = entriesForPredicate(predicate, v)
+    readWithDv(keep, schemaOf(v), snapshot(Some(v))).filter(predicate)
   }
 
-  /** Files [[snapshotWhere]] would read for `predicate` — the pruning
-    * witness specs and EXPLAIN-style tooling inspect. */
-  private[graft] def filesForPredicate(predicate: Column,
-                                       version: Option[Long] = None): Seq[String] = {
-    val v = version.orElse(latestVersion).getOrElse(
-      throw new IllegalStateException(s"no commits in table at $root"))
+  private def testBit(arr: Array[Long], pos: Int): Boolean =
+    (arr(pos / 64) & (1L << (pos % 64))) != 0L
+
+  /** May `e`'s bloom contain the point? Dispatches on the entry's bloom
+    * scheme: sidecar blooms probe with the xxhash64 pre-hash of the value
+    * ([[GraftTable.bloomPositionsHashed]] — build/probe parity with the
+    * Spark-side `pmod(xxhash64(xxhash64(col), i), bits)`); legacy inline
+    * blooms probe with the raw long positions, and cannot serve string
+    * probes (never skip). A file with no bloom is never skipped. */
+  private def bloomMayContainLong(e: FileEntry, ps: Seq[Long]): Boolean =
+    bloomOf(e).forall { case (hashed, arr) =>
+      ps.exists { p =>
+        val pos = if (hashed) GraftTable.bloomPositionsHashed(GraftTable.hashLongValue(p))
+                  else bloomPositions(p)
+        pos.forall(testBit(arr, _))
+      }
+    }
+
+  private def bloomMayContainStr(e: FileEntry, ps: Seq[String]): Boolean =
+    bloomOf(e).forall { case (hashed, arr) =>
+      !hashed || ps.exists(s =>
+        GraftTable.bloomPositionsHashed(GraftTable.hashStringValue(s))
+          .forall(testBit(arr, _)))
+    }
+
+  /** Entries [[snapshotWhere]] would read for `predicate`: every provable
+    * constraint checked against every manifest index carrying that column
+    * (numeric windows, truncated string windows, per-file blooms for
+    * point predicates on the bloom column). */
+  private def entriesForPredicate(predicate: Column, v: Long): Seq[FileEntry] = {
     val bounds = predicateBounds(predicate)
     entries(v).filter { e =>
       bounds.forall { b =>
@@ -937,15 +1301,31 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             case None => b.lo.forall(_ <= mx) && b.hi.forall(_ >= mn)
           }
         }
-        val bloomOk = b.points match {
-          case Some(ps) if bloomCol.exists(_.equalsIgnoreCase(b.col)) =>
-            e.bloom.forall(arr => ps.exists(p => bloomPositions(p)
-              .forall(pos => (arr(pos / 64) & (1L << (pos % 64))) != 0L)))
-          case _ => true
+        val strWinOk = strWindowOf(e, b.col).forall { case (mn, mx) =>
+          b.spoints match {
+            case Some(ps) => ps.exists(p => p >= mn && p <= mx)
+            case None => b.slo.forall(_ <= mx) && b.shi.forall(_ >= mn)
+          }
         }
-        winOk && bloomOk
+        val bloomOk =
+          if (!bloomCol.exists(_.equalsIgnoreCase(b.col))) true
+          else (b.points, b.spoints) match {
+            case (Some(ps), _) => bloomMayContainLong(e, ps)
+            case (_, Some(ps)) => bloomMayContainStr(e, ps)
+            case _ => true
+          }
+        winOk && strWinOk && bloomOk
       }
-    }.map(_.path)
+    }
+  }
+
+  /** Files [[snapshotWhere]] would read for `predicate` — the pruning
+    * witness specs and EXPLAIN-style tooling inspect. */
+  private[graft] def filesForPredicate(predicate: Column,
+                                       version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    entriesForPredicate(predicate, v).map(_.path)
   }
 
   /** Files of `version` whose bloom may contain `value` — a file with no
@@ -954,10 +1334,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                    version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
-    val pos = bloomPositions(value)
-    entries(v).filter { e =>
-      e.bloom.forall(b => pos.forall(p => (b(p / 64) & (1L << (p % 64))) != 0L))
-    }.map(_.path)
+    entries(v).filter(bloomMayContainLong(_, Seq(value))).map(_.path)
   }
 
   /** Bloom-indexed POINT read: scan only the files whose per-file bloom
@@ -969,10 +1346,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def snapshotPoint(value: Long, version: Option[Long] = None): DataFrame = {
     val c = bloomCol.getOrElse(
       throw new IllegalStateException("snapshotPoint needs a bloomCol-enabled table"))
-    val hit = filesForPoint(value, version)
-    if (hit.isEmpty) snapshot(version).filter(lit(false))
-    else spark.read.parquet(hit.map(f => new Path(rootPath, f).toString): _*)
-      .filter(col(c) === value)
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val hit = entries(v).filter(bloomMayContainLong(_, Seq(value)))
+    readWithDv(hit, schemaOf(v), snapshot(Some(v))).filter(col(c) === value)
+  }
+
+  /** [[snapshotPoint]] for a STRING key — the content-hash `doc_id`
+    * lookup every LLM text pipeline runs. Hashed sidecar blooms prune
+    * files driver-side; legacy inline blooms cannot serve strings and
+    * never skip. */
+  def snapshotPointStr(value: String, version: Option[Long] = None): DataFrame = {
+    val c = bloomCol.getOrElse(
+      throw new IllegalStateException("snapshotPointStr needs a bloomCol-enabled table"))
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val hit = entries(v).filter(bloomMayContainStr(_, Seq(value)))
+    readWithDv(hit, schemaOf(v), snapshot(Some(v))).filter(col(c) === value)
   }
 
   /** Partition values `pred` pins through top-level AND-conjuncts of the
@@ -1043,10 +1433,81 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * active set. Deleted rows leave the LOG when the prior versions are
     * vacuumed (physical erasure = delete + vacuum, same two-step contract
     * as the production lakehouse formats). */
-  def delete(predicate: Column): Long = pinnedPartitions(predicate) match {
-    case Some(vals) => deleteInPartitions(predicate, vals)
-    case None =>
-      replaceWith(snapshot().filter(!coalesce(predicate, lit(false))), "delete")
+  def delete(predicate: Column, useDv: Boolean = true): Long =
+    (if (useDv) deleteViaDv(predicate) else None).getOrElse(
+      pinnedPartitions(predicate) match {
+        case Some(vals) => deleteInPartitions(predicate, vals)
+        case None =>
+          replaceWith(snapshot().filter(!coalesce(predicate, lit(false))), "delete")
+      })
+
+  /** Candidate files read WITH parquet row positions (`__mor_f` file
+    * name, `__mor_p` row index), existing DVs optionally applied — the
+    * merge-on-read mutation planner's input. */
+  private def readWithPos(es: Seq[FileEntry], schema: Option[StructType],
+                          applyDv: Boolean): DataFrame = {
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val df = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+      .withColumn("__mor_f", col("_metadata.file_name"))
+      .withColumn("__mor_p", col("_metadata.row_index"))
+    val dved = es.filter(_.dvRef.isDefined)
+    if (!applyDv || dved.isEmpty) df
+    else {
+      import spark.implicits._
+      val pairs: Seq[(String, Long)] = dved.flatMap(e =>
+        dvPositions(e).map(new Path(e.path).getName -> _).toSeq)
+      df.join(broadcast(pairs.toDF("__dv_file", "__dv_pos")),
+        col("__mor_f") === col("__dv_file") && col("__mor_p") === col("__dv_pos"),
+        "left_anti")
+    }
+  }
+
+  /** Merge `hit` (file name, row index) rows into the previous entries'
+    * deletion vectors: the full per-path merged position sets, plus the
+    * paths whose every physical row is now deleted (they leave the
+    * active set entirely). */
+  private def mergedDvs(prev: Seq[FileEntry],
+                        hits: Array[org.apache.spark.sql.Row])
+      : (Map[String, Array[Long]], Set[String]) = {
+    val byName = hits.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val nameOf = prev.map(e => new Path(e.path).getName -> e).toMap
+    val payload = byName.flatMap { case (name, ps) =>
+      nameOf.get(name).map(e => e.path -> (dvPositions(e) ++ ps).distinct.sorted)
+    }
+    val dead = payload.collect { case (p, ps)
+      if nameOf.values.find(_.path == p).exists(_.rows.contains(ps.length.toLong)) => p
+    }.toSet
+    (payload, dead)
+  }
+
+  /** DELETE as a DELETION-VECTOR commit (merge-on-read): collect the
+    * matching rows' (file, position) pairs — candidate files pre-pruned
+    * through every manifest index — and publish a commit whose only
+    * change is new `dv=` references. ZERO data files written: a one-row
+    * delete on a 100 TB table costs one pruned scan plus a KB-scale
+    * sidecar, with the anti-filter applied at read ([[readWithDv]]) and
+    * physically materialized at the next [[compact]]/COW rewrite.
+    * Returns None — caller falls back to copy-on-write — when more than
+    * [[dvMaxRows]] rows match (a bulk delete WANTS the rewrite). */
+  private def deleteViaDv(predicate: Column): Option[Long] = {
+    val lv = latestVersion.getOrElse(return None)
+    val prev = entries(lv)
+    val cands = entriesForPredicate(predicate, lv)
+    if (cands.isEmpty) return Some(commit(nextVersion, prev, op = "delete"))
+    // raw read (existing DVs NOT applied): re-deleting an already-deleted
+    // position is a set-union no-op, and skipping the anti-join keeps
+    // this one vectorized scan
+    val hits = readWithPos(cands, schemaOf(lv), applyDv = false)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__mor_f"), col("__mor_p"))
+      .limit(dvMaxRows + 1).collect()
+    if (hits.length > dvMaxRows) None
+    else {
+      val (payload, dead) = mergedDvs(prev, hits)
+      val files = prev.filterNot(e => dead.contains(e.path))
+      Some(commit(nextVersion, files, op = "delete", dvs = payload -- dead))
+    }
   }
 
   /** Partition-scoped row DELETE: erase rows matching `predicate` within
@@ -1065,7 +1526,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val kept = readEntries(rewrite, snapshot()).filter(!coalesce(scoped, lit(false)))
-      commit(v, keep ++ writeData(clusterByPartition(kept), v), op = "delete")
+      commit(v, keep ++ writeData(
+        clusterByPartition(kept, Some(partitions.size)), v), op = "delete")
     }
   }
 
@@ -1077,14 +1539,51 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * predicate auto-routes to the scoped rewrite exactly like
     * [[delete]]; assigning TO the partition column disables scoping
     * (rows could migrate out of the pinned partitions). */
-  def update(predicate: Column, set: Map[String, Column]): Long = {
-    val scoped = pinnedPartitions(predicate)
-      .filter(_ => !partitionCol.exists(set.keySet.map(_.toLowerCase)
-        .contains(_)))
-    scoped match {
-      case Some(vals) => updateInPartitions(predicate, set, vals)
-      case None =>
-        replaceWith(applyAssignments(snapshot(), predicate, set), "update")
+  def update(predicate: Column, set: Map[String, Column],
+             useDv: Boolean = true): Long = {
+    (if (useDv) updateViaDv(predicate, set) else None).getOrElse {
+      val scoped = pinnedPartitions(predicate)
+        .filter(_ => !partitionCol.exists(set.keySet.map(_.toLowerCase)
+          .contains(_)))
+      scoped match {
+        case Some(vals) => updateInPartitions(predicate, set, vals)
+        case None =>
+          replaceWith(applyAssignments(snapshot(), predicate, set), "update")
+      }
+    }
+  }
+
+  /** UPDATE as DV-delete + append (merge-on-read): the matched rows'
+    * positions join the files' deletion vectors and their UPDATED copies
+    * re-enter as a fresh appended file set — one small write instead of
+    * rewriting every intersecting file. The matched set materializes
+    * ONCE (bounded localCheckpoint), so the deleted positions and the
+    * re-inserted rows come from the same evaluation even under a
+    * non-deterministic predicate. None → caller falls back to COW. */
+  private def updateViaDv(predicate: Column,
+                          set: Map[String, Column]): Option[Long] = {
+    val lv = latestVersion.getOrElse(return None)
+    val prev = entries(lv)
+    val cands = entriesForPredicate(predicate, lv)
+    if (cands.isEmpty) return Some(commit(nextVersion, prev, op = "update"))
+    // DV-FILTERED read: an already-deleted row must not resurrect as an
+    // updated copy
+    val mat = readWithPos(cands, schemaOf(lv), applyDv = true)
+      .filter(coalesce(predicate, lit(false)))
+      .limit(dvMaxRows + 1)
+      .localCheckpoint()
+    val n = mat.count()
+    if (n > dvMaxRows) None
+    else if (n == 0L) Some(commit(nextVersion, prev, op = "update"))
+    else {
+      val hits = mat.select(col("__mor_f"), col("__mor_p")).collect()
+      val (payload, dead) = mergedDvs(prev, hits)
+      val updatedRows = applyAssignments(
+        mat.drop("__mor_f", "__mor_p"), lit(true), set)
+      val v = nextVersion
+      val newFiles = writeData(clusterByPartition(updatedRows), v)
+      val files = prev.filterNot(e => dead.contains(e.path)) ++ newFiles
+      Some(commit(v, files, op = "update", dvs = payload -- dead))
     }
   }
 
@@ -1122,7 +1621,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val updated = applyAssignments(readEntries(rewrite, snapshot()), scoped, set)
-      commit(v, keep ++ writeData(clusterByPartition(updated), v), op = "update")
+      commit(v, keep ++ writeData(
+        clusterByPartition(updated, Some(partitions.size)), v), op = "update")
     }
   }
 
@@ -1139,6 +1639,26 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * covers a narrow value range, so the manifest stats turn
     * [[snapshotRange]] into an O(matching files) read even when ingest
     * order scattered the column. */
+  /** REORG ... APPLY (PURGE): materialize the deletion vectors — rewrite
+    * ONLY the DV-carrying files without their deleted rows, carry every
+    * clean file over verbatim. This is the compliance step between a
+    * merge-on-read DELETE and physical erasure: delete (logical, zero
+    * rewrite) → reorg (purge the masked rows from storage) → [[vacuum]]
+    * (drop the prior versions' files). A table with no DVs commits a
+    * metadata-only no-op version. */
+  def reorg(): Long = {
+    val lv = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val prev = entries(lv)
+    val (dved, clean) = prev.partition(_.dvRef.isDefined)
+    val v = nextVersion
+    if (dved.isEmpty) commit(v, prev, op = "reorg")
+    else {
+      val survivors = readWithDv(dved, schemaOf(lv), snapshot(Some(lv)))
+      commit(v, clean ++ writeData(clusterByPartition(survivors), v), op = "reorg")
+    }
+  }
+
   def compact(targetFiles: Int, clusterBy: Seq[String] = Nil): Long = {
     val snap = snapshot()
     val laid =
@@ -1164,23 +1684,27 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * compaction boundary degenerates gracefully to the full diff (every
     * file changed) with no special-casing. */
   def changeFeed(fromV: Long, toV: Long): DataFrame = {
-    val fromFiles = activeFiles(fromV)
-    val toFiles = activeFiles(toV)
-    val added = (toFiles.toSet -- fromFiles).toSeq.sorted
-    val removed = (fromFiles.toSet -- toFiles).toSeq.sorted
+    val fromEs = entries(fromV)
+    val toEs = entries(toV)
+    // entry identity = the full manifest LINE, not just the path: a file
+    // whose deletion vector changed (same path, new dv tag) appears on
+    // BOTH sides — read under its respective DV, the multiset
+    // subtraction then yields exactly the newly-deleted rows
+    val fromLines = fromEs.map(_.line).toSet
+    val toLines = toEs.map(_.line).toSet
+    val added = toEs.filterNot(e => fromLines.contains(e.line))
+    val removed = fromEs.filterNot(e => toLines.contains(e.line))
     // schema anchor for an empty side: any live file of either version
     lazy val like: DataFrame = schemaOf(toV).fold(spark.read)(spark.read.schema)
-      .parquet((toFiles ++ fromFiles).headOption
-        .map(f => new Path(rootPath, f).toString)
+      .parquet((toEs ++ fromEs).headOption
+        .map(e => new Path(rootPath, e.path).toString)
         .getOrElse(throw new IllegalStateException(
           s"changeFeed over two empty versions at $root")))
     // both sides read in toV's DECLARED schema (when one exists): a diff
     // across an evolution boundary states the old rows in the new schema
     // (added columns NULL), keeping the insert/delete union well-typed
-    def read(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty) like.limit(0).filter(lit(false))
-      else schemaOf(toV).fold(spark.read)(spark.read.schema)
-        .parquet(paths.map(f => new Path(rootPath, f).toString): _*)
+    def read(es: Seq[FileEntry]): DataFrame =
+      readWithDv(es, schemaOf(toV), like)
     val newRows = read(added)
     val oldRows = read(removed)
     newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
@@ -1259,7 +1783,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         val (rewrite, keep) = prev.partition(touches(_, touched))
         val base = readEntries(rewrite, ins)
         val applied = base.exceptAll(del).unionByName(ins)
-        commit(v, keep ++ writeData(clusterByPartition(applied), v),
+        commit(v, keep ++ writeData(
+          clusterByPartition(applied, Some(touched.size)), v),
           op = "apply_changes")
     }
   }
@@ -1298,8 +1823,27 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def vacuum(retain: Int): Seq[String] = {
     require(retain >= 1, "must retain at least the current version")
     val vs = versions
-    val live = vs.takeRight(retain).flatMap(activeFiles).toSet
-    vs.dropRight(retain).foreach(v => fs.delete(manifestPath(v), false))
+    val keepVs = vs.takeRight(retain)
+    val keepEntries = keepVs.map(v => v -> entries(v)).toMap
+    // the oldest retained version must resolve WITHOUT the delta chain
+    // about to be deleted below it: materialize its checkpoint first
+    keepVs.headOption.foreach { oldest =>
+      if (!fs.exists(checkpointPath(oldest)))
+        writeCheckpoint(oldest, keepEntries(oldest))
+    }
+    val live = keepEntries.values.flatten.map(_.path).toSet
+    // sidecars of dropped versions may still be REFERENCED by retained
+    // entries (bf=/dv= point at the version that wrote them) — keep those
+    val liveSidecars = keepEntries.values.flatten
+      .flatMap(e => e.bloomRef.toSeq ++ e.dvRef.toSeq).toSet
+    vs.dropRight(retain).foreach { v =>
+      fs.delete(manifestPath(v), false)
+      fs.delete(checkpointPath(v), false)
+      if (!liveSidecars.contains(v)) {
+        fs.delete(bloomSidecarPath(v), false)
+        fs.delete(dvSidecarPath(v), false)
+      }
+    }
     val dataDir = new Path(rootPath, "data")
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataDir)) {
@@ -1356,15 +1900,67 @@ object GraftTable {
   private[graft] val BloomK = 4
 
   /** The K bit positions of `value` — the driver-side probe twin of the
-    * Spark-side `pmod(xxhash64(col, lit(i)), bits)` build: the catalyst
-    * XXH64 statics ARE that expression's implementation (seed 42, children
-    * folded left-to-right), so build/probe parity holds by construction. */
+    * LEGACY Spark-side `pmod(xxhash64(col, lit(i)), bits)` build: the
+    * catalyst XXH64 statics ARE that expression's implementation (seed
+    * 42, children folded left-to-right), so build/probe parity holds by
+    * construction. */
   private[graft] def bloomPositions(value: Long): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     (0 until BloomK).map { i =>
       val h = XXH64.hashLong(i.toLong, XXH64.hashLong(value, 42L))
       java.lang.Math.floorMod(h, BloomBits.toLong).toInt
     }
+  }
+
+  /** The K bit positions of a PRE-HASHED value — twin of the hashed-
+    * scheme build `pmod(xxhash64(xxhash64(col), lit(i)), bits)`: `h0`
+    * is the row's `xxhash64(col)` recomputed driver-side per type
+    * ([[hashLongValue]]/[[hashStringValue]]). */
+  private[graft] def bloomPositionsHashed(h0: Long): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until BloomK).map { i =>
+      val h = XXH64.hashLong(i.toLong, XXH64.hashLong(h0, 42L))
+      java.lang.Math.floorMod(h, BloomBits.toLong).toInt
+    }
+  }
+
+  /** `xxhash64(longCol)`'s row value, driver-side. */
+  private[graft] def hashLongValue(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+
+  /** `xxhash64(stringCol)`'s row value, driver-side: catalyst hashes the
+    * UTF8 bytes. */
+  private[graft] def hashStringValue(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  private[graft] def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(UTF_8))
+  private[graft] def unb64(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)
+
+  /** Truncate a per-file string (min, max) to a VALID pruning window:
+    * the lower bound truncates to a prefix (<= every value), the upper
+    * bound rounds the truncation UP past any string sharing the prefix.
+    * Restricted to ASCII so the driver's UTF-16 comparisons agree with
+    * Spark's UTF-8 byte-order min/max; a window that cannot be stated
+    * safely is simply not recorded (never skipped, never wrong). */
+  private[graft] def truncWindow(lo: String, hi: String,
+                                 maxLen: Int = 32): Option[(String, String)] = {
+    if (!lo.forall(_ < 128) || !hi.forall(_ < 128)) return None
+    val l = lo.take(maxLen)
+    val h =
+      if (hi.length <= maxLen) Some(hi)
+      else {
+        val p = hi.take(maxLen)
+        val i = p.lastIndexWhere(_ < 127)
+        if (i < 0) None
+        else Some(p.substring(0, i) + (p(i) + 1).toChar)
+      }
+    h.map(l -> _)
   }
 
   private[graft] def encodeBloom(words: Array[Long]): String = {

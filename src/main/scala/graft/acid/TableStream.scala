@@ -178,9 +178,10 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       case (Some("earliest"), _)        => 0L
       case (Some(n), _)                 => n.toLong - 1L // deliver version n onward
       case (None, Some(ts)) =>
-        // newest version committed at or before ts = already-seen state;
-        // the stream starts with the next commit
-        table.history().filter(_.commitMs <= ts.toLong)
+        // INCLUSIVE boundary (the Delta contract): a commit at exactly
+        // `ts` is delivered, so the already-seen base is the newest
+        // version committed strictly BEFORE the timestamp
+        table.history().filter(_.commitMs < ts.toLong)
           .lastOption.map(_.version).getOrElse(0L)
       case (None, None) => 0L
     }

@@ -98,9 +98,17 @@ class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
           new BusDataWriter(c, s"$st/e$epochId", l, taskId)
       }
     }
-    /** Idempotent per epoch: the `_epochs/<queryId>-<epoch>` marker is
-      * checked before publishing, so the engine's replay of the last
-      * not-yet-logged batch after a restart publishes nothing twice. */
+    /** EXACTLY-ONCE per epoch, crash-proof through the publish loop
+      * itself: (1) the `_epochs/<queryId>-<epoch>` marker short-circuits
+      * a fully-committed epoch's replay; (2) before any rename, the
+      * complete publish PLAN — every (partition, staged file, final
+      * segment name with its pinned base offset) — lands atomically as
+      * `_epochs/<queryId>-<epoch>.plan`; (3) publishing replays the
+      * plan, skipping entries whose target segment already exists. A
+      * driver crash anywhere in the loop therefore resumes EXACTLY where
+      * it stopped on restart (the plan pins the offsets the crashed
+      * attempt assigned — recomputing them would double-publish), closing
+      * the at-least-once window the bare Kafka-style sink documents. */
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(root).getFileSystem(conf.value)
       val marker = new Path(new Path(root), s"_epochs/${info.queryId()}-$epochId")
@@ -108,10 +116,12 @@ class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
         BusCommit.cleanup(conf.value, s"$stage/e$epochId")
         return
       }
-      BusCommit.publish(conf.value, root, s"$stage/e$epochId", messages)
+      val plan = new Path(new Path(root), s"_epochs/${info.queryId()}-$epochId.plan")
+      BusCommit.publishPlanned(conf.value, root, s"$stage/e$epochId", messages, plan)
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, true)
       try out.write(Array.emptyByteArray) finally out.close()
+      fs.delete(plan, false)
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       BusCommit.cleanup(conf.value, s"$stage/e$epochId")
@@ -141,6 +151,61 @@ object BusCommit {
       .foreach(_.entries.sortBy(_._1).foreach { case (pid, path, n, lo, hi) =>
         BusLog.publish(conf, root, pid, new Path(path), n, Some((lo, hi)))
       })
+    cleanup(conf, stage)
+  }
+
+  /** Streaming-epoch publish driven by a PERSISTED plan (see the sink's
+    * commit scaladoc). Loads the plan if a crashed attempt left one —
+    * its pinned segment names are authoritative — else computes it from
+    * this attempt's messages (running log-end per partition) and writes
+    * it atomically (tmp + rename) BEFORE the first rename. The replay
+    * loop is idempotent: an entry whose target segment exists is done;
+    * otherwise the staged file renames in. */
+  def publishPlanned(conf: org.apache.hadoop.conf.Configuration, root: String,
+                     stage: String, messages: Array[WriterCommitMessage],
+                     planPath: Path): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val entries: Seq[(Int, String, String)] =
+      if (fs.exists(planPath)) {
+        val in = fs.open(planPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { l =>
+            val Array(pid, staged, target) = l.split('\t')
+            (pid.toInt, staged, target)
+          }.toList
+        finally in.close()
+      } else {
+        val ends = scala.collection.mutable.Map.empty[Int, Long]
+        val planned = messages.collect { case m: BusWriteMessage => m }
+          .sortBy(_.taskId)
+          .flatMap(_.entries.sortBy(_._1))
+          .map { case (pid, path, n, lo, hi) =>
+            val pdir = new Path(rootPath, s"p$pid")
+            val base = ends.getOrElseUpdate(pid, BusLog.logEnd(fs, pdir))
+            ends(pid) = base + n
+            (pid, path, BusLog.segName(base, n, Some((lo, hi))))
+          }.toSeq
+        val tmp = new Path(planPath.getParent, s".${planPath.getName}.tmp")
+        fs.mkdirs(planPath.getParent)
+        val out = fs.create(tmp, true)
+        try out.write(planned.map { case (pid, s, t) => s"$pid\t$s\t$t" }
+          .mkString("\n").getBytes(UTF_8))
+        finally out.close()
+        fs.rename(tmp, planPath)
+        planned
+      }
+    entries.foreach { case (pid, staged, target) =>
+      val pdir = new Path(rootPath, s"p$pid")
+      fs.mkdirs(pdir)
+      val t = new Path(pdir, target)
+      if (!fs.exists(t)) {
+        val s = new Path(staged)
+        if (fs.exists(s)) fs.rename(s, t)
+        else throw new IllegalStateException(
+          s"bus epoch replay: neither staged $staged nor published $t exists")
+      }
+    }
     cleanup(conf, stage)
   }
 

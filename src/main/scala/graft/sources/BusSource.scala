@@ -102,8 +102,8 @@ object BusLog {
   private val SegNameC = """seg-(\d{20})-(\d+)-c(\d+)\.log""".r
   private val SegNameCTs = """seg-(\d{20})-(\d+)-c(\d+)-ts(\d+)-(\d+)\.log""".r
 
-  private def segName(base: Long, count: Long, ts: Option[(Long, Long)],
-                      gen: Long = 0L): String = {
+  private[sources] def segName(base: Long, count: Long, ts: Option[(Long, Long)],
+                               gen: Long = 0L): String = {
     val g = if (gen > 0L) s"-c$gen" else ""
     ts match {
       case Some((lo, hi)) => f"seg-$base%020d-$count$g-ts$lo-$hi.log"

@@ -348,19 +348,25 @@ class AcidTableSpec extends SparkSpec {
     assert(t.snapshotPoint(5000L).count() == 1)
   }
 
-  test("delete + vacuum physically erases the rows (the compliance two-step)") {
+  test("delete + reorg + vacuum physically erases the rows (the compliance path)") {
     val t = freshTable()
     t.append(rows(10))
     t.delete($"id" % 2 === 0)
-    // logically gone immediately...
+    // logically gone immediately (merge-on-read: the deletion vector
+    // masks the rows at read; the bytes still exist)...
     assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 3L, 5L, 7L, 9L))
     // ...but still time-travelable (v1 retains the full set) until vacuum
     assert(t.snapshot(Some(1L)).count() == 10)
+    // reorg materializes the DVs (rewrites only the masked files),
+    // vacuum then drops every prior version's bytes — physical erasure
+    t.reorg()
     t.vacuum(retain = 1)
-    assert(t.versions == Seq(2L))
-    // no surviving data file may contain an erased row
-    val ids = t.activeFiles(2L)
+    assert(t.versions == Seq(3L))
+    // no surviving data file may contain an erased row, and no deletion
+    // vector may survive either (the purge is physical, not a mask)
+    assert(t.entries(3L).forall(_.dvRef.isEmpty), "reorg must clear DVs")
+    val ids = t.activeFiles(3L)
       .flatMap(f => spark.read.parquet(s"${t.root}/$f")
         .select($"id").as[Long].collect())
     assert(ids.sorted == Seq(1L, 3L, 5L, 7L, 9L))

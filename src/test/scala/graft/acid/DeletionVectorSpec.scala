@@ -1,0 +1,127 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read row-level DML: a small DELETE/UPDATE publishes a
+  * deletion-vector commit — ZERO data files rewritten — with the mask
+  * applied by every reader (snapshot, pruned reads, change feed, counts)
+  * and materialized by reorg/compact. Bulk mutations still take the
+  * copy-on-write path. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int, off: Int = 0) =
+    (1 to n).map(i => (i.toLong + off, s"u${i + off}", i * 1.5)).toDF("id", "name", "v")
+
+  private def dataFiles(t: GraftTable): Set[String] = {
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(t.root, "data")
+    if (!fs.exists(dataDir)) Set.empty
+    else (for (d <- fs.listStatus(dataDir).toSeq; f <- fs.listStatus(d.getPath))
+      yield s"data/${d.getPath.getName}/${f.getPath.getName}").toSet
+  }
+
+  test("a one-row DELETE writes zero data files and the row is gone") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(100).repartition(4))
+    val before = dataFiles(t)
+    val v = t.delete($"id" === 42L)
+    assert(dataFiles(t) == before,
+      "a DV delete must not write or remove any data file")
+    assert(t.activeFiles(v).toSet == t.activeFiles(1L).toSet,
+      "the active paths are unchanged; only the dv tags moved")
+    assert(t.snapshot().count() == 99)
+    assert(t.snapshot().filter($"id" === 42L).count() == 0)
+    // time travel still sees the pre-delete row
+    assert(t.snapshot(Some(1L)).count() == 100)
+    // metadata-only count honors the mask
+    assert(t.fastCount() == 99)
+  }
+
+  test("successive DV deletes merge; a fully-deleted file leaves the active set") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(10).coalesce(1))
+    t.delete($"id" <= 4L)
+    assert(t.snapshot().count() == 6)
+    t.delete($"id" <= 8L) // overlaps the first mask
+    assert(t.snapshot().count() == 2)
+    assert(t.fastCount() == 2)
+    val v = t.delete($"id" > 0L) // everything: the file itself must drop
+    assert(t.activeFiles(v).isEmpty, "a fully-masked file must leave the set")
+    assert(t.snapshot().count() == 0)
+  }
+
+  test("UPDATE via DV: masked old rows + appended new rows, untouched files carry over") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(50).repartition(2))
+    val before = dataFiles(t)
+    t.update($"id" === 7L, Map("name" -> lit("renamed")))
+    val after = dataFiles(t)
+    assert(before.subsetOf(after), "no original file may be rewritten")
+    assert((after -- before).nonEmpty, "the updated copies append as new files")
+    val got = t.snapshot().filter($"id" === 7L).select($"name").as[String].collect()
+    assert(got.toSeq == Seq("renamed"))
+    assert(t.snapshot().count() == 50)
+  }
+
+  test("a bulk delete falls back to copy-on-write") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"),
+      dvMaxRows = 5)
+    t.append(rows(100).repartition(2))
+    val before = dataFiles(t)
+    t.delete($"id" <= 50L) // 50 rows > dvMaxRows=5
+    assert(t.snapshot().count() == 50)
+    assert(t.entries(t.latestVersion.get).forall(_.dvRef.isEmpty),
+      "bulk deletes must rewrite, not accumulate giant DVs")
+    assert((dataFiles(t) -- before).nonEmpty, "COW writes replacement files")
+  }
+
+  test("pruned reads (snapshotWhere / snapshotRange) apply the mask") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"),
+      statsCol = Some("id"))
+    t.append(rows(100).repartitionByRange(4, $"id"))
+    t.delete($"id" === 10L)
+    assert(t.snapshotRange(1L, 20L).count() == 19)
+    assert(t.snapshotWhere($"id" >= 1L && $"id" <= 20L).count() == 19)
+    assert(t.snapshotWhere($"id" === 10L).count() == 0)
+  }
+
+  test("the change feed states a DV delete as delete rows, O(delta)") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(30).repartition(3))
+    val v1 = 1L
+    val v2 = t.delete($"id".isin(3L, 17L))
+    val feed = t.changeFeed(v1, v2)
+    val dels = feed.filter($"_change" === "delete").select($"id").as[Long].collect()
+    assert(dels.sorted.toSeq == Seq(3L, 17L))
+    assert(feed.filter($"_change" === "insert").count() == 0)
+  }
+
+  test("reorg materializes DVs: only masked files rewrite, mask cleared") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(40).repartition(4))
+    t.delete($"id" === 1L)
+    val masked = t.entries(2L).filter(_.dvRef.isDefined).map(_.path).toSet
+    val clean = t.entries(2L).filterNot(_.dvRef.isDefined).map(_.path).toSet
+    assert(masked.nonEmpty && clean.nonEmpty, "test needs a mixed active set")
+    val v = t.reorg()
+    val es = t.entries(v)
+    assert(es.forall(_.dvRef.isEmpty), "reorg clears every DV")
+    assert(clean.subsetOf(es.map(_.path).toSet), "clean files carry over verbatim")
+    assert(es.map(_.path).toSet.intersect(masked).isEmpty, "masked files rewrote")
+    assert(t.snapshot().count() == 39)
+  }
+
+  test("merge/apply rewrites respect existing DVs (no resurrection)") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(20).coalesce(1))
+    t.delete($"id" === 5L)
+    // a COW-shaped merge rewrites the file: row 5 must stay gone
+    t.merge(rows(2, 100), Seq("id"), Seq($"v".desc))
+    assert(t.snapshot().filter($"id" === 5L).count() == 0,
+      "a rewrite that reads masked files must apply the mask")
+    assert(t.snapshot().count() == 21) // 19 survivors + 2 merged inserts
+  }
+}

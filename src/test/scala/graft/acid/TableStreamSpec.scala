@@ -123,18 +123,24 @@ class TableStreamSpec extends SparkSpec {
       .map(_._3).sorted == Seq(3L, 4L))
   }
 
-  test("startingTimestamp delivers only commits after the instant") {
+  test("startingTimestamp delivers commits at or after the instant (inclusive)") {
     val root = graft.TempDirs.create("graft_tstream_ts")
     val t = new GraftTable(spark, root)
     t.append(rows(Seq(1L), "a"))            // v1
     Thread.sleep(5)
-    val cut = t.history().last.commitMs     // at-or-before v1
+    val cutAfterV1 = t.history().last.commitMs + 1L // strictly after v1
     Thread.sleep(5)
     t.append(rows(Seq(2L), "b"))            // v2
     t.append(rows(Seq(3L), "c"))            // v3
     val ckpt = graft.TempDirs.create("graft_tstream_ts_ck")
-    assert(runOnce(root, ckpt, Map("startingTimestamp" -> cut.toString))
+    assert(runOnce(root, ckpt, Map("startingTimestamp" -> cutAfterV1.toString))
       .map(_._3).sorted == Seq(2L, 3L))
+    // the boundary is INCLUSIVE (the Delta contract): a commit at exactly
+    // the given timestamp IS delivered
+    val ckptB = graft.TempDirs.create("graft_tstream_ts_ckb")
+    val exactlyV1 = t.history().head.commitMs
+    assert(runOnce(root, ckptB, Map("startingTimestamp" -> exactlyV1.toString))
+      .map(_._3).sorted == Seq(1L, 2L, 3L))
     // a timestamp before every commit replays from the beginning
     val ckpt0 = graft.TempDirs.create("graft_tstream_ts_ck0")
     assert(runOnce(root, ckpt0, Map("startingTimestamp" -> "0"))

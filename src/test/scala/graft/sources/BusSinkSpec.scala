@@ -147,4 +147,56 @@ class BusSinkSpec extends SparkSpec {
     assert(BusLog.segments(pdir.getFileSystem(conf), pdir).size > 1,
       "parallel tasks each publish their own segment")
   }
+
+  test("a crash mid-publish resumes from the epoch plan: no duplicate, no loss") {
+    import org.apache.hadoop.fs.Path
+    val root = graft.TempDirs.create("graft_bus_sink_crash")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    // an existing segment so planned offsets start past zero
+    BusLog.append(conf, root, 0, (0 until 4).map(i =>
+      (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"), 100L + i)))
+    // two staged task files for the epoch (2 + 3 records)
+    def stageFile(name: String, recs: Seq[(String, String, Long)]): String = {
+      val p = new Path(rootPath, s"_staged/q1/e7/$name")
+      fs.mkdirs(p.getParent)
+      val b64 = java.util.Base64.getEncoder
+      val out = fs.create(p, true)
+      try out.write(recs.map { case (k, v, ts) =>
+        s"${b64.encodeToString(k.getBytes("UTF-8"))}\t" +
+          s"${b64.encodeToString(v.getBytes("UTF-8"))}\t$ts"
+      }.mkString("\n").getBytes("UTF-8") ++ "\n".getBytes("UTF-8"))
+      finally out.close()
+      p.toString
+    }
+    val f1 = stageFile("t0-p0.log", Seq(("a", "va", 200L), ("b", "vb", 201L)))
+    val f2 = stageFile("t1-p0.log", Seq(("c", "vc", 202L), ("d", "vd", 203L), ("e", "ve", 204L)))
+    val messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(BusWriteMessage(0L, Seq((0, f1, 2L, 200L, 201L))),
+            BusWriteMessage(1L, Seq((0, f2, 3L, 202L, 204L))))
+    val plan = new Path(rootPath, "_epochs/q1-7.plan")
+    // FIRST attempt: plan lands, then "crash" after only the first rename —
+    // simulated by executing the plan's first entry by hand
+    BusCommit.publishPlanned(conf, root, s"$root/_staged/q1/e7", messages, plan)
+    // publishPlanned above ran to completion; rebuild the crash state:
+    // re-stage f2, delete its published segment, keep f1's — exactly the
+    // on-disk state a crash between the two renames leaves
+    assert(fs.exists(plan), "the plan persists until the marker is written")
+    val planLines = scala.io.Source.fromInputStream(fs.open(plan)).getLines().toList
+    assert(planLines.size == 2)
+    val Array(_, _, seg2Name) = planLines(1).split('\t')
+    val seg2 = new Path(new Path(rootPath, "p0"), seg2Name)
+    assert(fs.exists(seg2))
+    fs.delete(seg2, false)
+    stageFile("t1-p0.log", Seq(("c", "vc", 202L), ("d", "vd", 203L), ("e", "ve", 204L)))
+    // RESTART: the replayed commit must finish the plan — f2 publishes at
+    // its PINNED offset, f1's already-published segment is not duplicated
+    BusCommit.publishPlanned(conf, root, s"$root/_staged/q1/e7", messages, plan)
+    val back = readBack(root).select($"offset", $"value".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == (0L to 8L), s"contiguous offsets: ${back.toSeq}")
+    assert(back.map(_._2).toSeq ==
+      Seq("v0", "v1", "v2", "v3", "va", "vb", "vc", "vd", "ve"),
+      "every record exactly once, in planned order")
+  }
 }
