@@ -168,21 +168,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     fs.mkdirs(dir)
-    // `PARTITIONED BY (col)` → the table's partitionCol (range-clustered
-    // writes + partition-scoped rewrites). Only a single identity
-    // transform maps onto the log's partition model; reject the rest
-    // loudly instead of silently dropping the user's layout request.
-    val pcol = partitions.toSeq match {
-      case Nil => None
-      case Seq(t) => t.references.toSeq match {
-        case Seq(ref) if t.name == "identity" => Some(ref.fieldNames.mkString("."))
+    // `PARTITIONED BY (a, b, ...)` → COMPOSITE partition mapping onto the
+    // log's indexes: the LEADING column becomes the partitionCol (range-
+    // clustered writes + partition-scoped rewrites), every further column
+    // records per-file windows (indexCols), so predicates pinning EITHER
+    // column scope their rewrite — the leading pin through the partition
+    // path, the others through the window-scoped copy-on-write. Only
+    // identity transforms map; bucket/days/etc. are rejected loudly
+    // instead of silently dropping the user's layout request.
+    val pcols = partitions.toSeq.map { t =>
+      t.references.toSeq match {
+        case Seq(ref) if t.name == "identity" => ref.fieldNames.mkString(".")
         case _ => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform $t " +
-            "(only PARTITIONED BY (<one column>))")
+            "(only identity PARTITIONED BY columns)")
       }
-      case many => throw new UnsupportedOperationException(
-        s"graft catalog: at most one partition column (got ${many.size})")
     }
+    val pcol = pcols.headOption
+    val extraIndexCols = pcols.drop(1)
     // TBLPROPERTIES → the rest of the physical config: statsCol /
     // bloomCol / indexCols (comma-separated) / check.<name> constraint
     // expressions — the full CREATE-TABLE-declares-the-layout surface:
@@ -191,10 +194,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     //                  'indexCols'='x,y', 'check.positive'='v > 0')
     val props = properties.asScala
     val known = Set("statsCol", "bloomCol", "indexCols")
+    val icolsAll = (props.get("indexCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) ++ extraIndexCols)
+      .distinct
     val tags =
       props.get("statsCol").map("@scol=" + _).toSeq ++
       props.get("bloomCol").map("@bcol=" + _).toSeq ++
-      props.get("indexCols").map("@icols=" + _).toSeq ++
+      (if (icolsAll.isEmpty) Nil else Seq("@icols=" + icolsAll.mkString(","))) ++
       props.collect { case (k, v) if k.startsWith("check.") =>
         "@check=" + java.util.Base64.getUrlEncoder.withoutPadding
           .encodeToString(v.getBytes(UTF_8)) }.toSeq

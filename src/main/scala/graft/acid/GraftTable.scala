@@ -1437,9 +1437,37 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     (if (useDv) deleteViaDv(predicate) else None).getOrElse(
       pinnedPartitions(predicate) match {
         case Some(vals) => deleteInPartitions(predicate, vals)
-        case None =>
-          replaceWith(snapshot().filter(!coalesce(predicate, lit(false))), "delete")
+        case None => windowScopedRewrite(predicate, "delete",
+          df => df.filter(!coalesce(predicate, lit(false))))
       })
+
+  /** INDEX-scoped copy-on-write: rewrite only the files whose manifest
+    * windows/blooms can contain predicate-matching rows (the same pruning
+    * as [[snapshotWhere]]), carry every other entry over verbatim. Sound
+    * for DELETE/UPDATE with NO functional-dependency assumption: a file
+    * the indexes prove free of matching rows is by definition untouched
+    * by the mutation. Generalizes partition scoping to ANY indexed
+    * column — `DELETE WHERE day = 5` on a z-ordered or secondary-indexed
+    * table rewrites O(matching files) even without a partitionCol. Falls
+    * back to the full rewrite when pruning buys nothing. */
+  private def windowScopedRewrite(predicate: Column, op: String,
+                                  transform: DataFrame => DataFrame): Long = {
+    val lv = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val prev = entries(lv)
+    val rewriteSet = entriesForPredicate(predicate, lv).map(_.path).toSet
+    if (rewriteSet.size >= prev.size)
+      replaceWith(transform(snapshot()), op)
+    else {
+      val (rewrite, keep) = prev.partition(e => rewriteSet.contains(e.path))
+      val v = nextVersion
+      if (rewrite.isEmpty) commit(v, keep, op = op)
+      else {
+        val out = transform(readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv))))
+        commit(v, keep ++ writeData(clusterByPartition(out), v), op = op)
+      }
+    }
+  }
 
   /** Candidate files read WITH parquet row positions (`__mor_f` file
     * name, `__mor_p` row index), existing DVs optionally applied — the
@@ -1547,8 +1575,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           .contains(_)))
       scoped match {
         case Some(vals) => updateInPartitions(predicate, set, vals)
+        // window scoping is sound whatever SET assigns: carried-over
+        // files provably hold no matching rows (their bytes and windows
+        // are untouched), and rewritten files get fresh windows from
+        // writeData — even an update TO an indexed column stays indexed
         case None =>
-          replaceWith(applyAssignments(snapshot(), predicate, set), "update")
+          windowScopedRewrite(predicate, "update",
+            df => applyAssignments(df, predicate, set))
       }
     }
   }

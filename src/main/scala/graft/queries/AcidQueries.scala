@@ -256,6 +256,55 @@ object AcidQueries extends QueryPack {
   private val streamSinkFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** STRING-keyed bloom fixture: events plus `skey` (the event id as a
+    * string — the content-hash-doc-id shape), %3 slices so ids scatter
+    * across every commit's files; bloomCol = skey exercises the hashed
+    * (xxhash64) bloom scheme that indexes any type. */
+  private val strBloomFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def strBloomTable(s: SparkSession, d: String): GraftTable = {
+    val root = strBloomFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("strbloom" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/strbloom_$key"
+      val bt = new GraftTable(s, r, bloomCol = Some("skey"))
+      val ev = events(s, d).withColumn("skey", $"event_id".cast("string"))
+      (0L to 2L).foreach(v =>
+        bt.append(ev.filter(pmod($"event_id", lit(3L)) === v)))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
+  /** Merge-on-read UPDATE fixture: appends, then a small API update that
+    * takes the deletion-vector path (old rows masked, updated copies
+    * appended — zero original files rewritten; DeletionVectorSpec pins
+    * the physical invariants, this fixture feeds the row-level gate). */
+  private val dvUpdateFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dvUpdateTable(s: SparkSession, d: String): GraftTable = {
+    val root = dvUpdateFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("dvupd" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/dvupd_$key"
+      val t = new GraftTable(s, r)
+      (0L to 2L).foreach(v =>
+        t.append(events(s, d).filter(pmod($"event_id", lit(3L)) === v)))
+      // doubling a double is exponent arithmetic — bit-exact cross-engine
+      t.update(pmod($"user_id", lit(50L)) === 7L,
+        Map("value" -> (col("value") * 2)))
+      t.delete(pmod($"user_id", lit(50L)) === 13L)
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   private def streamSinkTable(s: SparkSession, d: String): GraftTable = {
     val root = streamSinkFixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
@@ -493,6 +542,26 @@ object AcidQueries extends QueryPack {
     "q_acid_skipping" -> { (s, d) =>
       import s.implicits._
       tables(s, d)._5.snapshotRange(40L, 90L).orderBy($"event_id")
+    },
+
+    // STRING-keyed bloom point lookups (the content-hash doc_id shape
+    // every LLM dedup pipeline keys on): three needle reads on a string
+    // column, each file list resolved from the hashed per-file blooms —
+    // min/max windows cannot serve scattered string keys, the xxhash64
+    // bloom can (PredicateSkippingSpec pins the file-count cut).
+    "q_acid_point_str" -> { (s, d) =>
+      import s.implicits._
+      val bt = strBloomTable(s, d)
+      Seq("100", "500", "900").map(bt.snapshotPointStr(_))
+        .reduce(_.unionByName(_)).orderBy($"event_id")
+    },
+
+    // Merge-on-read row-level DML: a small UPDATE (DV-mask + appended
+    // copies) then a small DELETE (DV-mask only, zero data writes) — the
+    // snapshot must read as if both had rewritten in place.
+    "q_acid_dv_update" -> { (s, d) =>
+      import s.implicits._
+      dvUpdateTable(s, d).snapshot().orderBy($"event_id")
     }
   )
 
@@ -558,6 +627,16 @@ object AcidQueries extends QueryPack {
     "q_acid_point" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    "q_acid_point_str" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |       CAST(event_id AS VARCHAR) AS skey
+        |FROM events WHERE event_id IN (100, 500, 900) ORDER BY event_id""".stripMargin,
+
+    "q_acid_dv_update" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CASE WHEN user_id % 50 = 7 THEN value * 2 ELSE value END AS value
+        |FROM events WHERE user_id % 50 <> 13 ORDER BY event_id""".stripMargin,
 
     // the pipeline moves every appended row exactly once
     "q_acid_stream_sink" ->

@@ -148,7 +148,52 @@ object SourceQueries extends QueryPack {
       root
     })
 
+  /** FULL INGEST PIPELINE fixture: `readStream.format("graft-bus")` →
+    * typed parse → `writeStream.format("graft-table")` — the first
+    * pipeline every production user builds (broker in, lakehouse out),
+    * run once per JVM per scale dir as one synchronous AvailableNow
+    * drain with a txn-stamped exactly-once table sink. */
+  private val pipelineFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pipelineTableRoot(s: SparkSession, d: String): String =
+    pipelineFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("pipe" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val table = s"$busDir/pipe_$key"
+      val ckpt = s"$busDir/pipe_ckpt_$key"
+      val bus = s.readStream.format("graft-bus")
+        .option("path", busRoot(s, d)).load()
+      val parsed = bus.select(from_json($"value".cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE")).as("r"))
+        .select($"r.event_id".as("event_id"),
+          timestamp_micros($"r.ts_us").as("ts"),
+          $"r.user_id".as("user_id"), $"r.event_type".as("event_type"),
+          $"r.value".as("value"))
+      val q = parsed.writeStream.format("graft-table")
+        .option("path", table).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      table
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The composed ingest pipeline (bus -> parse -> ACID table): every
+    // record the bus holds lands in the table exactly once, fully typed —
+    // proven piecewise in r7 (bus source, table sink), now one gate row
+    // end to end.
+    "q_pipeline_bus_to_table" -> { (s, d) =>
+      import s.implicits._
+      graft.acid.GraftTable.load(s, pipelineTableRoot(s, d))
+        .snapshot().orderBy($"event_id")
+    },
+
     // ---- schema evolution across ingest batches (mergeSchema) ----
     // The long-lived-dataset reality: batch 1 lands without a column
     // that batch 2 adds (here `lang`). A mergeSchema read unifies the
@@ -575,6 +620,12 @@ object SourceQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // the pipeline moves every bus record into the table exactly once;
+    // doubles round-trip bit-exact through JSON (shortest-repr print)
+    "q_pipeline_bus_to_table" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_source_csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
 

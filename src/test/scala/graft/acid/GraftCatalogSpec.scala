@@ -260,10 +260,87 @@ class GraftCatalogSpec extends SparkSpec {
     // DESCRIBE surfaces the partitioning
     val desc = spark.sql("DESCRIBE TABLE graft.parted").collect().map(_.getString(0))
     assert(desc.contains("# Partition Information"), s"got ${desc.toSeq}")
-    // multi-column / non-identity partitioning is rejected loudly
+    // non-identity partition transforms are rejected loudly
     intercept[Exception] {
-      spark.sql("CREATE TABLE graft.bad (id BIGINT, a BIGINT, b BIGINT) " +
-        "PARTITIONED BY (a, b)")
+      spark.sql("CREATE TABLE graft.bad (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
     }
+  }
+
+  test("multi-column PARTITIONED BY: either column's pin scopes the rewrite") {
+    enableCatalog()
+    spark.sql("CREATE TABLE graft.multi (id BIGINT, a BIGINT, b BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (a, b)")
+    // disjoint (a, b) bands per insert → narrow per-file windows for BOTH
+    (0 until 3).foreach { band =>
+      spark.sql(s"INSERT INTO graft.multi SELECT id, $band AS a, " +
+        s"${10 + band} AS b, CAST(id AS DOUBLE) AS v " +
+        "FROM range(100)")
+    }
+    val t = GraftTable.load(spark, s"$warehouse/multi")
+    val before = t.snapshot().inputFiles.toSet
+    // pin on the LEADING partition column → partition-scoped rewrite
+    spark.sql("DELETE FROM graft.multi WHERE a = 1")
+    val afterA = GraftTable.load(spark, s"$warehouse/multi").snapshot().inputFiles.toSet
+    assert((before intersect afterA).nonEmpty, "a-pin must carry files over")
+    // pin on the SECOND partition column → window-scoped rewrite through
+    // its recorded per-file windows (indexCols mapping)
+    val t2 = GraftTable.load(spark, s"$warehouse/multi")
+    val pruned = t2.filesForPredicate(col("b") === 12L)
+    assert(pruned.size < t2.activeFiles(t2.latestVersion.get).size,
+      "the second partition column must prune through its windows")
+    spark.sql("DELETE FROM graft.multi WHERE b = 12")
+    val afterB = GraftTable.load(spark, s"$warehouse/multi").snapshot().inputFiles.toSet
+    assert((afterA intersect afterB).nonEmpty, "b-pin must carry files over")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.multi").as[Long].head() == 100L)
+  }
+
+  test("namespaces: CREATE/SHOW/DROP NAMESPACE and tables inside them") {
+    enableCatalog()
+    spark.sql("CREATE NAMESPACE graft.raw")
+    val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    assert(ns.contains("raw"), s"got ${ns.toSeq}")
+    // a table in the namespace round-trips by its qualified name
+    spark.sql("CREATE TABLE graft.raw.docs (id BIGINT, body STRING)")
+    spark.sql("INSERT INTO graft.raw.docs VALUES (1, 'x'), (2, 'y')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.raw.docs")
+      .as[Long].head() == 2L)
+    val tables = spark.sql("SHOW TABLES IN graft.raw").collect()
+      .map(_.getString(1))
+    assert(tables.contains("docs"), s"got ${tables.toSeq}")
+    // a TABLE directory is not a namespace
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("raw.docs"))
+    // dropping a non-empty namespace without CASCADE refuses; CASCADE works
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.raw") }
+    spark.sql("DROP NAMESPACE graft.raw CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("raw"))
+  }
+
+  test("a scoped merge pays ONE planning scan (no second distinct-count job)") {
+    enableCatalog()
+    val root = graft.TempDirs.create("graft_jobcount")
+    val t = new GraftTable(spark, root, partitionCol = Some("pid"))
+    t.append((0L until 64L).map(i => (i, i % 8, s"v$i")).toDF("id", "pid", "name"))
+    val updates = Seq((3L, 3L, "updated")).toDF("id", "pid", "name")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.merge(updates, Seq("id"), Seq(col("name").asc)) // "updated" < "v3"
+      Thread.sleep(300) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // planning scan (touchedPartitions) + rewrite write (AQE stages) +
+    // CHECK/stats passes: 7 observed with the fold; the pre-fold shape
+    // paid one MORE distinct().count() job per mutation — a regression
+    // here means a second planning scan crept back in
+    assert(jobs.get() <= 7,
+      s"scoped merge ran ${jobs.get()} jobs — an extra planning scan crept in")
+    assert(t.snapshot().filter(col("name") === "updated").count() == 1L)
   }
 }

@@ -60,6 +60,49 @@ class PredicateSkippingSpec extends SparkSpec {
     assert(t.filesForPredicate(lit(150L) <= $"k" && $"k" < 160L).size < all)
   }
 
+  test("string windows prune range and point predicates on a clustered string column") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predstr"),
+      indexCols = Seq("doc_id"))
+    // content-hash-shaped ids, appended in disjoint lexicographic bands
+    // (the post-clustering layout): each file's truncated window is narrow
+    def docs(prefix: Char, n: Int) =
+      (0 until n).map(i => (f"$prefix$i%06d-hash", i.toLong)).toDF("doc_id", "v")
+    t.append(docs('a', 200))
+    t.append(docs('m', 200))
+    t.append(docs('z', 200))
+    val all = t.activeFiles(t.latestVersion.get).size
+    // point equality on a string key prunes through the sw: window
+    val hit = t.filesForPredicate($"doc_id" === "m000042-hash").size
+    assert(hit < all, s"string point hit $hit of $all files")
+    assert(t.snapshotWhere($"doc_id" === "m000042-hash").count() == 1L)
+    // string range predicates prune too
+    val rangeHit = t.filesForPredicate($"doc_id" >= "z" && $"doc_id" <= "zz").size
+    assert(rangeHit < all, s"string range hit $rangeHit of $all files")
+    assert(t.snapshotWhere($"doc_id" >= "z" && $"doc_id" <= "zz").count() == 200L)
+    // IN over strings
+    assert(t.filesForPredicate($"doc_id".isin("a000001-hash", "a000002-hash")).size < all)
+    assert(t.snapshotWhere(
+      $"doc_id".isin("a000001-hash", "a000002-hash")).count() == 2L)
+  }
+
+  test("hashed blooms prune string point lookups scattered across files") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predstrbloom"),
+      bloomCol = Some("doc_id"))
+    // ids INTERLEAVE across commits: windows span everything, only the
+    // xxhash64 bloom can prune — the needle-in-100TB doc_id lookup
+    (0 until 3).foreach { s =>
+      t.append((0 until 900).collect {
+        case i if i % 3 == s => (f"doc-$i%05d", i.toLong)
+      }.toDF("doc_id", "v"))
+    }
+    val all = t.activeFiles(t.latestVersion.get).size
+    val hit = t.filesForPredicate($"doc_id" === "doc-00300").size
+    assert(hit < all, s"string bloom point hit $hit of $all files")
+    assert(t.snapshotPointStr("doc-00300").count() == 1L)
+    assert(t.snapshotPointStr("doc-99999").count() == 0L)
+    assert(t.snapshotWhere($"doc_id" === "doc-00300").count() == 1L)
+  }
+
   test("fastCount resolves from manifest metadata and tracks mutations") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_fastcount"))
     t.append((1L to 500L).toDF("id"))
