@@ -924,6 +924,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def readEntries(es: Seq[FileEntry], like: => DataFrame): DataFrame =
     readWithDv(es, tableSchema, like)
 
+  /** [[readWithDv]] under an explicit schema — the table-stream source
+    * reads commit diffs through this so deletion vectors mask its
+    * batches too. Caller guarantees `es` is non-empty. */
+  private[acid] def readEntriesAs(es: Seq[FileEntry],
+                                  explicitSchema: StructType): DataFrame = {
+    require(es.nonEmpty, "readEntriesAs needs at least one entry")
+    readWithDv(es, Some(explicitSchema),
+      throw new IllegalStateException("unreachable: es.nonEmpty"))
+  }
+
   /** MERGE (upsert): keep the winner per `keyCols` between the current
     * snapshot and `updates`, winner = first row under `winnerOrder`.
     * Reads the old (immutable) files while writing the new ones, so the

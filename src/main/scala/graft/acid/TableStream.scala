@@ -244,10 +244,17 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
           s"stream checkpoint at version $fromV of ${table.root} is beyond " +
             s"the table's retention (earliest retained: " +
             s"${retained.headOption.getOrElse("none")}); recreate the stream")
-      val fromFiles = table.activeFiles(fromV)
-      val toFiles = table.activeFiles(toV)
-      val added = (toFiles.toSet -- fromFiles).toSeq.sorted
-      val removed = (fromFiles.toSet -- toFiles).toSeq.sorted
+      // entry identity = the full manifest line, not just the path: a
+      // DELETION-VECTOR commit (same file, new dv= tag) surfaces as the
+      // file on BOTH sides, each read under ITS mask — the consumer's
+      // multiset apply (exceptAll deletes, union inserts) then lands
+      // exactly the newly-masked rows as net deletes
+      val fromEs: Seq[table.FileEntry] = table.entries(fromV)
+      val toEs: Seq[table.FileEntry] = table.entries(toV)
+      val fromLines = fromEs.map(_.line).toSet
+      val toLines = toEs.map(_.line).toSet
+      val added = toEs.filterNot(e => fromLines.contains(e.line)).sortBy(_.path)
+      val removed = fromEs.filterNot(e => toLines.contains(e.line)).sortBy(_.path)
       // pin every batch read to the STREAM's data schema (fixed at query
       // start): commits that evolve the table mid-stream still produce
       // this stream's columns — added columns project NULL from older
@@ -255,11 +262,9 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       val dataSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f =>
           f.name == "_change" || f.name == "_commit_version"))
-      def read(paths: Seq[String], tag: String): Option[DataFrame] =
-        if (paths.isEmpty) None
-        else Some(spark.read.schema(dataSchema).parquet(paths.map(f =>
-            new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(table.root), f).toString): _*)
+      def read(es: Seq[table.FileEntry], tag: String): Option[DataFrame] =
+        if (es.isEmpty) None
+        else Some(table.readEntriesAs(es, dataSchema)
           .withColumn("_change", lit(tag)))
       val parts = read(added, "insert").toSeq ++ read(removed, "delete")
       if (parts.isEmpty) emptyBatch

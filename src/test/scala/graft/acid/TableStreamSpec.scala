@@ -64,6 +64,23 @@ class TableStreamSpec extends SparkSpec {
     assert(runOnce(root, ckpt).isEmpty)
   }
 
+  test("a deletion-vector commit surfaces in the stream as a net delete") {
+    val root = graft.TempDirs.create("graft_tstream_dv")
+    val ckpt = graft.TempDirs.create("graft_tstream_dv_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L, 3L), "a").coalesce(1)) // v1: ONE file
+    assert(runOnce(root, ckpt).size == 3)
+    t.delete($"id" === 2L)                    // v2: DV-only (no data files)
+    assert(t.entries(2L).exists(_.dvRef.isDefined), "fixture must take the DV path")
+    val got = runOnce(root, ckpt)
+    // the masked file appears on both sides, each under its mask:
+    // inserts = survivors {1,3}, deletes = pre-mask {1,2,3} → net -2
+    val ins = got.filter(_._1 == "insert").map(_._3).sorted
+    val del = got.filter(_._1 == "delete").map(_._3).sorted
+    assert(ins == Seq(1L, 3L), s"insert side must be the masked view, got $got")
+    assert(del == Seq(1L, 2L, 3L), s"delete side must be the pre-mask rows, got $got")
+  }
+
   test("maxVersionsPerBatch=1 yields per-commit change batches") {
     val root = graft.TempDirs.create("graft_tstream_percommit")
     val ckpt = graft.TempDirs.create("graft_tstream_percommit_ckpt")
