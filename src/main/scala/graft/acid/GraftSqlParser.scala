@@ -38,6 +38,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Reorg =
+    """(?is)\s*REORG\s+(?:TABLE\s+)?(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val Changes =
@@ -91,6 +93,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       resolve(ref).map { t =>
         GraftRowLevelCommand(s"RESTORE ${ref.trim}",
           () => { t.restore(v.toLong); () })
+      }.getOrElse(delegate.parsePlan(sqlText))
+    // REORG TABLE t APPLY (PURGE): materialize deletion vectors — the
+    // compliance step between a merge-on-read DELETE and VACUUM
+    case Reorg(ref) =>
+      resolve(ref).map { t =>
+        GraftRowLevelCommand(s"REORG ${ref.trim}",
+          () => { t.reorg(); () })
       }.getOrElse(delegate.parsePlan(sqlText))
     case Changes(ref, fromV, toV) =>
       resolve(ref).map(_.changeFeed(fromV.toLong, toV.toLong)

@@ -155,6 +155,19 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
       if (overwriteEachBatch) t.overwrite(df, txn = Some((writerId, batchId)))
       else t.append(df, txn = Some((writerId, batchId)))
     }
+    // AUTO-COMPACTION (the Delta autoCompact pattern): a streaming
+    // append-per-batch table accumulates small files without bound —
+    // scan cost grows with file count, not data. With
+    // `autoCompactFiles=N`, the sink compacts once the active set
+    // exceeds N files. The compact commit is LAYOUT-ONLY (op=compact),
+    // so downstream table streams skip it as an empty batch; a lost
+    // compaction race is simply skipped (the next batch retries).
+    parameters.get("autoCompactFiles").map(_.toInt).foreach { maxFiles =>
+      val latest = t.latestVersion
+      if (latest.exists(v => t.activeFiles(v).size > maxFiles))
+        try t.compact(targetFiles = math.max(1, maxFiles / 2))
+        catch { case _: ConcurrentCommitException => () }
+    }
   }
 
   override def toString: String = s"GraftTableSink[$root]"
@@ -244,6 +257,18 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
           s"stream checkpoint at version $fromV of ${table.root} is beyond " +
             s"the table's retention (earliest retained: " +
             s"${retained.headOption.getOrElse("none")}); recreate the stream")
+      // LAYOUT-ONLY commits (compact / zorder / reorg) preserve the
+      // table's logical content — the Delta dataChange=false contract:
+      // when a batch covers only layout commits, it is EMPTY instead of
+      // a full-table self-canceling rewrite pair (reading every byte
+      // twice to net zero). Multi-commit ranges mixing layout and data
+      // commits diff across the endpoints, where the layout rewrite
+      // cancels naturally.
+      val layoutOps = Set("compact", "zorder", "reorg")
+      val rangeOps = ((fromV + 1L) to toV)
+        .map(v => table.headerMeta(v).getOrElse("op", "unknown"))
+      if (rangeOps.nonEmpty && rangeOps.forall(layoutOps.contains))
+        return emptyBatch
       // entry identity = the full manifest line, not just the path: a
       // DELETION-VECTOR commit (same file, new dv= tag) surfaces as the
       // file on BOTH sides, each read under ITS mask — the consumer's

@@ -86,5 +86,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val feed = s2.sql("DESCRIBE CHANGES gmaint.cf FROM 1 TO 2")
       .select($"id", $"_change").as[(Long, String)].collect().toSeq
     assert(feed == Seq((2L, "insert")), s"got $feed")
+    // REORG ... APPLY (PURGE) materializes deletion vectors from SQL
+    val t3 = new graft.acid.GraftTable(s2, s"$wh/rg")
+    t3.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t3.delete($"id" === 5L) // DV commit
+    assert(graft.acid.GraftTable.load(s2, s"$wh/rg")
+      .entries(2L).exists(_.dvRef.isDefined))
+    s2.sql("REORG gmaint.rg APPLY (PURGE)")
+    val purged = graft.acid.GraftTable.load(s2, s"$wh/rg")
+    assert(purged.history().last.op == "reorg")
+    assert(purged.entries(purged.latestVersion.get).forall(_.dvRef.isEmpty))
+    assert(purged.snapshot().count() == 19L)
   }
 }

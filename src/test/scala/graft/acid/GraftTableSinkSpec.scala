@@ -127,4 +127,32 @@ class GraftTableSinkSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
     assert(msgs.toLowerCase.contains("append and complete"), s"got: $msgs")
   }
+
+  test("autoCompactFiles bounds the active file count across many tiny batches") {
+    val input = MemoryStream[Long](spark)
+    val root = graft.TempDirs.create("graft_tsink_ac")
+    val ckpt = graft.TempDirs.create("graft_tsink_ac_ckpt")
+    val q = input.toDS().toDF("id").repartition(4)
+      .writeStream.format("graft-table")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("autoCompactFiles", "10")
+      .trigger(Trigger.ProcessingTime(20))
+      .start()
+    try {
+      (0 until 6).foreach { b =>
+        input.addData((b * 10L) until (b * 10L + 10L): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = GraftTable.load(spark, root)
+    // 6 batches x 4 files/batch = 24 files raw; compaction must have
+    // kept the active set bounded near the threshold
+    val files = t.activeFiles(t.latestVersion.get).size
+    assert(files <= 14, s"auto-compaction must bound the file count, got $files")
+    assert(t.history().exists(_.op == "compact"), "a compact commit landed")
+    // content-lossless: every row exactly once
+    assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 60L))
+  }
 }

@@ -81,6 +81,24 @@ class TableStreamSpec extends SparkSpec {
     assert(del == Seq(1L, 2L, 3L), s"delete side must be the pre-mask rows, got $got")
   }
 
+  test("layout-only commits (compact/zorder/reorg) stream as EMPTY batches") {
+    val root = graft.TempDirs.create("graft_tstream_layout")
+    val ckpt = graft.TempDirs.create("graft_tstream_layout_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L), "a"))
+    t.append(rows(Seq(3L), "b"))
+    assert(runOnce(root, ckpt).size == 3)
+    // a compaction rewrites every byte but changes NO logical content:
+    // the stream must not re-emit the table as a self-canceling pair
+    t.compact(targetFiles = 1)
+    assert(runOnce(root, ckpt).isEmpty,
+      "a compact-only range must be an empty batch (dataChange=false)")
+    // a data commit AFTER the compaction still streams normally
+    t.append(rows(Seq(4L), "c"))
+    val got = runOnce(root, ckpt)
+    assert(got.map(r => (r._1, r._3)) == Seq(("insert", 4L)), s"got $got")
+  }
+
   test("maxVersionsPerBatch=1 yields per-commit change batches") {
     val root = graft.TempDirs.create("graft_tstream_percommit")
     val ckpt = graft.TempDirs.create("graft_tstream_percommit_ckpt")
