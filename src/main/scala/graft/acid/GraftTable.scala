@@ -934,6 +934,48 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       throw new IllegalStateException("unreachable: es.nonEmpty"))
   }
 
+  /** Commit a SCOPED mutation with LOGICAL CONFLICT DETECTION (the Delta
+    * write-serializability rebase): the mutation consumed `consumed`
+    * (read+rewritten entries of `prev`) within `touched` partition
+    * values and produced `written`. Losing the version race does NOT
+    * force a recompute — as long as (a) every consumed entry is still
+    * active unchanged (nobody rewrote or re-masked our inputs) and
+    * (b) no interleaved commit added files intersecting our touched
+    * partitions (rows our mutation should have seen), the already-
+    * written files re-commit on top of the NEW base: concurrent writers
+    * on disjoint partitions all land, each paying one data write. A
+    * real conflict throws [[ConcurrentCommitException]] — the caller's
+    * [[commitWithRetry]] recompute loop remains the fallback. */
+  private def commitScopedWithRebase(firstV: Long, prev: Seq[FileEntry],
+      consumed: Seq[FileEntry], written: Seq[FileEntry],
+      touched: Seq[Long], op: String): Long = {
+    val consumedLines = consumed.map(_.line).toSet
+    val prevLines = prev.map(_.line).toSet
+    var v = firstV
+    var attempt = 0
+    while (true) {
+      val base = if (v == firstV) prev else entries(v - 1)
+      val baseLines = base.map(_.line).toSet
+      if (!consumedLines.subsetOf(baseLines))
+        throw new ConcurrentCommitException(
+          s"scoped $op at $root: a concurrent commit rewrote consumed files; " +
+            "rebase and retry")
+      if (base.exists(e => !prevLines.contains(e.line) && touches(e, touched)))
+        throw new ConcurrentCommitException(
+          s"scoped $op at $root: a concurrent commit added rows in the " +
+            "touched partitions; rebase and retry")
+      val files = base.filterNot(e => consumedLines.contains(e.line)) ++ written
+      try return commit(v, files, op = op)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+          v = nextVersion
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** MERGE (upsert): keep the winner per `keyCols` between the current
     * snapshot and `updates`, winner = first row under `winnerOrder`.
     * Reads the old (immutable) files while writing the new ones, so the
@@ -957,11 +999,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case Some(touched) =>
         val v = nextVersion
         val prev = latestVersion.map(entries).getOrElse(Nil)
-        val (rewrite, keep) = prev.partition(touches(_, touched))
+        val (rewrite, _) = prev.partition(touches(_, touched))
         val base = readEntries(rewrite, updates)
         val merged = winners(base.unionByName(updates))
-        commit(v, keep ++ writeData(
-          clusterByPartition(merged, Some(touched.size)), v), op = "merge")
+        val written = writeData(clusterByPartition(merged, Some(touched.size)), v)
+        commitScopedWithRebase(v, prev, rewrite, written, touched, op = "merge")
     }
   }
 
@@ -1035,10 +1077,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case Some(vals) =>
         val v = nextVersion
         val prev = latestVersion.map(entries).getOrElse(Nil)
-        val (rewrite, keep) = prev.partition(touches(_, vals.sorted))
+        val (rewrite, _) = prev.partition(touches(_, vals.sorted))
         val result = assemble(readEntries(rewrite, snapshot()))
-        commit(v, keep ++ writeData(
-          clusterByPartition(result, Some(vals.size)), v), op = "merge")
+        val written = writeData(clusterByPartition(result, Some(vals.size)), v)
+        commitScopedWithRebase(v, prev, rewrite, written, vals.sorted, op = "merge")
       case None => replaceWith(assemble(snapshot()), "merge")
     }
   }
@@ -1564,8 +1606,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val kept = readEntries(rewrite, snapshot()).filter(!coalesce(scoped, lit(false)))
-      commit(v, keep ++ writeData(
-        clusterByPartition(kept, Some(partitions.size)), v), op = "delete")
+      val written = writeData(clusterByPartition(kept, Some(partitions.size)), v)
+      commitScopedWithRebase(v, prev, rewrite, written, touched, op = "delete")
     }
   }
 
@@ -1664,8 +1706,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val updated = applyAssignments(readEntries(rewrite, snapshot()), scoped, set)
-      commit(v, keep ++ writeData(
-        clusterByPartition(updated, Some(partitions.size)), v), op = "update")
+      val written = writeData(clusterByPartition(updated, Some(partitions.size)), v)
+      commitScopedWithRebase(v, prev, rewrite, written, touched, op = "update")
     }
   }
 
@@ -1823,11 +1865,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case Some(touched) =>
         val v = nextVersion
         val prev = latestVersion.map(entries).getOrElse(Nil)
-        val (rewrite, keep) = prev.partition(touches(_, touched))
+        val (rewrite, _) = prev.partition(touches(_, touched))
         val base = readEntries(rewrite, ins)
         val applied = base.exceptAll(del).unionByName(ins)
-        commit(v, keep ++ writeData(
-          clusterByPartition(applied, Some(touched.size)), v),
+        val written = writeData(clusterByPartition(applied, Some(touched.size)), v)
+        commitScopedWithRebase(v, prev, rewrite, written, touched,
           op = "apply_changes")
     }
   }

@@ -1,0 +1,95 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Logical conflict detection for scoped mutations (the Delta
+  * write-serializability rebase): concurrent writers on DISJOINT
+  * partitions all land without recomputation — the race loser re-commits
+  * its already-written files on the new base — while a genuine conflict
+  * (same partition) still surfaces as ConcurrentCommitException for the
+  * caller's recompute loop. */
+class ConcurrentMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(n: Int) =
+    (0 until n).map(i => (i.toLong, (i % 8).toLong, s"v$i", i.toLong))
+      .toDF("id", "pid", "name", "seq")
+
+  /** Data files on disk not referenced by any retained version — what a
+    * recompute-after-lost-race leaves behind and a rebase must not. */
+  private def orphans(t: GraftTable): Seq[String] = {
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = t.versions.flatMap(t.activeFiles).toSet
+    val dataDir = new Path(t.root, "data")
+    if (!fs.exists(dataDir)) Nil
+    else for {
+      d <- fs.listStatus(dataDir).toSeq
+      f <- fs.listStatus(d.getPath)
+      rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
+      if f.getPath.getName.startsWith("part-") && !live.contains(rel)
+    } yield rel
+  }
+
+  test("disjoint-partition merges race, both land, loser rebases without recompute") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge"),
+      partitionCol = Some("pid"))
+    t.append(events(64))
+    // two writers, two DISJOINT partition sets, racing to the same version
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def upd(pid: Long, tag: String) =
+      Seq((1000L + pid, pid, tag, 9999L)).toDF("id", "pid", "name", "seq")
+    try {
+      val fs = Seq((2L, "left"), (5L, "right")).map { case (pid, tag) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            barrier.await()
+            t.merge(upd(pid, tag), Seq("id"), Seq($"seq".desc))
+          }
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    // both merges committed as their own version
+    assert(t.versions == Seq(1L, 2L, 3L), s"got ${t.versions}")
+    assert(t.history().count(_.op == "merge") == 2)
+    // both rows present plus the untouched base
+    val snap = t.snapshot()
+    assert(snap.count() == 66)
+    assert(snap.filter($"name".isin("left", "right")).count() == 2)
+    // the REBASE property: the loser's first (and only) data write is
+    // referenced by its commit — a recompute would have orphaned it
+    assert(orphans(t).isEmpty,
+      s"rebase must reuse the loser's written files, orphans: ${orphans(t)}")
+  }
+
+  test("same-partition merges conflict; commitWithRetry recomputes correctly") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_conf"),
+      partitionCol = Some("pid"))
+    t.append(events(64))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def upd(id: Long, tag: String) =
+      Seq((id, 3L, tag, 9000L + id)).toDF("id", "pid", "name", "seq")
+    try {
+      val fs = Seq((2000L, "one"), (2001L, "two")).map { case (id, tag) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            barrier.await()
+            // same partition 3: one writer must detect the logical
+            // conflict and recompute through the retry loop
+            t.commitWithRetry() { t.merge(upd(id, tag), Seq("id"), Seq($"seq".desc)) }
+          }
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(t.versions == Seq(1L, 2L, 3L), s"got ${t.versions}")
+    val snap = t.snapshot()
+    assert(snap.count() == 66)
+    assert(snap.filter($"name".isin("one", "two")).count() == 2,
+      "both conflicting merges must eventually land")
+  }
+}
