@@ -812,6 +812,54 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     throw new IllegalStateException("unreachable")
   }
 
+  /** INGEST-TIME EXACT DEDUP append (the LLM-corpus primitive: land a
+    * crawl batch once, whatever the crawler re-fetched): append only the
+    * rows whose `keyCol` — typically a content-hash doc id — is not
+    * already in the table, deduplicating within the batch too.
+    *
+    * 100 TB shape: the existing-key probe never scans the table. A
+    * small batch (≤1024 distinct keys) probes as a POINT-SET predicate —
+    * per-file BLOOMS and windows prune the candidate files driver-side;
+    * a large batch probes its key RANGE against the min/max windows.
+    * Only the surviving files' key column is read (column-pruned,
+    * DV-masked), and the batch anti-joins against it. On a key-clustered
+    * or bloom-indexed table a fresh batch probes O(few files) regardless
+    * of table size. */
+  def appendUnique(df: DataFrame, keyCol: String,
+                   txn: Option[(String, Long)] = None): Long = {
+    val incoming = df.dropDuplicates(keyCol)
+    val fresh = latestVersion match {
+      case None => incoming
+      case Some(v) =>
+        val isStr = df.schema.fields
+          .find(_.name.equalsIgnoreCase(keyCol))
+          .exists(_.dataType == org.apache.spark.sql.types.StringType)
+        val keys = incoming.select(col(keyCol)).na.drop()
+          .distinct().limit(1025).collect().map(_.get(0))
+        val pred =
+          if (keys.isEmpty) lit(false)
+          else if (keys.length <= 1024)
+            col(keyCol).isin(keys.toIndexedSeq: _*)
+          else if (isStr) {
+            val ss = incoming.agg(min(col(keyCol)), max(col(keyCol))).head()
+            col(keyCol) >= ss.getString(0) && col(keyCol) <= ss.getString(1)
+          } else {
+            val mm = incoming.agg(min(col(keyCol)).cast("long"),
+              max(col(keyCol)).cast("long")).head()
+            if (mm.isNullAt(0)) lit(true)
+            else col(keyCol) >= mm.getLong(0) && col(keyCol) <= mm.getLong(1)
+          }
+        val cand = entriesForPredicate(pred, v)
+        if (cand.isEmpty) incoming
+        else {
+          val existing = readWithDv(cand, schemaOf(v), snapshot(Some(v)))
+            .select(col(keyCol))
+          incoming.join(existing, Seq(keyCol), "left_anti")
+        }
+    }
+    append(fresh, txn)
+  }
+
   /** Conform an incoming append to the declared schema (when one exists):
     * declared columns the frame lacks fill NULL, present columns cast to
     * their declared type, and EXTRA columns either evolve the schema

@@ -305,6 +305,33 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** Ingest-dedup fixture: seed with the %3==0 slice, then appendUnique
+    * the OVERLAPPING %2==0 slice keyed on event_id (bloom-indexed) —
+    * only the genuinely new ids may land, however often the "crawler"
+    * re-delivers. */
+  private val appendUniqueFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def appendUniqueTable(s: SparkSession, d: String): GraftTable = {
+    val root = appendUniqueFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("appuniq" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/appuniq_$key"
+      val t = new GraftTable(s, r, bloomCol = Some("event_id"))
+      val ev = events(s, d)
+      t.append(ev.filter(pmod($"event_id", lit(3L)) === 0L))
+      t.appendUnique(ev.filter(pmod($"event_id", lit(2L)) === 0L), "event_id")
+      // a full re-delivery of both batches must add NOTHING
+      t.appendUnique(ev.filter(
+        pmod($"event_id", lit(3L)) === 0L || pmod($"event_id", lit(2L)) === 0L),
+        "event_id")
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   private def streamSinkTable(s: SparkSession, d: String): GraftTable = {
     val root = streamSinkFixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
@@ -562,6 +589,15 @@ object AcidQueries extends QueryPack {
     "q_acid_dv_update" -> { (s, d) =>
       import s.implicits._
       dvUpdateTable(s, d).snapshot().orderBy($"event_id")
+    },
+
+    // Ingest-time exact dedup (appendUnique): seed %3==0, appendUnique
+    // the overlapping %2==0 slice, then re-deliver EVERYTHING — the
+    // table must hold exactly one row per unique event_id with the
+    // existing-key probe resolved through the bloom/window indexes.
+    "q_acid_append_unique" -> { (s, d) =>
+      import s.implicits._
+      appendUniqueTable(s, d).snapshot().orderBy($"event_id")
     }
   )
 
@@ -637,6 +673,11 @@ object AcidQueries extends QueryPack {
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |       CASE WHEN user_id % 50 = 7 THEN value * 2 ELSE value END AS value
         |FROM events WHERE user_id % 50 <> 13 ORDER BY event_id""".stripMargin,
+
+    "q_acid_append_unique" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id % 3 = 0 OR event_id % 2 = 0
+        |ORDER BY event_id""".stripMargin,
 
     // the pipeline moves every appended row exactly once
     "q_acid_stream_sink" ->

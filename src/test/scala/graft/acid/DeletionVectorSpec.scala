@@ -114,6 +114,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.snapshot().count() == 39)
   }
 
+  test("appendUnique lands each key once; the probe prunes through the indexes") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_appuniq"),
+      bloomCol = Some("id"), statsCol = Some("id"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "name")
+      .repartitionByRange(4, $"id"))
+    // overlap: 50 existing + 50 new
+    t.appendUnique((51L to 150L).map(i => (i, s"w$i")).toDF("id", "name"), "id")
+    assert(t.snapshot().count() == 150)
+    // the original rows won: key 60 keeps its first-landed payload
+    assert(t.snapshot().filter($"id" === 60L).select($"name")
+      .as[String].head() == "v60")
+    // full re-delivery adds nothing
+    t.appendUnique((1L to 150L).map(i => (i, s"x$i")).toDF("id", "name"), "id")
+    assert(t.snapshot().count() == 150)
+    assert(t.fastCount() == 150)
+    // within-batch duplicates collapse too
+    t.appendUnique(Seq((200L, "a"), (200L, "b")).toDF("id", "name"), "id")
+    assert(t.snapshot().filter($"id" === 200L).count() == 1)
+    // the small-batch probe is a point-set predicate the indexes prune:
+    // a probe for one fresh key must not touch every file
+    val all = t.activeFiles(t.latestVersion.get).size
+    assert(t.filesForPredicate($"id".isin(60L)).size < all,
+      "the existing-key probe must prune through windows/blooms")
+  }
+
   test("merge/apply rewrites respect existing DVs (no resurrection)") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
     t.append(rows(20).coalesce(1))

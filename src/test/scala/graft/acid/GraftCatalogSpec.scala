@@ -180,6 +180,20 @@ class GraftCatalogSpec extends SparkSpec {
       (0L to 299L).map(_ * 2.0).sum)
   }
 
+  test("SQL string predicates prune files through string windows") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/strskip",
+      indexCols = Seq("doc_id"))
+    def docs(p: Char, n: Int) =
+      (0 until n).map(i => (f"$p$i%05d", i.toLong)).toDF("doc_id", "v")
+    t.append(docs('a', 100)); t.append(docs('m', 100)); t.append(docs('z', 100))
+    val allFiles = t.activeFiles(t.latestVersion.get).size
+    val df = spark.sql("SELECT v FROM graft.strskip WHERE doc_id = 'm00042'")
+    assert(df.inputFiles.length < allFiles,
+      s"string equality must prune: ${df.inputFiles.length} of $allFiles files")
+    assert(df.as[Long].collect().toSeq == Seq(42L))
+  }
+
   test("parquet footer-stats aggregate pushdown survives the pruning wrapper") {
     enableCatalog()
     val t = new GraftTable(spark, s"$warehouse/aggpd")
