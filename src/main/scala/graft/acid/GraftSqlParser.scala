@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([\w`\s,]+)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
@@ -72,14 +72,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def strip(id: String) = id.replace("`", "")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(ref, target, za, zb) =>
+    case Optimize(ref, target, zcols) =>
       resolve(ref).map { t =>
         val n = Option(target).map(_.toInt)
           .getOrElse(spark.sessionState.conf.numShufflePartitions)
         val label = s"OPTIMIZE ${ref.trim}"
-        if (za != null && zb != null)
+        val cols = Option(zcols).toSeq
+          .flatMap(_.split(',')).map(c => strip(c.trim)).filter(_.nonEmpty)
+        if (cols.size >= 2)
           GraftRowLevelCommand(label,
-            () => { t.compactZOrder((strip(za), strip(zb)), n); () })
+            () => { t.compactZOrderN(cols, n); () })
+        else if (cols.size == 1)
+          GraftRowLevelCommand(label,
+            () => { t.compact(n, clusterBy = cols); () })
         else
           GraftRowLevelCommand(label, () => { t.compact(n); () })
       }.getOrElse(delegate.parsePlan(sqlText))

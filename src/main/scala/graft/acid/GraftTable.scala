@@ -1200,20 +1200,34 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * repartitionByRange + in-partition sort on the z-key — fully
     * distributed, no extra shuffle beyond the one any compaction pays.
     * Old versions stay time-travelable until vacuumed. */
-  def compactZOrder(cols: (String, String), targetFiles: Int): Long = {
-    val (a, b) = cols
+  def compactZOrder(cols: (String, String), targetFiles: Int): Long =
+    compactZOrderN(Seq(cols._1, cols._2), targetFiles)
+
+  /** N-DIMENSIONAL OPTIMIZE ZORDER (2..8 columns): every dimension's
+    * value scales to its ⌊64/k⌋-bit grid and the native codegen
+    * [[graft.functions.ZOrderN]] interleaves them — each output file's
+    * per-column windows stay narrow in ALL k dimensions at once, so
+    * range predicates on ANY indexed column prune from manifest metadata.
+    * Same job shape as the 2-D case: one min/max agg, one
+    * repartitionByRange + in-partition sort on the z-key. */
+  def compactZOrderN(cols: Seq[String], targetFiles: Int): Long = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"compactZOrderN takes 2..8 columns, got ${cols.size}")
     val snap = snapshot()
-    val mm = snap.agg(
-      min(col(a)).cast("long").as("alo"), max(col(a)).cast("long").as("ahi"),
-      min(col(b)).cast("long").as("blo"), max(col(b)).cast("long").as("bhi")).head()
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"${c}_lo"),
+      max(col(c)).cast("long").as(s"${c}_hi")))
+    val mm = snap.agg(aggs.head, aggs.tail: _*).head()
+    val maxScaled = (1L << (64 / cols.size)) - 1L
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi <= lo) lit(0L)
       else ((col(c).cast("long") - lit(lo)).cast("double") / lit((hi - lo).toDouble)
-        * lit(65535.0)).cast("long")
+        * lit(maxScaled.toDouble)).cast("long")
     val bridge = org.apache.spark.sql.GraftPlanBridge
-    val zkey = bridge.column(graft.functions.ZOrder64(
-      bridge.expr(spark, scaled(a, mm.getLong(0), mm.getLong(1))),
-      bridge.expr(spark, scaled(b, mm.getLong(2), mm.getLong(3)))))
+    val zkey = bridge.column(graft.functions.ZOrderN(
+      cols.zipWithIndex.map { case (c, i) =>
+        bridge.expr(spark, scaled(c, mm.getLong(2 * i), mm.getLong(2 * i + 1)))
+      }))
     val laid = snap.withColumn("__z", zkey)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -31,6 +31,82 @@ case class ZOrder64(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** N-DIMENSIONAL Z-order key (2 ≤ k ≤ 8 long children): bit i of
+  * dimension j lands at position i·k + j, each dimension contributing
+  * its low ⌊64/k⌋ bits — the general multi-dimensional clustering key
+  * (OPTIMIZE ... ZORDER BY (a, b, c, ...)). Codegen-native like its
+  * binary sibling. */
+case class ZOrderN(children: Seq[Expression]) extends Expression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size >= 2 && children.size <= 8 &&
+        children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder_n needs 2..8 bigint children, got " +
+        children.map(_.dataType.catalogString).mkString("(", ", ", ")"))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = new Array[Long](children.size)
+    var i = 0
+    while (i < vs.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrderN.interleave(vs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val fills = evals.zipWithIndex
+      .map { case (e, i) => s"$arr[$i] = ${e.value};" }.mkString("\n")
+    val body =
+      s"""
+         |$childCode
+         |boolean ${ev.isNull} = $anyNull;
+         |long ${ev.value} = 0L;
+         |if (!${ev.isNull}) {
+         |  long[] $arr = new long[${children.size}];
+         |  $fills
+         |  ${ev.value} = graft.functions.ZOrderN.interleave($arr);
+         |}
+         |""".stripMargin
+    ev.copy(code = code"$body")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderN = copy(children = newChildren)
+}
+
+object ZOrderN {
+  /** Interleave k values: bit i of dim j → position i·k + j. */
+  def interleave(vs: Array[Long]): Long = {
+    val k = vs.length
+    val bitsPer = 64 / k
+    var out = 0L
+    var j = 0
+    while (j < k) {
+      val v = vs(j)
+      var i = 0
+      while (i < bitsPer) {
+        out |= ((v >>> i) & 1L) << (i * k + j)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}
+
 object ZOrder64 {
   /** Spread the low 32 bits of v to even bit positions of a long. */
   def spread(v: Long): Long = {

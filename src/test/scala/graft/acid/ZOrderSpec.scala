@@ -35,6 +35,28 @@ class ZOrderSpec extends SparkSpec {
       grid(4096).filter($"y".between(100, 199)).agg(sum($"id")).head().getLong(0))
   }
 
+  test("3-D z-order narrows per-file windows in all three dimensions") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_zorder3"),
+      indexCols = Seq("x", "y", "w"))
+    val df = (0 until 4096).map { i =>
+      (i.toLong, ((i * 131) % 4096).toLong, ((i * 191) % 4096).toLong,
+        ((i * 73) % 4096).toLong)
+    }.toDF("id", "x", "y", "w")
+    t.append(df.repartition(8))
+    t.compactZOrderN(Seq("x", "y", "w"), targetFiles = 27)
+    val all = t.activeFiles(t.latestVersion.get).size
+    Seq("x", "y", "w").foreach { c =>
+      val hit = t.filesForColumnRange(c, 0L, 511L).size
+      assert(hit < all, s"$c-range hit $hit of $all files")
+    }
+    // exactness on each dimension
+    assert(t.snapshotRangeOn("w", 0L, 511L).count() == 512L)
+    assert(t.snapshotWhere($"x" <= 511L && $"y" <= 511L && $"w" <= 511L).count() ==
+      df.filter($"x" <= 511 && $"y" <= 511 && $"w" <= 511).count())
+    // content-lossless
+    assert(t.snapshot().count() == 4096L)
+  }
+
   test("z-order rewrite is content-lossless and time-travelable") {
     val t = new GraftTable(spark,
       graft.TempDirs.create("graft_zorder_tt"),
