@@ -429,8 +429,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       sidecarMap(bloomSidecars, bloomSidecarPath, v).get(e.path).map((true, _))))
 
   private def dvPositions(e: FileEntry): Array[Long] =
-    e.dvRef.map(v => sidecarMap(dvSidecars, dvSidecarPath, v)
-      .getOrElse(e.path, Array.empty[Long])).getOrElse(Array.empty[Long])
+    e.dvRef.map { v =>
+      // FAIL LOUDLY if the referenced mask is gone: reading a DV'd file
+      // unmasked would silently resurrect deleted rows — the one failure
+      // mode a deletion vector must never have
+      sidecarMap(dvSidecars, dvSidecarPath, v).getOrElse(e.path,
+        throw new IllegalStateException(
+          s"deletion vector for ${e.path} missing from sidecar v$v at $root"))
+    }.getOrElse(Array.empty[Long])
 
   /** Read `es`'s files as one frame under the declared `schema`,
     * MERGE-ON-READ applying deletion vectors: files carrying a DV read
@@ -824,7 +830,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * Only the surviving files' key column is read (column-pruned,
     * DV-masked), and the batch anti-joins against it. On a key-clustered
     * or bloom-indexed table a fresh batch probes O(few files) regardless
-    * of table size. */
+    * of table size.
+    *
+    * Isolation: the uniqueness check is against the snapshot probed at
+    * call time (snapshot isolation, like Delta's insert-only MERGE under
+    * WriteSerializable) — two appendUnique calls racing with the SAME
+    * key can both land it. Route one key-space through one writer, or
+    * follow with an exact-dedup merge for strict uniqueness. */
   def appendUnique(df: DataFrame, keyCol: String,
                    txn: Option[(String, Long)] = None): Long = {
     val incoming = df.dropDuplicates(keyCol)
