@@ -97,7 +97,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private case class Sidecar(schema: Option[StructType],
                              pcol: Option[String], scol: Option[String],
                              bcol: Option[String], icols: Seq[String],
-                             checks: Seq[String]) {
+                             checks: Seq[String],
+                             pcols: Seq[String] = Nil) {
     def hasConfig: Boolean =
       pcol.nonEmpty || scol.nonEmpty || bcol.nonEmpty ||
         icols.nonEmpty || checks.nonEmpty
@@ -117,7 +118,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         tag("pcol").headOption, tag("scol").headOption, tag("bcol").headOption,
         tag("icols").headOption.toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
         tag("check").map(s => new String(
-          java.util.Base64.getUrlDecoder.decode(s), UTF_8)))
+          java.util.Base64.getUrlDecoder.decode(s), UTF_8)),
+        tag("pcols").headOption.toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     }
 
   private def load(ident: Identifier, version: Option[Long],
@@ -149,7 +151,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _ => None
     }
     new GraftTableV2(spark, t, (ident.namespace() :+ ident.name()).mkString("."),
-      pinned, declared)
+      pinned, declared, declaredPartitioning = sc.pcols)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -215,7 +217,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // commit; the commit log is the source of truth after
     val out = fs.create(schemaFile(dir), false)
     try out.write((schema.toDDL +
-      (pcol.map("@pcol=" + _).toSeq ++ tags).map("\n" + _).mkString)
+      (pcol.map("@pcol=" + _).toSeq ++
+        (if (pcols.size > 1) Seq("@pcols=" + pcols.mkString(",")) else Nil) ++
+        tags).map("\n" + _).mkString)
       .getBytes(UTF_8))
     finally out.close()
     load(ident, None, None)
@@ -332,7 +336,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * scoped copy-on-write (only intersecting files rewrite) as the API. */
 private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
                                  ident: String, pinned: Option[Long],
-                                 declared: Option[StructType])
+                                 declared: Option[StructType],
+                                 declaredPartitioning: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** The commit-log table behind this DSv2 face (SQL row-op rewrites
@@ -382,9 +387,16 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
 
   override def name(): String = ident
 
-  override def partitioning(): Array[Transform] =
-    t.partitionColName.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = {
+    // composite PARTITIONED BY reports every declared column (DESCRIBE
+    // shows the user's full layout); single-column tables report the log's
+    val cols =
+      if (declaredPartitioning.nonEmpty) declaredPartitioning
+      else t.partitionColName.toSeq
+    cols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform).toArray
+  }
 
   override def schema(): StructType =
     pinned.orElse(t.latestVersion) match {
