@@ -1,0 +1,108 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Model-based fuzz of the incremental commit log: a SEEDED random
+  * sequence of mixed operations (append / appendUnique / DV-delete /
+  * bulk COW delete / update / merge / compact / zorder / reorg /
+  * restore / vacuum) runs against both the table and a plain in-memory
+  * model; after every operation the snapshot must equal the model, and
+  * periodically a FRESH handle (empty caches, resolution purely from the
+  * on-disk delta chain + checkpoints + sidecars) must agree too. One
+  * spec, every interaction the unit specs cover pairwise. */
+class LogFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("60 mixed commits: snapshot == model at every step, fresh handles agree") {
+    val root = graft.TempDirs.create("graft_logfuzz")
+    val t = new GraftTable(spark, root, statsCol = Some("id"),
+      bloomCol = Some("id"), checkpointInterval = 7, dvMaxRows = 40)
+    val rnd = new scala.util.Random(20260814L)
+    // model: id -> v (ids unique by construction of the ops below)
+    val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextId = 0L
+    var restorePoint: Option[(Long, Map[Long, Long])] = None
+
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "v")
+
+    def checkAgainst(handle: GraftTable, label: String): Unit = {
+      val got = handle.snapshot().as[(Long, Long)].collect().sorted.toSeq
+      val want = model.toSeq.sorted
+      assert(got == want,
+        s"$label diverged: got ${got.size} rows, want ${want.size}; " +
+          s"missing=${(want.toSet -- got).take(5)} extra=${(got.toSet -- want).take(5)}")
+      assert(handle.fastCount() == want.size.toLong, s"$label fastCount")
+    }
+
+    (1 to 60).foreach { step =>
+      // every op below needs at least one commit; the first is an append
+      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(10)) match {
+        case 0 | 1 | 2 => // append a fresh batch
+          val rows = (0 until 1 + rnd.nextInt(20)).map { _ =>
+            nextId += 1; (nextId, rnd.nextLong(1000)) }
+          rows.foreach { case (k, v) => model(k) = v }
+          t.append(df(rows))
+        case 3 => // appendUnique with half-overlap
+          val existing = model.keys.take(5).toSeq
+          val fresh = (0 until 3).map { _ => nextId += 1; nextId }
+          val rows = (existing ++ fresh).map(k => (k, rnd.nextLong(1000)))
+          rows.filter(r => fresh.contains(r._1))
+            .foreach { case (k, v) => model(k) = v }
+          t.appendUnique(df(rows), "id")
+        case 4 => // small delete (DV path)
+          val victims = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(5) + 1)
+          victims.foreach(model.remove)
+          if (victims.nonEmpty)
+            t.delete(col("id").isin(victims.map(Long.box): _*))
+        case 5 => // bulk delete (COW fallback when > dvMaxRows)
+          val cut = nextId - rnd.nextInt(50)
+          model.keys.filter(_ > cut).toSeq.foreach(model.remove)
+          t.delete(col("id") > cut)
+        case 6 => // update (DV or window-scoped)
+          val victims = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(4))
+          victims.foreach(k => model(k) = model(k) + 1000000L)
+          if (victims.nonEmpty)
+            t.update(col("id").isin(victims.map(Long.box): _*),
+              Map("v" -> (col("v") + 1000000L)))
+        case 7 => // merge upsert: mix of updates and inserts, LARGEST v wins
+          val upd = rnd.shuffle(model.keys.toSeq).take(2)
+            .map(k => (k, rnd.nextLong(1000) + 2000000L))
+          val ins = (0 until 2).map { _ =>
+            nextId += 1; (nextId, rnd.nextLong(1000)) }
+          // the desc winner keeps the larger of (old, new) — mirror that
+          (upd ++ ins).foreach { case (k, v) =>
+            model(k) = math.max(model.getOrElse(k, Long.MinValue), v) }
+          t.merge(df(upd ++ ins), Seq("id"), Seq(col("v").desc_nulls_last))
+        case 8 => // layout ops: content must be invariant
+          rnd.nextInt(3) match {
+            case 0 => t.compact(targetFiles = 1 + rnd.nextInt(4))
+            case 1 if model.nonEmpty => t.compactZOrderN(Seq("id", "v"), 4)
+            case _ => t.reorg()
+          }
+        case 9 => // restore to a remembered point, or remember one
+          restorePoint match {
+            case Some((v, snap)) if t.versions.contains(v) && rnd.nextBoolean() =>
+              t.restore(v)
+              model.clear(); snap.foreach { case (k, x) => model(k) = x }
+              restorePoint = None
+            case _ =>
+              restorePoint = t.latestVersion.map(_ -> model.toMap)
+          }
+      }
+      // merge with "newest wins" ordering can keep the OLD row when the
+      // new v is smaller — the model above assumed new wins, so align:
+      // we used desc ordering with +2000000 updates, making new rows win
+      checkAgainst(t, s"step $step")
+      if (step % 12 == 0) {
+        checkAgainst(GraftTable.load(spark, root), s"fresh handle @ step $step")
+        t.vacuum(retain = 3)
+        checkAgainst(t, s"post-vacuum @ step $step")
+        if (restorePoint.exists(rp => !t.versions.contains(rp._1)))
+          restorePoint = None
+      }
+    }
+    // end-to-end: one more cold resolution from disk
+    checkAgainst(GraftTable.load(spark, root), "final cold handle")
+  }
+}
