@@ -137,7 +137,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       bloomRef: Option[Long] = None,
                                       strWindows: Map[String, (String, String)] = Map.empty,
                                       dvRef: Option[Long] = None,
-                                      dvCount: Long = 0L) {
+                                      dvCount: Long = 0L,
+                                      // set ONLY by writeData on a bloom built
+                                      // this commit (hashed scheme) — a carried
+                                      // LEGACY inline bloom (raw-long scheme)
+                                      // must stay inline, or its probe scheme
+                                      // would silently flip. Never serialized.
+                                      bloomFresh: Boolean = false) {
     /** Rows surviving the deletion vector — what a reader sees. */
     def liveRows: Option[Long] = rows.map(_ - dvCount)
     def line: String =
@@ -591,7 +597,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             tag.drop(2) -> win },
           rows = Some(pf.nrows),
           strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
-            tag.drop(2) -> win })
+            tag.drop(2) -> win },
+          bloomFresh = blooms.contains(n))
       }
   }
 
@@ -679,15 +686,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // sidecars are exclusively ours, and the manifest reads as in-flight
     // until the terminator lands in the single content write below.
     try {
-      // 1. fresh inline blooms (new data files) move to the bloom sidecar
-      val fresh = files.filter(e => e.bloom.isDefined && e.bloomRef.isEmpty)
+      // 1. blooms built THIS commit move to the bloom sidecar (carried
+      // legacy inline blooms stay inline — their probe scheme differs)
+      val fresh = files.filter(e =>
+        e.bloomFresh && e.bloom.isDefined && e.bloomRef.isEmpty)
       val bloomed =
         if (fresh.isEmpty) files
         else {
           writeSidecar(bloomSidecarPath(v), fresh.map(e => e.path -> e.bloom.get))
           val freshPaths = fresh.map(_.path).toSet
-          files.map(e => if (freshPaths.contains(e.path))
-            e.copy(bloom = None, bloomRef = Some(v)) else e)
+          files.map(e => if (freshPaths.contains(e.path) && e.bloomFresh)
+            e.copy(bloom = None, bloomRef = Some(v), bloomFresh = false) else e)
         }
       // 2. this commit's deletion vectors go to the dv sidecar; touched
       // entries re-reference it (full merged position set per file)

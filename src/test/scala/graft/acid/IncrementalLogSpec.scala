@@ -92,6 +92,41 @@ class IncrementalLogSpec extends SparkSpec {
     assert(t.snapshot().count() == 5)
   }
 
+  test("a carried legacy inline bloom keeps its raw-long scheme across new commits") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_inclog_lb"),
+      bloomCol = Some("id"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1))
+    val f = fs(t.root)
+    val p = new Path(t.root, f"_log/v${1L}%020d.manifest")
+    // rewrite v1 as a LEGACY manifest: the bloom INLINE (b=) built with
+    // the raw-long scheme, as pre-sidecar code wrote it
+    val words = new Array[Long](GraftTable.BloomWords)
+    (1L to 100L).foreach(v => GraftTable.bloomPositions(v).foreach(pos =>
+      words(pos / 64) |= 1L << (pos % 64)))
+    val lines = scala.io.Source.fromInputStream(f.open(p)).getLines().toList
+    val legacy = lines.map { l =>
+      if (l.startsWith("+\t"))
+        l.drop(2).split('\t').filterNot(_.startsWith("bf="))
+          .mkString("\t") + s"\tb=${GraftTable.encodeBloom(words)}"
+      else l.replace(" kind=delta", "").replace(" kind=full", "")
+    }.filterNot(_.startsWith("-\t"))
+    f.delete(p, false)
+    val out = f.create(p, false)
+    out.write(legacy.mkString("\n").getBytes("UTF-8")); out.close()
+    f.delete(new Path(t.root, f"_log/v${1L}%020d.blooms"), false)
+    // a NEW commit carries the legacy entry: the inline bloom must stay
+    // inline (a sidecar migration would silently flip its probe scheme)
+    val t2 = GraftTable.load(spark, t.root)
+    t2.append(Seq((200L, "x")).toDF("id", "name").coalesce(1))
+    val carried = t2.entries(2L).filter(_.rows.contains(100L))
+    assert(carried.nonEmpty && carried.forall(e =>
+      e.bloom.isDefined && e.bloomRef.isEmpty),
+      s"legacy inline bloom must not migrate: ${carried.map(_.line)}")
+    // and the raw-long probe still answers through it
+    assert(t2.snapshotPoint(50L).count() == 1)
+    assert(t2.snapshotPoint(77L).count() == 1)
+  }
+
   test("legacy manifests without the terminator line stay readable") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_inclog"))
     t.append(rows(4).coalesce(1))
