@@ -42,6 +42,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REORG\s+(?:TABLE\s+)?(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val Changes =
     """(?is)\s*DESCRIBE\s+CHANGES\s+(.+?)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""".r
 
@@ -109,6 +111,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Changes(ref, fromV, toV) =>
       resolve(ref).map(_.changeFeed(fromV.toLong, toV.toLong)
           .queryExecution.logical)
+        .getOrElse(delegate.parsePlan(sqlText))
+    case Detail(ref) =>
+      resolve(ref).map(_.detailDF.queryExecution.logical)
         .getOrElse(delegate.parsePlan(sqlText))
     case History(ref) =>
       resolve(ref).map(_.historyDF.queryExecution.logical)

@@ -407,6 +407,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }.toDF("version", "operation", "commit_ts", "n_files", "n_rows")
   }
 
+  /** DESCRIBE DETAIL: one row of table-level physical facts, resolved
+    * ENTIRELY from manifest metadata (zero file opens) — current version,
+    * active file count, live row count, total deletion-vector-masked
+    * rows, and the physical config (partition/stats/bloom/index columns).
+    * The at-a-glance surface an operator checks before deciding to
+    * OPTIMIZE / REORG / VACUUM. */
+  def detailDF: DataFrame = {
+    import spark.implicits._
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val es = entries(v)
+    val rows = if (es.forall(_.rows.isDefined))
+      Some(es.flatMap(_.liveRows).sum) else None
+    Seq((v, es.size, rows, es.map(_.dvCount).sum,
+      es.count(_.dvRef.isDefined),
+      partitionCol.orNull, statsCol.orNull, bloomCol.orNull,
+      if (indexCols.isEmpty) null else indexCols.mkString(","),
+      history().lastOption.map(_.op).orNull))
+      .toDF("version", "n_files", "n_rows", "dv_masked_rows",
+        "dv_masked_files", "partition_col", "stats_col", "bloom_col",
+        "index_cols", "last_operation")
+  }
+
   /** Time travel BY TIMESTAMP (epoch millis): the snapshot of the newest
     * version committed at or before `tsMillis` — what "the table as of
     * last night's run" resolves through. */

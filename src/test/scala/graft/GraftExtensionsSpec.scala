@@ -92,10 +92,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     t3.delete($"id" === 5L) // DV commit
     assert(graft.acid.GraftTable.load(s2, s"$wh/rg")
       .entries(2L).exists(_.dvRef.isDefined))
+    // DESCRIBE DETAIL: physical facts from manifest metadata alone —
+    // including the masked-row count an operator reorgs on
+    val det = s2.sql("DESCRIBE DETAIL gmaint.rg").collect().head
+    assert(det.getAs[Long]("version") == 2L)
+    assert(det.getAs[Long]("n_rows") == 19L)
+    assert(det.getAs[Long]("dv_masked_rows") == 1L)
+    assert(det.getAs[String]("last_operation") == "delete")
     s2.sql("REORG gmaint.rg APPLY (PURGE)")
     val purged = graft.acid.GraftTable.load(s2, s"$wh/rg")
     assert(purged.history().last.op == "reorg")
     assert(purged.entries(purged.latestVersion.get).forall(_.dvRef.isEmpty))
     assert(purged.snapshot().count() == 19L)
+    assert(s2.sql("DESCRIBE DETAIL gmaint.rg").collect()
+      .head.getAs[Long]("dv_masked_rows") == 0L)
   }
 }
