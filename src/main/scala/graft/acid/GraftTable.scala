@@ -1040,7 +1040,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * [[commitWithRetry]] recompute loop remains the fallback. */
   private def commitScopedWithRebase(firstV: Long, prev: Seq[FileEntry],
       consumed: Seq[FileEntry], written: Seq[FileEntry],
-      touched: Seq[Long], op: String): Long = {
+      touched: Seq[Long], op: String,
+      affects: Option[FileEntry => Boolean] = None): Long = {
+    val affected = affects.getOrElse((e: FileEntry) => touches(e, touched))
     val consumedLines = consumed.map(_.line).toSet
     val prevLines = prev.map(_.line).toSet
     var v = firstV
@@ -1052,10 +1054,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         throw new ConcurrentCommitException(
           s"scoped $op at $root: a concurrent commit rewrote consumed files; " +
             "rebase and retry")
-      if (base.exists(e => !prevLines.contains(e.line) && touches(e, touched)))
+      if (base.exists(e => !prevLines.contains(e.line) && affected(e)))
         throw new ConcurrentCommitException(
           s"scoped $op at $root: a concurrent commit added rows in the " +
-            "touched partitions; rebase and retry")
+            "touched scope; rebase and retry")
       val files = base.filterNot(e => consumedLines.contains(e.line)) ++ written
       try return commit(v, files, op = op)
       catch {
@@ -1078,12 +1080,47 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * are read+rewritten; every other file entry carries over verbatim
     * (same immutable file, zero I/O). Requires the partition value to be
     * functionally determined by the merge key — see the class docs. */
+  private def mergeWinners(keyCols: Seq[String], winnerOrder: Seq[Column])
+      (df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(winnerOrder: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** [[merge]] scoped on ANY windowed column `c` (the partition column,
+    * statsCol, or an indexCols member): only the files whose recorded
+    * `c`-window intersects the updates' distinct `c` values read and
+    * rewrite; every other entry carries over verbatim. Same correctness
+    * contract as the partition-scoped merge — `c` must be functionally
+    * determined by the merge key (a key's live row never sits outside
+    * the updates' `c` values) — now available on SECONDARY clustering
+    * columns (a z-ordered day column, a bucketed tenant id) without a
+    * declared partitionCol. Falls back to the full merge when any
+    * update's `c` is null or no window can prune. */
+  def mergeScopedOn(c: String, updates: DataFrame, keyCols: Seq[String],
+                    winnerOrder: Seq[Column]): Long = {
+    val vals = updates.select(col(c).cast("long")).distinct().collect()
+    if (vals.isEmpty || vals.exists(_.isNullAt(0)))
+      return merge(updates, keyCols, winnerOrder)
+    val touched = vals.map(_.getLong(0)).sorted.toSeq
+    def affected(e: FileEntry): Boolean =
+      windowOf(e, c).forall { case (lo, hi) =>
+        touched.exists(x => x >= lo && x <= hi) }
+    val v = nextVersion
+    val prev = latestVersion.map(entries).getOrElse(Nil)
+    val (rewrite, keep) = prev.partition(affected)
+    if (keep.isEmpty) return merge(updates, keyCols, winnerOrder)
+    val base = readEntries(rewrite, updates)
+    val merged = mergeWinners(keyCols, winnerOrder)(base.unionByName(updates))
+    val written = writeData(clusterByPartition(merged, Some(touched.size)), v)
+    commitScopedWithRebase(v, prev, rewrite, written, touched, op = "merge",
+      affects = Some(affected))
+  }
+
   def merge(updates: DataFrame, keyCols: Seq[String],
             winnerOrder: Seq[Column]): Long = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(winnerOrder: _*)
-    def winners(df: DataFrame): DataFrame = df
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    def winners(df: DataFrame): DataFrame =
+      mergeWinners(keyCols, winnerOrder)(df)
     val scoped = partitionCol.flatMap(_ => touchedPartitions(updates))
     scoped match {
       case None =>

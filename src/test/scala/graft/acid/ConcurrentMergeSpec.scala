@@ -65,6 +65,35 @@ class ConcurrentMergeSpec extends SparkSpec {
       s"rebase must reuse the loser's written files, orphans: ${orphans(t)}")
   }
 
+  test("mergeScopedOn a secondary indexed column carries untouched files over") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_sec"),
+      indexCols = Seq("day"))
+    // day is functionally determined by id (id div 100); disjoint day
+    // bands per append keep the windows narrow
+    def rows(day: Long) = (0L until 100L)
+      .map(i => (day * 100 + i, day, s"v${day * 100 + i}", 0L))
+      .toDF("id", "day", "name", "seq")
+    (0L to 3L).foreach(d => t.append(rows(d)))
+    val before = t.snapshot().inputFiles.toSet
+    // merge touching only day=2
+    val upd = Seq((205L, 2L, "updated", 9L)).toDF("id", "day", "name", "seq")
+    t.mergeScopedOn("day", upd, Seq("id"), Seq($"seq".desc))
+    val after = t.snapshot().inputFiles.toSet
+    assert((before intersect after).nonEmpty,
+      "files of untouched days must carry over verbatim")
+    assert(t.snapshot().count() == 400)
+    assert(t.snapshot().filter($"name" === "updated").count() == 1)
+    assert(t.snapshot().filter($"id" === 205L).select($"name")
+      .as[String].head() == "updated")
+    // null scope value falls back to the full merge, still correct
+    val updNull = Seq((7L, null.asInstanceOf[java.lang.Long], "nulled", 9L))
+      .toDF("id", "day", "name", "seq")
+      .select($"id", $"day".cast("long").as("day"), $"name", $"seq")
+    t.mergeScopedOn("day", updNull, Seq("id"), Seq($"seq".desc))
+    assert(t.snapshot().filter($"id" === 7L).select($"name")
+      .as[String].head() == "nulled")
+  }
+
   test("same-partition merges conflict; commitWithRetry recomputes correctly") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_conf"),
       partitionCol = Some("pid"))
