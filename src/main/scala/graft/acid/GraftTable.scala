@@ -113,7 +113,36 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
 
-  def latestVersion: Option[Long] = versions.lastOption
+  private def latestPointerPath = new Path(logDir, "_latest")
+
+  /** The newest committed version. Resolution avoids the O(all
+    * manifests) directory listing on the hot path (every snapshot and
+    * every commit asks): the `_latest` POINTER file (best-effort,
+    * possibly stale — concurrent writers overwrite it unordered) gives a
+    * starting version, and existence probes walk FORWARD to the true
+    * latest. A missing/vacuumed/corrupt pointer falls back to the
+    * listing, so the pointer is purely an accelerator — never a
+    * correctness input (the Delta `_last_checkpoint` pattern). */
+  def latestVersion: Option[Long] = {
+    val hinted =
+      try readLines(latestPointerPath).flatMap(_.headOption)
+        .flatMap(_.trim.toLongOption)
+        .filter(h => h > 0 && fs.exists(manifestPath(h)))
+      catch { case _: java.io.IOException => None }
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (fs.exists(manifestPath(v + 1))) v += 1
+        Some(v)
+      case None => versions.lastOption
+    }
+  }
+
+  private def writeLatestPointer(v: Long): Unit =
+    try {
+      val out = fs.create(latestPointerPath, true)
+      try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    } catch { case _: java.io.IOException => () /* accelerator only */ }
 
   /** One manifest line: a data file plus optional per-file metadata —
     * `s=lo,hi` (stats window, drives [[snapshotRange]] data skipping),
@@ -774,6 +803,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // bounds every later resolution's replay chain. Failure-tolerant:
       // the manifest chain alone is always sufficient.
       if (v % checkpointInterval == 0) writeCheckpoint(v, finalFiles)
+      // 5. advance the latest-version accelerator (best-effort)
+      writeLatestPointer(v)
     } finally out.close()
     v
     }

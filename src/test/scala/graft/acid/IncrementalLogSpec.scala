@@ -92,6 +92,29 @@ class IncrementalLogSpec extends SparkSpec {
     assert(t.snapshot().count() == 5)
   }
 
+  test("the _latest pointer accelerates but never decides: stale/missing/corrupt all resolve") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_inclog_ptr"))
+    (1 to 5).foreach(i => t.append(rows(2, i * 10)))
+    val f = fs(t.root)
+    val ptr = new Path(t.root, "_log/_latest")
+    assert(f.exists(ptr), "commits must advance the pointer")
+    assert(t.latestVersion.contains(5L))
+    // STALE pointer (a slower concurrent writer overwrote it backwards):
+    // forward probing still finds the true latest
+    val out1 = f.create(ptr, true); out1.write("1".getBytes("UTF-8")); out1.close()
+    assert(GraftTable.load(spark, t.root).latestVersion.contains(5L))
+    // MISSING pointer (pre-pointer table): listing fallback
+    f.delete(ptr, false)
+    assert(GraftTable.load(spark, t.root).latestVersion.contains(5L))
+    // CORRUPT pointer: fallback too
+    val out2 = f.create(ptr, true); out2.write("junk".getBytes("UTF-8")); out2.close()
+    assert(GraftTable.load(spark, t.root).latestVersion.contains(5L))
+    // and the next commit repairs it
+    val t2 = GraftTable.load(spark, t.root)
+    t2.append(rows(1, 999))
+    assert(t2.latestVersion.contains(6L))
+  }
+
   test("a carried legacy inline bloom keeps its raw-long scheme across new commits") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_inclog_lb"),
       bloomCol = Some("id"))
