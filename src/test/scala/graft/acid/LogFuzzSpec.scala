@@ -18,7 +18,9 @@ class LogFuzzSpec extends SparkSpec {
     val root = graft.TempDirs.create("graft_logfuzz")
     val t = new GraftTable(spark, root, statsCol = Some("id"),
       bloomCol = Some("id"), checkpointInterval = 7, dvMaxRows = 40)
-    val rnd = new scala.util.Random(20260814L)
+    // deterministic in CI; GRAFT_FUZZ_SEED widens local exploration
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+    val rnd = new scala.util.Random(seed)
     // model: id -> v (ids unique by construction of the ops below)
     val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
     var nextId = 0L
