@@ -65,7 +65,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        constraints: Seq[String] = Nil,
                        indexCols: Seq[String] = Nil,
                        checkpointInterval: Int = 10,
-                       dvMaxRows: Int = 100000) {
+                       dvMaxRows: Int = 100000,
+                       dvPurgeRows: Long = 1000000L)
+    extends org.apache.spark.internal.Logging {
 
   private[acid] def partitionColName: Option[String] = partitionCol
   import GraftTable.{BloomBits, BloomK, bloomPositions}
@@ -262,12 +264,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         // LEGACY fallback: manifests written before the terminator existed
         // never carry `# ok`. A well-formed header (`# op=...`) with no
         // format-version tag, stable across two reads, is accepted as
-        // complete — so pre-existing tables stay readable instead of
-        // spinning into a format-break error. A torn NEW commit (header
-        // carries kind=/fv=) still fails loudly below.
+        // complete ONLY with corroboration ([[legacyAccepted]]) — a bare
+        // stable read would also accept a legacy-era TORN commit (crash
+        // after the header flushed) as a silently-smaller table. A torn
+        // NEW commit (header carries kind=) still fails loudly below.
         case Some(ls) if attempt >= 20 && prev.contains(ls) &&
             ls.headOption.exists(h => h.startsWith("# op=") &&
-              !h.contains(" kind=")) && ls.length > 1 =>
+              !h.contains(" kind=")) && ls.length > 1 && legacyAccepted(v) =>
+          logWarning(s"accepting terminator-less legacy manifest v$v at " +
+            s"$root (corroborated); rewrite it with a fresh commit to " +
+            "silence this")
           cachePut(manifestCache, v, ls); return ls
         case _ =>
           prev = lines
@@ -282,6 +288,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   }
 
   private val CommitMarker = "# ok"
+
+  /** Corroboration for a terminator-less (legacy-format) manifest: a
+    * LATER manifest exists — commits were built on top of it, so it was
+    * complete when written — or the session explicitly opted
+    * pre-terminator tables in (`spark.graft.acid.allowLegacyManifests`
+    * for a read-only legacy table with no newer commits). Without
+    * either, the read keeps spinning into the loud torn-commit error:
+    * a legacy-era crash mid-write must surface, never silently shrink
+    * the table. */
+  private def legacyAccepted(v: Long): Boolean =
+    fs.exists(manifestPath(v + 1)) ||
+      spark.conf.getOption("spark.graft.acid.allowLegacyManifests")
+        .exists(_.equalsIgnoreCase("true"))
 
   // Per-handle caches over IMMUTABLE log artifacts (a published version's
   // manifest/checkpoint/sidecar never changes), bounded so a long-lived
@@ -496,6 +515,66 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           s"deletion vector for ${e.path} missing from sidecar v$v at $root"))
     }.getOrElse(Array.empty[Long])
 
+  // per-version sidecar PATH index (which files a `.dvs` sidecar masks)
+  // for the read-path presence check — paths only, the positions
+  // themselves never land on the driver on the read path
+  private val dvSidecarPathSets = bounded[Set[String]]()
+  private def dvSidecarPathSet(v: Long): Set[String] = {
+    val hit = dvSidecarPathSets.get(v)
+    if (hit != null) hit
+    else {
+      val s = readLines(dvSidecarPath(v)).getOrElse(Nil)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap(_.split('\t').headOption).toSet
+      cachePut(dvSidecarPathSets, v, s); s
+    }
+  }
+
+  /** Every DV'd entry's mask must EXIST in its referenced sidecar before
+    * a read relies on it — a missing mask fails loudly, never resurrects
+    * deleted rows. O(referenced versions) KB-scale header reads, cached. */
+  private def validateDvRefs(dved: Seq[FileEntry]): Unit =
+    dved.foreach { e =>
+      val v = e.dvRef.get
+      if (!dvSidecarPathSet(v).contains(e.path))
+        throw new IllegalStateException(
+          s"deletion vector for ${e.path} missing from sidecar v$v at $root")
+    }
+
+  /** The snapshot's deletion-vector mask as a DataFrame of
+    * (`__dv_file` two-component file key, `__dv_pos` row index),
+    * assembled by reading the referenced `.dvs` sidecars as a
+    * DISTRIBUTED text source: positions decode in executor tasks and
+    * reach the anti-join as an ordinary broadcastable relation, so the
+    * driver and the query plan carry O(referenced files) metadata —
+    * never the positions themselves. [[dvPurgeRows]] bounds the total
+    * mask size ([[maybeAutoPurge]]), keeping the broadcast small at any
+    * table scale. */
+  private def dvMaskDF(dved: Seq[FileEntry]): DataFrame = {
+    validateDvRefs(dved)
+    import spark.implicits._
+    val wanted: Map[(String, String), String] = dved.map { e =>
+      (f"${e.dvRef.get}%020d", e.path) -> GraftTable.entrySuffix(e.path)
+    }.toMap
+    val paths = dved.flatMap(_.dvRef).distinct.map(v => dvSidecarPath(v).toString)
+    spark.read.textFile(paths: _*)
+      .select(input_file_name().as("__sf"), col("value").as("__line"))
+      .as[(String, String)]
+      .flatMap { case (sf, line) =>
+        val name = sf.substring(sf.lastIndexOf('/') + 1) // v<20 digits>.dvs
+        val ver = name.stripPrefix("v").stripSuffix(".dvs")
+        if (line.isEmpty || line.startsWith("#")) Iterator.empty
+        else line.split('\t') match {
+          case Array(p, b64) => wanted.get((ver, p)) match {
+            case Some(suffix) =>
+              GraftTable.decodeBloom(b64).iterator.map(pos => (suffix, pos))
+            case None => Iterator.empty
+          }
+          case _ => Iterator.empty
+        }
+      }.toDF("__dv_file", "__dv_pos")
+  }
+
   /** Read `es`'s files as one frame under the declared `schema`,
     * MERGE-ON-READ applying deletion vectors: files carrying a DV read
     * with parquet's hidden `_metadata` (file name + row index) and
@@ -511,16 +590,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val dved = es.filter(_.dvRef.isDefined)
     if (dved.isEmpty) df
     else {
-      import spark.implicits._
-      val pairs: Seq[(String, Long)] = dved.flatMap { e =>
-        val name = new Path(e.path).getName
-        dvPositions(e).map(name -> _).toSeq
-      }
-      val dvDF = pairs.toDF("__dv_file", "__dv_pos")
       val dataCols = df.columns.toIndexedSeq
-      df.withColumn("__dv_f", col("_metadata.file_name"))
+      // join key: the file path's LAST TWO components (`c<v>-<uuid>/
+      // part-...`, [[GraftTable.entrySuffix]]) — the commit dir's uuid
+      // makes it unique per table, so unlike the bare file name two
+      // entries in different data subdirectories can never cross-mask
+      // each other's rows
+      df.withColumn("__dv_f",
+          substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__dv_p", col("_metadata.row_index"))
-        .join(broadcast(dvDF),
+        .join(broadcast(dvMaskDF(dved)),
           col("__dv_f") === col("__dv_file") && col("__dv_p") === col("__dv_pos"),
           "left_anti")
         .select(dataCols.map(col): _*)
@@ -622,7 +701,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // side probe twin is GraftTable.bloomPositionsHashed.
     val blooms: Map[String, Array[Long]] = bloomCol.fold(
       Map.empty[String, Array[Long]]) { c =>
-      val x = xxhash64(col(c))
+      // BUILD/PROBE HASH PARITY: the driver probe always hashes a LONG
+      // for integral points (hashLongValue), while catalyst's xxhash64
+      // hashes int-width columns with hashInt — so integral columns
+      // must pre-widen to long here or an Int bloom column's bits would
+      // never match the probe (files silently skipped = missing rows).
+      // Strings keep the raw column (hashStringValue hashes UTF8 bytes).
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = written.schema.fields
+        .find(_.name.equalsIgnoreCase(c))
+        .exists(f => Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(f.dataType))
+      val x = xxhash64(if (integral) col(c).cast("long") else col(c))
       val posCols = (0 until BloomK).map(i =>
         pmod(xxhash64(x, lit(i.toLong)), lit(BloomBits.toLong)))
       written
@@ -779,8 +869,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // clustering/scoping/validation via GraftTable.load instead of
       // silently degrading to an unconfigured table. Constraints are
       // base64-coded (they contain spaces; header fields split on them).
+      // cumulative (writer -> newest epoch) map CARRIED FORWARD like the
+      // schema (the Delta checkpoint setTxn pattern): [[lastTxn]] then
+      // answers from the LATEST header alone — O(1) per streaming batch
+      // instead of walking every version's header. O(distinct writers)
+      // bytes, typically a handful of streaming sinks.
+      val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq(s"kind=$kind", s"nf=${finalFiles.size}") ++ nr ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
+        (if (txnsAll.isEmpty) Nil
+         else Seq("txns=" + txnsAll.toSeq.sortBy(_._1).map { case (id, e) =>
+           s"${GraftTable.b64(id)}:$e" }.mkString(","))) ++
         declared.map(s => "schema=" + java.util.Base64.getUrlEncoder
           .withoutPadding.encodeToString(s.toDDL.getBytes(UTF_8))).toSeq ++
         statsCol.map(c => s"scol=$c").toSeq ++
@@ -1015,17 +1114,36 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     commit(v, writeData(clusterByPartition(df), v), op, txn, schema = evolved)
   }
 
-  /** The newest epoch `writerId` has committed (manifest headers scanned
-    * newest-first, O(versions) metadata reads) — the restart question a
-    * streaming sink asks before applying a replayed batch. */
+  /** Cumulative (writerId -> newest committed epoch) map as of version
+    * `v`: read from the version's carried `txns=` header (ONE manifest
+    * read), or seeded by a one-time walk over older headers for tables
+    * whose manifests predate the carried map — the next commit then
+    * carries the full map forward for good. */
+  private def txnsAsOf(v: Long): Map[String, Long] =
+    if (v <= 0L) Map.empty
+    else headerMeta(v).get("txns") match {
+      case Some(enc) =>
+        enc.split(',').flatMap(_.split(":", 2) match {
+          case Array(id, e) => e.toLongOption.map(GraftTable.unb64(id) -> _)
+          case _ => None
+        }).toMap
+      case None =>
+        // legacy upgrade path: ascending fold keeps each writer's newest
+        versions.filter(_ <= v).foldLeft(Map.empty[String, Long]) { (acc, ver) =>
+          headerMeta(ver).get("txn").flatMap(_.split(":", 2) match {
+            case Array(id, e) => e.toLongOption.map(id -> _)
+            case _ => None
+          }).fold(acc)(acc + _)
+        }
+    }
+
+  /** The newest epoch `writerId` has committed — the restart question a
+    * streaming sink asks before applying a replayed batch. O(1) on the
+    * hot path: answered from the LATEST manifest header's carried
+    * `txns=` map ([[txnsAsOf]]); only a table whose newest manifest
+    * predates the carried map pays the legacy header walk. */
   def lastTxn(writerId: String): Option[Long] =
-    versions.reverseIterator.flatMap { v =>
-      val m = headerMeta(v)
-      m.get("txn").flatMap(_.split(":", 2) match {
-        case Array(id, epoch) if id == writerId => epoch.toLongOption
-        case _ => None
-      })
-    }.nextOption()
+    latestVersion.flatMap(lv => txnsAsOf(lv).get(writerId))
 
   /** The touched partition windows test: does `e`'s partition window
     * contain any of the (sorted) touched values? A file with no recorded
@@ -1660,12 +1778,26 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * vacuumed (physical erasure = delete + vacuum, same two-step contract
     * as the production lakehouse formats). */
   def delete(predicate: Column, useDv: Boolean = true): Long =
-    (if (useDv) deleteViaDv(predicate) else None).getOrElse(
+    (if (useDv) deleteViaDv(predicate).map(maybeAutoPurge) else None).getOrElse(
       pinnedPartitions(predicate) match {
         case Some(vals) => deleteInPartitions(predicate, vals)
         case None => windowScopedRewrite(predicate, "delete",
           df => df.filter(!coalesce(predicate, lit(false))))
       })
+
+  /** Bound the accumulated merge-on-read debt (the auto-purge analogue
+    * of the production formats): when a DV commit pushes the table's
+    * TOTAL masked rows past [[dvPurgeRows]], materialize them —
+    * [[reorg]] rewrites only the DV-carrying files — so the read-side
+    * mask (and its broadcast) never grows unboundedly over a long
+    * delete stream. Returns the newest version this operation produced;
+    * losing the purge's commit race just defers it to the next DV
+    * commit. */
+  private def maybeAutoPurge(v: Long): Long = {
+    val masked = entries(v).map(_.dvCount).sum
+    if (masked <= dvPurgeRows) v
+    else try reorg() catch { case _: ConcurrentCommitException => v }
+  }
 
   /** INDEX-scoped copy-on-write: rewrite only the files whose manifest
     * windows/blooms can contain predicate-matching rows (the same pruning
@@ -1702,35 +1834,34 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                           applyDv: Boolean): DataFrame = {
     val reader = schema.fold(spark.read)(spark.read.schema)
     val df = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
-      .withColumn("__mor_f", col("_metadata.file_name"))
+      .withColumn("__mor_f",
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__mor_p", col("_metadata.row_index"))
     val dved = es.filter(_.dvRef.isDefined)
     if (!applyDv || dved.isEmpty) df
-    else {
-      import spark.implicits._
-      val pairs: Seq[(String, Long)] = dved.flatMap(e =>
-        dvPositions(e).map(new Path(e.path).getName -> _).toSeq)
-      df.join(broadcast(pairs.toDF("__dv_file", "__dv_pos")),
+    else
+      df.join(broadcast(dvMaskDF(dved)),
         col("__mor_f") === col("__dv_file") && col("__mor_p") === col("__dv_pos"),
         "left_anti")
-    }
   }
 
-  /** Merge `hit` (file name, row index) rows into the previous entries'
-    * deletion vectors: the full per-path merged position sets, plus the
-    * paths whose every physical row is now deleted (they leave the
-    * active set entirely). */
+  /** Merge `hit` (file key, row index) rows — keys are [[GraftTable
+    * .entrySuffix]] two-component paths from [[readWithPos]] — into the
+    * previous entries' deletion vectors: the full per-path merged
+    * position sets, plus the paths whose every physical row is now
+    * deleted (they leave the active set entirely). */
   private def mergedDvs(prev: Seq[FileEntry],
                         hits: Array[org.apache.spark.sql.Row])
       : (Map[String, Array[Long]], Set[String]) = {
-    val byName = hits.groupBy(_.getString(0))
+    val byKey = hits.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-    val nameOf = prev.map(e => new Path(e.path).getName -> e).toMap
-    val payload = byName.flatMap { case (name, ps) =>
-      nameOf.get(name).map(e => e.path -> (dvPositions(e) ++ ps).distinct.sorted)
+    val keyOf = prev.map(e => GraftTable.entrySuffix(e.path) -> e).toMap
+    val entryOf = prev.map(e => e.path -> e).toMap
+    val payload = byKey.flatMap { case (key, ps) =>
+      keyOf.get(key).map(e => e.path -> (dvPositions(e) ++ ps).distinct.sorted)
     }
     val dead = payload.collect { case (p, ps)
-      if nameOf.values.find(_.path == p).exists(_.rows.contains(ps.length.toLong)) => p
+      if entryOf.get(p).exists(_.rows.contains(ps.length.toLong)) => p
     }.toSet
     (payload, dead)
   }
@@ -1746,9 +1877,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * [[dvMaxRows]] rows match (a bulk delete WANTS the rewrite). */
   private def deleteViaDv(predicate: Column): Option[Long] = {
     val lv = latestVersion.getOrElse(return None)
+    // PIN the commit version to the snapshot the scan runs against: a
+    // commit landing during the distributed scan would otherwise bump
+    // latestVersion and this commit's delta-vs-entries(v-1) would emit
+    // `-` lines silently dropping the interleaved commit's files. Pinned,
+    // the racer collides on the manifest create and the loser gets a loud
+    // ConcurrentCommitException — same contract as every other mutation.
+    val v = lv + 1
     val prev = entries(lv)
     val cands = entriesForPredicate(predicate, lv)
-    if (cands.isEmpty) return Some(commit(nextVersion, prev, op = "delete"))
+    if (cands.isEmpty) return Some(commit(v, prev, op = "delete"))
     // raw read (existing DVs NOT applied): re-deleting an already-deleted
     // position is a set-union no-op, and skipping the anti-join keeps
     // this one vectorized scan
@@ -1760,7 +1898,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val (payload, dead) = mergedDvs(prev, hits)
       val files = prev.filterNot(e => dead.contains(e.path))
-      Some(commit(nextVersion, files, op = "delete", dvs = payload -- dead))
+      Some(commit(v, files, op = "delete", dvs = payload -- dead))
     }
   }
 
@@ -1795,7 +1933,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * (rows could migrate out of the pinned partitions). */
   def update(predicate: Column, set: Map[String, Column],
              useDv: Boolean = true): Long = {
-    (if (useDv) updateViaDv(predicate, set) else None).getOrElse {
+    (if (useDv) updateViaDv(predicate, set).map(maybeAutoPurge)
+     else None).getOrElse {
       val scoped = pinnedPartitions(predicate)
         .filter(_ => !partitionCol.exists(set.keySet.map(_.toLowerCase)
           .contains(_)))
@@ -1822,9 +1961,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def updateViaDv(predicate: Column,
                           set: Map[String, Column]): Option[Long] = {
     val lv = latestVersion.getOrElse(return None)
+    // version pinned BEFORE the distributed work — see [[deleteViaDv]]:
+    // a racer collides loudly instead of being silently un-committed
+    val v = lv + 1
     val prev = entries(lv)
     val cands = entriesForPredicate(predicate, lv)
-    if (cands.isEmpty) return Some(commit(nextVersion, prev, op = "update"))
+    if (cands.isEmpty) return Some(commit(v, prev, op = "update"))
     // DV-FILTERED read: an already-deleted row must not resurrect as an
     // updated copy
     val mat = readWithPos(cands, schemaOf(lv), applyDv = true)
@@ -1833,13 +1975,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .localCheckpoint()
     val n = mat.count()
     if (n > dvMaxRows) None
-    else if (n == 0L) Some(commit(nextVersion, prev, op = "update"))
+    else if (n == 0L) Some(commit(v, prev, op = "update"))
     else {
       val hits = mat.select(col("__mor_f"), col("__mor_p")).collect()
       val (payload, dead) = mergedDvs(prev, hits)
       val updatedRows = applyAssignments(
         mat.drop("__mor_f", "__mor_p"), lit(true), set)
-      val v = nextVersion
       val newFiles = writeData(clusterByPartition(updatedRows), v)
       val files = prev.filterNot(e => dead.contains(e.path)) ++ newFiles
       Some(commit(v, files, op = "update", dvs = payload -- dead))
@@ -2194,6 +2335,14 @@ object GraftTable {
     org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
+
+  /** A data file's table-unique join key: the entry path's last two
+    * components (`c<version>-<uuid>/part-...`). The commit directory's
+    * uuid disambiguates same-named part files across commits — keying
+    * DV masks on the bare file name could cross-mask rows between two
+    * directories. */
+  private[graft] def entrySuffix(path: String): String =
+    path.split('/').takeRight(2).mkString("/")
 
   private[graft] def b64(s: String): String =
     java.util.Base64.getUrlEncoder.withoutPadding

@@ -297,13 +297,23 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
         val out = parts.reduce(_.unionByName(_))
           .withColumn("_commit_version", lit(toV))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        // re-tag the parquet scan leaves as THIS stream's batch (the same
+        // re-tag the PARQUET scan leaves as THIS stream's batch (the same
         // move Delta's streaming source makes): the plan stays a native
         // whole-stage-codegen parquet scan — scans + union + project,
         // no shuffle — and the engine sees a streaming relation it can
-        // attribute to this source
+        // attribute to this source. Only the data scans: a DV'd batch
+        // also reads its `.dvs` sidecars as a TEXT relation, and tagging
+        // that side too would turn the mask's anti-join stream-stream
+        // (unsupported for LeftAnti) instead of stream-static.
         val streamed = out.queryExecution.analyzed.transform {
-          case lr: LogicalRelation =>
+          case lr: LogicalRelation
+              if lr.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                lr.relation.asInstanceOf[
+                  org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .fileFormat.isInstanceOf[
+                    org.apache.spark.sql.execution.datasources
+                      .parquet.ParquetFileFormat] =>
             lr.copy(isStreaming = true, stream = Some(this))
         }
         GraftPlanBridge.ofRows(spark, streamed)

@@ -139,6 +139,68 @@ class DeletionVectorSpec extends SparkSpec {
       "the existing-key probe must prune through windows/blooms")
   }
 
+  test("the read-side mask is a distributed sidecar read, not a driver literal") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(2000).repartition(4))
+    (1 to 5).foreach(i => t.delete($"id" === i.toLong * 10L))
+    val plan = t.snapshot().queryExecution.optimizedPlan.toString()
+    // the (file,pos) pairs must come from scanning the `.dvs` sidecars in
+    // tasks — a LocalRelation would mean the union mask was assembled on
+    // the driver and embedded in the plan
+    assert(!plan.contains("LocalRelation"),
+      s"DV mask embedded in the plan as a local relation:\n$plan")
+    assert(plan.contains(".dvs") || plan.toLowerCase.contains("text"),
+      s"DV mask should read the sidecars as a text source:\n$plan")
+    assert(t.snapshot().count() == 1995)
+  }
+
+  test("accumulated DV debt auto-purges past the dvPurgeRows bound") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"),
+      dvPurgeRows = 20L)
+    t.append(rows(500).repartition(4))
+    var purges = 0
+    (1 to 50).foreach { i =>
+      t.delete($"id" === i.toLong)
+      val masked = t.detailDF.select($"dv_masked_rows").head().getLong(0)
+      assert(masked <= 21L, s"mask grew past the purge bound: $masked")
+      if (masked == 0L && i > 1) purges += 1
+    }
+    assert(purges >= 1, "the threshold purge never fired")
+    assert(t.snapshot().count() == 450)
+    assert(t.fastCount() == 450)
+    // history shows the interleaved reorg commits
+    assert(t.history().exists(_.op == "reorg"))
+  }
+
+  test("a DV commit pins its version: racers collide loudly, never silently drop") {
+    // hammer one table from two writers — DV deletes vs appends — each
+    // wrapped in the standard rebase loop. With the version pinned before
+    // the distributed scan, a lost race is a ConcurrentCommitException
+    // (retried); nothing is ever silently un-committed.
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
+    t.append(rows(100).coalesce(1))
+    val t2 = GraftTable.load(spark, t.root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val deleter = new Thread(() =>
+      try (1 to 8).foreach { i =>
+        t.commitWithRetry(50)(t.delete($"id" === i.toLong))
+      } catch { case e: Throwable => errs.add(e) })
+    val appender = new Thread(() =>
+      try (1 to 8).foreach { i =>
+        t2.commitWithRetry(50)(t2.append(rows(1, 1000 + i).coalesce(1)))
+      } catch { case e: Throwable => errs.add(e) })
+    deleter.start(); appender.start()
+    deleter.join(120000); appender.join(120000)
+    assert(errs.isEmpty, s"concurrent DV/append writers failed: ${errs.peek()}")
+    val fresh = GraftTable.load(spark, t.root)
+    // every append survived (none silently dropped by a stale-base DV
+    // commit) and every delete landed
+    assert(fresh.snapshot().filter($"id" > 1000L).count() == 8,
+      "an interleaved append's file was silently removed by a DV commit")
+    assert(fresh.snapshot().filter($"id" <= 8L && $"id" >= 1L).count() == 0)
+    assert(fresh.snapshot().count() == 100 - 8 + 8)
+  }
+
   test("merge/apply rewrites respect existing DVs (no resurrection)") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
     t.append(rows(20).coalesce(1))

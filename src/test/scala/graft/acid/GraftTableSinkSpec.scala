@@ -52,6 +52,27 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(GraftTable.load(spark, root).snapshot().count() == 4L)
   }
 
+  test("lastTxn answers O(1) from the latest header's carried txns map") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_txns"))
+    t.append(Seq((1L, "a")).toDF("id", "v"), txn = Some(("writer-A", 7L)))
+    t.append(Seq((2L, "b")).toDF("id", "v"), txn = Some(("writer-B", 1L)))
+    (1 to 10).foreach(i => t.append(Seq((10L + i, "x")).toDF("id", "v")))
+    t.append(Seq((99L, "z")).toDF("id", "v"), txn = Some(("writer-B", 2L)))
+    // both writers' newest epochs resolve; A's stamp is 12 versions back
+    assert(t.lastTxn("writer-A").contains(7L))
+    assert(t.lastTxn("writer-B").contains(2L))
+    // PROOF the answer comes from the LATEST header alone: vacuum away
+    // every older manifest — a header walk would now find nothing for
+    // writer-A, the carried map still answers
+    t.vacuum(1)
+    val fresh = GraftTable.load(spark, t.root)
+    assert(fresh.versions.size == 1)
+    assert(fresh.lastTxn("writer-A").contains(7L),
+      "lastTxn must read the carried txns map, not walk vacuumed headers")
+    assert(fresh.lastTxn("writer-B").contains(2L))
+    assert(fresh.lastTxn("writer-C").isEmpty)
+  }
+
   test("complete mode overwrites the table with each batch's full state") {
     val input = MemoryStream[(String, Long)](spark)
     val root = graft.TempDirs.create("graft_tsink_complete")

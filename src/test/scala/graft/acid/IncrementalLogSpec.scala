@@ -150,9 +150,10 @@ class IncrementalLogSpec extends SparkSpec {
     assert(t2.snapshotPoint(77L).count() == 1)
   }
 
-  test("legacy manifests without the terminator line stay readable") {
+  test("legacy manifests without the terminator line need corroboration") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_inclog"))
     t.append(rows(4).coalesce(1))
+    t.append(rows(4, 100).coalesce(1))
     // rewrite v1 as a pre-delta-format manifest: full list, # op header,
     // no kind= tag, NO `# ok` terminator — what prior code versions wrote
     val p = new Path(t.root, f"_log/v${1L}%020d.manifest")
@@ -165,8 +166,19 @@ class IncrementalLogSpec extends SparkSpec {
     f.delete(p, false)
     val out = f.create(p, false)
     out.write(legacy.mkString("\n").getBytes("UTF-8")); out.close()
+    // CORROBORATED (a later manifest was built on top of it): readable
     val fresh = GraftTable.load(spark, t.root)
     assert(fresh.snapshot(Some(1L)).count() == 4,
-      "a legacy manifest (no terminator, no kind tag) must read, not spin out")
+      "a corroborated legacy manifest must read, not spin out")
+    // UNCORROBORATED (it is the newest version): indistinguishable from a
+    // legacy-era torn commit — must fail LOUDLY, not read a smaller table
+    f.delete(new Path(t.root, f"_log/v${2L}%020d.manifest"), false)
+    f.delete(new Path(t.root, "_log/_latest"), false)
+    assertThrows[IllegalStateException](
+      GraftTable.load(spark, t.root).snapshot(Some(1L)).count())
+    // ... unless the session explicitly opts pre-terminator tables in
+    spark.conf.set("spark.graft.acid.allowLegacyManifests", "true")
+    try assert(GraftTable.load(spark, t.root).snapshot(Some(1L)).count() == 4)
+    finally spark.conf.unset("spark.graft.acid.allowLegacyManifests")
   }
 }

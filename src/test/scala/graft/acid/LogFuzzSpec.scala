@@ -16,8 +16,12 @@ class LogFuzzSpec extends SparkSpec {
 
   test("60 mixed commits: snapshot == model at every step, fresh handles agree") {
     val root = graft.TempDirs.create("graft_logfuzz")
+    // dvPurgeRows WELL below what the delete mix accumulates: the
+    // threshold auto-purge (reorg) interleaves with every other op and
+    // the content must stay invariant across each firing
     val t = new GraftTable(spark, root, statsCol = Some("id"),
-      bloomCol = Some("id"), checkpointInterval = 7, dvMaxRows = 40)
+      bloomCol = Some("id"), checkpointInterval = 7, dvMaxRows = 40,
+      dvPurgeRows = 10L)
     // deterministic in CI; GRAFT_FUZZ_SEED widens local exploration
     val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
     val rnd = new scala.util.Random(seed)
@@ -35,6 +39,11 @@ class LogFuzzSpec extends SparkSpec {
         s"$label diverged: got ${got.size} rows, want ${want.size}; " +
           s"missing=${(want.toSet -- got).take(5)} extra=${(got.toSet -- want).take(5)}")
       assert(handle.fastCount() == want.size.toLong, s"$label fastCount")
+      // the auto-purge bound holds at every step: one DV commit may
+      // overshoot the threshold by its own mask before the purge lands
+      val masked = handle.latestVersion
+        .map(v => handle.entries(v).map(_.dvCount).sum).getOrElse(0L)
+      assert(masked <= 10L + 40L, s"$label: DV debt $masked past the purge bound")
     }
 
     (1 to 60).foreach { step =>

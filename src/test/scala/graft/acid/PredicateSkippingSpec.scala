@@ -103,6 +103,31 @@ class PredicateSkippingSpec extends SparkSpec {
     assert(t.snapshotWhere($"doc_id" === "doc-00300").count() == 1L)
   }
 
+  test("int-typed bloom columns probe with the same hash they built with") {
+    // regression: the build pre-hash must widen int-width columns to
+    // LONG (catalyst's xxhash64 otherwise hashes them with hashInt while
+    // the driver probe hashes a long) — a mismatch makes every probe
+    // miss and snapshotPoint silently SKIP files holding the value
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_intbloom"),
+      bloomCol = Some("k"))
+    (0 until 3).foreach { s =>
+      t.append((0 until 900).collect {
+        case i if i % 3 == s => (i, s"v$i") // Int key column
+      }.toDF("k", "v"))
+    }
+    assert(t.snapshotPoint(300L).count() == 1L,
+      "a point lookup on an Int bloom column must find its row")
+    assert(t.snapshotWhere($"k" === 301).count() == 1L)
+    val all = t.activeFiles(t.latestVersion.get).size
+    val hit = t.filesForPoint(300L).size
+    assert(hit < all, s"int bloom point hit $hit of $all files — no pruning")
+    // and ingest-time dedup trusts the same probe: re-appending existing
+    // Int keys must not land duplicates
+    t.appendUnique((295 to 305).map(i => (i, s"dup$i")).toDF("k", "v"), "k")
+    assert(t.snapshot().groupBy($"k").count().filter($"count" > 1).count() == 0,
+      "appendUnique landed duplicate Int keys — bloom probe missed")
+  }
+
   test("fastCount resolves from manifest metadata and tracks mutations") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_fastcount"))
     t.append((1L to 500L).toDF("id"))
