@@ -63,6 +63,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val opts = spark.experimental.extraOptimizations
     if (!opts.contains(GraftSqlRowOps))
       spark.experimental.extraOptimizations = opts :+ GraftSqlRowOps
+    // deletion-vector application for SQL reads: runs in the same
+    // user-provided batch (AFTER V2 pushdown — it rewrites the pushed,
+    // pruned scan relation)
+    val opts2 = spark.experimental.extraOptimizations
+    if (!opts2.contains(GraftDvScanRewrite))
+      spark.experimental.extraOptimizations = opts2 :+ GraftDvScanRewrite
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(GraftRowCommandStrategy))
       spark.experimental.extraStrategies = strategies :+ GraftRowCommandStrategy
@@ -378,11 +384,10 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(pinned.isEmpty, s"cannot DELETE from a time-travel snapshot of $ident")
-    // SQL-managed tables stay copy-on-write: the DSv2 scan below reads
-    // raw files and cannot apply deletion vectors, so SQL DML never
-    // creates them (the Scala API's merge-on-read path is opt-in there)
-    t.delete(filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true)),
-      useDv = false)
+    // the default DELETE path — a small match lands as a zero-rewrite
+    // deletion-vector commit; SQL reads apply the mask through
+    // [[GraftDvScanRewrite]]'s planner-injected anti-join
+    t.delete(filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true)))
   }
 
   override def name(): String = ident
@@ -420,16 +425,39 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pinned.orElse(t.latestVersion)
     def abs(f: String) = new Path(new Path(t.root), f).toString
-    // fail LOUDLY rather than resurrect deleted rows: this raw-file scan
-    // cannot apply deletion vectors (only the Scala API's readers do).
-    // SQL DML never writes DVs, so this only trips on an API-mutated
-    // table registered in the catalog — reorg() materializes the DVs.
-    v.foreach { ver =>
-      require(t.entries(ver).forall(_.dvRef.isEmpty),
-        s"table $ident carries deletion vectors the SQL scan cannot apply; " +
-          "run reorg() (or compact) to materialize them first")
-    }
-    val files = v.map(t.activeFiles).getOrElse(Nil).map(abs)
+    // a snapshot carrying DELETION VECTORS reads through the planner-
+    // injected anti-join: the builder emits a GraftDvScan marker and
+    // [[GraftDvScanRewrite]] swaps in the mask-applying plan built here
+    // from the scan's pruned files, required columns and pushed filters
+    val entries = v.map(t.entries).getOrElse(Nil)
+    val dvPlan =
+      if (entries.forall(_.dvRef.isEmpty)) None
+      else Some { (prunedFiles: Seq[String], cols: Seq[String],
+                   pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SubqueryExpression}
+        val byAbs = entries.map(e => abs(e.path) -> e).toMap
+        val sel = prunedFiles.flatMap(byAbs.get)
+        val full = schema()
+        val base =
+          if (sel.isEmpty) spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+          else t.readEntriesAs(sel, full)
+        // re-apply the pushed filters by NAME adjacent to the scan so the
+        // nested optimization pushes them into the parquet leaves (the
+        // engine keeps its own Filter above the scan — double-filtering
+        // is harmless, losing pushdown is not); anything unresolvable
+        // (never expected from DSv2 pushdown) is simply skipped
+        val filtered = pushed.foldLeft(base) { (df, e) =>
+          if (e.exists(_.isInstanceOf[SubqueryExpression])) df
+          else try df.filter(org.apache.spark.sql.GraftPlanBridge.column(
+            e.transform { case a: AttributeReference =>
+              UnresolvedAttribute.quoted(a.name) }))
+          catch { case _: org.apache.spark.sql.AnalysisException => df }
+        }
+        filtered.select(cols.map(col): _*).queryExecution.optimizedPlan
+      }
+    val files = entries.map(e => abs(e.path))
     new org.apache.spark.sql.GraftPruningScanBuilder(
       spark, ident, options, files, schema(),
       prune = exprs => exprs.reduceOption(
@@ -437,6 +465,7 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
         t.filesForPredicate(
           org.apache.spark.sql.GraftPlanBridge.column(e), v).map(abs)
       },
+      dvPlan = dvPlan,
       // unfiltered COUNT(*) from the manifest's recorded row counts —
       // None (→ parquet fallback) if any file predates row-count stats
       manifestCount = () => v match {

@@ -1,0 +1,48 @@
+package graft.acid
+
+import org.apache.spark.sql.GraftDvScan
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+/** Deletion-vector application for the SQL (DSv2) read path — the
+  * planner-injected anti-join pattern the production lakehouse formats
+  * use: when a catalog table's resolved snapshot carries DVs, its scan
+  * builder emits a [[org.apache.spark.sql.GraftDvScan]] marker instead
+  * of the raw parquet scan, and this rule — running in the user-provided
+  * optimizer batch, AFTER V2 pushdown has fixed the scan's pruned file
+  * list, pushed filters and required columns — replaces the scan
+  * relation with the mask-applying plan (parquet scan + broadcast
+  * anti-join on `_metadata` row positions, the exact shape the Scala
+  * API's readers use). The replacement sub-plan is built through a
+  * nested optimization pass, so filter pushdown into the parquet leaves
+  * and column pruning through the anti-join still happen; the original
+  * output attribute ids are grafted back via aliases so the surrounding
+  * plan resolves unchanged.
+  *
+  * Installed idempotently by [[GraftCatalog.initialize]] next to
+  * [[GraftSqlRowOps]] — configuring the catalog is the only setup a SQL
+  * reader of DV'd tables needs. */
+object GraftDvScanRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level DML needs its TARGET kept as a raw (scan) relation — the
+    // command strategies pattern-match it to route into deleteWhere /
+    // the commit-log rewrite, and never execute the scan itself. Only a
+    // MERGE's SOURCE side is a genuine read that may need the mask.
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable =>
+      m.withNewChildren(Seq(m.targetTable, apply(m.sourceTable)))
+    case other => other transform {
+      case sr: DataSourceV2ScanRelation if sr.scan.isInstanceOf[GraftDvScan] =>
+        val child = sr.scan.asInstanceOf[GraftDvScan].plan()
+        require(child.output.length == sr.output.length,
+          s"DV scan replacement arity mismatch: ${child.output} vs ${sr.output}")
+        Project(sr.output.zip(child.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId) }, child)
+    }
+  }
+}

@@ -111,9 +111,9 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
         sets <- assigns(assignments, names, names)
         pred <- condition.fold(Option(lit(true)))(rebindCol(_, names))
       } yield GraftRowLevelCommand(s"UPDATE ${v2.name}",
-        // COW, not deletion vectors: the SQL scan reads raw files and
-        // cannot apply a DV (see GraftCatalog.newScanBuilder)
-        () => { v2.underlying.update(pred, sets, useDv = false); () })
+        // default path: a small match lands merge-on-read (DV commit);
+        // SQL reads apply the mask via GraftDvScanRewrite
+        () => { v2.underlying.update(pred, sets); () })
     }
 
   private[acid] def convertMerge(m: MergeIntoTable): Option[GraftRowLevelCommand] = {

@@ -598,6 +598,24 @@ object AcidQueries extends QueryPack {
     "q_acid_append_unique" -> { (s, d) =>
       import s.implicits._
       appendUniqueTable(s, d).snapshot().orderBy($"event_id")
+    },
+
+    // SQL over a DELETION-VECTOR table: the dvupd fixture (masked update
+    // + masked delete, zero reorg) read through the catalog — the
+    // planner-injected anti-join applies the mask under a pushed WHERE,
+    // grouped aggregate on top. The row a raw-file scan would resurrect
+    // (user_id % 50 = 13) must stay gone.
+    "q_acid_sql_dv" -> { (s, d) =>
+      import s.implicits._
+      val t = dvUpdateTable(s, d)
+      s.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val name = new Path(t.root).getName
+      s.sql(
+        s"""SELECT user_id, count(*) AS n_rows,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           |FROM graft.`$name` WHERE user_id <= 60
+           |GROUP BY user_id""".stripMargin).orderBy($"user_id")
     }
   )
 
@@ -678,6 +696,14 @@ object AcidQueries extends QueryPack {
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id % 3 = 0 OR event_id % 2 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "q_acid_sql_dv" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(CAST(CASE WHEN user_id % 50 = 7 THEN value * 2
+        |                     ELSE value END AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events WHERE user_id % 50 <> 13 AND user_id <= 60
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the pipeline moves every appended row exactly once
     "q_acid_stream_sink" ->

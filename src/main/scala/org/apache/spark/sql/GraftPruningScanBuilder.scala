@@ -40,7 +40,16 @@ class GraftPruningScanBuilder(
     allFiles: Seq[String],
     dataSchema: StructType,
     prune: Seq[Expression] => Seq[String],
-    manifestCount: () => Option[Long] = () => None)
+    manifestCount: () => Option[Long] = () => None,
+    // Some = the snapshot carries DELETION VECTORS: `build()` then emits
+    // a [[GraftDvScan]] marker the GraftDvScanRewrite optimizer rule
+    // replaces with the mask-applying plan this thunk builds from
+    // (pruned files, required columns, pushed filters). Footer-stats
+    // aggregate and variant pushdown are refused in that mode (parquet
+    // footers count masked rows); the manifest COUNT(*) stays correct —
+    // recorded live counts already subtract the masks.
+    dvPlan: Option[(Seq[String], Seq[String], Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -94,7 +103,7 @@ class GraftPruningScanBuilder(
   // pruning, never subtracts a delegate capability
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     metaCountFor(aggregation).isDefined ||
-      delegateAggs(probe).supportCompletePushDown(aggregation)
+      (dvPlan.isEmpty && delegateAggs(probe).supportCompletePushDown(aggregation))
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     metaCountFor(aggregation) match {
@@ -102,6 +111,9 @@ class GraftPruningScanBuilder(
         metaCount = some
         agg = Some(aggregation)
         true
+      case None if dvPlan.isDefined =>
+        // parquet footer stats count DV-masked rows — never push
+        false
       case None =>
         val ok = delegateAggs(probe).pushAggregation(aggregation)
         if (ok) agg = Some(aggregation)
@@ -110,6 +122,7 @@ class GraftPruningScanBuilder(
 
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] = {
+    if (dvPlan.isDefined) return extractions.map(_ => false)
     val res = delegateVariants(probe).pushVariantExtractions(extractions)
     if (res.exists(identity)) variants = Some(extractions)
     res
@@ -129,14 +142,43 @@ class GraftPruningScanBuilder(
       }
     case None =>
       val files = if (pushed.isEmpty) allFiles else prune(pushed)
-      if (files.size == allFiles.size) probe.build()
-      else {
-        val b = mkDelegate(files)
-        if (pushed.nonEmpty) b.pushFilters(pushed)
-        required.foreach(b.pruneColumns)
-        agg.foreach(delegateAggs(b).pushAggregation)
-        variants.foreach(delegateVariants(b).pushVariantExtractions)
-        b.build()
+      dvPlan match {
+        case Some(mk) =>
+          val outSchema = required.getOrElse(dataSchema)
+          new GraftDvScan(ident, outSchema,
+            () => mk(files, outSchema.fieldNames.toSeq, pushed))
+        case None =>
+          if (files.size == allFiles.size) probe.build()
+          else {
+            val b = mkDelegate(files)
+            if (pushed.nonEmpty) b.pushFilters(pushed)
+            required.foreach(b.pruneColumns)
+            agg.foreach(delegateAggs(b).pushAggregation)
+            variants.foreach(delegateVariants(b).pushVariantExtractions)
+            b.build()
+          }
       }
   }
+}
+
+/** Marker scan for a snapshot that carries deletion vectors: it never
+  * executes itself — the `graft.acid.GraftDvScanRewrite` optimizer rule
+  * (installed by GraftCatalog.initialize and GraftExtensions) replaces
+  * the scan relation with `plan()`, the DV-masking anti-join over the
+  * pruned parquet files. `toBatch` failing loudly (rather than reading
+  * the raw files) preserves the format's one hard DV rule: masked rows
+  * must never resurrect. */
+class GraftDvScan(
+    ident: String,
+    schema: StructType,
+    val plan: () => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"graft.DvScan[$ident]"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new IllegalStateException(
+      s"table $ident carries deletion vectors; the GraftDvScanRewrite " +
+        "optimizer rule must be installed (configure the graft catalog " +
+        "or GraftExtensions) — executing the raw scan would resurrect " +
+        "deleted rows")
 }

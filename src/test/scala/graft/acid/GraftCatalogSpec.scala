@@ -66,22 +66,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Set("fresh").subsetOf(names), s"got $names")
   }
 
-  test("SQL DELETE routes through the commit log with partition scoping") {
+  test("SQL DELETE routes through the commit log; small deletes land as DVs") {
     enableCatalog()
     val t = new GraftTable(spark, s"$warehouse/del", partitionCol = Some("day"))
     t.append((1L to 40L).map(i => (i, i % 4, s"n$i")).toDF("id", "day", "name"))
-    // partition-pinned DELETE: only day-2 files rewrite
+    // small DELETE: a zero-rewrite deletion-vector commit — the active
+    // paths are untouched, only dv tags move, and every SQL read below
+    // goes through the planner-injected mask
     val before = t.activeFiles(t.latestVersion.get).toSet
-    spark.sql("DELETE FROM graft.del WHERE day = 2")
-    assert(spark.sql("SELECT count(*) AS n FROM graft.del").as[Long].head() == 30L)
+    spark.sql("DELETE FROM graft.del WHERE day = 2 AND id <= 20")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del").as[Long].head() == 35L)
     assert(spark.sql(
-      "SELECT count(*) AS n FROM graft.del WHERE day = 2").as[Long].head() == 0L)
+      "SELECT count(*) AS n FROM graft.del WHERE day = 2").as[Long].head() == 5L)
     val after = t.activeFiles(t.latestVersion.get).toSet
-    assert((before -- after).nonEmpty, "day-2 files replaced")
-    assert((before & after).nonEmpty,
-      "untouched partitions' files must carry over (scoped rewrite)")
+    assert(after == before, "a partial DV delete must not touch any data file")
+    assert(t.entries(t.latestVersion.get).exists(_.dvRef.isDefined),
+      "the SQL DELETE must land as a deletion-vector commit")
     assert(t.history().last.op.contains("delete"))
-    // arbitrary-predicate DELETE still works (full copy-on-write path)
+    // arbitrary-predicate DELETE still works
     spark.sql("DELETE FROM graft.del WHERE id > 35")
     assert(spark.sql("SELECT max(id) AS m FROM graft.del").as[Long].head() <= 35L)
     // DELETE against a time-travel snapshot is rejected
@@ -91,17 +93,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err != null)
   }
 
-  test("SQL UPDATE applies old-row semantics with a partition-scoped rewrite") {
+  test("SQL UPDATE applies old-row semantics; small updates land merge-on-read") {
     enableCatalog()
     val t = new GraftTable(spark, s"$warehouse/upd", partitionCol = Some("day"))
     t.append((1L to 40L).map(i => (i, i % 4, i * 1.0)).toDF("id", "day", "v"))
     val before = t.activeFiles(t.latestVersion.get).toSet
-    spark.sql("UPDATE graft.upd SET v = v + 100 WHERE day = 2")
+    spark.sql("UPDATE graft.upd SET v = v + 100 WHERE day = 2 AND id <= 20")
     val after = t.activeFiles(t.latestVersion.get).toSet
-    assert((before & after).nonEmpty, "untouched partitions' files carry over")
-    assert((before -- after).nonEmpty, "day-2 files replaced")
+    assert(before.subsetOf(after), "DV update: old files stay, masked")
+    assert((after -- before).nonEmpty, "the updated copies append as new files")
+    assert(t.entries(t.latestVersion.get).exists(_.dvRef.isDefined),
+      "the SQL UPDATE must land merge-on-read")
     assert(spark.sql("SELECT sum(v) AS s FROM graft.upd WHERE day = 2")
-      .as[Double].head() == (2.0 + 6 + 10 + 14 + 18 + 22 + 26 + 30 + 34 + 38) + 1000.0)
+      .as[Double].head() == (2.0 + 6 + 10 + 14 + 18 + 22 + 26 + 30 + 34 + 38) + 500.0)
     assert(spark.sql("SELECT sum(v) AS s FROM graft.upd WHERE day = 1")
       .as[Double].head() == 1.0 + 5 + 9 + 13 + 17 + 21 + 25 + 29 + 33 + 37)
     assert(t.history().last.op == "update")
@@ -140,6 +144,40 @@ class GraftCatalogSpec extends SparkSpec {
       WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * 2""")
     assert(spark.sql("SELECT id, v FROM graft.mrg2 ORDER BY id")
       .as[(Long, Double)].collect().toSeq == Seq((1L, 20.0), (3L, 60.0)))
+  }
+
+  test("SQL reads a DV'd table without reorg: mask applied, pushdown kept") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/dvr", statsCol = Some("id"))
+    t.append((1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, $"id"))
+    t.delete($"id" === 7L)   // API-side DV commit
+    t.delete($"id" === 500L) // second mask, different file
+    assert(t.entries(t.latestVersion.get).exists(_.dvRef.isDefined),
+      "fixture must carry deletion vectors")
+    // plain SELECTs apply the mask — no reorg needed
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvr").as[Long].head() == 998L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvr WHERE id = 7")
+      .as[Long].head() == 0L)
+    assert(spark.sql(
+      "SELECT sum(id) AS s FROM graft.dvr WHERE id BETWEEN 1 AND 10")
+      .as[Long].head() == 55L - 7L)
+    // time travel: the DV'd version masks, the pre-delete version doesn't
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvr VERSION AS OF 2")
+      .as[Long].head() == 999L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvr VERSION AS OF 1")
+      .as[Long].head() == 1000L)
+    // the replacement plan still prunes + pushes down: a range read on the
+    // clustered stats column scans a file subset and parquet sees filters
+    val narrow = spark.sql("SELECT id FROM graft.dvr WHERE id BETWEEN 1 AND 10")
+    val exec = narrow.queryExecution.executedPlan.toString
+    assert(exec.contains("PushedFilters: [") && exec.contains("GreaterThanOrEqual"),
+      s"pushed filters must reach the parquet scan:\n$exec")
+    assert(narrow.count() == 9L)
+    // joins/aggregates compose over the masked relation
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM graft.dvr a JOIN graft.dvr b ON a.id = b.id
+        |WHERE a.id <= 8""".stripMargin).as[Long].head() == 7L)
   }
 
   test("filter pushdown and pruning reach the parquet scan through the catalog") {
