@@ -57,6 +57,20 @@ object Bench {
     // keeps the driver's single-pass wall-clock semantics.
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
+    // HOST-CONTENTION WITNESS (the r7/r8 "steady regression that was
+    // really a noisy neighbor" fix): sample the system load average
+    // before the timed region, after it, and after every query — the
+    // artifact then classifies itself. `contended` = the PRE-RUN load
+    // already exceeded half the cores, i.e. someone else was burning the
+    // machine before we started (our own run legitimately drives load up
+    // DURING the region, so only the start sample is a clean signal).
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val nproc = Runtime.getRuntime.availableProcessors()
+    val loadStart = loadAvg()
+    var loadMax = loadStart
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (scaling spot-
     // benches / local iteration); unset = all queries (the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -75,6 +89,7 @@ object Bench {
         }
       }
       if (times.exists(_ < 0)) failed += name
+      loadMax = math.max(loadMax, loadAvg())
       // -1 marks a failure: elapsed-to-crash would read as a speedup
       name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
@@ -91,10 +106,14 @@ object Bench {
     // Long per-query line FIRST, then a SHORT total line LAST: the driver's
     // log capture keeps the tail, so the headline total + error list must be
     // the final stdout line (r1+r2 both lost the head of a single long line).
+    val loadEnd = loadAvg()
+    val load = s""""load_avg":{"start":${r3(loadStart)},"end":${r3(loadEnd)},""" +
+      s""""max":${r3(math.max(loadMax, loadEnd))},"cpus":$nproc,""" +
+      s""""contended":${loadStart > nproc / 2.0}}"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
     // "summary", not "total": only ONE record may carry metric=total or a
     // by-metric aggregation would double-count the headline number
-    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"repeats":$repeats,$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1250,7 +1250,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                     winnerOrder: Seq[Column]): Long = {
     val vals = updates.select(col(c).cast("long")).distinct().collect()
     if (vals.isEmpty || vals.exists(_.isNullAt(0)))
-      return merge(updates, keyCols, winnerOrder)
+      return mergeUnscoped(updates, keyCols, winnerOrder)
     val touched = vals.map(_.getLong(0)).sorted.toSeq
     def affected(e: FileEntry): Boolean =
       windowOf(e, c).forall { case (lo, hi) =>
@@ -1258,7 +1258,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
     val (rewrite, keep) = prev.partition(affected)
-    if (keep.isEmpty) return merge(updates, keyCols, winnerOrder)
+    if (keep.isEmpty) return mergeUnscoped(updates, keyCols, winnerOrder)
     val base = readEntries(rewrite, updates)
     val merged = mergeWinners(keyCols, winnerOrder)(base.unionByName(updates))
     val written = writeData(clusterByPartition(merged, Some(touched.size)), v)
@@ -1266,8 +1266,31 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       affects = Some(affected))
   }
 
+  /** [[merge]] AUTO-ROUTES its rewrite scope: the partition-scoped path
+    * when the table has a `partitionCol` (documented FD contract), else
+    * — NEW — through any windowed MERGE-KEY column (statsCol or an
+    * indexCols member that is one of `keyCols`). Key-column scoping
+    * needs NO functional-dependency assumption: rows whose `c` lies
+    * outside the updates' `c` values differ from every update in the
+    * `c` key component, so they can never be matched or displaced — on
+    * an un-partitioned z-ordered table a day-keyed upsert rewrites
+    * O(touched days' files) automatically. Non-key windowed columns
+    * still scope through the explicit [[mergeScopedOn]] (caller asserts
+    * the FD contract there). */
   def merge(updates: DataFrame, keyCols: Seq[String],
             winnerOrder: Seq[Column]): Long = {
+    val autoKeyCol =
+      if (partitionCol.nonEmpty) None
+      else keyCols.find(k => statsCol.exists(_.equalsIgnoreCase(k)) ||
+        indexCols.exists(_.equalsIgnoreCase(k)))
+    autoKeyCol match {
+      case Some(c) => mergeScopedOn(c, updates, keyCols, winnerOrder)
+      case None => mergeUnscoped(updates, keyCols, winnerOrder)
+    }
+  }
+
+  private def mergeUnscoped(updates: DataFrame, keyCols: Seq[String],
+                            winnerOrder: Seq[Column]): Long = {
     def winners(df: DataFrame): DataFrame =
       mergeWinners(keyCols, winnerOrder)(df)
     val scoped = partitionCol.flatMap(_ => touchedPartitions(updates))
@@ -1444,19 +1467,38 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     require(cols.size >= 2 && cols.size <= 8,
       s"compactZOrderN takes 2..8 columns, got ${cols.size}")
     val snap = snapshot()
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    // STRING dimensions enter the grid through their ORDER-PRESERVING
+    // 8-byte prefix code ([[graft.functions.StringPrefix64]]): unlike a
+    // hash it keeps locality, so the per-file string windows writeData
+    // records stay narrow and string predicates still prune after the
+    // layout. Other types cast to long; a type the cast cannot serve
+    // fails loudly in the min/max agg instead of silently nulling the
+    // dimension out of the layout.
+    def dimCol(c: String): Column =
+      if (snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .exists(_.dataType == org.apache.spark.sql.types.StringType))
+        bridge.column(graft.functions.StringPrefix64(bridge.expr(spark, col(c))))
+      else col(c).cast("long")
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"${c}_lo"),
-      max(col(c)).cast("long").as(s"${c}_hi")))
+      min(dimCol(c)).as(s"${c}_lo"), max(dimCol(c)).as(s"${c}_hi")))
     val mm = snap.agg(aggs.head, aggs.tail: _*).head()
     val maxScaled = (1L << (64 / cols.size)) - 1L
+    def window(i: Int): (Long, Long) =
+      if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) (0L, 0L)
+      else (mm.getLong(2 * i), mm.getLong(2 * i + 1))
+    // scale in DOUBLE end to end: prefix codes (and extreme numeric
+    // windows) can span more than half the long range, where a long
+    // subtraction would overflow — the grid only needs ~2^(64/k)
+    // resolution, well inside a double's mantissa
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi <= lo) lit(0L)
-      else ((col(c).cast("long") - lit(lo)).cast("double") / lit((hi - lo).toDouble)
-        * lit(maxScaled.toDouble)).cast("long")
-    val bridge = org.apache.spark.sql.GraftPlanBridge
+      else ((dimCol(c).cast("double") - lit(lo.toDouble))
+        / lit(hi.toDouble - lo.toDouble) * lit(maxScaled.toDouble)).cast("long")
     val zkey = bridge.column(graft.functions.ZOrderN(
       cols.zipWithIndex.map { case (c, i) =>
-        bridge.expr(spark, scaled(c, mm.getLong(2 * i), mm.getLong(2 * i + 1)))
+        val (lo, hi) = window(i)
+        bridge.expr(spark, scaled(c, lo, hi))
       }))
     val laid = snap.withColumn("__z", zkey)
       .repartitionByRange(targetFiles, col("__z"))

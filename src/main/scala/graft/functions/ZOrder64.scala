@@ -107,6 +107,46 @@ object ZOrderN {
   }
 }
 
+/** Order-preserving 64-bit code of a string: its first 8 UTF-8 bytes,
+  * big-endian, zero-padded, sign bit flipped so unsigned byte order
+  * compares as a signed long — two codes order exactly like the
+  * (truncated) strings. The STRING-dimension key for Z-order layouts:
+  * unlike a hash it preserves locality, so the per-file string windows
+  * [[graft.acid.GraftTable]] records stay narrow and prefix/range/point
+  * predicates keep pruning after the layout. Codegen-native. */
+case class StringPrefix64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"string_prefix64 needs a string child, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(s: Any): Any =
+    StringPrefix64.code(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringPrefix64.code($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StringPrefix64 =
+    copy(child = newChild)
+}
+
+object StringPrefix64 {
+  def code(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    var out = 0L
+    var i = 0
+    while (i < 8) {
+      out = (out << 8) | (if (i < b.length) b(i) & 0xFFL else 0L)
+      i += 1
+    }
+    out ^ java.lang.Long.MIN_VALUE
+  }
+}
+
 object ZOrder64 {
   /** Spread the low 32 bits of v to even bit positions of a long. */
   def spread(v: Long): Long = {

@@ -34,13 +34,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Delivery semantics, matching the Kafka sink's contract:
   *   - task retries never duplicate (only committed tasks' staged files
   *     publish — Spark's output-commit coordination);
-  *   - a streaming epoch is idempotent across engine-side batch replay: a
-  *     committed epoch writes a `_epochs/<queryId>-<epoch>` marker first
-  *     checked on re-commit (restart replays of the last un-logged batch
-  *     are skipped instead of re-published);
-  *   - a driver crash in the middle of the publish loop itself can leave a
-  *     partially-published epoch (at-least-once on that window, exactly
-  *     like the Kafka sink — the log has no cross-segment transaction).
+  *   - every commit — streaming epoch AND batch — is idempotent and
+  *     crash-resumable: a committed `_epochs/<queryId>-<epoch|batch>`
+  *     marker short-circuits engine-side replay, and the publish PLAN
+  *     (pinned segment names + offsets) persists atomically before the
+  *     first rename, so a commit interrupted mid-publish resumes exactly
+  *     where it stopped instead of double-publishing ([[BusCommit
+  *     .publishPlanned]]) — stronger than the Kafka sink's at-least-once
+  *     window.
   */
 class BusWriteBuilder(root: String, info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new BusWrite(root, info)
@@ -75,6 +76,28 @@ class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val stage = s"$root/_staged/${info.queryId()}"
+    /** EXACTLY-ONCE for BATCH writes too, via the same persisted publish
+      * plan the streaming epochs use — the epoch identity is the write's
+      * `queryId` (unique per executed batch write): (1) a committed
+      * marker short-circuits an engine-side commit retry; (2) the plan —
+      * every (partition, staged file, final segment name with pinned
+      * base offset) — lands atomically BEFORE the first rename, so a
+      * commit interrupted mid-publish resumes exactly where it stopped
+      * instead of double-publishing recomputed offsets. */
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(root).getFileSystem(conf.value)
+      val marker = new Path(new Path(root), s"_epochs/${info.queryId()}-batch")
+      if (fs.exists(marker)) {
+        BusCommit.cleanup(conf.value, stage)
+        return
+      }
+      val plan = new Path(new Path(root), s"_epochs/${info.queryId()}-batch.plan")
+      BusCommit.publishPlanned(conf.value, root, stage, messages, plan)
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+      fs.delete(plan, false)
+    }
     override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
       val (c, l, st) = (conf, layout, stage)
       new DataWriterFactory {
@@ -82,8 +105,6 @@ class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
           new BusDataWriter(c, st, l, taskId)
       }
     }
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
-      BusCommit.publish(conf.value, root, stage, messages)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       BusCommit.cleanup(conf.value, stage)
   }
@@ -140,22 +161,9 @@ case class BusWriteMessage(taskId: Long,
     extends WriterCommitMessage
 
 object BusCommit {
-  /** Driver-side job commit: publish every committed task's staged files
-    * as segments, in (taskId, partition) order — deterministic offsets
-    * for a deterministic input — then clear the staging dir. Only RENAMEs
-    * and an O(files) loop; no data moves. */
-  def publish(conf: org.apache.hadoop.conf.Configuration, root: String,
-              stage: String, messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case m: BusWriteMessage => m }
-      .sortBy(_.taskId)
-      .foreach(_.entries.sortBy(_._1).foreach { case (pid, path, n, lo, hi) =>
-        BusLog.publish(conf, root, pid, new Path(path), n, Some((lo, hi)))
-      })
-    cleanup(conf, stage)
-  }
-
-  /** Streaming-epoch publish driven by a PERSISTED plan (see the sink's
-    * commit scaladoc). Loads the plan if a crashed attempt left one —
+  /** Commit-time publish driven by a PERSISTED plan (see the sink's
+    * commit scaladocs — both the streaming epochs and batch commits
+    * route here). Loads the plan if a crashed attempt left one —
     * its pinned segment names are authoritative — else computes it from
     * this attempt's messages (running log-end per partition) and writes
     * it atomically (tmp + rename) BEFORE the first rename. The replay

@@ -94,6 +94,35 @@ class ConcurrentMergeSpec extends SparkSpec {
       .as[String].head() == "nulled")
   }
 
+  test("merge() AUTO-scopes through a windowed KEY column on an un-partitioned table") {
+    // z-ordered, no partitionCol; (id, day) is the merge key and day is
+    // windowed (indexCols) — a plain merge() must route itself through
+    // the day windows: untouched days' files carry over verbatim, no
+    // caller hint. Sound without any FD contract because day is part of
+    // the key (out-of-window rows differ in a key component).
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_auto"),
+      indexCols = Seq("day", "x"))
+    def rows(day: Long) = (0L until 100L)
+      .map(i => (day * 100 + i, day, (i * 131) % 100, s"v${day * 100 + i}", 0L))
+      .toDF("id", "day", "x", "name", "seq")
+    (0L to 3L).foreach(d => t.append(rows(d)))
+    t.compactZOrderN(Seq("day", "x"), targetFiles = 8)
+    val before = t.snapshot().inputFiles.toSet
+    val upd = Seq((205L, 2L, 5L, "updated", 9L), (999L, 2L, 7L, "fresh", 9L))
+      .toDF("id", "day", "x", "name", "seq")
+    t.merge(upd, Seq("id", "day"), Seq($"seq".desc))
+    val after = t.snapshot().inputFiles.toSet
+    assert((before intersect after).nonEmpty,
+      "merge() must auto-scope on the windowed key column: untouched " +
+        "days' files carry over verbatim")
+    assert(t.snapshot().count() == 401)
+    assert(t.snapshot().filter($"id" === 205L).select($"name")
+      .as[String].head() == "updated")
+    assert(t.snapshot().filter($"id" === 999L).select($"name")
+      .as[String].head() == "fresh")
+    assert(t.history().last.op == "merge")
+  }
+
   test("same-partition merges conflict; commitWithRetry recomputes correctly") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_conf"),
       partitionCol = Some("pid"))

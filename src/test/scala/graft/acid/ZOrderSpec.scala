@@ -57,6 +57,34 @@ class ZOrderSpec extends SparkSpec {
     assert(t.snapshot().count() == 4096L)
   }
 
+  test("a STRING z-order dimension clusters by prefix code and still prunes") {
+    // doc-id-shaped string keys whose order is scattered against the
+    // numeric dims; the prefix-code dimension must cluster them so the
+    // truncated string windows writeData records prune string predicates
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_zorder_str"),
+      indexCols = Seq("x", "s"))
+    val df = (0 until 4096).map { i =>
+      (i.toLong, ((i * 131) % 4096).toLong, f"doc-${(i * 191) % 4096}%05d")
+    }.toDF("id", "x", "s")
+    t.append(df.repartition(8))
+    t.compactZOrderN(Seq("x", "s"), targetFiles = 16)
+    val all = t.activeFiles(t.latestVersion.get).size
+    val hitX = t.filesForColumnRange("x", 0L, 511L).size
+    assert(hitX <= all / 2, s"x-range hit $hitX of $all files")
+    // string point + range predicates prune through the string windows
+    val hitS = t.filesForPredicate($"s" === "doc-00300").size
+    assert(hitS <= all / 2, s"string point hit $hitS of $all files")
+    // the 8-byte prefix code drops the last digit of doc-DDDDD, so a
+    // 1/8 range maps to ~1/8 of a coarser code space shared with the
+    // x dimension — prunes to well under the full set, not to 1/8
+    val hitSR = t.filesForPredicate($"s" >= "doc-01000" && $"s" <= "doc-01511").size
+    assert(hitSR < all * 3 / 4, s"string range hit $hitSR of $all files")
+    // and the pruned reads stay exact
+    assert(t.snapshotWhere($"s" === "doc-00300").count() == 1L)
+    assert(t.snapshotWhere($"s".between("doc-01000", "doc-01511")).count() == 512L)
+    assert(t.snapshot().count() == 4096L, "layout must be content-lossless")
+  }
+
   test("z-order rewrite is content-lossless and time-travelable") {
     val t = new GraftTable(spark,
       graft.TempDirs.create("graft_zorder_tt"),

@@ -148,6 +148,94 @@ class BusSinkSpec extends SparkSpec {
       "parallel tasks each publish their own segment")
   }
 
+  test("BATCH commit is exactly-once: marker short-circuits a retry, plan resumes a crash") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.types.{BinaryType, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = graft.TempDirs.create("graft_bus_sink_batchcrash")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val qid = "batch-q1"
+    def stageFile(name: String, recs: Seq[(String, String, Long)]): String = {
+      val p = new Path(rootPath, s"_staged/$qid/$name")
+      fs.mkdirs(p.getParent)
+      val b64 = java.util.Base64.getEncoder
+      val out = fs.create(p, true)
+      try out.write(recs.map { case (k, v, ts) =>
+        s"${b64.encodeToString(k.getBytes("UTF-8"))}\t" +
+          s"${b64.encodeToString(v.getBytes("UTF-8"))}\t$ts"
+      }.mkString("\n").getBytes("UTF-8") ++ "\n".getBytes("UTF-8"))
+      finally out.close()
+      p.toString
+    }
+    val f1 = stageFile("t0-p0.log", Seq(("a", "va", 10L), ("b", "vb", 11L)))
+    val f2 = stageFile("t1-p0.log", Seq(("c", "vc", 12L), ("d", "vd", 13L)))
+    def messages: Array[WriterCommitMessage] =
+      Array(BusWriteMessage(0L, Seq((0, f1, 2L, 10L, 11L))),
+            BusWriteMessage(1L, Seq((0, f2, 2L, 12L, 13L))))
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = qid
+      override def schema(): StructType = new StructType().add("value", BinaryType)
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+    }
+    val bw = new BusWrite(root, info).toBatch
+    bw.commit(messages)
+    assert(readBack(root).count() == 4L)
+    assert(fs.exists(new Path(rootPath, s"_epochs/$qid-batch")),
+      "a committed batch leaves its marker")
+    // engine-side COMMIT RETRY (same write, staged files already gone):
+    // the marker must short-circuit — without it this would throw or
+    // double-publish
+    bw.commit(messages)
+    assert(readBack(root).count() == 4L, "a retried batch commit re-published")
+    // CRASH-RESUME twin: fresh write whose plan landed but whose publish
+    // stopped after the first rename — the re-driven commit must finish
+    // the plan at its PINNED offsets
+    val qid2 = "batch-q2"
+    def stage2(name: String, recs: Seq[(String, String, Long)]): String = {
+      val p = new Path(rootPath, s"_staged/$qid2/$name")
+      fs.mkdirs(p.getParent)
+      val b64 = java.util.Base64.getEncoder
+      val out = fs.create(p, true)
+      try out.write(recs.map { case (k, v, ts) =>
+        s"${b64.encodeToString(k.getBytes("UTF-8"))}\t" +
+          s"${b64.encodeToString(v.getBytes("UTF-8"))}\t$ts"
+      }.mkString("\n").getBytes("UTF-8") ++ "\n".getBytes("UTF-8"))
+      finally out.close()
+      p.toString
+    }
+    val g1 = stage2("t0-p0.log", Seq(("e", "ve", 20L)))
+    val g2 = stage2("t1-p0.log", Seq(("f", "vf", 21L), ("g", "vg", 22L)))
+    val messages2: Array[WriterCommitMessage] =
+      Array(BusWriteMessage(0L, Seq((0, g1, 1L, 20L, 20L))),
+            BusWriteMessage(1L, Seq((0, g2, 2L, 21L, 22L))))
+    val plan2 = new Path(rootPath, s"_epochs/$qid2-batch.plan")
+    BusCommit.publishPlanned(conf, root, s"$root/_staged/$qid2", messages2, plan2)
+    assert(fs.exists(plan2), "plan persists until the marker lands")
+    // rebuild the crash state: second segment unpublished, file re-staged
+    val lines = scala.io.Source.fromInputStream(fs.open(plan2)).getLines().toList
+    val Array(_, _, segName) = lines(1).split('\t')
+    fs.delete(new Path(new Path(rootPath, "p0"), segName), false)
+    stage2("t1-p0.log", Seq(("f", "vf", 21L), ("g", "vg", 22L)))
+    val info2 = new LogicalWriteInfo {
+      override def queryId(): String = qid2
+      override def schema(): StructType = new StructType().add("value", BinaryType)
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+    }
+    new BusWrite(root, info2).toBatch.commit(messages2)
+    val back = readBack(root).select($"offset", $"value".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == (0L until 7L),
+      s"contiguous offsets after the resumed batch: ${back.toSeq}")
+    assert(back.map(_._2).toSeq ==
+      Seq("va", "vb", "vc", "vd", "ve", "vf", "vg"),
+      "every batch record exactly once, in planned order")
+    assert(fs.exists(new Path(rootPath, s"_epochs/$qid2-batch")))
+  }
+
   test("a crash mid-publish resumes from the epoch plan: no duplicate, no loss") {
     import org.apache.hadoop.fs.Path
     val root = graft.TempDirs.create("graft_bus_sink_crash")
