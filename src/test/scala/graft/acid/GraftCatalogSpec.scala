@@ -180,6 +180,22 @@ class GraftCatalogSpec extends SparkSpec {
         |WHERE a.id <= 8""".stripMargin).as[Long].head() == 7L)
   }
 
+  test("INSERT INTO ... SELECT from a DV'd table reads through the mask") {
+    enableCatalog()
+    // the DML command's QUERY side holds the DV scan (its own TARGET
+    // relation must stay raw for write planning) — the rewrite must
+    // descend into exactly the query side
+    val src = new GraftTable(spark, s"$warehouse/dvsrc")
+    src.append((1L to 100L).map(i => (i, i * 2)).toDF("id", "v"))
+    src.delete($"id" === 50L)
+    assert(src.entries(src.latestVersion.get).exists(_.dvRef.isDefined))
+    spark.sql("CREATE TABLE graft.dvdst (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.dvdst SELECT id, v FROM graft.dvsrc")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvdst").as[Long].head() == 99L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvdst WHERE id = 50")
+      .as[Long].head() == 0L, "the masked row leaked through an INSERT-SELECT")
+  }
+
   test("filter pushdown and pruning reach the parquet scan through the catalog") {
     enableCatalog()
     val t = new GraftTable(spark, s"$warehouse/scan")
