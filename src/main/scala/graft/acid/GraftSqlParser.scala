@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([\w`\s,]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([\w`\s,]+)\))?(?:\s+(INCREMENTAL))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
@@ -74,14 +74,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def strip(id: String) = id.replace("`", "")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(ref, target, zcols) =>
+    case Optimize(ref, target, zcols, incr) =>
       resolve(ref).map { t =>
         val n = Option(target).map(_.toInt)
           .getOrElse(spark.sessionState.conf.numShufflePartitions)
         val label = s"OPTIMIZE ${ref.trim}"
         val cols = Option(zcols).toSeq
           .flatMap(_.split(',')).map(c => strip(c.trim)).filter(_.nonEmpty)
-        if (cols.size >= 2)
+        // ... ZORDER BY (a, b) INCREMENTAL: re-cluster only the
+        // unclustered tail (O(tail) scan+rewrite from manifest windows)
+        if (cols.size >= 2 && incr != null)
+          GraftRowLevelCommand(label,
+            () => { t.compactZOrderIncremental(cols, n); () })
+        else if (cols.size >= 2)
           GraftRowLevelCommand(label,
             () => { t.compactZOrderN(cols, n); () })
         else if (cols.size == 1)

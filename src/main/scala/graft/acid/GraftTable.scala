@@ -169,6 +169,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       strWindows: Map[String, (String, String)] = Map.empty,
                                       dvRef: Option[Long] = None,
                                       dvCount: Long = 0L,
+                                      // `z=<b64(cols)>` LAYOUT TAG: the file was
+                                      // written by an OPTIMIZE ZORDER over these
+                                      // columns — the incremental pass's
+                                      // clustered-ness witness
+                                      zTag: Option[String] = None,
                                       // set ONLY by writeData on a bloom built
                                       // this commit (hashed scheme) — a carried
                                       // LEGACY inline bloom (raw-long scheme)
@@ -184,6 +189,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                 bloomRef.map(v => s"bf=$v").toSeq ++
                 dvRef.map(v => s"dv=$v").toSeq ++
                 (if (dvCount > 0L) Seq(s"dn=$dvCount") else Nil) ++
+                zTag.map(v => s"z=$v").toSeq ++
                 rows.map(n => s"n=$n").toSeq ++
                 windows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
                   s"w:$c=$lo,$hi" } ++
@@ -221,7 +227,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         tags.collect { case (k, v) if k.startsWith("sw:") =>
           k.drop(3) -> parseStrRange(v) },
         tags.get("dv").flatMap(_.toLongOption),
-        tags.get("dn").flatMap(_.toLongOption).getOrElse(0L))
+        tags.get("dn").flatMap(_.toLongOption).getOrElse(0L),
+        tags.get("z"))
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -1505,7 +1512,98 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     val v = nextVersion
-    commit(v, writeData(laid, v), op = "zorder")
+    // stamp the layout tag: [[compactZOrderIncremental]]'s witness that
+    // these files are already in this (cols) layout
+    commit(v, writeData(laid, v)
+      .map(_.copy(zTag = Some(GraftTable.zSignature(cols)))), op = "zorder")
+  }
+
+  /** INCREMENTAL OPTIMIZE ZORDER (the incremental-clustering shape the
+    * production formats run on a cadence): bring ONLY the files NOT
+    * already laid by this `cols` layout into it, carrying every laid
+    * file over verbatim. Clustered-ness is the manifest's `z=` LAYOUT
+    * TAG — stamped on every file a zorder commit writes, lost when a
+    * rewrite (merge/update/compact) replaces the file — so the steady
+    * state is a metadata-only no-op and the decision is O(entries)
+    * driver-side, zero file opens. Tiny laid SLIVERS (earlier small
+    * bursts, below totalRows/(4·targetFiles) live rows) rewrite along
+    * with the new tail, so layout generations keep coalescing instead
+    * of accumulating. The pass scans and rewrites O(tail) — never the
+    * table — and the tail's z-keys scale against the GLOBAL spans read
+    * from manifest windows, so new files interleave with the existing
+    * grid (string dimensions through the same order-preserving prefix
+    * code, their truncated string windows re-coded driver-side).
+    * Requires every dimension windowed (statsCol / partitionCol /
+    * indexCols member) — the global span must resolve from metadata. */
+  def compactZOrderIncremental(cols: Seq[String], targetFiles: Int): Long = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"compactZOrderIncremental takes 2..8 columns, got ${cols.size}")
+    cols.foreach(c => require(
+      statsCol.exists(_.equalsIgnoreCase(c)) ||
+        partitionCol.exists(_.equalsIgnoreCase(c)) ||
+        indexCols.exists(_.equalsIgnoreCase(c)),
+      s"incremental zorder needs every dimension windowed; $c is not in " +
+        s"statsCol/partitionCol/indexCols"))
+    val sig = GraftTable.zSignature(cols)
+    val lv = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val prev = entries(lv)
+    val schema = snapshot(Some(lv)).schema
+    def isString(c: String): Boolean = schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    // per-entry numeric window per dimension: native windows, or string
+    // windows re-coded through the SAME prefix code the z-key uses
+    def numWindow(e: FileEntry, c: String): Option[(Long, Long)] =
+      if (isString(c)) strWindowOf(e, c).map { case (lo, hi) =>
+        (graft.functions.StringPrefix64.code(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lo)),
+         graft.functions.StringPrefix64.code(
+          org.apache.spark.unsafe.types.UTF8String.fromString(hi)))
+      } else windowOf(e, c)
+    val spans: Map[String, (Long, Long)] = cols.flatMap { c =>
+      val ws = prev.flatMap(numWindow(_, c))
+      if (ws.isEmpty) None else Some(c -> (ws.map(_._1).min, ws.map(_._2).max))
+    }.toMap
+    val v = nextVersion
+    val untagged = prev.filterNot(_.zTag.contains(sig))
+    if (untagged.isEmpty) return commit(v, prev, op = "zorder")
+    val totalRowsAll = prev.flatMap(_.liveRows).sum.max(1L)
+    val sliverBound = totalRowsAll / (4L * targetFiles.toLong)
+    val slivers = prev.filter(e => e.zTag.contains(sig) &&
+      e.liveRows.exists(_ < sliverBound))
+    val rewriteSet = (untagged ++ slivers).map(_.path).toSet
+    val (rewrite, keep) = prev.partition(e => rewriteSet.contains(e.path))
+    // output file count proportional to the tail's share of the table
+    val totalRows = prev.flatMap(_.liveRows).sum.max(1L)
+    val tailRows = rewrite.flatMap(_.liveRows).sum.max(1L)
+    val nOut = math.max(1L, math.min(targetFiles.toLong,
+      math.round(targetFiles.toDouble * tailRows / totalRows))).toInt
+    val maxScaled = (1L << (64 / cols.size)) - 1L
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    def dimCol(c: String): Column =
+      if (isString(c))
+        bridge.column(graft.functions.StringPrefix64(bridge.expr(spark, col(c))))
+      else col(c).cast("long")
+    // clamp into the grid: rows from window-less files may lie outside
+    // the manifest-known span (never wrong, just edge-bucketed)
+    def scaled(c: String): Column = spans.get(c) match {
+      case Some((lo, hi)) if hi > lo =>
+        greatest(lit(0L), least(lit(maxScaled),
+          ((dimCol(c).cast("double") - lit(lo.toDouble))
+            / lit(hi.toDouble - lo.toDouble) * lit(maxScaled.toDouble))
+            .cast("long")))
+      case _ => lit(0L)
+    }
+    val zkey = bridge.column(graft.functions.ZOrderN(
+      cols.map(c => bridge.expr(spark, scaled(c)))))
+    val laid = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)))
+      .withColumn("__z", zkey)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(v, keep ++ writeData(laid, v).map(_.copy(zTag = Some(sig))),
+      op = "zorder")
   }
 
   /** O(metadata) row count: the sum of per-file row counts recorded at
@@ -2377,6 +2475,12 @@ object GraftTable {
     org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
+
+  /** The manifest `z=` layout-tag value for a ZORDER column list:
+    * order-sensitive (a (day, id) layout is not an (id, day) layout),
+    * case-folded, base64url (no tabs/spaces in manifest fields). */
+  private[graft] def zSignature(cols: Seq[String]): String =
+    b64(cols.map(_.toLowerCase).mkString(","))
 
   /** A data file's table-unique join key: the entry path's last two
     * components (`c<version>-<uuid>/part-...`). The commit directory's

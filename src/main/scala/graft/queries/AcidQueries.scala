@@ -249,6 +249,34 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** INCREMENTAL-zorder fixture: half the events laid by a full ZORDER,
+    * the other half appended afterwards as a scattered ingest burst,
+    * then ONE incremental pass — only the burst rewrites (the laid
+    * files' z-tags carry them over; ZOrderSpec pins the file
+    * carry-over), and the gate row proves the two layout generations
+    * read as one correct table. */
+  private val zorderIncFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zorderIncTable(s: SparkSession, d: String): GraftTable = {
+    val root = zorderIncFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("zorderinc" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/zorderinc_$key"
+      val t = new GraftTable(s, r, indexCols = Seq("user_id", "event_id"))
+      t.append(events(s, d).filter(pmod($"event_id", lit(2L)) === 0L)
+        .repartition(8))
+      t.compactZOrder(("user_id", "event_id"), targetFiles = 16)
+      t.append(events(s, d).filter(pmod($"event_id", lit(2L)) === 1L)
+        .repartition(4))
+      t.compactZOrderIncremental(Seq("user_id", "event_id"), targetFiles = 16)
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** Source→sink pipeline fixture: the append table's commit history
     * streamed through readStream("graft-table") INTO a downstream table
     * via writeStream("graft-table") — no foreachBatch anywhere. Built
@@ -538,6 +566,17 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_id", $"user_id")
     },
 
+    // INCREMENTAL zorder (OPTIMIZE ... ZORDER BY ... INCREMENTAL): half
+    // the table laid by a full pass, half by the O(tail) incremental
+    // pass after a scattered ingest burst — a pruned range read across
+    // BOTH layout generations must return exactly the filter's rows.
+    "q_acid_zorder_inc" -> { (s, d) =>
+      import s.implicits._
+      zorderIncTable(s, d)
+        .snapshotWhere($"user_id" >= 20L && $"user_id" <= 60L)
+        .orderBy($"event_id")
+    },
+
     // Unified predicate-driven skipping: one compound predicate over the
     // z-ordered table; snapshotWhere derives the file list from BOTH
     // dimensions' manifest windows at once (PredicateSkippingSpec pins
@@ -810,6 +849,11 @@ object AcidQueries extends QueryPack {
         |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE event_id BETWEEN 1000 AND 1999
         |ORDER BY event_id, user_id""".stripMargin,
+
+    "q_acid_zorder_inc" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id BETWEEN 20 AND 60
+        |ORDER BY event_id""".stripMargin,
 
     // old half NULL, new half tagged — the evolved-snapshot projection
     "q_acid_evolution" ->

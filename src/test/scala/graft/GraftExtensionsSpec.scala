@@ -71,6 +71,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ops = s2.sql("DESCRIBE HISTORY gmaint.m")
       .orderBy($"version").select($"operation").as[String].collect().toSeq
     assert(ops == Seq("append", "zorder"))
+    // ... ZORDER BY (...) INCREMENTAL re-clusters only the tail: after a
+    // scattered burst, the laid generation's files carry over verbatim
+    val laid = reloaded.activeFiles(reloaded.latestVersion.get).toSet
+    t.append((512 until 576).map(i =>
+      (i.toLong, ((i * 131) % 512).toLong, ((i * 191) % 512).toLong))
+      .toDF("id", "x", "y").coalesce(1))
+    s2.sql("OPTIMIZE gmaint.m TARGET 8 FILES ZORDER BY (x, y) INCREMENTAL")
+    val t4 = graft.acid.GraftTable.load(s2, s"$wh/m")
+    assert(laid.subsetOf(t4.activeFiles(t4.latestVersion.get).toSet),
+      "INCREMENTAL must carry the laid generation over verbatim")
+    assert(t4.snapshot().count() == 576L)
     // RESTORE rolls back; VACUUM trims retention
     s2.sql("RESTORE gmaint.m TO VERSION AS OF 1")
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").history().last.op == "restore")

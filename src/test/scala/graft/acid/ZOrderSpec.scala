@@ -97,6 +97,57 @@ class ZOrderSpec extends SparkSpec {
     assert(t.history().last.op == "zorder")
   }
 
+  test("INCREMENTAL zorder rewrites only the unclustered tail, O(tail) not O(table)") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_zorder_inc"),
+      indexCols = Seq("x", "y"))
+    t.append(grid(4096).repartition(8))
+    t.compactZOrder(("x", "y"), targetFiles = 16)
+    val laid = t.activeFiles(t.latestVersion.get).toSet
+    // an ingest burst lands two SCATTERED files (windows span everything)
+    val burst = (4096 until 4608).map { i =>
+      (i.toLong, ((i * 131) % 4096).toLong, ((i * 191) % 4096).toLong)
+    }.toDF("id", "x", "y")
+    t.append(burst.repartition(2))
+    // the incremental pass must carry every laid file verbatim and
+    // rewrite only the burst
+    val v = t.compactZOrderIncremental(Seq("x", "y"), targetFiles = 16)
+    val after = t.activeFiles(v).toSet
+    assert(laid.subsetOf(after),
+      "already-clustered files must carry over verbatim")
+    val rewritten = after -- laid
+    assert(rewritten.nonEmpty && rewritten.size <= 4,
+      s"the tail (512 of 4608 rows) must rewrite into a few files, got " +
+        s"${rewritten.size}")
+    assert(t.snapshot().count() == 4608L, "incremental layout is lossless")
+    // pruning stays tight across BOTH generations
+    val all = after.size
+    assert(t.filesForColumnRange("x", 0L, 511L).size < all,
+      "x-range pruning must survive the incremental pass")
+    assert(t.snapshotRangeOn("x", 0L, 511L).count() ==
+      (0 until 4608).count(i => (i * 131) % 4096 <= 511))
+    // a second pass finds nothing unclustered: metadata-only commit
+    val v2 = t.compactZOrderIncremental(Seq("x", "y"), targetFiles = 16)
+    assert(t.activeFiles(v2).toSet == after, "steady state must be a no-op")
+    // generational COALESCING: a tiny burst lays into a sliver file;
+    // the next pass rewrites the NEXT burst together with that sliver,
+    // so layout generations merge instead of accumulating
+    def tiny(off: Int) = (off until off + 50).map { i =>
+      (i.toLong, ((i * 131) % 4096).toLong, ((i * 191) % 4096).toLong)
+    }.toDF("id", "x", "y")
+    t.append(tiny(10000).coalesce(1))
+    val v3 = t.compactZOrderIncremental(Seq("x", "y"), targetFiles = 16)
+    val sliver = (t.activeFiles(v3).toSet -- after)
+    assert(sliver.size == 1, s"a 50-row tail lays into one file: $sliver")
+    t.append(tiny(20000).coalesce(1))
+    val v4 = t.compactZOrderIncremental(Seq("x", "y"), targetFiles = 16)
+    assert((t.activeFiles(v4).toSet & sliver).isEmpty,
+      "the previous tiny generation must coalesce into the new pass")
+    assert(t.snapshot().count() == 4708L)
+    // an unwindowed dimension is rejected loudly
+    assertThrows[IllegalArgumentException](
+      t.compactZOrderIncremental(Seq("x", "id"), 16))
+  }
+
   test("index windows persist in the log and recover via load") {
     val root = graft.TempDirs.create("graft_zorder_load")
     val t = new GraftTable(spark, root, indexCols = Seq("x", "y"))
