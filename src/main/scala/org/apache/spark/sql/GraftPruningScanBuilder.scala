@@ -145,7 +145,7 @@ class GraftPruningScanBuilder(
       dvPlan match {
         case Some(mk) =>
           val outSchema = required.getOrElse(dataSchema)
-          new GraftDvScan(ident, outSchema,
+          new GraftDvScan(ident, outSchema, manifestCount(),
             () => mk(files, outSchema.fieldNames.toSeq, pushed))
         case None =>
           if (files.size == allFiles.size) probe.build()
@@ -171,10 +171,24 @@ class GraftPruningScanBuilder(
 class GraftDvScan(
     ident: String,
     schema: StructType,
+    liveRows: Option[Long],
     val plan: () => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-  extends Scan {
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String = s"graft.DvScan[$ident]"
+  // manifest-derived size estimate (live rows already subtract the
+  // masks) so optimizer-phase decisions made BEFORE the rewrite lands —
+  // join reorder, broadcast thresholds — see a realistic relation, not
+  // the "unknown = huge" default
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        liveRows.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(r * math.max(1, schema.defaultSize)))
+      override def numRows(): java.util.OptionalLong =
+        liveRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     throw new IllegalStateException(
       s"table $ident carries deletion vectors; the GraftDvScanRewrite " +

@@ -123,6 +123,41 @@ class ConcurrentMergeSpec extends SparkSpec {
     assert(t.history().last.op == "merge")
   }
 
+  test("disjoint AUTO-scoped merges race on an un-partitioned table; both land") {
+    // the round-9 auto-scope path under concurrency: no partitionCol,
+    // day ∈ keyCols is windowed — two writers merging DISJOINT days must
+    // both land, the loser rebasing without recompute (disjoint windowed
+    // scopes pass commitScopedWithRebase's conflict checks)
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_autorace"),
+      indexCols = Seq("day"))
+    def rows(day: Long) = (0L until 100L)
+      .map(i => (day * 100 + i, day, s"v${day * 100 + i}", 0L))
+      .toDF("id", "day", "name", "seq")
+    (0L to 3L).foreach(d => t.append(rows(d)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def upd(day: Long, tag: String) =
+      Seq((day * 100 + 5L, day, tag, 9999L)).toDF("id", "day", "name", "seq")
+    try {
+      val fs = Seq((1L, "left"), (3L, "right")).map { case (day, tag) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            barrier.await()
+            t.commitWithRetry()(t.merge(upd(day, tag), Seq("id", "day"),
+              Seq($"seq".desc)))
+          }
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(t.history().count(_.op == "merge") == 2)
+    val snap = t.snapshot()
+    assert(snap.count() == 400)
+    assert(snap.filter($"name".isin("left", "right")).count() == 2)
+    assert(snap.filter($"id" === 105L).select($"name").as[String].head() == "left")
+    assert(snap.filter($"id" === 305L).select($"name").as[String].head() == "right")
+  }
+
   test("same-partition merges conflict; commitWithRetry recomputes correctly") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_cmerge_conf"),
       partitionCol = Some("pid"))
