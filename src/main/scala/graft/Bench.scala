@@ -40,6 +40,12 @@ object Bench {
         // restore rollback, keyed CDF — each builds its table on first
         // touch; warmed so the timed region measures the reads
         "q_acid_evolution", "q_acid_zorder", "q_acid_restore", "q_acid_cdf",
+        // round-8/9 fixture families (string-bloom table, merge-on-read
+        // DV table, ingest-dedup table, incremental-zorder generations,
+        // bus->table pipeline) — built on first touch, warmed so the
+        // timed region measures the reads
+        "q_acid_point_str", "q_acid_dv_update", "q_acid_append_unique",
+        "q_acid_zorder_inc", "q_pipeline_bus_to_table",
         // builds the once-per-JVM bus log fixture (4 partition bulk load)
         "q_source_bus_stream",
         // builds + compacts the keyed bus fixture (12 segment publishes)

@@ -76,26 +76,27 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   final class ConstraintViolationException(msg: String)
     extends IllegalArgumentException(msg)
 
-  /** Enforce the table's CHECK constraints on the rows ACTUALLY WRITTEN
-    * for a commit candidate (one agg pass re-reading the new immutable
-    * files, before any manifest names them). Validating the written files
-    * rather than the incoming frame means the input expression evaluates
-    * exactly once — a non-deterministic input cannot slip a violating row
-    * past a separate validation pass — and a violation leaves only orphan
-    * files (invisible to every reader; [[vacuum]] reclaims them), with
-    * nothing committed. A NULL constraint result PASSES, matching ANSI
-    * SQL (and Delta Lake) CHECK semantics: only a FALSE predicate
-    * violates. */
-  private def validateWritten(dir: String): Unit = if (constraints.nonEmpty) {
-    val counts = spark.read.parquet(dir).agg(
-      count(lit(1)).as("_n"),
-      constraints.zipWithIndex.map { case (c, i) =>
-        coalesce(sum(when(coalesce(expr(c), lit(true)), 0L).otherwise(1L)),
-          lit(0L)).as(s"_c$i")
-      }: _*).head()
-    val bad = constraints.zipWithIndex
-      .map { case (c, i) => c -> counts.getLong(counts.fieldIndex(s"_c$i")) }
-      .filter(_._2 > 0L)
+  /** CHECK constraints are enforced on the rows ACTUALLY WRITTEN for a
+    * commit candidate, folded into [[writeData]]'s single per-file stats
+    * pass (violation counts are just more aggregates in the same job —
+    * at ingest scale a second full read of the new files is a real
+    * cost). Validating the written files rather than the incoming frame
+    * means the input expression evaluates exactly once — a
+    * non-deterministic input cannot slip a violating row past a separate
+    * validation pass — and a violation leaves only orphan files
+    * (invisible to every reader; [[vacuum]] reclaims them), with nothing
+    * committed. A NULL constraint result PASSES, matching ANSI SQL (and
+    * Delta Lake) CHECK semantics: only a FALSE predicate violates. */
+  private def violationAggs: Seq[Column] =
+    constraints.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(coalesce(expr(c), lit(true)), 0L).otherwise(1L)),
+        lit(0L)).as(s"__chk$i")
+    }
+
+  private def validateCounts(rows: Array[org.apache.spark.sql.Row]): Unit = {
+    val bad = constraints.zipWithIndex.map { case (c, i) =>
+      c -> rows.map(r => r.getLong(r.fieldIndex(s"__chk$i"))).sum
+    }.filter(_._2 > 0L)
     if (bad.nonEmpty)
       throw new ConstraintViolationException(
         bad.map { case (c, n) => s"CHECK ($c): $n row(s) violate" }
@@ -649,7 +650,6 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val dir = new Path(rootPath, sub).toString
     df.write.parquet(dir)
-    validateWritten(dir)
     val written = spark.read.parquet(dir)
     def isStringCol(c: String): Boolean = written.schema.fields
       .find(_.name.equalsIgnoreCase(c))
@@ -671,19 +671,25 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // the same per-file pass also records each file's ROW COUNT (the
     // Delta-style stats action): snapshot counts and CBO sizing then
     // resolve from manifest metadata with zero file opens
+    // ONE distributed pass serves windows, row counts AND the CHECK
+    // constraints (violation counts are per-file aggregates summed
+    // driver-side) — a constrained ingest never pays a second full read
+    // of the files it just wrote
     val aggs = numTracked.flatMap { case (tag, c) =>
       Seq(min(col(c).cast("long")).as(s"${tag}_lo"),
           max(col(c).cast("long")).as(s"${tag}_hi"))
     } ++ strTracked.flatMap { case (tag, c) =>
       Seq(min(col(c)).as(s"${tag}_slo"), max(col(c)).as(s"${tag}_shi"))
-    } :+ count(lit(1)).as("__nrows")
+    } ++ violationAggs :+ count(lit(1)).as("__nrows")
     case class PerFile(num: Map[String, (Long, Long)],
                        str: Map[String, (String, String)], nrows: Long)
+    val perFileRows = written
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    validateCounts(perFileRows)
     val perFile: Map[String, PerFile] =
-      written
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      perFileRows
         .map { r =>
           val byTag = numTracked.map { case (tag, _) =>
             val (i, j) = (r.fieldIndex(s"${tag}_lo"), r.fieldIndex(s"${tag}_hi"))
