@@ -549,38 +549,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           s"deletion vector for ${e.path} missing from sidecar v$v at $root")
     }
 
-  /** The snapshot's deletion-vector mask as a DataFrame of
-    * (`__dv_file` two-component file key, `__dv_pos` row index),
-    * assembled by reading the referenced `.dvs` sidecars as a
-    * DISTRIBUTED text source: positions decode in executor tasks and
-    * reach the anti-join as an ordinary broadcastable relation, so the
-    * driver and the query plan carry O(referenced files) metadata —
-    * never the positions themselves. [[dvPurgeRows]] bounds the total
-    * mask size ([[maybeAutoPurge]]), keeping the broadcast small at any
-    * table scale. */
-  private def dvMaskDF(dved: Seq[FileEntry]): DataFrame = {
+  /** The deletion-vector read mask as a codegen FILTER predicate over
+    * (file key, row index) — TRUE for a row the masks keep. The
+    * [[graft.functions.DvMasked]] expression ships O(masked files)
+    * metadata (key + entry path + sidecar path per file) and each
+    * EXECUTOR loads the positions straight from the immutable `.dvs`
+    * sidecars on first evaluation: no join operator, no broadcast
+    * build, and the mask never exists on the driver or in the plan —
+    * the read stays one vectorized scan inside a single
+    * whole-stage-codegen span. [[dvPurgeRows]] bounds the total mask
+    * ([[maybeAutoPurge]]). */
+  private def dvKeepPredicate(dved: Seq[FileEntry], fileKey: Column,
+                              rowPos: Column): Column = {
     validateDvRefs(dved)
-    import spark.implicits._
-    val wanted: Map[(String, String), String] = dved.map { e =>
-      (f"${e.dvRef.get}%020d", e.path) -> GraftTable.entrySuffix(e.path)
-    }.toMap
-    val paths = dved.flatMap(_.dvRef).distinct.map(v => dvSidecarPath(v).toString)
-    spark.read.textFile(paths: _*)
-      .select(input_file_name().as("__sf"), col("value").as("__line"))
-      .as[(String, String)]
-      .flatMap { case (sf, line) =>
-        val name = sf.substring(sf.lastIndexOf('/') + 1) // v<20 digits>.dvs
-        val ver = name.stripPrefix("v").stripSuffix(".dvs")
-        if (line.isEmpty || line.startsWith("#")) Iterator.empty
-        else line.split('\t') match {
-          case Array(p, b64) => wanted.get((ver, p)) match {
-            case Some(suffix) =>
-              GraftTable.decodeBloom(b64).iterator.map(pos => (suffix, pos))
-            case None => Iterator.empty
-          }
-          case _ => Iterator.empty
-        }
-      }.toDF("__dv_file", "__dv_pos")
+    val refs = dved.map(e => (GraftTable.entrySuffix(e.path), e.path,
+      dvSidecarPath(e.dvRef.get).toString))
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    val masked = bridge.column(graft.functions.DvMasked(
+      bridge.expr(spark, fileKey), bridge.expr(spark, rowPos), refs,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)))
+    // a NULL probe (impossible for parquet metadata columns) KEEPS the
+    // row: the mask may only ever remove provably-masked positions
+    coalesce(!masked, lit(true))
   }
 
   /** Read `es`'s files as one frame under the declared `schema`,
@@ -597,21 +588,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val df = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
     val dved = es.filter(_.dvRef.isDefined)
     if (dved.isEmpty) df
-    else {
-      val dataCols = df.columns.toIndexedSeq
-      // join key: the file path's LAST TWO components (`c<v>-<uuid>/
+    else
+      // mask key: the file path's LAST TWO components (`c<v>-<uuid>/
       // part-...`, [[GraftTable.entrySuffix]]) — the commit dir's uuid
       // makes it unique per table, so unlike the bare file name two
       // entries in different data subdirectories can never cross-mask
       // each other's rows
-      df.withColumn("__dv_f",
-          substring_index(col("_metadata.file_path"), "/", -2))
-        .withColumn("__dv_p", col("_metadata.row_index"))
-        .join(broadcast(dvMaskDF(dved)),
-          col("__dv_f") === col("__dv_file") && col("__dv_p") === col("__dv_pos"),
-          "left_anti")
-        .select(dataCols.map(col): _*)
-    }
+      df.filter(dvKeepPredicate(dved,
+        substring_index(col("_metadata.file_path"), "/", -2),
+        col("_metadata.row_index")))
   }
 
   /** Snapshot read of `version` (default: latest). The file list resolves
@@ -1985,10 +1970,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .withColumn("__mor_p", col("_metadata.row_index"))
     val dved = es.filter(_.dvRef.isDefined)
     if (!applyDv || dved.isEmpty) df
-    else
-      df.join(broadcast(dvMaskDF(dved)),
-        col("__mor_f") === col("__dv_file") && col("__mor_p") === col("__dv_pos"),
-        "left_anti")
+    else df.filter(dvKeepPredicate(dved, col("__mor_f"), col("__mor_p")))
   }
 
   /** Merge `hit` (file key, row index) rows — keys are [[GraftTable

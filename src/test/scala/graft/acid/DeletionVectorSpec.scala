@@ -139,18 +139,26 @@ class DeletionVectorSpec extends SparkSpec {
       "the existing-key probe must prune through windows/blooms")
   }
 
-  test("the read-side mask is a distributed sidecar read, not a driver literal") {
+  test("the read-side mask is an executor-loaded codegen filter: no join, no driver literal") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
     t.append(rows(2000).repartition(4))
     (1 to 5).foreach(i => t.delete($"id" === i.toLong * 10L))
     val plan = t.snapshot().queryExecution.optimizedPlan.toString()
-    // the (file,pos) pairs must come from scanning the `.dvs` sidecars in
-    // tasks — a LocalRelation would mean the union mask was assembled on
-    // the driver and embedded in the plan
+    // the positions load in EXECUTORS from the .dvs sidecars (DvMasked
+    // expression): the plan must carry neither a LocalRelation (driver-
+    // assembled mask) nor any Join (broadcast anti-join shape) — just
+    // the parquet scan under one codegen filter
     assert(!plan.contains("LocalRelation"),
       s"DV mask embedded in the plan as a local relation:\n$plan")
-    assert(plan.contains(".dvs") || plan.toLowerCase.contains("text"),
-      s"DV mask should read the sidecars as a text source:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"DV mask must be a filter, not a join:\n$plan")
+    assert(plan.toLowerCase.contains("dvmasked"),
+      s"expected the DvMasked filter in the plan:\n$plan")
+    // `*(N)` marks whole-stage-codegen membership in the executed plan
+    val exec = t.snapshot().queryExecution.executedPlan.toString()
+    assert(exec.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("dvmasked") && l.contains("*(")),
+      s"the DV filter must stay inside codegen:\n$exec")
     assert(t.snapshot().count() == 1995)
   }
 
