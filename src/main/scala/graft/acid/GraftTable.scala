@@ -1657,7 +1657,46 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case _ => None
     }
     def isLit(e: Expression): Boolean = litLong(e).nonEmpty || litStr(e).nonEmpty
+    // OR over the SAME column unions soundly: both-points → point-set
+    // union, otherwise the covering range (a wider window test keeps
+    // extra files, never drops a matching one). Mixed-column ORs prove
+    // nothing and prune nothing.
+    def orUnion(l: ColBound, r: ColBound): Option[ColBound] = {
+      if (!l.col.equalsIgnoreCase(r.col)) return None
+      def strSide(b: ColBound): Option[(Option[String], Option[String])] =
+        b.spoints.map(ps => (Some(ps.min), Some(ps.max)))
+          .orElse(if (b.slo.isDefined || b.shi.isDefined) Some((b.slo, b.shi))
+                  else None)
+      def numSide(b: ColBound): Option[(Option[Long], Option[Long])] =
+        b.points.map(ps => (Some(ps.min), Some(ps.max)))
+          .orElse(if (b.lo.isDefined || b.hi.isDefined) Some((b.lo, b.hi))
+                  else None)
+      (l.points, r.points, l.spoints, r.spoints) match {
+        case (Some(a), Some(b), _, _) =>
+          Some(ColBound(l.col, points = Some((a ++ b).distinct)))
+        case (_, _, Some(a), Some(b)) =>
+          Some(ColBound(l.col, spoints = Some((a ++ b).distinct)))
+        case _ =>
+          (numSide(l), numSide(r)) match {
+            case (Some((lo1, hi1)), Some((lo2, hi2))) =>
+              Some(ColBound(l.col,
+                lo = for (a <- lo1; b <- lo2) yield math.min(a, b),
+                hi = for (a <- hi1; b <- hi2) yield math.max(a, b)))
+            case _ => (strSide(l), strSide(r)) match {
+              case (Some((lo1, hi1)), Some((lo2, hi2))) =>
+                Some(ColBound(l.col,
+                  slo = for (a <- lo1; b <- lo2) yield if (a <= b) a else b,
+                  shi = for (a <- hi1; b <- hi2) yield if (a >= b) a else b))
+              case _ => None
+            }
+          }
+      }
+    }
     def bound(e: Expression): Option[ColBound] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        for (bl <- bound(l); br <- bound(r); u <- orUnion(bl, br)) yield u
+      case Fn("or", Seq(l, r)) =>
+        for (bl <- bound(l); br <- bound(r); u <- orUnion(bl, br)) yield u
       case EqualTo(a, l) if colName(a).nonEmpty => eq(a, l)
       case EqualTo(l, a) if colName(a).nonEmpty => eq(a, l)
       case GreaterThanOrEqual(a, l) if colName(a).nonEmpty => ge(a, l)

@@ -60,6 +60,31 @@ class PredicateSkippingSpec extends SparkSpec {
     assert(t.filesForPredicate(lit(150L) <= $"k" && $"k" < 160L).size < all)
   }
 
+  test("OR predicates over one column union their bounds and still prune") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predor"),
+      statsCol = Some("k"))
+    // three disjoint key bands, one file each
+    (0 to 2).foreach(b => t.append(
+      (b * 1000 until b * 1000 + 1000).map(i => (i.toLong, s"v$i"))
+        .toDF("k", "v").coalesce(1)))
+    val all = t.activeFiles(t.latestVersion.get).size
+    // point OR point: a two-point set, still skips the untouched band
+    val hitPts = t.filesForPredicate($"k" === 5L || $"k" === 2100L).size
+    assert(hitPts < all, s"OR-points hit $hitPts of $all files")
+    assert(t.snapshotWhere($"k" === 5L || $"k" === 2100L).count() == 2L)
+    // range OR range: covering window, middle band may stay but reads exact
+    val hitRange = t.filesForPredicate(
+      ($"k" >= 10L && $"k" <= 20L) || ($"k" >= 2010L && $"k" <= 2020L)).size
+    assert(hitRange <= all)
+    assert(t.snapshotWhere(
+      ($"k" >= 10L && $"k" <= 20L) || ($"k" >= 2010L && $"k" <= 2020L))
+      .count() == 22L)
+    // an OR across DIFFERENT columns proves nothing — must not mis-skip
+    assert(t.snapshotWhere($"k" === 5L || $"v" === "v2100").count() == 2L)
+    // half-bounded OR: one side unbounded below — union drops that bound
+    assert(t.snapshotWhere($"k" <= 3L || $"k" === 2999L).count() == 5L)
+  }
+
   test("string windows prune range and point predicates on a clustered string column") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_predstr"),
       indexCols = Seq("doc_id"))
