@@ -143,6 +143,23 @@ class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
       val out = fs.create(marker, true)
       try out.write(Array.emptyByteArray) finally out.close()
       fs.delete(plan, false)
+      // bounded marker retention: a marker only serves the engine's
+      // replay of RECENT batches, so every 64th commit drops THIS
+      // query's markers more than 128 epochs behind (best-effort; a
+      // failed sweep just retries later) — `_epochs` stays O(1) per
+      // writer over an unbounded stream instead of one file per batch
+      // forever. Other writers' markers (and `-batch` markers, whose
+      // suffix is not numeric) are never touched.
+      if (epochId % 64 == 0) try {
+        val prefix = s"${info.queryId()}-"
+        fs.listStatus(marker.getParent).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(prefix))
+            n.stripPrefix(prefix).stripSuffix(".plan").toLongOption
+              .filter(_ < epochId - 128)
+              .foreach(_ => fs.delete(st.getPath, false))
+        }
+      } catch { case _: java.io.IOException => () }
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       BusCommit.cleanup(conf.value, s"$stage/e$epochId")

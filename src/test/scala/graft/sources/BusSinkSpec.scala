@@ -236,6 +236,45 @@ class BusSinkSpec extends SparkSpec {
     assert(fs.exists(new Path(rootPath, s"_epochs/$qid2-batch")))
   }
 
+  test("epoch markers sweep past the retention window, one writer at a time") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.types.{BinaryType, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = graft.TempDirs.create("graft_bus_sink_sweep")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val qid = "sweep-q"
+    def mark(name: String): Unit = {
+      val p = new Path(rootPath, s"_epochs/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true); out.close()
+    }
+    // old + recent markers for this writer, another writer's, a batch one
+    mark(s"$qid-1"); mark(s"$qid-2"); mark(s"$qid-190")
+    mark("other-q-1"); mark(s"$qid-batch")
+    val p = new Path(rootPath, s"_staged/$qid/e192/t0-p0.log")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write(("AA==\tAA==\t1\n").getBytes("UTF-8")); out.close()
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = qid
+      override def schema(): StructType = new StructType().add("value", BinaryType)
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+    }
+    val msgs: Array[WriterCommitMessage] =
+      Array(BusWriteMessage(0L, Seq((0, p.toString, 1L, 1L, 1L))))
+    new BusWrite(root, info).toStreaming.commit(192L, msgs)
+    def exists(n: String) = fs.exists(new Path(rootPath, s"_epochs/$n"))
+    assert(!exists(s"$qid-1") && !exists(s"$qid-2"),
+      "markers >128 epochs behind must sweep")
+    assert(exists(s"$qid-190") && exists(s"$qid-192"),
+      "recent markers stay")
+    assert(exists("other-q-1") && exists(s"$qid-batch"),
+      "other writers' and batch markers are never touched")
+  }
+
   test("a crash mid-publish resumes from the epoch plan: no duplicate, no loss") {
     import org.apache.hadoop.fs.Path
     val root = graft.TempDirs.create("graft_bus_sink_crash")
