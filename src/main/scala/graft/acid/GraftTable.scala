@@ -992,44 +992,63 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * or bloom-indexed table a fresh batch probes O(few files) regardless
     * of table size.
     *
-    * Isolation: the uniqueness check is against the snapshot probed at
-    * call time (snapshot isolation, like Delta's insert-only MERGE under
-    * WriteSerializable) — two appendUnique calls racing with the SAME
-    * key can both land it. Route one key-space through one writer, or
-    * follow with an exact-dedup merge for strict uniqueness. */
+    * Isolation: SERIALIZABLE uniqueness. The commit version is PINNED to
+    * the snapshot the probe ran against, so an interleaved commit — in
+    * particular a racing appendUnique that landed the same key — makes
+    * this commit collide loudly and the whole probe+write recomputes
+    * against the new snapshot (Delta's insert-only MERGE under
+    * Serializable, not the blind-append rebase: a blind rebase here
+    * could land a duplicate the racer just inserted). */
   def appendUnique(df: DataFrame, keyCol: String,
                    txn: Option[(String, Long)] = None): Long = {
     val incoming = df.dropDuplicates(keyCol)
-    val fresh = latestVersion match {
-      case None => incoming
-      case Some(v) =>
-        val isStr = df.schema.fields
-          .find(_.name.equalsIgnoreCase(keyCol))
-          .exists(_.dataType == org.apache.spark.sql.types.StringType)
-        val keys = incoming.select(col(keyCol)).na.drop()
-          .distinct().limit(1025).collect().map(_.get(0))
-        val pred =
-          if (keys.isEmpty) lit(false)
-          else if (keys.length <= 1024)
-            col(keyCol).isin(keys.toIndexedSeq: _*)
-          else if (isStr) {
-            val ss = incoming.agg(min(col(keyCol)), max(col(keyCol))).head()
-            col(keyCol) >= ss.getString(0) && col(keyCol) <= ss.getString(1)
-          } else {
-            val mm = incoming.agg(min(col(keyCol)).cast("long"),
-              max(col(keyCol)).cast("long")).head()
-            if (mm.isNullAt(0)) lit(true)
-            else col(keyCol) >= mm.getLong(0) && col(keyCol) <= mm.getLong(1)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion
+      val fresh = base match {
+        case None => incoming
+        case Some(v) =>
+          val isStr = df.schema.fields
+            .find(_.name.equalsIgnoreCase(keyCol))
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)
+          val keys = incoming.select(col(keyCol)).na.drop()
+            .distinct().limit(1025).collect().map(_.get(0))
+          val pred =
+            if (keys.isEmpty) lit(false)
+            else if (keys.length <= 1024)
+              col(keyCol).isin(keys.toIndexedSeq: _*)
+            else if (isStr) {
+              val ss = incoming.agg(min(col(keyCol)), max(col(keyCol))).head()
+              col(keyCol) >= ss.getString(0) && col(keyCol) <= ss.getString(1)
+            } else {
+              val mm = incoming.agg(min(col(keyCol)).cast("long"),
+                max(col(keyCol)).cast("long")).head()
+              if (mm.isNullAt(0)) lit(true)
+              else col(keyCol) >= mm.getLong(0) && col(keyCol) <= mm.getLong(1)
+            }
+          val cand = entriesForPredicate(pred, v)
+          if (cand.isEmpty) incoming
+          else {
+            val existing = readWithDv(cand, schemaOf(v), snapshot(Some(v)))
+              .select(col(keyCol))
+            incoming.join(existing, Seq(keyCol), "left_anti")
           }
-        val cand = entriesForPredicate(pred, v)
-        if (cand.isEmpty) incoming
-        else {
-          val existing = readWithDv(cand, schemaOf(v), snapshot(Some(v)))
-            .select(col(keyCol))
-          incoming.join(existing, Seq(keyCol), "left_anti")
-        }
+      }
+      val v = base.getOrElse(0L) + 1
+      val (data, evolved) = conformForWrite(fresh, mergeSchema = false)
+      val written = writeData(clusterByPartition(data), v)
+      val prev = base.map(entries).getOrElse(Nil)
+      try return commit(v, prev ++ written, op = "append", txn = txn,
+        schema = evolved)
+      catch {
+        case e: ConcurrentCommitException =>
+          // a racer landed: the losing write becomes orphans (vacuum
+          // reclaims) and the probe re-runs against the NEW snapshot
+          attempt += 1
+          if (attempt >= 20) throw e
+      }
     }
-    append(fresh, txn)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Conform an incoming append to the declared schema (when one exists):

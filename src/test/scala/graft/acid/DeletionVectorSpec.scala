@@ -139,6 +139,36 @@ class DeletionVectorSpec extends SparkSpec {
       "the existing-key probe must prune through windows/blooms")
   }
 
+  test("racing appendUnique calls with the same key land it exactly once") {
+    // serializable uniqueness: the commit version pins the probed
+    // snapshot, so the loser recomputes its anti-join against the
+    // winner's commit instead of blind-append-rebasing a duplicate in
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_appuniq_race"),
+      bloomCol = Some("id"))
+    t.append((1L to 50L).map(i => (i, s"v$i")).toDF("id", "name"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val t2 = GraftTable.load(spark, t.root)
+    try {
+      Seq(t, t2).map { h =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            barrier.await()
+            // both writers deliver key 100 (plus a writer-unique key)
+            h.appendUnique(Seq((100L, s"w${h.hashCode}"),
+              (1000L + h.hashCode.toLong.abs % 100L, "u"))
+              .toDF("id", "name"), "id")
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val fresh = GraftTable.load(spark, t.root)
+    assert(fresh.snapshot().filter($"id" === 100L).count() == 1L,
+      "a racing appendUnique must not land the shared key twice")
+    assert(fresh.snapshot().groupBy($"id").count()
+      .filter($"count" > 1).count() == 0L)
+  }
+
   test("the read-side mask is an executor-loaded codegen filter: no join, no driver literal") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_dv"))
     t.append(rows(2000).repartition(4))
