@@ -559,10 +559,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * the read stays one vectorized scan inside a single
     * whole-stage-codegen span. [[dvPurgeRows]] bounds the total mask
     * ([[maybeAutoPurge]]). */
+  /** The mask join key of an entry: the last two components of its
+    * RESOLVED path — identical to `entrySuffix(relPath)` for native
+    * `data/c<v>-<uuid>/part-*` files, and correct for [[GraftTable
+    * .convert]]-adopted files at any depth (a root-level adopted file's
+    * relative path has one component, but `_metadata.file_path` always
+    * carries the parent directory). */
+  private def fileKeyOf(relPath: String): String =
+    GraftTable.entrySuffix(new Path(rootPath, relPath).toString)
+
   private def dvKeepPredicate(dved: Seq[FileEntry], fileKey: Column,
                               rowPos: Column): Column = {
     validateDvRefs(dved)
-    val refs = dved.map(e => (GraftTable.entrySuffix(e.path), e.path,
+    val refs = dved.map(e => (fileKeyOf(e.path), e.path,
       dvSidecarPath(e.dvRef.get).toString))
     val bridge = org.apache.spark.sql.GraftPlanBridge
     val masked = bridge.column(graft.functions.DvMasked(
@@ -656,24 +665,61 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // the same per-file pass also records each file's ROW COUNT (the
     // Delta-style stats action): snapshot counts and CBO sizing then
     // resolve from manifest metadata with zero file opens
-    // ONE distributed pass serves windows, row counts AND the CHECK
-    // constraints (violation counts are per-file aggregates summed
-    // driver-side) — a constrained ingest never pays a second full read
-    // of the files it just wrote
+    val (perFile, blooms) = profileFiles(written, tracked, strTracked, numTracked)
+    fs.listStatus(new Path(rootPath, sub)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("part-"))
+      .sorted.map { n =>
+        val pf = perFile.getOrElse(n, PerFileStats(Map.empty, Map.empty, 0L))
+        FileEntry(s"$sub/$n", pf.num.get("s"), pf.num.get("p"), blooms.get(n),
+          pf.num.collect { case (tag, win) if tag.startsWith("w:") =>
+            tag.drop(2) -> win },
+          rows = Some(pf.nrows),
+          strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
+            tag.drop(2) -> win },
+          bloomFresh = blooms.contains(n))
+      }
+  }
+
+  private case class PerFileStats(num: Map[String, (Long, Long)],
+                                  str: Map[String, (String, String)],
+                                  nrows: Long)
+
+  /** ONE distributed profiling pass over `written`, maps keyed by FILE
+    * NAME: per-file windows + row counts + CHECK violation counts
+    * (validated here — a constrained ingest never pays a second full
+    * read), and the per-file blooms as a second column-pruned pass when
+    * configured. Shared by the native write path ([[writeData]]) and
+    * the in-place adoption ([[GraftTable.convert]]).
+    *
+    * Bloom build, fully distributed: each row pre-hashes the bloom
+    * column with xxhash64 (ANY type — a string content-hash doc_id as
+    * much as a long key — indexes identically), explodes into its K bit
+    * positions, positions fold into per-(file, word) masks with a
+    * map-side-combinable bit_or, and only O(files × 128) mask rows
+    * reach the driver — never row data. The driver-side probe twin is
+    * [[GraftTable.bloomPositionsHashed]]. BUILD/PROBE HASH PARITY: the
+    * driver probe always hashes a LONG for integral points, while
+    * catalyst's xxhash64 hashes int-width columns with hashInt — so
+    * integral columns pre-widen to long here or an Int bloom column's
+    * bits would never match the probe (files silently skipped =
+    * missing rows); strings keep the raw column. */
+  private def profileFiles(written: DataFrame,
+      tracked: Seq[(String, String)],
+      strTracked: Seq[(String, String)],
+      numTracked: Seq[(String, String)])
+      : (Map[String, PerFileStats], Map[String, Array[Long]]) = {
     val aggs = numTracked.flatMap { case (tag, c) =>
       Seq(min(col(c).cast("long")).as(s"${tag}_lo"),
           max(col(c).cast("long")).as(s"${tag}_hi"))
     } ++ strTracked.flatMap { case (tag, c) =>
       Seq(min(col(c)).as(s"${tag}_slo"), max(col(c)).as(s"${tag}_shi"))
     } ++ violationAggs :+ count(lit(1)).as("__nrows")
-    case class PerFile(num: Map[String, (Long, Long)],
-                       str: Map[String, (String, String)], nrows: Long)
     val perFileRows = written
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     validateCounts(perFileRows)
-    val perFile: Map[String, PerFile] =
+    val perFile: Map[String, PerFileStats] =
       perFileRows
         .map { r =>
           val byTag = numTracked.map { case (tag, _) =>
@@ -688,23 +734,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
               .map(tag -> _)
           }.toMap
           new Path(r.getString(0)).getName ->
-            PerFile(byTag, byStr, r.getLong(r.fieldIndex("__nrows")))
+            PerFileStats(byTag, byStr, r.getLong(r.fieldIndex("__nrows")))
         }.toMap
-    // Per-file bloom build, fully distributed: each row pre-hashes the
-    // bloom column with xxhash64 (so ANY type — a string content-hash
-    // doc_id as much as a long key — indexes identically), explodes into
-    // its K bit positions, positions fold into per-(file, word) masks
-    // with a map-side-combinable bit_or, and only O(files x 128) mask
-    // rows reach the driver for assembly — never row data. The driver-
-    // side probe twin is GraftTable.bloomPositionsHashed.
     val blooms: Map[String, Array[Long]] = bloomCol.fold(
       Map.empty[String, Array[Long]]) { c =>
-      // BUILD/PROBE HASH PARITY: the driver probe always hashes a LONG
-      // for integral points (hashLongValue), while catalyst's xxhash64
-      // hashes int-width columns with hashInt — so integral columns
-      // must pre-widen to long here or an Int bloom column's bits would
-      // never match the probe (files silently skipped = missing rows).
-      // Strings keep the raw column (hashStringValue hashes UTF8 bytes).
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val integral = written.schema.fields
         .find(_.name.equalsIgnoreCase(c))
@@ -728,18 +761,64 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           new Path(f).getName -> words
         }
     }
-    fs.listStatus(new Path(rootPath, sub)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("part-"))
-      .sorted.map { n =>
-        val pf = perFile.getOrElse(n, PerFile(Map.empty, Map.empty, 0L))
-        FileEntry(s"$sub/$n", pf.num.get("s"), pf.num.get("p"), blooms.get(n),
-          pf.num.collect { case (tag, win) if tag.startsWith("w:") =>
-            tag.drop(2) -> win },
-          rows = Some(pf.nrows),
-          strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
-            tag.drop(2) -> win },
-          bloomFresh = blooms.contains(n))
+    (perFile, blooms)
+  }
+
+  /** IN-PLACE ADOPTION ([[GraftTable.convert]]'s work): register the
+    * discovered parquet files as commit v1 without rewriting a byte —
+    * one profiling pass records the same per-file windows / blooms /
+    * row counts a native write would, so skipping, deletion vectors and
+    * every reader work identically on the adopted files. */
+  private[acid] def convertInPlace(): Long = {
+    require(latestVersion.isEmpty,
+      s"convert: $root already has graft commits")
+    val rootUri = fs.makeQualified(rootPath).toUri
+    def relOf(p: Path): String =
+      rootUri.relativize(fs.makeQualified(p).toUri).getPath
+    def discover(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          require(!n.contains("="),
+            s"convert: $root contains hive partition directory '$n' — " +
+              "partition values live in the path, which the per-file " +
+              "readers cannot recover; rewrite through append() instead")
+          require(n != "data",
+            s"convert: $root contains a 'data' directory (the native " +
+              "commit area); convert expects a plain parquet directory")
+          discover(st.getPath)
+        } else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
       }
+    val files = discover(rootPath)
+    require(files.nonEmpty, s"convert: no parquet files under $root")
+    val names = files.map(_.getName)
+    require(names.distinct.size == names.size,
+      s"convert: duplicate parquet basenames under $root — the per-file " +
+        "stat keys would collide; compact the layout first")
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    val tracked: Seq[(String, String)] =
+      statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq ++
+        indexCols.map(c => s"w:$c" -> c)
+    def isStringCol(c: String): Boolean = df.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val (strTracked, numTracked) = tracked.partition { case (tag, c) =>
+      tag.startsWith("w:") && isStringCol(c) }
+    val (perFile, blooms) = profileFiles(df, tracked, strTracked, numTracked)
+    val entries = files.sortBy(_.getName).map { p =>
+      val n = p.getName
+      val pf = perFile.getOrElse(n, PerFileStats(Map.empty, Map.empty, 0L))
+      FileEntry(relOf(p), pf.num.get("s"), pf.num.get("p"), blooms.get(n),
+        pf.num.collect { case (tag, win) if tag.startsWith("w:") =>
+          tag.drop(2) -> win },
+        rows = Some(pf.nrows),
+        strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
+          tag.drop(2) -> win },
+        bloomFresh = blooms.contains(n))
+    }
+    commit(1L, entries, op = "convert", schema = Some(df.schema))
   }
 
   /** Range-cluster `df` on the partition column (when configured) so each
@@ -2041,7 +2120,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       : (Map[String, Array[Long]], Set[String]) = {
     val byKey = hits.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-    val keyOf = prev.map(e => GraftTable.entrySuffix(e.path) -> e).toMap
+    val keyOf = prev.map(e => fileKeyOf(e.path) -> e).toMap
     val entryOf = prev.map(e => e.path -> e).toMap
     val payload = byKey.flatMap { case (key, ps) =>
       keyOf.get(key).map(e => e.path -> (dvPositions(e) ++ ps).distinct.sorted)
@@ -2456,6 +2535,35 @@ object GraftTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[acid] def commitMonitor(root: String): Object =
     commitMonitors.computeIfAbsent(root, _ => new Object)
+
+  /** CONVERT an existing parquet directory into a graft table IN PLACE
+    * (the migration primitive every lakehouse format ships): the
+    * directory's parquet files become commit v1 WITHOUT rewriting a
+    * byte — one distributed profiling pass records the same per-file
+    * windows / blooms / row counts a native write would, so data
+    * skipping, deletion vectors, time travel and every reader work
+    * identically on the adopted files, and schema tracking starts at
+    * the files' unified schema. At 100 TB this is the difference
+    * between adopting a data lake and re-copying it.
+    *
+    * Constraints, checked loudly: the files must live under `root` with
+    * unique basenames, and hive partition directories (`k=v/` segments)
+    * are rejected — their column values live in the path, which the
+    * per-file readers cannot recover. Adopted files are never
+    * physically deleted by [[GraftTable.vacuum]] (it reclaims only
+    * native `data/` files); once rewritten away they simply leave the
+    * manifest. */
+  def convert(spark: SparkSession, root: String,
+              statsCol: Option[String] = None,
+              partitionCol: Option[String] = None,
+              bloomCol: Option[String] = None,
+              indexCols: Seq[String] = Nil): GraftTable = {
+    val t = new GraftTable(spark, root, statsCol = statsCol,
+      partitionCol = partitionCol, bloomCol = bloomCol,
+      indexCols = indexCols)
+    t.convertInPlace()
+    t
+  }
 
   /** A handle whose physical config (stats/partition/bloom columns, CHECK
     * constraints) is RECOVERED from the latest commit's manifest header —

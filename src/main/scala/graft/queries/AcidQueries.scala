@@ -277,6 +277,32 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** CONVERT fixture: an ordinary parquet dump of the events table,
+    * adopted IN PLACE (zero rewrite) with stats+bloom profiling, then a
+    * DV delete and a native append on top — the migration path from a
+    * plain data lake into the commit log. */
+  private val convertFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def convertTable(s: SparkSession, d: String): GraftTable = {
+    val root = convertFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("convert" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/convert_$key"
+      events(s, d).repartitionByRange(4, $"event_id")
+        .write.mode("overwrite").parquet(r)
+      val t = GraftTable.convert(s, r, statsCol = Some("event_id"),
+        bloomCol = Some("user_id"))
+      t.delete(pmod($"event_id", lit(97L)) === 0L)
+      t.append(events(s, d).filter(pmod($"event_id", lit(97L)) === 0L)
+        .withColumn("value", $"value" * 2))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** Source→sink pipeline fixture: the append table's commit history
     * streamed through readStream("graft-table") INTO a downstream table
     * via writeStream("graft-table") — no foreachBatch anywhere. Built
@@ -564,6 +590,15 @@ object AcidQueries extends QueryPack {
       zt.snapshotRangeOn("user_id", 20L, 60L)
         .unionByName(zt.snapshotRangeOn("event_id", 1000L, 1999L))
         .orderBy($"event_id", $"user_id")
+    },
+
+    // CONVERT TO graft: a plain parquet dump of events adopted in place
+    // (zero rewrite, profiled stats+blooms), then a DV DELETE masking
+    // rows INSIDE the adopted files and a native append re-landing them
+    // doubled — the lake-to-lakehouse migration path, end to end.
+    "q_acid_convert" -> { (s, d) =>
+      import s.implicits._
+      convertTable(s, d).snapshot().orderBy($"event_id")
     },
 
     // INCREMENTAL zorder (OPTIMIZE ... ZORDER BY ... INCREMENTAL): half
@@ -854,6 +889,12 @@ object AcidQueries extends QueryPack {
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE user_id BETWEEN 20 AND 60
         |ORDER BY event_id""".stripMargin,
+
+    // doubling a double is exponent arithmetic — bit-exact cross-engine
+    "q_acid_convert" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CASE WHEN event_id % 97 = 0 THEN value * 2 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // old half NULL, new half tagged — the evolved-snapshot projection
     "q_acid_evolution" ->
