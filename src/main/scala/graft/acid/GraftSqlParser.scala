@@ -11,10 +11,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * re-derived over the graft commit log:
   *
   * {{{
-  *   OPTIMIZE <table> [TARGET <n> FILES] [ZORDER BY (a, b)]
+  *   OPTIMIZE <table> [TARGET <n> FILES] [ZORDER BY (a, b)] [INCREMENTAL]
   *   VACUUM <table> [RETAIN <n> VERSIONS]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
+  *   REORG [TABLE] <table> APPLY (PURGE)
+  *   CONVERT TO GRAFT '<path>' [STATS BY col] [BLOOM BY col]
   *   DESCRIBE HISTORY <table>
+  *   DESCRIBE DETAIL <table>
   *   DESCRIBE CHANGES <table> FROM <v> TO <v>   -- the change feed as SQL
   * }}}
   *
@@ -42,6 +45,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REORG\s+(?:TABLE\s+)?(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val Convert =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(?:\s+STATS\s+BY\s+(\w+))?(?:\s+BLOOM\s+BY\s+(\w+))?\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val Changes =
@@ -113,6 +118,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftRowLevelCommand(s"REORG ${ref.trim}",
           () => { t.reorg(); () })
       }.getOrElse(delegate.parsePlan(sqlText))
+    // CONVERT TO GRAFT '<path>' [STATS BY col] [BLOOM BY col]: adopt an
+    // existing parquet directory in place (zero rewrite) — the
+    // lake-to-lakehouse migration statement
+    case Convert(path, scol, bcol) =>
+      GraftRowLevelCommand(s"CONVERT TO GRAFT $path",
+        () => { GraftTable.convert(spark, path,
+          statsCol = Option(scol), bloomCol = Option(bcol)); () })
     case Changes(ref, fromV, toV) =>
       resolve(ref).map(_.changeFeed(fromV.toLong, toV.toLong)
           .queryExecution.logical)

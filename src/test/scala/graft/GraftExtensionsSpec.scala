@@ -90,6 +90,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").snapshot().count() == 512L)
     // a non-graft reference falls through to Spark's parser (and errors)
     intercept[Exception] { s2.sql("OPTIMIZE nosuch.cat.table") }
+    // CONVERT TO GRAFT adopts a plain parquet directory in place
+    val cvRoot = TempDirs.create("graft_convert_sql")
+    (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(2).write.mode("overwrite").parquet(cvRoot)
+    s2.sql(s"CONVERT TO GRAFT '$cvRoot' STATS BY id")
+    val cv = graft.acid.GraftTable.load(s2, cvRoot)
+    assert(cv.history().map(_.op) == Seq("convert"))
+    assert(cv.snapshot().count() == 100L)
+    assert(cv.filesForRange(1L, 10L).size <= 1, "STATS BY profiled windows")
     // DESCRIBE CHANGES = the change feed as a SQL result set
     val t2 = new graft.acid.GraftTable(s2, s"$wh/cf")
     t2.append(Seq((1L, "a")).toDF("id", "v"))
