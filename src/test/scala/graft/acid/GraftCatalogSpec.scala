@@ -178,6 +178,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       """SELECT count(*) AS n FROM graft.dvr a JOIN graft.dvr b ON a.id = b.id
         |WHERE a.id <= 8""".stripMargin).as[Long].head() == 7L)
+    // caching materializes THROUGH the mask (the rewrite runs inside the
+    // cache's optimization), and views expand to the masked relation
+    spark.sql("CACHE TABLE graft.dvr")
+    try assert(spark.sql("SELECT count(*) AS n FROM graft.dvr")
+      .as[Long].head() == 998L)
+    finally spark.sql("UNCACHE TABLE graft.dvr")
+    spark.sql("CREATE OR REPLACE TEMP VIEW dvr_v AS SELECT id FROM graft.dvr WHERE id < 100")
+    assert(spark.sql("SELECT count(*) AS n FROM dvr_v").as[Long].head() == 98L)
   }
 
   test("INSERT INTO ... SELECT from a DV'd table reads through the mask") {
