@@ -38,7 +38,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([\w`\s,]+)\))?(?:\s+(INCREMENTAL))?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Reorg =
@@ -58,8 +58,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * the first name part is not a configured graft catalog (the
     * statement then falls through to Spark's parser and its error). */
   private def resolve(tableRef: String): Option[GraftTable] = {
-    // a near-miss the regex over-captured (e.g. `VACUUM t RETAIN 168
-    // HOURS` captures `t RETAIN 168 HOURS`) is not an identifier: fall
+    // a near-miss the regex over-captured (e.g. `VACUUM t RETAIN 7
+    // DAYS` captures `t RETAIN 7 DAYS`) is not an identifier: fall
     // through to the delegate parser's own error, don't throw here
     val parts =
       try delegate.parseMultipartIdentifier(tableRef)
@@ -100,11 +100,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         else
           GraftRowLevelCommand(label, () => { t.compact(n); () })
       }.getOrElse(delegate.parsePlan(sqlText))
-    case Vacuum(ref, retain) =>
+    case Vacuum(ref, retain, unit) =>
       resolve(ref).map { t =>
-        val keep = Option(retain).map(_.toInt).getOrElse(1)
-        GraftRowLevelCommand(s"VACUUM ${ref.trim}",
-          () => { t.vacuum(keep); () })
+        // RETAIN n VERSIONS = count-based; RETAIN n HOURS = the
+        // production time-based retention (vacuumOlderThan); bare
+        // VACUUM keeps only the latest
+        GraftRowLevelCommand(s"VACUUM ${ref.trim}", () => {
+          (Option(retain).map(_.toInt), Option(unit).map(_.toUpperCase)) match {
+            case (Some(n), Some("HOURS")) =>
+              t.vacuumOlderThan(System.currentTimeMillis() - n * 3600000L)
+            case (Some(n), _) => t.vacuum(n)
+            case _ => t.vacuum(1)
+          }
+          ()
+        })
       }.getOrElse(delegate.parsePlan(sqlText))
     case Restore(ref, v) =>
       resolve(ref).map { t =>

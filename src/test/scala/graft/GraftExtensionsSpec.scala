@@ -88,6 +88,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     s2.sql("VACUUM gmaint.m RETAIN 1 VERSIONS")
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").versions.size == 1)
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").snapshot().count() == 512L)
+    // time-based retention: everything is newer than 1 hour -> no-op,
+    // and a 0-hour cutoff still keeps the latest version
+    val tm = new graft.acid.GraftTable(s2, s"$wh/tm")
+    tm.append(Seq((1L, "a")).toDF("id", "v"))
+    tm.append(Seq((2L, "b")).toDF("id", "v"))
+    s2.sql("VACUUM gmaint.tm RETAIN 1 HOURS")
+    assert(graft.acid.GraftTable.load(s2, s"$wh/tm").versions.size == 2,
+      "commits inside the retention window must survive")
+    s2.sql("VACUUM gmaint.tm RETAIN 0 HOURS")
+    val tmAfter = graft.acid.GraftTable.load(s2, s"$wh/tm")
+    assert(tmAfter.versions.size == 1 && tmAfter.snapshot().count() == 2L,
+      "a zero-hour cutoff keeps exactly the latest version")
     // a non-graft reference falls through to Spark's parser (and errors)
     intercept[Exception] { s2.sql("OPTIMIZE nosuch.cat.table") }
     // CONVERT TO GRAFT adopts a plain parquet directory in place
