@@ -20,10 +20,11 @@ class LogFuzzSpec extends SparkSpec {
     // threshold auto-purge (reorg) interleaves with every other op and
     // the content must stay invariant across each firing
     val t = new GraftTable(spark, root, statsCol = Some("id"),
-      bloomCol = Some("id"), checkpointInterval = 7, dvMaxRows = 40,
-      dvPurgeRows = 10L)
+      bloomCol = Some("id"), indexCols = Seq("v"), checkpointInterval = 7,
+      dvMaxRows = 40, dvPurgeRows = 10L)
     // deterministic in CI; GRAFT_FUZZ_SEED widens local exploration
-    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").flatMap(_.trim.toLongOption)
+      .getOrElse(20260814L)
     val rnd = new scala.util.Random(seed)
     // model: id -> v (ids unique by construction of the ops below)
     val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
@@ -86,9 +87,11 @@ class LogFuzzSpec extends SparkSpec {
             model(k) = math.max(model.getOrElse(k, Long.MinValue), v) }
           t.merge(df(upd ++ ins), Seq("id"), Seq(col("v").desc_nulls_last))
         case 8 => // layout ops: content must be invariant
-          rnd.nextInt(3) match {
+          rnd.nextInt(4) match {
             case 0 => t.compact(targetFiles = 1 + rnd.nextInt(4))
             case 1 if model.nonEmpty => t.compactZOrderN(Seq("id", "v"), 4)
+            case 2 if model.nonEmpty =>
+              t.compactZOrderIncremental(Seq("id", "v"), 4)
             case _ => t.reorg()
           }
         case 9 => // restore to a remembered point, or remember one
