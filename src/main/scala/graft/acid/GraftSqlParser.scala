@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   REORG [TABLE] <table> APPLY (PURGE)
   *   CONVERT TO GRAFT '<path>' [STATS BY col] [BLOOM BY col]
+  *   CLONE <table> TO <table | '<path>'> [VERSION AS OF <v>]
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
   *   DESCRIBE CHANGES <table> FROM <v> TO <v>   -- the change feed as SQL
@@ -51,6 +52,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val Changes =
     """(?is)\s*DESCRIBE\s+CHANGES\s+(.+?)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CLONE\s+(.+?)\s+TO\s+(?:'([^']+)'|([\w`.]+))(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   private def spark = SparkSession.active
 
@@ -74,6 +77,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftTable.load(spark, (parts.tail.foldLeft(
         new org.apache.hadoop.fs.Path(root))(new org.apache.hadoop.fs.Path(_, _))).toString)
     }
+  }
+
+  /** The ROOT PATH a graft-catalog identifier maps to — for statements
+    * (CLONE ... TO dest) whose target does not exist yet. */
+  private def resolvePath(tableRef: String): Option[String] = {
+    val parts =
+      try delegate.parseMultipartIdentifier(tableRef)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None }
+    if (parts.length < 2) return None
+    val conf = spark.conf
+    if (!conf.getOption(s"spark.sql.catalog.${parts.head}")
+        .contains(classOf[GraftCatalog].getName)) return None
+    conf.getOption(s"spark.sql.catalog.${parts.head}.root").map(root =>
+      parts.tail.foldLeft(new org.apache.hadoop.fs.Path(root))(
+        new org.apache.hadoop.fs.Path(_, _)).toString)
   }
 
   private def strip(id: String) = id.replace("`", "")
@@ -134,6 +153,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRowLevelCommand(s"CONVERT TO GRAFT $path",
         () => { GraftTable.convert(spark, path,
           statsCol = Option(scol), bloomCol = Option(bcol)); () })
+    // CLONE src TO dest [VERSION AS OF n]: zero-copy shallow clone — the
+    // dest is a catalog identifier (lands under the catalog root, so it
+    // is immediately SELECTable) or a quoted filesystem path
+    case Clone(srcRef, destPath, destRef, ver) =>
+      resolve(srcRef).flatMap { t =>
+        Option(destPath).orElse(Option(destRef).flatMap(resolvePath)).map {
+          dest =>
+            GraftRowLevelCommand(s"CLONE ${srcRef.trim}",
+              () => { t.cloneTo(dest,
+                Option(ver).map(_.toLong)); () })
+        }
+      }.getOrElse(delegate.parsePlan(sqlText))
     case Changes(ref, fromV, toV) =>
       resolve(ref).map(_.changeFeed(fromV.toLong, toV.toLong)
           .queryExecution.logical)

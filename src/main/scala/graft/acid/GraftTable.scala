@@ -874,7 +874,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                             op: String = "commit",
                             txn: Option[(String, Long)] = None,
                             schema: Option[StructType] = None,
-                            dvs: Map[String, Array[Long]] = Map.empty): Long = {
+                            dvs: Map[String, Array[Long]] = Map.empty,
+                            extraMeta: Seq[String] = Nil): Long = {
     fs.mkdirs(logDir)
     // a commit that doesn't change the schema CARRIES the declared schema
     // forward (a delete doesn't un-evolve the table); schema-changing
@@ -967,7 +968,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         (if (constraints.isEmpty) Nil
          else Seq("checks=" + constraints.map(c =>
            java.util.Base64.getUrlEncoder.withoutPadding
-             .encodeToString(c.getBytes(UTF_8))).mkString(",")))).mkString(" ")
+             .encodeToString(c.getBytes(UTF_8))).mkString(","))) ++
+        extraMeta).mkString(" ")
       val header = s"# op=$op ts=${System.currentTimeMillis()} $cfg"
       // one write, terminator LAST: readers treat a manifest without the
       // final marker as in-flight (see manifestLines)
@@ -2474,6 +2476,78 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"no commit at or before $tsMillis in table at $root"))
     restore(target.version)
+  }
+
+  /** SHALLOW CLONE: publish `version` (default latest) of this table as a
+    * brand-new table at `destRoot` WITHOUT copying a byte of data — the
+    * clone's first commit references the source's data files by absolute
+    * path (the public Delta shallow-clone pattern). O(active files)
+    * metadata: per-file stats/windows/row counts carry over verbatim (so
+    * data skipping prunes identically), sidecar blooms and deletion
+    * vectors re-key into the clone's own v1 sidecars, and the declared
+    * schema plus physical config (stats/partition/bloom/index columns,
+    * CHECK constraints) carry into the clone's header.
+    *
+    * After the clone the two tables are fully independent: writes to
+    * either are invisible to the other, the clone's native writes land
+    * under ITS root, and the clone's [[vacuum]] only ever reclaims native
+    * `data/` files under the clone root — it can never delete source
+    * data. The one shared-fate caveat (same as every shallow clone):
+    * vacuuming the SOURCE can delete files the clone still references;
+    * [[reorg]] or [[compact]] on the clone materializes it into an
+    * ordinary self-contained table.
+    *
+    * 100 TB: cloning a petabyte table is one manifest write — the
+    * instant-dev-copy / experiment-branch primitive. */
+  def cloneTo(destRoot: String, version: Option[Long] = None): GraftTable = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    require(versions.contains(v), s"clone: version $v is not retained at $root")
+    val dest = new GraftTable(spark, destRoot, statsCol = statsCol,
+      partitionCol = partitionCol, bloomCol = bloomCol,
+      constraints = constraints, indexCols = indexCols)
+    require(dest.latestVersion.isEmpty,
+      s"clone: destination $destRoot already has commits")
+    def absolutize(p: String): String = new Path(rootPath, p).toString
+    val src = entries(v)
+    // deletion vectors: positions re-key by the clone's (absolute) entry
+    // paths into the clone's own v1 sidecar. Driver-side load is
+    // O(masked positions) — metadata-scale, bounded by the source's
+    // dvPurgeRows auto-purge, same order as reorg planning.
+    val dvPayload = src.filter(_.dvRef.isDefined)
+      .map(e => absolutize(e.path) -> dvPositions(e)).toMap
+    val files = src.map { e =>
+      // sidecar blooms (hashed scheme) re-mark as fresh so commit()
+      // writes them into the clone's v1.blooms under the new path key;
+      // legacy inline blooms (raw-long probe scheme) must stay inline.
+      // FileEntry is instance-scoped: hand the entry to the dest handle
+      // through its serialized manifest-line form.
+      val sidecarBloom = e.bloomRef.flatMap(_ => bloomOf(e)).collect {
+        case (true, words) => words
+      }
+      val line = e.copy(path = absolutize(e.path),
+        bloom = sidecarBloom.orElse(e.bloom),
+        bloomRef = None, dvRef = None, dvCount = 0L).line
+      (line, sidecarBloom.isDefined)
+    }
+    dest.commitCloned(files, schemaOf(v), dvPayload,
+      Seq(s"src=${GraftTable.b64(s"$root@$v")}"))
+    dest
+  }
+
+  /** [[cloneTo]]'s landing half, running on the DESTINATION handle (the
+    * entries cross instances in serialized manifest-line form — FileEntry
+    * is instance-scoped): parse, re-mark carried sidecar blooms fresh,
+    * publish as this table's v1. */
+  private def commitCloned(lines: Seq[(String, Boolean)],
+                           schema: Option[StructType],
+                           dvs: Map[String, Array[Long]],
+                           extraMeta: Seq[String]): Long = {
+    val files = lines.map { case (l, freshBloom) =>
+      parseEntry(l).copy(bloomFresh = freshBloom)
+    }
+    commit(1L, files, op = "clone", schema = schema, dvs = dvs,
+      extraMeta = extraMeta)
   }
 
   /** Time-based retention (the production "vacuum older than 7 days"):
