@@ -87,6 +87,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also self-installs these on initialize for extension-less sessions)
     e.injectOptimizerRule(_ => acid.GraftSqlRowOps)
     e.injectPlannerStrategy(_ => acid.GraftRowCommandStrategy)
+    // deletion-vector application for DSv2 scans of graft-catalog tables.
+    // The rewrite matches DataSourceV2ScanRelation, which only exists
+    // AFTER V2 pushdown — every injectable logical-optimizer batch
+    // (operator optimization, pre-CBO) runs before it, so the rule must
+    // live in experimental.extraOptimizations (the "User Provided
+    // Optimizers" batch at the END of the optimizer). Extensions have no
+    // session at registration time, but an injected rule BUILDER does:
+    // install there, once per session, and return the rule itself as a
+    // harmless no-op for the early batch (pre-pushdown plans carry no
+    // GraftDvScan marker, so it never matches there). GraftCatalog
+    // .initialize installs the same rule for extension-less sessions;
+    // both installs are idempotent.
+    e.injectOptimizerRule { session =>
+      val opts = session.experimental.extraOptimizations
+      if (!opts.contains(acid.GraftDvScanRewrite))
+        session.experimental.extraOptimizations = opts :+ acid.GraftDvScanRewrite
+      acid.GraftDvScanRewrite
+    }
     // lakehouse maintenance SQL over graft-catalog tables:
     // OPTIMIZE [TARGET n FILES] [ZORDER BY (a, b)] / VACUUM [RETAIN n
     // VERSIONS] / RESTORE ... TO VERSION AS OF v / DESCRIBE HISTORY

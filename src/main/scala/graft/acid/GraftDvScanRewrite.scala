@@ -21,9 +21,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * output attribute ids are grafted back via aliases so the surrounding
   * plan resolves unchanged.
   *
-  * Installed idempotently by [[GraftCatalog.initialize]] next to
-  * [[GraftSqlRowOps]] — configuring the catalog is the only setup a SQL
-  * reader of DV'd tables needs. */
+  * Installed idempotently into `experimental.extraOptimizations` (the
+  * "User Provided Optimizers" batch — the one injectable point that runs
+  * AFTER V2 pushdown has materialized the [[DataSourceV2ScanRelation]]
+  * this rule matches) by BOTH [[GraftCatalog.initialize]] and
+  * [[graft.GraftExtensions]] (whose injected-rule builder installs it
+  * when the session's optimizer is first built) — either configuring the
+  * catalog or loading the extension is enough for SQL reads of DV'd
+  * tables. */
 object GraftDvScanRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
 

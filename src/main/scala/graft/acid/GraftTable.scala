@@ -262,27 +262,43 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case null =>
       case ls   => return ls
     }
+    // a legacy manifest already rejected by this handle: re-check the
+    // (cheap) corroboration once and fail IMMEDIATELY instead of
+    // re-paying the stability spin on every read
+    if (legacyRejected.contains(v)) {
+      if (legacyAccepted(v)) legacyRejected.remove(v)
+      else throw legacyRejection(v)
+    }
     var attempt = 0
     var prev: Option[List[String]] = None
     while (true) {
       val lines = readLines(manifestPath(v))
       lines match {
         case Some(ls) if ls.lastOption.contains(CommitMarker) =>
+          checkRequiredFeatures(ls, s"manifest v$v")
           cachePut(manifestCache, v, ls); return ls
         // LEGACY fallback: manifests written before the terminator existed
         // never carry `# ok`. A well-formed header (`# op=...`) with no
         // format-version tag, stable across two reads, is accepted as
         // complete ONLY with corroboration ([[legacyAccepted]]) — a bare
         // stable read would also accept a legacy-era TORN commit (crash
-        // after the header flushed) as a silently-smaller table. A torn
-        // NEW commit (header carries kind=) still fails loudly below.
+        // after the header flushed) as a silently-smaller table.
+        // Uncorroborated, it fails HERE (cached, so later reads fail fast)
+        // instead of spinning out the full torn-commit budget: a legacy
+        // manifest will never grow a terminator, so waiting longer proves
+        // nothing. A torn NEW commit (header carries kind=) still takes
+        // the full 200-attempt spin below — its writer may be mid-write.
         case Some(ls) if attempt >= 20 && prev.contains(ls) &&
             ls.headOption.exists(h => h.startsWith("# op=") &&
-              !h.contains(" kind=")) && ls.length > 1 && legacyAccepted(v) =>
-          logWarning(s"accepting terminator-less legacy manifest v$v at " +
-            s"$root (corroborated); rewrite it with a fresh commit to " +
-            "silence this")
-          cachePut(manifestCache, v, ls); return ls
+              !h.contains(" kind=")) && ls.length > 1 =>
+          if (legacyAccepted(v)) {
+            logWarning(s"accepting terminator-less legacy manifest v$v at " +
+              s"$root (corroborated); rewrite it with a fresh commit to " +
+              "silence this")
+            cachePut(manifestCache, v, ls); return ls
+          }
+          legacyRejected.add(v)
+          throw legacyRejection(v)
         case _ =>
           prev = lines
           attempt += 1
@@ -295,7 +311,53 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     Nil // unreachable
   }
 
+  // versions this handle has rejected as uncorroborated legacy manifests
+  // — re-probed cheaply (one exists + one conf read) instead of re-spun
+  private val legacyRejected =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  private def legacyRejection(v: Long) = new IllegalStateException(
+    s"manifest v$v at $root is terminator-less (legacy format) with no " +
+      "later commit corroborating it — it may be a torn legacy-era " +
+      "write. For a read-only legacy table, opt in with " +
+      "spark.graft.acid.allowLegacyManifests=true, or rewrite the table " +
+      "with a fresh commit to migrate it")
+
   private val CommitMarker = "# ok"
+
+  /** PROTOCOL FEATURE GATING (the Delta readerFeatures pattern): a commit
+    * whose entries use a gated feature stamps `require=<features>` into
+    * its header, and a reader that does not RECOGNIZE a required feature
+    * must refuse the manifest — entry tags carry semantics (`dv=` masks
+    * rows), so an older engine silently dropping an unknown tag would
+    * return WRONG DATA (resurrected rows), not degraded performance.
+    * Enforced per log artifact (each manifest/checkpoint gates its own
+    * body), so a resolution chain is checked exactly where it parses.
+    * Legacy pre-header manifests predate every gated feature and are
+    * naturally exempt. */
+  private def checkRequiredFeatures(ls: List[String], what: String): Unit =
+    ls.headOption.filter(_.startsWith("#")).foreach { h =>
+      h.drop(1).trim.split("\\s+").foreach(_.split("=", 2) match {
+        case Array("require", vals) =>
+          val unknown = vals.split(',').filter(_.nonEmpty)
+            .filterNot(GraftTable.SupportedFeatures)
+          if (unknown.nonEmpty) throw new IllegalStateException(
+            s"$what at $root requires table feature(s) " +
+              s"${unknown.mkString(", ")} this reader does not support " +
+              s"(supported: ${GraftTable.SupportedFeatures.toSeq.sorted
+                .mkString(", ")}); upgrade the engine to read this table")
+        case _ => ()
+      })
+    }
+
+  /** The gated features `files`' manifest lines use — what the commit
+    * header's `require=` token must name. */
+  private def requiredFeatures(files: Seq[FileEntry]): Seq[String] =
+    (files.iterator.flatMap { e =>
+      e.dvRef.map(_ => "dv") ++ e.bloomRef.map(_ => "bf") ++
+        (if (e.strWindows.nonEmpty) Seq("sw") else Nil) ++
+        e.zTag.map(_ => "z")
+    }).toSeq.distinct.sorted
 
   /** Corroboration for a terminator-less (legacy-format) manifest: a
     * LATER manifest exists — commits were built on top of it, so it was
@@ -394,7 +456,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def checkpointEntries(v: Long): Option[Seq[FileEntry]] = {
     val lines = readLines(checkpointPath(v)).getOrElse(Nil)
     if (!lines.lastOption.contains(CommitMarker)) None // crash mid-write
-    else Some(lines.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntry))
+    else {
+      checkRequiredFeatures(lines, s"checkpoint v$v")
+      Some(lines.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntry))
+    }
   }
 
   /** One commit's provenance: version, operation, wall-clock commit time
@@ -422,7 +487,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * recorded in the header at commit time (`nf=`), so a delta manifest
     * never needs its chain resolved just to describe itself (legacy full
     * manifests fall back to counting their own lines). */
-  def history(): Seq[CommitInfo] = versions.map { v =>
+  def history(): Seq[CommitInfo] = versions.map(commitInfo)
+
+  /** Newest-first BOUNDED history — how DESCRIBE HISTORY is actually
+    * used ("what were the last n commits?"): O(limit) header reads
+    * instead of every retained version's. */
+  def history(limit: Int): Seq[CommitInfo] = {
+    require(limit >= 1, "history limit must be >= 1")
+    versions.takeRight(limit).reverse.map(commitInfo)
+  }
+
+  private def commitInfo(v: Long): CommitInfo = {
     val meta = headerMeta(v)
     val nf = meta.get("nf").flatMap(_.toIntOption).getOrElse(
       manifestLines(v).count(l => l.nonEmpty && !l.startsWith("#")))
@@ -447,9 +522,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * consumers (`t.historyDF.createOrReplaceTempView(...)`): version,
     * operation, commit timestamp, active file count, plus the recorded
     * row count when every file in the version carries one. */
-  def historyDF: DataFrame = {
+  def historyDF: DataFrame = historyDF(None)
+
+  /** [[historyDF]] bounded to the newest `limit` commits (newest first)
+    * when a limit is given — the DESCRIBE HISTORY ... LIMIT n surface. */
+  def historyDF(limit: Option[Int]): DataFrame = {
     import spark.implicits._
-    history().map { ci =>
+    limit.fold(history())(history(_)).map { ci =>
       // live row count from the commit header when recorded (nr=), else
       // from the resolved entries (legacy manifests)
       val rows = headerMeta(ci.version).get("nr").flatMap(_.toLongOption)
@@ -506,12 +585,44 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else { val m = readSidecar(path(v)); cachePut(cache, v, m); m }
   }
 
-  /** `e`'s bloom words plus whether they use the HASHED scheme (sidecar
-    * blooms pre-hash values with xxhash64 — any type indexes; legacy
-    * inline blooms hashed the raw long cast). */
-  private def bloomOf(e: FileEntry): Option[(Boolean, Array[Long])] =
-    e.bloom.map((false, _)).orElse(e.bloomRef.flatMap(v =>
-      sidecarMap(bloomSidecars, bloomSidecarPath, v).get(e.path).map((true, _))))
+  /** Bloom BUILD-SCHEME versions, per entry:
+    *  - [[GraftTable.BloomInlineRaw]]: legacy inline `b=` bloom — bits are
+    *    raw-long `pmod(xxhash64(col, i), bits)` positions;
+    *  - [[GraftTable.BloomHashedLegacy]]: hashed `bf=` sidecar written
+    *    BEFORE the integral-widening fix (no `scheme=` header) — an
+    *    Int/Short/Byte bloom column's bits came from catalyst's hashInt,
+    *    which FALSE-NEGATIVES against the long-hashing driver probe;
+    *  - [[GraftTable.BloomHashedWidened]]: hashed sidecar carrying the
+    *    `# scheme=long` header — integral columns pre-widened to long at
+    *    build, full build/probe parity. */
+  private val bloomSchemeTags = bounded[java.lang.Boolean]()
+  private def bloomSidecarWidened(v: Long): Boolean = {
+    val hit = bloomSchemeTags.get(v)
+    if (hit != null) hit.booleanValue()
+    else {
+      val w = readLines(bloomSidecarPath(v)).getOrElse(Nil)
+        .headOption.exists(l => l.startsWith("#") && l.contains("scheme=long"))
+      cachePut(bloomSchemeTags, v, java.lang.Boolean.valueOf(w)); w
+    }
+  }
+
+  /** `e`'s bloom words plus their build scheme (see [[bloomSchemeTags]]). */
+  private def bloomOf(e: FileEntry): Option[(Int, Array[Long])] =
+    e.bloom.map((GraftTable.BloomInlineRaw, _)).orElse(e.bloomRef.flatMap { v =>
+      val scheme = if (bloomSidecarWidened(v)) GraftTable.BloomHashedWidened
+                   else GraftTable.BloomHashedLegacy
+      sidecarMap(bloomSidecars, bloomSidecarPath, v).get(e.path).map((scheme, _))
+    })
+
+  /** Is the bloom column DECLARED LongType? The one case where a
+    * pre-widening hashed bloom stays probe-compatible (the widening cast
+    * long -> long is the identity, so its bits already match the
+    * long-hashing probe). An undeclared schema is conservatively
+    * not-long: legacy-scheme blooms then never skip. */
+  private lazy val bloomColDeclaredLong: Boolean =
+    bloomCol.exists(c => tableSchema.exists(_.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) &&
+        f.dataType == org.apache.spark.sql.types.LongType)))
 
   private def dvPositions(e: FileEntry): Array[Long] =
     e.dvRef.map { v =>
@@ -840,9 +951,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       df.repartitionByRange(math.max(1L, math.min(n, 1024L)).toInt, col(pc))
     }
 
-  private def writeSidecar(p: Path, payload: Seq[(String, Array[Long])]): Unit = {
+  private def writeSidecar(p: Path, payload: Seq[(String, Array[Long])],
+                           header: Seq[String] = Nil): Unit = {
     val out = fs.create(p, false)
-    try out.write((payload.map { case (path, words) =>
+    try out.write((header ++ payload.map { case (path, words) =>
       s"$path\t${GraftTable.encodeBloom(words)}" } :+ CommitMarker)
       .mkString("\n").getBytes(UTF_8))
     finally out.close()
@@ -913,7 +1025,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val bloomed =
         if (fresh.isEmpty) files
         else {
-          writeSidecar(bloomSidecarPath(v), fresh.map(e => e.path -> e.bloom.get))
+          // `scheme=long` versions the build: integral columns pre-widen
+          // to long before xxhash64 ([[profileFiles]]); a header-less
+          // sidecar is treated as the pre-widening build on probe
+          writeSidecar(bloomSidecarPath(v), fresh.map(e => e.path -> e.bloom.get),
+            header = Seq("# scheme=long"))
           val freshPaths = fresh.map(_.path).toSet
           files.map(e => if (freshPaths.contains(e.path) && e.bloomFresh)
             e.copy(bloom = None, bloomRef = Some(v), bloomFresh = false) else e)
@@ -933,12 +1049,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val newLines = finalFiles.map(e => e.path -> e.line).toMap
       val removed = prev.filter(e => !newLines.get(e.path).contains(e.line))
         .map(e => s"-\t${e.path}")
-      val added = finalFiles.filter(e => !prevLines.get(e.path).contains(e.line))
-        .map(e => s"+\t${e.line}")
+      val addedEntries = finalFiles.filter(e =>
+        !prevLines.get(e.path).contains(e.line))
+      val added = addedEntries.map(e => s"+\t${e.line}")
       val asDelta = removed ++ added
       val full = asDelta.length > finalFiles.length
       val kind = if (full) "full" else "delta"
       val body = if (full) finalFiles.map(_.line) else asDelta
+      // feature gate over THIS manifest's body (a delta gates only what
+      // it states; the chain's older artifacts gate their own) — see
+      // [[checkRequiredFeatures]]
+      val req = requiredFeatures(if (full) finalFiles else addedEntries)
       val nr = if (finalFiles.forall(_.rows.isDefined))
         Seq(s"nr=${finalFiles.map(e => e.rows.get - e.dvCount).sum}") else Nil
       // The header ALSO carries the table's physical config (the Delta
@@ -954,6 +1075,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // bytes, typically a handful of streaming sinks.
       val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq(s"kind=$kind", s"nf=${finalFiles.size}") ++ nr ++
+        (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
         (if (txnsAll.isEmpty) Nil
          else Seq("txns=" + txnsAll.toSeq.sortBy(_._1).map { case (id, e) =>
@@ -990,8 +1112,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   private def writeCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
     try {
+      val req = requiredFeatures(files)
+      val header = s"# checkpoint v=$v" +
+        (if (req.isEmpty) "" else s" require=${req.mkString(",")}")
       val out = fs.create(checkpointPath(v), false)
-      try out.write(((s"# checkpoint v=$v" +: files.map(_.line)) :+ CommitMarker)
+      try out.write(((header +: files.map(_.line)) :+ CommitMarker)
         .mkString("\n").getBytes(UTF_8))
       finally out.close()
     } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
@@ -1886,17 +2011,26 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * blooms probe with the raw long positions, and cannot serve string
     * probes (never skip). A file with no bloom is never skipped. */
   private def bloomMayContainLong(e: FileEntry, ps: Seq[Long]): Boolean =
-    bloomOf(e).forall { case (hashed, arr) =>
-      ps.exists { p =>
-        val pos = if (hashed) GraftTable.bloomPositionsHashed(GraftTable.hashLongValue(p))
-                  else bloomPositions(p)
+    bloomOf(e).forall { case (scheme, arr) =>
+      // a PRE-WIDENING hashed sidecar over anything but a provably-long
+      // column may carry hashInt-derived bits that false-negative against
+      // the long-hashing probe — never skip on it (a bloom may only ever
+      // prune provably-absent values); new commits rebuild scheme-tagged
+      if (scheme == GraftTable.BloomHashedLegacy && !bloomColDeclaredLong) true
+      else ps.exists { p =>
+        val pos =
+          if (scheme != GraftTable.BloomInlineRaw)
+            GraftTable.bloomPositionsHashed(GraftTable.hashLongValue(p))
+          else bloomPositions(p)
         pos.forall(testBit(arr, _))
       }
     }
 
   private def bloomMayContainStr(e: FileEntry, ps: Seq[String]): Boolean =
-    bloomOf(e).forall { case (hashed, arr) =>
-      !hashed || ps.exists(s =>
+    bloomOf(e).forall { case (scheme, arr) =>
+      // strings hash identically under both hashed schemes (no widening
+      // cast is involved); inline raw blooms cannot serve strings
+      scheme == GraftTable.BloomInlineRaw || ps.exists(s =>
         GraftTable.bloomPositionsHashed(GraftTable.hashStringValue(s))
           .forall(testBit(arr, _)))
     }
@@ -2165,8 +2299,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val (payload, dead) = mergedDvs(prev, hits)
       val files = prev.filterNot(e => dead.contains(e.path))
-      Some(commit(v, files, op = "delete", dvs = payload -- dead))
+      Some(commit(v, files, op = "delete",
+        dvs = coalesceDvs(prev, payload -- dead, dead)))
     }
+  }
+
+  /** Bound the number of live `.dvs` sidecars a snapshot references: when
+    * this commit's masks would leave the active set pointing at MORE than
+    * [[GraftTable.MaxDvSidecars]] distinct sidecar versions, fold every
+    * still-referenced mask into THIS commit's sidecar too — a
+    * metadata-only enrichment of a commit already being made (positions
+    * are immutable, KB-scale, and bounded in total by the [[dvPurgeRows]]
+    * auto-purge). A long stream of scattered small deletes then keeps the
+    * read plan's [[graft.functions.DvMasked]] ref list at O(1) sidecar
+    * PATHS, so the executor-side sidecar cache stops thrashing across
+    * wide scans, and vacuum retires the superseded sidecars. */
+  private def coalesceDvs(prev: Seq[FileEntry],
+                          payload: Map[String, Array[Long]],
+                          dead: Set[String]): Map[String, Array[Long]] = {
+    val untouched = prev.filter(e => e.dvRef.isDefined &&
+      !payload.contains(e.path) && !dead.contains(e.path))
+    if (untouched.map(_.dvRef.get).distinct.size + 1 <= GraftTable.MaxDvSidecars)
+      payload
+    else payload ++ untouched.map(e => e.path -> dvPositions(e))
   }
 
   /** Partition-scoped row DELETE: erase rows matching `predicate` within
@@ -2250,7 +2405,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         mat.drop("__mor_f", "__mor_p"), lit(true), set)
       val newFiles = writeData(clusterByPartition(updatedRows), v)
       val files = prev.filterNot(e => dead.contains(e.path)) ++ newFiles
-      Some(commit(v, files, op = "update", dvs = payload -- dead))
+      Some(commit(v, files, op = "update",
+        dvs = coalesceDvs(prev, payload -- dead, dead)))
     }
   }
 
@@ -2517,13 +2673,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val dvPayload = src.filter(_.dvRef.isDefined)
       .map(e => absolutize(e.path) -> dvPositions(e)).toMap
     val files = src.map { e =>
-      // sidecar blooms (hashed scheme) re-mark as fresh so commit()
-      // writes them into the clone's v1.blooms under the new path key;
-      // legacy inline blooms (raw-long probe scheme) must stay inline.
-      // FileEntry is instance-scoped: hand the entry to the dest handle
-      // through its serialized manifest-line form.
+      // sidecar blooms of the WIDENED scheme re-mark as fresh so commit()
+      // writes them into the clone's v1.blooms (scheme-tagged) under the
+      // new path key; legacy inline blooms (raw-long probe scheme) must
+      // stay inline, and PRE-WIDENING hashed sidecar blooms are dropped —
+      // re-tagging their hashInt-era bits as scheme=long would fake
+      // build/probe parity and silently mis-skip (the clone just never
+      // skips on those files until a rewrite rebuilds them). FileEntry is
+      // instance-scoped: hand the entry to the dest handle through its
+      // serialized manifest-line form.
       val sidecarBloom = e.bloomRef.flatMap(_ => bloomOf(e)).collect {
-        case (true, words) => words
+        case (s, words) if s == GraftTable.BloomHashedWidened => words
       }
       val line = e.copy(path = absolutize(e.path),
         bloom = sidecarBloom.orElse(e.bloom),
@@ -2603,6 +2763,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 }
 
 object GraftTable {
+  /** Most distinct `.dvs` sidecar versions a snapshot may reference
+    * before a DV commit coalesces every live mask into its own sidecar
+    * (see the handle's `coalesceDvs`). */
+  private[graft] val MaxDvSidecars = 2
+
+  /** Manifest features THIS engine build understands — the read side of
+    * the `require=` protocol gate. Every gated feature's entry tags:
+    * `dv` (deletion-vector refs — masks rows), `bf` (sidecar bloom
+    * refs), `sw` (truncated string windows), `z` (zorder layout tags). */
+  private[graft] val SupportedFeatures: Set[String] = Set("dv", "bf", "sw", "z")
+
   /** Per-root monitor serializing same-JVM commit creates (local-FS
     * exclusive create is check-then-create, not atomic). */
   private val commitMonitors =
@@ -2659,6 +2830,12 @@ object GraftTable {
         indexCols = m.get("icols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     }
   }
+
+  /** Bloom build-scheme versions — see the handle-side scaladoc at
+    * `bloomSchemeTags`. */
+  private[graft] val BloomInlineRaw = 0
+  private[graft] val BloomHashedLegacy = 1
+  private[graft] val BloomHashedWidened = 2
 
   /** Per-file bloom geometry: 8192 bits (128 longs, ~1.4 KB base64 per
     * manifest line), 4 probes — ~1.2% false-positive rate at 1000

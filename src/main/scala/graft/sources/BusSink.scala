@@ -97,6 +97,20 @@ class BusWrite(root: String, info: LogicalWriteInfo) extends Write {
       val out = fs.create(marker, true)
       try out.write(Array.emptyByteArray) finally out.close()
       fs.delete(plan, false)
+      // age out OLD batch markers (best-effort): a `-batch` marker only
+      // short-circuits an engine-side retry of ITS OWN write — the same
+      // queryId, within the same job — so after the retention window it
+      // is inert; without the sweep every batch write would leave one
+      // marker in `_epochs` forever. Streaming epochs have their own
+      // numeric-window sweep; this one is mod-time based because batch
+      // queryIds carry no ordering.
+      val cutoff = System.currentTimeMillis() - BusCommit.batchMarkerRetainMs
+      try fs.listStatus(marker.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.endsWith("-batch") || n.endsWith("-batch.plan")) &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
+      } catch { case _: java.io.IOException => () }
     }
     override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
       val (c, l, st) = (conf, layout, stage)
@@ -178,6 +192,11 @@ case class BusWriteMessage(taskId: Long,
     extends WriterCommitMessage
 
 object BusCommit {
+  /** How long a committed `-batch` marker keeps short-circuiting replay
+    * before the sweep may reclaim it. Engine-side retries of a batch
+    * write happen within its job — days later the marker is inert. */
+  private[sources] val batchMarkerRetainMs: Long = 7L * 24 * 3600 * 1000
+
   /** Commit-time publish driven by a PERSISTED plan (see the sink's
     * commit scaladocs — both the streaming epochs and batch commits
     * route here). Loads the plan if a crashed attempt left one —

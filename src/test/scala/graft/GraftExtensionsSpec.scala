@@ -139,4 +139,100 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("DESCRIBE DETAIL gmaint.rg").collect()
       .head.getAs[Long]("dv_masked_rows") == 0L)
   }
+
+  test("the extension installs the DV rewrite itself, before any catalog use") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    // force the session's optimizer to build WITHOUT touching any graft
+    // catalog: the injected-rule builder must have installed the rewrite
+    // into extraOptimizations (the one batch that runs after V2 pushdown)
+    s2.range(1).count()
+    assert(s2.experimental.extraOptimizations
+      .contains(graft.acid.GraftDvScanRewrite),
+      "GraftExtensions must install GraftDvScanRewrite without catalog help")
+    // and DV'd SQL reads work end to end on the extension session
+    val wh = TempDirs.create("graft_dvext_wh")
+    s2.conf.set("spark.sql.catalog.gdvext", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gdvext.root", wh)
+    val t = new graft.acid.GraftTable(s2, s"$wh/t")
+    t.append((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.delete(org.apache.spark.sql.functions.col("k") < 10L) // DV commit
+    // sum forces a real scan (not the manifest-count shortcut), so the
+    // mask must actually apply
+    assert(s2.sql("SELECT sum(k) AS s FROM gdvext.t").as[Long].head() ==
+      (10L until 100L).sum)
+    assert(s2.sql("SELECT k FROM gdvext.t WHERE k < 12").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L))
+  }
+
+  test("OPTIMIZE ... INCREMENTAL without ZORDER BY is rejected loudly") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    val wh = TempDirs.create("graft_incr_guard_wh")
+    s2.conf.set("spark.sql.catalog.gincr", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gincr.root", wh)
+    val t = new graft.acid.GraftTable(s2, s"$wh/t", indexCols = Seq("x", "y"))
+    t.append((0 until 64).map(i => (i.toLong, i.toLong, (63 - i).toLong))
+      .toDF("id", "x", "y"))
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      s2.sql("OPTIMIZE gincr.t INCREMENTAL")
+    }
+    assert(e.getMessage.contains("INCREMENTAL"))
+    // the table was NOT full-compacted behind the user's back
+    val after = graft.acid.GraftTable.load(s2, s"$wh/t")
+    assert(after.history().map(_.op) == Seq("append"))
+    // the valid form still works
+    s2.sql("OPTIMIZE gincr.t TARGET 4 FILES ZORDER BY (x, y) INCREMENTAL")
+    assert(graft.acid.GraftTable.load(s2, s"$wh/t").history().last.op == "zorder")
+  }
+
+  test("maintenance grammar rejects malformed tails instead of over-capturing") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    val wh = TempDirs.create("graft_grammar_wh")
+    s2.conf.set("spark.sql.catalog.ggram", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.ggram.root", wh)
+    val t = new graft.acid.GraftTable(s2, s"$wh/t")
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    // the r8 over-capture class: an unknown RETAIN unit must fail loudly,
+    // never silently run a bare (keep-1) vacuum
+    val e1 = intercept[ParseException](s2.sql("VACUUM ggram.t RETAIN 7 DAYS"))
+    assert(e1.getMessage.contains("VERSIONS or HOURS"))
+    assert(graft.acid.GraftTable.load(s2, s"$wh/t").versions.size == 5,
+      "a rejected VACUUM must not have vacuumed")
+    // trailing garbage is trailing garbage, not a broader match
+    intercept[ParseException](s2.sql("VACUUM ggram.t RETAIN 2 VERSIONS PLEASE"))
+    intercept[ParseException](s2.sql("OPTIMIZE ggram.t TARGET FILES"))
+    intercept[ParseException](s2.sql("RESTORE ggram.t TO VERSION AS OF x"))
+    intercept[ParseException](s2.sql("DESCRIBE CHANGES ggram.t FROM 1"))
+    assert(graft.acid.GraftTable.load(s2, s"$wh/t").versions.size == 5)
+    // DESCRIBE HISTORY ... LIMIT n: newest first, bounded header reads
+    val h = s2.sql("DESCRIBE HISTORY ggram.t LIMIT 2")
+      .select($"version").as[Long].collect().toSeq
+    assert(h == Seq(5L, 4L), s"newest-first bounded history: $h")
+    // the well-formed statements still parse and run
+    s2.sql("VACUUM ggram.t RETAIN 3 VERSIONS")
+    assert(graft.acid.GraftTable.load(s2, s"$wh/t").versions.size == 3)
+    // non-graft heads and tables still fall through to Spark's parser
+    intercept[Exception](s2.sql("OPTIMIZE nosuch.cat.table"))
+    assert(s2.sql("DESCRIBE ggram.t").count() > 0,
+      "plain DESCRIBE stays Spark's statement")
+  }
 }

@@ -45,6 +45,13 @@ class LogFuzzSpec extends SparkSpec {
       val masked = handle.latestVersion
         .map(v => handle.entries(v).map(_.dvCount).sum).getOrElse(0L)
       assert(masked <= 10L + 40L, s"$label: DV debt $masked past the purge bound")
+      // sidecar coalescing invariant: however the DV commits interleave,
+      // the active set never references more than MaxDvSidecars `.dvs`
+      // sidecars (each DV commit folds the rest into its own when needed)
+      val dvRefs = handle.latestVersion
+        .map(v => handle.entries(v).flatMap(_.dvRef).distinct.size).getOrElse(0)
+      assert(dvRefs <= GraftTable.MaxDvSidecars,
+        s"$label: $dvRefs live dv sidecars exceed ${GraftTable.MaxDvSidecars}")
     }
 
     (1 to 60).foreach { step =>

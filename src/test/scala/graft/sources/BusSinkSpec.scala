@@ -326,4 +326,37 @@ class BusSinkSpec extends SparkSpec {
       Seq("v0", "v1", "v2", "v3", "va", "vb", "vc", "vd", "ve"),
       "every record exactly once, in planned order")
   }
+
+  test("stale -batch markers age out of _epochs on later batch writes") {
+    val root = graft.TempDirs.create("graft_bus_sink_sweep")
+    def write(n: Int, tag: String): Unit =
+      (0 until n).toDF("i").select(
+        concat(lit(tag), $"i").cast("binary").as("value"))
+        .coalesce(1).write.format("graft-bus").option("path", root)
+        .mode("append").save()
+    write(3, "a")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val epochs = new org.apache.hadoop.fs.Path(root, "_epochs")
+    val first = fs.listStatus(epochs).map(_.getPath)
+      .filter(_.getName.endsWith("-batch")).toSeq
+    assert(first.nonEmpty)
+    // age the first write's marker past retention; plant a stale orphaned
+    // plan file too (a crash can leave one behind)
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    first.foreach(p => fs.setTimes(p, old, -1))
+    val orphanPlan = new org.apache.hadoop.fs.Path(epochs, "deadbeef-batch.plan")
+    fs.create(orphanPlan, true).close()
+    fs.setTimes(orphanPlan, old, -1)
+    // a recent foreign marker must survive the sweep
+    val recent = new org.apache.hadoop.fs.Path(epochs, "cafe-batch")
+    fs.create(recent, true).close()
+    write(2, "b")
+    val names = fs.listStatus(epochs).map(_.getPath.getName).toSet
+    assert(!names.contains(orphanPlan.getName), "stale orphan plan swept")
+    first.foreach(p => assert(!names.contains(p.getName), "stale marker swept"))
+    assert(names.contains(recent.getName), "recent markers are kept")
+    assert(names.exists(n => n.endsWith("-batch") && n != recent.getName),
+      "the fresh write's own marker remains")
+    assert(readBack(root).count() == 5, "sweeping never loses records")
+  }
 }
