@@ -428,15 +428,21 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             baseEntries = cp.get; resolved = true
           } else {
             val lines = manifestLines(base)
-            val isDelta = lines.headOption.exists(_.contains(" kind=delta"))
-            if (isDelta) {
-              deltas = lines :: deltas
-              base -= 1
-            } else {
-              baseEntries = lines
-                .filter(l => l.nonEmpty && !l.startsWith("#"))
-                .map(parseEntry)
-              resolved = true
+            // a multi-table-txn participant resolves through its shared
+            // marker: aborted = a NO-OP version (contributes nothing to
+            // the chain), committed = an ordinary delta/full manifest
+            if (pendingAborted(base)) base -= 1
+            else {
+              val isDelta = lines.headOption.exists(_.contains(" kind=delta"))
+              if (isDelta) {
+                deltas = lines :: deltas
+                base -= 1
+              } else {
+                baseEntries = lines
+                  .filter(l => l.nonEmpty && !l.startsWith("#"))
+                  .map(parseEntry)
+                resolved = true
+              }
             }
           }
       }
@@ -987,7 +993,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                             txn: Option[(String, Long)] = None,
                             schema: Option[StructType] = None,
                             dvs: Map[String, Array[Long]] = Map.empty,
-                            extraMeta: Seq[String] = Nil): Long = {
+                            extraMeta: Seq[String] = Nil,
+                            // Some(b64(markerPath)) = a MULTI-TABLE txn
+                            // participant: the manifest publishes in
+                            // PENDING state and readers resolve it
+                            // through the shared marker (see
+                            // [[GraftTable.appendAtomic]])
+                            pending: Option[String] = None): Long = {
     fs.mkdirs(logDir)
     // a commit that doesn't change the schema CARRIES the declared schema
     // forward (a delete doesn't un-evolve the table); schema-changing
@@ -1075,6 +1087,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // bytes, typically a handful of streaming sinks.
       val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq(s"kind=$kind", s"nf=${finalFiles.size}") ++ nr ++
+        pending.map(p => s"pending=$p").toSeq ++
         (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
         (if (txnsAll.isEmpty) Nil
@@ -1097,12 +1110,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // final marker as in-flight (see manifestLines)
       out.write(((header +: body) :+ CommitMarker)
         .mkString("\n").getBytes(UTF_8))
-      cachePut(entriesCache, v, finalFiles)
+      // a PENDING commit's outcome is not known yet: never pre-cache its
+      // entry list (an abort resolves it to v-1's) and never checkpoint
+      // it (a checkpoint is an unconditional full statement)
+      if (pending.isEmpty) cachePut(entriesCache, v, finalFiles)
       if (dvs.nonEmpty) cachePut(dvSidecars, v, dvs)
       // 4. periodic checkpoint: a full materialization every N commits
       // bounds every later resolution's replay chain. Failure-tolerant:
       // the manifest chain alone is always sufficient.
-      if (v % checkpointInterval == 0) writeCheckpoint(v, finalFiles)
+      if (pending.isEmpty && v % checkpointInterval == 0)
+        writeCheckpoint(v, finalFiles)
       // 5. advance the latest-version accelerator (best-effort)
       writeLatestPointer(v)
     } finally out.close()
@@ -1121,7 +1138,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       finally out.close()
     } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
 
-  private def nextVersion: Long = latestVersion.getOrElse(0L) + 1
+  private[acid] def nextVersion: Long = latestVersion.getOrElse(0L) + 1
 
   /** Optimistic-concurrency retry loop: re-evaluates `op` (any
     * single-commit mutation — merge / append / delete / compact) after a
@@ -1344,6 +1361,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * carries the full map forward for good. */
   private def txnsAsOf(v: Long): Map[String, Long] =
     if (v <= 0L) Map.empty
+    // an ABORTED multi-table participant's header carries its txn stamp,
+    // but the commit never happened: its epoch must NOT count as landed
+    // (a replayed batch would be dropped = data loss) — fall through to
+    // the version below it
+    else if (pendingAborted(v)) txnsAsOf(v - 1)
     else headerMeta(v).get("txns") match {
       case Some(enc) =>
         enc.split(',').flatMap(_.split(":", 2) match {
@@ -1353,12 +1375,84 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case None =>
         // legacy upgrade path: ascending fold keeps each writer's newest
         versions.filter(_ <= v).foldLeft(Map.empty[String, Long]) { (acc, ver) =>
-          headerMeta(ver).get("txn").flatMap(_.split(":", 2) match {
-            case Array(id, e) => e.toLongOption.map(id -> _)
-            case _ => None
-          }).fold(acc)(acc + _)
+          headerMeta(ver).get("txn").filter(_ => !pendingAborted(ver))
+            .flatMap(_.split(":", 2) match {
+              case Array(id, e) => e.toLongOption.map(id -> _)
+              case _ => None
+            }).fold(acc)(acc + _)
         }
     }
+
+  /** Is version `v` an ABORTED multi-table-txn participant? Resolves the
+    * shared marker ([[decidePending]]); false for ordinary commits. */
+  private def pendingAborted(v: Long): Boolean =
+    headerMeta(v).get("pending").exists(decidePending(_) == 'a')
+
+  /** Resolve a multi-table txn's decision marker — the reader half of
+    * [[GraftTable.appendAtomic]]'s protocol. The marker is created
+    * EXACTLY ONCE (exclusive create), content `c` (committed, first
+    * line; participants follow) or `a` (aborted), so a decision caches
+    * globally forever. A missing marker is an IN-FLIGHT txn: spin with
+    * patience (the committer's window between its first manifest and the
+    * marker is a handful of metadata ops), then DECIDE ABORT by racing
+    * the exclusive create ourselves — a crashed committer can then never
+    * commit (its own create loses), so the txn resolves identically for
+    * every participant table, and no half-committed pair is ever
+    * readable. */
+  private def decidePending(markerB64: String): Char = {
+    val marker = GraftTable.unb64(markerB64)
+    val cached = GraftTable.pendingDecisions.get(marker)
+    if (cached != null) return cached.charValue()
+    val p = new Path(marker)
+    val mfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readDecision(): Option[Char] =
+      try {
+        if (!mfs.exists(p)) None
+        else {
+          val in = mfs.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+          s.headOption.filter(c => c == 'c' || c == 'a')
+        }
+      } catch { case _: java.io.IOException => None }
+    val patience = spark.conf
+      .getOption("spark.graft.acid.pendingPatienceMs")
+      .flatMap(_.toLongOption).getOrElse(3000L)
+    val deadline = System.currentTimeMillis() + patience
+    var sawEmptySince = 0L
+    while (true) {
+      readDecision() match {
+        case Some(c) =>
+          GraftTable.pendingDecisions.put(marker, java.lang.Character.valueOf(c))
+          return c
+        case None =>
+          val exists = try mfs.exists(p) catch { case _: java.io.IOException => false }
+          if (exists) {
+            // created but contentless: the decider is mid-write — give it
+            // a full extra patience window, then fail LOUDLY (a torn
+            // marker must surface, never be guessed)
+            if (sawEmptySince == 0L) sawEmptySince = System.currentTimeMillis()
+            else if (System.currentTimeMillis() - sawEmptySince > patience)
+              throw new IllegalStateException(
+                s"multi-table txn marker $marker exists but carries no " +
+                  "decision (torn write?); refusing to guess")
+          } else if (System.currentTimeMillis() >= deadline) {
+            // decide ABORT — same-JVM deciders serialize on the marker
+            // monitor so the exclusive create is race-free locally
+            GraftTable.commitMonitor(marker).synchronized {
+              if (readDecision().isEmpty) {
+                try {
+                  val out = mfs.create(p, false)
+                  try out.write("a".getBytes(UTF_8)) finally out.close()
+                } catch { case _: java.io.IOException => () /* lost: re-read */ }
+              }
+            }
+          }
+          Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** The newest epoch `writerId` has committed — the restart question a
     * streaming sink asks before applying a replayed batch. O(1) on the
@@ -2758,6 +2852,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
            if !fs.listStatus(d.getPath).exists(_.getPath.getName.startsWith("part-")))
         fs.delete(d.getPath, true)
     }
+    // retire DECIDED multi-table txn markers nothing can reference any
+    // more: a committer-written marker lists its participants, and once
+    // EVERY participant's pending manifest is vacuumed away no reader
+    // will ever resolve through it. Reader-created abort markers carry
+    // no participant list and are kept (rare, bytes each).
+    val txnDir = new Path(logDir, "_txn")
+    if (fs.exists(txnDir)) fs.listStatus(txnDir).foreach { st =>
+      val participants = readLines(st.getPath).getOrElse(Nil).drop(1)
+        .flatMap(_.split('\t') match {
+          case Array(r, ver) => ver.toLongOption.map(r -> _)
+          case _ => None
+        })
+      if (participants.nonEmpty && participants.forall { case (r, ver) =>
+            !fs.exists(new Path(new Path(r, "_log"), f"v$ver%020d.manifest"))
+          })
+        fs.delete(st.getPath, false)
+    }
     removed.result()
   }
 }
@@ -2780,6 +2891,126 @@ object GraftTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[acid] def commitMonitor(root: String): Object =
     commitMonitors.computeIfAbsent(root, _ => new Object)
+
+  /** Resolved multi-table txn decisions, global (a marker is created
+    * exactly once and never changes — see `decidePending`). */
+  private[acid] val pendingDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Character]()
+
+  /** ATOMIC MULTI-TABLE APPEND — the cross-table transaction a pipeline
+    * landing one batch in TWO (or more) tables needs: either every
+    * table's commit becomes visible or none does, under crashes at any
+    * point and under concurrent single-table writers.
+    *
+    * Protocol (one shared decision marker as the single atomicity
+    * point):
+    *  1. each table's data files write first — plain distributed jobs,
+    *     invisible until a manifest names them (orphans on any failure);
+    *  2. under the tables' commit monitors (acquired in sorted-root
+    *     order — no deadlock), each table publishes its manifest
+    *     normally EXCEPT for a `pending=<marker>` header token;
+    *  3. the marker is created exclusively with decision `c` — the one
+    *     atomic point. A crash before it leaves the txn undecided; the
+    *     FIRST reader that waits out the patience window decides ABORT
+    *     by winning the marker create itself, after which the crashed
+    *     committer can never finish.
+    *
+    * Readers resolve every `pending=` manifest through the marker
+    * (`decidePending`): committed manifests read normally, aborted ones
+    * are NO-OP versions (the version number burns, the content
+    * contributes nothing, the data files become vacuum-able orphans).
+    * Since all participants share ONE marker, the txn resolves
+    * identically everywhere — a half-committed pair is unreadable by
+    * construction, with no recovery sweep to schedule.
+    *
+    * `txn` stamps every participant commit; an aborted participant's
+    * stamp does NOT count as landed (`txnsAsOf` skips aborted versions),
+    * so exactly-once streaming replay composes with multi-table commits.
+    *
+    * Losing a version race to a concurrent writer before any manifest
+    * published simply retries (appends are rebase-free); losing it
+    * after some published aborts the txn via the marker and retries
+    * whole — the already-written data files re-commit at new versions,
+    * no data rewrite. */
+  def appendAtomic(writes: Seq[(GraftTable, DataFrame)],
+                   txn: Option[(String, Long)] = None): Seq[Long] = {
+    require(writes.nonEmpty, "appendAtomic needs at least one write")
+    val sorted = writes.sortBy(_._1.root)
+    require(sorted.map(_._1.root).distinct.size == sorted.size,
+      "appendAtomic: one write per table")
+    val spark = sorted.head._1.spark
+    // 1. distributed data writes, outside every lock. FileEntry is
+    // instance-scoped, so each table's written entries stay inside a
+    // per-table PUBLISH closure (phase 2 invokes it under the locks).
+    val staged: Seq[(GraftTable, String => Long)] = sorted.map { case (t, df) =>
+      val (data, _) = t.conformForWrite(df, mergeSchema = false)
+      val written = t.writeData(t.clusterByPartition(data), t.nextVersion)
+      val publish = (markerB64: String) => {
+        val v = t.nextVersion
+        val prev = t.latestVersion.map(t.entries).getOrElse(Nil)
+        t.commit(v, prev ++ written, op = "append", txn = txn,
+          pending = Some(markerB64))
+      }
+      (t, publish)
+    }
+    val first = sorted.head._1
+    def lockAll[T](ms: List[Object])(body: => T): T = ms match {
+      case Nil => body
+      case h :: rest => h.synchronized(lockAll(rest)(body))
+    }
+    val monitors = sorted.map(w => commitMonitor(w._1.root)).toList
+    var attempt = 0
+    while (true) {
+      // a FRESH marker per attempt: an aborted marker is decided forever
+      val markerPath = first.fs.makeQualified(
+        new Path(new Path(first.root), s"_log/_txn/${java.util.UUID
+          .randomUUID().toString.replace("-", "")}"))
+      val markerB64 = b64(markerPath.toString)
+      def writeMarker(decision: Char, parts: Seq[(GraftTable, Long)]): Boolean =
+        commitMonitor(markerPath.toString).synchronized {
+          try {
+            val out = first.fs.create(markerPath, false)
+            try out.write((decision.toString +: parts.map { case (t, v) =>
+              s"${t.root}\t$v" }).mkString("\n").getBytes(UTF_8))
+            finally out.close()
+            pendingDecisions.put(markerPath.toString,
+              java.lang.Character.valueOf(decision))
+            true
+          } catch { case _: java.io.IOException => false }
+        }
+      try {
+        return lockAll(monitors) {
+          val created = scala.collection.mutable.ListBuffer.empty[(GraftTable, Long)]
+          try {
+            val versions = staged.map { case (t, publish) =>
+              val v = publish(markerB64)
+              created += ((t, v))
+              v
+            }
+            // 3. the atomic point — c wins or a reader's abort beat us
+            if (!writeMarker('c', created.toList))
+              throw new ConcurrentCommitException(
+                s"multi-table txn $markerPath was aborted by a reader " +
+                  "during the commit window; rebase and retry")
+            versions
+          } catch {
+            case e: ConcurrentCommitException =>
+              // burn the already-published participants as no-op
+              // versions; with no manifests out, just retry clean
+              if (created.nonEmpty) writeMarker('a', created.toList)
+              throw e
+          }
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          // the staged data files re-commit at new versions on retry —
+          // no data rewrite; a final failure leaves them as orphans
+          attempt += 1
+          if (attempt >= 20) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** CONVERT an existing parquet directory into a graft table IN PLACE
     * (the migration primitive every lakehouse format ships): the

@@ -303,6 +303,38 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** MULTI-TABLE ATOMIC fixture: each %3 batch of events lands in TWO
+    * tables in ONE transaction ([[GraftTable.appendAtomic]]) — the raw
+    * rows in one, the batch's per-type row counts in the other (the
+    * fact + incremental-aggregate pipeline shape). Either both halves of
+    * a batch are visible or neither, so the stats table's summed counts
+    * always reconcile exactly with the raw table — which is precisely
+    * what the gate row verifies against the oracle. */
+  private val multiFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def multiTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
+    val (rRaw, rStats) = multiFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("multitable" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val rawRoot = s"$acidDir/mtraw_$key"
+      val statsRoot = s"$acidDir/mtstats_$key"
+      val raw = new GraftTable(s, rawRoot, statsCol = Some("event_id"))
+      val st = new GraftTable(s, statsRoot)
+      (0L to 2L).foreach { v =>
+        val slice = events(s, d).filter(pmod($"event_id", lit(3L)) === v)
+        val agg = slice.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+        GraftTable.appendAtomic(Seq((raw, slice), (st, agg)),
+          txn = Some(("mt", v)))
+      }
+      (rawRoot, statsRoot)
+    })
+    (GraftTable.load(s, rRaw), GraftTable.load(s, rStats))
+  }
+
   /** Source→sink pipeline fixture: the append table's commit history
     * streamed through readStream("graft-table") INTO a downstream table
     * via writeStream("graft-table") — no foreachBatch anywhere. Built
@@ -601,6 +633,22 @@ object AcidQueries extends QueryPack {
       convertTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // MULTI-TABLE ATOMIC COMMIT: every batch landed in the raw table AND
+    // the per-type stats table in one transaction (shared decision
+    // marker), so the summed batch counts reconcile EXACTLY with the raw
+    // rows — the oracle joins the raw table against the same aggregate
+    // computed from scratch. A half-committed batch (raw without stats
+    // or vice versa) would break the counts on every row of its type.
+    "q_acid_multi_table" -> { (s, d) =>
+      import s.implicits._
+      val (raw, st) = multiTables(s, d)
+      val totals = st.snapshot().groupBy($"event_type")
+        .agg(sum($"n").cast("long").as("type_rows"))
+      raw.snapshot().join(broadcast(totals), Seq("event_type"))
+        .select($"event_id", $"user_id", $"event_type", $"type_rows")
+        .orderBy($"event_id")
+    },
+
     // INCREMENTAL zorder (OPTIMIZE ... ZORDER BY ... INCREMENTAL): half
     // the table laid by a full pass, half by the O(tail) incremental
     // pass after a scattered ingest burst — a pruned range read across
@@ -889,6 +937,16 @@ object AcidQueries extends QueryPack {
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE user_id BETWEEN 20 AND 60
         |ORDER BY event_id""".stripMargin,
+
+    // the stats table's summed per-batch counts must equal a from-scratch
+    // per-type count — only true if every (raw, stats) pair committed
+    // atomically
+    "q_acid_multi_table" ->
+      """SELECT e.event_id, e.user_id, e.event_type, t.type_rows
+        |FROM events e
+        |JOIN (SELECT event_type, count(*) AS type_rows
+        |      FROM events GROUP BY event_type) t USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     // doubling a double is exponent arithmetic — bit-exact cross-engine
     "q_acid_convert" ->

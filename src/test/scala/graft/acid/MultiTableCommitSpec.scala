@@ -1,0 +1,160 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Atomic multi-table commits ([[GraftTable.appendAtomic]]): one shared
+  * decision marker makes N tables' appends all-or-nothing — crash
+  * injection at every protocol point proves no half-committed pair is
+  * ever readable, exactly-once txn stamps compose, and vacuum retires
+  * decided markers. */
+class MultiTableCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(r: Range) = r.map(i => (i.toLong, s"v$i")).toDF("k", "v")
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def withPatience[T](ms: Long)(body: => T): T = {
+    spark.conf.set("spark.graft.acid.pendingPatienceMs", ms.toString)
+    try body finally spark.conf.unset("spark.graft.acid.pendingPatienceMs")
+  }
+
+  test("happy path: both tables commit atomically with txn stamps") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    val vs = GraftTable.appendAtomic(
+      Seq((ta, df(11 to 15)), (tb, df(111 to 115))), txn = Some(("w", 7L)))
+    assert(vs.size == 2)
+    assert(ta.snapshot().count() == 15L)
+    assert(tb.snapshot().count() == 15L)
+    // the txn stamp landed in BOTH tables — the replay question answers
+    // the same everywhere
+    assert(ta.lastTxn("w").contains(7L) && tb.lastTxn("w").contains(7L))
+    // fresh handles resolve the pending commits from disk alone
+    assert(GraftTable.load(spark, ta.root).snapshot().count() == 15L)
+    assert(GraftTable.load(spark, tb.root).snapshot().count() == 15L)
+  }
+
+  test("crash after ONE manifest: readers abort the txn, neither table moves") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_crash1a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_crash1b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    // simulate: the committer wrote A's pending manifest (with a txn
+    // stamp) and DIED before B's manifest and before the marker
+    val marker = new Path(s"${ta.root}/_log/_txn/crash1").toString
+    val written = ta.writeData(df(11 to 15), ta.nextVersion)
+    ta.commit(ta.nextVersion, ta.entries(ta.latestVersion.get) ++ written,
+      op = "append", txn = Some(("w2", 9L)),
+      pending = Some(GraftTable.b64(marker)))
+    withPatience(150L) {
+      // the first read waits out the patience window, then DECIDES abort
+      assert(ta.snapshot().count() == 10L, "aborted txn must not be visible")
+      assert(tb.snapshot().count() == 10L)
+      // the marker now exists with decision 'a' — the crashed committer
+      // can never finish
+      val in = fs.open(new Path(marker))
+      val decision = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+      assert(decision.startsWith("a"))
+      // an aborted participant's txn stamp does NOT count as landed
+      assert(ta.lastTxn("w2").isEmpty,
+        "aborted epoch must replay, not be skipped")
+      // a retry (the restarted committer) lands cleanly on both
+      GraftTable.appendAtomic(Seq((ta, df(11 to 15)), (tb, df(111 to 115))),
+        txn = Some(("w2", 9L)))
+    }
+    assert(ta.snapshot().count() == 15L)
+    assert(tb.snapshot().count() == 15L)
+    assert(ta.snapshot().as[(Long, String)].collect().count(_._1 == 11L) == 1,
+      "exactly once after abort + retry")
+    assert(ta.lastTxn("w2").contains(9L))
+  }
+
+  test("crash after BOTH manifests but before the marker: still atomic, still aborted") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_crash2a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_crash2b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    val marker = new Path(s"${ta.root}/_log/_txn/crash2").toString
+    val wa = ta.writeData(df(11 to 15), ta.nextVersion)
+    ta.commit(ta.nextVersion, ta.entries(ta.latestVersion.get) ++ wa,
+      op = "append", pending = Some(GraftTable.b64(marker)))
+    val wb = tb.writeData(df(111 to 115), tb.nextVersion)
+    tb.commit(tb.nextVersion, tb.entries(tb.latestVersion.get) ++ wb,
+      op = "append", pending = Some(GraftTable.b64(marker)))
+    withPatience(150L) {
+      // whichever table is read first decides; BOTH resolve identically
+      assert(tb.snapshot().count() == 10L)
+      assert(ta.snapshot().count() == 10L)
+    }
+    // decision is cached and permanent: later reads agree instantly
+    assert(ta.snapshot().count() == 10L)
+    assert(GraftTable.load(spark, tb.root).snapshot().count() == 10L)
+  }
+
+  test("crash AFTER the marker: the txn is committed everywhere, no recovery needed") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_crash3a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_crash3b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    val marker = new Path(s"${ta.root}/_log/_txn/crash3")
+    val wa = ta.writeData(df(11 to 15), ta.nextVersion)
+    ta.commit(ta.nextVersion, ta.entries(ta.latestVersion.get) ++ wa,
+      op = "append", pending = Some(GraftTable.b64(marker.toString)))
+    val wb = tb.writeData(df(111 to 115), tb.nextVersion)
+    tb.commit(tb.nextVersion, tb.entries(tb.latestVersion.get) ++ wb,
+      op = "append", pending = Some(GraftTable.b64(marker.toString)))
+    val out = fs.create(marker, false)
+    try out.write("c".getBytes(UTF_8)) finally out.close()
+    // the committer died right after the atomic point: both visible
+    assert(ta.snapshot().count() == 15L)
+    assert(tb.snapshot().count() == 15L)
+  }
+
+  test("vacuum retires a decided marker once every participant manifest is gone") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_vac_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_vac_b"))
+    ta.append(df(1 to 5))
+    tb.append(df(101 to 105))
+    GraftTable.appendAtomic(Seq((ta, df(6 to 8)), (tb, df(106 to 108))))
+    val txnDir = new Path(s"${ta.root}/_log/_txn")
+    assert(fs.listStatus(txnDir).nonEmpty)
+    // while a participant manifest is retained, the marker must stay
+    ta.vacuum(2) // keeps the pending manifest (A's newest)
+    assert(fs.listStatus(txnDir).nonEmpty,
+      "a marker with a retained participant manifest must survive")
+    // age both tables past the txn versions, then vacuum both
+    ta.append(df(9 to 9)); tb.append(df(109 to 109))
+    tb.vacuum(1)
+    ta.vacuum(1)
+    assert(!fs.exists(txnDir) || fs.listStatus(txnDir).isEmpty,
+      "a fully-unreferenced decided marker is reclaimed")
+    assert(ta.snapshot().count() == 9L && tb.snapshot().count() == 9L)
+  }
+
+  test("a concurrent single-table append interleaves without breaking the txn") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_b"))
+    ta.append(df(1 to 5))
+    tb.append(df(101 to 105))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          GraftTable.appendAtomic(Seq((ta, df(6 to 10)), (tb, df(106 to 110))))
+        }
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { ta.append(df(11 to 15)); () }
+      })
+      f1.get(); f2.get()
+    } finally pool.shutdown()
+    assert(ta.snapshot().count() == 15L)
+    assert(tb.snapshot().count() == 10L)
+  }
+}
