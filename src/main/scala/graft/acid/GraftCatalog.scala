@@ -474,6 +474,13 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
           val es = t.entries(ver)
           if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.liveRows).sum)
           else None
+      },
+      // plan-time statistics for the (possibly pruned) scan: exact live
+      // rows + per-windowed-column (min, max) from manifest metadata —
+      // zero file opens ([[GraftTable.statsForFiles]])
+      fileStats = { prunedAbs =>
+        val relByAbs = entries.map(e => abs(e.path) -> e.path).toMap
+        t.statsForFiles(prunedAbs.flatMap(relByAbs.get), v)
       })
   }
 

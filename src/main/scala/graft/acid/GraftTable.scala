@@ -2161,6 +2161,34 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
+  /** PLANNER STATISTICS for a pruned file subset (root-relative paths):
+    * the exact live row count (when every selected entry records one)
+    * and, per windowed column (statsCol / partitionCol / indexCols), the
+    * subset's (min, max) — only when EVERY selected entry windows that
+    * column, so a reported bound is a true bound. Zero file opens: this
+    * is what the DSv2 scan surfaces through SupportsReportStatistics so
+    * plan-time join sizing (broadcast choice, CBO selectivity) sees real
+    * numbers instead of waiting for AQE runtime stats. */
+  private[graft] def statsForFiles(relPaths: Seq[String],
+      version: Option[Long]): (Option[Long], Map[String, (Long, Long)]) = {
+    val v = version.orElse(latestVersion).getOrElse(return (None, Map.empty))
+    val byPath = entries(v).map(e => e.path -> e).toMap
+    val sel = relPaths.flatMap(byPath.get)
+    if (sel.isEmpty) return (Some(0L), Map.empty)
+    val rows =
+      if (sel.forall(_.rows.isDefined)) Some(sel.flatMap(_.liveRows).sum)
+      else None
+    val tracked = statsCol.toSeq ++ partitionCol.toSeq ++ indexCols
+    val cols = tracked.flatMap { c =>
+      val ws = sel.map(windowOf(_, c))
+      if (ws.nonEmpty && ws.forall(_.isDefined)) {
+        val flat = ws.flatten
+        Some(c -> ((flat.map(_._1).min, flat.map(_._2).max)))
+      } else None
+    }.toMap
+    (rows, cols)
+  }
+
   /** Files [[snapshotWhere]] would read for `predicate` — the pruning
     * witness specs and EXPLAIN-style tooling inspect. */
   private[graft] def filesForPredicate(predicate: Column,

@@ -49,7 +49,12 @@ class GraftPruningScanBuilder(
     // footers count masked rows); the manifest COUNT(*) stays correct —
     // recorded live counts already subtract the masks.
     dvPlan: Option[(Seq[String], Seq[String], Seq[Expression]) =>
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None)
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None,
+    // manifest statistics for a pruned file list: (exact live rows,
+    // per-column (min, max) from the recorded windows) — surfaced via
+    // SupportsReportStatistics so PLAN-TIME join sizing sees them
+    fileStats: Seq[String] => (Option[Long], Map[String, (Long, Long)]) =
+      _ => (None, Map.empty))
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -142,22 +147,117 @@ class GraftPruningScanBuilder(
       }
     case None =>
       val files = if (pushed.isEmpty) allFiles else prune(pushed)
+      val (liveRows, colWindows) = fileStats(files)
+      val colStats = GraftStatsScan.toColumnStats(dataSchema, colWindows)
       dvPlan match {
         case Some(mk) =>
           val outSchema = required.getOrElse(dataSchema)
-          new GraftDvScan(ident, outSchema, manifestCount(),
+          new GraftDvScan(ident, outSchema, liveRows, colStats,
             () => mk(files, outSchema.fieldNames.toSeq, pushed))
         case None =>
-          if (files.size == allFiles.size) probe.build()
-          else {
-            val b = mkDelegate(files)
-            if (pushed.nonEmpty) b.pushFilters(pushed)
-            required.foreach(b.pruneColumns)
-            agg.foreach(delegateAggs(b).pushAggregation)
-            variants.foreach(delegateVariants(b).pushVariantExtractions)
-            b.build()
-          }
+          val inner =
+            if (files.size == allFiles.size) probe.build()
+            else {
+              val b = mkDelegate(files)
+              if (pushed.nonEmpty) b.pushFilters(pushed)
+              required.foreach(b.pruneColumns)
+              agg.foreach(delegateAggs(b).pushAggregation)
+              variants.foreach(delegateVariants(b).pushVariantExtractions)
+              b.build()
+            }
+          // pushed aggregates reshape the output (partial agg rows) —
+          // manifest row/column stats no longer describe it
+          if (agg.isDefined || (liveRows.isEmpty && colStats.isEmpty)) inner
+          else GraftStatsScan(inner, liveRows, colStats)
       }
+  }
+}
+
+/** Decorates the parquet delegate's scan with MANIFEST-derived
+  * statistics: the pruned file set's exact live row count and per-column
+  * (min, max) from the recorded windows, reported through
+  * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+  * column stats. Plan-time decisions — broadcast-side choice, CBO join
+  * reorder, filter selectivity — then see real numbers for graft tables
+  * instead of leaning on AQE runtime stats; sizeInBytes still comes from
+  * the delegate (actual pruned file bytes). Everything else forwards. */
+case class GraftStatsScan(
+    delegate: Scan,
+    liveRows: Option[Long],
+    colStats: Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def description(): String = delegate.description()
+  override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
+  override def reportDriverMetrics() = delegate.reportDriverMetrics()
+  override def columnarSupportMode() = delegate.columnarSupportMode()
+  override def getMetaData(): Map[String, String] = delegate match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData()
+    case _ => Map.empty
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val del = delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        Some(s.estimateStatistics())
+      case _ => None
+    }
+    val refs = colStats.map { case (name, st) =>
+      org.apache.spark.sql.connector.expressions.FieldReference
+        .column(name).asInstanceOf[org.apache.spark.sql.connector.expressions
+          .NamedReference] -> st
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        del.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        liveRows.fold(del.map(_.numRows())
+          .getOrElse(java.util.OptionalLong.empty()))(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        refs.foreach { case (r, s) => m.put(r, s) }
+        m
+      }
+    }
+  }
+}
+
+object GraftStatsScan {
+  /** Manifest windows → V2 column statistics, typed to the column: only
+    * integral columns convert (their catalyst-internal value IS the
+    * boxed primitive, so CBO's estimation arithmetic is type-safe);
+    * anything else is simply not reported. */
+  def toColumnStats(schema: StructType, windows: Map[String, (Long, Long)])
+      : Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.types._
+    windows.flatMap { case (name, (lo, hi)) =>
+      schema.fields.find(_.name.equalsIgnoreCase(name)).flatMap { f =>
+        def box(v: Long): Option[Object] = f.dataType match {
+          case LongType    => Some(java.lang.Long.valueOf(v))
+          case IntegerType => Some(java.lang.Integer.valueOf(v.toInt))
+          case ShortType   => Some(java.lang.Short.valueOf(v.toShort))
+          case ByteType    => Some(java.lang.Byte.valueOf(v.toByte))
+          case _           => None
+        }
+        for (mn <- box(lo); mx <- box(hi)) yield f.name ->
+          (new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(mn)
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(mx)
+          })
+      }
+    }
   }
 }
 
@@ -172,15 +272,17 @@ class GraftDvScan(
     ident: String,
     schema: StructType,
     liveRows: Option[Long],
+    colStats: Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics],
     val plan: () => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String = s"graft.DvScan[$ident]"
   // manifest-derived size estimate (live rows already subtract the
-  // masks) so optimizer-phase decisions made BEFORE the rewrite lands —
-  // join reorder, broadcast thresholds — see a realistic relation, not
-  // the "unknown = huge" default
+  // masks) plus per-column windows, so optimizer-phase decisions made
+  // BEFORE the rewrite lands — join reorder, broadcast thresholds,
+  // filter selectivity — see a realistic relation, not the
+  // "unknown = huge" default
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -188,6 +290,18 @@ class GraftDvScan(
           java.util.OptionalLong.of(r * math.max(1, schema.defaultSize)))
       override def numRows(): java.util.OptionalLong =
         liveRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        colStats.foreach { case (name, st) =>
+          m.put(org.apache.spark.sql.connector.expressions.FieldReference
+            .column(name), st)
+        }
+        m
+      }
     }
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     throw new IllegalStateException(

@@ -299,4 +299,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerKey"), p)
     assert(p.contains("Partial") || p.contains("TopKPerKey"), p)
   }
+
+  test("graft catalog scans report manifest stats: exact rows, column windows, plan-time broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val wh = TempDirs.create("graft_cbo_wh")
+    spark.conf.set("spark.sql.catalog.gstat", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstat.root", wh)
+    val fact = new acid.GraftTable(spark, s"$wh/fact", statsCol = Some("k"))
+    // three clustered commits -> three disjoint key bands of files
+    (0 to 2).foreach(b => fact.append(
+      (b * 10000 until (b + 1) * 10000).map(i => (i.toLong, i % 97))
+        .toDF("k", "dim_id").repartitionByRange(2, $"k")))
+    val dim = new acid.GraftTable(spark, s"$wh/dim")
+    dim.append((0 until 97).map(i => (i, s"name$i")).toDF("id", "name"))
+
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+
+    // exact row count from the manifest, not a byte-size guess
+    assert(scanStats(spark.table("gstat.fact")).rowCount.contains(BigInt(30000)))
+    // a pruned range read reports the PRUNED subset's exact rows: only
+    // the first band's files survive, so the count is strictly less
+    val prunedStats = scanStats(
+      spark.sql("SELECT * FROM gstat.fact WHERE k BETWEEN 100 AND 4999"))
+    assert(prunedStats.rowCount.exists(rc => rc >= 5000 && rc <= 10000),
+      s"pruned row count should cover band 0 only: ${prunedStats.rowCount}")
+    // column windows surface as catalyst column stats under CBO
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = scanStats(spark.table("gstat.fact"))
+      val kStat = st.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(s => s.min.contains(0L) && s.max.contains(29999L)),
+        s"k column stats from manifest windows: $kStat")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // star join: broadcast-hash chosen at PLAN time, no hint, no AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.sql(
+        """SELECT f.k, d.name FROM gstat.fact f
+          |JOIN gstat.dim d ON f.dim_id = d.id""".stripMargin)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
