@@ -1916,6 +1916,21 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       op = "zorder")
   }
 
+  /** Live-row share of the active set NOT laid out by the given zorder
+    * column list (the `z=` layout tags) — the auto-cadence decision
+    * input, O(entries) from manifest metadata with zero file opens.
+    * None when any file predates row-count stats (no safe ratio). */
+  private[graft] def zorderTailShare(cols: Seq[String]): Option[Double] = {
+    val lv = latestVersion.getOrElse(return None)
+    val es = entries(lv)
+    if (es.isEmpty || !es.forall(_.rows.isDefined)) return None
+    val total = es.flatMap(_.liveRows).sum
+    if (total <= 0L) return None
+    val sig = GraftTable.zSignature(cols)
+    val tail = es.filterNot(_.zTag.contains(sig)).flatMap(_.liveRows).sum
+    Some(tail.toDouble / total)
+  }
+
   /** O(metadata) row count: the sum of per-file row counts recorded at
     * write time — zero file opens. Falls back to a distributed count for
     * versions containing pre-stats files. */

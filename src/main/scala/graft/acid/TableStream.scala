@@ -142,7 +142,9 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
     else new GraftTable(spark, root,
       statsCol = parameters.get("statsCol"),
       partitionCol = parameters.get("partitionCol"),
-      bloomCol = parameters.get("bloomCol"))
+      bloomCol = parameters.get("bloomCol"),
+      indexCols = parameters.get("indexCols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -166,6 +168,29 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
       val latest = t.latestVersion
       if (latest.exists(v => t.activeFiles(v).size > maxFiles))
         try t.compact(targetFiles = math.max(1, maxFiles / 2))
+        catch { case _: ConcurrentCommitException => () }
+    }
+    // AUTO INCREMENTAL Z-ORDER (the LAYOUT analogue of autoCompact):
+    // file counts stay bounded above, but a long append stream still
+    // degrades multi-dimensional pruning until someone runs OPTIMIZE
+    // ZORDER. With `autoZOrderBy=a,b` the sink re-clusters the untagged
+    // tail ([[GraftTable.compactZOrderIncremental]]) whenever its
+    // live-row share crosses `autoZOrderTailShare` (default 0.3) —
+    // decided O(entries) driver-side from the manifest's z= layout tags,
+    // a metadata-only no-op in the steady state, and the pass scans and
+    // rewrites O(tail), never the table. Every dimension must be
+    // windowed (statsCol / partitionCol / `indexCols` sink option).
+    // Prefer this over autoCompactFiles for z-ordered tables: a plain
+    // compact strips the layout tags it just paid to establish.
+    parameters.get("autoZOrderBy").foreach { spec =>
+      val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.size >= 2,
+        s"autoZOrderBy needs at least two columns, got '$spec'")
+      val share = parameters.get("autoZOrderTailShare").map(_.toDouble)
+        .getOrElse(0.3)
+      val target = parameters.get("autoZOrderFiles").map(_.toInt).getOrElse(32)
+      if (t.zorderTailShare(cols).exists(_ >= share))
+        try t.compactZOrderIncremental(cols, target)
         catch { case _: ConcurrentCommitException => () }
     }
   }

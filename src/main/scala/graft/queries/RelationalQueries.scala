@@ -270,6 +270,78 @@ object RelationalQueries extends QueryPack {
         .filter($"rn" === 1)
         .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
         .orderBy($"user_id")
+    },
+
+    // ---- COMPOSED TPC-H shapes: multi-join + selective filters + agg +
+    // top-k, declared WITHOUT join hints so the planner (and AQE at
+    // runtime) picks broadcast sides and join order end to end — the
+    // plans a 100 TB star schema actually runs. Money math follows the
+    // pack's exact-decimal convention; top-k ties break on the key.
+
+    // Q3 (shipping priority): building-segment orders not yet shipped at
+    // the cutoff, top-10 order revenues.
+    "q_tpch_q3" -> { (s, d) =>
+      import s.implicits._
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, d, "orders").filter($"o_orderdate" < cut)
+      val li = t(s, d, "lineitem").filter($"l_shipdate" > cut)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+        .select($"l_orderkey", $"revenue", $"o_orderdate")
+    },
+
+    // Q10 (returned items): revenue lost to returns per customer in one
+    // quarter, top-20 — fact⋈fact shuffle plus two broadcastable dims.
+    "q_tpch_q10" -> { (s, d) =>
+      import s.implicits._
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      val li = t(s, d, "lineitem").filter($"l_returnflag" === "R")
+      val n = t(s, d, "nation")
+      c.join(o, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .join(n, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+        .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+    },
+
+    // Q5 (local supplier volume): revenue from orders where supplier and
+    // customer share the nation, one region + one year — the 6-table
+    // join with a non-key equi constraint (c_nationkey = s_nationkey).
+    "q_tpch_q5" -> { (s, d) =>
+      import s.implicits._
+      val lo = lit("1998-01-01").cast("timestamp")
+      val hi = lit("1999-01-01").cast("timestamp")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      val li = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter($"r_name" === "ASIA")
+      c.join(o, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .join(su, $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(n, $"s_nationkey" === $"n_nationkey")
+        .join(r, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
     }
   )
 
@@ -434,6 +506,50 @@ object RelationalQueries extends QueryPack {
         |                               ORDER BY ts DESC, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

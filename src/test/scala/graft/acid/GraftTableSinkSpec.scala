@@ -176,4 +176,52 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq ==
       (0L until 60L))
   }
+
+  test("autoZOrderBy keeps 2-D pruning bounded across 30 tiny appends, no manual OPTIMIZE") {
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val root = graft.TempDirs.create("graft_tsink_az")
+    val ckpt = graft.TempDirs.create("graft_tsink_az_ckpt")
+    val q = input.toDS().toDF("id", "x", "y").repartition(2)
+      .writeStream.format("graft-table")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("indexCols", "x,y")
+      .option("autoZOrderBy", "x,y")
+      .option("autoZOrderFiles", "8")
+      .option("autoZOrderTailShare", "0.3")
+      .trigger(Trigger.ProcessingTime(20))
+      .start()
+    try {
+      (0 until 30).foreach { b =>
+        // each batch scatters across the full (x, y) grid, so an unlaid
+        // table would answer any 2-D range from EVERY file
+        input.addData((0 until 32).map { i =>
+          val id = b * 32L + i
+          (id, (id * 131) % 1024, (id * 191) % 1024)
+        }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = GraftTable.load(spark, root)
+    assert(t.history().exists(_.op == "zorder"),
+      "the sink must have re-clustered on its own")
+    // the layout keeps a narrow 2-D range read bounded: without it every
+    // file intersects (each batch spans the grid); with the incremental
+    // cadence, only the laid files covering the window + the small
+    // untagged tail survive pruning
+    val all = t.activeFiles(t.latestVersion.get).size
+    val pred = col("x") >= 0L && col("x") <= 255L &&
+      col("y") >= 0L && col("y") <= 255L
+    val hit = t.filesForPredicate(pred).size
+    assert(hit < all, s"2-D range read must prune: $hit of $all files")
+    // the untagged tail stays below ~the threshold share at all times
+    assert(t.zorderTailShare(Seq("x", "y")).exists(_ < 0.5),
+      s"tail share ${t.zorderTailShare(Seq("x", "y"))} unbounded")
+    // content-lossless across every auto-layout pass
+    assert(t.snapshot().select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 960L))
+    assert(t.snapshotWhere(pred).count() ==
+      (0L until 960L).count(id => (id * 131) % 1024 <= 255 &&
+        (id * 191) % 1024 <= 255))
+  }
 }
