@@ -54,9 +54,15 @@ class LogFuzzSpec extends SparkSpec {
         s"$label: $dvRefs live dv sidecars exceed ${GraftTable.MaxDvSidecars}")
     }
 
+    // fast reader-driven abort of fuzzed crashed txns (default 3 s)
+    spark.conf.set("spark.graft.acid.pendingPatienceMs", "150")
+    try fuzz()
+    finally spark.conf.unset("spark.graft.acid.pendingPatienceMs")
+
+    def fuzz(): Unit = {
     (1 to 60).foreach { step =>
       // every op below needs at least one commit; the first is an append
-      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(10)) match {
+      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(11)) match {
         case 0 | 1 | 2 => // append a fresh batch
           val rows = (0 until 1 + rnd.nextInt(20)).map { _ =>
             nextId += 1; (nextId, rnd.nextLong(1000)) }
@@ -101,6 +107,16 @@ class LogFuzzSpec extends SparkSpec {
               t.compactZOrderIncremental(Seq("id", "v"), 4)
             case _ => t.reorg()
           }
+        case 10 => // CRASHED multi-table txn: a pending manifest with no
+          // decision marker — the first later read aborts it and the
+          // version must act as a NO-OP against every subsequent op,
+          // checkpoint, vacuum and restore (model unchanged)
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$root/_log/_txn/fuzzcrash$step").toString
+          val rows = (0 until 3).map { _ => nextId += 1; (nextId, rnd.nextLong(1000)) }
+          val w = t.writeData(df(rows), t.nextVersion)
+          t.commit(t.nextVersion, t.entries(t.latestVersion.get) ++ w,
+            op = "append", pending = Some(GraftTable.b64(marker)))
         case 9 => // restore to a remembered point, or remember one
           restorePoint match {
             case Some((v, snap)) if t.versions.contains(v) && rnd.nextBoolean() =>
@@ -125,5 +141,6 @@ class LogFuzzSpec extends SparkSpec {
     }
     // end-to-end: one more cold resolution from disk
     checkAgainst(GraftTable.load(spark, root), "final cold handle")
+    }
   }
 }
