@@ -117,6 +117,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       takeString().getOrElse(throw err(s"expected $what (a '...' string)"))
     def expectEnd(): Unit =
       peek.foreach(t => throw err(s"unexpected trailing input at '$t'"))
+    /** Everything left, re-joined — for sub-grammars the delegate parses
+      * (the OPTIMIZE ... WHERE predicate). */
+    def rest(): String = {
+      val s = ts.drop(i).mkString(" ")
+      i = ts.length
+      s
+    }
     def err(msg: String): ParseException = {
       val around = ts.slice(math.max(0, i - 2), i + 2).mkString(" ")
       new ParseException(Some(sql), Origin(), "PARSE_SYNTAX_ERROR",
@@ -173,6 +180,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (incremental && zcols.size < 2)
         throw t.err("OPTIMIZE ... INCREMENTAL requires ZORDER BY " +
           "(a, b, ...) with at least two columns")
+      // OPTIMIZE ... WHERE <pred>: predicate-scoped compaction — only
+      // files whose manifest windows/blooms intersect the predicate
+      // rewrite. Exclusive with ZORDER (a scoped rewrite would strip
+      // the very layout tags a zorder pass establishes).
+      val where =
+        if (t.takeKw("WHERE")) {
+          if (zcols.nonEmpty || incremental)
+            throw t.err("OPTIMIZE ... WHERE composes with plain " +
+              "compaction only, not ZORDER BY / INCREMENTAL")
+          val predText = t.rest()
+          if (predText.isEmpty) throw t.err("expected a predicate after WHERE")
+          Some(org.apache.spark.sql.GraftPlanBridge.column(
+            delegate.parseExpression(predText)))
+        } else None
       t.expectEnd()
       val n = target.getOrElse(spark.sessionState.conf.numShufflePartitions)
       val label = s"OPTIMIZE $ref"
@@ -184,7 +205,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else if (zcols.size == 1)
         GraftRowLevelCommand(label,
           () => { table.compact(n, clusterBy = zcols); () })
-      else GraftRowLevelCommand(label, () => { table.compact(n); () })
+      else where match {
+        case Some(pred) =>
+          GraftRowLevelCommand(label, () => { table.compactWhere(pred, n); () })
+        case None =>
+          GraftRowLevelCommand(label, () => { table.compact(n); () })
+      }
     }
   }
 

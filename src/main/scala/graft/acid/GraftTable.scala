@@ -2619,6 +2619,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
+  /** PREDICATE-SCOPED OPTIMIZE (Delta's `OPTIMIZE ... WHERE` shape):
+    * compact ONLY the files whose manifest windows/blooms can contain
+    * predicate-matching rows — the same pruning as [[snapshotWhere]] —
+    * carrying every other entry over verbatim. The rewrite is
+    * file-granular, never row-filtering: a selected file's rows outside
+    * the predicate rewrite with it (content-lossless by construction).
+    * At 100 TB this is "compact yesterday's ingest", not the table:
+    * O(matching files) read+write, decided driver-side from metadata. */
+  def compactWhere(predicate: Column, targetFiles: Int): Long = {
+    val lv = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    val prev = entries(lv)
+    val rewriteSet = entriesForPredicate(predicate, lv).map(_.path).toSet
+    val (rewrite, keep) = prev.partition(e => rewriteSet.contains(e.path))
+    val v = nextVersion
+    if (rewrite.size <= 1) commit(v, prev, op = "compact") // nothing to merge
+    else {
+      val out = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)))
+        .repartition(targetFiles)
+      commit(v, keep ++ writeData(out, v), op = "compact")
+    }
+  }
+
   def compact(targetFiles: Int, clusterBy: Seq[String] = Nil): Long = {
     val snap = snapshot()
     val laid =

@@ -89,31 +89,73 @@ class GraftPruningScanBuilder(
     probe.pruneColumns(requiredSchema)
   }
 
-  /** Unfiltered, ungrouped COUNT(*) answered from the MANIFEST's
-    * recorded per-file row counts — `SELECT count(*) FROM graft.t`
-    * becomes an O(metadata) constant, no file (or even footer) opens.
-    * Any pushed filter or group-by disqualifies it. */
-  private def metaCountFor(aggregation: Aggregation): Option[Long] =
-    if (pushed.isEmpty && aggregation.groupByExpressions.isEmpty &&
-        aggregation.aggregateExpressions.nonEmpty &&
-        aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
-      manifestCount()
-    else None
+  /** Unfiltered, ungrouped COUNT(*) / MIN / MAX answered ENTIRELY from
+    * MANIFEST metadata — `SELECT count(*), min(k), max(k) FROM graft.t`
+    * becomes an O(metadata) constant row with no file (or even footer)
+    * opens: counts from the recorded per-file row counts, extrema from
+    * the per-file windows (recorded exactly for integral columns; any
+    * other type, a missing window, a pushed filter, a group-by or a
+    * DV-carrying snapshot — masks can delete the extremum row, making
+    * windows stale bounds — disqualifies and falls through to the scan).
+    * Returns the constant row's (internal values, output schema). */
+  private def metaAggFor(aggregation: Aggregation)
+      : Option[(Seq[Any], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty ||
+        aggregation.aggregateExpressions.isEmpty)
+      return None
+    lazy val windows: Map[String, (Long, Long)] = fileStats(allFiles)._2
+    def serveExtremum(e: org.apache.spark.sql.connector.expressions.Expression,
+                      takeHi: Boolean, tag: String): Option[(Any, StructField)] =
+      e match {
+        // COUNT(*) stays servable under deletion vectors (recorded live
+        // counts already subtract masks), but an extremum is NOT — a
+        // mask may have deleted the extremum row, leaving the window a
+        // stale bound
+        case _ if dvPlan.isDefined => None
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          for {
+            f <- dataSchema.fields.find(_.name.equalsIgnoreCase(r.fieldNames.head))
+            w <- windows.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+            v <- (f.dataType match {
+              case LongType    => Some(if (takeHi) w._2 else w._1)
+              case IntegerType => Some((if (takeHi) w._2 else w._1).toInt)
+              case ShortType   => Some((if (takeHi) w._2 else w._1).toShort)
+              case ByteType    => Some((if (takeHi) w._2 else w._1).toByte)
+              case _           => None
+            }): Option[Any]
+          } yield (v, StructField(s"$tag(${f.name})", f.dataType, nullable = false))
+        case _ => None
+      }
+    val served = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => manifestCount().map(n =>
+        (n: Any, StructField("count(*)", LongType, nullable = false)))
+      case m: Min => serveExtremum(m.column, takeHi = false, "min")
+      case m: Max => serveExtremum(m.column, takeHi = true, "max")
+      case _ => None
+    }
+    if (served.forall(_.isDefined)) {
+      val flat = served.flatten
+      Some((flat.map(_._1), StructType(flat.map(_._2))))
+    } else None
+  }
 
-  private var metaCount: Option[Long] = None
+  private var metaAgg: Option[(Seq[Any], StructType)] = None
 
   // the parquet delegate's footer-stats aggregate pushdown (MIN/MAX/
   // COUNT under spark.sql.parquet.aggregatePushDown) and variant
   // extraction pushdown pass straight through — the wrapper adds file
   // pruning, never subtracts a delegate capability
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    metaCountFor(aggregation).isDefined ||
+    metaAggFor(aggregation).isDefined ||
       (dvPlan.isEmpty && delegateAggs(probe).supportCompletePushDown(aggregation))
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    metaCountFor(aggregation) match {
+    metaAggFor(aggregation) match {
       case some @ Some(_) =>
-        metaCount = some
+        metaAgg = some
         agg = Some(aggregation)
         true
       case None if dvPlan.isDefined =>
@@ -133,17 +175,14 @@ class GraftPruningScanBuilder(
     res
   }
 
-  override def build(): Scan = metaCount match {
-    case Some(n) =>
-      val k = agg.map(_.aggregateExpressions.length).getOrElse(1)
+  override def build(): Scan = metaAgg match {
+    case Some((vals, outSchema)) =>
       new LocalScan {
         override def rows(): Array[InternalRow] =
-          Array(InternalRow.fromSeq(Seq.fill(k)(n)))
-        override def readSchema(): StructType = StructType(
-          (1 to k).map(_ => org.apache.spark.sql.types.StructField(
-            "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+          Array(InternalRow.fromSeq(vals))
+        override def readSchema(): StructType = outSchema
         override def description(): String =
-          s"graft.ManifestCountScan[$ident] rows=$n"
+          s"graft.ManifestAggScan[$ident] ${outSchema.fieldNames.mkString(",")}"
       }
     case None =>
       val files = if (pushed.isEmpty) allFiles else prune(pushed)

@@ -235,4 +235,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("DESCRIBE ggram.t").count() > 0,
       "plain DESCRIBE stays Spark's statement")
   }
+
+  test("OPTIMIZE ... WHERE compacts only the predicate-matching files") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    val wh = TempDirs.create("graft_optwhere_wh")
+    s2.conf.set("spark.sql.catalog.gow", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gow.root", wh)
+    val t = new graft.acid.GraftTable(s2, s"$wh/t", statsCol = Some("k"))
+    // three disjoint key bands, 3 files each
+    (0 to 2).foreach(b => t.append(
+      (b * 1000 until b * 1000 + 300).map(i => (i.toLong, s"v$i"))
+        .toDF("k", "v").repartition(3)))
+    val before = t.entries(t.latestVersion.get)
+    assert(before.size == 9)
+    // the engine's own pruning witness (strict bounds relax to
+    // inclusive — a boundary-touching file may conservatively rewrite)
+    val selected = t.filesForPredicate($"k" < 1000L).toSet
+    assert(selected.size >= 3 && selected.size < 9, s"selected $selected")
+    val keepLines = before.filterNot(e => selected.contains(e.path)).map(_.line)
+    s2.sql("OPTIMIZE gow.t TARGET 1 FILES WHERE k < 1000")
+    val after = t.entries(t.latestVersion.get)
+    // the matching files merged into one; everything else carried VERBATIM
+    assert(after.size == 9 - selected.size + 1, s"got ${after.size} files")
+    val afterLines = after.map(_.line).toSet
+    keepLines.foreach(l => assert(afterLines.contains(l),
+      "untouched files must carry over without rewrite"))
+    assert(t.snapshot().count() == 900L)
+    assert(t.snapshot().agg(org.apache.spark.sql.functions.sum($"k"))
+      .head().getLong(0) ==
+      (0 to 2).map(b => (b * 1000 until b * 1000 + 300).map(_.toLong).sum).sum)
+    // WHERE does not compose with ZORDER (it would strip layout tags)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      s2.sql("OPTIMIZE gow.t ZORDER BY (k, k2) WHERE k < 10"))
+    // API form: a no-match predicate is a metadata-only no-op version
+    val nNow = t.entries(t.latestVersion.get).size
+    t.compactWhere($"k" > 100000L, targetFiles = 1)
+    assert(t.entries(t.latestVersion.get).size == nNow)
+  }
 }

@@ -281,7 +281,7 @@ class GraftCatalogSpec extends SparkSpec {
     val df = spark.sql("SELECT count(*) AS n FROM graft.metacount")
     assert(df.as[Long].head() == 1000L)
     val planStr = df.queryExecution.executedPlan.toString
-    assert(planStr.contains("ManifestCountScan") || planStr.contains("LocalTableScan"),
+    assert(planStr.contains("ManifestAggScan") || planStr.contains("LocalTableScan"),
       s"count(*) must resolve from the manifest, not a parquet scan:\n$planStr")
     assert(df.inputFiles.isEmpty, "a manifest count must open no data files")
     // a filtered count still scans (and is exact)
@@ -290,6 +290,39 @@ class GraftCatalogSpec extends SparkSpec {
     // mutations keep the metadata count honest
     spark.sql("DELETE FROM graft.metacount WHERE id > 900")
     assert(spark.sql("SELECT count(*) AS n FROM graft.metacount").as[Long].head() == 900L)
+  }
+
+  test("unfiltered MIN/MAX on windowed columns answer from manifest windows") {
+    enableCatalog()
+    val t = new GraftTable(spark, s"$warehouse/metaminmax",
+      statsCol = Some("k"), indexCols = Seq("x"))
+    t.append((1L to 800L).map(i => (i, i % 97)).toDF("k", "x"))
+    t.append((801L to 1000L).map(i => (i, i % 97)).toDF("k", "x"))
+    val df = spark.sql(
+      "SELECT min(k) AS mn, max(k) AS mx, max(x) AS mxx, count(*) AS n " +
+        "FROM graft.metaminmax")
+    assert(df.as[(Long, Long, Long, Long)].head() == ((1L, 1000L, 96L, 1000L)))
+    assert(df.inputFiles.isEmpty,
+      "manifest-served extrema must open no data files")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan") ||
+      df.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    // an UNWINDOWED column cannot serve: the query still answers, from
+    // the scan (parquet footer stats or full agg)
+    val t2 = new GraftTable(spark, s"$warehouse/metaminmax2")
+    t2.append((1L to 50L).toDF("id"))
+    assert(spark.sql("SELECT min(id) AS mn FROM graft.metaminmax2")
+      .as[Long].head() == 1L)
+    // a filter disqualifies the shortcut but stays exact
+    assert(spark.sql(
+      "SELECT max(k) AS mx FROM graft.metaminmax WHERE k <= 123")
+      .as[Long].head() == 123L)
+    // DELETION VECTORS disqualify extrema (the mask may have removed the
+    // extremum row) — the masked scan answers, exactly
+    spark.sql("DELETE FROM graft.metaminmax WHERE k = 1000")
+    val after = spark.sql(
+      "SELECT max(k) AS mx, count(*) AS n FROM graft.metaminmax")
+    assert(after.as[(Long, Long)].head() == ((999L, 999L)),
+      "a masked extremum must never resurrect through the shortcut")
   }
 
   test("TBLPROPERTIES declare the physical config: stats/bloom/index/CHECK") {

@@ -137,6 +137,46 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(ta.snapshot().count() == 9L && tb.snapshot().count() == 9L)
   }
 
+  test("a two-table foreachBatch pipeline is exactly-once across replay AND a mid-txn crash") {
+    val raw = new GraftTable(spark, graft.TempDirs.create("graft_mt_pipe_raw"))
+    val agg = new GraftTable(spark, graft.TempDirs.create("graft_mt_pipe_agg"))
+    val writerId = "pipe1"
+    def batchDf(b: Long) = ((b * 10) until (b * 10 + 10))
+      .map(i => (i, s"b$b")).toDF("k", "tag")
+    // the foreachBatch body a two-table pipeline runs: one atomic txn
+    // per batch, replay short-circuited by the txn stamp (atomicity
+    // means EITHER table answers the replay question for both)
+    def land(batchId: Long): Unit = {
+      if (raw.lastTxn(writerId).exists(_ >= batchId)) return
+      GraftTable.appendAtomic(Seq(
+        (raw, batchDf(batchId)),
+        (agg, batchDf(batchId).groupBy($"tag").count())),
+        txn = Some((writerId, batchId)))
+      ()
+    }
+    land(0); land(0) // engine replay of a committed batch: no-op
+    land(1)
+    assert(raw.snapshot().count() == 20L && agg.snapshot().count() == 2L)
+    // CRASH INJECTION: batch 2's txn dies after raw's pending manifest,
+    // before the marker — on restart the replay guard must NOT treat the
+    // aborted stamp as landed, and the retry lands exactly once
+    val marker = new Path(s"${raw.root}/_log/_txn/pipecrash").toString
+    val w = raw.writeData(batchDf(2L), raw.nextVersion)
+    raw.commit(raw.nextVersion, raw.entries(raw.latestVersion.get) ++ w,
+      op = "append", txn = Some((writerId, 2L)),
+      pending = Some(GraftTable.b64(marker)))
+    withPatience(150L) {
+      land(2) // the restarted pipeline retries batch 2
+    }
+    assert(raw.snapshot().count() == 30L,
+      "batch 2 exactly once despite the crashed first attempt")
+    assert(agg.snapshot().count() == 3L)
+    assert(raw.snapshot().as[(Long, String)].collect()
+      .count(_._2 == "b2") == 10)
+    land(2) // and a further replay is again a no-op
+    assert(raw.snapshot().count() == 30L && agg.snapshot().count() == 3L)
+  }
+
   test("a concurrent single-table append interleaves without breaking the txn") {
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))
     val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_b"))
