@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   CLONE <table> TO <table | '<path>'> [VERSION AS OF <v>]
   *   DESCRIBE HISTORY <table> [LIMIT <n>]
   *   DESCRIBE DETAIL <table>
+  *   DESCRIBE FILES <table>                     -- per-file manifest metadata
   *   DESCRIBE CHANGES <table> FROM <v> TO <v>   -- the change feed as SQL
   * }}}
   *
@@ -308,6 +309,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val ref = t.expectIdent("a table")
       resolve(ref).map { table =>
         t.expectEnd(); table.detailDF.queryExecution.logical
+      }
+    } else if (t.takeKw("FILES")) {
+      val ref = t.expectIdent("a table")
+      resolve(ref).map { table =>
+        t.expectEnd(); table.filesDF().queryExecution.logical
       }
     } else if (t.takeKw("CHANGES")) {
       val ref = t.expectIdent("a table")

@@ -571,6 +571,31 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         "index_cols", "last_operation")
   }
 
+  /** DESCRIBE FILES: one row per ACTIVE file of `version` (default
+    * latest), resolved entirely from manifest metadata — zero file
+    * opens. Path, physical/live row counts, DV-masked rows, the
+    * stats/partition windows, per-index-column windows, whether a bloom
+    * serves the file, the referenced `.dvs` sidecar version, and the
+    * zorder layout flag: the operator's view of layout health (sliver
+    * spotting, per-file DV debt, window tightness) before deciding to
+    * OPTIMIZE / REORG / VACUUM. */
+  def filesDF(version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    entries(v).map { e =>
+      (e.path, e.rows, e.liveRows, e.dvCount,
+        e.stats.map(_._1), e.stats.map(_._2),
+        e.part.map(_._1), e.part.map(_._2),
+        e.windows.map { case (c, (lo, hi)) => c -> s"$lo..$hi" },
+        e.bloom.isDefined || e.bloomRef.isDefined,
+        e.dvRef, e.zTag.isDefined)
+    }.toDF("path", "rows", "live_rows", "dv_masked", "stats_lo", "stats_hi",
+      "part_lo", "part_hi", "index_windows", "has_bloom", "dv_sidecar",
+      "zordered")
+      .orderBy(col("path"))
+  }
+
   /** Time travel BY TIMESTAMP (epoch millis): the snapshot of the newest
     * version committed at or before `tsMillis` — what "the table as of
     * last night's run" resolves through. */

@@ -693,6 +693,21 @@ object AcidQueries extends QueryPack {
       tables(s, d)._5.snapshotRange(40L, 90L).orderBy($"event_id")
     },
 
+    // Manifest-SERVED SQL aggregates: unfiltered MIN/MAX over the
+    // windowed column + COUNT(*) answer as one constant row from
+    // manifest metadata — zero file (or even footer) opens
+    // (GraftCatalogSpec pins the LocalTableScan plan and empty
+    // inputFiles; this row pins the VALUES against the oracle).
+    "q_acid_sql_agg" -> { (s, d) =>
+      import s.implicits._
+      val st = tables(s, d)._5
+      s.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val name = new Path(st.root).getName
+      s.sql(s"""SELECT min(user_id) AS min_user, max(user_id) AS max_user,
+               |       count(*) AS n_rows FROM graft.`$name`""".stripMargin)
+    },
+
     // STRING-keyed bloom point lookups (the content-hash doc_id shape
     // every LLM dedup pipeline keys on): three needle reads on a string
     // column, each file list resolved from the hashed per-file blooms —
@@ -849,6 +864,11 @@ object AcidQueries extends QueryPack {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the manifest-served constant row must equal the from-scratch agg
+    "q_acid_sql_agg" ->
+      """SELECT min(user_id) AS min_user, max(user_id) AS max_user,
+        |       count(*) AS n_rows FROM events""".stripMargin,
 
     // SQL time travel = the same per-version content as the API path
     "q_acid_sql" ->

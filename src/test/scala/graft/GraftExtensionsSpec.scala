@@ -277,5 +277,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val nNow = t.entries(t.latestVersion.get).size
     t.compactWhere($"k" > 100000L, targetFiles = 1)
     assert(t.entries(t.latestVersion.get).size == nNow)
+
+    // DESCRIBE FILES: per-file manifest metadata as a result set —
+    // zero data-file opens, one row per active file, windows populated
+    val files = s2.sql("DESCRIBE FILES gow.t")
+    assert(files.count() == nNow.toLong)
+    assert(files.inputFiles.isEmpty, "DESCRIBE FILES must open no data")
+    val row = files.orderBy($"stats_lo").collect().head
+    assert(row.getAs[Long]("stats_lo") == 0L)
+    assert(row.getAs[Long]("rows") > 0L)
+    assert(!row.getAs[Boolean]("zordered"))
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      s2.sql("DESCRIBE FILES gow.t EXTRA"))
   }
 }
