@@ -481,7 +481,13 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
       fileStats = { prunedAbs =>
         val relByAbs = entries.map(e => abs(e.path) -> e.path).toMap
         t.statsForFiles(prunedAbs.flatMap(relByAbs.get), v)
-      })
+      },
+      // manifest-indexed columns advertised for RUNTIME filtering: a
+      // star join's executed dimension side hands its distinct keys to
+      // [[org.apache.spark.sql.GraftStatsScan.filter]], which re-prunes
+      // the fact file list through the same windows/blooms — dynamic
+      // partition pruning with no directory-layout requirement
+      prunableCols = () => t.prunableColumns(v))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

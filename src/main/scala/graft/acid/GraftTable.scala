@@ -2229,6 +2229,22 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     (rows, cols)
   }
 
+  /** Column names the manifest can prune on at `version` — the
+    * windowed / partition / bloom-indexed set the DSv2 scan advertises
+    * as RUNTIME filter attributes ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]):
+    * a star join's dimension-side keys land here as an executed-plan IN
+    * filter, and [[filesForPredicate]] prunes the fact scan's file list
+    * before any parquet open — dynamic partition pruning served by
+    * manifest metadata instead of directory layout. */
+  private[graft] def prunableColumns(version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion).getOrElse(return Nil)
+    val es = entries(v)
+    (statsCol.toSeq ++ partitionCol.toSeq ++ indexCols ++ bloomCol.toSeq ++
+      es.flatMap(_.windows.keys) ++ es.flatMap(_.strWindows.keys))
+      .foldLeft(Vector.empty[String])((acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+  }
+
   /** Files [[snapshotWhere]] would read for `predicate` — the pruning
     * witness specs and EXPLAIN-style tooling inspect. */
   private[graft] def filesForPredicate(predicate: Column,

@@ -753,6 +753,30 @@ object AcidQueries extends QueryPack {
            |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
            |FROM graft.`$name` WHERE user_id <= 60
            |GROUP BY user_id""".stripMargin).orderBy($"user_id")
+    },
+
+    // RUNTIME file pruning (the DPP shape, served by the manifest): a
+    // star join where the fact side has NO static predicate — only the
+    // broadcast dimension's surviving 'hot' keys, arriving at execution
+    // time as a runtime IN filter, prune the user_id-clustered fact's
+    // file list through its manifest windows
+    // (GraftCatalogSpec pins the kept-file cut; this row pins the rows).
+    "q_acid_sql_dpp" -> { (s, d) =>
+      import s.implicits._
+      val st = tables(s, d)._5
+      s.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val name = new Path(st.root).getName
+      events(s, d).select($"user_id").distinct()
+        .withColumn("cat",
+          when($"user_id".between(10L, 30L), "hot").otherwise("cold"))
+        .createOrReplaceTempView("graft_dpp_dim")
+      s.sql(
+        s"""SELECT f.user_id, count(*) AS n_rows,
+           |  CAST(sum(CAST(f.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           |FROM graft.`$name` f JOIN graft_dpp_dim d ON f.user_id = d.user_id
+           |WHERE d.cat = 'hot'
+           |GROUP BY f.user_id""".stripMargin).orderBy($"user_id")
     }
   )
 
@@ -841,6 +865,17 @@ object AcidQueries extends QueryPack {
         |    AS sum_value
         |FROM events WHERE user_id % 50 <> 13 AND user_id <= 60
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // dim = distinct users tagged hot iff 10 <= user_id <= 30; the star
+    // join keeps exactly the hot users' fact rows
+    "q_acid_sql_dpp" ->
+      """SELECT f.user_id, count(*) AS n_rows,
+        |  CAST(sum(CAST(f.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events f
+        |JOIN (SELECT DISTINCT user_id FROM events
+        |      WHERE user_id BETWEEN 10 AND 30) d
+        |  ON f.user_id = d.user_id
+        |GROUP BY f.user_id ORDER BY f.user_id""".stripMargin,
 
     // the pipeline moves every appended row exactly once
     "q_acid_stream_sink" ->

@@ -54,7 +54,12 @@ class GraftPruningScanBuilder(
     // per-column (min, max) from the recorded windows) — surfaced via
     // SupportsReportStatistics so PLAN-TIME join sizing sees them
     fileStats: Seq[String] => (Option[Long], Map[String, (Long, Long)]) =
-      _ => (None, Map.empty))
+      _ => (None, Map.empty),
+    // columns the manifest can prune on (windows / partition / bloom) —
+    // advertised as RUNTIME filter attributes so dynamic partition
+    // pruning hands the scan the dimension side's join keys at
+    // execution time ([[GraftStatsScan.filter]])
+    prunableCols: () => Seq[String] = () => Nil)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -205,9 +210,20 @@ class GraftPruningScanBuilder(
               b.build()
             }
           // pushed aggregates reshape the output (partial agg rows) —
-          // manifest row/column stats no longer describe it
-          if (agg.isDefined || (liveRows.isEmpty && colStats.isEmpty)) inner
-          else GraftStatsScan(inner, liveRows, colStats)
+          // manifest row/column stats no longer describe it, and a
+          // runtime filter could not legally apply to it either
+          if (agg.isDefined) inner
+          else GraftStatsScan(inner, liveRows, colStats,
+            staticFiles = files,
+            runtimeAttrs = prunableCols(),
+            runtimePrune = prune,
+            rebuild = shrunk => {
+              val b = mkDelegate(shrunk)
+              if (pushed.nonEmpty) b.pushFilters(pushed)
+              required.foreach(b.pruneColumns)
+              variants.foreach(delegateVariants(b).pushVariantExtractions)
+              b.build()
+            })
       }
   }
 }
@@ -223,14 +239,93 @@ class GraftPruningScanBuilder(
 case class GraftStatsScan(
     delegate: Scan,
     liveRows: Option[Long],
-    colStats: Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
+    colStats: Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics],
+    // RUNTIME FILE PRUNING (the DPP analogue, served by the manifest):
+    // `staticFiles` is the file set the plan-time pruning settled on,
+    // `runtimeAttrs` the manifest-indexed columns advertised to the
+    // engine's PartitionPruning rule, `runtimePrune` maps catalyst
+    // predicates to the files that may satisfy them (windows + blooms),
+    // and `rebuild` re-derives the delegate parquet scan over a shrunk
+    // list with the negotiated pushdown replayed verbatim
+    staticFiles: Seq[String] = Nil,
+    runtimeAttrs: Seq[String] = Nil,
+    runtimePrune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Seq[String] =
+      _ => Nil,
+    rebuild: Seq[String] => Scan = _ => null)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  @volatile private var current: Scan = delegate
+  /** Files surviving [[filter]] — the pruning witness specs inspect;
+    * None until a runtime filter lands. */
+  @volatile var runtimeKeptFiles: Option[Int] = None
+
+  /** Only attributes present in the PRUNED read schema: the engine
+    * resolves these against the scan relation's output and throws on a
+    * miss, so a manifest-indexed column the query never selects must
+    * not be advertised. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = readSchema().fieldNames
+    runtimeAttrs.flatMap(a => out.find(_.equalsIgnoreCase(a)))
+      .map(org.apache.spark.sql.connector.expressions.FieldReference.column)
+      .toArray
+  }
+
+  /** Runtime predicates (the broadcast dimension's distinct join keys,
+    * arriving as `key IN (v1, ..., vn)`) prune the FILE LIST through the
+    * same manifest windows/blooms the static path uses: the fact side of
+    * a selective star join then opens O(matching files) — decided
+    * per-query at execution time, zero directory-layout requirements. */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    if (staticFiles.isEmpty) return
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Literal] =
+      e match {
+        case l: LiteralValue[_] => Some(Literal(l.value, l.dataType))
+        case _ => None
+      }
+    // an IN with a column ref and ZERO values means the build side
+    // produced no keys at all — nothing on the probe side can match
+    var emptyIn = false
+    val exprs = predicates.toSeq.flatMap { p =>
+      (p.name, p.children.toSeq) match {
+        case ("IN", head +: rest) if ref(head).isDefined =>
+          if (rest.isEmpty) { emptyIn = true; None }
+          else if (rest.forall(lit(_).isDefined))
+            Some(In(UnresolvedAttribute.quoted(ref(head).get), rest.flatMap(lit)))
+          else None
+        case ("=", Seq(a, b)) =>
+          for (c <- ref(a); l <- lit(b))
+            yield EqualTo(UnresolvedAttribute.quoted(c), l)
+        case _ => None
+      }
+    }
+    val kept =
+      if (emptyIn) Nil
+      else if (exprs.isEmpty) return
+      else {
+        val pass = runtimePrune(exprs).toSet
+        staticFiles.filter(pass)
+      }
+    runtimeKeptFiles = Some(kept.size)
+    if (kept.size < staticFiles.size) current = rebuild(kept)
+  }
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    delegate.toBatch
+    current.toBatch
   override def description(): String = delegate.description()
   override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
   override def reportDriverMetrics() = delegate.reportDriverMetrics()

@@ -452,4 +452,54 @@ class GraftCatalogSpec extends SparkSpec {
       s"scoped merge ran ${jobs.get()} jobs — an extra planning scan crept in")
     assert(t.snapshot().filter(col("name") === "updated").count() == 1L)
   }
+
+  test("runtime file pruning: a star join's dim keys prune fact files at execution") {
+    enableCatalog()
+    // fact clustered on k (disjoint per-file windows), dim tiny — the
+    // broadcast dimension's surviving join keys arrive at the fact scan
+    // as a runtime IN filter and re-prune the FILE LIST through the
+    // manifest windows: dynamic partition pruning with zero
+    // directory-layout requirements
+    val fact = new GraftTable(spark, s"$warehouse/dppfact", statsCol = Some("k"))
+    fact.append((0L to 99L).map(k => (k, k * 2)).toDF("k", "v").coalesce(1))
+    fact.append((100L to 199L).map(k => (k, k * 2)).toDF("k", "v").coalesce(1))
+    fact.append((200L to 299L).map(k => (k, k * 2)).toDF("k", "v").coalesce(1))
+    val dim = new GraftTable(spark, s"$warehouse/dppdim")
+    dim.append(Seq((5L, "hot"), (150L, "cold"), (250L, "cold")).toDF("k", "cat"))
+    val df = spark.sql(
+      """SELECT f.k, f.v FROM graft.dppfact f JOIN graft.dppdim d ON f.k = d.k
+        |WHERE d.cat = 'hot'""".stripMargin)
+    // execute THIS dataset (.as[] would wrap a fresh QueryExecution and
+    // the inspected scan instance would never run)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 10L)))
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // AQE wraps stages in QueryStageExec LEAF nodes — descend explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }
+    val factScans = scans(finalPlan).filter(b =>
+      b.scan.isInstanceOf[org.apache.spark.sql.GraftStatsScan] &&
+        b.runtimeFilters.nonEmpty)
+    assert(factScans.nonEmpty,
+      s"expected a runtime-filtered graft scan in the final plan:\n$finalPlan")
+    val s = factScans.head.scan.asInstanceOf[org.apache.spark.sql.GraftStatsScan]
+    assert(s.runtimeKeptFiles.exists(_ < s.staticFiles.size),
+      s"runtime filter kept ${s.runtimeKeptFiles} of ${s.staticFiles.size} files")
+    // an anti-selective dim (no 'hot' rows at all) empties the scan
+    val none = spark.sql(
+      """SELECT f.k FROM graft.dppfact f JOIN graft.dppdim d ON f.k = d.k
+        |WHERE d.cat = 'missing'""".stripMargin)
+    assert(none.count() == 0L)
+  }
 }
