@@ -157,9 +157,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * `sw:<col>=<b64lo>,<b64hi>` truncated STRING windows (lo is a prefix
     * lower bound, hi a rounded-up upper bound — string predicates prune
     * on them), `dv=<version>` a deletion-vector reference into the
-    * `v<version>.dvs` sidecar with `dn=<count>` deleted positions, and
-    * `n=<rows>` the file's physical row count. Tab-separated tagged
-    * fields; order-insensitive on parse. */
+    * `v<version>.dvs` sidecar with `dn=<count>` deleted positions,
+    * `n=<rows>` the file's physical row count, and `nv:<col>=<b64>` a
+    * compact per-file HLL sketch of the column's distinct values
+    * (ADVISORY planner statistics — mergeable across any pruned file
+    * subset into that subset's NDV estimate; a reader ignoring the tag
+    * loses nothing but CBO precision, so it is NOT `require=` gated).
+    * Tab-separated tagged fields; order-insensitive on parse. */
   private[graft] case class FileEntry(path: String,
                                       stats: Option[(Long, Long)],
                                       part: Option[(Long, Long)] = None,
@@ -175,6 +179,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       // columns — the incremental pass's
                                       // clustered-ness witness
                                       zTag: Option[String] = None,
+                                      // per-column HLL sketches over THIS
+                                      // file's values (datasketches binary,
+                                      // ~200 B at lgK=8) — union across any
+                                      // pruned subset = that subset's NDV
+                                      ndv: Map[String, Array[Byte]] = Map.empty,
                                       // set ONLY by writeData on a bloom built
                                       // this commit (hashed scheme) — a carried
                                       // LEGACY inline bloom (raw-long scheme)
@@ -195,7 +204,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                 windows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
                   s"w:$c=$lo,$hi" } ++
                 strWindows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-                  s"sw:$c=${GraftTable.b64(lo)},${GraftTable.b64(hi)}" }))
+                  s"sw:$c=${GraftTable.b64(lo)},${GraftTable.b64(hi)}" } ++
+                ndv.toSeq.sortBy(_._1).map { case (c, sk) =>
+                  s"nv:$c=${GraftTable.b64bytes(sk)}" }))
         .mkString("\t")
   }
 
@@ -229,7 +240,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           k.drop(3) -> parseStrRange(v) },
         tags.get("dv").flatMap(_.toLongOption),
         tags.get("dn").flatMap(_.toLongOption).getOrElse(0L),
-        tags.get("z"))
+        tags.get("z"),
+        tags.collect { case (k, v) if k.startsWith("nv:") =>
+          k.drop(3) -> GraftTable.unb64bytes(v) })
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -551,8 +564,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   /** DESCRIBE DETAIL: one row of table-level physical facts, resolved
     * ENTIRELY from manifest metadata (zero file opens) — current version,
     * active file count, live row count, total deletion-vector-masked
-    * rows, and the physical config (partition/stats/bloom/index columns).
-    * The at-a-glance surface an operator checks before deciding to
+    * rows, the physical config (partition/stats/bloom/index columns),
+    * and per-column NDV estimates (merged per-file HLL sketches). The
+    * at-a-glance surface an operator checks before deciding to
     * OPTIMIZE / REORG / VACUUM. */
   def detailDF: DataFrame = {
     import spark.implicits._
@@ -565,18 +579,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       es.count(_.dvRef.isDefined),
       partitionCol.orNull, statsCol.orNull, bloomCol.orNull,
       if (indexCols.isEmpty) null else indexCols.mkString(","),
-      history().lastOption.map(_.op).orNull))
+      history().lastOption.map(_.op).orNull,
+      statsForFiles(es.map(_.path), Some(v))._3))
       .toDF("version", "n_files", "n_rows", "dv_masked_rows",
         "dv_masked_files", "partition_col", "stats_col", "bloom_col",
-        "index_cols", "last_operation")
+        "index_cols", "last_operation", "ndv")
   }
 
   /** DESCRIBE FILES: one row per ACTIVE file of `version` (default
     * latest), resolved entirely from manifest metadata — zero file
     * opens. Path, physical/live row counts, DV-masked rows, the
     * stats/partition windows, per-index-column windows, whether a bloom
-    * serves the file, the referenced `.dvs` sidecar version, and the
-    * zorder layout flag: the operator's view of layout health (sliver
+    * serves the file, the referenced `.dvs` sidecar version, the
+    * zorder layout flag, and per-column NDV estimates from the file's
+    * HLL sketches: the operator's view of layout health (sliver
     * spotting, per-file DV debt, window tightness) before deciding to
     * OPTIMIZE / REORG / VACUUM. */
   def filesDF(version: Option[Long] = None): DataFrame = {
@@ -589,10 +605,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         e.part.map(_._1), e.part.map(_._2),
         e.windows.map { case (c, (lo, hi)) => c -> s"$lo..$hi" },
         e.bloom.isDefined || e.bloomRef.isDefined,
-        e.dvRef, e.zTag.isDefined)
+        e.dvRef, e.zTag.isDefined,
+        e.ndv.flatMap { case (c, sk) =>
+          GraftTable.ndvEstimate(Seq(sk)).map(c -> _) })
     }.toDF("path", "rows", "live_rows", "dv_masked", "stats_lo", "stats_hi",
       "part_lo", "part_hi", "index_windows", "has_bloom", "dv_sidecar",
-      "zordered")
+      "zordered", "ndv")
       .orderBy(col("path"))
   }
 
@@ -818,13 +836,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           rows = Some(pf.nrows),
           strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
             tag.drop(2) -> win },
+          ndv = pf.ndv,
           bloomFresh = blooms.contains(n))
       }
   }
 
   private case class PerFileStats(num: Map[String, (Long, Long)],
                                   str: Map[String, (String, String)],
-                                  nrows: Long)
+                                  nrows: Long,
+                                  ndv: Map[String, Array[Byte]] = Map.empty)
 
   /** ONE distributed profiling pass over `written`, maps keyed by FILE
     * NAME: per-file windows + row counts + CHECK violation counts
@@ -850,12 +870,35 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       strTracked: Seq[(String, String)],
       numTracked: Seq[(String, String)])
       : (Map[String, PerFileStats], Map[String, Array[Long]]) = {
+    // NDV sketches ride the SAME pass: one compact HLL per tracked (or
+    // bloom) column per file — integral columns widen to long (byte/
+    // short aren't sketchable directly; the widening is value-preserving
+    // so per-file sketches of the same column always merge), strings and
+    // binaries hash raw, any other type is simply not sketched
+    // (advisory metadata — absent means "no estimate", never wrong).
+    val (ndvCols, ndvAggs) = {
+      import org.apache.spark.sql.types._
+      val pairs = (tracked.map(_._2) ++ bloomCol.toSeq)
+        .foldLeft(Vector.empty[String])((acc, c) =>
+          if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+        .flatMap { c =>
+          written.schema.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType).collect {
+              case ByteType | ShortType | IntegerType | LongType =>
+                c -> hll_sketch_agg(col(c).cast("long"), GraftTable.NdvLgK)
+                  .as(s"__nv_$c")
+              case StringType | BinaryType =>
+                c -> hll_sketch_agg(col(c), GraftTable.NdvLgK).as(s"__nv_$c")
+            }
+        }
+      (pairs.map(_._1), pairs.map(_._2))
+    }
     val aggs = numTracked.flatMap { case (tag, c) =>
       Seq(min(col(c).cast("long")).as(s"${tag}_lo"),
           max(col(c).cast("long")).as(s"${tag}_hi"))
     } ++ strTracked.flatMap { case (tag, c) =>
       Seq(min(col(c)).as(s"${tag}_slo"), max(col(c)).as(s"${tag}_shi"))
-    } ++ violationAggs :+ count(lit(1)).as("__nrows")
+    } ++ ndvAggs ++ violationAggs :+ count(lit(1)).as("__nrows")
     val perFileRows = written
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -875,8 +918,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             else GraftTable.truncWindow(r.getString(i), r.getString(j))
               .map(tag -> _)
           }.toMap
+          val byNdv = ndvCols.flatMap { c =>
+            val i = r.fieldIndex(s"__nv_$c")
+            if (r.isNullAt(i)) None else Some(c -> r.getAs[Array[Byte]](i))
+          }.toMap
           new Path(r.getString(0)).getName ->
-            PerFileStats(byTag, byStr, r.getLong(r.fieldIndex("__nrows")))
+            PerFileStats(byTag, byStr, r.getLong(r.fieldIndex("__nrows")), byNdv)
         }.toMap
     val blooms: Map[String, Array[Long]] = bloomCol.fold(
       Map.empty[String, Array[Long]]) { c =>
@@ -958,6 +1005,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         rows = Some(pf.nrows),
         strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
           tag.drop(2) -> win },
+        ndv = pf.ndv,
         bloomFresh = blooms.contains(n))
     }
     commit(1L, entries, op = "convert", schema = Some(df.schema))
@@ -2210,11 +2258,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * plan-time join sizing (broadcast choice, CBO selectivity) sees real
     * numbers instead of waiting for AQE runtime stats. */
   private[graft] def statsForFiles(relPaths: Seq[String],
-      version: Option[Long]): (Option[Long], Map[String, (Long, Long)]) = {
-    val v = version.orElse(latestVersion).getOrElse(return (None, Map.empty))
+      version: Option[Long])
+      : (Option[Long], Map[String, (Long, Long)], Map[String, Long]) = {
+    val v = version.orElse(latestVersion)
+      .getOrElse(return (None, Map.empty, Map.empty))
     val byPath = entries(v).map(e => e.path -> e).toMap
     val sel = relPaths.flatMap(byPath.get)
-    if (sel.isEmpty) return (Some(0L), Map.empty)
+    if (sel.isEmpty) return (Some(0L), Map.empty, Map.empty)
     val rows =
       if (sel.forall(_.rows.isDefined)) Some(sel.flatMap(_.liveRows).sum)
       else None
@@ -2226,7 +2276,22 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         Some(c -> ((flat.map(_._1).min, flat.map(_._2).max)))
       } else None
     }.toMap
-    (rows, cols)
+    // NDV for the SELECTED subset: union the per-file HLL sketches —
+    // only when EVERY selected entry carries one for the column, so the
+    // estimate always covers the whole scanned set (a DV-masked file's
+    // sketch still counts its masked values: the estimate is an upper
+    // bound there, which CBO treats correctly as "at most this many")
+    val ndvColNames = sel.flatMap(_.ndv.keys)
+      .foldLeft(Vector.empty[String])((acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+    val ndvs = ndvColNames.flatMap { c =>
+      val sks = sel.map(e => e.ndv.collectFirst {
+        case (k, b) if k.equalsIgnoreCase(c) => b })
+      if (sks.forall(_.isDefined))
+        GraftTable.ndvEstimate(sks.flatten).map(c -> _)
+      else None
+    }.toMap
+    (rows, cols, ndvs)
   }
 
   /** Column names the manifest can prune on at `version` — the
@@ -3270,4 +3335,27 @@ object GraftTable {
     val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
     Array.fill(bb.remaining() / 8)(bb.getLong())
   }
+
+  private[graft] def b64bytes(b: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  private[graft] def unb64bytes(s: String): Array[Byte] =
+    java.util.Base64.getUrlDecoder.decode(s)
+
+  /** Per-file NDV sketch precision: lgK=8 (256 buckets, ~6.5% relative
+    * error, ~200 B serialized) — a planner ESTIMATE, kept small so the
+    * hot manifest line stays sub-KB per indexed column. */
+  private[graft] val NdvLgK = 8
+
+  /** Union `sketches` (datasketches HLL binaries, any mix of sparse and
+    * dense) into one NDV estimate — how a pruned file subset's distinct
+    * count resolves from per-file metadata. A sketch that fails to
+    * heapify (foreign bytes) poisons nothing: the column just reports
+    * no NDV. */
+  private[graft] def ndvEstimate(sketches: Seq[Array[Byte]]): Option[Long] =
+    try {
+      val u = new org.apache.datasketches.hll.Union(NdvLgK)
+      sketches.foreach(b => u.update(org.apache.datasketches.hll.HllSketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(b))))
+      Some(math.round(u.getEstimate))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -51,10 +51,12 @@ class GraftPruningScanBuilder(
     dvPlan: Option[(Seq[String], Seq[String], Seq[Expression]) =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None,
     // manifest statistics for a pruned file list: (exact live rows,
-    // per-column (min, max) from the recorded windows) — surfaced via
+    // per-column (min, max) from the recorded windows, per-column NDV
+    // estimates from the merged per-file HLL sketches) — surfaced via
     // SupportsReportStatistics so PLAN-TIME join sizing sees them
-    fileStats: Seq[String] => (Option[Long], Map[String, (Long, Long)]) =
-      _ => (None, Map.empty),
+    fileStats: Seq[String] =>
+        (Option[Long], Map[String, (Long, Long)], Map[String, Long]) =
+      _ => (None, Map.empty, Map.empty),
     // columns the manifest can prune on (windows / partition / bloom) —
     // advertised as RUNTIME filter attributes so dynamic partition
     // pruning hands the scan the dimension side's join keys at
@@ -191,8 +193,8 @@ class GraftPruningScanBuilder(
       }
     case None =>
       val files = if (pushed.isEmpty) allFiles else prune(pushed)
-      val (liveRows, colWindows) = fileStats(files)
-      val colStats = GraftStatsScan.toColumnStats(dataSchema, colWindows)
+      val (liveRows, colWindows, colNdv) = fileStats(files)
+      val colStats = GraftStatsScan.toColumnStats(dataSchema, colWindows, colNdv)
       dvPlan match {
         case Some(mk) =>
           val outSchema = required.getOrElse(dataSchema)
@@ -367,14 +369,19 @@ case class GraftStatsScan(
 }
 
 object GraftStatsScan {
-  /** Manifest windows → V2 column statistics, typed to the column: only
-    * integral columns convert (their catalyst-internal value IS the
-    * boxed primitive, so CBO's estimation arithmetic is type-safe);
-    * anything else is simply not reported. */
-  def toColumnStats(schema: StructType, windows: Map[String, (Long, Long)])
+  /** Manifest windows + NDV estimates → V2 column statistics, typed to
+    * the column: min/max convert for integral columns only (their
+    * catalyst-internal value IS the boxed primitive, so CBO's estimation
+    * arithmetic is type-safe); distinct counts attach to ANY sketched
+    * column (strings included — join keys are often strings and their
+    * NDV is what cardinality estimation runs on). */
+  def toColumnStats(schema: StructType, windows: Map[String, (Long, Long)],
+                    ndv: Map[String, Long] = Map.empty)
       : Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.types._
-    windows.flatMap { case (name, (lo, hi)) =>
+    def ndvOf(name: String): Option[Long] =
+      ndv.collectFirst { case (k, n) if k.equalsIgnoreCase(name) => n }
+    val windowed = windows.flatMap { case (name, (lo, hi)) =>
       schema.fields.find(_.name.equalsIgnoreCase(name)).flatMap { f =>
         def box(v: Long): Option[Object] = f.dataType match {
           case LongType    => Some(java.lang.Long.valueOf(v))
@@ -384,15 +391,29 @@ object GraftStatsScan {
           case _           => None
         }
         for (mn <- box(lo); mx <- box(hi)) yield f.name ->
-          (new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-            override def min(): java.util.Optional[Object] =
-              java.util.Optional.of(mn)
-            override def max(): java.util.Optional[Object] =
-              java.util.Optional.of(mx)
-          })
+          mkStats(Some(mn), Some(mx), ndvOf(f.name))
       }
     }
+    // NDV-only columns (no integral window — strings, or un-windowed
+    // bloom columns) still report their distinct count
+    val ndvOnly = ndv.flatMap { case (name, n) =>
+      schema.fields.find(_.name.equalsIgnoreCase(name))
+        .filterNot(f => windowed.contains(f.name))
+        .map(f => f.name -> mkStats(None, None, Some(n)))
+    }
+    windowed ++ ndvOnly
   }
+
+  private def mkStats(mn: Option[Object], mx: Option[Object], nd: Option[Long])
+      : org.apache.spark.sql.connector.read.colstats.ColumnStatistics =
+    new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+      override def min(): java.util.Optional[Object] =
+        mn.fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+      override def max(): java.util.Optional[Object] =
+        mx.fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+      override def distinctCount(): java.util.OptionalLong =
+        nd.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
 }
 
 /** Marker scan for a snapshot that carries deletion vectors: it never

@@ -287,6 +287,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("stats_lo") == 0L)
     assert(row.getAs[Long]("rows") > 0L)
     assert(!row.getAs[Boolean]("zordered"))
+    // per-file NDV estimates (HLL sketches) surface per tracked column
+    val ndv = row.getAs[Map[String, Long]]("ndv")
+    assert(ndv.get("k").exists(_ > 0L), s"expected a k NDV estimate: $ndv")
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       s2.sql("DESCRIBE FILES gow.t EXTRA"))
   }

@@ -335,6 +335,18 @@ class PlanSpec extends SparkSpec {
       val kStat = st.attributeStats.find(_._1.name == "k").map(_._2)
       assert(kStat.exists(s => s.min.contains(0L) && s.max.contains(29999L)),
         s"k column stats from manifest windows: $kStat")
+      // NDV from the merged per-file HLL sketches: 30000 true distincts,
+      // lgK=8 sketches carry ~6.5% relative error — pin a generous band
+      val ndv = kStat.flatMap(_.distinctCount).map(_.toLong)
+      assert(ndv.exists(n => n > 24000 && n < 36000),
+        s"k distinctCount from manifest NDV sketches: $ndv")
+      // a pruned subset reports the SUBSET's NDV (band 0 only: 10000)
+      val prunedNdv = scanStats(
+        spark.sql("SELECT * FROM gstat.fact WHERE k BETWEEN 100 AND 4999"))
+        .attributeStats.find(_._1.name == "k")
+        .flatMap(_._2.distinctCount).map(_.toLong)
+      assert(prunedNdv.exists(n => n > 8000 && n < 12000),
+        s"pruned-subset NDV should cover band 0 only: $prunedNdv")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
     // star join: broadcast-hash chosen at PLAN time, no hint, no AQE
     spark.conf.set("spark.sql.adaptive.enabled", "false")
