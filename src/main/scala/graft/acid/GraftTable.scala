@@ -933,21 +933,36 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         .exists(f => Seq(ByteType, ShortType, IntegerType, LongType)
           .contains(f.dataType))
       val x = xxhash64(if (integral) col(c).cast("long") else col(c))
+      // ROW-ADAPTIVE geometry: each file's bit count follows its row
+      // count (bloomBitsFor), attached as a broadcast (file -> bits)
+      // dim so the position modulus is per-file — a 1M-row file gets a
+      // 1 MiB bloom that actually prunes instead of a saturated 1 KB
+      // one. The probe recovers the modulus from the stored array
+      // length (self-describing), so no format version is needed.
+      val spark = written.sparkSession
+      import spark.implicits._
+      val bitsByName: Map[String, Long] =
+        perFile.map { case (n, pf) => n -> GraftTable.bloomBitsFor(pf.nrows) }
+      val bitsDF = bitsByName.toSeq.toDF("__fname", "__bbits")
       val posCols = (0 until BloomK).map(i =>
-        pmod(xxhash64(x, lit(i.toLong)), lit(BloomBits.toLong)))
+        pmod(xxhash64(x, lit(i.toLong)), col("__bbits")))
       written
         .where(col(c).isNotNull)
-        .select(input_file_name().as("f"),
-          explode(array(posCols: _*)).as("pos"))
+        .withColumn("f", input_file_name())
+        .withColumn("__fname", element_at(split(col("f"), "/"), -1))
+        .join(broadcast(bitsDF), "__fname")
+        .select(col("f"), explode(array(posCols: _*)).as("pos"))
         .select(col("f"), expr("cast(pos div 64 as int)").as("w"),
           expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("m"))
         .groupBy(col("f"), col("w")).agg(expr("bit_or(m)").as("bits"))
         .collect()
         .groupBy(_.getString(0))
         .map { case (f, rs) =>
-          val words = new Array[Long](GraftTable.BloomWords)
+          val name = new Path(f).getName
+          val nWords = (bitsByName.getOrElse(name, BloomBits.toLong) / 64L).toInt
+          val words = new Array[Long](nWords)
           rs.foreach(r => words(r.getInt(1)) = r.getLong(2))
-          new Path(f).getName -> words
+          name -> words
         }
     }
     (perFile, blooms)
@@ -2200,10 +2215,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // prune provably-absent values); new commits rebuild scheme-tagged
       if (scheme == GraftTable.BloomHashedLegacy && !bloomColDeclaredLong) true
       else ps.exists { p =>
+        val bits = arr.length * 64L // self-describing geometry
         val pos =
           if (scheme != GraftTable.BloomInlineRaw)
-            GraftTable.bloomPositionsHashed(GraftTable.hashLongValue(p))
-          else bloomPositions(p)
+            GraftTable.bloomPositionsHashed(GraftTable.hashLongValue(p), bits)
+          else bloomPositions(p, bits)
         pos.forall(testBit(arr, _))
       }
     }
@@ -2213,7 +2229,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // strings hash identically under both hashed schemes (no widening
       // cast is involved); inline raw blooms cannot serve strings
       scheme == GraftTable.BloomInlineRaw || ps.exists(s =>
-        GraftTable.bloomPositionsHashed(GraftTable.hashStringValue(s))
+        GraftTable.bloomPositionsHashed(GraftTable.hashStringValue(s),
+            arr.length * 64L)
           .forall(testBit(arr, _)))
     }
 
@@ -3240,23 +3257,42 @@ object GraftTable {
   private[graft] val BloomHashedLegacy = 1
   private[graft] val BloomHashedWidened = 2
 
-  /** Per-file bloom geometry: 8192 bits (128 longs, ~1.4 KB base64 per
-    * manifest line), 4 probes — ~1.2% false-positive rate at 1000
-    * distinct values per file, shrinking fast with fewer. */
+  /** Bloom geometry. Bit count is ROW-ADAPTIVE per file (self-describing
+    * — the probe derives it from the stored word-array length, so mixed
+    * sizes coexist in one table with no version bump): ~8 bits per row
+    * at 4 probes gives ~2.4% FPR regardless of file size, where the old
+    * fixed 8192 bits SATURATED (FPR → 1, zero skipping) past a few
+    * thousand rows — the difference between point lookups that prune at
+    * 100 TB file sizes and blooms that silently stop working. Floor
+    * 8192 bits keeps small files at the legacy geometry; cap 2^23 bits
+    * (1 MiB of words) bounds the sidecar at ~1M rows/file — larger
+    * files degrade FPR gracefully instead of exploding metadata. */
   private[graft] val BloomBits = 8192
   private[graft] val BloomWords = BloomBits / 64
   private[graft] val BloomK = 4
+  private[graft] val BloomBitsPerRow = 8L
+  private[graft] val BloomBitsCap = 1L << 23
+
+  /** Bits for a file of `rows` rows: 8 b/row rounded up to a whole
+    * number of 64-bit words, clamped to [8192, 2^23]. */
+  private[graft] def bloomBitsFor(rows: Long): Long = {
+    val want = math.max(BloomBits.toLong,
+      math.min(BloomBitsCap, rows * BloomBitsPerRow))
+    ((want + 63L) / 64L) * 64L
+  }
 
   /** The K bit positions of `value` — the driver-side probe twin of the
     * LEGACY Spark-side `pmod(xxhash64(col, lit(i)), bits)` build: the
     * catalyst XXH64 statics ARE that expression's implementation (seed
     * 42, children folded left-to-right), so build/probe parity holds by
-    * construction. */
-  private[graft] def bloomPositions(value: Long): Seq[Int] = {
+    * construction. `bits` comes from the stored array's length — the
+    * bloom is self-describing. */
+  private[graft] def bloomPositions(value: Long,
+                                    bits: Long = BloomBits.toLong): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     (0 until BloomK).map { i =>
       val h = XXH64.hashLong(i.toLong, XXH64.hashLong(value, 42L))
-      java.lang.Math.floorMod(h, BloomBits.toLong).toInt
+      java.lang.Math.floorMod(h, bits).toInt
     }
   }
 
@@ -3264,11 +3300,12 @@ object GraftTable {
     * scheme build `pmod(xxhash64(xxhash64(col), lit(i)), bits)`: `h0`
     * is the row's `xxhash64(col)` recomputed driver-side per type
     * ([[hashLongValue]]/[[hashStringValue]]). */
-  private[graft] def bloomPositionsHashed(h0: Long): Seq[Int] = {
+  private[graft] def bloomPositionsHashed(h0: Long,
+                                          bits: Long = BloomBits.toLong): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     (0 until BloomK).map { i =>
       val h = XXH64.hashLong(i.toLong, XXH64.hashLong(h0, 42L))
-      java.lang.Math.floorMod(h, BloomBits.toLong).toInt
+      java.lang.Math.floorMod(h, bits).toInt
     }
   }
 

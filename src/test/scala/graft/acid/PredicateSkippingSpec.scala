@@ -153,6 +153,30 @@ class PredicateSkippingSpec extends SparkSpec {
       "appendUnique landed duplicate Int keys — bloom probe missed")
   }
 
+  test("bloom geometry is row-adaptive: a big file's bloom grows and still prunes") {
+    import spark.implicits._
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_bigbloom"),
+      bloomCol = Some("id"))
+    // 200k distinct ids in ONE file: the legacy fixed 8192-bit bloom
+    // would saturate (every probe hits); the adaptive build sizes
+    // 200k * 8 bits -> the absent-point probe must actually skip
+    t.append((0L until 200000L).map(i => (i, i % 7)).toDF("id", "v")
+      .coalesce(1))
+    // a second small file keeps the floor geometry (8192 bits)
+    t.append(Seq((900000001L, 0L)).toDF("id", "v").coalesce(1))
+    val es = t.entries(t.latestVersion.get)
+    assert(es.size == 2)
+    // absent key: the big file's bloom must prune it (saturated = can't)
+    assert(t.filesForPoint(123456789L).isEmpty,
+      "absent-point probe should skip every file — the big bloom saturated")
+    // present keys still resolve exactly, from either geometry
+    assert(t.snapshotPoint(123456L).as[(Long, Long)].collect().toSeq ==
+      Seq((123456L, 123456L % 7)))
+    assert(t.snapshotPoint(900000001L).count() == 1L)
+    assert(t.filesForPoint(900000001L).size == 1,
+      "present-point probe should open only the one matching file")
+  }
+
   test("fastCount resolves from manifest metadata and tracks mutations") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_fastcount"))
     t.append((1L to 500L).toDF("id"))
