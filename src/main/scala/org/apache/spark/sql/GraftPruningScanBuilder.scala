@@ -329,8 +329,22 @@ case class GraftStatsScan(
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     current.toBatch
   override def description(): String = delegate.description()
-  override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
-  override def reportDriverMetrics() = delegate.reportDriverMetrics()
+  // runtime-pruning observability: the kept/static file counts surface
+  // as scan driver metrics in the Spark UI next to the parquet scan's
+  // own metrics — the "why did this scan open N files" answer
+  override def supportedCustomMetrics() =
+    delegate.supportedCustomMetrics() ++ Array[
+        org.apache.spark.sql.connector.metric.CustomMetric](
+      new GraftStatsScan.KeptFilesMetric, new GraftStatsScan.StaticFilesMetric)
+  override def reportDriverMetrics() = {
+    val base = current.reportDriverMetrics()
+    runtimeKeptFiles.fold(base) { kept =>
+      base ++ Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+        GraftStatsScan.taskMetric("graftRuntimeKeptFiles", kept.toLong),
+        GraftStatsScan.taskMetric("graftRuntimeStaticFiles",
+          staticFiles.size.toLong))
+    }
+  }
   override def columnarSupportMode() = delegate.columnarSupportMode()
   override def getMetaData(): Map[String, String] = delegate match {
     case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
@@ -369,6 +383,24 @@ case class GraftStatsScan(
 }
 
 object GraftStatsScan {
+  class KeptFilesMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "graftRuntimeKeptFiles"
+    override def description(): String =
+      "files kept by graft runtime pruning"
+  }
+  class StaticFilesMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "graftRuntimeStaticFiles"
+    override def description(): String =
+      "files before graft runtime pruning"
+  }
+  private[sql] def taskMetric(n: String, v: Long)
+      : org.apache.spark.sql.connector.metric.CustomTaskMetric =
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
   /** Manifest windows + NDV estimates → V2 column statistics, typed to
     * the column: min/max convert for integral columns only (their
     * catalyst-internal value IS the boxed primitive, so CBO's estimation

@@ -496,6 +496,11 @@ class GraftCatalogSpec extends SparkSpec {
     val s = factScans.head.scan.asInstanceOf[org.apache.spark.sql.GraftStatsScan]
     assert(s.runtimeKeptFiles.exists(_ < s.staticFiles.size),
       s"runtime filter kept ${s.runtimeKeptFiles} of ${s.staticFiles.size} files")
+    // the prune surfaces as scan driver metrics (Spark UI observability)
+    val dm = s.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(dm.get("graftRuntimeKeptFiles").contains(1L) &&
+      dm.get("graftRuntimeStaticFiles").contains(3L),
+      s"runtime-prune driver metrics: $dm")
     // an anti-selective dim (no 'hot' rows at all) empties the scan
     val none = spark.sql(
       """SELECT f.k FROM graft.dppfact f JOIN graft.dppdim d ON f.k = d.k

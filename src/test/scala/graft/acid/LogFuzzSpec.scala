@@ -33,6 +33,7 @@ class LogFuzzSpec extends SparkSpec {
 
     def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "v")
 
+    var checks = 0
     def checkAgainst(handle: GraftTable, label: String): Unit = {
       val got = handle.snapshot().as[(Long, Long)].collect().sorted.toSeq
       val want = model.toSeq.sorted
@@ -52,6 +53,17 @@ class LogFuzzSpec extends SparkSpec {
         .map(v => handle.entries(v).flatMap(_.dvRef).distinct.size).getOrElse(0)
       assert(dvRefs <= GraftTable.MaxDvSidecars,
         s"$label: $dvRefs live dv sidecars exceed ${GraftTable.MaxDvSidecars}")
+      // bloom point-lookup parity (sampled — a mis-sized adaptive-bloom
+      // probe would false-negative a PRESENT key here first): one model
+      // key must resolve exactly, one never-issued key must be empty
+      checks += 1
+      if (checks % 7 == 0 && model.nonEmpty) {
+        val (k, v) = model.last
+        assert(handle.snapshotPoint(k).as[(Long, Long)].collect().toSeq ==
+          Seq((k, v)), s"$label: bloom point lookup missed present key $k")
+        assert(handle.snapshotPoint(nextId + 1000000L).isEmpty,
+          s"$label: absent-key point lookup returned rows")
+      }
     }
 
     // fast reader-driven abort of fuzzed crashed txns (default 3 s)
