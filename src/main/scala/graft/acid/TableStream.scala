@@ -55,8 +55,114 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * ones Spark's own `FileStreamSource` pairs with V1.
   */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.connector.catalog.TableProvider {
   override def shortName(): String = "graft-table"
+
+  /** BATCH path reads — `spark.read.format("graft-table").load(root)`
+    * (+ `option("versionAsOf", n)` / `option("timestampAsOf", ts)` time
+    * travel), the Delta-style direct-path surface for a table that is
+    * not registered in any catalog. Returns the SAME DSv2 face the
+    * catalog serves ([[GraftTableV2]]), so manifest file skipping, DV
+    * masking, plan-time statistics and runtime file pruning all apply
+    * identically. Batch writes to an EXISTING table work through the
+    * same face (`df.write.format("graft-table").mode("append")`);
+    * streaming read/write keep their V1 paths — this Table advertises
+    * no streaming capability, so the engine falls back to the
+    * StreamSourceProvider/StreamSinkProvider halves above. */
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-table needs a 'path' option (the table root)"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    // a DV-carrying snapshot reads through the planner rewrite — a bare
+    // path read may be the session's FIRST graft touch (no catalog, no
+    // extension), so install it here too (idempotent)
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(GraftDvScanRewrite))
+      spark.experimental.extraOptimizations = rules :+ GraftDvScanRewrite
+    val t = GraftTable.load(spark, root)
+    val pinned = (Option(opts.get("versionAsOf")),
+                  Option(opts.get("timestampAsOf"))) match {
+      case (Some(v), _) =>
+        val ver = v.trim.toLong
+        require(t.versions.contains(ver),
+          s"versionAsOf $ver is not retained at $root (${t.versions})")
+        Some(ver)
+      case (_, Some(ts)) =>
+        // epoch millis, or a SQL timestamp literal
+        val ms = ts.trim.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(ts.trim).getTime)
+        val h = t.history().filter(_.commitMs <= ms)
+        require(h.nonEmpty, s"no commit at or before $ts in table at $root")
+        Some(h.last.version)
+      case _ => None
+    }
+    new GraftTableV2(spark, t, root, pinned,
+      declared = Option(schema).filter(_.nonEmpty))
+  }
+
+  /** An empty root infers an empty schema instead of throwing so the
+    * STREAMING sink's capability probe (which resolves the table before
+    * falling back to [[createSink]]) still works on a fresh table. */
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-table needs a 'path' option (the table root)"))
+    val t = GraftTable.load(org.apache.spark.sql.SparkSession.active, root)
+    t.latestVersion.fold(new StructType())(v => t.snapshot(Some(v)).schema)
+  }
+
+  /** BATCH path writes — `df.write.format("graft-table").mode(m)
+    * .save(root)`. The [[GraftTableV2]] face advertises V1 writes only,
+    * so the engine's save routes here: every SaveMode maps onto the
+    * commit log (Append → append commit, Overwrite → atomic overwrite,
+    * ErrorIfExists/Ignore gate on the log's existence), and a FRESH
+    * root takes its physical config (`statsCol` / `partitionCol` /
+    * `bloomCol` / `indexCols`) from write options — the same contract
+    * as the streaming sink. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    def opt(k: String): Option[String] = parameters.collectFirst {
+      case (pk, v) if pk.equalsIgnoreCase(k) => v }
+    val root = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft-table write needs a 'path' option (the table root)"))
+    require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+      s"cannot write a time-travel snapshot of the table at $root")
+    val loaded = GraftTable.load(sqlContext.sparkSession, root)
+    val t =
+      if (loaded.latestVersion.nonEmpty) loaded
+      else new GraftTable(sqlContext.sparkSession, root,
+        statsCol = opt("statsCol"), partitionCol = opt("partitionCol"),
+        bloomCol = opt("bloomCol"),
+        indexCols = opt("indexCols").toSeq.flatMap(_.split(','))
+          .map(_.trim).filter(_.nonEmpty))
+    mode match {
+      case SaveMode.Append    => t.append(data)
+      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        if (t.latestVersion.nonEmpty) throw new IllegalStateException(
+          s"graft table at $root already has commits (SaveMode.ErrorIfExists)")
+        t.append(data)
+      case SaveMode.Ignore =>
+        if (t.latestVersion.isEmpty) t.append(data)
+    }
+    val sqlc = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: SQLContext = sqlc
+      override def schema: StructType = data.schema
+    }
+  }
 
   /** `writeStream.format("graft-table")` — the ACID table AS a streaming
     * SINK, closing the loop with the source above: a pipeline can

@@ -755,6 +755,20 @@ object AcidQueries extends QueryPack {
            |GROUP BY user_id""".stripMargin).orderBy($"user_id")
     },
 
+    // PATH-based batch read (spark.read.format("graft-table").load):
+    // the Delta-style direct-path surface — the same DSv2 face as the
+    // catalog (manifest pruning, DV masks, planner stats) with zero
+    // catalog registration; a pushed range filter must prune and the
+    // rows must equal the plain-WHERE oracle (TableStreamSpec pins the
+    // file-count cut, time travel and the DV mask on this surface).
+    "q_acid_path_read" -> { (s, d) =>
+      import s.implicits._
+      val st = tables(s, d)._5
+      s.read.format("graft-table").load(st.root)
+        .filter($"user_id".between(40L, 90L))
+        .orderBy($"event_id")
+    },
+
     // RUNTIME file pruning (the DPP shape, served by the manifest): a
     // star join where the fact side has NO static predicate — only the
     // broadcast dimension's surviving 'hot' keys, arriving at execution
@@ -865,6 +879,10 @@ object AcidQueries extends QueryPack {
         |    AS sum_value
         |FROM events WHERE user_id % 50 <> 13 AND user_id <= 60
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_acid_path_read" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id BETWEEN 40 AND 90 ORDER BY event_id""".stripMargin,
 
     // dim = distinct users tagged hot iff 10 <= user_id <= 30; the star
     // join keeps exactly the hot users' fact rows

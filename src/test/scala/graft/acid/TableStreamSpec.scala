@@ -242,4 +242,50 @@ class TableStreamSpec extends SparkSpec {
     assert(tableIds() == (1L to 25L),
       "replay + fresh data must land exactly the new records")
   }
+
+  test("batch path reads: spark.read.format(graft-table) with time travel, pruning, DVs") {
+    val root = graft.TempDirs.create("graft_pathread")
+    val t = new GraftTable(spark, root, statsCol = Some("id"))
+    t.append((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"))   // v1
+    Thread.sleep(5); val betweenMs = System.currentTimeMillis(); Thread.sleep(5)
+    t.append((101L to 200L).map(i => (i, s"n$i")).toDF("id", "name")) // v2
+    // plain load = latest snapshot, no catalog registration anywhere
+    val df = spark.read.format("graft-table").load(root)
+    assert(df.count() == 200L)
+    // manifest pruning + pushdown work through the path read: the scan's
+    // static file list (Dataset.inputFiles is blind to non-FileTable V2
+    // relations) must cover fewer files than the active set
+    val narrow = df.filter($"id".between(150L, 160L)).select($"id")
+    assert(narrow.count() == 11L)
+    val scan = narrow.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get.scan.asInstanceOf[org.apache.spark.sql.GraftStatsScan]
+    val allFiles = GraftTable.load(spark, root).activeFiles(2L).size
+    assert(scan.staticFiles.size < allFiles,
+      s"range read covers ${scan.staticFiles.size} of $allFiles files")
+    // versionAsOf / timestampAsOf time travel
+    assert(spark.read.format("graft-table").option("versionAsOf", "1")
+      .load(root).count() == 100L)
+    assert(spark.read.format("graft-table")
+      .option("timestampAsOf", betweenMs.toString).load(root).count() == 100L)
+    // batch APPEND through the same face
+    (201L to 210L).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.format("graft-table").mode("append").save(root)
+    assert(spark.read.format("graft-table").load(root).count() == 210L)
+    assert(GraftTable.load(spark, root).versions == Seq(1L, 2L, 3L))
+    // a DV-masked table reads through the path surface (the provider
+    // installs the rewrite itself — no catalog, no extension configured)
+    t.delete($"id" === 7L)
+    assert(GraftTable.load(spark, root)
+      .entries(4L).exists(_.dvRef.isDefined), "fixture must carry a DV")
+    val masked = spark.read.format("graft-table").load(root)
+    assert(masked.count() == 209L)
+    assert(masked.filter($"id" === 7L).count() == 0L,
+      "the DV-masked row resurrected through the path read")
+    // time-travel pins refuse writes
+    intercept[Exception] {
+      Seq((999L, "x")).toDF("id", "name").write.format("graft-table")
+        .option("versionAsOf", "1").mode("append").save(root)
+    }
+  }
 }
