@@ -78,8 +78,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** PATH IDENTIFIERS (the Delta `delta.`/abs/path`` pattern): an
+    * identifier whose name is an absolute path addresses the table
+    * DIRECTORY directly — `SELECT * FROM graft.`/data/events`` reads
+    * any graft table on disk without registering it under the
+    * warehouse root. Everything resolves through the same load path,
+    * so time travel, DML and maintenance SQL work on path tables too. */
   private def tableDir(ident: Identifier): Path =
-    (ident.namespace() :+ ident.name()).foldLeft(new Path(root))(new Path(_, _))
+    if (ident.namespace().isEmpty && ident.name().startsWith("/"))
+      new Path(ident.name())
+    else
+      (ident.namespace() :+ ident.name()).foldLeft(new Path(root))(new Path(_, _))
 
   private def schemaFile(dir: Path): Path = new Path(dir, "_schema.json")
 

@@ -147,8 +147,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
         bloomCol = opt("bloomCol"),
         indexCols = opt("indexCols").toSeq.flatMap(_.split(','))
           .map(_.trim).filter(_.nonEmpty))
+    // mergeSchema=true evolves the table schema on append (new columns
+    // ADD metadata-only; old files project NULL) — the Delta option
+    val merge = opt("mergeSchema").exists(_.trim.equalsIgnoreCase("true"))
     mode match {
-      case SaveMode.Append    => t.append(data)
+      case SaveMode.Append    => t.append(data, mergeSchema = merge)
       case SaveMode.Overwrite => t.overwrite(data)
       case SaveMode.ErrorIfExists =>
         if (t.latestVersion.nonEmpty) throw new IllegalStateException(

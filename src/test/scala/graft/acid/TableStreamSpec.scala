@@ -287,5 +287,25 @@ class TableStreamSpec extends SparkSpec {
       Seq((999L, "x")).toDF("id", "name").write.format("graft-table")
         .option("versionAsOf", "1").mode("append").save(root)
     }
+    // SQL path identifiers: with a graft catalog configured, an
+    // absolute-path table name reads any on-disk table — no
+    // registration under the warehouse root (the Delta
+    // `delta.`/path`` pattern). A DEDICATED catalog name: catalog
+    // plugin instances are cached per session by name, so hijacking
+    // `graft` here would pin other suites to this warehouse root.
+    spark.conf.set("spark.sql.catalog.gpath", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpath.root",
+      graft.TempDirs.create("graft_pathsql_wh"))
+    val viaSql = spark.sql(s"SELECT count(*) AS n FROM gpath.`$root`")
+    assert(viaSql.collect().head.getLong(0) == 209L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM gpath.`$root` VERSION AS OF 2")
+      .collect().head.getLong(0) == 200L)
+    // mergeSchema append evolves the schema; old rows project NULL
+    (301L to 305L).map(i => (i, s"n$i", i * 2L)).toDF("id", "name", "extra")
+      .write.format("graft-table").option("mergeSchema", "true")
+      .mode("append").save(root)
+    val evolved = spark.read.format("graft-table").load(root)
+    assert(evolved.columns.toSeq == Seq("id", "name", "extra"))
+    assert(evolved.filter($"extra".isNotNull).count() == 5L)
   }
 }
