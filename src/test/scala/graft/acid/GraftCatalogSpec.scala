@@ -507,4 +507,49 @@ class GraftCatalogSpec extends SparkSpec {
         |WHERE d.cat = 'missing'""".stripMargin)
     assert(none.count() == 0L)
   }
+
+  test("runtime file pruning serves STRING join keys through string windows") {
+    enableCatalog()
+    // the doc_id shape: a string-keyed fact clustered by key prefix —
+    // the dim's surviving string keys must prune through the truncated
+    // STRING windows at execution time
+    val fact = new GraftTable(spark, s"$warehouse/dppsfact",
+      indexCols = Seq("doc_id"))
+    def docs(p: Char, n: Int) =
+      (0 until n).map(i => (f"$p$i%05d", i.toLong)).toDF("doc_id", "v")
+    fact.append(docs('a', 200).coalesce(1))
+    fact.append(docs('m', 200).coalesce(1))
+    fact.append(docs('z', 200).coalesce(1))
+    val dim = new GraftTable(spark, s"$warehouse/dppsdim")
+    dim.append(Seq(("m00042", "hot"), ("a00001", "cold"))
+      .toDF("doc_id", "cat"))
+    val df = spark.sql(
+      """SELECT f.doc_id, f.v FROM graft.dppsfact f
+        |JOIN graft.dppsdim d ON f.doc_id = d.doc_id
+        |WHERE d.cat = 'hot'""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("m00042", 42L)))
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }
+    val s = scans(finalPlan)
+      .filter(b => b.scan.isInstanceOf[org.apache.spark.sql.GraftStatsScan] &&
+        b.runtimeFilters.nonEmpty)
+      .map(_.scan.asInstanceOf[org.apache.spark.sql.GraftStatsScan])
+      .find(_.runtimeKeptFiles.isDefined)
+    assert(s.exists(x => x.runtimeKeptFiles.exists(_ < x.staticFiles.size)),
+      s"string-key runtime filter did not prune: " +
+        s"${s.map(x => (x.runtimeKeptFiles, x.staticFiles.size))}")
+  }
 }
