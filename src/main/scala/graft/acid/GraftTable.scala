@@ -2297,19 +2297,33 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // only when EVERY selected entry carries one for the column, so the
     // estimate always covers the whole scanned set (a DV-masked file's
     // sketch still counts its masked values: the estimate is an upper
-    // bound there, which CBO treats correctly as "at most this many")
-    val ndvColNames = sel.flatMap(_.ndv.keys)
-      .foldLeft(Vector.empty[String])((acc, c) =>
-        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
-    val ndvs = ndvColNames.flatMap { c =>
-      val sks = sel.map(e => e.ndv.collectFirst {
-        case (k, b) if k.equalsIgnoreCase(c) => b })
-      if (sks.forall(_.isDefined))
-        GraftTable.ndvEstimate(sks.flatten).map(c -> _)
-      else None
-    }.toMap
+    // bound there, which CBO treats correctly as "at most this many").
+    // The UNFILTERED case (every query over a big table plans it)
+    // caches per version: O(files) heapify+union once, not per query.
+    def mergeNdv(entries: Seq[FileEntry]): Map[String, Long] = {
+      val ndvColNames = entries.flatMap(_.ndv.keys)
+        .foldLeft(Vector.empty[String])((acc, c) =>
+          if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+      ndvColNames.flatMap { c =>
+        val sks = entries.map(e => e.ndv.collectFirst {
+          case (k, b) if k.equalsIgnoreCase(c) => b })
+        if (sks.forall(_.isDefined))
+          GraftTable.ndvEstimate(sks.flatten).map(c -> _)
+        else None
+      }.toMap
+    }
+    val ndvs =
+      if (sel.size == byPath.size) {
+        ndvFullCache.get(v) match {
+          case null =>
+            val m = mergeNdv(sel); cachePut(ndvFullCache, v, m); m
+          case hit => hit
+        }
+      } else mergeNdv(sel)
     (rows, cols, ndvs)
   }
+
+  private val ndvFullCache = bounded[Map[String, Long]]()
 
   /** Column names the manifest can prune on at `version` — the
     * windowed / partition / bloom-indexed set the DSv2 scan advertises
