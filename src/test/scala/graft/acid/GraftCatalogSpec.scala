@@ -232,9 +232,13 @@ class GraftCatalogSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }.get
     // the scan covers ONLY the files whose manifest window overlaps —
-    // decided from metadata, with row-group pushdown still negotiated
-    assert(df.inputFiles.length < allFiles,
-      s"expected a manifest-pruned scan, got ${df.inputFiles.length} of $allFiles files")
+    // decided from metadata, with row-group pushdown still negotiated.
+    // (Dataset.inputFiles is blind to non-FileTable V2 relations — the
+    // scan's own static file list is the real witness.)
+    val kept = scan.scan
+      .asInstanceOf[org.apache.spark.sql.GraftStatsScan].staticFiles.size
+    assert(kept < allFiles,
+      s"expected a manifest-pruned scan, got $kept of $allFiles files")
     assert(scan.scan.description().contains("PushedFilters"),
       "parquet pushdown must survive the manifest pruning wrapper")
     assert(df.count() == 31L)
@@ -251,8 +255,12 @@ class GraftCatalogSpec extends SparkSpec {
     t.append(docs('a', 100)); t.append(docs('m', 100)); t.append(docs('z', 100))
     val allFiles = t.activeFiles(t.latestVersion.get).size
     val df = spark.sql("SELECT v FROM graft.strskip WHERE doc_id = 'm00042'")
-    assert(df.inputFiles.length < allFiles,
-      s"string equality must prune: ${df.inputFiles.length} of $allFiles files")
+    val kept = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan.asInstanceOf[org.apache.spark.sql.GraftStatsScan].staticFiles.size
+    }.get
+    assert(kept < allFiles,
+      s"string equality must prune: $kept of $allFiles files")
     assert(df.as[Long].collect().toSeq == Seq(42L))
   }
 
