@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   *   OPTIMIZE <table> [TARGET <n> FILES] [ZORDER BY (a, b)] [INCREMENTAL]
-  *   VACUUM <table> [RETAIN <n> (VERSIONS | HOURS)]
+  *   VACUUM <table> [RETAIN <n> (VERSIONS | HOURS)] [DRY RUN]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   REORG [TABLE] <table> APPLY (PURGE)
   *   CONVERT TO GRAFT '<path>' [STATS BY col] [BLOOM BY col]
@@ -215,22 +215,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  /** VACUUM <t> [RETAIN n (VERSIONS | HOURS)] */
+  /** VACUUM <t> [RETAIN n (VERSIONS | HOURS)] [DRY RUN] — DRY RUN
+    * returns the would-delete file list as a result set instead of
+    * deleting (the operator's pre-flight before an irreversible cut). */
   private def parseVacuum(t: Toks): Option[LogicalPlan] = {
     t.expectKw("VACUUM")
     val ref = t.expectIdent("a table")
     resolve(ref).map { table =>
-      val action: () => Unit =
+      // Left = retain n versions, Right = retain n hours
+      val retain: Either[Int, Int] =
         if (t.takeKw("RETAIN")) {
           val n = t.expectInt("the retention count")
-          if (t.takeKw("HOURS"))
-            () => { table.vacuumOlderThan(
-              System.currentTimeMillis() - n * 3600000L); () }
-          else if (t.takeKw("VERSIONS")) () => { table.vacuum(n); () }
+          if (t.takeKw("HOURS")) Right(n)
+          else if (t.takeKw("VERSIONS")) Left(n)
           else throw t.err("expected VERSIONS or HOURS after RETAIN n")
-        } else () => { table.vacuum(1); () }
+        } else Left(1)
+      val dry = if (t.takeKw("DRY")) { t.expectKw("RUN"); true } else false
       t.expectEnd()
-      GraftRowLevelCommand(s"VACUUM $ref", action)
+      if (dry) {
+        val s = spark
+        import s.implicits._
+        (retain match {
+          case Left(n)  => table.vacuumDryRun(n)
+          case Right(h) => table.vacuumOlderThanDryRun(
+            System.currentTimeMillis() - h * 3600000L)
+        }).toDF("would_delete").queryExecution.logical
+      } else GraftRowLevelCommand(s"VACUUM $ref", () => retain match {
+        case Left(n)  => { table.vacuum(n); () }
+        case Right(h) => { table.vacuumOlderThan(
+          System.currentTimeMillis() - h * 3600000L); () }
+      })
     }
   }
 

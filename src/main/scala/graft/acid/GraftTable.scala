@@ -3014,6 +3014,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def vacuumOlderThan(cutoffMs: Long): Seq[String] =
     vacuum(math.max(1, history().count(_.commitMs >= cutoffMs)))
 
+  /** What [[vacuum]] WOULD delete (the data-file list) without touching
+    * anything — the operator's pre-flight check before an irreversible
+    * retention cut. */
+  def vacuumDryRun(retain: Int): Seq[String] = {
+    require(retain >= 1, "must retain at least the current version")
+    val keepVs = versions.takeRight(retain)
+    val live = keepVs.flatMap(v => entries(v)).map(_.path).toSet
+    val dataDir = new Path(rootPath, "data")
+    val removed = Seq.newBuilder[String]
+    if (fs.exists(dataDir)) {
+      for (d <- fs.listStatus(dataDir); f <- fs.listStatus(d.getPath)) {
+        val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
+        if (f.getPath.getName.startsWith("part-") && !live.contains(rel))
+          removed += rel
+      }
+    }
+    removed.result()
+  }
+
+  /** [[vacuumDryRun]] for the time-based form. */
+  def vacuumOlderThanDryRun(cutoffMs: Long): Seq[String] =
+    vacuumDryRun(math.max(1, history().count(_.commitMs >= cutoffMs)))
+
   /** Keep the newest `retain` versions; delete older manifests and every
     * data file they alone referenced. Returns the deleted data files. */
   def vacuum(retain: Int): Seq[String] = {

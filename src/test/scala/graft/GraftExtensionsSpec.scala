@@ -85,6 +85,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // RESTORE rolls back; VACUUM trims retention
     s2.sql("RESTORE gmaint.m TO VERSION AS OF 1")
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").history().last.op == "restore")
+    // DRY RUN lists the would-delete files as a result set and deletes
+    // NOTHING; the real vacuum then removes exactly that list
+    val wouldDelete = s2.sql("VACUUM gmaint.m RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(wouldDelete.nonEmpty, "the restore left dead files to report")
+    val tDry = graft.acid.GraftTable.load(s2, s"$wh/m")
+    assert(tDry.versions.size > 1, "DRY RUN must not trim versions")
+    assert(tDry.snapshot().count() == 512L)
     s2.sql("VACUUM gmaint.m RETAIN 1 VERSIONS")
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").versions.size == 1)
     assert(graft.acid.GraftTable.load(s2, s"$wh/m").snapshot().count() == 512L)
