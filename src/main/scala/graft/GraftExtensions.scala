@@ -100,9 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // .initialize installs the same rule for extension-less sessions;
     // both installs are idempotent.
     e.injectOptimizerRule { session =>
-      val opts = session.experimental.extraOptimizations
-      if (!opts.contains(acid.GraftDvScanRewrite))
-        session.experimental.extraOptimizations = opts :+ acid.GraftDvScanRewrite
+      acid.GraftDvScanRewrite.install(session)
       acid.GraftDvScanRewrite
     }
     // lakehouse maintenance SQL over graft-catalog tables:

@@ -56,22 +56,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"catalog $name needs spark.sql.catalog.$name.root"))
     spark = SparkSession.active
-    // SQL UPDATE / MERGE INTO for this catalog's tables: the rewrite rule
-    // + command strategy install idempotently on the live session via the
-    // public experimental hooks — configuring the catalog is the only
-    // setup a SQL user needs (GraftExtensions installs them too)
-    val opts = spark.experimental.extraOptimizations
-    if (!opts.contains(GraftSqlRowOps))
-      spark.experimental.extraOptimizations = opts :+ GraftSqlRowOps
-    // deletion-vector application for SQL reads: runs in the same
-    // user-provided batch (AFTER V2 pushdown — it rewrites the pushed,
-    // pruned scan relation)
-    val opts2 = spark.experimental.extraOptimizations
-    if (!opts2.contains(GraftDvScanRewrite))
-      spark.experimental.extraOptimizations = opts2 :+ GraftDvScanRewrite
-    val strategies = spark.experimental.extraStrategies
-    if (!strategies.contains(GraftRowCommandStrategy))
-      spark.experimental.extraStrategies = strategies :+ GraftRowCommandStrategy
+    // SQL UPDATE / MERGE INTO + DV reads for this catalog's tables: the
+    // rewrite rules + command strategy install idempotently (and
+    // synchronized — one shared install point) on the live session via
+    // the public experimental hooks — configuring the catalog is the
+    // only setup a SQL user needs (GraftExtensions installs them too)
+    GraftDvScanRewrite.installAll(spark)
   }
 
   override def name(): String = catalogName
@@ -276,8 +266,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  /** A path-addressed identifier (`graft.`/abs/path``) names a directory
+    * OUTSIDE the warehouse root — an EXTERNAL table in every catalog's
+    * vocabulary. DROP/RENAME on it are refused loudly (the Delta
+    * external-path semantics): `fs.delete(dir, true)` on an arbitrary
+    * absolute path would irreversibly destroy an unregistered on-disk
+    * table from one SQL statement. */
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && ident.name().startsWith("/")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (isPathIdent(ident)) throw new UnsupportedOperationException(
+      s"graft catalog: cannot DROP the path-addressed table " +
+        s"'${ident.name()}' — path tables are external (their data is " +
+        "not owned by the warehouse); delete the directory explicitly " +
+        "if that is really what you want")
     tableExists(ident) && fs.delete(tableDir(ident), true)
+  }
 
   // ---- SupportsNamespaces: a namespace is a ROOT SUBDIRECTORY that is
   // not itself a table (no _log / _schema.json) — multi-schema layouts
@@ -336,6 +341,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (isPathIdent(oldIdent) || isPathIdent(newIdent))
+      throw new UnsupportedOperationException(
+        "graft catalog: cannot RENAME a path-addressed table — path " +
+          "tables are external (renaming would move an unregistered " +
+          "on-disk directory); move the directory explicitly instead")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     fs.mkdirs(tableDir(newIdent).getParent)

@@ -32,6 +32,37 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 object GraftDvScanRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
 
+  /** The ONE install point for the session-global graft hooks — every
+    * entry surface (catalog initialize, extension rule builder, bare
+    * path reads) routes here instead of hand-rolling its own
+    * contains-then-append, so concurrent first-touches cannot append a
+    * rule twice (`experimental.extraOptimizations` is session-global
+    * mutable state; an unsynchronized check-and-set from two threads
+    * duplicates the rule). */
+  private val installLock = new Object
+
+  /** Install just the DV rewrite (bare path reads need only this). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    installLock.synchronized {
+      val opts = spark.experimental.extraOptimizations
+      if (!opts.contains(GraftDvScanRewrite))
+        spark.experimental.extraOptimizations = opts :+ GraftDvScanRewrite
+    }
+
+  /** Install the full SQL-DML surface: row-op rewrite rule, DV rewrite,
+    * and the command strategy (catalog initialize / extension path). */
+  def installAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    installLock.synchronized {
+      val opts = spark.experimental.extraOptimizations
+      val missing = Seq(GraftSqlRowOps, GraftDvScanRewrite)
+        .filterNot(opts.contains(_))
+      if (missing.nonEmpty)
+        spark.experimental.extraOptimizations = opts ++ missing
+      val strategies = spark.experimental.extraStrategies
+      if (!strategies.contains(GraftRowCommandStrategy))
+        spark.experimental.extraStrategies = strategies :+ GraftRowCommandStrategy
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     // row-level DML needs its TARGET kept as a raw (scan) relation — the
     // command strategies pattern-match it to route into deleteWhere /

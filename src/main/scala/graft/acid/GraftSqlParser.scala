@@ -232,14 +232,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         } else Left(1)
       val dry = if (t.takeKw("DRY")) { t.expectKw("RUN"); true } else false
       t.expectEnd()
+      // both paths defer to EXECUTION time (the hour cutoff and the
+      // dry-run listing are computed when the statement runs, so EXPLAIN
+      // is side-effect-free and a re-executed cached plan stays fresh)
       if (dry) {
-        val s = spark
-        import s.implicits._
-        (retain match {
-          case Left(n)  => table.vacuumDryRun(n)
-          case Right(h) => table.vacuumOlderThanDryRun(
-            System.currentTimeMillis() - h * 3600000L)
-        }).toDF("would_delete").queryExecution.logical
+        GraftStringsCommand(s"VACUUM $ref DRY RUN", "would_delete",
+          () => retain match {
+            case Left(n)  => table.vacuumDryRun(n)
+            case Right(h) => table.vacuumOlderThanDryRun(
+              System.currentTimeMillis() - h * 3600000L)
+          })
       } else GraftRowLevelCommand(s"VACUUM $ref", () => retain match {
         case Left(n)  => { table.vacuum(n); () }
         case Right(h) => { table.vacuumOlderThan(
@@ -293,18 +295,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseClone(t: Toks): Option[LogicalPlan] = {
     t.expectKw("CLONE")
     val srcRef = t.expectIdent("a source table")
-    resolve(srcRef).flatMap { src =>
+    resolve(srcRef).map { src =>
       t.expectKw("TO")
-      val dest = t.takeString()
-        .orElse(resolvePath(t.expectIdent("a destination table or '<path>'")))
-      dest.map { d =>
-        val ver = if (t.takeKw("VERSION")) {
-          t.expectKw("AS"); t.expectKw("OF")
-          Some(t.expectLong("a version"))
-        } else None
-        t.expectEnd()
-        GraftRowLevelCommand(s"CLONE $srcRef", () => { src.cloneTo(d, ver); () })
+      // a non-graft destination identifier errors HERE, loudly — falling
+      // through to Spark's parser would surface an unrelated syntax error
+      // for a statement whose head we own
+      val dest = t.takeString().getOrElse {
+        val destRef = t.expectIdent("a destination table or '<path>'")
+        resolvePath(destRef).getOrElse(throw t.err(
+          s"CLONE destination '$destRef' must be a graft-catalog table " +
+            "(cat.ns.t with spark.sql.catalog.<cat> = GraftCatalog) or a " +
+            "'<path>' string"))
       }
+      val ver = if (t.takeKw("VERSION")) {
+        t.expectKw("AS"); t.expectKw("OF")
+        Some(t.expectLong("a version"))
+      } else None
+      t.expectEnd()
+      GraftRowLevelCommand(s"CLONE $srcRef", () => { src.cloneTo(dest, ver); () })
     }
   }
 

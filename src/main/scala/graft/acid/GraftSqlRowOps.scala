@@ -217,6 +217,20 @@ case class GraftRowLevelCommand(label: String, run: () => Unit)
   override def simpleString(maxFields: Int): String = s"GraftRowLevelCommand $label"
 }
 
+/** A maintenance statement that RETURNS rows computed at EXECUTION time
+  * — e.g. `VACUUM ... DRY RUN`'s would-delete listing. Deferring the
+  * listing into the exec keeps EXPLAIN / plan-only paths side-effect-free
+  * and makes the result reflect execution time, not parse time (a parse-
+  * time LocalRelation would freeze a stale listing into a cached plan). */
+case class GraftStringsCommand(label: String, colName: String,
+                               strings: () => Seq[String])
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(AttributeReference(
+    colName, org.apache.spark.sql.types.StringType, nullable = false)())
+  override def simpleString(maxFields: Int): String =
+    s"GraftStringsCommand $label"
+}
+
 /** The load-bearing conversion point: experimental/injected strategies
   * are consulted BEFORE Spark's built-in ones, so an `UpdateTable` /
   * `MergeIntoTable` over a graft table plans here instead of hitting
@@ -227,6 +241,8 @@ case class GraftRowLevelCommand(label: String, run: () => Unit)
 object GraftRowCommandStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftRowLevelCommand => GraftRowLevelCommandExec(c.label, c.run) :: Nil
+    case c: GraftStringsCommand =>
+      GraftStringsCommandExec(c.label, c.output, c.strings) :: Nil
     case UpdateTable(target, assignments, condition) =>
       GraftSqlRowOps.convertUpdate(target, assignments, condition)
         .map(c => GraftRowLevelCommandExec(c.label, c.run) :: Nil).getOrElse(Nil)
@@ -249,4 +265,23 @@ case class GraftRowLevelCommandExec(label: String, run: () => Unit)
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
   override def executeTake(n: Int): Array[InternalRow] = { done; Array.empty }
   override def executeTail(n: Int): Array[InternalRow] = { done; Array.empty }
+}
+
+/** Executes a [[GraftStringsCommand]]'s listing thunk exactly once, at
+  * execution — the rows reflect the table state when the statement RUNS. */
+case class GraftStringsCommandExec(label: String, output: Seq[Attribute],
+                                   strings: () => Seq[String])
+    extends LeafExecNode {
+  private lazy val rows: Array[InternalRow] = {
+    val proj = org.apache.spark.sql.catalyst.expressions
+      .UnsafeProjection.create(output, output)
+    strings().map(s => proj(InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))).copy()
+      : InternalRow).toArray
+  }
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows.toIndexedSeq, 1)
+  override def executeCollect(): Array[InternalRow] = rows
+  override def executeTake(n: Int): Array[InternalRow] = rows.take(n)
+  override def executeTail(n: Int): Array[InternalRow] = rows.takeRight(n)
 }

@@ -2280,7 +2280,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion)
       .getOrElse(return (None, Map.empty, Map.empty))
     val byPath = entries(v).map(e => e.path -> e).toMap
-    val sel = relPaths.flatMap(byPath.get)
+    // distinct first: a caller-supplied list with duplicate paths must
+    // not double-count rows — and the full-set cache test below compares
+    // sizes, which duplicates (or a repeated strict subset of the same
+    // cardinality) would otherwise fool into caching a wrong NDV map
+    val sel = relPaths.distinct.flatMap(byPath.get)
     if (sel.isEmpty) return (Some(0L), Map.empty, Map.empty)
     val rows =
       if (sel.forall(_.rows.isDefined)) Some(sel.flatMap(_.liveRows).sum)

@@ -82,10 +82,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val spark = org.apache.spark.sql.SparkSession.active
     // a DV-carrying snapshot reads through the planner rewrite — a bare
     // path read may be the session's FIRST graft touch (no catalog, no
-    // extension), so install it here too (idempotent)
-    val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(GraftDvScanRewrite))
-      spark.experimental.extraOptimizations = rules :+ GraftDvScanRewrite
+    // extension), so install it here too (idempotent AND synchronized:
+    // one shared install point, see GraftDvScanRewrite.install)
+    GraftDvScanRewrite.install(spark)
     val t = GraftTable.load(spark, root)
     val pinned = (Option(opts.get("versionAsOf")),
                   Option(opts.get("timestampAsOf"))) match {
@@ -95,9 +94,20 @@ class GraftTableSourceProvider extends StreamSourceProvider
           s"versionAsOf $ver is not retained at $root (${t.versions})")
         Some(ver)
       case (_, Some(ts)) =>
-        // epoch millis, or a SQL timestamp literal
-        val ms = ts.trim.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(ts.trim).getTime)
+        // epoch millis, or a SQL timestamp literal — parsed in the
+        // SESSION timezone (spark.sql.session.timeZone), matching the
+        // Delta timestampAsOf semantics; java.sql.Timestamp.valueOf
+        // would silently use the JVM default zone instead
+        val ms = ts.trim.toLongOption.getOrElse {
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          val zone = DateTimeUtils.getZoneId(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          DateTimeUtils.stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ts.trim), zone)
+            .map(micros => Math.floorDiv(micros, 1000L))
+            .getOrElse(throw new IllegalArgumentException(
+              s"timestampAsOf: cannot parse '$ts' as a timestamp"))
+        }
         val h = t.history().filter(_.commitMs <= ms)
         require(h.nonEmpty, s"no commit at or before $ts in table at $root")
         Some(h.last.version)

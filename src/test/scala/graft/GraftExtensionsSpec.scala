@@ -230,6 +230,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[ParseException](s2.sql("OPTIMIZE ggram.t TARGET FILES"))
     intercept[ParseException](s2.sql("RESTORE ggram.t TO VERSION AS OF x"))
     intercept[ParseException](s2.sql("DESCRIBE CHANGES ggram.t FROM 1"))
+    // a CLONE whose destination is NOT a graft identifier (and not a
+    // '<path>' string) errors HERE with the real reason, instead of
+    // falling through to Spark's parser and its unrelated syntax error
+    val eClone = intercept[ParseException](
+      s2.sql("CLONE ggram.t TO spark_catalog.default.nope"))
+    assert(eClone.getMessage.contains("must be a graft-catalog table"),
+      eClone.getMessage)
     assert(graft.acid.GraftTable.load(s2, s"$wh/t").versions.size == 5)
     // DESCRIBE HISTORY ... LIMIT n: newest first, bounded header reads
     val h = s2.sql("DESCRIBE HISTORY ggram.t LIMIT 2")

@@ -560,4 +560,30 @@ class GraftCatalogSpec extends SparkSpec {
       s"string-key runtime filter did not prune: " +
         s"${s.map(x => (x.runtimeKeptFiles, x.staticFiles.size))}")
   }
+
+  test("DROP/RENAME of a path-addressed table are refused; the data survives") {
+    enableCatalog()
+    // an EXTERNAL table: a graft root outside the warehouse, addressed
+    // by absolute path — one SQL statement must never delete it
+    val ext = graft.TempDirs.create("graft_catalog_external")
+    val t = new GraftTable(spark, s"$ext/payments")
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$ext/payments`")
+      .as[Long].head() == 1L, "path reads must keep working")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"DROP TABLE graft.`$ext/payments`")
+    }
+    assert(e.getMessage.contains("external"), e.getMessage)
+    val fs = new org.apache.hadoop.fs.Path(ext)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ext/payments/_log")),
+      "DROP on a path table must not touch the directory")
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"ALTER TABLE graft.`$ext/payments` RENAME TO graft.stolen")
+    }
+    assert(e2.getMessage.contains("external"), e2.getMessage)
+    assert(t.snapshot().count() == 1L, "the table is untouched")
+  }
+
 }
