@@ -64,17 +64,44 @@ object Bench {
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
     // HOST-CONTENTION WITNESS (the r7/r8 "steady regression that was
-    // really a noisy neighbor" fix): sample the system load average
-    // before the timed region, after it, and after every query — the
-    // artifact then classifies itself. `contended` = the PRE-RUN load
-    // already exceeded half the cores, i.e. someone else was burning the
-    // machine before we started (our own run legitimately drives load up
-    // DURING the region, so only the start sample is a clean signal).
+    // really a noisy neighbor" fix): the artifact classifies itself.
+    // Two independent signals, either one flags `contended`:
+    //  (a) the PRE-RUN load average already exceeded half the cores —
+    //      someone else was burning the machine before we started;
+    //  (b) FOREIGN CPU mid-run: per query, sample system CPU minus THIS
+    //      process's CPU (com.sun.management's cumulative counters over
+    //      each query's own window). Our own run legitimately drives raw
+    //      load to the core count, so raw mid-run load proves nothing —
+    //      but CPU time burnt by OTHER processes does. This catches the
+    //      r10 failure mode (load ramping 2.2 → 9.7 mid-run while the
+    //      start sample looked clean).
     def loadAvg(): Double =
       try java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
     val nproc = Runtime.getRuntime.availableProcessors()
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    /** Fraction of total machine CPU burnt by processes OTHER than this
+      * JVM since the last call (window = one query). getCpuLoad is the
+      * recent system-wide fraction; process share derives from the
+      * cumulative process-CPU-time counter over the same wall window. */
+    var lastProcCpuNs = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+    var lastWallNs = System.nanoTime()
+    def foreignCpu(): Double = osBean.fold(-1.0) { b =>
+      val nowWall = System.nanoTime()
+      val nowProc = b.getProcessCpuTime
+      val wall = math.max(1L, nowWall - lastWallNs)
+      val procShare = (nowProc - lastProcCpuNs).toDouble / (wall * nproc)
+      lastWallNs = nowWall; lastProcCpuNs = nowProc
+      val sys = b.getCpuLoad
+      if (sys.isNaN || sys < 0) -1.0 else math.max(0.0, sys - procShare)
+    }
+    foreignCpu() // prime getCpuLoad's internal window
+    var foreignMax = 0.0
     val loadStart = loadAvg()
     var loadMax = loadStart
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (scaling spot-
@@ -96,6 +123,7 @@ object Bench {
       }
       if (times.exists(_ < 0)) failed += name
       loadMax = math.max(loadMax, loadAvg())
+      foreignMax = math.max(foreignMax, foreignCpu())
       // -1 marks a failure: elapsed-to-crash would read as a speedup
       name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
@@ -113,9 +141,13 @@ object Bench {
     // log capture keeps the tail, so the headline total + error list must be
     // the final stdout line (r1+r2 both lost the head of a single long line).
     val loadEnd = loadAvg()
+    // contended = pre-run load high OR any per-query window where other
+    // processes burnt > 25% of the machine (the mid-run ramp signal)
+    val contended = loadStart > nproc / 2.0 || foreignMax > 0.25
     val load = s""""load_avg":{"start":${r3(loadStart)},"end":${r3(loadEnd)},""" +
       s""""max":${r3(math.max(loadMax, loadEnd))},"cpus":$nproc,""" +
-      s""""contended":${loadStart > nproc / 2.0}}"""
+      s""""foreign_cpu_max":${r3(foreignMax)},""" +
+      s""""contended":$contended}"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
     // "summary", not "total": only ONE record may carry metric=total or a
     // by-metric aggregation would double-count the headline number

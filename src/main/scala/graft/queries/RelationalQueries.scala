@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
 object RelationalQueries extends QueryPack {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
+  /** Register `table` for `d` under a collision-free temp-view name and
+    * return the name (same convention as SqlSurfaceQueries.view: the
+    * suffix is the full MD5 of the data dir, so two scale factors on one
+    * shared session can never resolve each other's data). */
+  private def view(s: SparkSession, d: String, table: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val name = s"${table}_rq$digest"
+    Tables.table(s, d, table).createOrReplaceTempView(name)
+    name
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- typed cogroup (KeyValueGroupedDataset.cogroup) ----
     // Scale note: cogroup shuffles BOTH full datasets by key — prefer
@@ -342,6 +355,61 @@ object RelationalQueries extends QueryPack {
         .agg(asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
           .as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // Q18 (large-volume customer): the GROUP-BY-HAVING SEMI shape — the
+    // IN-subquery over an aggregated fact becomes a left-semi join
+    // against the aggregate (one lineitem shuffle to find big orders,
+    // the semi probe is tiny), then the qualifying orders re-join the
+    // fact for the final per-order quantity rollup. Hint-free.
+    "q_tpch_q18" -> { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+        .filter($"q" > 300).select($"l_orderkey".as("big_orderkey"))
+      t(s, d, "orders")
+        .join(big, $"o_orderkey" === $"big_orderkey", "left_semi")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice")
+        .agg(sum($"l_quantity").as("total_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+        .limit(100)
+    },
+
+    // Q21 (suppliers who kept orders waiting): the MULTI-SELF-JOIN
+    // EXISTS / NOT-EXISTS shape, written as correlated subqueries in SQL
+    // so Catalyst's correlated rewrite (RewritePredicateSubquery → one
+    // semi + one anti self-join of the fact on the order key) is what
+    // plans — the exact shape under test. The testdata lineitem has no
+    // commit/receipt dates, so "kept waiting" adapts to the available
+    // per-item flag: this supplier's item was RETURNED (l_returnflag =
+    // 'R') in a finalized multi-supplier order where NO other supplier's
+    // item was returned. Same plan skeleton, same correlation pattern
+    // (TPC-H Q21, reference: the spec's l3.l_receiptdate > l3.l_commitdate
+    // anti-condition).
+    "q_tpch_q21" -> { (s, d) =>
+      val li = view(s, d, "lineitem")
+      val o = view(s, d, "orders")
+      val su = view(s, d, "supplier")
+      val n = view(s, d, "nation")
+      s.sql(
+        s"""SELECT s_name, count(*) AS numwait
+           |FROM $su, $li l1, $o, $n
+           |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           |  AND EXISTS (SELECT 1 FROM $li l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM $li l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_returnflag = 'R')
+           |  AND s_nationkey = n_nationkey AND n_nationkey < 13
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name
+           |LIMIT 100""".stripMargin)
     }
   )
 
@@ -550,6 +618,36 @@ object RelationalQueries extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_nationkey < 13
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
   )
 }
