@@ -184,6 +184,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       // ~200 B at lgK=8) — union across any
                                       // pruned subset = that subset's NDV
                                       ndv: Map[String, Array[Byte]] = Map.empty,
+                                      // `tw:<col>=<k><lo>,<hi>` TIME
+                                      // windows for indexed TIMESTAMP and
+                                      // DATE columns, SELF-DESCRIBING:
+                                      // k='u' epoch micros (catalyst's
+                                      // internal timestamp coding, exact),
+                                      // k='d' epoch days. ADVISORY like
+                                      // nv:: a reader that drops the tag
+                                      // loses time-predicate pruning and
+                                      // plan-time ts stats, never
+                                      // correctness — so NOT require=
+                                      // gated. A separate tag (not w:)
+                                      // because pre-round-11 writers coded
+                                      // ts windows in cast-to-long
+                                      // SECONDS; reusing w: would make
+                                      // micros bounds mis-skip against
+                                      // legacy seconds windows.
+                                      timeWindows: Map[String, (Char, Long, Long)] = Map.empty,
                                       // set ONLY by writeData on a bloom built
                                       // this commit (hashed scheme) — a carried
                                       // LEGACY inline bloom (raw-long scheme)
@@ -205,6 +222,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                   s"w:$c=$lo,$hi" } ++
                 strWindows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
                   s"sw:$c=${GraftTable.b64(lo)},${GraftTable.b64(hi)}" } ++
+                timeWindows.toSeq.sortBy(_._1).map { case (c, (k, lo, hi)) =>
+                  s"tw:$c=$k$lo,$hi" } ++
                 ndv.toSeq.sortBy(_._1).map { case (c, sk) =>
                   s"nv:$c=${GraftTable.b64bytes(sk)}" }))
         .mkString("\t")
@@ -242,7 +261,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         tags.get("dn").flatMap(_.toLongOption).getOrElse(0L),
         tags.get("z"),
         tags.collect { case (k, v) if k.startsWith("nv:") =>
-          k.drop(3) -> GraftTable.unb64bytes(v) })
+          k.drop(3) -> GraftTable.unb64bytes(v) },
+        tags.collect { case (k, v) if k.startsWith("tw:") &&
+            v.nonEmpty && (v.head == 'u' || v.head == 'd') =>
+          val (lo, hi) = parseRange(v.tail)
+          k.drop(3) -> ((v.head, lo, hi)) })
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -808,6 +831,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     def isStringCol(c: String): Boolean = written.schema.fields
       .find(_.name.equalsIgnoreCase(c))
       .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    def isTimeCol(c: String): Boolean = written.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .exists(f => f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.DateType)
     // One distributed pass records every tracked column window per file
     // (O(files) metadata to the driver, never row data). A file whose
     // window is unknown (all-null column) is conservatively un-windowed:
@@ -820,12 +847,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val tracked: Seq[(String, String)] =
       statsCol.map("s" -> _).toSeq ++ partitionCol.map("p" -> _).toSeq ++
         indexCols.map(c => s"w:$c" -> c)
-    val (strTracked, numTracked) = tracked.partition { case (tag, c) =>
+    val (strTracked, nonStr) = tracked.partition { case (tag, c) =>
       tag.startsWith("w:") && isStringCol(c) }
+    // TIMESTAMP/DATE index columns record EXACT internal-coded windows
+    // (tw:, epoch micros / days) instead of the numeric cast-to-long
+    // path (whose ts coding would be lossy seconds): time-typed SQL
+    // predicates and plan-time min/max stats then work in the same
+    // units catalyst literals carry
+    val (timeTracked, numTracked) = nonStr.partition { case (tag, c) =>
+      tag.startsWith("w:") && isTimeCol(c) }
     // the same per-file pass also records each file's ROW COUNT (the
     // Delta-style stats action): snapshot counts and CBO sizing then
     // resolve from manifest metadata with zero file opens
-    val (perFile, blooms) = profileFiles(written, tracked, strTracked, numTracked)
+    val (perFile, blooms) =
+      profileFiles(written, tracked, strTracked, numTracked, timeTracked)
     fs.listStatus(new Path(rootPath, sub)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("part-"))
       .sorted.map { n =>
@@ -837,6 +872,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
             tag.drop(2) -> win },
           ndv = pf.ndv,
+          timeWindows = pf.time.collect {
+            case (tag, kw) if tag.startsWith("w:") => tag.drop(2) -> kw },
           bloomFresh = blooms.contains(n))
       }
   }
@@ -844,7 +881,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private case class PerFileStats(num: Map[String, (Long, Long)],
                                   str: Map[String, (String, String)],
                                   nrows: Long,
-                                  ndv: Map[String, Array[Byte]] = Map.empty)
+                                  ndv: Map[String, Array[Byte]] = Map.empty,
+                                  time: Map[String, (Char, Long, Long)] = Map.empty)
 
   /** ONE distributed profiling pass over `written`, maps keyed by FILE
     * NAME: per-file windows + row counts + CHECK violation counts
@@ -868,7 +906,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def profileFiles(written: DataFrame,
       tracked: Seq[(String, String)],
       strTracked: Seq[(String, String)],
-      numTracked: Seq[(String, String)])
+      numTracked: Seq[(String, String)],
+      timeTracked: Seq[(String, String)] = Nil)
       : (Map[String, PerFileStats], Map[String, Array[Long]]) = {
     // NDV sketches ride the SAME pass: one compact HLL per tracked (or
     // bloom) column per file — integral columns widen to long (byte/
@@ -889,15 +928,38 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                   .as(s"__nv_$c")
               case StringType | BinaryType =>
                 c -> hll_sketch_agg(col(c), GraftTable.NdvLgK).as(s"__nv_$c")
+              case TimestampType =>
+                c -> hll_sketch_agg(unix_micros(col(c)), GraftTable.NdvLgK)
+                  .as(s"__nv_$c")
+              case DateType =>
+                c -> hll_sketch_agg(unix_date(col(c)).cast("long"),
+                  GraftTable.NdvLgK).as(s"__nv_$c")
             }
         }
       (pairs.map(_._1), pairs.map(_._2))
     }
+    // TIME columns code through catalyst's internal representation —
+    // unix_micros (TimestampType, exact µs) / unix_date (DateType, days)
+    // — so the recorded window compares directly against pushed-filter
+    // literal values and serves plan-time stats / metadata MIN-MAX in
+    // the type's own units. (TIMESTAMP_NTZ has no zone-independent
+    // extractor; NTZ columns are simply not time-windowed — never
+    // skipped, never served.)
+    def timeCode(c: String): (Char, org.apache.spark.sql.Column) =
+      written.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DateType) =>
+          ('d', unix_date(col(c)).cast("long"))
+        case _ => ('u', unix_micros(col(c)))
+      }
     val aggs = numTracked.flatMap { case (tag, c) =>
       Seq(min(col(c).cast("long")).as(s"${tag}_lo"),
           max(col(c).cast("long")).as(s"${tag}_hi"))
     } ++ strTracked.flatMap { case (tag, c) =>
       Seq(min(col(c)).as(s"${tag}_slo"), max(col(c)).as(s"${tag}_shi"))
+    } ++ timeTracked.flatMap { case (tag, c) =>
+      val coded = timeCode(c)._2
+      Seq(min(coded).as(s"${tag}_tlo"), max(coded).as(s"${tag}_thi"))
     } ++ ndvAggs ++ violationAggs :+ count(lit(1)).as("__nrows")
     val perFileRows = written
       .groupBy(input_file_name().as("f"))
@@ -922,8 +984,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             val i = r.fieldIndex(s"__nv_$c")
             if (r.isNullAt(i)) None else Some(c -> r.getAs[Array[Byte]](i))
           }.toMap
+          val byTime = timeTracked.map { case (tag, c) =>
+            val (i, j) = (r.fieldIndex(s"${tag}_tlo"), r.fieldIndex(s"${tag}_thi"))
+            tag -> (if (r.isNullAt(i) || r.isNullAt(j)) None
+                    else Some((timeCode(c)._1, r.getLong(i), r.getLong(j))))
+          }.collect { case (tag, Some(w)) => tag -> w }.toMap
           new Path(r.getString(0)).getName ->
-            PerFileStats(byTag, byStr, r.getLong(r.fieldIndex("__nrows")), byNdv)
+            PerFileStats(byTag, byStr, r.getLong(r.fieldIndex("__nrows")),
+              byNdv, byTime)
         }.toMap
     val blooms: Map[String, Array[Long]] = bloomCol.fold(
       Map.empty[String, Array[Long]]) { c =>
@@ -2038,7 +2106,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                               lo: Option[Long] = None, hi: Option[Long] = None,
                               points: Option[Seq[Long]] = None,
                               slo: Option[String] = None, shi: Option[String] = None,
-                              spoints: Option[Seq[String]] = None)
+                              spoints: Option[Seq[String]] = None,
+                              // TIME bounds in catalyst-internal units;
+                              // tkind tells which ('u' = TimestampType
+                              // micros, 'd' = DateType days) so a bound
+                              // only ever tests a same-typed column's
+                              // tw: window — never a cross-unit compare
+                              tlo: Option[Long] = None, thi: Option[Long] = None,
+                              tpoints: Option[Seq[Long]] = None,
+                              tkind: Option[Char] = None)
 
   /** Pruning constraints provable from `pred`'s top-level AND-conjuncts:
     * `col (=|>=|>|<=|<) literal` (either order) and `col IN (...)`, for
@@ -2078,7 +2154,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         Some(v.toString)
       case _ => None
     }
-    def isLit(e: Expression): Boolean = litLong(e).nonEmpty || litStr(e).nonEmpty
+    // time literals carry catalyst's internal coding already: Timestamp
+    // literals are epoch-micro longs, Date literals epoch-day ints —
+    // exactly the units the tw: windows record
+    def litTime(e: Expression): Option[(Long, Char)] = e match {
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
+        Some((v, 'u'))
+      case Literal(v: Int, org.apache.spark.sql.types.DateType) =>
+        Some((v.toLong, 'd'))
+      case _ => None
+    }
+    def isLit(e: Expression): Boolean =
+      litLong(e).nonEmpty || litStr(e).nonEmpty || litTime(e).nonEmpty
     // OR over the SAME column unions soundly: both-points → point-set
     // union, otherwise the covering range (a wider window test keeps
     // extra files, never drops a matching one). Mixed-column ORs prove
@@ -2093,11 +2180,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         b.points.map(ps => (Some(ps.min), Some(ps.max)))
           .orElse(if (b.lo.isDefined || b.hi.isDefined) Some((b.lo, b.hi))
                   else None)
+      def timeSide(b: ColBound): Option[(Option[Long], Option[Long])] =
+        b.tpoints.map(ps => (Some(ps.min), Some(ps.max)))
+          .orElse(if (b.tlo.isDefined || b.thi.isDefined) Some((b.tlo, b.thi))
+                  else None)
       (l.points, r.points, l.spoints, r.spoints) match {
         case (Some(a), Some(b), _, _) =>
           Some(ColBound(l.col, points = Some((a ++ b).distinct)))
         case (_, _, Some(a), Some(b)) =>
           Some(ColBound(l.col, spoints = Some((a ++ b).distinct)))
+        case _ if l.tpoints.isDefined && r.tpoints.isDefined &&
+            l.tkind == r.tkind =>
+          Some(ColBound(l.col,
+            tpoints = Some((l.tpoints.get ++ r.tpoints.get).distinct),
+            tkind = l.tkind))
         case _ =>
           (numSide(l), numSide(r)) match {
             case (Some((lo1, hi1)), Some((lo2, hi2))) =>
@@ -2109,7 +2205,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                 Some(ColBound(l.col,
                   slo = for (a <- lo1; b <- lo2) yield if (a <= b) a else b,
                   shi = for (a <- hi1; b <- hi2) yield if (a >= b) a else b))
-              case _ => None
+              case _ => (timeSide(l), timeSide(r)) match {
+                case (Some((lo1, hi1)), Some((lo2, hi2)))
+                    if l.tkind == r.tkind =>
+                  Some(ColBound(l.col,
+                    tlo = for (a <- lo1; b <- lo2) yield math.min(a, b),
+                    thi = for (a <- hi1; b <- hi2) yield math.max(a, b),
+                    tkind = l.tkind))
+                case _ => None
+              }
             }
           }
       }
@@ -2142,20 +2246,30 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           yield ColBound(c, lo = Some(l), hi = Some(h)))
         .orElse(for (c <- colName(a); l <- litStr(lo); h <- litStr(hi))
           yield ColBound(c, slo = Some(l), shi = Some(h)))
+        .orElse(for (c <- colName(a); l <- litTime(lo); h <- litTime(hi)
+                     if l._2 == h._2)
+          yield ColBound(c, tlo = Some(l._1), thi = Some(h._1),
+            tkind = Some(l._2)))
       case _ => None
     }
     def eq(a: Expression, l: Expression): Option[ColBound] =
       colName(a).flatMap(c =>
         litLong(l).map(v => ColBound(c, points = Some(Seq(v))))
-          .orElse(litStr(l).map(s => ColBound(c, spoints = Some(Seq(s))))))
+          .orElse(litStr(l).map(s => ColBound(c, spoints = Some(Seq(s)))))
+          .orElse(litTime(l).map { case (v, k) =>
+            ColBound(c, tpoints = Some(Seq(v)), tkind = Some(k)) }))
     def ge(a: Expression, l: Expression): Option[ColBound] =
       colName(a).flatMap(c =>
         litLong(l).map(v => ColBound(c, lo = Some(v)))
-          .orElse(litStr(l).map(s => ColBound(c, slo = Some(s)))))
+          .orElse(litStr(l).map(s => ColBound(c, slo = Some(s))))
+          .orElse(litTime(l).map { case (v, k) =>
+            ColBound(c, tlo = Some(v), tkind = Some(k)) }))
     def le(a: Expression, l: Expression): Option[ColBound] =
       colName(a).flatMap(c =>
         litLong(l).map(v => ColBound(c, hi = Some(v)))
-          .orElse(litStr(l).map(s => ColBound(c, shi = Some(s)))))
+          .orElse(litStr(l).map(s => ColBound(c, shi = Some(s))))
+          .orElse(litTime(l).map { case (v, k) =>
+            ColBound(c, thi = Some(v), tkind = Some(k)) }))
     def inBound(a: Expression, vs: Seq[Expression]): Option[ColBound] = {
       if (vs.isEmpty) None
       else if (vs.forall(litLong(_).isDefined))
@@ -2164,6 +2278,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       else if (vs.forall(litStr(_).isDefined))
         colName(a).map(c => ColBound(c,
           spoints = Some(vs.flatMap(litStr).distinct)))
+      else if (vs.forall(litTime(_).isDefined) &&
+               vs.flatMap(litTime).map(_._2).distinct.size == 1)
+        colName(a).map(c => ColBound(c,
+          tpoints = Some(vs.flatMap(litTime).map(_._1).distinct),
+          tkind = vs.headOption.flatMap(litTime).map(_._2)))
       else None
     }
     conjuncts(org.apache.spark.sql.GraftPlanBridge.expr(spark, pred))
@@ -2254,6 +2373,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             case None => b.slo.forall(_ <= mx) && b.shi.forall(_ >= mn)
           }
         }
+        // unit-safety: the window is SELF-DESCRIBING ('u' micros / 'd'
+        // days) and a bound only tests a window of ITS OWN kind — a
+        // mismatched pair (hand-built Column comparing across types)
+        // proves nothing and prunes nothing
+        val timeWinOk = e.timeWindows.collectFirst {
+          case (k, w) if k.equalsIgnoreCase(b.col) => w
+        }.forall { case (kind, mn, mx) =>
+          if (!b.tkind.contains(kind)) true
+          else b.tpoints match {
+            case Some(ps) => ps.exists(p => p >= mn && p <= mx)
+            case None => b.tlo.forall(_ <= mx) && b.thi.forall(_ >= mn)
+          }
+        }
         val bloomOk =
           if (!bloomCol.exists(_.equalsIgnoreCase(b.col))) true
           else (b.points, b.spoints) match {
@@ -2261,7 +2393,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             case (_, Some(ps)) => bloomMayContainStr(e, ps)
             case _ => true
           }
-        winOk && strWinOk && bloomOk
+        winOk && strWinOk && timeWinOk && bloomOk
       }
     }
   }
@@ -2276,23 +2408,64 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * numbers instead of waiting for AQE runtime stats. */
   private[graft] def statsForFiles(relPaths: Seq[String],
       version: Option[Long])
-      : (Option[Long], Map[String, (Long, Long)], Map[String, Long]) = {
+      : (Option[Long], Map[String, (Long, Long)], Map[String, Long],
+         Map[String, (String, String)]) = {
     val v = version.orElse(latestVersion)
-      .getOrElse(return (None, Map.empty, Map.empty))
+      .getOrElse(return (None, Map.empty, Map.empty, Map.empty))
     val byPath = entries(v).map(e => e.path -> e).toMap
     // distinct first: a caller-supplied list with duplicate paths must
     // not double-count rows — and the full-set cache test below compares
     // sizes, which duplicates (or a repeated strict subset of the same
     // cardinality) would otherwise fool into caching a wrong NDV map
     val sel = relPaths.distinct.flatMap(byPath.get)
-    if (sel.isEmpty) return (Some(0L), Map.empty, Map.empty)
+    if (sel.isEmpty) return (Some(0L), Map.empty, Map.empty, Map.empty)
     val rows =
       if (sel.forall(_.rows.isDefined)) Some(sel.flatMap(_.liveRows).sum)
       else None
-    val tracked = statsCol.toSeq ++ partitionCol.toSeq ++ indexCols
+    // time-typed columns are EXCLUDED from the legacy numeric-window
+    // merge: any w:/s=/p= window a pre-round-11 writer recorded for them
+    // is coded in cast-to-long SECONDS, not catalyst micros — serving it
+    // as a micros bound would be wrong. Their stats come exclusively
+    // from the internal-coded tw: windows below.
+    lazy val timeTyped: Set[String] = schemaOf(v).toSeq.flatMap(_.fields)
+      .filter(f => f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+        f.dataType == org.apache.spark.sql.types.DateType)
+      .map(_.name.toLowerCase).toSet
+    val tracked = (statsCol.toSeq ++ partitionCol.toSeq ++ indexCols)
+      .filterNot(c => timeTyped.contains(c.toLowerCase))
     val cols = tracked.flatMap { c =>
       val ws = sel.map(windowOf(_, c))
       if (ws.nonEmpty && ws.forall(_.isDefined)) {
+        val flat = ws.flatten
+        Some(c -> ((flat.map(_._1).min, flat.map(_._2).max)))
+      } else None
+    }.toMap
+    // tw: windows (epoch micros / days — already internal-coded) merge
+    // into the same numeric map: only when EVERY selected entry windows
+    // the column, so a reported bound is a true bound
+    val timeColNames = sel.flatMap(_.timeWindows.keys)
+      .foldLeft(Vector.empty[String])((acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+    val timeCols = timeColNames.flatMap { c =>
+      val ws = sel.map(_.timeWindows.collectFirst {
+        case (k, w) if k.equalsIgnoreCase(c) => w })
+      // every entry windows the column AND in one unit kind
+      if (ws.forall(_.isDefined) &&
+          ws.flatten.map(_._1).distinct.size == 1) {
+        val flat = ws.flatten
+        Some(c -> ((flat.map(_._2).min, flat.map(_._3).max)))
+      } else None
+    }.toMap
+    // truncated STRING windows (sw:) merge the same way — lo is a prefix
+    // lower bound, hi a rounded-up upper bound, both valid CBO bounds
+    val strColNames = sel.flatMap(_.strWindows.keys)
+      .foldLeft(Vector.empty[String])((acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+    val strCols = strColNames.flatMap { c =>
+      val ws = sel.map(_.strWindows.collectFirst {
+        case (k, w) if k.equalsIgnoreCase(c) => w })
+      if (ws.forall(_.isDefined)) {
         val flat = ws.flatten
         Some(c -> ((flat.map(_._1).min, flat.map(_._2).max)))
       } else None
@@ -2324,7 +2497,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           case hit => hit
         }
       } else mergeNdv(sel)
-    (rows, cols, ndvs)
+    (rows, cols ++ timeCols, ndvs, strCols)
   }
 
   private val ndvFullCache = bounded[Map[String, Long]]()
@@ -2340,7 +2513,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion).getOrElse(return Nil)
     val es = entries(v)
     (statsCol.toSeq ++ partitionCol.toSeq ++ indexCols ++ bloomCol.toSeq ++
-      es.flatMap(_.windows.keys) ++ es.flatMap(_.strWindows.keys))
+      es.flatMap(_.windows.keys) ++ es.flatMap(_.strWindows.keys) ++
+      es.flatMap(_.timeWindows.keys))
       .foldLeft(Vector.empty[String])((acc, c) =>
         if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
   }

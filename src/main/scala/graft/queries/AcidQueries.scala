@@ -349,6 +349,29 @@ object AcidQueries extends QueryPack {
   private val strBloomFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** TIMESTAMP-indexed fixture: `ts` is an indexCols dimension, so every
+    * file records a self-describing tw: window (epoch micros). The SQL
+    * MIN/MAX/COUNT gate row then serves from manifest metadata (the
+    * PlanSpec pins the constant-row plan; the gate pins the VALUES). */
+  private val tsWindowFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tsWindowTable(s: SparkSession, d: String): GraftTable = {
+    val root = tsWindowFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("tsagg" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/tsagg_$key"
+      val tt = new GraftTable(s, r, indexCols = Seq("ts"))
+      val ev = events(s, d)
+      (0L to 2L).foreach(v =>
+        tt.append(ev.filter(pmod($"event_id", lit(3L)) === v)))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   private def strBloomTable(s: SparkSession, d: String): GraftTable = {
     val root = strBloomFixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
@@ -708,6 +731,20 @@ object AcidQueries extends QueryPack {
                |       count(*) AS n_rows FROM graft.`$name`""".stripMargin)
     },
 
+    // Manifest-served MIN/MAX over a TIMESTAMP column: the tw: windows
+    // carry catalyst-internal micros — exact witnessed extrema — so the
+    // most common fact-table aggregate (`min(ts), max(ts)`) answers as
+    // one constant row with zero file opens (PlanSpec pins the
+    // LocalTableScan plan; this row pins the VALUES against the oracle).
+    "q_acid_sql_ts_agg" -> { (s, d) =>
+      val tt = tsWindowTable(s, d)
+      s.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val name = new Path(tt.root).getName
+      s.sql(s"""SELECT min(ts) AS ts_lo, max(ts) AS ts_hi,
+               |       count(*) AS n_rows FROM graft.`$name`""".stripMargin)
+    },
+
     // STRING-keyed bloom point lookups (the content-hash doc_id shape
     // every LLM dedup pipeline keys on): three needle reads on a string
     // column, each file list resolved from the hashed per-file blooms —
@@ -921,6 +958,12 @@ object AcidQueries extends QueryPack {
     // the manifest-served constant row must equal the from-scratch agg
     "q_acid_sql_agg" ->
       """SELECT min(user_id) AS min_user, max(user_id) AS max_user,
+        |       count(*) AS n_rows FROM events""".stripMargin,
+
+    // the tw:-window-served timestamp extrema must equal the real agg
+    "q_acid_sql_ts_agg" ->
+      """SELECT CAST(min(ts) AS TIMESTAMP) AS ts_lo,
+        |       CAST(max(ts) AS TIMESTAMP) AS ts_hi,
         |       count(*) AS n_rows FROM events""".stripMargin,
 
     // SQL time travel = the same per-version content as the API path

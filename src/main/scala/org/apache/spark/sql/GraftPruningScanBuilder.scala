@@ -51,12 +51,15 @@ class GraftPruningScanBuilder(
     dvPlan: Option[(Seq[String], Seq[String], Seq[Expression]) =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None,
     // manifest statistics for a pruned file list: (exact live rows,
-    // per-column (min, max) from the recorded windows, per-column NDV
-    // estimates from the merged per-file HLL sketches) — surfaced via
-    // SupportsReportStatistics so PLAN-TIME join sizing sees them
+    // per-column (min, max) from the recorded windows — integral columns
+    // in their own units, timestamp/date columns internal-coded micros/
+    // days from the tw: windows, per-column NDV estimates from the
+    // merged per-file HLL sketches, truncated STRING windows) — surfaced
+    // via SupportsReportStatistics so PLAN-TIME join sizing sees them
     fileStats: Seq[String] =>
-        (Option[Long], Map[String, (Long, Long)], Map[String, Long]) =
-      _ => (None, Map.empty, Map.empty),
+        (Option[Long], Map[String, (Long, Long)], Map[String, Long],
+         Map[String, (String, String)]) =
+      _ => (None, Map.empty, Map.empty, Map.empty),
     // columns the manifest can prune on (windows / partition / bloom) —
     // advertised as RUNTIME filter attributes so dynamic partition
     // pruning hands the scan the dimension side's join keys at
@@ -100,10 +103,14 @@ class GraftPruningScanBuilder(
     * MANIFEST metadata — `SELECT count(*), min(k), max(k) FROM graft.t`
     * becomes an O(metadata) constant row with no file (or even footer)
     * opens: counts from the recorded per-file row counts, extrema from
-    * the per-file windows (recorded exactly for integral columns; any
-    * other type, a missing window, a pushed filter, a group-by or a
-    * DV-carrying snapshot — masks can delete the extremum row, making
-    * windows stale bounds — disqualifies and falls through to the scan).
+    * the per-file windows (recorded exactly for integral columns, and
+    * for timestamp/date columns via the internal-coded tw: windows —
+    * micros/days ARE the catalyst values, so the served constant is
+    * exact; strings are NOT servable — their sw: windows are truncated
+    * bounds, not witnessed values. Any other type, a missing window, a
+    * pushed filter, a group-by or a DV-carrying snapshot — masks can
+    * delete the extremum row, making windows stale bounds — disqualifies
+    * and falls through to the scan).
     * Returns the constant row's (internal values, output schema). */
   private def metaAggFor(aggregation: Aggregation)
       : Option[(Seq[Any], StructType)] = {
@@ -127,11 +134,15 @@ class GraftPruningScanBuilder(
             f <- dataSchema.fields.find(_.name.equalsIgnoreCase(r.fieldNames.head))
             w <- windows.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
             v <- (f.dataType match {
-              case LongType    => Some(if (takeHi) w._2 else w._1)
-              case IntegerType => Some((if (takeHi) w._2 else w._1).toInt)
-              case ShortType   => Some((if (takeHi) w._2 else w._1).toShort)
-              case ByteType    => Some((if (takeHi) w._2 else w._1).toByte)
-              case _           => None
+              case LongType      => Some(if (takeHi) w._2 else w._1)
+              case IntegerType   => Some((if (takeHi) w._2 else w._1).toInt)
+              case ShortType     => Some((if (takeHi) w._2 else w._1).toShort)
+              case ByteType      => Some((if (takeHi) w._2 else w._1).toByte)
+              // tw: windows carry the internal coding: micros (Long) for
+              // timestamps, days (Int) for dates — exact witnessed values
+              case TimestampType => Some(if (takeHi) w._2 else w._1)
+              case DateType      => Some((if (takeHi) w._2 else w._1).toInt)
+              case _             => None
             }): Option[Any]
           } yield (v, StructField(s"$tag(${f.name})", f.dataType, nullable = false))
         case _ => None
@@ -193,8 +204,9 @@ class GraftPruningScanBuilder(
       }
     case None =>
       val files = if (pushed.isEmpty) allFiles else prune(pushed)
-      val (liveRows, colWindows, colNdv) = fileStats(files)
-      val colStats = GraftStatsScan.toColumnStats(dataSchema, colWindows, colNdv)
+      val (liveRows, colWindows, colNdv, strWindows) = fileStats(files)
+      val colStats = GraftStatsScan.toColumnStats(dataSchema, colWindows,
+        colNdv, strWindows)
       dvPlan match {
         case Some(mk) =>
           val outSchema = required.getOrElse(dataSchema)
@@ -402,13 +414,16 @@ object GraftStatsScan {
       override def value(): Long = v
     }
   /** Manifest windows + NDV estimates → V2 column statistics, typed to
-    * the column: min/max convert for integral columns only (their
-    * catalyst-internal value IS the boxed primitive, so CBO's estimation
-    * arithmetic is type-safe); distinct counts attach to ANY sketched
-    * column (strings included — join keys are often strings and their
-    * NDV is what cardinality estimation runs on). */
+    * the column: min/max convert for integral columns (their catalyst-
+    * internal value IS the boxed primitive), for TIMESTAMP/DATE columns
+    * (tw: windows already carry the internal micros/days longs), and for
+    * STRING columns from the truncated sw: windows (lo a prefix lower
+    * bound, hi a rounded-up upper bound — valid CBO bounds, boxed as
+    * UTF8String, the internal string value). Distinct counts attach to
+    * ANY sketched column. */
   def toColumnStats(schema: StructType, windows: Map[String, (Long, Long)],
-                    ndv: Map[String, Long] = Map.empty)
+                    ndv: Map[String, Long] = Map.empty,
+                    strWindows: Map[String, (String, String)] = Map.empty)
       : Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.types._
     def ndvOf(name: String): Option[Long] =
@@ -416,24 +431,35 @@ object GraftStatsScan {
     val windowed = windows.flatMap { case (name, (lo, hi)) =>
       schema.fields.find(_.name.equalsIgnoreCase(name)).flatMap { f =>
         def box(v: Long): Option[Object] = f.dataType match {
-          case LongType    => Some(java.lang.Long.valueOf(v))
-          case IntegerType => Some(java.lang.Integer.valueOf(v.toInt))
-          case ShortType   => Some(java.lang.Short.valueOf(v.toShort))
-          case ByteType    => Some(java.lang.Byte.valueOf(v.toByte))
-          case _           => None
+          case LongType      => Some(java.lang.Long.valueOf(v))
+          case IntegerType   => Some(java.lang.Integer.valueOf(v.toInt))
+          case ShortType     => Some(java.lang.Short.valueOf(v.toShort))
+          case ByteType      => Some(java.lang.Byte.valueOf(v.toByte))
+          case TimestampType => Some(java.lang.Long.valueOf(v))
+          case DateType      => Some(java.lang.Integer.valueOf(v.toInt))
+          case _             => None
         }
         for (mn <- box(lo); mx <- box(hi)) yield f.name ->
           mkStats(Some(mn), Some(mx), ndvOf(f.name))
       }
     }
-    // NDV-only columns (no integral window — strings, or un-windowed
-    // bloom columns) still report their distinct count
+    val strWindowed = strWindows.flatMap { case (name, (lo, hi)) =>
+      schema.fields.find(f => f.name.equalsIgnoreCase(name) &&
+          f.dataType == StringType)
+        .map(f => f.name -> mkStats(
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(lo)),
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(hi)),
+          ndvOf(f.name)))
+    }
+    // NDV-only columns (no window — un-windowed bloom columns) still
+    // report their distinct count
     val ndvOnly = ndv.flatMap { case (name, n) =>
       schema.fields.find(_.name.equalsIgnoreCase(name))
-        .filterNot(f => windowed.contains(f.name))
+        .filterNot(f => windowed.contains(f.name) ||
+          strWindowed.contains(f.name))
         .map(f => f.name -> mkStats(None, None, Some(n)))
     }
-    windowed ++ ndvOnly
+    windowed ++ strWindowed ++ ndvOnly
   }
 
   private def mkStats(mn: Option[Object], mx: Option[Object], nd: Option[Long])

@@ -359,4 +359,79 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("timestamp/date/string manifest windows serve plan-time stats and metadata MIN/MAX") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val wh = TempDirs.create("graft_tsstat_wh")
+    spark.conf.set("spark.sql.catalog.gts", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gts.root", wh)
+    // day-clustered commits over a TIMESTAMP index column + a STRING
+    // index column (doc-id shape)
+    val t = new acid.GraftTable(spark, s"$wh/tsfact",
+      indexCols = Seq("ts", "doc"))
+    def ts(d: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00").getTime
+        + i * 1000L)
+    (0 until 3).foreach { d =>
+      t.append((0 until 1000).map(i =>
+        (d * 1000L + i, ts(d, i), f"doc$d%02d$i%05d")).toDF("id", "ts", "doc")
+        .coalesce(1))
+    }
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = scanStats(spark.table("gts.tsfact"))
+      // TIMESTAMP min/max from the tw: windows — catalyst-internal micros
+      val tsStat = st.attributeStats.find(_._1.name == "ts").map(_._2)
+      val expectLo = ts(0, 0).getTime * 1000L
+      val expectHi = ts(2, 999).getTime * 1000L
+      assert(tsStat.exists(s => s.min.contains(expectLo) &&
+        s.max.contains(expectHi)),
+        s"ts column stats from tw: windows: $tsStat")
+      // STRING min/max from the truncated sw: windows (valid bounds)
+      val docStat = st.attributeStats.find(_._1.name == "doc").map(_._2)
+      assert(docStat.exists(s => s.min.isDefined && s.max.isDefined),
+        s"doc column stats from sw: windows: $docStat")
+      assert(docStat.exists(s =>
+        s.min.get.toString <= "doc0000000" && s.max.get.toString >= "doc0200999"),
+        s"string bounds must cover the actual value range: $docStat")
+      // a CBO-planned string range query still executes correctly
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gts.tsfact WHERE doc >= 'doc02'")
+        .as[Long].head() == 1000L)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // metadata-served MIN/MAX over the timestamp column: a constant-row
+    // LocalScan (ManifestAggScan), zero files opened, exact values
+    val agg = spark.sql(
+      "SELECT min(ts) AS lo, max(ts) AS hi, count(*) AS n FROM gts.tsfact")
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.inputFiles.isEmpty, "manifest agg must open no files")
+    val row = agg.collect().head
+    assert(row.getTimestamp(0) == ts(0, 0) && row.getTimestamp(1) == ts(2, 999)
+      && row.getLong(2) == 3000L, row.toString)
+    // SQL time-range reads prune the file list through the tw: windows:
+    // the plan-time pruned file list (GraftStatsScan.staticFiles) covers
+    // only the matching day's files
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[org.apache.spark.sql.GraftStatsScan] =>
+          Seq(b.scan.asInstanceOf[org.apache.spark.sql.GraftStatsScan]
+            .staticFiles.size)
+        case _ => Nil
+      }.min
+    val pruned = spark.sql(
+      """SELECT * FROM gts.tsfact
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+        |              AND TIMESTAMP '2024-01-02 23:59:59'""".stripMargin)
+    assert(scanFiles(pruned) < scanFiles(spark.table("gts.tsfact")),
+      "a day-range SQL read must open fewer files than the full scan")
+    assert(pruned.count() == 1000L)
+  }
 }

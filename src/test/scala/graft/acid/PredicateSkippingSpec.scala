@@ -177,6 +177,49 @@ class PredicateSkippingSpec extends SparkSpec {
       "present-point probe should open only the one matching file")
   }
 
+  test("timestamp windows prune time-range and point predicates exactly") {
+    // three day-clustered commits -> disjoint tw: windows per file set;
+    // a time-range read then opens O(matching files). The windows carry
+    // catalyst-internal micros, so pushed TIMESTAMP literals compare
+    // directly — no seconds truncation, no zone arithmetic.
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_predts"),
+      indexCols = Seq("ts"))
+    def day(d: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:${i % 60}%02d.${i % 1000}%03d")
+    (0 until 3).foreach { d =>
+      t.append((0 until 500).map(i => (d * 500L + i, day(d, i)))
+        .toDF("id", "ts").coalesce(1))
+    }
+    val all = t.activeFiles(t.latestVersion.get).size
+    val lo = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-02 23:59:59")
+    val pred = $"ts" >= lit(lo) && $"ts" <= lit(hi)
+    assert(t.filesForPredicate(pred).size < all,
+      s"time-range read should skip other days' files (all=$all)")
+    assert(t.snapshotWhere(pred).count() == 500L)
+    // point predicate (exact micros equality) prunes to one day's files
+    val p = day(0, 42)
+    assert(t.filesForPredicate($"ts" === lit(p)).size < all)
+    assert(t.snapshotWhere($"ts" === lit(p)).count() == 1L)
+    // unparseable shapes (cross-type compare) prove nothing, stay exact
+    assert(t.snapshotWhere($"ts" >= lit("2024-01-02").cast("date")).count()
+      == 1000L)
+    // DATE windows prune too, in days units
+    val td = new GraftTable(spark, graft.TempDirs.create("graft_preddate"),
+      indexCols = Seq("d"))
+    (0 until 3).foreach { m =>
+      td.append((0 until 90).map(i =>
+        (m * 90L + i, java.sql.Date.valueOf(f"2024-${m * 3 + i / 31 + 1}%02d-${i % 28 + 1}%02d")))
+        .toDF("id", "d").coalesce(1))
+    }
+    val dAll = td.activeFiles(td.latestVersion.get).size
+    val dPred = $"d" >= lit(java.sql.Date.valueOf("2024-01-01")) &&
+      $"d" <= lit(java.sql.Date.valueOf("2024-02-28"))
+    assert(td.filesForPredicate(dPred).size < dAll)
+    assert(td.snapshotWhere(dPred).count() ==
+      td.snapshot().filter(dPred).count())
+  }
+
   test("fastCount resolves from manifest metadata and tracks mutations") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_fastcount"))
     t.append((1L to 500L).toDF("id"))
