@@ -230,24 +230,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None, None)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMNS (...)`: a METADATA-ONLY schema
-    * commit on a committed table (files carry over verbatim; existing
-    * rows read the new columns as NULL — see [[GraftTable.addColumns]]),
-    * or a sidecar rewrite on a still-empty table. Other ALTERs
-    * (drop/rename/retype) are rejected: they would need column-mapping
-    * indirection to avoid rewriting every file. */
+  /** `ALTER TABLE graft.t ADD COLUMNS (...) | RENAME COLUMN a TO b |
+    * DROP COLUMN c`: each a METADATA-ONLY schema commit on a committed
+    * table (files carry over verbatim — adds read as NULL, renames keep
+    * the original physical column through the `cmap=` mapping, drops
+    * hide the physical column and tombstone its name; see
+    * [[GraftTable.addColumns]] / [[GraftTable.renameColumn]] /
+    * [[GraftTable.dropColumn]]), or a sidecar rewrite on a still-empty
+    * table (ADD only). Retype and nested-field ALTERs are rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val added = changes.map {
+    val dir = tableDir(ident)
+    val t0 = GraftTable.load(spark, dir.toString)
+    // rename/drop need a committed table (mapping lives in the log)
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        (r.fieldNames.head, r.newName())
+    }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        d.fieldNames.head
+    }
+    val added = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(only top-level ADD COLUMNS)")
     }
-    val dir = tableDir(ident)
-    val t = GraftTable.load(spark, dir.toString)
+    val handled = renames.size + drops.size + added.size
+    if (handled != changes.size) {
+      val other = changes.filterNot {
+        case r: TableChange.RenameColumn => r.fieldNames.length == 1
+        case d: TableChange.DeleteColumn => d.fieldNames.length == 1
+        case a: TableChange.AddColumn    => a.fieldNames.length == 1
+        case _ => false
+      }
+      throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change ${other.mkString(", ")} " +
+          "(top-level ADD COLUMNS / RENAME COLUMN / DROP COLUMN only)")
+    }
+    if (renames.nonEmpty || drops.nonEmpty) {
+      require(t0.latestVersion.isDefined,
+        "graft catalog: RENAME/DROP COLUMN need a committed table " +
+          "(the column mapping lives in the commit log); insert first")
+      renames.foreach { case (o, n) => t0.renameColumn(o, n) }
+      drops.foreach(t0.dropColumn)
+    }
+    val t = t0
+    if (added.isEmpty) return load(ident, None, None)
     if (t.latestVersion.isDefined) t.addColumns(added)
     else {
       // pre-first-commit: evolve the declared sidecar schema in place,
@@ -449,8 +478,14 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
     // [[GraftDvScanRewrite]] swaps in the mask-applying plan built here
     // from the scan's pruned files, required columns and pushed filters
     val entries = v.map(t.entries).getOrElse(Nil)
+    // a COLUMN-MAPPED snapshot (rename/re-add history) reads through the
+    // same planner-injected replacement as deletion vectors: the thunk
+    // below builds from readEntriesAs, which aliases physical -> logical
+    // per the pinned version's mapping — the raw parquet delegate can't,
+    // its dataSchema would project logical names against physical files
+    val cmap = v.map(t.cmapOf).getOrElse(Map.empty)
     val dvPlan =
-      if (entries.forall(_.dvRef.isEmpty)) None
+      if (entries.forall(_.dvRef.isEmpty) && cmap.isEmpty) None
       else Some { (prunedFiles: Seq[String], cols: Seq[String],
                    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -461,7 +496,7 @@ private[acid] class GraftTableV2(spark: SparkSession, t: GraftTable,
         val base =
           if (sel.isEmpty) spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), full)
-          else t.readEntriesAs(sel, full)
+          else t.readEntriesAs(sel, full, Some(cmap))
         // re-apply the pushed filters by NAME adjacent to the scan so the
         // nested optimization pushes them into the parquet leaves (the
         // engine keeps its own Filter above the scan — double-filtering

@@ -560,6 +560,30 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * an [[addColumn]] or a `mergeSchema` append — first records one). */
   def tableSchema: Option[StructType] = latestVersion.flatMap(schemaOf)
 
+  /** COLUMN MAPPING of version `v` (the Delta column-mapping pattern,
+    * re-derived): logical name (lowercased) -> PHYSICAL name, the name
+    * the column carries inside the parquet files. Non-identity entries
+    * only — an empty map means names read straight through. Written by
+    * [[renameColumn]] (the renamed logical keeps the original physical,
+    * zero file rewrites) and by [[addColumns]] re-adding a previously
+    * dropped name (fresh physical so old file values can never
+    * resurrect). Manifests carrying a non-empty map stamp `require=cm`:
+    * an old reader projecting logical names against physical files would
+    * read all-NULL columns — wrong data, so it must refuse loudly. */
+  private[acid] def cmapOf(v: Long): Map[String, String] =
+    headerMeta(v).get("cmap").map(_.split(',').flatMap(_.split(":", 2) match {
+      case Array(l, p) => Some(GraftTable.unb64(l) -> GraftTable.unb64(p))
+      case _           => None
+    }).toMap).getOrElse(Map.empty)
+
+  /** PHYSICAL names of columns dropped at or before `v` (lowercased) —
+    * the tombstone set [[addColumns]] consults so a re-added name maps
+    * to a FRESH physical column instead of resurrecting the dropped
+    * column's values from old files. */
+  private[acid] def droppedPhysOf(v: Long): Set[String] =
+    headerMeta(v).get("cmdrop").map(_.split(',').filter(_.nonEmpty)
+      .map(GraftTable.unb64).map(_.toLowerCase).toSet).getOrElse(Set.empty)
+
   /** [[history]] as a DataFrame — the DESCRIBE HISTORY surface for SQL
     * consumers (`t.historyDF.createOrReplaceTempView(...)`): version,
     * operation, commit timestamp, active file count, plus the recorded
@@ -774,21 +798,40 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * distributed scan plus a broadcast hash anti-join (no shuffle).
     * Entries without DVs take the plain vectorized-scan path untouched. */
   private def readWithDv(es: Seq[FileEntry], schema: Option[StructType],
-                         like: => DataFrame): DataFrame = {
+                         like: => DataFrame,
+                         cmap: Map[String, String] = Map.empty): DataFrame = {
     if (es.isEmpty) return like.limit(0).filter(lit(false))
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    val df = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    // COLUMN MAPPING: the requested schema carries LOGICAL names; files
+    // carry PHYSICAL names. Read under the physical-ized schema (parquet
+    // matches by name; a file predating a column projects NULL), apply
+    // the DV mask (needs _metadata, so before any projection), then
+    // alias physical -> logical. A requested name with no mapping entry
+    // reads through unchanged — which also makes a pinned OLD schema
+    // (e.g. a stream started before a rename) read the original
+    // physical column correctly.
+    val mapped = schema.filter(_ => cmap.nonEmpty).map { s =>
+      (StructType(s.fields.map(f =>
+        f.copy(name = cmap.getOrElse(f.name.toLowerCase, f.name)))), s)
+    }
+    val readSchema = mapped.map(_._1).orElse(schema)
+    val reader = readSchema.fold(spark.read)(spark.read.schema)
+    val raw = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
     val dved = es.filter(_.dvRef.isDefined)
-    if (dved.isEmpty) df
-    else
-      // mask key: the file path's LAST TWO components (`c<v>-<uuid>/
-      // part-...`, [[GraftTable.entrySuffix]]) — the commit dir's uuid
-      // makes it unique per table, so unlike the bare file name two
-      // entries in different data subdirectories can never cross-mask
-      // each other's rows
-      df.filter(dvKeepPredicate(dved,
-        substring_index(col("_metadata.file_path"), "/", -2),
-        col("_metadata.row_index")))
+    val df =
+      if (dved.isEmpty) raw
+      else
+        // mask key: the file path's LAST TWO components (`c<v>-<uuid>/
+        // part-...`, [[GraftTable.entrySuffix]]) — the commit dir's uuid
+        // makes it unique per table, so unlike the bare file name two
+        // entries in different data subdirectories can never cross-mask
+        // each other's rows
+        raw.filter(dvKeepPredicate(dved,
+          substring_index(col("_metadata.file_path"), "/", -2),
+          col("_metadata.row_index")))
+    mapped.fold(df) { case (phys, logical) =>
+      df.select(phys.fields.zip(logical.fields).map { case (p, l) =>
+        df(p.name).as(l.name) }.toIndexedSeq: _*)
+    }
   }
 
   /** Snapshot read of `version` (default: latest). The file list resolves
@@ -812,7 +855,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         .getOrElse(throw new IllegalStateException(
           s"version $v of $root has no files and no declared schema"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else readWithDv(es, schemaOf(v),
+    } else readWithDv(es, schemaOf(v), cmap = cmapOf(v), like =
       throw new IllegalStateException("unreachable: es.nonEmpty"))
   }
 
@@ -826,7 +869,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private[graft] def writeData(df: DataFrame, v: Long): Seq[FileEntry] = {
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val dir = new Path(rootPath, sub).toString
-    df.write.parquet(dir)
+    // under COLUMN MAPPING the incoming frame carries LOGICAL names;
+    // files always store PHYSICAL names, so every file in the table —
+    // written before or after a rename — stays uniform and reads
+    // resolve through one mapping. Config columns (stats/partition/
+    // bloom/index) can never be renamed ([[renameColumn]] refuses), so
+    // the window/bloom profiling below keys by unchanged names.
+    val cmapW = latestVersion.map(cmapOf).getOrElse(Map.empty)
+    val phys =
+      if (cmapW.isEmpty) df
+      else df.select(df.columns.map(c =>
+        df(c).as(cmapW.getOrElse(c.toLowerCase, c))).toIndexedSeq: _*)
+    phys.write.parquet(dir)
     val written = spark.read.parquet(dir)
     def isStringCol(c: String): Boolean = written.schema.fields
       .find(_.name.equalsIgnoreCase(c))
@@ -1155,7 +1209,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                             // PENDING state and readers resolve it
                             // through the shared marker (see
                             // [[GraftTable.appendAtomic]])
-                            pending: Option[String] = None): Long = {
+                            pending: Option[String] = None,
+                            // column-mapping override (rename/drop/add
+                            // commits); None carries the prior version's
+                            // mapping + tombstones forward like the schema
+                            cmapOverride: Option[Map[String, String]] = None,
+                            cmdropOverride: Option[Set[String]] = None): Long = {
     fs.mkdirs(logDir)
     // a commit that doesn't change the schema CARRIES the declared schema
     // forward (a delete doesn't un-evolve the table); schema-changing
@@ -1164,6 +1223,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // file visible immediately, so a later latestVersion would read the
     // in-flight manifest itself and find no header.
     val declared = schema.orElse(latestVersion.flatMap(schemaOf))
+    // column mapping + drop tombstones carry forward; the mapping prunes
+    // to the declared schema's fields (an overwrite that reshapes the
+    // table must not leave stale logical keys that a coincidentally
+    // same-named future column would resolve through)
+    val cmapFinal = cmapOverride.orElse(latestVersion.map(cmapOf))
+      .getOrElse(Map.empty)
+      .filter { case (l, _) =>
+        declared.forall(_.fields.exists(_.name.equalsIgnoreCase(l))) }
+    val cmdropFinal = cmdropOverride.orElse(latestVersion.map(droppedPhysOf))
+      .getOrElse(Set.empty)
     val p = manifestPath(v)
     // Exclusive create is the atomicity point. On HDFS/object stores the
     // create (conditional put) is atomic by itself; Hadoop's LOCAL
@@ -1227,7 +1296,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // feature gate over THIS manifest's body (a delta gates only what
       // it states; the chain's older artifacts gate their own) — see
       // [[checkRequiredFeatures]]
-      val req = requiredFeatures(if (full) finalFiles else addedEntries)
+      // cm is a HEADER-level feature: a non-identity column mapping makes
+      // logical-name projection wrong for any reader that ignores it
+      val req = (requiredFeatures(if (full) finalFiles else addedEntries) ++
+        (if (cmapFinal.nonEmpty) Seq("cm") else Nil)).distinct.sorted
       val nr = if (finalFiles.forall(_.rows.isDefined))
         Seq(s"nr=${finalFiles.map(e => e.rows.get - e.dvCount).sum}") else Nil
       // The header ALSO carries the table's physical config (the Delta
@@ -1251,6 +1323,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
            s"${GraftTable.b64(id)}:$e" }.mkString(","))) ++
         declared.map(s => "schema=" + java.util.Base64.getUrlEncoder
           .withoutPadding.encodeToString(s.toDDL.getBytes(UTF_8))).toSeq ++
+        (if (cmapFinal.isEmpty) Nil
+         else Seq("cmap=" + cmapFinal.toSeq.sortBy(_._1).map { case (l, p) =>
+           s"${GraftTable.b64(l)}:${GraftTable.b64(p)}" }.mkString(","))) ++
+        (if (cmdropFinal.isEmpty) Nil
+         else Seq("cmdrop=" + cmdropFinal.toSeq.sorted
+           .map(GraftTable.b64).mkString(","))) ++
         statsCol.map(c => s"scol=$c").toSeq ++
         partitionCol.map(c => s"pcol=$c").toSeq ++
         bloomCol.map(c => s"bcol=$c").toSeq ++
@@ -1408,7 +1486,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           val cand = entriesForPredicate(pred, v)
           if (cand.isEmpty) incoming
           else {
-            val existing = readWithDv(cand, schemaOf(v), snapshot(Some(v)))
+            val existing = readWithDv(cand, schemaOf(v), snapshot(Some(v)), cmapOf(v))
               .select(col(keyCol))
             incoming.join(existing, Seq(keyCol), "left_anti")
           }
@@ -1450,6 +1528,24 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         require(mergeSchema || extra.isEmpty,
           s"append to $root: columns ${extra.map(_.name).mkString(", ")} are " +
             "not in the table schema (pass mergeSchema = true to evolve)")
+        // under column mapping a mergeSchema-added name must not collide
+        // with a dead or in-use PHYSICAL name (dropped column, renamed
+        // column's original) — writing it identity-mapped would alias
+        // old file data into the new column. addColumns assigns a fresh
+        // physical for these; the append path refuses loudly instead.
+        if (extra.nonEmpty) {
+          val lv = latestVersion
+          val dropped = lv.map(droppedPhysOf).getOrElse(Set.empty)
+          val cm = lv.map(cmapOf).getOrElse(Map.empty)
+          val physInUse = s.fields.map(f =>
+            cm.getOrElse(f.name.toLowerCase, f.name).toLowerCase).toSet
+          val colliding = extra.map(_.name).filter(n =>
+            dropped.contains(n.toLowerCase) || physInUse.contains(n.toLowerCase))
+          require(colliding.isEmpty,
+            s"append to $root: column(s) ${colliding.mkString(", ")} collide " +
+              "with a dropped or renamed column's physical name — use " +
+              "addColumns (which assigns a fresh physical column) first")
+        }
         val merged = StructType(s.fields ++ extra)
         val incoming = df.schema.fields
           .map(f => f.name.toLowerCase -> f.dataType).toMap
@@ -1488,12 +1584,98 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     require(clash.isEmpty, s"addColumns: ${clash.mkString(", ")} already exist")
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
+    // a re-added name whose PHYSICAL namesake was dropped (or is held by
+    // a renamed column) maps to a FRESH physical column — old file
+    // values for the dead physical name must never resurrect into the
+    // new logical column
+    val lv = latestVersion
+    val cm = lv.map(cmapOf).getOrElse(Map.empty)
+    val dropped = lv.map(droppedPhysOf).getOrElse(Set.empty)
+    val physInUse = base.fields.map(f =>
+      cm.getOrElse(f.name.toLowerCase, f.name).toLowerCase).toSet
+    val freshEntries = cols.flatMap { c =>
+      val lower = c.name.toLowerCase
+      if (dropped.contains(lower) || physInUse.contains(lower))
+        Some(lower -> s"${c.name}_$v")
+      else None
+    }.toMap
     commit(v, prev, op = "add_column",
-      schema = Some(StructType(base.fields ++ cols.map(_.copy(nullable = true)))))
+      schema = Some(StructType(base.fields ++ cols.map(_.copy(nullable = true)))),
+      cmapOverride = if (freshEntries.isEmpty) None else Some(cm ++ freshEntries))
   }
 
   def addColumn(name: String, dataType: DataType): Long =
     addColumns(Seq(StructField(name, dataType, nullable = true)))
+
+  /** A column the physical layout depends on can be neither renamed nor
+    * dropped without a rewrite: windows/blooms key it in every manifest
+    * entry and the clustering/scoping paths address it by name. */
+  private def requireNotPhysicalConfig(name: String, what: String): Unit = {
+    val cfg = statsCol.toSeq ++ partitionCol.toSeq ++ bloomCol.toSeq ++ indexCols
+    require(!cfg.exists(_.equalsIgnoreCase(name)),
+      s"$what column $name on $root: the column is part of the physical " +
+        "layout config (statsCol/partitionCol/bloomCol/indexCols); " +
+        "rebuild the table (or re-CONVERT) to change indexed columns")
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+    require(!constraints.exists(c => pat.matcher(c).find()),
+      s"$what column $name on $root: a CHECK constraint references it")
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (the Delta
+    * column-mapping pattern): file entries carry over verbatim — zero
+    * data I/O on a 100 TB table — and the renamed logical column keeps
+    * its original PHYSICAL name through the manifest's `cmap=` mapping.
+    * Reads alias physical -> logical; new writes alias logical ->
+    * physical; prior versions time-travel with their own name. The
+    * commit stamps `require=cm`, so a pre-mapping reader refuses loudly
+    * instead of projecting an all-NULL column. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"renameColumn on $root: the table has no commits yet"))
+    val f = base.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn on $root: no column $oldName"))
+    require(!base.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"renameColumn on $root: $newName already exists")
+    requireNotPhysicalConfig(oldName, "rename")
+    val v = nextVersion
+    val cm = latestVersion.map(cmapOf).getOrElse(Map.empty)
+    val physName = cm.getOrElse(f.name.toLowerCase, f.name)
+    val cm2 = (cm - f.name.toLowerCase) + (newName.toLowerCase -> physName)
+    commit(v, latestVersion.map(entries).getOrElse(Nil), op = "rename_column",
+      schema = Some(StructType(base.fields.map(x =>
+        if (x.name.equalsIgnoreCase(oldName)) x.copy(name = newName) else x))),
+      cmapOverride = Some(cm2))
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the declared
+    * schema loses the field, every file entry carries over verbatim (the
+    * physical column stays in the files, invisible — scans project the
+    * declared schema only), and the physical name lands in the `cmdrop=`
+    * tombstone set so a later re-ADD of the same name maps to a fresh
+    * physical column instead of resurrecting the dropped values. */
+  def dropColumn(name: String): Long = {
+    val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"dropColumn on $root: the table has no commits yet"))
+    val f = base.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"dropColumn on $root: no column $name"))
+    require(base.fields.length > 1,
+      s"dropColumn on $root: cannot drop the only column")
+    requireNotPhysicalConfig(name, "drop")
+    val v = nextVersion
+    val lv = latestVersion
+    val cm = lv.map(cmapOf).getOrElse(Map.empty)
+    val physName = cm.getOrElse(f.name.toLowerCase, f.name)
+    commit(v, lv.map(entries).getOrElse(Nil), op = "drop_column",
+      schema = Some(StructType(base.fields.filterNot(
+        _.name.equalsIgnoreCase(name)))),
+      cmapOverride = Some(cm - f.name.toLowerCase),
+      cmdropOverride = Some(lv.map(droppedPhysOf).getOrElse(Set.empty) +
+        physName.toLowerCase))
+  }
 
   /** Replace the table content with `df` (CHECK-validated at write). */
   def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Long =
@@ -1636,16 +1818,24 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   /** Read the given entries' files as one DataFrame (empty entry list →
     * empty frame with `like`'s schema), deletion vectors applied. */
   private def readEntries(es: Seq[FileEntry], like: => DataFrame): DataFrame =
-    readWithDv(es, tableSchema, like)
+    readWithDv(es, tableSchema, like,
+      latestVersion.map(cmapOf).getOrElse(Map.empty))
 
   /** [[readWithDv]] under an explicit schema — the table-stream source
     * reads commit diffs through this so deletion vectors mask its
-    * batches too. Caller guarantees `es` is non-empty. */
+    * batches too. Caller guarantees `es` is non-empty. `cmap` defaults
+    * to the LATEST version's column mapping; pass a pinned version's for
+    * time-travel reads (the requested schema's names decide: an
+    * unmapped name — e.g. a stream's pre-rename schema — reads its
+    * original physical column straight through). */
   private[acid] def readEntriesAs(es: Seq[FileEntry],
-                                  explicitSchema: StructType): DataFrame = {
+                                  explicitSchema: StructType,
+                                  cmap: Option[Map[String, String]] = None)
+      : DataFrame = {
     require(es.nonEmpty, "readEntriesAs needs at least one entry")
     readWithDv(es, Some(explicitSchema),
-      throw new IllegalStateException("unreachable: es.nonEmpty"))
+      throw new IllegalStateException("unreachable: es.nonEmpty"),
+      cmap.orElse(latestVersion.map(cmapOf)).getOrElse(Map.empty))
   }
 
   /** Commit a SCOPED mutation with LOGICAL CONFLICT DETECTION (the Delta
@@ -1881,7 +2071,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     val keep = entries(v).filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
-    readWithDv(keep, schemaOf(v), snapshot(Some(v)))
+    readWithDv(keep, schemaOf(v), snapshot(Some(v)), cmapOf(v))
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -1909,7 +2099,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no commits in table at $root"))
     val keep = entries(v).filter(
       _.windows.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi })
-    readWithDv(keep, schemaOf(v), snapshot(Some(v)))
+    readWithDv(keep, schemaOf(v), snapshot(Some(v)), cmapOf(v))
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -2063,7 +2253,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
     val zkey = bridge.column(graft.functions.ZOrderN(
       cols.map(c => bridge.expr(spark, scaled(c)))))
-    val laid = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)))
+    val laid = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
       .withColumn("__z", zkey)
       .repartitionByRange(nOut, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -2314,7 +2504,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     val keep = entriesForPredicate(predicate, v)
-    readWithDv(keep, schemaOf(v), snapshot(Some(v))).filter(predicate)
+    readWithDv(keep, schemaOf(v), snapshot(Some(v)), cmapOf(v)).filter(predicate)
   }
 
   private def testBit(arr: Array[Long], pos: Int): Boolean =
@@ -2549,7 +2739,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     val hit = entries(v).filter(bloomMayContainLong(_, Seq(value)))
-    readWithDv(hit, schemaOf(v), snapshot(Some(v))).filter(col(c) === value)
+    readWithDv(hit, schemaOf(v), snapshot(Some(v)), cmapOf(v)).filter(col(c) === value)
   }
 
   /** [[snapshotPoint]] for a STRING key — the content-hash `doc_id`
@@ -2562,7 +2752,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     val hit = entries(v).filter(bloomMayContainStr(_, Seq(value)))
-    readWithDv(hit, schemaOf(v), snapshot(Some(v))).filter(col(c) === value)
+    readWithDv(hit, schemaOf(v), snapshot(Some(v)), cmapOf(v)).filter(col(c) === value)
   }
 
   /** Partition values `pred` pins through top-level AND-conjuncts of the
@@ -2677,7 +2867,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val v = nextVersion
       if (rewrite.isEmpty) commit(v, keep, op = op)
       else {
-        val out = transform(readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv))))
+        val out = transform(readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv)))
         commit(v, keep ++ writeData(clusterByPartition(out), v), op = op)
       }
     }
@@ -2687,15 +2877,30 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * name, `__mor_p` row index), existing DVs optionally applied — the
     * merge-on-read mutation planner's input. */
   private def readWithPos(es: Seq[FileEntry], schema: Option[StructType],
-                          applyDv: Boolean): DataFrame = {
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    val df = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+                          applyDv: Boolean,
+                          cmap: Map[String, String] = Map.empty): DataFrame = {
+    // column mapping applies exactly as in [[readWithDv]]: read the
+    // physical-ized schema, attach positions + mask on the raw frame,
+    // then alias physical -> logical (positions ride along)
+    val mapped = schema.filter(_ => cmap.nonEmpty).map { s =>
+      (StructType(s.fields.map(f =>
+        f.copy(name = cmap.getOrElse(f.name.toLowerCase, f.name)))), s)
+    }
+    val readSchema = mapped.map(_._1).orElse(schema)
+    val reader = readSchema.fold(spark.read)(spark.read.schema)
+    val raw = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
       .withColumn("__mor_f",
         substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__mor_p", col("_metadata.row_index"))
     val dved = es.filter(_.dvRef.isDefined)
-    if (!applyDv || dved.isEmpty) df
-    else df.filter(dvKeepPredicate(dved, col("__mor_f"), col("__mor_p")))
+    val df =
+      if (!applyDv || dved.isEmpty) raw
+      else raw.filter(dvKeepPredicate(dved, col("__mor_f"), col("__mor_p")))
+    mapped.fold(df) { case (phys, logical) =>
+      df.select((phys.fields.zip(logical.fields).map { case (p, l) =>
+        df(p.name).as(l.name) } :+ df("__mor_f") :+ df("__mor_p"))
+        .toIndexedSeq: _*)
+    }
   }
 
   /** Merge `hit` (file key, row index) rows — keys are [[GraftTable
@@ -2743,7 +2948,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // raw read (existing DVs NOT applied): re-deleting an already-deleted
     // position is a set-union no-op, and skipping the anti-join keeps
     // this one vectorized scan
-    val hits = readWithPos(cands, schemaOf(lv), applyDv = false)
+    val hits = readWithPos(cands, schemaOf(lv), applyDv = false, cmapOf(lv))
       .filter(coalesce(predicate, lit(false)))
       .select(col("__mor_f"), col("__mor_p"))
       .limit(dvMaxRows + 1).collect()
@@ -2843,7 +3048,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     if (cands.isEmpty) return Some(commit(v, prev, op = "update"))
     // DV-FILTERED read: an already-deleted row must not resurrect as an
     // updated copy
-    val mat = readWithPos(cands, schemaOf(lv), applyDv = true)
+    val mat = readWithPos(cands, schemaOf(lv), applyDv = true, cmapOf(lv))
       .filter(coalesce(predicate, lit(false)))
       .limit(dvMaxRows + 1)
       .localCheckpoint()
@@ -2929,7 +3134,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = nextVersion
     if (dved.isEmpty) commit(v, prev, op = "reorg")
     else {
-      val survivors = readWithDv(dved, schemaOf(lv), snapshot(Some(lv)))
+      val survivors = readWithDv(dved, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
       commit(v, clean ++ writeData(clusterByPartition(survivors), v), op = "reorg")
     }
   }
@@ -2951,7 +3156,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = nextVersion
     if (rewrite.size <= 1) commit(v, prev, op = "compact") // nothing to merge
     else {
-      val out = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)))
+      val out = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
         .repartition(targetFiles)
       commit(v, keep ++ writeData(out, v), op = "compact")
     }
@@ -3002,7 +3207,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // across an evolution boundary states the old rows in the new schema
     // (added columns NULL), keeping the insert/delete union well-typed
     def read(es: Seq[FileEntry]): DataFrame =
-      readWithDv(es, schemaOf(toV), like)
+      readWithDv(es, schemaOf(toV), like, cmapOf(toV))
     val newRows = read(added)
     val oldRows = read(removed)
     newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
@@ -3098,7 +3303,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     require(versions.contains(version),
       s"restore: version $version is not retained at $root")
     val v = nextVersion
-    commit(v, entries(version), op = "restore", schema = schemaOf(version))
+    // the restored version's schema AND column mapping both roll back
+    // (a restore past a rename must read the old logical names again).
+    // A pre-schema-tracking version declares its EFFECTIVE (physical)
+    // schema: falling back to the newer declared schema would pair new
+    // logical names with the old version's (empty) mapping — an all-NULL
+    // column instead of the restored data.
+    val restoredSchema = schemaOf(version).orElse(
+      if (latestVersion.flatMap(schemaOf).isEmpty) None
+      else Some(snapshot(Some(version)).schema))
+    commit(v, entries(version), op = "restore", schema = restoredSchema,
+      cmapOverride = Some(cmapOf(version)),
+      cmdropOverride = Some(droppedPhysOf(version)))
   }
 
   /** RESTORE to the newest version committed at or before `tsMillis`. */
@@ -3166,7 +3382,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       (line, sidecarBloom.isDefined)
     }
     dest.commitCloned(files, schemaOf(v), dvPayload,
-      Seq(s"src=${GraftTable.b64(s"$root@$v")}"))
+      Seq(s"src=${GraftTable.b64(s"$root@$v")}"),
+      cmap = cmapOf(v), cmdrop = droppedPhysOf(v))
     dest
   }
 
@@ -3177,12 +3394,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def commitCloned(lines: Seq[(String, Boolean)],
                            schema: Option[StructType],
                            dvs: Map[String, Array[Long]],
-                           extraMeta: Seq[String]): Long = {
+                           extraMeta: Seq[String],
+                           cmap: Map[String, String] = Map.empty,
+                           cmdrop: Set[String] = Set.empty): Long = {
     val files = lines.map { case (l, freshBloom) =>
       parseEntry(l).copy(bloomFresh = freshBloom)
     }
+    // the source's column mapping + tombstones carry into the clone's v1
+    // (its files are the source's physical files)
     commit(1L, files, op = "clone", schema = schema, dvs = dvs,
-      extraMeta = extraMeta)
+      extraMeta = extraMeta, cmapOverride = Some(cmap),
+      cmdropOverride = Some(cmdrop))
   }
 
   /** Time-based retention (the production "vacuum older than 7 days"):
@@ -3287,7 +3509,8 @@ object GraftTable {
     * the `require=` protocol gate. Every gated feature's entry tags:
     * `dv` (deletion-vector refs — masks rows), `bf` (sidecar bloom
     * refs), `sw` (truncated string windows), `z` (zorder layout tags). */
-  private[graft] val SupportedFeatures: Set[String] = Set("dv", "bf", "sw", "z")
+  private[graft] val SupportedFeatures: Set[String] =
+    Set("dv", "bf", "sw", "z", "cm")
 
   /** Per-root monitor serializing same-JVM commit creates (local-FS
     * exclusive create is check-then-create, not atomic). */

@@ -372,6 +372,37 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** COLUMN-MAPPING fixture: rename + drop + re-add across appends, all
+    * metadata-only — the lifecycle a long-lived table actually goes
+    * through. Slices land before the rename (physical `value`), after it
+    * (logical `amount`, same physical), and after a drop + re-add of
+    * `event_type` (fresh physical — old values must never resurrect). */
+  private val cmFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cmTable(s: SparkSession, d: String): GraftTable = {
+    val root = cmFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cm" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/cm_$key"
+      val t = new GraftTable(s, r)
+      val ev = events(s, d)
+      val slice = (v: Long) => ev.filter(pmod($"event_id", lit(3L)) === v)
+      t.append(slice(0L))                                   // v1: 'value'
+      t.renameColumn("value", "amount")                     // v2: metadata-only
+      t.append(slice(1L).withColumnRenamed("value", "amount")) // v3
+      t.dropColumn("event_type")                            // v4: hidden
+      t.addColumn("event_type",
+        org.apache.spark.sql.types.StringType)              // v5: fresh physical
+      t.append(slice(2L).withColumnRenamed("value", "amount")
+        .withColumn("event_type", upper($"event_type")))    // v6
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   private def strBloomTable(s: SparkSession, d: String): GraftTable = {
     val root = strBloomFixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
@@ -745,6 +776,18 @@ object AcidQueries extends QueryPack {
                |       count(*) AS n_rows FROM graft.`$name`""".stripMargin)
     },
 
+    // COLUMN MAPPING (rename + drop + re-add, all metadata-only): the
+    // renamed logical reads the original physical column across old AND
+    // new files; the dropped-then-re-added column reads NULL for every
+    // pre-re-add row (fresh physical name — the one hard rule of column
+    // mapping: dropped values never resurrect) and real values after.
+    "q_acid_rename" -> { (s, d) =>
+      import s.implicits._
+      cmTable(s, d).snapshot()
+        .select($"event_id", $"user_id", $"ts", $"amount", $"event_type")
+        .orderBy($"event_id")
+    },
+
     // STRING-keyed bloom point lookups (the content-hash doc_id shape
     // every LLM dedup pipeline keys on): three needle reads on a string
     // column, each file list resolved from the hashed per-file blooms —
@@ -959,6 +1002,16 @@ object AcidQueries extends QueryPack {
     "q_acid_sql_agg" ->
       """SELECT min(user_id) AS min_user, max(user_id) AS max_user,
         |       count(*) AS n_rows FROM events""".stripMargin,
+
+    // the renamed/dropped/re-added table replays from the base events:
+    // amount = the renamed value column; event_type = NULL for rows that
+    // predate the drop + re-add, the upper-cased value afterwards
+    "q_acid_rename" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       value AS amount,
+        |       CASE WHEN event_id % 3 = 2 THEN upper(event_type) END
+        |         AS event_type
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the tw:-window-served timestamp extrema must equal the real agg
     "q_acid_sql_ts_agg" ->

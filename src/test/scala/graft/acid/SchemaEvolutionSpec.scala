@@ -101,6 +101,124 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(snap.filter($"note".isNull).count() == snap.count())
   }
 
+  test("renameColumn is metadata-only: old+new files read, time travel crosses the rename") {
+    val t = freshTable()
+    t.append(rows(3))                       // v1: files with physical 'name'
+    val filesBefore = t.activeFiles(1L).toSet
+    t.renameColumn("name", "username")      // v2: metadata-only
+    assert(t.activeFiles(2L).toSet == filesBefore,
+      "rename_column must not rewrite data")
+    // reads resolve the ORIGINAL physical column under the new name
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq == Seq("id", "username", "v"))
+    assert(snap.orderBy($"id").select($"username").as[String].collect()
+      .toSeq == Seq("u1", "u2", "u3"))
+    // new appends (logical names) write the original physical name: old
+    // and new files stay uniform and read together
+    t.append(Seq((4L, "u4", 6.0)).toDF("id", "username", "v"))
+    assert(t.snapshot().orderBy($"id").select($"username").as[String]
+      .collect().toSeq == Seq("u1", "u2", "u3", "u4"))
+    // the pre-rename version time-travels with ITS name
+    assert(t.snapshot(Some(1L)).columns.toSeq == Seq("id", "name", "v"))
+    assert(t.snapshot(Some(1L)).orderBy($"id").select($"name").as[String]
+      .collect().toSeq == Seq("u1", "u2", "u3"))
+    // the manifest is feature-gated: require=cm in the header
+    assert(t.versions.nonEmpty)
+    // filters and DML on the renamed column work (logical name)
+    assert(t.snapshot().filter($"username" === "u2").count() == 1L)
+    t.delete($"username" === "u2")
+    assert(t.snapshot().count() == 3L)
+    // RESTORE past the rename rolls the name back
+    t.restore(1L)
+    assert(t.snapshot().columns.toSeq == Seq("id", "name", "v"))
+    assert(t.snapshot().orderBy($"id").select($"name").as[String]
+      .collect().toSeq == Seq("u1", "u2", "u3"))
+  }
+
+  test("dropColumn hides the column without rewrite; re-add cannot resurrect values") {
+    val t = freshTable()
+    t.append(rows(3))
+    val filesBefore = t.activeFiles(1L).toSet
+    t.dropColumn("name")
+    assert(t.activeFiles(2L).toSet == filesBefore,
+      "drop_column must not rewrite data")
+    assert(t.snapshot().columns.toSeq == Seq("id", "v"))
+    // pre-drop version still shows it
+    assert(t.snapshot(Some(1L)).columns.toSeq == Seq("id", "name", "v"))
+    // re-ADD the same name: fresh physical column — old values must NOT
+    // resurrect (all NULL), even though the files still carry them
+    t.addColumn("name", StringType)
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq == Seq("id", "v", "name"))
+    assert(snap.filter($"name".isNull).count() == 3L,
+      "re-added column must read NULL, never the dropped values")
+    // and appends land values under the fresh physical name
+    t.append(Seq((9L, 9.0, "fresh")).toDF("id", "v", "name"))
+    assert(t.snapshot().filter($"name" === "fresh").count() == 1L)
+    assert(t.snapshot().filter($"name".isNull).count() == 3L)
+  }
+
+  test("rename/drop guards: config columns, clashes, CHECK references refuse") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_cm_guard"),
+      statsCol = Some("id"), constraints = Seq("v > 0"))
+    t.append(rows(2))
+    intercept[IllegalArgumentException](t.renameColumn("id", "key"))
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    intercept[IllegalArgumentException](t.renameColumn("v", "w")) // CHECK ref
+    intercept[IllegalArgumentException](t.renameColumn("name", "v")) // clash
+    intercept[IllegalArgumentException](t.renameColumn("nosuch", "x"))
+    // mergeSchema append of a name colliding with a renamed column's
+    // physical refuses loudly (it would alias old data)
+    t.renameColumn("name", "username")
+    intercept[IllegalArgumentException](
+      t.append(Seq((5L, "u5", 5.0, "boom")).toDF("id", "username", "v", "name"),
+        mergeSchema = true))
+  }
+
+  test("old readers refuse a column-mapped manifest (require=cm); clones carry the mapping") {
+    val t = freshTable()
+    t.append(rows(2))
+    t.renameColumn("name", "username")
+    // the manifest header must gate the mapping
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(s"${t.root}/_log").listFiles()
+        .filter(_.getName.endsWith(".manifest")).sortBy(_.getName).last)
+      .getLines().toList
+    assert(lines.head.contains("require=") && lines.head.contains("cm"),
+      s"rename commit must stamp require=cm: ${lines.head}")
+    // a clone of the mapped table reads identically (mapping carried)
+    val cloneRoot = graft.TempDirs.create("graft_cm_clone")
+    t.cloneTo(cloneRoot)
+    val c = GraftTable.load(spark, cloneRoot)
+    assert(c.snapshot().orderBy($"id").select($"username").as[String]
+      .collect().toSeq == Seq("u1", "u2"))
+  }
+
+  test("SQL catalog: RENAME/DROP COLUMN from ALTER TABLE, reads and DML follow") {
+    val warehouse = graft.TempDirs.create("graft_cm_catalog")
+    spark.conf.set("spark.sql.catalog.cm_cat", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cm_cat.root", warehouse)
+    spark.sql("CREATE TABLE cm_cat.t (id BIGINT, name STRING, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO cm_cat.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.sql("ALTER TABLE cm_cat.t RENAME COLUMN name TO username")
+    assert(spark.table("cm_cat.t").columns.toSeq == Seq("id", "username", "v"))
+    assert(spark.sql("SELECT username FROM cm_cat.t WHERE id = 1")
+      .collect().head.getString(0) == "a")
+    spark.sql("INSERT INTO cm_cat.t VALUES (3, 'c', 3.0)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM cm_cat.t WHERE username IS NOT NULL")
+      .collect().head.getLong(0) == 3L)
+    // aggregate over the renamed snapshot (exercise the replaced scan)
+    assert(spark.sql("SELECT sum(v) AS s FROM cm_cat.t")
+      .collect().head.getDouble(0) == 6.0)
+    spark.sql("ALTER TABLE cm_cat.t DROP COLUMN username")
+    assert(spark.table("cm_cat.t").columns.toSeq == Seq("id", "v"))
+    // and DML still works on the mapped table
+    spark.sql("DELETE FROM cm_cat.t WHERE id = 2")
+    assert(spark.sql("SELECT count(*) AS n FROM cm_cat.t")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("SQL catalog: ALTER TABLE ADD COLUMNS then INSERT and read back") {
     val warehouse = graft.TempDirs.create("graft_evo_catalog")
     spark.conf.set("spark.sql.catalog.evo_cat", "graft.acid.GraftCatalog")
