@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE DETAIL <table>
   *   DESCRIBE FILES <table>                     -- per-file manifest metadata
   *   DESCRIBE CHANGES <table> FROM <v> TO <v>   -- the change feed as SQL
+  *   COMMIT ATOMIC ( <stmt>; <stmt>; ... )      -- multi-table atomic txn
   * }}}
   *
   * `<table>` is a graft-catalog identifier (`cat.ns.t` where
@@ -316,6 +317,127 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** COMMIT ATOMIC ( <stmt>; <stmt>; ... ) — a MULTI-TABLE atomic
+    * transaction from plain SQL: every statement inside the parens
+    * becomes one [[GraftTable.commitAtomic]] participant (INSERT INTO →
+    * staged append, DELETE FROM [WHERE] → staged merge-on-read delete),
+    * published all-or-nothing through the shared decision marker. Inner
+    * queries/predicates parse through the DELEGATE at parse time (loud
+    * errors now) and build their DataFrames at execution; non-graft
+    * participants error here with the real reason. MERGE participants
+    * are not SQL-expressible yet — use the Scala
+    * [[GraftTable.AtomicMerge]]. */
+  private def parseCommitAtomic(sql: String, t: Toks): Option[LogicalPlan] = {
+    t.expectKw("COMMIT")
+    if (!t.takeKw("ATOMIC")) return None // plain COMMIT: Spark's error
+    val open = sql.indexOf('(')
+    if (open < 0) throw t.err("expected '(' after COMMIT ATOMIC")
+    // raw-text body extraction: the inner statements carry their own
+    // parens and quoted strings, so match the CLOSING paren by scan
+    var depth = 0
+    var i = open
+    var close = -1
+    while (i < sql.length && close < 0) {
+      sql(i) match {
+        case '\'' | '`' =>
+          val j = sql.indexOf(sql(i), i + 1)
+          if (j < 0) throw t.err("unterminated quote inside COMMIT ATOMIC")
+          i = j
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (close < 0) throw t.err("missing ')' closing COMMIT ATOMIC")
+    val tail = sql.substring(close + 1).trim
+    if (tail.nonEmpty && tail != ";")
+      throw t.err(s"unexpected trailing input after ')': '$tail'")
+    // split the body on TOP-LEVEL semicolons (quote- and paren-aware)
+    val body = sql.substring(open + 1, close)
+    val stmts = Vector.newBuilder[String]
+    var d = 0; var start = 0; var k = 0
+    while (k < body.length) {
+      body(k) match {
+        case '\'' | '`' =>
+          val j = body.indexOf(body(k), k + 1)
+          k = if (j < 0) body.length - 1 else j
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ';' if d == 0 =>
+          stmts += body.substring(start, k); start = k + 1
+        case _ => ()
+      }
+      k += 1
+    }
+    stmts += body.substring(start)
+    val parts = stmts.result().map(_.trim).filter(_.nonEmpty)
+      .map(parseParticipant)
+    if (parts.isEmpty)
+      throw t.err("COMMIT ATOMIC needs at least one statement")
+    Some(GraftRowLevelCommand("COMMIT ATOMIC",
+      () => { GraftTable.commitAtomic(parts.map(_())); () }))
+  }
+
+  /** One COMMIT ATOMIC participant → a thunk building its staged op at
+    * execution time. Identifiers resolve (and inner SQL parses) NOW so a
+    * malformed or non-graft participant errors at parse. */
+  private def parseParticipant(stmt: String): () => GraftTable.AtomicOp = {
+    val ts = tokenize(stmt).getOrElse(throw new ParseException(Some(stmt),
+      Origin(), "PARSE_SYNTAX_ERROR",
+      Map("error" -> s"'$stmt' (unparseable COMMIT ATOMIC participant)",
+          "hint" -> "")))
+    val t = new Toks(stmt, ts)
+    def graftTable(ref: String): GraftTable = resolve(ref).getOrElse(
+      throw t.err(s"COMMIT ATOMIC participant '$ref' must be a " +
+        "graft-catalog table (cat.ns.t with spark.sql.catalog.<cat> = " +
+        "GraftCatalog)"))
+    if (t.takeKw("INSERT")) {
+      t.expectKw("INTO")
+      val table = graftTable(t.expectIdent("a graft table"))
+      val queryText = t.rest()
+      if (queryText.trim.isEmpty)
+        throw t.err("expected a query (VALUES ... or SELECT ...) after " +
+          "INSERT INTO <table>")
+      delegate.parseQuery(queryText) // loud syntax errors at parse time
+      () => {
+        val df0 = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+          delegate.parseQuery(queryText))
+        // positional column alignment, the INSERT INTO contract (a
+        // VALUES query names its columns col1, col2, ...)
+        val declared = table.tableSchema.orElse(
+          table.latestVersion.map(v => table.snapshot(Some(v)).schema))
+        val df = declared.fold(df0) { s =>
+          require(df0.columns.length == s.fields.length,
+            s"INSERT INTO ${table.root}: ${df0.columns.length} columns " +
+              s"for a ${s.fields.length}-column table")
+          // positional rename + cast to the table's types — the work the
+          // analyzer does for a catalog INSERT
+          df0.toDF(s.fieldNames.toIndexedSeq: _*)
+            .select(s.fields.toIndexedSeq.map(f =>
+              org.apache.spark.sql.functions.col(f.name)
+                .cast(f.dataType).as(f.name)): _*)
+        }
+        GraftTable.AtomicAppend(table, df)
+      }
+    } else if (t.takeKw("DELETE")) {
+      t.expectKw("FROM")
+      val table = graftTable(t.expectIdent("a graft table"))
+      val predText =
+        if (t.takeKw("WHERE")) {
+          val p = t.rest()
+          if (p.trim.isEmpty) throw t.err("expected a predicate after WHERE")
+          delegate.parseExpression(p) // loud now
+          Some(p)
+        } else { t.expectEnd(); None }
+      () => GraftTable.AtomicDelete(table, predText.fold(
+        org.apache.spark.sql.functions.lit(true))(p =>
+          org.apache.spark.sql.GraftPlanBridge.column(
+            delegate.parseExpression(p))))
+    } else throw t.err(
+      "COMMIT ATOMIC supports INSERT INTO and DELETE FROM participants")
+  }
+
   /** DESCRIBE (HISTORY [LIMIT n] | DETAIL | CHANGES ... FROM a TO b) */
   private def parseDescribe(t: Toks): Option[LogicalPlan] = {
     t.expectKw("DESCRIBE")
@@ -364,6 +486,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case "CONVERT" if ts.lift(1).exists(_.equalsIgnoreCase("TO")) &&
             ts.lift(2).exists(_.equalsIgnoreCase("GRAFT")) => parseConvert(t)
         case "DESCRIBE" => parseDescribe(t)
+        case "COMMIT" if ts.lift(1).exists(_.equalsIgnoreCase("ATOMIC")) =>
+          parseCommitAtomic(sqlText, t)
         case _ => None
       }
     }

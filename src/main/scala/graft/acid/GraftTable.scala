@@ -65,7 +65,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        constraints: Seq[String] = Nil,
                        indexCols: Seq[String] = Nil,
                        checkpointInterval: Int = 10,
-                       dvMaxRows: Int = 100000,
+                       private[acid] val dvMaxRows: Int = 100000,
                        dvPurgeRows: Long = 1000000L)
     extends org.apache.spark.internal.Logging {
 
@@ -3345,7 +3345,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * ordinary self-contained table.
     *
     * 100 TB: cloning a petabyte table is one manifest write — the
-    * instant-dev-copy / experiment-branch primitive. */
+    * instant-dev-copy / experiment-branch primitive.
+    *
+    * RE-CLONE = INCREMENTAL SYNC: cloning onto a destination that was
+    * previously cloned FROM THIS SOURCE publishes one new dest commit
+    * that carries every already-synced entry VERBATIM (same dest line,
+    * same dest sidecar refs — zero per-file work) and processes only the
+    * delta: files new to the dest, plus files whose row/deletion state
+    * changed (a re-DV'd or rewritten file must re-key its mask). A
+    * destination that is not a clone of this source refuses loudly. */
   def cloneTo(destRoot: String, version: Option[Long] = None): GraftTable = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
@@ -3353,17 +3361,44 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val dest = new GraftTable(spark, destRoot, statsCol = statsCol,
       partitionCol = partitionCol, bloomCol = bloomCol,
       constraints = constraints, indexCols = indexCols)
-    require(dest.latestVersion.isEmpty,
-      s"clone: destination $destRoot already has commits")
+    // destination entries already synced from this source (incremental
+    // re-clone), keyed by (absolute) path → (serialized line, dvCount,
+    // rows) — FileEntry is instance-scoped, so the carry crosses handles
+    // in line form. Empty for a fresh destination.
+    val destCarry: Map[String, (String, Long, Option[Long])] =
+      dest.latestVersion match {
+        case None => Map.empty
+        case Some(dv) =>
+          val srcTag = dest.headerMeta(dv).get("src")
+            .map(GraftTable.unb64)
+          require(srcTag.exists(_.startsWith(s"$root@")),
+            s"clone: destination $destRoot already has commits and is not " +
+              s"a clone of $root (src=${srcTag.getOrElse("none")}); " +
+              "incremental re-clone only syncs a prior clone of the same " +
+              "source")
+          dest.entries(dv).map(e => e.path -> ((e.line, e.dvCount, e.rows)))
+            .toMap
+      }
     def absolutize(p: String): String = new Path(rootPath, p).toString
     val src = entries(v)
+    // INCREMENTAL split: an already-synced entry carries the dest's line
+    // VERBATIM when its content state matches — paths are immutable and
+    // DV position sets only ever grow, so (path, rows, dvCount) identity
+    // is sound. Everything else (new files, re-masked files) processes
+    // through the full re-keying below: O(delta), not O(table).
+    val (carriedSrc, freshSrc) = src.partition { e =>
+      destCarry.get(absolutize(e.path)).exists { case (_, dn, rows) =>
+        dn == e.dvCount && rows == e.rows }
+    }
+    val carriedLines = carriedSrc.map(e =>
+      (destCarry(absolutize(e.path))._1, false))
     // deletion vectors: positions re-key by the clone's (absolute) entry
-    // paths into the clone's own v1 sidecar. Driver-side load is
+    // paths into the clone's own per-commit sidecar. Driver-side load is
     // O(masked positions) — metadata-scale, bounded by the source's
     // dvPurgeRows auto-purge, same order as reorg planning.
-    val dvPayload = src.filter(_.dvRef.isDefined)
+    val dvPayload = freshSrc.filter(_.dvRef.isDefined)
       .map(e => absolutize(e.path) -> dvPositions(e)).toMap
-    val files = src.map { e =>
+    val files = freshSrc.map { e =>
       // sidecar blooms of the WIDENED scheme re-mark as fresh so commit()
       // writes them into the clone's v1.blooms (scheme-tagged) under the
       // new path key; legacy inline blooms (raw-long probe scheme) must
@@ -3381,7 +3416,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         bloomRef = None, dvRef = None, dvCount = 0L).line
       (line, sidecarBloom.isDefined)
     }
-    dest.commitCloned(files, schemaOf(v), dvPayload,
+    dest.commitCloned(carriedLines ++ files, schemaOf(v), dvPayload,
       Seq(s"src=${GraftTable.b64(s"$root@$v")}"),
       cmap = cmapOf(v), cmdrop = droppedPhysOf(v))
     dest
@@ -3400,9 +3435,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val files = lines.map { case (l, freshBloom) =>
       parseEntry(l).copy(bloomFresh = freshBloom)
     }
-    // the source's column mapping + tombstones carry into the clone's v1
-    // (its files are the source's physical files)
-    commit(1L, files, op = "clone", schema = schema, dvs = dvs,
+    // the source's column mapping + tombstones carry into the clone
+    // (its files are the source's physical files); an incremental
+    // re-clone publishes the synced state as the dest's NEXT version
+    commit(nextVersion, files, op = "clone", schema = schema, dvs = dvs,
       extraMeta = extraMeta, cmapOverride = Some(cmap),
       cmdropOverride = Some(cmdrop))
   }
@@ -3562,32 +3598,163 @@ object GraftTable {
   def appendAtomic(writes: Seq[(GraftTable, DataFrame)],
                    txn: Option[(String, Long)] = None): Seq[Long] = {
     require(writes.nonEmpty, "appendAtomic needs at least one write")
-    val sorted = writes.sortBy(_._1.root)
-    require(sorted.map(_._1.root).distinct.size == sorted.size,
-      "appendAtomic: one write per table")
-    val spark = sorted.head._1.spark
-    // 1. distributed data writes, outside every lock. FileEntry is
-    // instance-scoped, so each table's written entries stay inside a
-    // per-table PUBLISH closure (phase 2 invokes it under the locks).
-    val staged: Seq[(GraftTable, String => Long)] = sorted.map { case (t, df) =>
-      val (data, _) = t.conformForWrite(df, mergeSchema = false)
-      val written = t.writeData(t.clusterByPartition(data), t.nextVersion)
-      val publish = (markerB64: String) => {
-        val v = t.nextVersion
-        val prev = t.latestVersion.map(t.entries).getOrElse(Nil)
-        t.commit(v, prev ++ written, op = "append", txn = txn,
+    commitAtomic(writes.map { case (t, df) => AtomicAppend(t, df, txn) })
+  }
+
+  /** One participant of a MULTI-TABLE atomic transaction
+    * ([[commitAtomic]]): `stage()` performs the op's distributed work
+    * (data writes, DV position scans) against the table's CURRENT
+    * snapshot — outside every lock — and returns the publish closure the
+    * commit phase invokes under the per-table monitors. stage() is
+    * re-invoked after a lost commit race: appends memoize their one
+    * (expensive, base-independent) data write; base-dependent ops
+    * (delete/merge/compact) recompute against the new base, with their
+    * publish closures throwing [[ConcurrentCommitException]] if the base
+    * moved between staging and publishing. */
+  sealed trait AtomicOp {
+    def table: GraftTable
+    private[acid] def stage(): String => Long
+  }
+
+  /** Atomic APPEND: the data write happens once (immutable files are
+    * base-independent — they re-commit at a new version on retry). */
+  final case class AtomicAppend(table: GraftTable, df: DataFrame,
+                                txn: Option[(String, Long)] = None)
+      extends AtomicOp {
+    private lazy val written: Seq[table.FileEntry] = {
+      val (data, _) = table.conformForWrite(df, mergeSchema = false)
+      table.writeData(table.clusterByPartition(data), table.nextVersion)
+    }
+    private[acid] def stage(): String => Long = {
+      val w = written
+      (markerB64: String) => {
+        val v = table.nextVersion
+        val prev = table.latestVersion.map(table.entries).getOrElse(Nil)
+        table.commit(v, prev ++ w, op = "append", txn = txn,
           pending = Some(markerB64))
       }
-      (t, publish)
     }
-    val first = sorted.head._1
+  }
+
+  /** Atomic row-level DELETE: stages the same merge-on-read plan as
+    * [[GraftTable.delete]] — per-file deletion-vector positions when few
+    * rows match, a pruned copy-on-write rewrite otherwise — against a
+    * PINNED base version; the publish closure refuses (and the txn
+    * re-stages) if any commit landed on the table in between, so the
+    * staged positions/rewrites are always consistent with the base they
+    * publish onto. */
+  final case class AtomicDelete(table: GraftTable, predicate: Column)
+      extends AtomicOp {
+    private[acid] def stage(): String => Long = {
+      val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
+        s"atomic delete on ${table.root}: the table has no commits yet"))
+      val prev = table.entries(lv)
+      def guard(): Unit =
+        if (!table.latestVersion.contains(lv))
+          throw new ConcurrentCommitException(
+            s"atomic delete on ${table.root}: base moved past v$lv; restage")
+      val cands = table.entriesForPredicate(predicate, lv)
+      if (cands.isEmpty)
+        return (m: String) => {
+          guard()
+          table.commit(lv + 1, prev, op = "delete", pending = Some(m))
+        }
+      val hits = table.readWithPos(cands, table.schemaOf(lv),
+          applyDv = false, table.cmapOf(lv))
+        .filter(coalesce(predicate, lit(false)))
+        .select(col("__mor_f"), col("__mor_p"))
+        .limit(table.dvMaxRows + 1).collect()
+      if (hits.length > table.dvMaxRows) {
+        // copy-on-write: rewrite only the pruned candidate files
+        val keepSet = prev.map(_.path).toSet -- cands.map(_.path).toSet
+        val out = table.readWithDv(cands, table.schemaOf(lv),
+            table.snapshot(Some(lv)), table.cmapOf(lv))
+          .filter(!coalesce(predicate, lit(false)))
+        val written = table.writeData(table.clusterByPartition(out), lv + 1)
+        (m: String) => {
+          guard()
+          table.commit(lv + 1,
+            prev.filter(e => keepSet.contains(e.path)) ++ written,
+            op = "delete", pending = Some(m))
+        }
+      } else {
+        val (payload, dead) = table.mergedDvs(prev, hits)
+        (m: String) => {
+          guard()
+          val files = prev.filterNot(e => dead.contains(e.path))
+          table.commit(lv + 1, files, op = "delete",
+            dvs = table.coalesceDvs(prev, payload -- dead, dead),
+            pending = Some(m))
+        }
+      }
+    }
+  }
+
+  /** Atomic MERGE (upsert): keep the winner per `keyCols` between the
+    * pinned base snapshot and `updates`. Stages the full merge compute +
+    * data write; publish refuses on a moved base (the merged content
+    * embeds the base). */
+  final case class AtomicMerge(table: GraftTable, updates: DataFrame,
+                               keyCols: Seq[String],
+                               winnerOrder: Seq[Column]) extends AtomicOp {
+    private[acid] def stage(): String => Long = {
+      val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
+        s"atomic merge on ${table.root}: the table has no commits yet"))
+      val merged = table.mergeWinners(keyCols, winnerOrder)(
+        table.snapshot(Some(lv)).unionByName(updates))
+      val written = table.writeData(table.clusterByPartition(merged), lv + 1)
+      (m: String) => {
+        if (!table.latestVersion.contains(lv))
+          throw new ConcurrentCommitException(
+            s"atomic merge on ${table.root}: base moved past v$lv; restage")
+        table.commit(lv + 1, written, op = "merge", pending = Some(m))
+      }
+    }
+  }
+
+  /** Atomic COMPACT: layout-only participant (a maintenance op riding a
+    * txn — e.g. republishing a mirror compacted in the same atomic
+    * step). */
+  final case class AtomicCompact(table: GraftTable, targetFiles: Int)
+      extends AtomicOp {
+    private[acid] def stage(): String => Long = {
+      val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
+        s"atomic compact on ${table.root}: the table has no commits yet"))
+      val written = table.writeData(
+        table.snapshot(Some(lv)).repartition(targetFiles), lv + 1)
+      (m: String) => {
+        if (!table.latestVersion.contains(lv))
+          throw new ConcurrentCommitException(
+            s"atomic compact on ${table.root}: base moved past v$lv; restage")
+        table.commit(lv + 1, written, op = "compact", pending = Some(m))
+      }
+    }
+  }
+
+  /** MULTI-TABLE ATOMIC TRANSACTION over arbitrary staged ops — the
+    * generalized [[appendAtomic]] (same marker protocol, same crash
+    * matrix): every participant publishes a PENDING manifest under the
+    * sorted per-table locks, and one exclusive marker create decides the
+    * whole txn — readers of any participant resolve through the marker,
+    * so no half-committed combination is ever observable. */
+  def commitAtomic(ops: Seq[AtomicOp]): Seq[Long] = {
+    require(ops.nonEmpty, "commitAtomic needs at least one op")
+    val sorted = ops.sortBy(_.table.root)
+    require(sorted.map(_.table.root).distinct.size == sorted.size,
+      "commitAtomic: one op per table")
+    val first = sorted.head.table
     def lockAll[T](ms: List[Object])(body: => T): T = ms match {
       case Nil => body
       case h :: rest => h.synchronized(lockAll(rest)(body))
     }
-    val monitors = sorted.map(w => commitMonitor(w._1.root)).toList
+    val monitors = sorted.map(w => commitMonitor(w.table.root)).toList
     var attempt = 0
     while (true) {
+      // staging happens OUTSIDE the locks, fresh per attempt: appends
+      // memoize their one data write, base-dependent ops recompute
+      // against the post-race base
+      val staged: Seq[(GraftTable, String => Long)] =
+        sorted.map(op => (op.table, op.stage()))
       // a FRESH marker per attempt: an aborted marker is decided forever
       val markerPath = first.fs.makeQualified(
         new Path(new Path(first.root), s"_log/_txn/${java.util.UUID

@@ -342,6 +342,38 @@ object AcidQueries extends QueryPack {
   private val streamSinkFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** MIXED-OP multi-table txn fixture: per step, one atomic transaction
+    * APPENDS a slice to the raw table and DV-DELETES a user band from
+    * the mirror — the CDC apply-to-two-mirrors shape. At sf0.1 the
+    * deletes exceed dvMaxRows and exercise the staged copy-on-write
+    * fallback; smaller SFs stay on the deletion-vector path. */
+  private val mixedTxnFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def mixedTxnTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
+    val (rRaw, rMir) = mixedTxnFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("mxtxn" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val rawRoot = s"$acidDir/mxraw_$key"
+      val mirRoot = s"$acidDir/mxmir_$key"
+      val raw = new GraftTable(s, rawRoot)
+      val mir = new GraftTable(s, mirRoot)
+      val ev = events(s, d)
+      mir.append(ev)
+      (0L to 2L).foreach { v =>
+        GraftTable.commitAtomic(Seq(
+          GraftTable.AtomicAppend(raw,
+            ev.filter(pmod($"event_id", lit(3L)) === v)),
+          GraftTable.AtomicDelete(mir,
+            pmod($"user_id", lit(10L)) === v)))
+      }
+      (rawRoot, mirRoot)
+    })
+    (GraftTable.load(s, rRaw), GraftTable.load(s, rMir))
+  }
+
   /** STRING-keyed bloom fixture: events plus `skey` (the event id as a
     * string — the content-hash-doc-id shape), %3 slices so ids scatter
     * across every commit's files; bloomCol = skey exercises the hashed
@@ -700,6 +732,21 @@ object AcidQueries extends QueryPack {
         .agg(sum($"n").cast("long").as("type_rows"))
       raw.snapshot().join(broadcast(totals), Seq("event_type"))
         .select($"event_id", $"user_id", $"event_type", $"type_rows")
+        .orderBy($"event_id")
+    },
+
+    // GENERALIZED multi-table txn: each step atomically APPENDED a slice
+    // to raw and DV-DELETED a user band from the mirror. The mirror must
+    // hold exactly the never-deleted bands AND raw the full event set —
+    // the single-row raw count rides every output row so a half-committed
+    // step breaks the compare everywhere.
+    "q_acid_multi_table_mixed" -> { (s, d) =>
+      import s.implicits._
+      val (raw, mir) = mixedTxnTables(s, d)
+      val total = raw.snapshot()
+        .agg(count(lit(1)).cast("long").as("raw_rows"))
+      mir.snapshot().select($"event_id", $"user_id", $"event_type")
+        .crossJoin(broadcast(total))
         .orderBy($"event_id")
     },
 
@@ -1116,6 +1163,15 @@ object AcidQueries extends QueryPack {
         |JOIN (SELECT event_type, count(*) AS type_rows
         |      FROM events GROUP BY event_type) t USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // mirror = the never-deleted user bands; raw_rows = the full count —
+    // both only hold if every append+delete pair landed atomically
+    "q_acid_multi_table_mixed" ->
+      """SELECT m.event_id, m.user_id, m.event_type, t.raw_rows
+        |FROM events m
+        |CROSS JOIN (SELECT count(*) AS raw_rows FROM events) t
+        |WHERE m.user_id % 10 NOT IN (0, 1, 2)
+        |ORDER BY m.event_id""".stripMargin,
 
     // doubling a double is exponent arithmetic — bit-exact cross-engine
     "q_acid_convert" ->

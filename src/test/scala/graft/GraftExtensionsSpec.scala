@@ -308,4 +308,66 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       s2.sql("DESCRIBE FILES gow.t EXTRA"))
   }
+
+  test("COMMIT ATOMIC: a two-statement SQL txn is all-or-nothing") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    val wh = TempDirs.create("graft_atomic_sql_wh")
+    s2.conf.set("spark.sql.catalog.gtx", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gtx.root", wh)
+    val raw = new graft.acid.GraftTable(s2, s"$wh/raw")
+    val agg = new graft.acid.GraftTable(s2, s"$wh/agg")
+    raw.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    agg.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))
+    // happy path: INSERT into raw + DELETE in agg, one atomic commit
+    s2.sql("""COMMIT ATOMIC (
+             |  INSERT INTO gtx.raw VALUES (3, 'c'), (4, 'd');
+             |  DELETE FROM gtx.agg WHERE k = 2
+             |)""".stripMargin)
+    assert(s2.sql("SELECT count(*) AS n FROM gtx.raw").as[Long].head() == 4L)
+    assert(s2.sql("SELECT count(*) AS n FROM gtx.agg").as[Long].head() == 1L)
+    assert(raw.history().last.op == "append")
+    assert(agg.history().last.op == "delete")
+    // INSERT ... SELECT works as a participant too
+    s2.sql("""COMMIT ATOMIC (
+             |  INSERT INTO gtx.agg SELECT k, 99 FROM gtx.raw WHERE k = 3;
+             |  DELETE FROM gtx.raw WHERE k = 1
+             |)""".stripMargin)
+    assert(s2.sql("SELECT count(*) AS n FROM gtx.raw").as[Long].head() == 3L)
+    assert(s2.sql("SELECT sum(n) AS s FROM gtx.agg").as[Long].head() == 109L)
+    // a NON-GRAFT participant errors at parse with the real reason, and
+    // nothing commits
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    val before = (raw.versions.size, agg.versions.size)
+    val e = intercept[ParseException](s2.sql(
+      """COMMIT ATOMIC (
+        |  INSERT INTO gtx.raw VALUES (9, 'x');
+        |  DELETE FROM spark_catalog.default.other WHERE k = 1
+        |)""".stripMargin))
+    assert(e.getMessage.contains("must be a graft-catalog table"), e.getMessage)
+    // a FAILING participant (delete on a commit-less table) aborts the
+    // whole txn — the insert must not land either
+    val empty = new graft.acid.GraftTable(s2, s"$wh/empty")
+    val _ = empty // created but never committed
+    intercept[Exception](s2.sql(
+      """COMMIT ATOMIC (
+        |  INSERT INTO gtx.raw VALUES (9, 'x');
+        |  DELETE FROM gtx.`/nonexistent/graft/root` WHERE k = 1
+        |)""".stripMargin))
+    assert((raw.versions.size, agg.versions.size) == before,
+      "a failed txn must leave every participant untouched")
+    assert(s2.sql("SELECT count(*) AS n FROM gtx.raw WHERE k = 9")
+      .as[Long].head() == 0L)
+    // malformed participants error loudly
+    intercept[ParseException](s2.sql("COMMIT ATOMIC ()"))
+    intercept[ParseException](s2.sql(
+      "COMMIT ATOMIC (UPDATE gtx.raw SET v = 'x')"))
+    intercept[ParseException](s2.sql(
+      "COMMIT ATOMIC (INSERT INTO gtx.raw VALUES (1, 'a')) EXTRA"))
+  }
 }

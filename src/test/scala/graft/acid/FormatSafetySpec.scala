@@ -187,4 +187,40 @@ class FormatSafetySpec extends SparkSpec {
     try assert(t2.snapshot().count() == 1L)
     finally spark.conf.unset("spark.graft.acid.allowLegacyManifests")
   }
+
+  test("incremental re-clone syncs only the delta; foreign destinations refuse") {
+    val src = new GraftTable(spark, graft.TempDirs.create("graft_reclone_src"))
+    src.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    src.delete($"id" === 5L) // DV on file 1
+    val destRoot = graft.TempDirs.create("graft_reclone_dst")
+    src.cloneTo(destRoot)
+    val c1 = GraftTable.load(spark, destRoot)
+    assert(c1.snapshot().count() == 99L)
+    val firstLines = c1.entries(c1.latestVersion.get).map(_.line).toSet
+    // source moves on: one appended file + one new DV in it
+    src.append((101L to 200L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    src.delete($"id" === 150L)
+    // RE-CLONE onto the existing destination = incremental sync
+    src.cloneTo(destRoot)
+    val c2 = GraftTable.load(spark, destRoot)
+    assert(c2.versions == Seq(1L, 2L), "the sync is one new dest commit")
+    assert(c2.snapshot().count() == 198L)
+    assert(c2.snapshot().filter($"id".isin(5L, 150L)).isEmpty)
+    val after = c2.entries(2L)
+    // the already-synced file carried VERBATIM — same dest line, same
+    // dest-v1 sidecar refs, zero per-file work
+    val carried = after.map(_.line).toSet intersect firstLines
+    assert(carried.nonEmpty, "unchanged files must carry over verbatim")
+    // only the DELTA re-keyed: exactly the appended file references the
+    // sync commit's sidecar
+    assert(after.count(_.dvRef.contains(2L)) == 1,
+      s"O(delta) sync: only the new file re-keys, got ${after.map(_.dvRef)}")
+    assert(after.count(_.dvRef.contains(1L)) == 1,
+      "the carried file keeps its original clone sidecar")
+    // a destination that is NOT a clone of this source refuses loudly
+    val foreign = new GraftTable(spark, graft.TempDirs.create("graft_reclone_x"))
+    foreign.append(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](src.cloneTo(foreign.root))
+    assert(e.getMessage.contains("not a clone of"), e.getMessage)
+  }
 }

@@ -33,6 +33,23 @@ class LogFuzzSpec extends SparkSpec {
 
     def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "v")
 
+    // SIBLING table for the mixed-op multi-table txn op (case 11):
+    // append-to-t + DV-delete-in-sib must land atomically, and the
+    // sibling's own model must hold at every step like the main one
+    val sib = new GraftTable(spark, graft.TempDirs.create("graft_logfuzz_sib"),
+      dvMaxRows = 40, dvPurgeRows = 10L)
+    val sibModel = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    locally {
+      val rows = (1L to 40L).map(i => (10000000L + i, i))
+      rows.foreach { case (k, v) => sibModel(k) = v }
+      sib.append(df(rows))
+    }
+    def checkSib(label: String): Unit = {
+      val got = sib.snapshot().as[(Long, Long)].collect().sorted.toSeq
+      assert(got == sibModel.toSeq.sorted,
+        s"$label: sibling diverged (got ${got.size}, want ${sibModel.size})")
+    }
+
     var checks = 0
     def checkAgainst(handle: GraftTable, label: String): Unit = {
       val got = handle.snapshot().as[(Long, Long)].collect().sorted.toSeq
@@ -74,7 +91,7 @@ class LogFuzzSpec extends SparkSpec {
     def fuzz(): Unit = {
     (1 to 60).foreach { step =>
       // every op below needs at least one commit; the first is an append
-      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(11)) match {
+      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(12)) match {
         case 0 | 1 | 2 => // append a fresh batch
           val rows = (0 until 1 + rnd.nextInt(20)).map { _ =>
             nextId += 1; (nextId, rnd.nextLong(1000)) }
@@ -129,6 +146,20 @@ class LogFuzzSpec extends SparkSpec {
           val w = t.writeData(df(rows), t.nextVersion)
           t.commit(t.nextVersion, t.entries(t.latestVersion.get) ++ w,
             op = "append", pending = Some(GraftTable.b64(marker)))
+        case 11 => // MIXED-OP multi-table txn: append HERE + DV-delete in
+          // the SIBLING, one atomic commit — both land or neither, and
+          // both models must hold after the step
+          val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+            nextId += 1; (nextId, rnd.nextLong(1000)) }
+          val victims = rnd.shuffle(sibModel.keys.toSeq).take(rnd.nextInt(3))
+          val pred =
+            if (victims.isEmpty) lit(false)
+            else col("id").isin(victims.map(Long.box): _*)
+          GraftTable.commitAtomic(Seq(
+            GraftTable.AtomicAppend(t, df(rows)),
+            GraftTable.AtomicDelete(sib, pred)))
+          rows.foreach { case (k, v) => model(k) = v }
+          victims.foreach(sibModel.remove)
         case 9 => // restore to a remembered point, or remember one
           restorePoint match {
             case Some((v, snap)) if t.versions.contains(v) && rnd.nextBoolean() =>
@@ -143,6 +174,7 @@ class LogFuzzSpec extends SparkSpec {
       // new v is smaller — the model above assumed new wins, so align:
       // we used desc ordering with +2000000 updates, making new rows win
       checkAgainst(t, s"step $step")
+      checkSib(s"step $step")
       if (step % 12 == 0) {
         checkAgainst(GraftTable.load(spark, root), s"fresh handle @ step $step")
         t.vacuum(retain = 3)

@@ -177,6 +177,112 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(raw.snapshot().count() == 30L && agg.snapshot().count() == 3L)
   }
 
+  test("mixed ops: append-to-A + DV-delete-in-B commit atomically, zero B rewrites") {
+    import org.apache.spark.sql.functions.col
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_mix_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_mix_b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    val bFilesBefore = tb.activeFiles(tb.latestVersion.get).toSet
+    val vs = GraftTable.commitAtomic(Seq(
+      GraftTable.AtomicAppend(ta, df(11 to 15)),
+      GraftTable.AtomicDelete(tb, col("k") === 105L)))
+    assert(vs.size == 2)
+    assert(ta.snapshot().count() == 15L)
+    assert(tb.snapshot().count() == 9L)
+    assert(tb.snapshot().filter(col("k") === 105L).isEmpty)
+    // the delete took the merge-on-read path: same physical files, DV'd
+    assert(tb.activeFiles(tb.latestVersion.get).toSet == bFilesBefore,
+      "a small atomic delete must mask, not rewrite")
+    // fresh handles resolve both pendings from disk alone
+    assert(GraftTable.load(spark, ta.root).snapshot().count() == 15L)
+    assert(GraftTable.load(spark, tb.root).snapshot().count() == 9L)
+  }
+
+  test("mixed-op crash matrix: append manifest out, delete unstaged -> both roll back") {
+    import org.apache.spark.sql.functions.col
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_mixc_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_mixc_b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    // simulate: A's pending append manifest landed, committer died before
+    // B's delete manifest and before the marker
+    val marker = new Path(s"${ta.root}/_log/_txn/mixcrash").toString
+    val w = ta.writeData(df(11 to 15), ta.nextVersion)
+    ta.commit(ta.nextVersion, ta.entries(ta.latestVersion.get) ++ w,
+      op = "append", pending = Some(GraftTable.b64(marker)))
+    withPatience(150L) {
+      assert(ta.snapshot().count() == 10L, "aborted append invisible")
+      assert(tb.snapshot().count() == 10L, "the delete never happened")
+      // the restarted committer retries the WHOLE mixed txn
+      GraftTable.commitAtomic(Seq(
+        GraftTable.AtomicAppend(ta, df(11 to 15)),
+        GraftTable.AtomicDelete(tb, col("k") === 105L)))
+    }
+    assert(ta.snapshot().count() == 15L)
+    assert(tb.snapshot().count() == 9L)
+    assert(ta.snapshot().as[(Long, String)].collect().count(_._1 == 11L) == 1,
+      "exactly once after abort + retry")
+  }
+
+  test("mixed ops: big delete falls back to pruned rewrite; merge and compact participate") {
+    import org.apache.spark.sql.functions.col
+    // dvMaxRows=3 forces the copy-on-write fallback for a 5-row delete
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_mix2_a"),
+      dvMaxRows = 3)
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_mix2_b"))
+    ta.append(df(1 to 10))
+    tb.append(df(101 to 110))
+    GraftTable.commitAtomic(Seq(
+      GraftTable.AtomicDelete(ta, col("k") > 5L),
+      GraftTable.AtomicMerge(tb, df(105 to 112), Seq("k"),
+        Seq(col("v").desc))))
+    assert(ta.snapshot().count() == 5L)
+    assert(ta.entries(ta.latestVersion.get).forall(_.dvRef.isEmpty),
+      "past dvMaxRows the delete must rewrite, not mask")
+    assert(tb.snapshot().count() == 12L, "merge upserted 105..110, added 111..112")
+    // compact as a participant (layout-only op riding a txn)
+    GraftTable.commitAtomic(Seq(
+      GraftTable.AtomicAppend(ta, df(11 to 12)),
+      GraftTable.AtomicCompact(tb, targetFiles = 1)))
+    assert(ta.snapshot().count() == 7L)
+    assert(tb.snapshot().count() == 12L)
+    assert(tb.activeFiles(tb.latestVersion.get).size == 1)
+    assert(tb.history().last.op == "compact")
+  }
+
+  test("vacuum reclaims an aborted txn's orphaned data files") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_orph_a"))
+    ta.append(df(1 to 10))
+    // crash: the pending manifest landed, the marker never did — the
+    // staged data files are on disk, referenced only by the aborted
+    // (no-op) version's manifest
+    val marker = new Path(s"${ta.root}/_log/_txn/orphcrash").toString
+    val w = ta.writeData(df(11 to 15), ta.nextVersion)
+    ta.commit(ta.nextVersion, ta.entries(ta.latestVersion.get) ++ w,
+      op = "append", pending = Some(GraftTable.b64(marker)))
+    def partFiles(): Set[String] = {
+      val dataDir = new Path(s"${ta.root}/data")
+      (for (d <- fs.listStatus(dataDir); f <- fs.listStatus(d.getPath)
+            if f.getPath.getName.startsWith("part-"))
+        yield s"data/${d.getPath.getName}/${f.getPath.getName}").toSet
+    }
+    val orphanPaths = w.map(_.path).toSet
+    assert(orphanPaths.subsetOf(partFiles()), "staged files are on disk")
+    withPatience(150L) {
+      assert(ta.snapshot().count() == 10L) // decides the abort
+    }
+    // vacuum keeps every real version, yet reclaims the aborted files
+    val removed = ta.vacuum(retain = ta.versions.size).toSet
+    assert(orphanPaths.subsetOf(removed),
+      s"aborted txn's files must be reclaimed: removed=$removed")
+    assert((partFiles() intersect orphanPaths).isEmpty,
+      "zero orphans on disk after vacuum")
+    assert(ta.snapshot().count() == 10L)
+    assert(GraftTable.load(spark, ta.root).snapshot().count() == 10L,
+      "cold resolution still healthy after the orphan sweep")
+  }
+
   test("a concurrent single-table append interleaves without breaking the txn") {
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))
     val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_b"))
