@@ -320,7 +320,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** COMMIT ATOMIC ( <stmt>; <stmt>; ... ) — a MULTI-TABLE atomic
     * transaction from plain SQL: every statement inside the parens
     * becomes one [[GraftTable.commitAtomic]] participant (INSERT INTO →
-    * staged append, DELETE FROM [WHERE] → staged merge-on-read delete),
+    * staged append, DELETE FROM [WHERE] → staged merge-on-read delete,
+    * UPDATE ... SET ... [WHERE] → staged merge-on-read update),
     * published all-or-nothing through the shared decision marker. Inner
     * queries/predicates parse through the DELEGATE at parse time (loud
     * errors now) and build their DataFrames at execution; non-graft
@@ -434,8 +435,76 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         org.apache.spark.sql.functions.lit(true))(p =>
           org.apache.spark.sql.GraftPlanBridge.column(
             delegate.parseExpression(p))))
+    } else if (t.takeKw("UPDATE")) {
+      val table = graftTable(t.expectIdent("a graft table"))
+      t.expectKw("SET")
+      val rest = t.rest()
+      // split `a = e1, b = e2 [WHERE pred]` on the TOP-LEVEL (depth-0,
+      // unquoted, word-bounded) WHERE, then top-level commas — the
+      // expressions may carry their own parens/commas/WHEREs inside
+      // subqueries
+      val upper = rest.toUpperCase
+      var wIdx = -1
+      var d0 = 0; var ix = 0
+      while (ix < rest.length && wIdx < 0) {
+        rest(ix) match {
+          case '\'' | '`' =>
+            val j = rest.indexOf(rest(ix), ix + 1)
+            ix = if (j < 0) rest.length - 1 else j
+          case '(' => d0 += 1
+          case ')' => d0 -= 1
+          case _ if d0 == 0 && upper.startsWith("WHERE", ix) &&
+              (ix == 0 || rest(ix - 1).isWhitespace) &&
+              (ix + 5 >= rest.length || rest(ix + 5).isWhitespace) =>
+            wIdx = ix
+          case _ => ()
+        }
+        ix += 1
+      }
+      val (assignsText, predText) =
+        if (wIdx < 0) (rest, None)
+        else (rest.substring(0, wIdx),
+              Some(rest.substring(wIdx + 5).trim).filter(_.nonEmpty)
+                .orElse(throw t.err("expected a predicate after WHERE")))
+      // top-level comma split of the assignment list
+      val parts = Vector.newBuilder[String]
+      var d1 = 0; var st = 0; var k1 = 0
+      while (k1 < assignsText.length) {
+        assignsText(k1) match {
+          case '\'' | '`' =>
+            val j = assignsText.indexOf(assignsText(k1), k1 + 1)
+            k1 = if (j < 0) assignsText.length - 1 else j
+          case '(' => d1 += 1
+          case ')' => d1 -= 1
+          case ',' if d1 == 0 =>
+            parts += assignsText.substring(st, k1); st = k1 + 1
+          case _ => ()
+        }
+        k1 += 1
+      }
+      parts += assignsText.substring(st)
+      val assigns = parts.result().map(_.trim).filter(_.nonEmpty).map { a =>
+        a.split("=", 2) match {
+          case Array(n, e) if n.trim.nonEmpty && e.trim.nonEmpty =>
+            delegate.parseExpression(e.trim) // loud now
+            (stripTicks(n.trim), e.trim)
+          case _ => throw t.err(
+            s"malformed assignment '$a' (expected column = expression)")
+        }
+      }
+      if (assigns.isEmpty)
+        throw t.err("expected at least one assignment after SET")
+      predText.foreach(delegate.parseExpression) // loud now
+      () => GraftTable.AtomicUpdate(table,
+        predText.fold(org.apache.spark.sql.functions.lit(true))(p =>
+          org.apache.spark.sql.GraftPlanBridge.column(
+            delegate.parseExpression(p))),
+        assigns.map { case (n, e) =>
+          n -> org.apache.spark.sql.GraftPlanBridge.column(
+            delegate.parseExpression(e)) }.toMap)
     } else throw t.err(
-      "COMMIT ATOMIC supports INSERT INTO and DELETE FROM participants")
+      "COMMIT ATOMIC supports INSERT INTO, DELETE FROM and UPDATE " +
+        "participants")
   }
 
   /** DESCRIBE (HISTORY [LIMIT n] | DETAIL | CHANGES ... FROM a TO b) */

@@ -650,7 +650,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       (e.path, e.rows, e.liveRows, e.dvCount,
         e.stats.map(_._1), e.stats.map(_._2),
         e.part.map(_._1), e.part.map(_._2),
-        e.windows.map { case (c, (lo, hi)) => c -> s"$lo..$hi" },
+        // time windows render with their unit kind (u micros / d days)
+        e.windows.map { case (c, (lo, hi)) => c -> s"$lo..$hi" } ++
+          e.timeWindows.map { case (c, (k, lo, hi)) => c -> s"$k:$lo..$hi" },
         e.bloom.isDefined || e.bloomRef.isDefined,
         e.dvRef, e.zTag.isDefined,
         e.ndv.flatMap { case (c, sk) =>
@@ -3683,6 +3685,71 @@ object GraftTable {
           guard()
           val files = prev.filterNot(e => dead.contains(e.path))
           table.commit(lv + 1, files, op = "delete",
+            dvs = table.coalesceDvs(prev, payload -- dead, dead),
+            pending = Some(m))
+        }
+      }
+    }
+  }
+
+  /** Atomic row-level UPDATE: stages the same merge-on-read plan as
+    * [[GraftTable.update]] — DV-mask the old rows + append the updated
+    * copies when few match, a pruned copy-on-write rewrite otherwise —
+    * against a pinned base; publish refuses (and the txn re-stages) on a
+    * moved base, like [[AtomicDelete]]. */
+  final case class AtomicUpdate(table: GraftTable, predicate: Column,
+                                set: Map[String, Column]) extends AtomicOp {
+    private[acid] def stage(): String => Long = {
+      val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
+        s"atomic update on ${table.root}: the table has no commits yet"))
+      val prev = table.entries(lv)
+      def guard(): Unit =
+        if (!table.latestVersion.contains(lv))
+          throw new ConcurrentCommitException(
+            s"atomic update on ${table.root}: base moved past v$lv; restage")
+      val cands = table.entriesForPredicate(predicate, lv)
+      if (cands.isEmpty)
+        return (m: String) => {
+          guard()
+          table.commit(lv + 1, prev, op = "update", pending = Some(m))
+        }
+      val mat = table.readWithPos(cands, table.schemaOf(lv),
+          applyDv = true, table.cmapOf(lv))
+        .filter(coalesce(predicate, lit(false)))
+        .limit(table.dvMaxRows + 1)
+        .localCheckpoint()
+      val n = mat.count()
+      if (n > table.dvMaxRows) {
+        // copy-on-write: rewrite only the pruned candidate files
+        val keepSet = prev.map(_.path).toSet -- cands.map(_.path).toSet
+        val out = table.applyAssignments(
+          table.readWithDv(cands, table.schemaOf(lv),
+            table.snapshot(Some(lv)), table.cmapOf(lv)),
+          predicate, set)
+        val written = table.writeData(table.clusterByPartition(out), lv + 1)
+        (m: String) => {
+          guard()
+          table.commit(lv + 1,
+            prev.filter(e => keepSet.contains(e.path)) ++ written,
+            op = "update", pending = Some(m))
+        }
+      } else if (n == 0L) {
+        (m: String) => {
+          guard()
+          table.commit(lv + 1, prev, op = "update", pending = Some(m))
+        }
+      } else {
+        val hits = mat.select(col("__mor_f"), col("__mor_p")).collect()
+        val (payload, dead) = table.mergedDvs(prev, hits)
+        val updatedRows = table.applyAssignments(
+          mat.drop("__mor_f", "__mor_p"), lit(true), set)
+        val written = table.writeData(
+          table.clusterByPartition(updatedRows), lv + 1)
+        (m: String) => {
+          guard()
+          table.commit(lv + 1,
+            prev.filterNot(e => dead.contains(e.path)) ++ written,
+            op = "update",
             dvs = table.coalesceDvs(prev, payload -- dead, dead),
             pending = Some(m))
         }

@@ -340,6 +340,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
              |)""".stripMargin)
     assert(s2.sql("SELECT count(*) AS n FROM gtx.raw").as[Long].head() == 3L)
     assert(s2.sql("SELECT sum(n) AS s FROM gtx.agg").as[Long].head() == 109L)
+    // UPDATE participates too (merge-on-read: mask + updated copies)
+    s2.sql("""COMMIT ATOMIC (
+             |  UPDATE gtx.raw SET v = upper(v) WHERE k = 3;
+             |  INSERT INTO gtx.agg VALUES (7, 700)
+             |)""".stripMargin)
+    assert(s2.sql("SELECT v FROM gtx.raw WHERE k = 3")
+      .collect().head.getString(0) == "C")
+    assert(s2.sql("SELECT sum(n) AS s FROM gtx.agg").as[Long].head() == 809L)
+    assert(raw.history().last.op == "update")
     // a NON-GRAFT participant errors at parse with the real reason, and
     // nothing commits
     import org.apache.spark.sql.catalyst.parser.ParseException
@@ -366,7 +375,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // malformed participants error loudly
     intercept[ParseException](s2.sql("COMMIT ATOMIC ()"))
     intercept[ParseException](s2.sql(
-      "COMMIT ATOMIC (UPDATE gtx.raw SET v = 'x')"))
+      "COMMIT ATOMIC (MERGE INTO gtx.raw USING x ON a = b)"))
+    intercept[ParseException](s2.sql(
+      "COMMIT ATOMIC (UPDATE gtx.raw SET WHERE k = 1)"))
     intercept[ParseException](s2.sql(
       "COMMIT ATOMIC (INSERT INTO gtx.raw VALUES (1, 'a')) EXTRA"))
   }

@@ -249,6 +249,15 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(tb.snapshot().count() == 12L)
     assert(tb.activeFiles(tb.latestVersion.get).size == 1)
     assert(tb.history().last.op == "compact")
+    // UPDATE participant, COW fallback (4 matching rows > dvMaxRows=3)
+    GraftTable.commitAtomic(Seq(
+      GraftTable.AtomicUpdate(ta, col("k") <= 4L,
+        Map("v" -> org.apache.spark.sql.functions.lit("upd"))),
+      GraftTable.AtomicAppend(tb, df(201 to 202))))
+    assert(ta.snapshot().filter(col("v") === "upd").count() == 4L)
+    assert(ta.snapshot().count() == 7L)
+    assert(tb.snapshot().count() == 14L)
+    assert(ta.history().last.op == "update")
   }
 
   test("vacuum reclaims an aborted txn's orphaned data files") {
