@@ -2137,14 +2137,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // 8-byte prefix code ([[graft.functions.StringPrefix64]]): unlike a
     // hash it keeps locality, so the per-file string windows writeData
     // records stay narrow and string predicates still prune after the
-    // layout. Other types cast to long; a type the cast cannot serve
-    // fails loudly in the min/max agg instead of silently nulling the
-    // dimension out of the layout.
-    def dimCol(c: String): Column =
-      if (snap.schema.fields.find(_.name.equalsIgnoreCase(c))
-          .exists(_.dataType == org.apache.spark.sql.types.StringType))
-        bridge.column(graft.functions.StringPrefix64(bridge.expr(spark, col(c))))
-      else col(c).cast("long")
+    // layout. TIMESTAMP/DATE dimensions code through catalyst's internal
+    // units (unix_micros / unix_date) — the SAME coding their tw:
+    // windows record, so the incremental pass's manifest-derived spans
+    // line up with the keys. Other types cast to long; a type the cast
+    // cannot serve fails loudly in the min/max agg instead of silently
+    // nulling the dimension out of the layout.
+    def dimCol(c: String): Column = GraftTable.zDimCol(spark, snap.schema, c)
     val aggs = cols.flatMap(c => Seq(
       min(dimCol(c)).as(s"${c}_lo"), max(dimCol(c)).as(s"${c}_hi")))
     val mm = snap.agg(aggs.head, aggs.tail: _*).head()
@@ -2210,15 +2209,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     def isString(c: String): Boolean = schema.fields
       .find(_.name.equalsIgnoreCase(c))
       .exists(_.dataType == org.apache.spark.sql.types.StringType)
-    // per-entry numeric window per dimension: native windows, or string
-    // windows re-coded through the SAME prefix code the z-key uses
+    // per-entry numeric window per dimension: native windows, string
+    // windows re-coded through the SAME prefix code the z-key uses, and
+    // TIMESTAMP/DATE dimensions through their tw: windows (micros/days —
+    // the same units zDimCol keys with)
     def numWindow(e: FileEntry, c: String): Option[(Long, Long)] =
       if (isString(c)) strWindowOf(e, c).map { case (lo, hi) =>
         (graft.functions.StringPrefix64.code(
           org.apache.spark.unsafe.types.UTF8String.fromString(lo)),
          graft.functions.StringPrefix64.code(
           org.apache.spark.unsafe.types.UTF8String.fromString(hi)))
-      } else windowOf(e, c)
+      } else e.timeWindows.collectFirst {
+        case (k, (_, lo, hi)) if k.equalsIgnoreCase(c) => (lo, hi)
+      }.orElse(windowOf(e, c))
     val spans: Map[String, (Long, Long)] = cols.flatMap { c =>
       val ws = prev.flatMap(numWindow(_, c))
       if (ws.isEmpty) None else Some(c -> (ws.map(_._1).min, ws.map(_._2).max))
@@ -2239,10 +2242,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       math.round(targetFiles.toDouble * tailRows / totalRows))).toInt
     val maxScaled = (1L << (64 / cols.size)) - 1L
     val bridge = org.apache.spark.sql.GraftPlanBridge
-    def dimCol(c: String): Column =
-      if (isString(c))
-        bridge.column(graft.functions.StringPrefix64(bridge.expr(spark, col(c))))
-      else col(c).cast("long")
+    def dimCol(c: String): Column = GraftTable.zDimCol(spark, schema, c)
     // clamp into the grid: rows from window-less files may lie outside
     // the manifest-known span (never wrong, just edge-bucketed)
     def scaled(c: String): Column = spans.get(c) match {
@@ -3549,6 +3549,27 @@ object GraftTable {
     * refs), `sw` (truncated string windows), `z` (zorder layout tags). */
   private[graft] val SupportedFeatures: Set[String] =
     Set("dv", "bf", "sw", "z", "cm")
+
+  /** One Z-ORDER dimension as a long-coded column, type-dispatched:
+    * strings through the order-preserving 8-byte prefix code, TIMESTAMP
+    * through unix_micros and DATE through unix_date (catalyst's internal
+    * units — the same coding the tw: windows record, so the incremental
+    * pass's manifest-derived spans line up with the keys), everything
+    * else a plain cast. */
+  private def zDimCol(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType,
+                      c: String): Column = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+      case Some(StringType) =>
+        bridge.column(graft.functions.StringPrefix64(
+          bridge.expr(spark, col(c))))
+      case Some(TimestampType) => unix_micros(col(c))
+      case Some(DateType)      => unix_date(col(c)).cast("long")
+      case _                   => col(c).cast("long")
+    }
+  }
 
   /** Per-root monitor serializing same-JVM commit creates (local-FS
     * exclusive create is check-then-create, not atomic). */

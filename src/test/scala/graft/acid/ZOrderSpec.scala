@@ -148,6 +148,43 @@ class ZOrderSpec extends SparkSpec {
       t.compactZOrderIncremental(Seq("x", "id"), 16))
   }
 
+  test("a TIMESTAMP z-order dimension clusters in micros and both dims prune") {
+    // ts and k are independent permutations over 4 "days" x 1024 keys —
+    // the ts x tenant layout every time-series fact table wants
+    def tsOf(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        ((i * 131) % 4096).toLong * 84375L) // ~4 days spread, sub-second steps
+    val data = (0 until 4096).map(i =>
+      (i.toLong, tsOf(i), ((i * 191) % 4096).toLong)).toDF("id", "ts", "k")
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_zorder_ts"),
+      indexCols = Seq("ts", "k"))
+    t.append(data.repartition(8))
+    t.compactZOrderN(Seq("ts", "k"), targetFiles = 16)
+    val all = t.activeFiles(t.latestVersion.get).size
+    // a one-day ts range prunes through the tw: windows
+    val lo = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-03-02 00:00:00")
+    val tsPred = $"ts" >= lit(lo) && $"ts" < lit(hi)
+    assert(t.filesForPredicate(tsPred).size <= all / 2,
+      s"ts-range hit ${t.filesForPredicate(tsPred).size} of $all files")
+    assert(t.snapshotWhere(tsPred).count() == data.filter(tsPred).count())
+    // ...and the k dimension prunes simultaneously
+    assert(t.filesForColumnRange("k", 0L, 511L).size <= all / 2)
+    assert(t.snapshotRangeOn("k", 0L, 511L).count() == 512L)
+    // INCREMENTAL: a scattered burst re-clusters into the SAME grid —
+    // laid files carry over verbatim, content stays exact
+    val laid = t.activeFiles(t.latestVersion.get).toSet
+    val burst = (4096 until 4352).map(i =>
+      (i.toLong, tsOf(i), ((i * 191) % 4096).toLong)).toDF("id", "ts", "k")
+    t.append(burst.coalesce(1))
+    t.compactZOrderIncremental(Seq("ts", "k"), targetFiles = 16)
+    val after = t.activeFiles(t.latestVersion.get).toSet
+    assert(laid.subsetOf(after), "laid files must carry over verbatim")
+    assert(t.snapshot().count() == 4352L)
+    assert(t.snapshotWhere(tsPred).count() ==
+      data.unionByName(burst).filter(tsPred).count())
+  }
+
   test("index windows persist in the log and recover via load") {
     val root = graft.TempDirs.create("graft_zorder_load")
     val t = new GraftTable(spark, root, indexCols = Seq("x", "y"))
