@@ -552,9 +552,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * the manifest header exactly like the rest of the physical config —
     * so each version time-travels with ITS OWN schema, and files written
     * before an [[addColumn]] project the added columns as NULL. */
-  private[acid] def schemaOf(v: Long): Option[StructType] =
-    headerMeta(v).get("schema").map(s => StructType.fromDDL(
-      new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)))
+  private[acid] def schemaOf(v: Long): Option[StructType] = {
+    // cached per (immutable) version: the DDL parse is an ANTLR pass and
+    // schemaOf sits on every plan's stats path
+    val hit = schemaOfCache.get(v)
+    if (hit != null) hit
+    else {
+      val s = headerMeta(v).get("schema").map(enc => StructType.fromDDL(
+        new String(java.util.Base64.getUrlDecoder.decode(enc), UTF_8)))
+      cachePut(schemaOfCache, v, s)
+      s
+    }
+  }
+
+  private val schemaOfCache = bounded[Option[StructType]]()
 
   /** The current declared schema (None until a schema-tracking commit —
     * an [[addColumn]] or a `mergeSchema` append — first records one). */

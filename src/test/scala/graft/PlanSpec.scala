@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("TPC-H Q18 plans the HAVING-IN as a semi join; Q21's EXISTS/NOT-EXISTS decorrelate to semi+anti") {
+    val p18 = plan("q_tpch_q18")
+    assert(p18.contains("LeftSemi"), p18)
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoop"), p18)
+    val p21 = plan("q_tpch_q21")
+    // RewritePredicateSubquery turns the correlated EXISTS into a semi
+    // and the NOT EXISTS into an anti self-join of the fact on the
+    // order key — never a per-row rescan or a cartesian
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoop"), p21)
+  }
+
   test("embed near-dup self-join is tiled: no nested-loop, no cartesian") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
