@@ -2612,31 +2612,25 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private[graft] def statsForFiles(relPaths: Seq[String],
       version: Option[Long])
       : (Option[Long], Map[String, (Long, Long)], Map[String, Long],
-         Map[String, (String, String)]) = {
+         Map[String, (String, String)], Map[String, (Long, Long)]) = {
     val v = version.orElse(latestVersion)
-      .getOrElse(return (None, Map.empty, Map.empty, Map.empty))
+      .getOrElse(return (None, Map.empty, Map.empty, Map.empty, Map.empty))
     val byPath = entries(v).map(e => e.path -> e).toMap
     // distinct first: a caller-supplied list with duplicate paths must
     // not double-count rows — and the full-set cache test below compares
     // sizes, which duplicates (or a repeated strict subset of the same
     // cardinality) would otherwise fool into caching a wrong NDV map
     val sel = relPaths.distinct.flatMap(byPath.get)
-    if (sel.isEmpty) return (Some(0L), Map.empty, Map.empty, Map.empty)
+    if (sel.isEmpty)
+      return (Some(0L), Map.empty, Map.empty, Map.empty, Map.empty)
     val rows =
       if (sel.forall(_.rows.isDefined)) Some(sel.flatMap(_.liveRows).sum)
       else None
-    // time-typed columns are EXCLUDED from the legacy numeric-window
-    // merge: any w:/s=/p= window a pre-round-11 writer recorded for them
-    // is coded in cast-to-long SECONDS, not catalyst micros — serving it
-    // as a micros bound would be wrong. Their stats come exclusively
-    // from the internal-coded tw: windows below.
-    lazy val timeTyped: Set[String] = schemaOf(v).toSeq.flatMap(_.fields)
-      .filter(f => f.dataType == org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
-        f.dataType == org.apache.spark.sql.types.DateType)
-      .map(_.name.toLowerCase).toSet
-    val tracked = (statsCol.toSeq ++ partitionCol.toSeq ++ indexCols)
-      .filterNot(c => timeTyped.contains(c.toLowerCase))
+    // LEGACY numeric windows (w:/s=/p=, cast-to-long coded) stay in
+    // their own map: the stats consumer boxes them for INTEGRAL columns
+    // only — a timestamp statsCol's legacy window is seconds, and only
+    // provenance keeps it from being served as micros
+    val tracked = statsCol.toSeq ++ partitionCol.toSeq ++ indexCols
     val cols = tracked.flatMap { c =>
       val ws = sel.map(windowOf(_, c))
       if (ws.nonEmpty && ws.forall(_.isDefined)) {
@@ -2644,16 +2638,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         Some(c -> ((flat.map(_._1).min, flat.map(_._2).max)))
       } else None
     }.toMap
-    // tw: windows (epoch micros / days — already internal-coded) merge
-    // into the same numeric map: only when EVERY selected entry windows
-    // the column, so a reported bound is a true bound
+    // tw: windows (epoch micros / days — internal-coded, exact) merge
+    // into their own map: only when EVERY selected entry windows the
+    // column in ONE unit kind, so a reported bound is a true bound
     val timeColNames = sel.flatMap(_.timeWindows.keys)
       .foldLeft(Vector.empty[String])((acc, c) =>
         if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
     val timeCols = timeColNames.flatMap { c =>
       val ws = sel.map(_.timeWindows.collectFirst {
         case (k, w) if k.equalsIgnoreCase(c) => w })
-      // every entry windows the column AND in one unit kind
       if (ws.forall(_.isDefined) &&
           ws.flatten.map(_._1).distinct.size == 1) {
         val flat = ws.flatten
@@ -2700,7 +2693,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           case hit => hit
         }
       } else mergeNdv(sel)
-    (rows, cols ++ timeCols, ndvs, strCols)
+    (rows, cols, ndvs, strCols, timeCols)
   }
 
   private val ndvFullCache = bounded[Map[String, Long]]()

@@ -51,15 +51,17 @@ class GraftPruningScanBuilder(
     dvPlan: Option[(Seq[String], Seq[String], Seq[Expression]) =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None,
     // manifest statistics for a pruned file list: (exact live rows,
-    // per-column (min, max) from the recorded windows — integral columns
-    // in their own units, timestamp/date columns internal-coded micros/
-    // days from the tw: windows, per-column NDV estimates from the
-    // merged per-file HLL sketches, truncated STRING windows) — surfaced
-    // via SupportsReportStatistics so PLAN-TIME join sizing sees them
+    // LEGACY numeric windows — cast-to-long coded, served for integral
+    // columns only, per-column NDV estimates from the merged per-file
+    // HLL sketches, truncated STRING windows, TIME windows — internal-
+    // coded micros/days from the tw: tags, served for timestamp/date
+    // columns). Provenance is load-bearing: a timestamp statsCol's
+    // legacy window is seconds and must never box as micros. Surfaced
+    // via SupportsReportStatistics so PLAN-TIME join sizing sees them.
     fileStats: Seq[String] =>
         (Option[Long], Map[String, (Long, Long)], Map[String, Long],
-         Map[String, (String, String)]) =
-      _ => (None, Map.empty, Map.empty, Map.empty),
+         Map[String, (String, String)], Map[String, (Long, Long)]) =
+      _ => (None, Map.empty, Map.empty, Map.empty, Map.empty),
     // columns the manifest can prune on (windows / partition / bloom) —
     // advertised as RUNTIME filter attributes so dynamic partition
     // pruning hands the scan the dimension side's join keys at
@@ -120,7 +122,9 @@ class GraftPruningScanBuilder(
     if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty ||
         aggregation.aggregateExpressions.isEmpty)
       return None
-    lazy val windows: Map[String, (Long, Long)] = fileStats(allFiles)._2
+    lazy val allStats = fileStats(allFiles)
+    lazy val windows: Map[String, (Long, Long)] = allStats._2
+    lazy val timeWindows: Map[String, (Long, Long)] = allStats._5
     def serveExtremum(e: org.apache.spark.sql.connector.expressions.Expression,
                       takeHi: Boolean, tag: String): Option[(Any, StructField)] =
       e match {
@@ -130,19 +134,21 @@ class GraftPruningScanBuilder(
         // stale bound
         case _ if dvPlan.isDefined => None
         case r: NamedReference if r.fieldNames.length == 1 =>
+          def winOf(m: Map[String, (Long, Long)], n: String) =
+            m.find(_._1.equalsIgnoreCase(n)).map(_._2)
           for {
             f <- dataSchema.fields.find(_.name.equalsIgnoreCase(r.fieldNames.head))
-            w <- windows.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
             v <- (f.dataType match {
-              case LongType      => Some(if (takeHi) w._2 else w._1)
-              case IntegerType   => Some((if (takeHi) w._2 else w._1).toInt)
-              case ShortType     => Some((if (takeHi) w._2 else w._1).toShort)
-              case ByteType      => Some((if (takeHi) w._2 else w._1).toByte)
+              // LEGACY windows serve integral types in their own units
+              case LongType    => winOf(windows, f.name).map(w => if (takeHi) w._2 else w._1)
+              case IntegerType => winOf(windows, f.name).map(w => (if (takeHi) w._2 else w._1).toInt)
+              case ShortType   => winOf(windows, f.name).map(w => (if (takeHi) w._2 else w._1).toShort)
+              case ByteType    => winOf(windows, f.name).map(w => (if (takeHi) w._2 else w._1).toByte)
               // tw: windows carry the internal coding: micros (Long) for
               // timestamps, days (Int) for dates — exact witnessed values
-              case TimestampType => Some(if (takeHi) w._2 else w._1)
-              case DateType      => Some((if (takeHi) w._2 else w._1).toInt)
-              case _             => None
+              case TimestampType => winOf(timeWindows, f.name).map(w => if (takeHi) w._2 else w._1)
+              case DateType => winOf(timeWindows, f.name).map(w => (if (takeHi) w._2 else w._1).toInt)
+              case _ => None
             }): Option[Any]
           } yield (v, StructField(s"$tag(${f.name})", f.dataType, nullable = false))
         case _ => None
@@ -204,9 +210,10 @@ class GraftPruningScanBuilder(
       }
     case None =>
       val files = if (pushed.isEmpty) allFiles else prune(pushed)
-      val (liveRows, colWindows, colNdv, strWindows) = fileStats(files)
+      val (liveRows, colWindows, colNdv, strWindows, timeWindows) =
+        fileStats(files)
       val colStats = GraftStatsScan.toColumnStats(dataSchema, colWindows,
-        colNdv, strWindows)
+        colNdv, strWindows, timeWindows)
       dvPlan match {
         case Some(mk) =>
           val outSchema = required.getOrElse(dataSchema)
@@ -423,18 +430,33 @@ object GraftStatsScan {
     * ANY sketched column. */
   def toColumnStats(schema: StructType, windows: Map[String, (Long, Long)],
                     ndv: Map[String, Long] = Map.empty,
-                    strWindows: Map[String, (String, String)] = Map.empty)
+                    strWindows: Map[String, (String, String)] = Map.empty,
+                    timeWindows: Map[String, (Long, Long)] = Map.empty)
       : Map[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.types._
     def ndvOf(name: String): Option[Long] =
       ndv.collectFirst { case (k, n) if k.equalsIgnoreCase(name) => n }
+    // LEGACY windows box for INTEGRAL columns only: their cast-to-long
+    // coding is the value itself there; for a timestamp/date column a
+    // legacy window is lossy seconds/undefined and must never serve
     val windowed = windows.flatMap { case (name, (lo, hi)) =>
       schema.fields.find(_.name.equalsIgnoreCase(name)).flatMap { f =>
         def box(v: Long): Option[Object] = f.dataType match {
-          case LongType      => Some(java.lang.Long.valueOf(v))
-          case IntegerType   => Some(java.lang.Integer.valueOf(v.toInt))
-          case ShortType     => Some(java.lang.Short.valueOf(v.toShort))
-          case ByteType      => Some(java.lang.Byte.valueOf(v.toByte))
+          case LongType    => Some(java.lang.Long.valueOf(v))
+          case IntegerType => Some(java.lang.Integer.valueOf(v.toInt))
+          case ShortType   => Some(java.lang.Short.valueOf(v.toShort))
+          case ByteType    => Some(java.lang.Byte.valueOf(v.toByte))
+          case _           => None
+        }
+        for (mn <- box(lo); mx <- box(hi)) yield f.name ->
+          mkStats(Some(mn), Some(mx), ndvOf(f.name))
+      }
+    }
+    // tw: windows box for TIMESTAMP (internal Long micros) / DATE
+    // (internal Int days) columns — exact internal values by contract
+    val timeWindowed = timeWindows.flatMap { case (name, (lo, hi)) =>
+      schema.fields.find(_.name.equalsIgnoreCase(name)).flatMap { f =>
+        def box(v: Long): Option[Object] = f.dataType match {
           case TimestampType => Some(java.lang.Long.valueOf(v))
           case DateType      => Some(java.lang.Integer.valueOf(v.toInt))
           case _             => None
@@ -456,10 +478,10 @@ object GraftStatsScan {
     val ndvOnly = ndv.flatMap { case (name, n) =>
       schema.fields.find(_.name.equalsIgnoreCase(name))
         .filterNot(f => windowed.contains(f.name) ||
-          strWindowed.contains(f.name))
+          timeWindowed.contains(f.name) || strWindowed.contains(f.name))
         .map(f => f.name -> mkStats(None, None, Some(n)))
     }
-    windowed ++ strWindowed ++ ndvOnly
+    windowed ++ timeWindowed ++ strWindowed ++ ndvOnly
   }
 
   private def mkStats(mn: Option[Object], mx: Option[Object], nd: Option[Long])
