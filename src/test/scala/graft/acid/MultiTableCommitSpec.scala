@@ -292,6 +292,29 @@ class MultiTableCommitSpec extends SparkSpec {
       "cold resolution still healthy after the orphan sweep")
   }
 
+  test("a staged delete publish refuses on a moved base; the txn re-stages and lands") {
+    import org.apache.spark.sql.functions.col
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_restage_a"))
+    ta.append(df(1 to 10))
+    // stage the delete against base v1, then move the base underneath it
+    val op = GraftTable.AtomicDelete(ta, col("k") === 5L)
+    val publish = op.stage()
+    ta.append(df(11 to 12)) // base is now v2
+    val e = intercept[ConcurrentCommitException](publish("ZmFrZQ"))
+    assert(e.getMessage.contains("base moved"), e.getMessage)
+    assert(ta.versions == Seq(1L, 2L), "the stale publish must not commit")
+    // the txn path re-stages transparently and lands against the new base
+    GraftTable.commitAtomic(Seq(GraftTable.AtomicDelete(ta, col("k") === 5L)))
+    assert(ta.snapshot().count() == 11L)
+    assert(ta.snapshot().filter(col("k") === 5L).isEmpty)
+    // same guard on updates
+    val up = GraftTable.AtomicUpdate(ta, col("k") === 1L,
+      Map("v" -> org.apache.spark.sql.functions.lit("x")))
+    val pubU = up.stage()
+    ta.append(df(13 to 13))
+    intercept[ConcurrentCommitException](pubU("ZmFrZQ"))
+  }
+
   test("a concurrent single-table append interleaves without breaking the txn") {
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))
     val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_b"))
