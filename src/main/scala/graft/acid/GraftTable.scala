@@ -633,15 +633,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val es = entries(v)
     val rows = if (es.forall(_.rows.isDefined))
       Some(es.flatMap(_.liveRows).sum) else None
+    val cm = cmapOf(v)
+    val dropped = droppedPhysOf(v)
     Seq((v, es.size, rows, es.map(_.dvCount).sum,
       es.count(_.dvRef.isDefined),
       partitionCol.orNull, statsCol.orNull, bloomCol.orNull,
       if (indexCols.isEmpty) null else indexCols.mkString(","),
       history().lastOption.map(_.op).orNull,
-      statsForFiles(es.map(_.path), Some(v))._3))
+      statsForFiles(es.map(_.path), Some(v))._3,
+      // column-mapping state: logical->physical renames + tombstoned
+      // physical names (empty maps read straight through)
+      if (cm.isEmpty) null
+      else cm.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
+      if (dropped.isEmpty) null else dropped.toSeq.sorted.mkString(",")))
       .toDF("version", "n_files", "n_rows", "dv_masked_rows",
         "dv_masked_files", "partition_col", "stats_col", "bloom_col",
-        "index_cols", "last_operation", "ndv")
+        "index_cols", "last_operation", "ndv", "column_mapping",
+        "dropped_physical")
   }
 
   /** DESCRIBE FILES: one row per ACTIVE file of `version` (default

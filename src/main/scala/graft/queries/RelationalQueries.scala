@@ -378,6 +378,25 @@ object RelationalQueries extends QueryPack {
         .limit(100)
     },
 
+    // Q17 (small-quantity-order revenue): the CORRELATED SCALAR-AGG
+    // subquery shape — `l_quantity < 0.2 * avg(quantity of this part)`
+    // decorrelates to an aggregate-then-join (one lineitem pass computes
+    // every part's threshold, then the filtered join), never a per-row
+    // rescan. SQL-surfaced so Catalyst's scalar-subquery decorrelation
+    // is what plans.
+    "q_tpch_q17" -> { (s, d) =>
+      val li = view(s, d, "lineitem")
+      val p = view(s, d, "part")
+      s.sql(
+        s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |         / 7.0 AS avg_yearly
+           |FROM $li, $p
+           |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+           |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+           |                    FROM $li l2
+           |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    },
+
     // Q21 (suppliers who kept orders waiting): the MULTI-SELF-JOIN
     // EXISTS / NOT-EXISTS shape, written as correlated subqueries in SQL
     // so Catalyst's correlated rewrite (RewritePredicateSubquery → one
@@ -632,6 +651,15 @@ object RelationalQueries extends QueryPack {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait

@@ -60,6 +60,12 @@ class PlanSpec extends SparkSpec {
     assert(p21.contains("LeftAnti"), p21)
     assert(!p21.contains("CartesianProduct") &&
       !p21.contains("BroadcastNestedLoop"), p21)
+    // Q17's correlated scalar-agg subquery decorrelates to ONE
+    // aggregate-then-join pass (per-part thresholds), no rescans
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("HashAggregate") || p17.contains("SortAggregate"), p17)
+    assert(!p17.contains("CartesianProduct") &&
+      !p17.contains("BroadcastNestedLoop"), p17)
   }
 
   test("embed near-dup self-join is tiled: no nested-loop, no cartesian") {
