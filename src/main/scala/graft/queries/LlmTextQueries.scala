@@ -361,6 +361,30 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- RAG / training chunking: overlapping token windows ----
+    // Every RAG ingest and long-context training pipeline runs this
+    // exact op: fixed-size token windows (64) advancing by a stride
+    // (48, i.e. 16-token overlap), tail windows kept short. One pass,
+    // one explode — the chunk fan-out is bounded by ~n_tokens/stride per
+    // document, so the shuffle volume scales with the corpus, never
+    // quadratically.
+    "q_text_chunks" -> { (s, d) =>
+      import s.implicits._
+      val chunkTokens = 64
+      val stride = 48
+      val toks = TextOps.words($"text")
+      Tables.documents(s, d)
+        .select($"doc_id", toks.as("toks"), size(toks).as("n"))
+        .withColumn("chunk_idx", explode(sequence(lit(0),
+          (($"n" - 1) / lit(stride)).cast("int"))))
+        .select($"doc_id", $"chunk_idx",
+          array_join(slice($"toks", $"chunk_idx" * stride + 1,
+            lit(chunkTokens)), " ").as("chunk"),
+          asLong(size(slice($"toks", $"chunk_idx" * stride + 1,
+            lit(chunkTokens)))).as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // ---- quality scoring ----
     "q_text_quality" -> { (s, d) =>
       import s.implicits._
@@ -604,6 +628,21 @@ object LlmTextQueries extends QueryPack {
         |                       ORDER BY quality_score, doc_id) AS BIGINT) AS bin
         |FROM q
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0,
+        |          CAST(floor((len(toks) - 1) / 48) AS BIGINT) + 1))
+        |          AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ')
+        |    AS chunk,
+        |  CAST(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT)
+        |    AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id, n_chars,

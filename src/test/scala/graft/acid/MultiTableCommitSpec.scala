@@ -315,6 +315,37 @@ class MultiTableCommitSpec extends SparkSpec {
     intercept[ConcurrentCommitException](pubU("ZmFrZQ"))
   }
 
+  test("overlapping concurrent txns on (A,B) and (B,C): no deadlock, nothing lost") {
+    // the sorted-root lock order makes the shared-table case deadlock-free;
+    // the marker protocol makes every txn all-or-nothing under the races
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_ham_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_ham_b"))
+    val tc = new GraftTable(spark, graft.TempDirs.create("graft_mt_ham_c"))
+    Seq(ta, tb, tc).foreach(_.append(df(1 to 2)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val rounds = 4
+      def run(left: GraftTable, right: GraftTable, base: Int) =
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until rounds).foreach { i =>
+            GraftTable.commitAtomic(Seq(
+              GraftTable.AtomicAppend(left, df(base + i to base + i)),
+              GraftTable.AtomicAppend(right, df(base + 100 + i to base + 100 + i))))
+          }
+        })
+      val f1 = run(ta, tb, 1000)
+      val f2 = run(tb, tc, 2000)
+      f1.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      f2.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    // every append landed exactly once: 2 seed + 4 per participating txn
+    assert(ta.snapshot().count() == 2L + 4L)
+    assert(tb.snapshot().count() == 2L + 8L, "B participates in both txn streams")
+    assert(tc.snapshot().count() == 2L + 4L)
+    // cold handles agree (every pending resolved via its marker)
+    assert(GraftTable.load(spark, tb.root).snapshot().count() == 10L)
+  }
+
   test("a concurrent single-table append interleaves without breaking the txn") {
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))
     val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_b"))
