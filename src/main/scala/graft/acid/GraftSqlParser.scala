@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   *   OPTIMIZE <table> [TARGET <n> FILES] [ZORDER BY (a, b)] [INCREMENTAL]
+  *   OPTIMIZE <table> [TARGET <n> FILES] HILBERT BY (a, b, ...)
   *   VACUUM <table> [RETAIN <n> (VERSIONS | HOURS)] [DRY RUN]
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   REORG [TABLE] <table> APPLY (PURGE)
@@ -168,16 +169,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val n = t.expectInt("the file target")
           t.expectKw("FILES"); Some(n)
         } else None
+      def colList(what: String): Vector[String] = {
+        t.expectKw("BY"); t.expectKw("(")
+        val cols = Vector.newBuilder[String]
+        cols += stripTicks(t.expectIdent(what))
+        while (t.takeKw(","))
+          cols += stripTicks(t.expectIdent(what))
+        t.expectKw(")")
+        cols.result()
+      }
       val zcols =
-        if (t.takeKw("ZORDER")) {
-          t.expectKw("BY"); t.expectKw("(")
-          val cols = Vector.newBuilder[String]
-          cols += stripTicks(t.expectIdent("a zorder column"))
-          while (t.takeKw(","))
-            cols += stripTicks(t.expectIdent("a zorder column"))
-          t.expectKw(")")
-          cols.result()
-        } else Vector.empty[String]
+        if (t.takeKw("ZORDER")) colList("a zorder column")
+        else Vector.empty[String]
+      // HILBERT BY (a, b, ...): the Hilbert-curve layout twin — same
+      // grammar shape, no INCREMENTAL/WHERE composition (its own tag)
+      val hcols =
+        if (zcols.isEmpty && t.takeKw("HILBERT")) colList("a hilbert column")
+        else Vector.empty[String]
+      if (hcols.nonEmpty) {
+        if (hcols.size < 2)
+          throw t.err("HILBERT BY needs at least two columns")
+        t.expectEnd()
+        val n0 = target.getOrElse(spark.sessionState.conf.numShufflePartitions)
+        GraftRowLevelCommand(s"OPTIMIZE $ref",
+          () => { table.compactHilbertN(hcols, n0); () })
+      } else {
       val incremental = t.takeKw("INCREMENTAL")
       if (incremental && zcols.size < 2)
         throw t.err("OPTIMIZE ... INCREMENTAL requires ZORDER BY " +
@@ -212,6 +228,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           GraftRowLevelCommand(label, () => { table.compactWhere(pred, n); () })
         case None =>
           GraftRowLevelCommand(label, () => { table.compact(n); () })
+      }
       }
     }
   }

@@ -2147,9 +2147,28 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * range predicates on ANY indexed column prune from manifest metadata.
     * Same job shape as the 2-D case: one min/max agg, one
     * repartitionByRange + in-partition sort on the z-key. */
-  def compactZOrderN(cols: Seq[String], targetFiles: Int): Long = {
+  def compactZOrderN(cols: Seq[String], targetFiles: Int): Long =
+    compactByCurve(cols, targetFiles,
+      graft.functions.ZOrderN(_), "zorder", GraftTable.zSignature(cols))
+
+  /** OPTIMIZE ... HILBERT BY (a, b, ...): multi-dimensional clustering
+    * along the HILBERT curve ([[graft.functions.HilbertN]]) instead of
+    * the Morton interleave — the walk never jumps (consecutive curve
+    * positions are grid-adjacent), so range-partitioned files avoid the
+    * wide seam windows Z-order files get where the Morton curve teleports
+    * across the grid. Same job shape, same manifest windows, same
+    * pruning; its own layout signature so the incremental Z-order pass
+    * never mistakes Hilbert files for Morton-laid ones. */
+  def compactHilbertN(cols: Seq[String], targetFiles: Int): Long =
+    compactByCurve(cols, targetFiles,
+      graft.functions.HilbertN(_), "hilbert", GraftTable.hSignature(cols))
+
+  private def compactByCurve(cols: Seq[String], targetFiles: Int,
+      curve: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+      op: String, sig: String): Long = {
     require(cols.size >= 2 && cols.size <= 8,
-      s"compactZOrderN takes 2..8 columns, got ${cols.size}")
+      s"$op takes 2..8 columns, got ${cols.size}")
     val snap = snapshot()
     val bridge = org.apache.spark.sql.GraftPlanBridge
     // STRING dimensions enter the grid through their ORDER-PRESERVING
@@ -2178,7 +2197,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       if (hi <= lo) lit(0L)
       else ((dimCol(c).cast("double") - lit(lo.toDouble))
         / lit(hi.toDouble - lo.toDouble) * lit(maxScaled.toDouble)).cast("long")
-    val zkey = bridge.column(graft.functions.ZOrderN(
+    val zkey = bridge.column(curve(
       cols.zipWithIndex.map { case (c, i) =>
         val (lo, hi) = window(i)
         bridge.expr(spark, scaled(c, lo, hi))
@@ -2189,9 +2208,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .drop("__z")
     val v = nextVersion
     // stamp the layout tag: [[compactZOrderIncremental]]'s witness that
-    // these files are already in this (cols) layout
+    // these files are already in this (cols) layout — curve-specific, so
+    // Morton and Hilbert layouts never mistake each other's files
     commit(v, writeData(laid, v)
-      .map(_.copy(zTag = Some(GraftTable.zSignature(cols)))), op = "zorder")
+      .map(_.copy(zTag = Some(sig))), op = op)
   }
 
   /** INCREMENTAL OPTIMIZE ZORDER (the incremental-clustering shape the
@@ -4031,6 +4051,11 @@ object GraftTable {
     * case-folded, base64url (no tabs/spaces in manifest fields). */
   private[graft] def zSignature(cols: Seq[String]): String =
     b64(cols.map(_.toLowerCase).mkString(","))
+
+  /** The layout tag for a HILBERT column list — distinct from the
+    * Morton signature of the same columns by construction. */
+  private[graft] def hSignature(cols: Seq[String]): String =
+    b64("hilbert:" + cols.map(_.toLowerCase).mkString(","))
 
   /** A data file's table-unique join key: the entry path's last two
     * components (`c<version>-<uuid>/part-...`). The commit directory's

@@ -408,7 +408,7 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       // twice to net zero). Multi-commit ranges mixing layout and data
       // commits diff across the endpoints, where the layout rewrite
       // cancels naturally.
-      val layoutOps = Set("compact", "zorder", "reorg")
+      val layoutOps = Set("compact", "zorder", "hilbert", "reorg")
       val rangeOps = ((fromV + 1L) to toV)
         .map(v => table.headerMeta(v).getOrElse("op", "unknown"))
       if (rangeOps.nonEmpty && rangeOps.forall(layoutOps.contains))

@@ -249,6 +249,26 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** HILBERT-layout fixture: same shape as the zorder one, clustered
+    * along the Hilbert curve instead of the Morton interleave. */
+  private val hilbertFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hilbertTable(s: SparkSession, d: String): GraftTable = {
+    val root = hilbertFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("hilbert" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/hilbert_$key"
+      val t = new GraftTable(s, r, indexCols = Seq("user_id", "event_id"))
+      t.append(events(s, d).repartition(8))
+      t.compactHilbertN(Seq("user_id", "event_id"), targetFiles = 16)
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** INCREMENTAL-zorder fixture: half the events laid by a full ZORDER,
     * the other half appended afterwards as a scattered ingest burst,
     * then ONE incremental pass — only the burst rewrites (the laid
@@ -710,6 +730,18 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_id", $"user_id")
     },
 
+    // HILBERT layout (OPTIMIZE ... HILBERT BY): the same two pruned
+    // range reads over a Hilbert-clustered table — the walk never jumps,
+    // so files cover tight windows in both dimensions without the
+    // Morton curve's seam teleports; content must replay exactly.
+    "q_acid_hilbert" -> { (s, d) =>
+      import s.implicits._
+      val ht = hilbertTable(s, d)
+      ht.snapshotRangeOn("user_id", 20L, 60L)
+        .unionByName(ht.snapshotRangeOn("event_id", 1000L, 1999L))
+        .orderBy($"event_id", $"user_id")
+    },
+
     // CONVERT TO graft: a plain parquet dump of events adopted in place
     // (zero rewrite, profiled stats+blooms), then a DV DELETE masking
     // rows INSIDE the adopted files and a native append re-landing them
@@ -1142,6 +1174,15 @@ object AcidQueries extends QueryPack {
     // union of the two pruned range reads (a row in both windows appears
     // twice, exactly like the engine's union)
     "q_acid_zorder" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id BETWEEN 20 AND 60
+        |UNION ALL
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id BETWEEN 1000 AND 1999
+        |ORDER BY event_id, user_id""".stripMargin,
+
+    // the Hilbert-laid table must replay identically to the Morton one
+    "q_acid_hilbert" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE user_id BETWEEN 20 AND 60
         |UNION ALL

@@ -249,6 +249,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](s2.sql("OPTIMIZE nosuch.cat.table"))
     assert(s2.sql("DESCRIBE ggram.t").count() > 0,
       "plain DESCRIBE stays Spark's statement")
+    // HILBERT BY: the Hilbert-curve layout from SQL — runs, tags its
+    // own op, keeps content; malformed tails error loudly
+    val tH = graft.acid.GraftTable.load(s2, s"$wh/t")
+    val nBefore = tH.snapshot().count()
+    s2.sql("OPTIMIZE ggram.t TARGET 2 FILES HILBERT BY (k, v)")
+    val tAfter = graft.acid.GraftTable.load(s2, s"$wh/t")
+    assert(tAfter.history().last.op == "hilbert")
+    assert(tAfter.snapshot().count() == nBefore)
+    intercept[ParseException](s2.sql("OPTIMIZE ggram.t HILBERT BY (k)"))
+    intercept[ParseException](
+      s2.sql("OPTIMIZE ggram.t HILBERT BY (k, v) INCREMENTAL"))
   }
 
   test("OPTIMIZE ... WHERE compacts only the predicate-matching files") {

@@ -185,6 +185,30 @@ class ZOrderSpec extends SparkSpec {
       data.unionByName(burst).filter(tsPred).count())
   }
 
+  test("HILBERT layout prunes both dimensions, is content-lossless, and keeps its own tag") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_hilbert"),
+      indexCols = Seq("x", "y"))
+    t.append(grid(4096).repartition(8))
+    t.compactHilbertN(Seq("x", "y"), targetFiles = 16)
+    assert(t.history().last.op == "hilbert")
+    val all = t.activeFiles(t.latestVersion.get).size
+    // both dimensions prune from the per-file windows, like z-order
+    val hitX = t.filesForColumnRange("x", 0L, 511L).size
+    val hitY = t.filesForColumnRange("y", 0L, 511L).size
+    assert(hitX <= all / 2, s"x-range hit $hitX of $all files")
+    assert(hitY <= all / 2, s"y-range hit $hitY of $all files")
+    // content-lossless
+    assert(t.snapshot().count() == 4096L)
+    assert(t.snapshotRangeOn("x", 0L, 511L).count() == 512L)
+    assert(t.snapshotRangeOn("y", 100L, 199L).agg(sum($"id")).head().getLong(0) ==
+      grid(4096).filter($"y".between(100, 199)).agg(sum($"id")).head().getLong(0))
+    // a Hilbert file is NOT a Morton-laid file: the incremental zorder
+    // pass re-clusters it rather than mistaking the layout
+    val es = t.entries(t.latestVersion.get)
+    assert(es.forall(_.zTag.contains(GraftTable.hSignature(Seq("x", "y")))))
+    assert(es.forall(e => !e.zTag.contains(GraftTable.zSignature(Seq("x", "y")))))
+  }
+
   test("index windows persist in the log and recover via load") {
     val root = graft.TempDirs.create("graft_zorder_load")
     val t = new GraftTable(spark, root, indexCols = Seq("x", "y"))
