@@ -64,6 +64,41 @@ class TableStreamSpec extends SparkSpec {
     assert(runOnce(root, ckpt).isEmpty)
   }
 
+  test("a column rename mid-stream keeps the pinned schema and keeps delivering values") {
+    // the stream's schema is fixed at query start (old logical names);
+    // a rename is metadata-only, files keep the original physical name —
+    // so the stream's reads of post-rename appends still resolve: the
+    // old name is not a mapping KEY and reads its physical column
+    // straight through
+    val root = graft.TempDirs.create("graft_tstream_cm")
+    val ckpt = graft.TempDirs.create("graft_tstream_cm_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L), "a"))                        // v1
+    assert(runOnce(root, ckpt).size == 2)
+    t.renameColumn("name", "label")                         // v2, metadata-only
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "label", "v"))  // v3, new logical
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the resumed stream keeps ITS checkpointed schema ('name')
+        assert(batch.columns.contains("name") || batch.columns.contains("label"))
+        val nameCol = if (batch.columns.contains("name")) "name" else "label"
+        batch.filter(col("_change") === "insert")
+          .select(col("id"), col(nameCol))
+          .as[(Long, String)].collect().foreach(seen.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set((3L, "c")),
+      s"post-rename append must deliver its values, got ${seen.asScala}")
+    // and a FRESH stream (new checkpoint) uses the renamed schema
+    val seen2 = runOnce(root, graft.TempDirs.create("graft_tstream_cm_ck2"))
+    assert(seen2.count(_._1 == "insert") == 3)
+  }
+
   test("a deletion-vector commit surfaces in the stream as a net delete") {
     val root = graft.TempDirs.create("graft_tstream_dv")
     val ckpt = graft.TempDirs.create("graft_tstream_dv_ckpt")
