@@ -2231,16 +2231,31 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * code, their truncated string windows re-coded driver-side).
     * Requires every dimension windowed (statsCol / partitionCol /
     * indexCols member) — the global span must resolve from metadata. */
-  def compactZOrderIncremental(cols: Seq[String], targetFiles: Int): Long = {
+  def compactZOrderIncremental(cols: Seq[String], targetFiles: Int): Long =
+    compactCurveIncremental(cols, targetFiles, graft.functions.ZOrderN(_),
+      GraftTable.zSignature(cols), "zorder")
+
+  /** INCREMENTAL Hilbert clustering — the Hilbert twin of
+    * [[compactZOrderIncremental]]: only files not already tagged with
+    * THIS curve's layout signature rewrite, the tail's keys scale
+    * against the global manifest spans, and laid files carry over
+    * verbatim. */
+  def compactHilbertIncremental(cols: Seq[String], targetFiles: Int): Long =
+    compactCurveIncremental(cols, targetFiles, graft.functions.HilbertN(_),
+      GraftTable.hSignature(cols), "hilbert")
+
+  private def compactCurveIncremental(cols: Seq[String], targetFiles: Int,
+      curve: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+      sig: String, op: String): Long = {
     require(cols.size >= 2 && cols.size <= 8,
-      s"compactZOrderIncremental takes 2..8 columns, got ${cols.size}")
+      s"incremental $op takes 2..8 columns, got ${cols.size}")
     cols.foreach(c => require(
       statsCol.exists(_.equalsIgnoreCase(c)) ||
         partitionCol.exists(_.equalsIgnoreCase(c)) ||
         indexCols.exists(_.equalsIgnoreCase(c)),
-      s"incremental zorder needs every dimension windowed; $c is not in " +
+      s"incremental $op needs every dimension windowed; $c is not in " +
         s"statsCol/partitionCol/indexCols"))
-    val sig = GraftTable.zSignature(cols)
     val lv = latestVersion.getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
     val prev = entries(lv)
@@ -2267,7 +2282,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }.toMap
     val v = nextVersion
     val untagged = prev.filterNot(_.zTag.contains(sig))
-    if (untagged.isEmpty) return commit(v, prev, op = "zorder")
+    if (untagged.isEmpty) return commit(v, prev, op = op)
     val totalRowsAll = prev.flatMap(_.liveRows).sum.max(1L)
     val sliverBound = totalRowsAll / (4L * targetFiles.toLong)
     val slivers = prev.filter(e => e.zTag.contains(sig) &&
@@ -2292,7 +2307,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             .cast("long")))
       case _ => lit(0L)
     }
-    val zkey = bridge.column(graft.functions.ZOrderN(
+    val zkey = bridge.column(curve(
       cols.map(c => bridge.expr(spark, scaled(c)))))
     val laid = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
       .withColumn("__z", zkey)
@@ -2300,7 +2315,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     commit(v, keep ++ writeData(laid, v).map(_.copy(zTag = Some(sig))),
-      op = "zorder")
+      op = op)
   }
 
   /** Live-row share of the active set NOT laid out by the given zorder

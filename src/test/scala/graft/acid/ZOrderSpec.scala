@@ -207,6 +207,18 @@ class ZOrderSpec extends SparkSpec {
     val es = t.entries(t.latestVersion.get)
     assert(es.forall(_.zTag.contains(GraftTable.hSignature(Seq("x", "y")))))
     assert(es.forall(e => !e.zTag.contains(GraftTable.zSignature(Seq("x", "y")))))
+    // INCREMENTAL Hilbert: a scattered burst re-clusters into the same
+    // grid, laid files carried verbatim, content exact
+    val laid = t.activeFiles(t.latestVersion.get).toSet
+    t.append(grid(4096).filter($"id" < 256).withColumn("id", $"id" + 10000L)
+      .coalesce(1))
+    t.compactHilbertIncremental(Seq("x", "y"), targetFiles = 16)
+    assert(t.history().last.op == "hilbert")
+    val after = t.activeFiles(t.latestVersion.get).toSet
+    assert(laid.subsetOf(after), "laid Hilbert files must carry over verbatim")
+    assert(t.snapshot().count() == 4096L + 256L)
+    assert(t.snapshotRangeOn("x", 0L, 511L).count() ==
+      512L + grid(4096).filter($"id" < 256 && $"x" <= 511).count())
   }
 
   test("index windows persist in the log and recover via load") {
