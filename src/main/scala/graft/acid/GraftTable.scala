@@ -2322,13 +2322,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * column list (the `z=` layout tags) — the auto-cadence decision
     * input, O(entries) from manifest metadata with zero file opens.
     * None when any file predates row-count stats (no safe ratio). */
-  private[graft] def zorderTailShare(cols: Seq[String]): Option[Double] = {
+  private[graft] def zorderTailShare(cols: Seq[String]): Option[Double] =
+    layoutTailShare(GraftTable.zSignature(cols))
+
+  private[graft] def hilbertTailShare(cols: Seq[String]): Option[Double] =
+    layoutTailShare(GraftTable.hSignature(cols))
+
+  private def layoutTailShare(sig: String): Option[Double] = {
     val lv = latestVersion.getOrElse(return None)
     val es = entries(lv)
     if (es.isEmpty || !es.forall(_.rows.isDefined)) return None
     val total = es.flatMap(_.liveRows).sum
     if (total <= 0L) return None
-    val sig = GraftTable.zSignature(cols)
     val tail = es.filterNot(_.zTag.contains(sig)).flatMap(_.liveRows).sum
     Some(tail.toDouble / total)
   }

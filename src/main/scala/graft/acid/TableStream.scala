@@ -301,6 +301,8 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
     // windowed (statsCol / partitionCol / `indexCols` sink option).
     // Prefer this over autoCompactFiles for z-ordered tables: a plain
     // compact strips the layout tags it just paid to establish.
+    // `autoZOrderCurve=hilbert` switches the auto-cadence to the
+    // Hilbert layout (same cadence logic, the curve's own tag)
     parameters.get("autoZOrderBy").foreach { spec =>
       val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       require(cols.size >= 2,
@@ -308,9 +310,16 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
       val share = parameters.get("autoZOrderTailShare").map(_.toDouble)
         .getOrElse(0.3)
       val target = parameters.get("autoZOrderFiles").map(_.toInt).getOrElse(32)
-      if (t.zorderTailShare(cols).exists(_ >= share))
-        try t.compactZOrderIncremental(cols, target)
-        catch { case _: ConcurrentCommitException => () }
+      val hilbert = parameters.get("autoZOrderCurve")
+        .exists(_.trim.equalsIgnoreCase("hilbert"))
+      val due =
+        if (hilbert) t.hilbertTailShare(cols).exists(_ >= share)
+        else t.zorderTailShare(cols).exists(_ >= share)
+      if (due)
+        try {
+          if (hilbert) t.compactHilbertIncremental(cols, target)
+          else t.compactZOrderIncremental(cols, target)
+        } catch { case _: ConcurrentCommitException => () }
     }
   }
 

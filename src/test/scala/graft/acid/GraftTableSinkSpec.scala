@@ -224,4 +224,42 @@ class GraftTableSinkSpec extends SparkSpec {
       (0L until 960L).count(id => (id * 131) % 1024 <= 255 &&
         (id * 191) % 1024 <= 255))
   }
+
+  test("autoZOrderCurve=hilbert re-clusters along the Hilbert curve") {
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val root = graft.TempDirs.create("graft_tsink_ah")
+    val ckpt = graft.TempDirs.create("graft_tsink_ah_ckpt")
+    val q = input.toDS().toDF("id", "x", "y").repartition(2)
+      .writeStream.format("graft-table")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("indexCols", "x,y")
+      .option("autoZOrderBy", "x,y")
+      .option("autoZOrderCurve", "hilbert")
+      .option("autoZOrderFiles", "8")
+      .option("autoZOrderTailShare", "0.3")
+      .trigger(Trigger.ProcessingTime(20))
+      .start()
+    try {
+      (0 until 12).foreach { b =>
+        input.addData((0 until 32).map { i =>
+          val id = b * 32L + i
+          (id, (id * 131) % 1024, (id * 191) % 1024)
+        }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = GraftTable.load(spark, root)
+    assert(t.history().exists(_.op == "hilbert"),
+      "the sink must have Hilbert-clustered on its own")
+    assert(t.hilbertTailShare(Seq("x", "y")).exists(_ < 0.5))
+    assert(t.snapshot().count() == 12L * 32L)
+    val all = t.activeFiles(t.latestVersion.get).size
+    val pred = col("x") >= 0L && col("x") <= 255L &&
+      col("y") >= 0L && col("y") <= 255L
+    assert(t.filesForPredicate(pred).size < all)
+    assert(t.snapshotWhere(pred).count() ==
+      (0L until 384L).count(id => (id * 131) % 1024 <= 255 &&
+        (id * 191) % 1024 <= 255))
+  }
 }
