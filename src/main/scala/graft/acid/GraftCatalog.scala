@@ -251,29 +251,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         d.fieldNames.head
     }
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        (u.fieldNames.head, u.newDataType())
+    }
     val added = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
     }
-    val handled = renames.size + drops.size + added.size
+    val handled = renames.size + drops.size + added.size + widens.size
     if (handled != changes.size) {
       val other = changes.filterNot {
-        case r: TableChange.RenameColumn => r.fieldNames.length == 1
-        case d: TableChange.DeleteColumn => d.fieldNames.length == 1
-        case a: TableChange.AddColumn    => a.fieldNames.length == 1
+        case r: TableChange.RenameColumn     => r.fieldNames.length == 1
+        case d: TableChange.DeleteColumn     => d.fieldNames.length == 1
+        case a: TableChange.AddColumn        => a.fieldNames.length == 1
+        case u: TableChange.UpdateColumnType => u.fieldNames.length == 1
         case _ => false
       }
       throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change ${other.mkString(", ")} " +
-          "(top-level ADD COLUMNS / RENAME COLUMN / DROP COLUMN only)")
+          "(top-level ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
+          "ALTER COLUMN TYPE widening only)")
     }
-    if (renames.nonEmpty || drops.nonEmpty) {
+    if (renames.nonEmpty || drops.nonEmpty || widens.nonEmpty) {
       require(t0.latestVersion.isDefined,
-        "graft catalog: RENAME/DROP COLUMN need a committed table " +
+        "graft catalog: RENAME/DROP/ALTER COLUMN need a committed table " +
           "(the column mapping lives in the commit log); insert first")
       renames.foreach { case (o, n) => t0.renameColumn(o, n) }
       drops.foreach(t0.dropColumn)
+      widens.foreach { case (c, dt) => t0.widenColumn(c, dt) }
     }
     val t = t0
     if (added.isEmpty) return load(ident, None, None)

@@ -1628,6 +1628,38 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def addColumn(name: String, dataType: DataType): Long =
     addColumns(Seq(StructField(name, dataType, nullable = true)))
 
+  /** ALTER COLUMN ... TYPE as a METADATA-ONLY commit, for the WIDENINGS
+    * the parquet reader serves by schema alone (verified against Spark
+    * 4's vectorized reader): byte/short/int -> any wider integral, and
+    * float -> double. Files carry over verbatim — old files' narrow
+    * values read widened, new writes land the wide type (conformForWrite
+    * upcasts) — the Delta type-widening shape. Narrowings and
+    * cross-family changes refuse loudly: the reader cannot serve them
+    * without a rewrite. Windows/blooms are unaffected (both already code
+    * integral columns through long). */
+  def widenColumn(name: String, newType: DataType): Long = {
+    import org.apache.spark.sql.types._
+    val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"widenColumn on $root: the table has no commits yet"))
+    val f = base.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"widenColumn on $root: no column $name"))
+    val rank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    val ok = (f.dataType, newType) match {
+      case (a, b) if rank.contains(a) && rank.contains(b) => rank(a) < rank(b)
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"widenColumn on $root: ${f.dataType.sql} -> ${newType.sql} " +
+      "is not a reader-servable widening (integral up-casts and " +
+      "float -> double only)")
+    val v = nextVersion
+    commit(v, latestVersion.map(entries).getOrElse(Nil), op = "widen_column",
+      schema = Some(StructType(base.fields.map(x =>
+        if (x.name.equalsIgnoreCase(name)) x.copy(dataType = newType) else x))))
+  }
+
   /** A column the physical layout depends on can be neither renamed nor
     * dropped without a rewrite: windows/blooms key it in every manifest
     * entry and the clustering/scoping paths address it by name. */

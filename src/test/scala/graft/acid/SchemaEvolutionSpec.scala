@@ -219,6 +219,39 @@ class SchemaEvolutionSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("widenColumn is metadata-only: old int files read as long, writes conform") {
+    val t = freshTable()
+    t.append(Seq((1, "a", 1.0f), (2, "b", 2.0f)).toDF("id", "name", "v"))
+    val filesBefore = t.activeFiles(1L).toSet
+    t.widenColumn("id", LongType)
+    t.widenColumn("v", DoubleType)
+    assert(t.activeFiles(t.latestVersion.get).toSet == filesBefore,
+      "widen_column must not rewrite data")
+    val snap = t.snapshot()
+    assert(snap.schema("id").dataType == LongType)
+    assert(snap.schema("v").dataType == DoubleType)
+    assert(snap.orderBy($"id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // pre-widen version time-travels with ITS types
+    assert(t.snapshot(Some(1L)).schema("id").dataType == IntegerType)
+    // appends land the WIDE type; a narrow frame up-casts on conform
+    t.append(Seq((3, "c", 3.0f)).toDF("id", "name", "v"))
+    assert(t.snapshot().count() == 3L)
+    assert(t.snapshot().filter($"id" === 3L).count() == 1L)
+    // narrowings and cross-family changes refuse
+    intercept[IllegalArgumentException](t.widenColumn("id", IntegerType))
+    intercept[IllegalArgumentException](t.widenColumn("name", LongType))
+    // SQL surface
+    val wh = graft.TempDirs.create("graft_widen_cat")
+    spark.conf.set("spark.sql.catalog.wd_cat", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wd_cat.root", wh)
+    spark.sql("CREATE TABLE wd_cat.t (id INT, v FLOAT) USING graft")
+    spark.sql("INSERT INTO wd_cat.t VALUES (7, 7.5)")
+    spark.sql("ALTER TABLE wd_cat.t ALTER COLUMN id TYPE BIGINT")
+    assert(spark.table("wd_cat.t").schema("id").dataType == LongType)
+    assert(spark.sql("SELECT id FROM wd_cat.t").collect().head.getLong(0) == 7L)
+  }
+
   test("SQL catalog: ALTER TABLE ADD COLUMNS then INSERT and read back") {
     val warehouse = graft.TempDirs.create("graft_evo_catalog")
     spark.conf.set("spark.sql.catalog.evo_cat", "graft.acid.GraftCatalog")
