@@ -381,6 +381,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("a column-mapped SQL read still pushes filters into the parquet leaves") {
+    import spark.implicits._
+    val wh = TempDirs.create("graft_cmplan_wh")
+    spark.conf.set("spark.sql.catalog.gcmp", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcmp.root", wh)
+    val t = new acid.GraftTable(spark, s"$wh/t")
+    t.append((1L to 5000L).map(i => (i, s"u$i", i * 1.0))
+      .toDF("id", "name", "v"))
+    t.renameColumn("name", "username")
+    val df = spark.sql(
+      "SELECT id, username FROM gcmp.t WHERE username = 'u42' AND id < 100")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // the planner-injected replacement re-optimizes the mapped read, so
+    // the predicate must reach the parquet scan as a pushed filter on
+    // the PHYSICAL column name
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      (p.contains("EqualTo(name,u42)") || p.contains("EqualTo(name, u42)")),
+      s"pushdown must reach the physical column: $p")
+  }
+
   test("timestamp/date/string manifest windows serve plan-time stats and metadata MIN/MAX") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
