@@ -252,6 +252,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM wd_cat.t").collect().head.getLong(0) == 7L)
   }
 
+  test("rename then widen compose: the mapped column reads wide from narrow files") {
+    val t = freshTable()
+    t.append(Seq((1, "a", 1.0)).toDF("id", "name", "v")) // id INT physical
+    t.renameColumn("id", "event_id")                     // mapped, still INT
+    t.widenColumn("event_id", LongType)                  // mapped AND widened
+    val filesBefore = t.activeFiles(1L).toSet
+    assert(t.activeFiles(t.latestVersion.get).toSet == filesBefore)
+    val snap = t.snapshot()
+    assert(snap.schema("event_id").dataType == LongType)
+    assert(snap.select($"event_id").as[Long].collect().toSeq == Seq(1L))
+    // appends under the new name+type join the old narrow file
+    t.append(Seq((2L, "b", 2.0)).toDF("event_id", "name", "v"))
+    assert(t.snapshot().orderBy($"event_id").select($"event_id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    // and DML through the composed lens still works
+    t.delete($"event_id" === 1L)
+    assert(t.snapshot().select($"event_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("SQL catalog: ALTER TABLE ADD COLUMNS then INSERT and read back") {
     val warehouse = graft.TempDirs.create("graft_evo_catalog")
     spark.conf.set("spark.sql.catalog.evo_cat", "graft.acid.GraftCatalog")
