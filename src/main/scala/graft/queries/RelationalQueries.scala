@@ -378,6 +378,27 @@ object RelationalQueries extends QueryPack {
         .limit(100)
     },
 
+    // Q4 (order-priority checking): EXISTS with a CORRELATED NON-EQUI
+    // component — the subquery's condition references the OUTER row's
+    // o_orderdate (`l_shipdate > o_orderdate`), so decorrelation must
+    // carry the comparison into the semi join, not just the key equality
+    // (adapted: the fixture has no commit/receipt dates, shipped-after-
+    // order stands in for the spec's committed-before-received).
+    "q_tpch_q4" -> { (s, d) =>
+      val li = view(s, d, "lineitem")
+      val o = view(s, d, "orders")
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS order_count
+           |FROM $o
+           |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+           |  AND EXISTS (SELECT 1 FROM $li
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // Q17 (small-quantity-order revenue): the CORRELATED SCALAR-AGG
     // subquery shape — `l_quantity < 0.2 * avg(quantity of this part)`
     // decorrelates to an aggregate-then-join (one lineitem pass computes
@@ -651,6 +672,17 @@ object RelationalQueries extends QueryPack {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_tpch_q17" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)

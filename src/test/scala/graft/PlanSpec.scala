@@ -66,6 +66,11 @@ class PlanSpec extends SparkSpec {
     assert(p17.contains("HashAggregate") || p17.contains("SortAggregate"), p17)
     assert(!p17.contains("CartesianProduct") &&
       !p17.contains("BroadcastNestedLoop"), p17)
+    // Q4's EXISTS carries its correlated NON-EQUI comparison into the
+    // semi join's condition — still a semi, still no rescans
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("CartesianProduct"), p4)
   }
 
   test("embed near-dup self-join is tiled: no nested-loop, no cartesian") {
