@@ -86,21 +86,43 @@ object Bench {
         case _ => None
       }
     /** Fraction of total machine CPU burnt by processes OTHER than this
-      * JVM since the last call (window = one query). getCpuLoad is the
-      * recent system-wide fraction; process share derives from the
-      * cumulative process-CPU-time counter over the same wall window. */
+      * JVM since the last call (window = one query). BOTH terms come from
+      * cumulative counters differenced over the SAME wall window —
+      * system share from /proc/stat's jiffy totals, process share from
+      * the process-CPU-time counter — so a bursty own-JVM load at the
+      * sample point can't overstate foreign CPU the way mixing the
+      * whole-window process delta with getCpuLoad's internal recent
+      * window did. getCpuLoad remains the non-Linux fallback. */
+    def readProcStat(): Option[(Long, Long)] = // (busy, total) jiffies
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map { l =>
+          val xs = l.trim.split("\\s+").drop(1).map(_.toLong)
+          val total = xs.sum
+          val idle = xs(3) + (if (xs.length > 4) xs(4) else 0L) // idle+iowait
+          (total - idle, total)
+        } finally src.close()
+      } catch { case _: Throwable => None }
     var lastProcCpuNs = osBean.map(_.getProcessCpuTime).getOrElse(0L)
     var lastWallNs = System.nanoTime()
+    var lastStat = readProcStat()
     def foreignCpu(): Double = osBean.fold(-1.0) { b =>
       val nowWall = System.nanoTime()
       val nowProc = b.getProcessCpuTime
       val wall = math.max(1L, nowWall - lastWallNs)
       val procShare = (nowProc - lastProcCpuNs).toDouble / (wall * nproc)
       lastWallNs = nowWall; lastProcCpuNs = nowProc
-      val sys = b.getCpuLoad
-      if (sys.isNaN || sys < 0) -1.0 else math.max(0.0, sys - procShare)
+      val nowStat = readProcStat()
+      val sysShare = (lastStat, nowStat) match {
+        case (Some((b0, t0)), Some((b1, t1))) if t1 > t0 =>
+          (b1 - b0).toDouble / (t1 - t0)
+        case _ =>
+          val s = b.getCpuLoad; if (s.isNaN || s < 0) -1.0 else s
+      }
+      lastStat = nowStat
+      if (sysShare < 0) -1.0 else math.max(0.0, sysShare - procShare)
     }
-    foreignCpu() // prime getCpuLoad's internal window
+    foreignCpu() // prime the cumulative-counter baselines
     var foreignMax = 0.0
     val loadStart = loadAvg()
     var loadMax = loadStart

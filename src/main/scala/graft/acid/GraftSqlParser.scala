@@ -65,7 +65,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val c = sql(i)
       if (c.isWhitespace) i += 1
       else if (c == '\'' || c == '`') {
-        val j = sql.indexOf(c, i + 1)
+        val j = closeQuote(sql, i) // escape-aware: \' and doubled quotes
         if (j < 0) return None
         out += sql.substring(i, j + 1); i = j + 1
       } else if (c == '(' || c == ')' || c == ',' || c == ';') {
@@ -345,6 +345,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * participants error here with the real reason. MERGE participants
     * are not SQL-expressible yet — use the Scala
     * [[GraftTable.AtomicMerge]]. */
+  /** Index of the CLOSING quote of the literal opening at `i` (`s(i)` is
+    * `'` or a backtick), honoring the two escape forms Spark's lexer
+    * accepts — backslash escapes inside `'...'` (`'it\'s'`) and SQL
+    * doubled-quote escaping (`''` / doubled backticks) — so the raw-text
+    * scanners below never mistake an escaped quote for the terminator.
+    * Returns -1 when unterminated. */
+  private def closeQuote(s: String, i: Int): Int = {
+    val q = s(i)
+    var j = i + 1
+    while (j < s.length) {
+      val c = s(j)
+      if (c == '\\' && q == '\'' && j + 1 < s.length) j += 2
+      else if (c == q) {
+        if (j + 1 < s.length && s(j + 1) == q) j += 2
+        else return j
+      } else j += 1
+    }
+    -1
+  }
+
   private def parseCommitAtomic(sql: String, t: Toks): Option[LogicalPlan] = {
     t.expectKw("COMMIT")
     if (!t.takeKw("ATOMIC")) return None // plain COMMIT: Spark's error
@@ -358,7 +378,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     while (i < sql.length && close < 0) {
       sql(i) match {
         case '\'' | '`' =>
-          val j = sql.indexOf(sql(i), i + 1)
+          val j = closeQuote(sql, i)
           if (j < 0) throw t.err("unterminated quote inside COMMIT ATOMIC")
           i = j
         case '(' => depth += 1
@@ -378,7 +398,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     while (k < body.length) {
       body(k) match {
         case '\'' | '`' =>
-          val j = body.indexOf(body(k), k + 1)
+          val j = closeQuote(body, k)
           k = if (j < 0) body.length - 1 else j
         case '(' => d += 1
         case ')' => d -= 1
@@ -466,7 +486,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       while (ix < rest.length && wIdx < 0) {
         rest(ix) match {
           case '\'' | '`' =>
-            val j = rest.indexOf(rest(ix), ix + 1)
+            val j = closeQuote(rest, ix)
             ix = if (j < 0) rest.length - 1 else j
           case '(' => d0 += 1
           case ')' => d0 -= 1
@@ -489,7 +509,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       while (k1 < assignsText.length) {
         assignsText(k1) match {
           case '\'' | '`' =>
-            val j = assignsText.indexOf(assignsText(k1), k1 + 1)
+            val j = closeQuote(assignsText, k1)
             k1 = if (j < 0) assignsText.length - 1 else j
           case '(' => d1 += 1
           case ')' => d1 -= 1

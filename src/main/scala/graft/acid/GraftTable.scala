@@ -1614,11 +1614,28 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val dropped = lv.map(droppedPhysOf).getOrElse(Set.empty)
     val physInUse = base.fields.map(f =>
       cm.getOrElse(f.name.toLowerCase, f.name).toLowerCase).toSet
+    // names the generated physical name must not collide with: live
+    // physical names, tombstoned physical names, logical base names, and
+    // the other fresh names minted in this same call — a table already
+    // containing a column literally named `a_5` must not alias a re-added
+    // `a` at version 5 onto it (two logical columns over one physical
+    // column would resurrect/duplicate data)
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= physInUse
+    taken ++= dropped
+    taken ++= base.fieldNames.map(_.toLowerCase)
     val freshEntries = cols.flatMap { c =>
       val lower = c.name.toLowerCase
-      if (dropped.contains(lower) || physInUse.contains(lower))
-        Some(lower -> s"${c.name}_$v")
-      else None
+      if (dropped.contains(lower) || physInUse.contains(lower)) {
+        var n = 0
+        var cand = s"${c.name}_$v"
+        while (taken.contains(cand.toLowerCase)) {
+          n += 1
+          cand = s"${c.name}_${v}_$n"
+        }
+        taken += cand.toLowerCase
+        Some(lower -> cand)
+      } else None
     }.toMap
     commit(v, prev, op = "add_column",
       schema = Some(StructType(base.fields ++ cols.map(_.copy(nullable = true)))),

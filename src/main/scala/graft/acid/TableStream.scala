@@ -440,11 +440,21 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       val dataSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f =>
           f.name == "_change" || f.name == "_commit_version"))
-      def read(es: Seq[table.FileEntry], tag: String): Option[DataFrame] =
+      // pin the COLUMN MAPPING to the batch endpoint too (not the
+      // table's latest): after a later drop+re-add or second rename
+      // commits, a replayed batch (checkpoint recovery) must resolve
+      // the stream's pinned names through the mapping AS OF the batch's
+      // own versions — added entries exist under toV's mapping, removed
+      // entries under fromV's — so batch content depends only on
+      // (fromV, toV), never on when the batch is read
+      def read(es: Seq[table.FileEntry], tag: String,
+               mapV: Long): Option[DataFrame] =
         if (es.isEmpty) None
-        else Some(table.readEntriesAs(es, dataSchema)
+        else Some(table.readEntriesAs(es, dataSchema,
+            Some(table.cmapOf(mapV)))
           .withColumn("_change", lit(tag)))
-      val parts = read(added, "insert").toSeq ++ read(removed, "delete")
+      val parts =
+        read(added, "insert", toV).toSeq ++ read(removed, "delete", fromV)
       if (parts.isEmpty) emptyBatch
       else {
         val out = parts.reduce(_.unionByName(_))

@@ -383,6 +383,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "a failed txn must leave every participant untouched")
     assert(s2.sql("SELECT count(*) AS n FROM gtx.raw WHERE k = 9")
       .as[Long].head() == 0L)
+    // escaped quotes inside string literals must not mis-split the
+    // raw-text scans: SQL doubled-quote form first ('it''s...' — the
+    // ';' and parens inside the literal would tear the participant list
+    // if the scan stopped at the inner quote; Spark 4's ANSI lexer reads
+    // the intact token as an embedded quote)
+    s2.sql("""COMMIT ATOMIC (
+             |  INSERT INTO gtx.raw VALUES (10, 'it''s; (fine)');
+             |  INSERT INTO gtx.agg VALUES (10, 1)
+             |)""".stripMargin)
+    assert(s2.sql("SELECT v FROM gtx.raw WHERE k = 10")
+      .collect().head.getString(0) == "it's; (fine)")
+    // ... and the backslash form, through the UPDATE SET/WHERE splitter
+    s2.sql("""COMMIT ATOMIC (
+             |  UPDATE gtx.raw SET v = 'a\'b); where c' WHERE k = 10
+             |)""".stripMargin)
+    assert(s2.sql("SELECT v FROM gtx.raw WHERE k = 10")
+      .collect().head.getString(0) == "a'b); where c")
     // malformed participants error loudly
     intercept[ParseException](s2.sql("COMMIT ATOMIC ()"))
     intercept[ParseException](s2.sql(

@@ -158,6 +158,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.snapshot().filter($"name".isNull).count() == 3L)
   }
 
+  test("re-add fresh physical name dodges a literal namesake column") {
+    val t = freshTable()
+    t.append(rows(3))                    // v1: (id, name, v)
+    t.dropColumn("name")                 // v2
+    // a column literally named `name_4` — the exact candidate the v4
+    // re-add below would generate — must NOT end up aliased by it (two
+    // logical columns over one physical column would duplicate data)
+    t.addColumn("name_4", StringType)    // v3
+    t.addColumn("name", StringType)      // v4: fresh physical must dodge
+    t.append(Seq((9L, 9.0, "literal", "fresh"))
+      .toDF("id", "v", "name_4", "name"))
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq == Seq("id", "v", "name_4", "name"))
+    // the two logical columns hold DISTINCT values — no shared physical
+    val r = snap.filter($"id" === 9L)
+      .select($"name_4", $"name").collect().head
+    assert(r.getString(0) == "literal" && r.getString(1) == "fresh",
+      s"name_4/name must not alias one physical column: $r")
+    // old rows: both NULL (name_4 is new; name is a fresh physical)
+    assert(snap.filter($"id" < 9L && $"name".isNull && $"name_4".isNull)
+      .count() == 3L)
+  }
+
   test("rename/drop guards: config columns, clashes, CHECK references refuse") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_cm_guard"),
       statsCol = Some("id"), constraints = Seq("v > 0"))

@@ -99,6 +99,40 @@ class TableStreamSpec extends SparkSpec {
     assert(seen2.count(_._1 == "insert") == 3)
   }
 
+  test("a replayed batch resolves columns through the batch-endpoint mapping, not the latest") {
+    // checkpoint-recovery shape: batch (fromV, toV) is re-read AFTER a
+    // later drop+re-add commits — the latest mapping points the stream's
+    // pinned 'name' at a FRESH physical column (all NULL in the old
+    // files); batch content must depend only on the endpoints
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val root = graft.TempDirs.create("graft_tstream_replay")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L), "a"))                        // v1
+    // the stream's schema, pinned at query start
+    val schema = t.snapshot().schema
+      .add("_change", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+    def replayV1(): Seq[(Long, String)] = {
+      val df = new GraftTableStreamSource(spark.sqlContext, t, schema, Map.empty)
+        .getBatch(None, TableVersionOffset(1L))
+      // strip the streaming tag so the spec can collect the batch
+      val plan = df.queryExecution.analyzed.transform {
+        case lr: LogicalRelation if lr.isStreaming =>
+          lr.copy(isStreaming = false, stream = None)
+      }
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, plan)
+        .select($"id", $"name").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    }
+    assert(replayV1() == Seq((1L, "a"), (2L, "a")))
+    t.dropColumn("name")                                    // v2
+    t.addColumn("name", org.apache.spark.sql.types.StringType) // v3: fresh physical
+    t.append(Seq((9L, 9.0, "fresh")).toDF("id", "v", "name"))  // v4
+    // the replay must still read v1's values — NOT all-NULL through the
+    // latest mapping's fresh physical column
+    assert(replayV1() == Seq((1L, "a"), (2L, "a")),
+      "replayed batch content must be a pure function of (fromV, toV)")
+  }
+
   test("a deletion-vector commit surfaces in the stream as a net delete") {
     val root = graft.TempDirs.create("graft_tstream_dv")
     val ckpt = graft.TempDirs.create("graft_tstream_dv_ckpt")
