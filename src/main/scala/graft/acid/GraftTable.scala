@@ -429,6 +429,21 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def checkpointPath(v: Long) = new Path(logDir, f"v$v%020d.checkpoint")
   private def bloomSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.blooms")
   private def dvSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.dvs")
+  // PARQUET checkpoint twin: a directory of part files (distributed
+  // write AND read) plus a tiny text `.pcp` meta whose single atomic
+  // write is the completeness marker — Spark's job-commit protocol
+  // leaves no half-visible state a reader could trust without it
+  private def pcpDirPath(v: Long) = new Path(logDir, f"v$v%020d.checkpoint.parquet")
+  private def pcpMetaPath(v: Long) = new Path(logDir, f"v$v%020d.pcp")
+
+  /** Active-file count past which [[writeCheckpoint]] switches from the
+    * text checkpoint to the parquet (columnar, distributed) form. The
+    * default keeps small tables on the zero-dependency text path; tests
+    * and large deployments tune it via
+    * `spark.graft.acid.parquetCheckpointMinFiles`. */
+  private def pcpMinFiles: Int =
+    spark.conf.getOption("spark.graft.acid.parquetCheckpointMinFiles")
+      .flatMap(_.toIntOption).getOrElse(10000)
 
   /** Resolve version `v`'s ACTIVE entry list. Incremental-log resolution
     * (the Delta/Iceberg checkpoint pattern): a version materializes from
@@ -456,6 +471,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         case _ =>
           val cp =
             if (fs.exists(checkpointPath(base))) checkpointEntries(base)
+            else if (fs.exists(pcpMetaPath(base))) parquetCheckpointEntries(base)
             else None
           if (cp.isDefined) {
             // a checkpoint short-circuits the walk (an incomplete one —
@@ -503,6 +519,70 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       Some(lines.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntry))
     }
   }
+
+  private def entryToCp(e: FileEntry): GraftTable.CpRow =
+    GraftTable.CpRow(e.path,
+      e.stats.map(_._1), e.stats.map(_._2),
+      e.part.map(_._1), e.part.map(_._2),
+      e.bloom.map(GraftTable.longsToBytes),
+      e.bloomRef, e.dvRef, e.dvCount, e.rows, e.zTag,
+      e.windows, e.strWindows,
+      e.timeWindows.map { case (c, (k, lo, hi)) => c -> ((k.toString, lo, hi)) },
+      e.ndv)
+
+  private def cpToEntry(r: GraftTable.CpRow): FileEntry =
+    FileEntry(r.path,
+      stats = (r.sLo, r.sHi) match {
+        case (Some(a), Some(b)) => Some((a, b)); case _ => None },
+      part = (r.pLo, r.pHi) match {
+        case (Some(a), Some(b)) => Some((a, b)); case _ => None },
+      bloom = r.bloom.map(GraftTable.bytesToLongs),
+      windows = r.w, rows = r.n, bloomRef = r.bf, strWindows = r.sw,
+      dvRef = r.dv, dvCount = r.dn, zTag = r.z, ndv = r.nv,
+      timeWindows = r.tw.map { case (c, (k, lo, hi)) =>
+        c -> ((k.head, lo, hi)) })
+
+  /** Resolve a PARQUET checkpoint: a distributed columnar scan of the
+    * part files — at ~10⁶ entries the parse runs across the cluster
+    * instead of single-threaded on the driver (the cold-start
+    * bottleneck the text form hits), and the collect is the same
+    * bounded file-METADATA list every resolution materializes. The
+    * `.pcp` meta gates features and carries the expected entry count
+    * (`nf=`): a count mismatch means torn/missing part files and fails
+    * LOUDLY rather than resolving a silently smaller table. */
+  private def parquetCheckpointEntries(v: Long): Option[Seq[FileEntry]] = {
+    val meta = readLines(pcpMetaPath(v)).getOrElse(Nil)
+    if (!meta.lastOption.contains(CommitMarker)) None // crash mid-write
+    else {
+      checkRequiredFeatures(meta, s"checkpoint v$v (parquet)")
+      val nf = meta.headOption.toSeq.flatMap(_.drop(1).trim.split("\\s+"))
+        .flatMap(_.split("=", 2) match {
+          case Array("nf", n) => n.toLongOption
+          case _              => None
+        }).headOption
+      import spark.implicits._
+      val es = spark.read.schema(GraftTable.cpSchema)
+        .parquet(pcpDirPath(v).toString)
+        .as[GraftTable.CpRow].collect().map(cpToEntry)
+      if (nf.exists(_ != es.length))
+        throw new IllegalStateException(
+          s"parquet checkpoint v$v at $root is incomplete: meta says " +
+            s"${nf.get} entries, scan found ${es.length}")
+      // deterministic order (part-file read order is not): paths are
+      // unique per version, so this is a total order
+      Some(es.sortBy(_.path).toSeq)
+    }
+  }
+
+  /** The parquet checkpoint of version `v` as a RAW DataFrame (None when
+    * `v` has none) — the column-prunable, distributed face for
+    * metadata-only consumers: projecting e.g. `path`/`n`/`dn` answers a
+    * cold COUNT without materializing windows, sketches or blooms
+    * (ParquetCheckpointSpec pins the pruned ReadSchema). */
+  private[graft] def checkpointDF(v: Long): Option[DataFrame] =
+    if (!fs.exists(pcpMetaPath(v))) None
+    else Some(spark.read.schema(GraftTable.cpSchema)
+      .parquet(pcpDirPath(v).toString))
 
   /** One commit's provenance: version, operation, wall-clock commit time
     * (epoch millis; 0 for pre-header manifests), active file count. */
@@ -1383,13 +1463,34 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   }
 
   private def writeCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
-    try {
+    if (files.size >= pcpMinFiles) writeParquetCheckpoint(v, files)
+    else try {
       val req = requiredFeatures(files)
       val header = s"# checkpoint v=$v" +
         (if (req.isEmpty) "" else s" require=${req.mkString(",")}")
       val out = fs.create(checkpointPath(v), false)
       try out.write(((header +: files.map(_.line)) :+ CommitMarker)
         .mkString("\n").getBytes(UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
+
+  /** The COLUMNAR checkpoint write: a distributed parquet job over the
+    * entry list, then the `.pcp` meta as the single-write completeness
+    * marker (exclusive create — of two racers one wins; content is
+    * identical either way). Failure-tolerant like the text form: any
+    * error leaves at worst an unreferenced part directory, and the
+    * manifest chain stays sufficient on its own. */
+  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
+    try {
+      if (fs.exists(pcpMetaPath(v))) return
+      import spark.implicits._
+      spark.createDataset(files.map(entryToCp))
+        .write.mode("overwrite").parquet(pcpDirPath(v).toString)
+      val req = (requiredFeatures(files) :+ "pcp").distinct.sorted
+      val header = s"# checkpoint v=$v kind=parquet nf=${files.size} " +
+        s"require=${req.mkString(",")}"
+      val out = fs.create(pcpMetaPath(v), false)
+      try out.write((header + "\n" + CommitMarker).getBytes(UTF_8))
       finally out.close()
     } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
 
@@ -3586,7 +3687,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // the oldest retained version must resolve WITHOUT the delta chain
     // about to be deleted below it: materialize its checkpoint first
     keepVs.headOption.foreach { oldest =>
-      if (!fs.exists(checkpointPath(oldest)))
+      if (!fs.exists(checkpointPath(oldest)) && !fs.exists(pcpMetaPath(oldest)))
         writeCheckpoint(oldest, keepEntries(oldest))
     }
     val live = keepEntries.values.flatten.map(_.path).toSet
@@ -3597,6 +3698,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     vs.dropRight(retain).foreach { v =>
       fs.delete(manifestPath(v), false)
       fs.delete(checkpointPath(v), false)
+      fs.delete(pcpMetaPath(v), false)
+      fs.delete(pcpDirPath(v), true)
       if (!liveSidecars.contains(v)) {
         fs.delete(bloomSidecarPath(v), false)
         fs.delete(dvSidecarPath(v), false)
@@ -3647,9 +3750,50 @@ object GraftTable {
   /** Manifest features THIS engine build understands — the read side of
     * the `require=` protocol gate. Every gated feature's entry tags:
     * `dv` (deletion-vector refs — masks rows), `bf` (sidecar bloom
-    * refs), `sw` (truncated string windows), `z` (zorder layout tags). */
+    * refs), `sw` (truncated string windows), `z` (zorder layout tags),
+    * `cm` (column mapping), `pcp` (parquet columnar checkpoint — stamped
+    * only in the checkpoint's own `.pcp` meta, never in manifests: the
+    * delta chain stays sufficient for any reader until vacuum trims it,
+    * and then the meta's gate is exactly where an old reader parses). */
   private[graft] val SupportedFeatures: Set[String] =
-    Set("dv", "bf", "sw", "z", "cm")
+    Set("dv", "bf", "sw", "z", "cm", "pcp")
+
+  /** One PARQUET-CHECKPOINT row — the columnar twin of a manifest entry
+    * line (round-trips losslessly through the handle's entryToCp /
+    * cpToEntry; ParquetCheckpointSpec pins line-for-line equality). At
+    * ~10⁶ active files the text checkpoint is the cold-start bottleneck
+    * — a single-threaded driver parse of a multi-hundred-MB file — while
+    * this form reads as an ordinary distributed, column-prunable parquet
+    * scan (the public Delta parquet-checkpoint design): a metadata-only
+    * consumer projects just the columns it needs (e.g. `path`,`n`,`dn`
+    * for a COUNT serve) and never materializes the heavy advisory blobs
+    * (`nv` HLL sketches, legacy inline blooms). */
+  private[graft] case class CpRow(
+      path: String,
+      sLo: Option[Long], sHi: Option[Long],
+      pLo: Option[Long], pHi: Option[Long],
+      bloom: Option[Array[Byte]],
+      bf: Option[Long], dv: Option[Long], dn: Long, n: Option[Long],
+      z: Option[String],
+      w: Map[String, (Long, Long)],
+      sw: Map[String, (String, String)],
+      tw: Map[String, (String, Long, Long)],
+      nv: Map[String, Array[Byte]])
+
+  private[graft] val cpSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[CpRow].schema
+
+  private[acid] def longsToBytes(ws: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
+    bb.asLongBuffer().put(ws)
+    bb.array()
+  }
+
+  private[acid] def bytesToLongs(bs: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bs.length / 8)
+    java.nio.ByteBuffer.wrap(bs).asLongBuffer().get(out)
+    out
+  }
 
   /** One Z-ORDER dimension as a long-coded column, type-dispatched:
     * strings through the order-preserving 8-byte prefix code, TIMESTAMP

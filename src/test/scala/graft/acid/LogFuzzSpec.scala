@@ -15,6 +15,19 @@ class LogFuzzSpec extends SparkSpec {
   import spark.implicits._
 
   test("60 mixed commits: snapshot == model at every step, fresh handles agree") {
+    runFuzz()
+  }
+
+  test("the same 60-commit model over PARQUET checkpoints (cold-handle parity)") {
+    // force every checkpoint materialization (cadence + vacuum) into the
+    // columnar form — the fuzz's fresh-handle checks then resolve purely
+    // through parquet checkpoints + delta chains instead of text ones
+    spark.conf.set("spark.graft.acid.parquetCheckpointMinFiles", "1")
+    try runFuzz()
+    finally spark.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
+  }
+
+  private def runFuzz(): Unit = {
     val root = graft.TempDirs.create("graft_logfuzz")
     // dvPurgeRows WELL below what the delete mix accumulates: the
     // threshold auto-purge (reorg) interleaves with every other op and

@@ -1,0 +1,149 @@
+package graft.acid
+
+import graft.SparkSpec
+
+/** The PARQUET (columnar) checkpoint: lossless round-trip against the
+  * text form, distributed cold-start resolution, column-pruned metadata
+  * reads, feature gating, and vacuum integration. The text checkpoint
+  * is a single driver-parsed file — fine at thousands of entries, the
+  * cold-start bottleneck at ~10⁶ — so past a file-count threshold the
+  * materialization switches to a parquet directory read as an ordinary
+  * distributed, column-prunable scan (the public Delta
+  * parquet-checkpoint design). */
+class ParquetCheckpointSpec extends SparkSpec {
+
+  private val MinFilesKey = "spark.graft.acid.parquetCheckpointMinFiles"
+
+  /** A synthetic entry exercising EVERY tag family the manifest line
+    * format carries — stats, partition window, inline bloom, sidecar
+    * bloom ref, dv ref+count, layout tag, row count, long / string /
+    * time (micros + days) windows, ndv sketches — so line-for-line
+    * equality below proves the columnar codec lossless. */
+  private def mkEntry(t: GraftTable, i: Int): t.FileEntry = t.FileEntry(
+    path = f"data/c1-fake/part-$i%06d.parquet",
+    stats = Some((i.toLong, i + 10L)),
+    part = if (i % 3 == 0) Some((i.toLong % 7, i.toLong % 7)) else None,
+    bloom = if (i % 5 == 0) Some(Array(0x0123456789abcdefL ^ i, -1L ^ i)) else None,
+    windows = Map("k" -> ((i.toLong, i + 100L))),
+    rows = Some(100L + i),
+    bloomRef = if (i % 4 == 0) Some(1L) else None,
+    strWindows = Map("s" -> ((s"a$i", s"z$i"))),
+    dvRef = if (i % 6 == 0) Some(1L) else None,
+    dvCount = if (i % 6 == 0) 2L else 0L,
+    zTag = if (i % 2 == 0) Some("a2s") else None,
+    ndv = Map("k" -> Array[Byte](1, 2, (i % 127).toByte)),
+    timeWindows = Map("ts" -> (('u', 1000L * i, 2000L * i)),
+      "d" -> (('d', 10L + i, 20L + i))))
+
+  test("a large checkpoint lands as parquet and a cold handle resolves it byte-identically") {
+    spark.conf.set(MinFilesKey, "500")
+    try {
+      val root = graft.TempDirs.create("graft_pcp")
+      // checkpointInterval=1: the first commit already materializes
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      val entries = (0 until 600).map(mkEntry(t, _))
+      t.commit(1L, entries, op = "append")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_log/v${"%020d".format(1)}.pcp")), "pcp meta must exist")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_log/v${"%020d".format(1)}.checkpoint")),
+        "past the threshold the TEXT checkpoint must not be written")
+      // the meta self-gates with the pcp feature
+      val meta = scala.io.Source.fromInputStream(fs.open(
+        new org.apache.hadoop.fs.Path(s"$root/_log/v${"%020d".format(1)}.pcp")))
+        .getLines().toList
+      assert(meta.head.contains("require=") && meta.head.contains("pcp"),
+        s"meta must stamp the pcp feature: ${meta.head}")
+      assert(meta.head.contains("nf=600"))
+      // COLD resolution: a fresh handle with empty caches, with the
+      // MANIFEST REMOVED so the checkpoint is the only possible source
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/_log/v${"%020d".format(1)}.manifest"), false)
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      val got = cold.entries(1L).map(_.line).toSet
+      assert(got == entries.map(_.line).toSet,
+        "parquet-checkpoint resolution must be line-for-line lossless")
+    } finally spark.conf.unset(MinFilesKey)
+  }
+
+  test("text and parquet checkpoints of the same state resolve identically") {
+    val rootT = graft.TempDirs.create("graft_pcp_text")
+    val rootP = graft.TempDirs.create("graft_pcp_parq")
+    val tt = new GraftTable(spark, rootT, checkpointInterval = 1)
+    val tp = new GraftTable(spark, rootP, checkpointInterval = 1)
+    // same CONTENT into both tables (entries are instance-scoped; equal
+    // construction yields byte-equal manifest lines)
+    tt.commit(1L, (0 until 64).map(mkEntry(tt, _)), op = "append")
+    spark.conf.set(MinFilesKey, "1")
+    try tp.commit(1L, (0 until 64).map(mkEntry(tp, _)), op = "append")
+    finally spark.conf.unset(MinFilesKey)
+    val fromText = new GraftTable(spark, rootT).entries(1L).map(_.line).sorted
+    val fromParq = new GraftTable(spark, rootP).entries(1L).map(_.line).sorted
+    assert(fromText == fromParq, "both checkpoint kinds must agree")
+  }
+
+  test("a 100k-entry checkpoint resolves, and metadata reads prune to their columns") {
+    spark.conf.set(MinFilesKey, "50000")
+    try {
+      val root = graft.TempDirs.create("graft_pcp_100k")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      // lean entries at this scale (stats + rows), the realistic shape
+      val entries = (0 until 100000).map { i =>
+        t.FileEntry(f"data/c1-fake/part-$i%06d.parquet",
+          stats = Some((i.toLong, i + 10L)), rows = Some(10L + (i % 5)))
+      }
+      t.commit(1L, entries, op = "append")
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(1L).size == 100000, "cold 100k resolution")
+      // METADATA-ONLY consumer: a cold COUNT serve projects just
+      // (n, dn) — the scan must NOT materialize windows/sketches/blooms
+      val df = cold.checkpointDF(1L).getOrElse(fail("expected a parquet checkpoint"))
+      val pruned = df.select("n", "dn")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("ReadSchema: struct<dn:bigint,n:bigint>"),
+        s"checkpoint scan must column-prune, got plan:\n$plan")
+      import org.apache.spark.sql.functions._
+      val served = pruned.agg(sum(col("n") - col("dn"))).head().getLong(0)
+      assert(served == entries.map(e => e.rows.get - e.dvCount).sum)
+    } finally spark.conf.unset(MinFilesKey)
+  }
+
+  test("an unknown checkpoint feature refuses loudly; vacuum reclaims parquet artifacts") {
+    spark.conf.set(MinFilesKey, "1")
+    try {
+      val root = graft.TempDirs.create("graft_pcp_gate")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      import spark.implicits._
+      (1 to 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def pcpMeta(v: Long) =
+        new org.apache.hadoop.fs.Path(s"$root/_log/v${"%020d".format(v)}.pcp")
+      def pcpDir(v: Long) = new org.apache.hadoop.fs.Path(
+        s"$root/_log/v${"%020d".format(v)}.checkpoint.parquet")
+      assert(fs.exists(pcpMeta(4L)) && fs.exists(pcpDir(4L)))
+      // doctor v4's meta to require a feature this reader lacks
+      fs.delete(pcpMeta(4L), false)
+      val out = fs.create(pcpMeta(4L), false)
+      out.write("# checkpoint v=4 kind=parquet nf=4 require=zzz\n# ok"
+        .getBytes("UTF-8"))
+      out.close()
+      val e = intercept[IllegalStateException](
+        new GraftTable(spark, root).entries(4L))
+      assert(e.getMessage.contains("zzz"), e.getMessage)
+      // restore a sane meta, then vacuum: artifacts of dropped versions
+      // (meta + parquet dir) must be reclaimed
+      fs.delete(pcpMeta(4L), false)
+      val out2 = fs.create(pcpMeta(4L), false)
+      out2.write("# checkpoint v=4 kind=parquet nf=4 require=pcp\n# ok"
+        .getBytes("UTF-8"))
+      out2.close()
+      t.vacuum(retain = 1)
+      assert(!fs.exists(pcpMeta(1L)) && !fs.exists(pcpDir(1L)),
+        "vacuum must reclaim dropped parquet checkpoints")
+      assert(new GraftTable(spark, root).snapshot().count() == 4L)
+    } finally spark.conf.unset(MinFilesKey)
+  }
+}
