@@ -520,7 +520,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
-  private def entryToCp(e: FileEntry): GraftTable.CpRow =
+  private def entryToCp(e: FileEntry, ord: Long): GraftTable.CpRow =
     GraftTable.CpRow(e.path,
       e.stats.map(_._1), e.stats.map(_._2),
       e.part.map(_._1), e.part.map(_._2),
@@ -528,7 +528,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       e.bloomRef, e.dvRef, e.dvCount, e.rows, e.zTag,
       e.windows, e.strWindows,
       e.timeWindows.map { case (c, (k, lo, hi)) => c -> ((k.toString, lo, hi)) },
-      e.ndv)
+      e.ndv, Some(ord))
 
   private def cpToEntry(r: GraftTable.CpRow): FileEntry =
     FileEntry(r.path,
@@ -542,46 +542,71 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       timeWindows = r.tw.map { case (c, (k, lo, hi)) =>
         c -> ((k.head, lo, hi)) })
 
+  /** The `.pcp` meta of version `v`, VALIDATED: the declared entry count
+    * iff the meta is complete (terminator marker present) and every
+    * required feature is one this reader serves. The feature gate stays
+    * LOUD (an old reader must refuse a post-vacuum table it cannot
+    * parse, never shrink it); a torn meta is simply "no checkpoint". */
+  private def pcpMetaNf(v: Long): Option[Long] = {
+    val meta = readLines(pcpMetaPath(v)).getOrElse(Nil)
+    if (!meta.lastOption.contains(CommitMarker)) None // crash mid-write
+    else {
+      checkRequiredFeatures(meta, s"checkpoint v$v (parquet)")
+      meta.headOption.toSeq.flatMap(_.drop(1).trim.split("\\s+"))
+        .flatMap(_.split("=", 2) match {
+          case Array("nf", n) => n.toLongOption
+          case _              => None
+        }).headOption
+    }
+  }
+
   /** Resolve a PARQUET checkpoint: a distributed columnar scan of the
     * part files — at ~10⁶ entries the parse runs across the cluster
     * instead of single-threaded on the driver (the cold-start
     * bottleneck the text form hits), and the collect is the same
     * bounded file-METADATA list every resolution materializes. The
     * `.pcp` meta gates features and carries the expected entry count
-    * (`nf=`): a count mismatch means torn/missing part files and fails
-    * LOUDLY rather than resolving a silently smaller table. */
-  private def parquetCheckpointEntries(v: Long): Option[Seq[FileEntry]] = {
-    val meta = readLines(pcpMetaPath(v)).getOrElse(Nil)
-    if (!meta.lastOption.contains(CommitMarker)) None // crash mid-write
-    else {
-      checkRequiredFeatures(meta, s"checkpoint v$v (parquet)")
-      val nf = meta.headOption.toSeq.flatMap(_.drop(1).trim.split("\\s+"))
-        .flatMap(_.split("=", 2) match {
-          case Array("nf", n) => n.toLongOption
-          case _              => None
-        }).headOption
+    * (`nf=`): a count mismatch means torn/missing part files — the
+    * resolution WARNS and falls back to the manifest-chain walk (which
+    * stays sufficient until [[vacuum]] trims it, and vacuum itself
+    * verifies checkpoint completeness before trimming) instead of
+    * failing a healthy table on a damaged accelerator artifact. */
+  private def parquetCheckpointEntries(v: Long): Option[Seq[FileEntry]] =
+    pcpMetaNf(v).flatMap { nf =>
       import spark.implicits._
-      val es = spark.read.schema(GraftTable.cpSchema)
+      val rows = spark.read.schema(GraftTable.cpSchema)
         .parquet(pcpDirPath(v).toString)
-        .as[GraftTable.CpRow].collect().map(cpToEntry)
-      if (nf.exists(_ != es.length))
-        throw new IllegalStateException(
-          s"parquet checkpoint v$v at $root is incomplete: meta says " +
-            s"${nf.get} entries, scan found ${es.length}")
-      // deterministic order (part-file read order is not): paths are
-      // unique per version, so this is a total order
-      Some(es.sortBy(_.path).toSeq)
+        .as[GraftTable.CpRow].collect()
+      if (nf != rows.length) {
+        logWarning(s"parquet checkpoint v$v at $root is damaged: meta " +
+          s"says $nf entries, scan found ${rows.length}; falling back " +
+          "to the manifest chain")
+        None
+      } else {
+        // commit/write order when the checkpoint recorded it (the `ord`
+        // column — so both checkpoint forms and the delta replay agree
+        // on entry order); legacy ord-less checkpoints fall back to the
+        // path total order (paths are unique per version)
+        val ordered =
+          if (rows.nonEmpty && rows.forall(_.ord.isDefined))
+            rows.sortBy(_.ord.get)
+          else rows.sortBy(_.path)
+        Some(ordered.map(cpToEntry).toSeq)
+      }
     }
-  }
 
   /** The parquet checkpoint of version `v` as a RAW DataFrame (None when
-    * `v` has none) — the column-prunable, distributed face for
-    * metadata-only consumers: projecting e.g. `path`/`n`/`dn` answers a
-    * cold COUNT without materializing windows, sketches or blooms
-    * (ParquetCheckpointSpec pins the pruned ReadSchema). */
+    * `v` has none or its meta is torn/ungated) — the column-prunable,
+    * distributed face for metadata-only consumers: projecting e.g.
+    * `path`/`n`/`dn` answers a cold COUNT without materializing windows,
+    * sketches or blooms (ParquetCheckpointSpec pins the pruned
+    * ReadSchema). Validates through the same meta gate as full
+    * resolution, so a consumer can never serve from an incomplete or
+    * feature-ungated checkpoint; the part directory itself appears
+    * atomically (temp-dir + rename in [[writeParquetCheckpoint]]), so a
+    * complete meta implies a complete directory. */
   private[graft] def checkpointDF(v: Long): Option[DataFrame] =
-    if (!fs.exists(pcpMetaPath(v))) None
-    else Some(spark.read.schema(GraftTable.cpSchema)
+    pcpMetaNf(v).map(_ => spark.read.schema(GraftTable.cpSchema)
       .parquet(pcpDirPath(v).toString))
 
   /** One commit's provenance: version, operation, wall-clock commit time
@@ -1474,25 +1499,47 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       finally out.close()
     } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
 
-  /** The COLUMNAR checkpoint write: a distributed parquet job over the
-    * entry list, then the `.pcp` meta as the single-write completeness
-    * marker (exclusive create — of two racers one wins; content is
-    * identical either way). Failure-tolerant like the text form: any
-    * error leaves at worst an unreferenced part directory, and the
-    * manifest chain stays sufficient on its own. */
-  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
+  /** The COLUMNAR checkpoint write: a distributed parquet job into a
+    * UNIQUE temp directory, an atomic rename into place, then the `.pcp`
+    * meta as the single-write completeness marker (exclusive create).
+    * Two racers at the same version each write their own temp dir and
+    * exactly one rename + one meta create wins — the loser's artifacts
+    * delete; a reader can never observe a half-written or racer-clobbered
+    * part directory behind a published meta (the r12 check-then-overwrite
+    * race). Failure-tolerant like the text form — catching NonFatal, not
+    * just IOException: the parquet job is DISTRIBUTED, and an executor
+    * failure (SparkException) must not fail a commit whose manifest
+    * already landed (the checkpoint is an accelerator; the manifest
+    * chain stays sufficient on its own). Any error leaves at worst an
+    * unreferenced temp/part directory, reclaimed by [[vacuum]]. */
+  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit = {
+    val tmp = new Path(logDir, f"v$v%020d.checkpoint.parquet.tmp." +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
     try {
       if (fs.exists(pcpMetaPath(v))) return
       import spark.implicits._
-      spark.createDataset(files.map(entryToCp))
-        .write.mode("overwrite").parquet(pcpDirPath(v).toString)
+      spark.createDataset(files.zipWithIndex.map { case (e, i) =>
+        entryToCp(e, i.toLong) })
+        .write.mode("errorifexists").parquet(tmp.toString)
+      // rename is the publish point for the DIRECTORY: it either lands
+      // whole or (racer already renamed) fails — never a partial dir at
+      // the final path
+      if (!fs.rename(tmp, pcpDirPath(v))) { fs.delete(tmp, true); return }
       val req = (requiredFeatures(files) :+ "pcp").distinct.sorted
       val header = s"# checkpoint v=$v kind=parquet nf=${files.size} " +
         s"require=${req.mkString(",")}"
       val out = fs.create(pcpMetaPath(v), false)
       try out.write((header + "\n" + CommitMarker).getBytes(UTF_8))
       finally out.close()
-    } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"parquet checkpoint v$v at $root not written " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); the manifest " +
+          "chain remains sufficient")
+        try fs.delete(tmp, true)
+        catch { case _: java.io.IOException => () }
+    }
+  }
 
   private[acid] def nextVersion: Long = latestVersion.getOrElse(0L) + 1
 
@@ -1701,8 +1748,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
       .getOrElse(throw new IllegalStateException(
         s"addColumns on $root: the table has no commits yet"))
-    val clash = cols.map(_.name.toLowerCase)
-      .intersect(base.fieldNames.map(_.toLowerCase).toSeq)
+    val lowerNew = cols.map(_.name.toLowerCase)
+    require(lowerNew.distinct.size == lowerNew.size,
+      s"addColumns: duplicate column names among ${cols.map(_.name).mkString(", ")}")
+    val clash = lowerNew.intersect(base.fieldNames.map(_.toLowerCase).toSeq)
     require(clash.isEmpty, s"addColumns: ${clash.mkString(", ")} already exist")
     val v = nextVersion
     val prev = latestVersion.map(entries).getOrElse(Nil)
@@ -1716,15 +1765,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val physInUse = base.fields.map(f =>
       cm.getOrElse(f.name.toLowerCase, f.name).toLowerCase).toSet
     // names the generated physical name must not collide with: live
-    // physical names, tombstoned physical names, logical base names, and
-    // the other fresh names minted in this same call — a table already
-    // containing a column literally named `a_5` must not alias a re-added
-    // `a` at version 5 onto it (two logical columns over one physical
-    // column would resurrect/duplicate data)
+    // physical names, tombstoned physical names, logical base names, the
+    // OTHER columns added in this same call (addColumns(a, a_5) at v=5
+    // with `a` dropped must not mint physical `a_5` for `a` — two
+    // logical columns over one physical column), and the other fresh
+    // names minted in this same call — a table already containing a
+    // column literally named `a_5` must not alias a re-added `a` at
+    // version 5 onto it (either aliasing would resurrect/duplicate data)
     val taken = scala.collection.mutable.Set.empty[String]
     taken ++= physInUse
     taken ++= dropped
     taken ++= base.fieldNames.map(_.toLowerCase)
+    taken ++= lowerNew
     val freshEntries = cols.flatMap { c =>
       val lower = c.name.toLowerCase
       if (dropped.contains(lower) || physInUse.contains(lower)) {
@@ -3685,10 +3737,37 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val keepVs = vs.takeRight(retain)
     val keepEntries = keepVs.map(v => v -> entries(v)).toMap
     // the oldest retained version must resolve WITHOUT the delta chain
-    // about to be deleted below it: materialize its checkpoint first
+    // about to be deleted below it: materialize its checkpoint first.
+    // The guard is COMPLETENESS, not bare existence — a crash-torn
+    // checkpoint (artifact present, no commit marker / damaged parts)
+    // resolves to None, and trimming the chain below it would make the
+    // oldest retained version unresolvable forever. A torn artifact is
+    // cleared and rewritten; if the rewrite itself fails (both writers
+    // swallow errors by design — on the COMMIT path the chain is always
+    // still sufficient) vacuum refuses LOUDLY rather than cut the chain.
     keepVs.headOption.foreach { oldest =>
-      if (!fs.exists(checkpointPath(oldest)) && !fs.exists(pcpMetaPath(oldest)))
+      def complete: Boolean =
+        (fs.exists(checkpointPath(oldest)) &&
+          checkpointEntries(oldest).isDefined) ||
+        (fs.exists(pcpMetaPath(oldest)) &&
+          parquetCheckpointEntries(oldest).isDefined)
+      // a full (non-delta, non-pending) manifest is its own full
+      // statement — no checkpoint needed to resolve past the cut
+      val selfSufficient = {
+        val meta = headerMeta(oldest)
+        !meta.get("kind").contains("delta") && !meta.contains("pending")
+      }
+      if (!selfSufficient && !complete) {
+        fs.delete(checkpointPath(oldest), false)
+        fs.delete(pcpMetaPath(oldest), false)
+        fs.delete(pcpDirPath(oldest), true)
         writeCheckpoint(oldest, keepEntries(oldest))
+        if (!complete)
+          throw new IllegalStateException(
+            s"vacuum on $root: could not materialize a complete " +
+              s"checkpoint for the oldest retained version $oldest; " +
+              "refusing to trim the manifest chain it resolves through")
+      }
     }
     val live = keepEntries.values.flatten.map(_.path).toSet
     // sidecars of dropped versions may still be REFERENCED by retained
@@ -3705,6 +3784,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         fs.delete(dvSidecarPath(v), false)
       }
     }
+    // orphaned parquet-checkpoint TEMP dirs (a writer crashed between its
+    // distributed write and the rename): never referenced by any meta, so
+    // reclaim unconditionally. Racing a live writer is benign — its
+    // rename just fails and the manifest chain stays sufficient.
+    if (fs.exists(logDir))
+      fs.listStatus(logDir).iterator
+        .filter(_.getPath.getName.contains(".checkpoint.parquet.tmp."))
+        .foreach(st => fs.delete(st.getPath, true))
     val dataDir = new Path(rootPath, "data")
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataDir)) {
@@ -3778,7 +3865,11 @@ object GraftTable {
       w: Map[String, (Long, Long)],
       sw: Map[String, (String, String)],
       tw: Map[String, (String, Long, Long)],
-      nv: Map[String, Array[Byte]])
+      nv: Map[String, Array[Byte]],
+      // commit/write ordinal: restores the text-checkpoint/delta-replay
+      // entry order on resolution (None for pre-r13 checkpoints, which
+      // fall back to the path total order)
+      ord: Option[Long] = None)
 
   private[graft] val cpSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[CpRow].schema
@@ -3889,6 +3980,14 @@ object GraftTable {
   final case class AtomicAppend(table: GraftTable, df: DataFrame,
                                 txn: Option[(String, Long)] = None)
       extends AtomicOp {
+    // NOTE the benign version lag: `nextVersion` here only NAMES the
+    // data files' commit directory at first-stage time. If the commit
+    // race is lost, stage() re-publishes the SAME immutable files (the
+    // whole point of the memoization — appends are base-independent)
+    // under a HIGHER version whose manifest references them by path, so
+    // a directory name "older" than its committing version is expected,
+    // not a bug to fix with a rewrite. Orphaned only if the whole txn
+    // aborts, then vacuum reclaims.
     private lazy val written: Seq[table.FileEntry] = {
       val (data, _) = table.conformForWrite(df, mergeSchema = false)
       table.writeData(table.clusterByPartition(data), table.nextVersion)

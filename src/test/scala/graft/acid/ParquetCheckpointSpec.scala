@@ -110,6 +110,89 @@ class ParquetCheckpointSpec extends SparkSpec {
     } finally spark.conf.unset(MinFilesKey)
   }
 
+  test("both checkpoint forms preserve commit/write entry ORDER on resolution") {
+    val rootT = graft.TempDirs.create("graft_pcp_ord_t")
+    val rootP = graft.TempDirs.create("graft_pcp_ord_p")
+    val tt = new GraftTable(spark, rootT, checkpointInterval = 1)
+    val tp = new GraftTable(spark, rootP, checkpointInterval = 1)
+    // DESCENDING paths: a path sort would invert this order, so order
+    // equality below proves the ord column (not a lucky sort) restores it
+    val idx = (0 until 64).reverse
+    spark.conf.unset(MinFilesKey) // text form for tt
+    tt.commit(1L, idx.map(mkEntry(tt, _)), op = "append")
+    spark.conf.set(MinFilesKey, "1") // parquet form for tp
+    try tp.commit(1L, idx.map(mkEntry(tp, _)), op = "append")
+    finally spark.conf.unset(MinFilesKey)
+    val fromText = new GraftTable(spark, rootT).entries(1L).map(_.path)
+    val fromParq = new GraftTable(spark, rootP).entries(1L).map(_.path)
+    assert(fromText == idx.map(i => f"data/c1-fake/part-$i%06d.parquet"),
+      "text checkpoint must preserve write order")
+    assert(fromParq == fromText,
+      "parquet checkpoint must resolve in the SAME order as the text form")
+  }
+
+  test("a failed distributed checkpoint write never fails the commit that triggered it") {
+    spark.conf.set(MinFilesKey, "1")
+    val root = graft.TempDirs.create("graft_pcp_fail")
+    val t = new GraftTable(spark, root, checkpointInterval = 1)
+    val entries = (0 until 8).map(mkEntry(t, _))
+    // an unloadable filesystem impl in the JOB hadoop conf (session SQL
+    // confs pass through to it) makes the CHECKPOINT write throw at
+    // output-path resolution (RuntimeException(ClassNotFoundException) —
+    // NOT an IOException: exactly the class the r12 catch missed; the
+    // manifest is a plain text write through the CONTEXT hadoop conf,
+    // unaffected). The commit whose manifest already landed must still
+    // report success, with resolution served by the chain.
+    val implKey = "fs.file.impl"
+    val cacheKey = "fs.file.impl.disable.cache"
+    spark.conf.set(implKey, "no.such.FileSystemImpl")
+    spark.conf.set(cacheKey, "true") // bypass the FS cache so the bad impl loads
+    val v = try t.commit(1L, entries, op = "append")
+      finally {
+        spark.conf.unset(implKey)
+        spark.conf.unset(cacheKey)
+        spark.conf.unset(MinFilesKey)
+      }
+    assert(v == 1L, "commit must succeed despite the checkpoint failure")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_log/v${"%020d".format(1)}.pcp")),
+      "no meta may be published for a failed checkpoint write")
+    assert(new GraftTable(spark, root).entries(1L).map(_.line).toSet ==
+      entries.map(_.line).toSet, "the manifest chain must stay sufficient")
+  }
+
+  test("a damaged checkpoint (nf mismatch) falls back to the manifest chain, loudly-warned not fatal") {
+    spark.conf.set(MinFilesKey, "1")
+    val root = graft.TempDirs.create("graft_pcp_damaged")
+    val t = new GraftTable(spark, root, checkpointInterval = 1)
+    import spark.implicits._
+    try (1 to 3).foreach(i =>
+      t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    finally spark.conf.unset(MinFilesKey)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$root/_log/v${"%020d".format(3)}.checkpoint.parquet")
+    assert(fs.exists(dir))
+    // damage the PART FILES under a published meta (the torn shape a
+    // crash or external interference leaves): resolution must fall back
+    // to the delta-chain walk while it exists, not fail the table
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val cold = new GraftTable(spark, root)
+    assert(cold.entries(3L).size == 3,
+      "nf mismatch must fall back to the manifest chain")
+    assert(cold.snapshot().count() == 3L)
+    // and vacuum's completeness guard REBUILDS it before trimming the
+    // chain (bare existence of the damaged artifact must not satisfy it)
+    cold.vacuum(retain = 1)
+    val rebuilt = new GraftTable(spark, root)
+    assert(rebuilt.entries(3L).size == 3 && rebuilt.snapshot().count() == 3L,
+      "vacuum must leave the oldest retained version resolvable")
+  }
+
   test("an unknown checkpoint feature refuses loudly; vacuum reclaims parquet artifacts") {
     spark.conf.set(MinFilesKey, "1")
     try {

@@ -181,6 +181,29 @@ class SchemaEvolutionSpec extends SparkSpec {
       .count() == 3L)
   }
 
+  test("re-add fresh physical name dodges a SIBLING column added in the same call") {
+    val t = freshTable()
+    t.append(rows(3))                    // v1: (id, name, v)
+    t.dropColumn("name")                 // v2
+    // one addColumns call adding BOTH the re-added `name` (fresh
+    // physical candidate `name_3` at v3) and a sibling literally named
+    // `name_3`: the generated physical name must dodge the sibling —
+    // otherwise two logical columns alias one physical column
+    t.addColumns(Seq(
+      StructField("name", StringType),
+      StructField("name_3", StringType))) // v3
+    t.append(Seq((9L, 9.0, "fresh", "sibling"))
+      .toDF("id", "v", "name", "name_3"))
+    val r = t.snapshot().filter($"id" === 9L)
+      .select($"name", $"name_3").collect().head
+    assert(r.getString(0) == "fresh" && r.getString(1) == "sibling",
+      s"name/name_3 must not alias one physical column: $r")
+    // duplicate names WITHIN one call refuse loudly
+    val e = intercept[IllegalArgumentException](t.addColumns(Seq(
+      StructField("dup", StringType), StructField("DUP", StringType))))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("rename/drop guards: config columns, clashes, CHECK references refuse") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_cm_guard"),
       statsCol = Some("id"), constraints = Seq("v > 0"))
