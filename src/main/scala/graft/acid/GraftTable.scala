@@ -1800,13 +1800,25 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   /** ALTER COLUMN ... TYPE as a METADATA-ONLY commit, for the WIDENINGS
     * the parquet reader serves by schema alone (verified against Spark
-    * 4's vectorized reader): byte/short/int -> any wider integral, and
-    * float -> double. Files carry over verbatim — old files' narrow
-    * values read widened, new writes land the wide type (conformForWrite
-    * upcasts) — the Delta type-widening shape. Narrowings and
+    * 4's vectorized reader): byte/short/int -> any wider integral,
+    * float -> double, DECIMAL precision growth at the same scale
+    * (decimal(p,s) -> decimal(p+k,s)), and integral -> decimal wide
+    * enough to hold every source value (p-s >= the source's max digits).
+    * Files carry over verbatim — old files' narrow values read widened,
+    * new writes land the wide type (conformForWrite upcasts) — the
+    * Delta type-widening shape. Narrowings, scale changes and
     * cross-family changes refuse loudly: the reader cannot serve them
-    * without a rewrite. Windows/blooms are unaffected (both already code
-    * integral columns through long). */
+    * without a rewrite.
+    *
+    * Windows/blooms are unaffected by the INTEGRAL widenings (both
+    * already code integral columns through long). The DECIMAL widenings
+    * additionally refuse on physical-config columns
+    * (statsCol/partitionCol/bloomCol/indexCols): catalyst hashes a
+    * decimal differently from an int (and differently again past
+    * precision 18), so a bloom built under the old type would silently
+    * mis-skip under the new one, and new files' cast-to-long windows
+    * would truncate a fractional scale — rebuild the table to re-type an
+    * indexed column. */
   def widenColumn(name: String, newType: DataType): Long = {
     import org.apache.spark.sql.types._
     val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
@@ -1816,14 +1828,25 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"widenColumn on $root: no column $name"))
     val rank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
       IntegerType -> 3, LongType -> 4)
-    val ok = (f.dataType, newType) match {
-      case (a, b) if rank.contains(a) && rank.contains(b) => rank(a) < rank(b)
-      case (FloatType, DoubleType) => true
-      case _ => false
+    // max base-10 digits an integral type's values can take — the
+    // int -> decimal target must reserve at least this much integer room
+    val digits = Map[DataType, Int](ByteType -> 3, ShortType -> 5,
+      IntegerType -> 10, LongType -> 20)
+    val (ok, decimalFamily) = (f.dataType, newType) match {
+      case (a, b) if rank.contains(a) && rank.contains(b) =>
+        (rank(a) < rank(b), false)
+      case (FloatType, DoubleType) => (true, false)
+      case (d1: DecimalType, d2: DecimalType) =>
+        (d2.scale == d1.scale && d2.precision > d1.precision, true)
+      case (a, d2: DecimalType) if digits.contains(a) =>
+        (d2.precision - d2.scale >= digits(a), true)
+      case _ => (false, false)
     }
     require(ok, s"widenColumn on $root: ${f.dataType.sql} -> ${newType.sql} " +
-      "is not a reader-servable widening (integral up-casts and " +
-      "float -> double only)")
+      "is not a reader-servable widening (integral up-casts, " +
+      "float -> double, decimal(p,s) -> decimal(p+k,s), and " +
+      "integral -> sufficiently wide decimal only)")
+    if (decimalFamily) requireNotPhysicalConfig(name, "widen (to decimal)")
     val v = nextVersion
     commit(v, latestVersion.map(entries).getOrElse(Nil), op = "widen_column",
       schema = Some(StructType(base.fields.map(x =>

@@ -178,6 +178,39 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** DECIMAL-widening fixture: a money column lands as decimal(10,2)
+    * (the even-id half), `widenColumn` grows it to decimal(16,2) as a
+    * METADATA-ONLY commit, and the odd-id half then lands values that
+    * NEED the new precision — one snapshot read spans both file
+    * generations, the narrow one served widened by the parquet reader's
+    * schema alone (SchemaEvolutionSpec pins the zero-rewrite property). */
+  private val widenFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def widenTable(s: SparkSession, d: String): GraftTable = {
+    val root = widenFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("widen" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val ev = events(s, d)
+      val r = s"$acidDir/widen_$key"
+      val t = new GraftTable(s, r)
+      val dec10 = org.apache.spark.sql.types.DecimalType(10, 2)
+      val dec16 = org.apache.spark.sql.types.DecimalType(16, 2)
+      t.append(ev.filter(pmod($"event_id", lit(2L)) === 0L)
+        .select($"event_id", $"user_id",
+          $"value".cast(dec10).as("amount")))
+      t.widenColumn("amount", dec16)
+      t.append(ev.filter(pmod($"event_id", lit(2L)) === 1L)
+        .select($"event_id", $"user_id",
+          ($"value".cast(dec16) + lit("9999999999.00").cast(dec16))
+            .cast(dec16).as("amount")))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** Keyed-CDF fixture: v1 = the deduped (latest-per-user) %3==0 slice,
     * v2 = one MERGE of the remaining slices — both versions hold at most
     * one row per user, the shape [[GraftTable.changeFeedKeyed]] serves. */
@@ -699,6 +732,20 @@ object AcidQueries extends QueryPack {
       evoTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // DECIMAL type widening: the widened money column replayed against
+    // the oracle — the narrow (pre-widen, decimal(10,2)) files must read
+    // back exact under the wide decimal(16,2) schema with zero rewrite,
+    // next to post-widen files whose values need the new precision. The
+    // comparison is on the STRING form so both engines state the same
+    // scale-2 rendering.
+    "q_acid_widen_decimal" -> { (s, d) =>
+      import s.implicits._
+      widenTable(s, d).snapshot()
+        .select($"event_id", $"user_id",
+          $"amount".cast("string").as("amount"))
+        .orderBy($"event_id")
+    },
+
     // Keyed CDF: the v1->v2 row diff re-classified per user_id — a user
     // whose live row CHANGED surfaces as an update_preimage/postimage
     // PAIR, a first-seen user as insert (no user disappears here). The
@@ -1133,6 +1180,17 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // even half decimal(10,2), odd half decimal(16,2)+offset — both
+    // rendered at scale 2; the engines must agree on the string form
+    "q_acid_widen_decimal" ->
+      """SELECT event_id, user_id,
+        |       CAST(CASE WHEN event_id % 2 = 0
+        |                 THEN CAST(value AS DECIMAL(10,2))
+        |                 ELSE CAST(CAST(value AS DECIMAL(16,2))
+        |                      + CAST('9999999999.00' AS DECIMAL(16,2))
+        |                      AS DECIMAL(16,2)) END AS STRING) AS amount
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // v1 = latest-per-user of the %3==0 slice; v2 = latest per user over
     // all events; diff rows classified update-pair vs insert by whether

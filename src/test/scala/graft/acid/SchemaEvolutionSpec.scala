@@ -298,6 +298,67 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM wd_cat.t").collect().head.getLong(0) == 7L)
   }
 
+  test("DECIMAL widening matrix: precision growth and int->decimal are metadata-only") {
+    import org.apache.spark.sql.types.DecimalType
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_widen_dec"))
+    val money = Seq((1, BigDecimal("12.34")), (2, BigDecimal("99999999.99")))
+      .toDF("id", "amount")
+      .select($"id", $"amount".cast(DecimalType(10, 2)).as("amount"))
+    t.append(money)
+    val filesBefore = t.activeFiles(1L).toSet
+    // decimal(10,2) -> decimal(14,2): precision growth, same scale
+    t.widenColumn("amount", DecimalType(14, 2))
+    // int -> decimal(12,2): integer room (12-2=10) holds any int
+    t.widenColumn("id", DecimalType(12, 2))
+    assert(t.activeFiles(t.latestVersion.get).toSet == filesBefore,
+      "decimal widening must not rewrite data")
+    val snap = t.snapshot()
+    assert(snap.schema("amount").dataType == DecimalType(14, 2))
+    assert(snap.schema("id").dataType == DecimalType(12, 2))
+    // the OLD narrow files read back exact under the wide schema
+    val got = snap.orderBy($"id")
+      .select($"id".cast("string"), $"amount".cast("string"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("1.00", "12.34"), ("2.00", "99999999.99")), got.toString)
+    // a wide append joins the narrow files; values needing the new
+    // precision land (they would overflow the old decimal(10,2))
+    t.append(Seq((3, BigDecimal("123456789012.99"))).toDF("id", "amount")
+      .select($"id".cast(DecimalType(12, 2)).as("id"),
+        $"amount".cast(DecimalType(14, 2)).as("amount")))
+    assert(t.snapshot().filter($"amount" > BigDecimal("1e11")).count() == 1L)
+    // pre-widen version time-travels with ITS types
+    assert(t.snapshot(Some(1L)).schema("amount").dataType == DecimalType(10, 2))
+    // refusals: precision shrink, scale change, insufficient int room
+    intercept[IllegalArgumentException](
+      t.widenColumn("amount", DecimalType(12, 2)))
+    intercept[IllegalArgumentException](
+      t.widenColumn("amount", DecimalType(20, 4)))
+    val t2 = new GraftTable(spark, graft.TempDirs.create("graft_widen_dec2"))
+    t2.append(Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException](
+      t2.widenColumn("id", DecimalType(18, 2))) // 18-2 < 20 long digits
+    // physical-config columns refuse the decimal family (bloom/window
+    // codings would diverge); integral widenings still allowed
+    val t3 = new GraftTable(spark, graft.TempDirs.create("graft_widen_dec3"),
+      bloomCol = Some("id"))
+    t3.append(Seq((1, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException](
+      t3.widenColumn("id", DecimalType(12, 0)))
+    t3.widenColumn("id", LongType)
+    assert(t3.snapshot().schema("id").dataType == LongType)
+    // SQL surface: ALTER COLUMN TYPE DECIMAL through the catalog
+    val wh = graft.TempDirs.create("graft_widen_dec_cat")
+    spark.conf.set("spark.sql.catalog.wdd_cat", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wdd_cat.root", wh)
+    spark.sql("CREATE TABLE wdd_cat.t (id INT, amount DECIMAL(10,2)) USING graft")
+    spark.sql("INSERT INTO wdd_cat.t VALUES (7, 12345678.90)")
+    spark.sql("ALTER TABLE wdd_cat.t ALTER COLUMN amount TYPE DECIMAL(16,2)")
+    assert(spark.table("wdd_cat.t").schema("amount").dataType ==
+      DecimalType(16, 2))
+    assert(spark.sql("SELECT CAST(amount AS STRING) AS a FROM wdd_cat.t")
+      .collect().head.getString(0) == "12345678.90")
+  }
+
   test("rename then widen compose: the mapped column reads wide from narrow files") {
     val t = freshTable()
     t.append(Seq((1, "a", 1.0)).toDF("id", "name", "v")) // id INT physical
