@@ -338,13 +338,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * transaction from plain SQL: every statement inside the parens
     * becomes one [[GraftTable.commitAtomic]] participant (INSERT INTO →
     * staged append, DELETE FROM [WHERE] → staged merge-on-read delete,
-    * UPDATE ... SET ... [WHERE] → staged merge-on-read update),
-    * published all-or-nothing through the shared decision marker. Inner
-    * queries/predicates parse through the DELEGATE at parse time (loud
-    * errors now) and build their DataFrames at execution; non-graft
-    * participants error here with the real reason. MERGE participants
-    * are not SQL-expressible yet — use the Scala
-    * [[GraftTable.AtomicMerge]]. */
+    * UPDATE ... SET ... [WHERE] → staged merge-on-read update,
+    * MERGE INTO ... USING ... ON ... WHEN ... → staged full-semantics
+    * merge ([[GraftTable.AtomicMergeInto]]) — the ANSI MERGE grammar
+    * parses through the delegate and converts through the same
+    * [[GraftSqlRowOps]] rewrite as the standalone statement, so the
+    * partition-scoped canonical-upsert detection applies inside a txn
+    * too), published all-or-nothing through the shared decision marker.
+    * Inner queries/predicates parse through the DELEGATE at parse time
+    * (loud errors now) and build their DataFrames at execution;
+    * non-graft participants error here with the real reason. */
   /** Index of the CLOSING quote of the literal opening at `i` (`s(i)` is
     * `'` or a backtick), honoring the two escape forms Spark's lexer
     * accepts — backslash escapes inside `'...'` (`'it\'s'`) and SQL
@@ -539,9 +542,42 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         assigns.map { case (n, e) =>
           n -> org.apache.spark.sql.GraftPlanBridge.column(
             delegate.parseExpression(e)) }.toMap)
+    } else if (t.peekIsKw("MERGE")) {
+      // ANSI MERGE INTO: the DELEGATE owns the grammar (loud syntax
+      // errors at parse time); target resolution is checked NOW so a
+      // non-graft participant errors with the real reason, and the
+      // analyzed plan converts at EXECUTION through the same
+      // GraftSqlRowOps rewrite as a standalone MERGE — one semantics,
+      // txn-staged publish
+      val parsed = delegate.parsePlan(stmt)
+      val merge = parsed match {
+        case mm: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => mm
+        case _ => throw t.err("expected MERGE INTO <table> USING ...")
+      }
+      val targetRef = merge.targetTable.collectFirst {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          u.multipartIdentifier.mkString(".")
+      }.getOrElse(throw t.err(
+        "COMMIT ATOMIC MERGE INTO needs a plain table target"))
+      graftTable(targetRef) // loud non-graft error at parse time
+      () => {
+        // analyze-only (never ofRows: Dataset construction EXECUTES a
+        // command plan eagerly — the merge must publish via the txn)
+        val analyzed = org.apache.spark.sql.GraftPlanBridge
+          .analyze(spark, parsed)
+        analyzed match {
+          case am: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+            GraftSqlRowOps.convertMergeAtomic(am).getOrElse(throw t.err(
+              "this MERGE INTO shape cannot participate in COMMIT ATOMIC " +
+                "(subqueries in conditions and nested-field assignments " +
+                "are not convertible)"))
+          case _ => throw t.err(
+            "MERGE INTO participant did not analyze to a merge command")
+        }
+      }
     } else throw t.err(
-      "COMMIT ATOMIC supports INSERT INTO, DELETE FROM and UPDATE " +
-        "participants")
+      "COMMIT ATOMIC supports INSERT INTO, DELETE FROM, UPDATE and " +
+        "MERGE INTO participants")
   }
 
   /** DESCRIBE (HISTORY [LIMIT n] | DETAIL | CHANGES ... FROM a TO b) */

@@ -116,7 +116,42 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
         () => { v2.underlying.update(pred, sets); () })
     }
 
-  private[acid] def convertMerge(m: MergeIntoTable): Option[GraftRowLevelCommand] = {
+  /** The pieces a MergeIntoTable conversion yields — shared between the
+    * standalone command ([[convertMerge]]) and the COMMIT ATOMIC
+    * participant ([[convertMergeAtomic]]). */
+  private[acid] final case class ConvertedMerge(
+      v2: GraftTableV2, sourceDf: org.apache.spark.sql.DataFrame,
+      cond: Column,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      inserts: Seq[(Option[Column], Map[String, Column])],
+      nmbs: Seq[(Option[Column], Option[Map[String, Column]])],
+      scopeSrcCol: Option[String])
+
+  private[acid] def convertMerge(m: MergeIntoTable): Option[GraftRowLevelCommand] =
+    convertMergeParts(m).map { cm =>
+      GraftRowLevelCommand(s"MERGE INTO ${cm.v2.name}", () => {
+        val scoped =
+          if (cm.nmbs.nonEmpty) None
+          else cm.scopeSrcCol.map { sc =>
+            cm.sourceDf.select(col(sc).cast("long")).distinct()
+              .collect().toSeq.filterNot(_.isNullAt(0)).map(_.getLong(0))
+          }
+        cm.v2.underlying.mergeIntoGeneral(cm.sourceDf, cm.cond,
+          cm.matched, cm.inserts, cm.nmbs, scoped)
+        ()
+      })
+    }
+
+  /** The SAME conversion, landing as a [[GraftTable.commitAtomic]]
+    * participant: the staged-merge op publishes under the txn's shared
+    * decision marker instead of committing standalone. */
+  private[acid] def convertMergeAtomic(m: MergeIntoTable): Option[GraftTable.AtomicMergeInto] =
+    convertMergeParts(m).map { cm =>
+      GraftTable.AtomicMergeInto(cm.v2.underlying, cm.sourceDf, cm.cond,
+        cm.matched, cm.inserts, cm.nmbs, cm.scopeSrcCol)
+    }
+
+  private def convertMergeParts(m: MergeIntoTable): Option[ConvertedMerge] = {
     if (m.schemaEvolutionEnabled) return None
     graftRel(m.targetTable).filter(_._2.writable).flatMap { case (tOut, v2) =>
       val src = m.sourceTable
@@ -192,18 +227,9 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
             }
           }
         }
-        GraftRowLevelCommand(s"MERGE INTO ${v2.name}", () => {
-          val scoped =
-            if (m.notMatchedBySourceActions.nonEmpty) None
-            else scopeSrcCol.map { sc =>
-              sourceDf.select(col(sc).cast("long")).distinct()
-                .collect().toSeq.filterNot(_.isNullAt(0)).map(_.getLong(0))
-            }
-          v2.underlying.mergeIntoGeneral(sourceDf, cond,
-            matched.flatten, inserts.map { case (c, s) => (c, s.get) },
-            nmbs.flatten, scoped)
-          ()
-        })
+        ConvertedMerge(v2, sourceDf, cond, matched.flatten,
+          inserts.map { case (c, s) => (c, s.get) }, nmbs.flatten,
+          scopeSrcCol)
       }
     }
   }

@@ -2244,44 +2244,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])],
       scopedTouched: Option[Seq[Long]] = None): Long = {
 
-    def assemble(base: DataFrame): DataFrame = {
-      val schema = base.schema
-      def ren(df: DataFrame, p: String, present: String) =
-        df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
-          lit(true).as(present): _*)
-      val joined = ren(base, "__t_", "__t_present")
-        .join(ren(source, "__s_", "__s_present"), condition, "full_outer")
-      val tp = coalesce(col("__t_present"), lit(false))
-      val sp = coalesce(col("__s_present"), lit(false))
-      def applies(c: Option[Column]): Column =
-        coalesce(c.getOrElse(lit(true)), lit(false))
-      def chainKeep(actions: Seq[(Option[Column], Boolean)], default: Boolean): Column =
-        actions.foldRight(lit(default): Column) { case ((cond, keeps), els) =>
-          when(applies(cond), lit(keeps)).otherwise(els)
-        }
-      def chainVal(actions: Seq[(Option[Column], Option[Column])], default: Column): Column =
-        actions.foldRight(default) { case ((cond, v), els) =>
-          when(applies(cond), v.getOrElse(default)).otherwise(els)
-        }
-      val keep =
-        when(tp && sp, chainKeep(matched.map { case (c, o) => (c, o.nonEmpty) }, default = true))
-          .when(sp && !tp, chainKeep(notMatched.map { case (c, _) => (c, true) }, default = false))
-          .otherwise(chainKeep(
-            notMatchedBySource.map { case (c, o) => (c, o.nonEmpty) }, default = true))
-      def norm(m: Map[String, Column]) = m.map { case (k, v) => k.toLowerCase -> v }
-      val out = schema.fields.toIndexedSeq.map { f =>
-        val tc = col(s"__t_${f.name}")
-        val key = f.name.toLowerCase
-        when(tp && sp, chainVal(matched.map { case (c, o) =>
-            (c, o.map(m => norm(m).getOrElse(key, tc))) }, tc))
-          .when(sp && !tp, chainVal(notMatched.map { case (c, m) =>
-            (c, Some(norm(m).getOrElse(key, lit(null)))) }, lit(null)))
-          .otherwise(chainVal(notMatchedBySource.map { case (c, o) =>
-            (c, o.map(m => norm(m).getOrElse(key, tc))) }, tc))
-          .cast(f.dataType).as(f.name)
-      }
-      joined.filter(keep).select(out: _*)
-    }
+    def assemble(base: DataFrame): DataFrame =
+      mergeAssemble(base, source, condition, matched, notMatched,
+        notMatchedBySource)
 
     scopedTouched.filter(_ => notMatchedBySource.isEmpty && partitionCol.nonEmpty) match {
       case Some(vals) =>
@@ -2293,6 +2258,55 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         commitScopedWithRebase(v, prev, rewrite, written, vals.sorted, op = "merge")
       case None => replaceWith(assemble(snapshot()), "merge")
     }
+  }
+
+  /** [[mergeIntoGeneral]]'s evaluation core, shared with the atomic
+    * participant ([[GraftTable.AtomicMergeInto]]): full-outer-join `base`
+    * with `source` on the merge condition over the `__t_`/`__s_`
+    * disambiguated frame, pick each row's branch and first applicable
+    * action, emit the surviving rows in `base`'s schema. */
+  private[acid] def mergeAssemble(base: DataFrame, source: DataFrame,
+      condition: Column,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      notMatched: Seq[(Option[Column], Map[String, Column])],
+      notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])])
+      : DataFrame = {
+    val schema = base.schema
+    def ren(df: DataFrame, p: String, present: String) =
+      df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
+        lit(true).as(present): _*)
+    val joined = ren(base, "__t_", "__t_present")
+      .join(ren(source, "__s_", "__s_present"), condition, "full_outer")
+    val tp = coalesce(col("__t_present"), lit(false))
+    val sp = coalesce(col("__s_present"), lit(false))
+    def applies(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(true)), lit(false))
+    def chainKeep(actions: Seq[(Option[Column], Boolean)], default: Boolean): Column =
+      actions.foldRight(lit(default): Column) { case ((cond, keeps), els) =>
+        when(applies(cond), lit(keeps)).otherwise(els)
+      }
+    def chainVal(actions: Seq[(Option[Column], Option[Column])], default: Column): Column =
+      actions.foldRight(default) { case ((cond, v), els) =>
+        when(applies(cond), v.getOrElse(default)).otherwise(els)
+      }
+    val keep =
+      when(tp && sp, chainKeep(matched.map { case (c, o) => (c, o.nonEmpty) }, default = true))
+        .when(sp && !tp, chainKeep(notMatched.map { case (c, _) => (c, true) }, default = false))
+        .otherwise(chainKeep(
+          notMatchedBySource.map { case (c, o) => (c, o.nonEmpty) }, default = true))
+    def norm(m: Map[String, Column]) = m.map { case (k, v) => k.toLowerCase -> v }
+    val out = schema.fields.toIndexedSeq.map { f =>
+      val tc = col(s"__t_${f.name}")
+      val key = f.name.toLowerCase
+      when(tp && sp, chainVal(matched.map { case (c, o) =>
+          (c, o.map(m => norm(m).getOrElse(key, tc))) }, tc))
+        .when(sp && !tp, chainVal(notMatched.map { case (c, m) =>
+          (c, Some(norm(m).getOrElse(key, lit(null)))) }, lit(null)))
+        .otherwise(chainVal(notMatchedBySource.map { case (c, o) =>
+          (c, o.map(m => norm(m).getOrElse(key, tc))) }, tc))
+        .cast(f.dataType).as(f.name)
+    }
+    joined.filter(keep).select(out: _*)
   }
 
   /** Files of `version` whose stats window overlaps [lo, hi] — a file
@@ -4163,6 +4177,64 @@ object GraftTable {
           throw new ConcurrentCommitException(
             s"atomic merge on ${table.root}: base moved past v$lv; restage")
         table.commit(lv + 1, written, op = "merge", pending = Some(m))
+      }
+    }
+  }
+
+  /** Atomic MERGE INTO with FULL SQL semantics — the
+    * [[GraftTable.mergeIntoGeneral]] action lists (WHEN MATCHED
+    * update/delete, WHEN NOT MATCHED insert, WHEN NOT MATCHED BY SOURCE,
+    * each optionally conditioned, first-applicable-wins) as a
+    * [[commitAtomic]] participant; the SQL `COMMIT ATOMIC ( MERGE INTO
+    * ... )` surface plans here. Stages the full merge compute + data
+    * write against a PINNED base; publish refuses (and the txn
+    * re-stages) on a moved base. With `scopeSrcCol` (the canonical-
+    * upsert shape detection from [[GraftSqlRowOps]]: ON pins the
+    * partition column to this source column and every insert assigns it
+    * from the same) and no not-matched-by-source actions, only the
+    * impacted partitions' files rewrite — the O(delta) MERGE shape. */
+  final case class AtomicMergeInto(table: GraftTable, source: DataFrame,
+      condition: Column,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      notMatched: Seq[(Option[Column], Map[String, Column])],
+      notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])],
+      scopeSrcCol: Option[String] = None) extends AtomicOp {
+    private[acid] def stage(): String => Long = {
+      val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
+        s"atomic merge into on ${table.root}: the table has no commits yet"))
+      val prev = table.entries(lv)
+      def guard(): Unit =
+        if (!table.latestVersion.contains(lv))
+          throw new ConcurrentCommitException(
+            s"atomic merge into on ${table.root}: base moved past v$lv; restage")
+      val scoped: Option[Seq[Long]] =
+        if (notMatchedBySource.nonEmpty || table.partitionColName.isEmpty) None
+        else scopeSrcCol.map { sc =>
+          source.select(col(sc).cast("long")).distinct()
+            .collect().toSeq.filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted
+        }
+      scoped match {
+        case Some(vals) if vals.nonEmpty =>
+          val (rewrite, keep) = prev.partition(table.touches(_, vals))
+          val result = table.mergeAssemble(
+            table.readEntries(rewrite, table.snapshot(Some(lv))), source,
+            condition, matched, notMatched, notMatchedBySource)
+          val written = table.writeData(
+            table.clusterByPartition(result, Some(vals.size)), lv + 1)
+          (m: String) => {
+            guard()
+            table.commit(lv + 1, keep ++ written, op = "merge",
+              pending = Some(m))
+          }
+        case _ =>
+          val result = table.mergeAssemble(table.snapshot(Some(lv)), source,
+            condition, matched, notMatched, notMatchedBySource)
+          val written = table.writeData(
+            table.clusterByPartition(result), lv + 1)
+          (m: String) => {
+            guard()
+            table.commit(lv + 1, written, op = "merge", pending = Some(m))
+          }
       }
     }
   }

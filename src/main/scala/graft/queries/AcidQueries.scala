@@ -427,6 +427,67 @@ object AcidQueries extends QueryPack {
     (GraftTable.load(s, rRaw), GraftTable.load(s, rMir))
   }
 
+  /** SQL COMMIT ATOMIC with a MERGE participant: per step ONE atomic
+    * transaction INSERTs a raw slice AND MERGEs its latest-per-user rows
+    * into a pid-partitioned mirror (ANSI WHEN MATCHED AND newer THEN
+    * UPDATE / WHEN NOT MATCHED THEN INSERT) — the CDC land-and-apply
+    * shape as a single all-or-nothing SQL statement. ON pins the
+    * partition column, so the staged merge rewrites only impacted
+    * partitions even inside the txn. */
+  private val sqlAtomicMergeFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def sqlAtomicMergeTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
+    val (rRaw, rMir) = sqlAtomicMergeFixtures.computeIfAbsent(d, { _ =>
+      // COMMIT ATOMIC is parser-injected grammar: the driver's session
+      // has no GraftExtensions, so the fixture builds on a DERIVED
+      // session (same SparkContext, own extensions) — the tables on
+      // disk then read back from any session
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions)
+        .create()
+      import s2.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("sqlam" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      s2.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val rawRoot = s"$acidDir/amraw_$key"
+      val mirRoot = s"$acidDir/ammir_$key"
+      val raw = new GraftTable(s2, rawRoot)
+      val mir = new GraftTable(s2, mirRoot, partitionCol = Some("pid"))
+      val ev = events(s2, d).withColumn("pid", pmod($"user_id", lit(8L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      def latest(df: DataFrame) = df.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      val slice = (v: Long) => ev.filter(pmod($"event_id", lit(3L)) === v)
+      raw.append(slice(0L))
+      mir.append(latest(slice(0L)))
+      (1L to 2L).foreach { v =>
+        slice(v).createOrReplaceTempView(s"graft_am_raw_$v")
+        latest(slice(v)).createOrReplaceTempView(s"graft_am_src_$v")
+        s2.sql(
+          s"""COMMIT ATOMIC (
+             |  INSERT INTO graft.`${new Path(rawRoot).getName}`
+             |    SELECT * FROM graft_am_raw_$v;
+             |  MERGE INTO graft.`${new Path(mirRoot).getName}` t
+             |  USING graft_am_src_$v s
+             |  ON t.user_id = s.user_id AND t.pid = s.pid
+             |  WHEN MATCHED AND (s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id))
+             |    THEN UPDATE SET event_id = s.event_id, ts = s.ts,
+             |                    event_type = s.event_type, value = s.value
+             |  WHEN NOT MATCHED THEN
+             |    INSERT (event_id, user_id, ts, event_type, value, pid)
+             |    VALUES (s.event_id, s.user_id, s.ts, s.event_type, s.value, s.pid)
+             |)""".stripMargin)
+      }
+      (rawRoot, mirRoot)
+    })
+    (GraftTable.load(s, rRaw), GraftTable.load(s, rMir))
+  }
+
   /** STRING-keyed bloom fixture: events plus `skey` (the event id as a
     * string — the content-hash-doc-id shape), %3 slices so ids scatter
     * across every commit's files; bloomCol = skey exercises the hashed
@@ -730,6 +791,18 @@ object AcidQueries extends QueryPack {
     "q_acid_evolution" -> { (s, d) =>
       import s.implicits._
       evoTable(s, d).snapshot().orderBy($"event_id")
+    },
+
+    // SQL COMMIT ATOMIC with a MERGE INTO participant: the mirror's
+    // latest-per-user state next to the raw table's count — both only
+    // hold if every INSERT+MERGE pair landed atomically, and the merge
+    // carried full ANSI semantics (conditioned matched-update) inside
+    // the txn.
+    "q_acid_sql_atomic_merge" -> { (s, d) =>
+      import s.implicits._
+      val (raw, mir) = sqlAtomicMergeTables(s, d)
+      val rawRows = raw.snapshot().agg(asLong(count(lit(1))).as("raw_rows"))
+      mir.snapshot().crossJoin(broadcast(rawRows)).orderBy($"user_id")
     },
 
     // DECIMAL type widening: the widened money column replayed against
@@ -1180,6 +1253,20 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // mirror = latest event per user (the per-slice merges compose to
+    // the global latest); raw_rows = the full event count — both only
+    // hold if every atomic INSERT+MERGE SQL txn landed whole
+    "q_acid_sql_atomic_merge" ->
+      """SELECT m.event_id, m.user_id, CAST(m.ts AS TIMESTAMP) AS ts,
+        |       m.event_type, m.value, m.user_id % 8 AS pid, t.raw_rows
+        |FROM (SELECT event_id, user_id, ts, event_type, value
+        |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                ORDER BY ts DESC, event_id DESC) AS rn
+        |            FROM events)
+        |      WHERE rn = 1) m
+        |CROSS JOIN (SELECT count(*) AS raw_rows FROM events) t
+        |ORDER BY m.user_id""".stripMargin,
 
     // even half decimal(10,2), odd half decimal(16,2)+offset — both
     // rendered at scale 2; the engines must agree on the string form

@@ -26,6 +26,14 @@ object GraftPlanBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** ANALYZE a plan WITHOUT constructing a Dataset: for Command nodes
+    * (MERGE INTO, UPDATE) Dataset construction executes the command
+    * eagerly — a COMMIT ATOMIC participant must only be RESOLVED here,
+    * its execution belongs to the transaction's staged publish. */
+  def analyze(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    session.asInstanceOf[classic.SparkSession].sessionState
+      .executePlan(plan).analyzed
+
   /** Re-wrap a Sink.addBatch frame as a standalone batch DataFrame: the
     * incoming frame is backed by the streaming micro-batch's incremental
     * execution and cannot be re-planned with arbitrary batch transforms;

@@ -409,4 +409,68 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[ParseException](s2.sql(
       "COMMIT ATOMIC (INSERT INTO gtx.raw VALUES (1, 'a')) EXTRA"))
   }
+
+  test("COMMIT ATOMIC: MERGE INTO participates with full ANSI semantics") {
+    SparkSpec.session
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    import s2.implicits._
+    val wh = TempDirs.create("graft_atomic_merge_wh")
+    s2.conf.set("spark.sql.catalog.gtm", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gtm.root", wh)
+    val raw = new graft.acid.GraftTable(s2, s"$wh/raw")
+    val mir = new graft.acid.GraftTable(s2, s"$wh/mir")
+    raw.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    mir.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))
+    // INSERT + MERGE pair: matched-update / not-matched-insert, one txn
+    s2.sql("""COMMIT ATOMIC (
+             |  INSERT INTO gtm.raw VALUES (3, 'c');
+             |  MERGE INTO gtm.mir t
+             |  USING (SELECT 2 AS k, 200 AS n
+             |         UNION ALL SELECT 3 AS k, 300 AS n) s
+             |  ON t.k = s.k
+             |  WHEN MATCHED THEN UPDATE SET n = s.n
+             |  WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n)
+             |)""".stripMargin)
+    assert(s2.sql("SELECT count(*) AS c FROM gtm.raw").as[Long].head() == 3L)
+    assert(s2.sql("SELECT k, n FROM gtm.mir ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 200L), (3L, 300L)))
+    assert(mir.history().last.op == "merge")
+    // conditioned MATCHED delete + NOT MATCHED BY SOURCE participate too
+    s2.sql("""COMMIT ATOMIC (
+             |  MERGE INTO gtm.mir t
+             |  USING (SELECT 3 AS k, 0 AS n) s
+             |  ON t.k = s.k
+             |  WHEN MATCHED AND t.n > 100 THEN DELETE
+             |  WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET n = -1
+             |)""".stripMargin)
+    assert(s2.sql("SELECT k, n FROM gtm.mir ORDER BY k")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, -1L), (2L, 200L)))
+    // all-or-nothing: a failing sibling aborts the merge too
+    val before = (raw.versions.size, mir.versions.size)
+    intercept[Exception](s2.sql(
+      """COMMIT ATOMIC (
+        |  MERGE INTO gtm.mir t USING (SELECT 9 AS k, 900 AS n) s
+        |  ON t.k = s.k
+        |  WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n);
+        |  DELETE FROM gtm.`/nonexistent/graft/root` WHERE k = 1
+        |)""".stripMargin))
+    assert((raw.versions.size, mir.versions.size) == before,
+      "a failed txn must leave every participant untouched")
+    assert(s2.sql("SELECT count(*) AS c FROM gtm.mir WHERE k = 9")
+      .as[Long].head() == 0L)
+    // a non-graft MERGE target errors at parse with the real reason
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    val e = intercept[ParseException](s2.sql(
+      """COMMIT ATOMIC (
+        |  MERGE INTO spark_catalog.default.other t
+        |  USING (SELECT 1 AS k) s ON t.k = s.k
+        |  WHEN MATCHED THEN DELETE
+        |)""".stripMargin))
+    assert(e.getMessage.contains("must be a graft-catalog table"), e.getMessage)
+  }
 }

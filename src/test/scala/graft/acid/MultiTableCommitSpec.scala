@@ -260,6 +260,53 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(ta.history().last.op == "update")
   }
 
+  test("AtomicMergeInto: full-semantics merge participates; crash rolls back, retry is exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_mi_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_mi_b"))
+    ta.append(df(1 to 10))
+    tb.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))
+    // WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT over the __t_/__s_
+    // disambiguated frame (the exact shape the SQL conversion emits)
+    def mergeOp(src: org.apache.spark.sql.DataFrame) =
+      GraftTable.AtomicMergeInto(tb, src,
+        col("__t_k") === col("__s_k"),
+        matched = Seq((None, Some(Map("n" -> col("__s_n"))))),
+        notMatched = Seq((None, Map("k" -> col("__s_k"), "n" -> col("__s_n")))),
+        notMatchedBySource = Nil)
+    val src1 = Seq((2L, 200L), (3L, 300L)).toDF("k", "n")
+    GraftTable.commitAtomic(Seq(
+      GraftTable.AtomicAppend(ta, df(11 to 12)), mergeOp(src1)))
+    assert(ta.snapshot().count() == 12L)
+    assert(tb.snapshot().orderBy(col("k")).as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 200L), (3L, 300L)), "matched updated, unmatched inserted")
+    assert(tb.history().last.op == "merge")
+    // CRASH: the merge's pending manifest lands, the committer dies
+    // before the marker — readers abort, tb does not move
+    val marker = new Path(s"${tb.root}/_log/_txn/micrash").toString
+    val pub = mergeOp(Seq((4L, 400L)).toDF("k", "n")).stage()
+    pub(GraftTable.b64(marker))
+    withPatience(150L) {
+      assert(tb.snapshot().count() == 3L, "aborted merge invisible")
+      assert(tb.snapshot().filter(col("k") === 4L).isEmpty)
+      // the restarted committer retries the whole txn: exactly-once
+      GraftTable.commitAtomic(Seq(
+        GraftTable.AtomicAppend(ta, df(13 to 13)),
+        mergeOp(Seq((4L, 400L)).toDF("k", "n"))))
+    }
+    assert(tb.snapshot().filter(col("k") === 4L).count() == 1L)
+    assert(ta.snapshot().count() == 13L)
+    // a staged merge publish refuses on a moved base; the txn re-stages
+    val slow = mergeOp(Seq((5L, 500L)).toDF("k", "n"))
+    val pub2 = slow.stage()
+    tb.append(Seq((9L, 900L)).toDF("k", "n")) // base moves
+    intercept[ConcurrentCommitException](pub2(GraftTable.b64(
+      new Path(s"${tb.root}/_log/_txn/mimoved").toString)))
+    GraftTable.commitAtomic(Seq(slow)) // re-stages internally, lands
+    assert(tb.snapshot().filter(col("k") === 5L).count() == 1L)
+    assert(tb.snapshot().count() == 6L)
+  }
+
   test("vacuum reclaims an aborted txn's orphaned data files") {
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_orph_a"))
     ta.append(df(1 to 10))
