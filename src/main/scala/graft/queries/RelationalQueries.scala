@@ -450,6 +450,69 @@ object RelationalQueries extends QueryPack {
            |GROUP BY s_name
            |ORDER BY numwait DESC, s_name
            |LIMIT 100""".stripMargin)
+    },
+
+    // Q2 (minimum-cost supplier): the CORRELATED MIN OVER A MULTI-TABLE
+    // JOIN shape — the inner subquery joins the fact with supplier +
+    // nation + region and takes a correlated min; Catalyst decorrelates
+    // it to ONE aggregate-then-join (every part's regional minimum in a
+    // single pass), never a per-row rescan. The testdata has no
+    // partsupp, so lineitem serves as the part×supplier fact and
+    // l_extendedprice as the cost (same plan skeleton, same correlation
+    // pattern; equality compares STORED doubles — no derived arithmetic,
+    // bit-exact cross-engine). PlanSpec pins the single-subtree
+    // decorrelated plan.
+    "q_tpch_q2" -> { (s, d) =>
+      val li = view(s, d, "lineitem")
+      val p = view(s, d, "part")
+      val su = view(s, d, "supplier")
+      val n = view(s, d, "nation")
+      val r = view(s, d, "region")
+      s.sql(
+        s"""SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           |       l1.l_extendedprice AS min_price
+           |FROM $p, $su, $li l1, $n, $r
+           |WHERE p_partkey = l1.l_partkey AND s_suppkey = l1.l_suppkey
+           |  AND p_size <= 15 AND p_type = 'STANDARD'
+           |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           |  AND r_name = 'EUROPE'
+           |  AND l1.l_extendedprice = (
+           |      SELECT min(l2.l_extendedprice)
+           |      FROM $li l2, $su s2, $n n2, $r r2
+           |      WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+           |        AND s2.s_nationkey = n2.n_nationkey
+           |        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+           |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+           |LIMIT 100""".stripMargin)
+    },
+
+    // Q20 (excess-stock suppliers): the NESTED-IN OVER AN AGGREGATED
+    // CORRELATED SUBQUERY shape — an IN whose inner query is itself a
+    // grouped aggregate filtered by a correlated scalar-agg threshold
+    // (TPC-H's ps_availqty > 0.5 * correlated sum). Without partsupp the
+    // per-(supplier, part) shipped volume plays availqty: suppliers
+    // carrying > 10% of a small-part's total volume. Quantities sum as
+    // DECIMAL so the threshold comparison is exact cross-engine.
+    "q_tpch_q20" -> { (s, d) =>
+      val li = view(s, d, "lineitem")
+      val p = view(s, d, "part")
+      val su = view(s, d, "supplier")
+      val n = view(s, d, "nation")
+      s.sql(
+        s"""SELECT s_suppkey, s_name, n_name
+           |FROM $su, $n
+           |WHERE s_suppkey IN (
+           |  SELECT g.l_suppkey FROM (
+           |    SELECT l_suppkey, l_partkey,
+           |           sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+           |    FROM $li
+           |    WHERE l_partkey IN (SELECT p_partkey FROM $p
+           |                        WHERE p_name LIKE 'small %')
+           |    GROUP BY l_suppkey, l_partkey) g
+           |  WHERE g.q > (SELECT 0.1 * sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+           |               FROM $li l2 WHERE l2.l_partkey = g.l_partkey))
+           |  AND s_nationkey = n_nationkey AND n_nationkey < 13
+           |ORDER BY s_suppkey""".stripMargin)
     }
   )
 
@@ -708,6 +771,39 @@ object RelationalQueries extends QueryPack {
         |  AND s_nationkey = n_nationkey AND n_nationkey < 13
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q2" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       l1.l_extendedprice AS min_price
+        |FROM part, supplier, lineitem l1, nation, region
+        |WHERE p_partkey = l1.l_partkey AND s_suppkey = l1.l_suppkey
+        |  AND p_size <= 15 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l1.l_extendedprice = (
+        |      SELECT min(l2.l_extendedprice)
+        |      FROM lineitem l2, supplier s2, nation n2, region r2
+        |      WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |        AND s2.s_nationkey = n2.n_nationkey
+        |        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |  SELECT g.l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey,
+        |           sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        |    FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small %')
+        |    GROUP BY l_suppkey, l_partkey) g
+        |  WHERE g.q > (SELECT 0.1 * sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+        |               FROM lineitem l2 WHERE l2.l_partkey = g.l_partkey))
+        |  AND s_nationkey = n_nationkey AND n_nationkey < 13
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

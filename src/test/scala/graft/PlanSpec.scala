@@ -71,6 +71,21 @@ class PlanSpec extends SparkSpec {
     val p4 = plan("q_tpch_q4")
     assert(p4.contains("LeftSemi"), p4)
     assert(!p4.contains("CartesianProduct"), p4)
+    // Q2's correlated MIN over the 4-way dim join decorrelates to ONE
+    // aggregate-then-join subtree: every part's regional minimum
+    // computes in a single grouped pass, joined back by key — never a
+    // per-part rescan, never a nested loop
+    val p2 = plan("q_tpch_q2")
+    assert(p2.contains("HashAggregate") || p2.contains("SortAggregate"), p2)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoop"), p2)
+    // Q20's nested IN over an aggregated correlated subquery plans as a
+    // semi join chain over ONE grouped pass + one per-part threshold
+    // aggregate — both aggregate-then-join, no rescans
+    val p20 = plan("q_tpch_q20")
+    assert(p20.contains("LeftSemi"), p20)
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("BroadcastNestedLoop"), p20)
   }
 
   test("embed near-dup self-join is tiled: no nested-loop, no cartesian") {
