@@ -260,27 +260,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
     }
-    val handled = renames.size + drops.size + added.size + widens.size
+    // ALTER TABLE ... CLUSTER BY (a, b) / CLUSTER BY NONE: re-point the
+    // clustering/index key set as a metadata-only commit (layout-config
+    // evolution; see GraftTable.alterClusterKeys)
+    val clusterings = changes.collect {
+      case c: TableChange.ClusterBy =>
+        c.clusteringColumns().toSeq.map(_.fieldNames().mkString("."))
+    }
+    val handled = renames.size + drops.size + added.size + widens.size +
+      clusterings.size
     if (handled != changes.size) {
       val other = changes.filterNot {
         case r: TableChange.RenameColumn     => r.fieldNames.length == 1
         case d: TableChange.DeleteColumn     => d.fieldNames.length == 1
         case a: TableChange.AddColumn        => a.fieldNames.length == 1
         case u: TableChange.UpdateColumnType => u.fieldNames.length == 1
+        case _: TableChange.ClusterBy        => true
         case _ => false
       }
       throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change ${other.mkString(", ")} " +
           "(top-level ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
-          "ALTER COLUMN TYPE widening only)")
+          "ALTER COLUMN TYPE widening / CLUSTER BY only)")
     }
-    if (renames.nonEmpty || drops.nonEmpty || widens.nonEmpty) {
+    if (renames.nonEmpty || drops.nonEmpty || widens.nonEmpty ||
+        clusterings.nonEmpty) {
       require(t0.latestVersion.isDefined,
-        "graft catalog: RENAME/DROP/ALTER COLUMN need a committed table " +
-          "(the column mapping lives in the commit log); insert first")
+        "graft catalog: RENAME/DROP/ALTER COLUMN/CLUSTER BY need a " +
+          "committed table (the config lives in the commit log); insert first")
       renames.foreach { case (o, n) => t0.renameColumn(o, n) }
       drops.foreach(t0.dropColumn)
       widens.foreach { case (c, dt) => t0.widenColumn(c, dt) }
+      clusterings.foreach(cs => t0.alterClusterKeys(cs))
     }
     val t = t0
     if (added.isEmpty) return load(ident, None, None)

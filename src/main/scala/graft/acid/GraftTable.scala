@@ -63,7 +63,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        partitionCol: Option[String] = None,
                        bloomCol: Option[String] = None,
                        constraints: Seq[String] = Nil,
-                       indexCols: Seq[String] = Nil,
+                       // a VAR: [[alterClusterKeys]] re-points the
+                       // clustering/index column set as a metadata commit
+                       private var indexCols: Seq[String] = Nil,
                        checkpointInterval: Int = 10,
                        private[acid] val dvMaxRows: Int = 100000,
                        dvPurgeRows: Long = 1000000L)
@@ -1851,6 +1853,45 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     commit(v, latestVersion.map(entries).getOrElse(Nil), op = "widen_column",
       schema = Some(StructType(base.fields.map(x =>
         if (x.name.equalsIgnoreCase(name)) x.copy(dataType = newType) else x))))
+  }
+
+  /** ALTER TABLE ... CLUSTER BY (a, b ...) — LAYOUT-CONFIG EVOLUTION as
+    * a METADATA-ONLY commit: re-points the `indexCols` clustering/index
+    * set (the new header's `icols=`), zero data I/O. Correctness needs
+    * no migration because per-file windows are SELF-DESCRIBING: old
+    * files keep their old-dim `w:` windows (predicates on the old dims
+    * still prune them; predicates on the new dims conservatively read
+    * them), while every NEW write records the new dims — and the
+    * incremental-optimize tail pass ([[compactZOrderIncremental]] /
+    * `autoZOrderBy`, whose layout tags are keyed by the column
+    * SIGNATURE) sees the whole pre-switch table as untagged tail and
+    * migrates it lazily, OPTIMIZE-converging the layout to the new keys
+    * (ZOrderSpec pins the mixed-generation pruning and the
+    * convergence). Empty `cols` clears the set (CLUSTER BY NONE).
+    * Columns carrying a non-identity column mapping refuse: windows key
+    * PHYSICAL file column names, and a mapped logical name would record
+    * nothing. */
+  def alterClusterKeys(cols: Seq[String]): Long = {
+    val base = tableSchema.orElse(latestVersion.map(v => snapshot(Some(v)).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"alterClusterKeys on $root: the table has no commits yet"))
+    val missing = cols.filterNot(c =>
+      base.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"alterClusterKeys on $root: no column(s) ${missing.mkString(", ")}")
+    val cm = latestVersion.map(cmapOf).getOrElse(Map.empty)
+    val mapped = cols.filter(c => cm.get(c.toLowerCase)
+      .exists(!_.equalsIgnoreCase(c)))
+    require(mapped.isEmpty,
+      s"alterClusterKeys on $root: ${mapped.mkString(", ")} carry a " +
+        "column mapping (renamed / re-added) — per-file windows key " +
+        "physical names; cluster on identity-mapped columns or rebuild")
+    val v = nextVersion
+    val old = indexCols
+    indexCols = cols
+    try commit(v, latestVersion.map(entries).getOrElse(Nil),
+      op = "cluster_keys")
+    catch { case e: Throwable => indexCols = old; throw e }
   }
 
   /** A column the physical layout depends on can be neither renamed nor

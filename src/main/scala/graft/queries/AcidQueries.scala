@@ -427,6 +427,32 @@ object AcidQueries extends QueryPack {
     (GraftTable.load(s, rRaw), GraftTable.load(s, rMir))
   }
 
+  /** ALTER CLUSTER KEYS fixture: a (user_id, event_id)-z-ordered table
+    * re-keyed to (event_id, ts) as a METADATA-ONLY commit, then one
+    * incremental OPTIMIZE pass migrates the (now untagged w.r.t. the new
+    * signature) files into the new layout. The gate row reads a pruned
+    * range on the NEW key — correct rows prove the re-key lost/duplicated
+    * nothing and the new windows prune truthfully. */
+  private val reclusterFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def reclusterTable(s: SparkSession, d: String): GraftTable = {
+    val root = reclusterFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("reclus" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/reclus_$key"
+      val t = new GraftTable(s, r, indexCols = Seq("user_id", "event_id"))
+      t.append(events(s, d))
+      t.compactZOrderN(Seq("user_id", "event_id"), 16)
+      t.alterClusterKeys(Seq("event_id", "ts"))
+      t.compactZOrderIncremental(Seq("event_id", "ts"), 16)
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** SQL COMMIT ATOMIC with a MERGE participant: per step ONE atomic
     * transaction INSERTs a raw slice AND MERGEs its latest-per-user rows
     * into a pid-partitioned mirror (ANSI WHEN MATCHED AND newer THEN
@@ -791,6 +817,17 @@ object AcidQueries extends QueryPack {
     "q_acid_evolution" -> { (s, d) =>
       import s.implicits._
       evoTable(s, d).snapshot().orderBy($"event_id")
+    },
+
+    // ALTER CLUSTER KEYS + incremental OPTIMIZE migration: a pruned
+    // range read on the NEW key over the re-keyed, migrated table —
+    // exact rows prove the metadata-only re-key and the lazy file
+    // migration lost and duplicated nothing (ZOrderSpec pins the
+    // mixed-generation pruning and tag convergence).
+    "q_acid_recluster" -> { (s, d) =>
+      import s.implicits._
+      reclusterTable(s, d).snapshotRangeOn("event_id", 100L, 4999L)
+        .orderBy($"event_id")
     },
 
     // SQL COMMIT ATOMIC with a MERGE INTO participant: the mirror's
@@ -1253,6 +1290,12 @@ object AcidQueries extends QueryPack {
         |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
         |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
         |ORDER BY _commit_version, _change, event_id""".stripMargin,
+
+    // the pruned new-key range read replayed as a plain WHERE
+    "q_acid_recluster" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id BETWEEN 100 AND 4999
+        |ORDER BY event_id""".stripMargin,
 
     // mirror = latest event per user (the per-slice merges compose to
     // the global latest); raw_rows = the full event count — both only

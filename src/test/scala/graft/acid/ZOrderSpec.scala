@@ -148,6 +148,74 @@ class ZOrderSpec extends SparkSpec {
       t.compactZOrderIncremental(Seq("x", "id"), 16))
   }
 
+  test("ALTER CLUSTER KEYS: metadata-only re-key, mixed-generation pruning, OPTIMIZE converges") {
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_recluster"),
+      statsCol = Some("id"), indexCols = Seq("x", "y"))
+    t.append(grid(4096).repartition(8))
+    t.compactZOrder(("x", "y"), targetFiles = 16)
+    val laid = t.activeFiles(t.latestVersion.get).toSet
+    // re-pointing the cluster keys is METADATA-ONLY: files carry over
+    t.alterClusterKeys(Seq("id", "y"))
+    assert(t.activeFiles(t.latestVersion.get).toSet == laid,
+      "cluster_keys must not rewrite data")
+    assert(t.history().last.op == "cluster_keys")
+    // a FRESH handle recovers the new key set from the log header and
+    // windows the new dims on its writes
+    val t2 = GraftTable.load(spark, t.root)
+    val burst = (4096 until 4608).map { i =>
+      (i.toLong, ((i * 131) % 4096).toLong, ((i * 191) % 4096).toLong)
+    }.toDF("id", "x", "y")
+    t2.append(burst.repartition(2))
+    val all = t2.activeFiles(t2.latestVersion.get).size
+    // OLD files still prune on the OLD dims (their w:x windows are
+    // self-describing, the key switch cannot un-record them)
+    assert(t2.filesForColumnRange("x", 0L, 255L).size < all,
+      "old-dim pruning must survive the re-key")
+    // the whole pre-switch table is untagged TAIL w.r.t. the new keys —
+    // exactly what the incremental-optimize cadence keys on
+    assert(t2.zorderTailShare(Seq("id", "y")).exists(_ > 0.99))
+    // OPTIMIZE after the switch converges the layout tag to the new keys
+    t2.compactZOrderIncremental(Seq("id", "y"), targetFiles = 16)
+    assert(t2.zorderTailShare(Seq("id", "y")).contains(0.0),
+      "the migration pass must converge the layout tag")
+    val after = t2.activeFiles(t2.latestVersion.get).size
+    // ...and the MIGRATED files prune on the NEW dims
+    assert(t2.filesForColumnRange("id", 0L, 511L).size < after,
+      "new-dim pruning must hold for migrated files")
+    assert(t2.filesForColumnRange("y", 0L, 255L).size < after)
+    assert(t2.snapshotRangeOn("id", 0L, 511L).count() == 512L)
+    assert(t2.snapshot().count() == 4608L, "re-key + migration is lossless")
+    // guards: unknown and column-mapped keys refuse
+    intercept[IllegalArgumentException](t2.alterClusterKeys(Seq("nope")))
+    t2.renameColumn("x", "xx") // x left the config at the re-key
+    intercept[IllegalArgumentException](t2.alterClusterKeys(Seq("xx", "y")))
+    // clearing the keys (CLUSTER BY NONE) persists too
+    t2.alterClusterKeys(Nil)
+    val t3 = GraftTable.load(spark, t2.root)
+    intercept[IllegalArgumentException](t3.snapshotRangeOn("y", 0L, 10L))
+  }
+
+  test("SQL ALTER TABLE ... CLUSTER BY re-points the keys through the catalog") {
+    val wh = graft.TempDirs.create("graft_recluster_cat")
+    spark.conf.set("spark.sql.catalog.zc_cat", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.zc_cat.root", wh)
+    spark.sql("CREATE TABLE zc_cat.t (id BIGINT, x BIGINT, y BIGINT) " +
+      "USING graft TBLPROPERTIES ('indexCols'='x,y')")
+    spark.sql("INSERT INTO zc_cat.t SELECT id, id * 131 % 512, id * 191 % 512 " +
+      "FROM range(512)")
+    spark.sql("ALTER TABLE zc_cat.t CLUSTER BY (id, y)")
+    val t = GraftTable.load(spark, s"$wh/t")
+    assert(t.history().last.op == "cluster_keys")
+    // new writes window the new dims: the next insert's entries carry
+    // w:id / w:y windows and prune via snapshotRangeOn
+    spark.sql("INSERT INTO zc_cat.t SELECT id, id, id FROM range(512, 1024)")
+    assert(t.snapshotRangeOn("id", 0L, 100L).count() == 101L)
+    // CLUSTER BY NONE clears the set
+    spark.sql("ALTER TABLE zc_cat.t CLUSTER BY NONE")
+    val t2 = GraftTable.load(spark, s"$wh/t")
+    intercept[IllegalArgumentException](t2.snapshotRangeOn("id", 0L, 1L))
+  }
+
   test("a TIMESTAMP z-order dimension clusters in micros and both dims prune") {
     // ts and k are independent permutations over 4 "days" x 1024 keys —
     // the ts x tenant layout every time-series fact table wants
