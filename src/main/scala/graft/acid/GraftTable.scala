@@ -3563,30 +3563,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * serves hold one live row per key by construction. */
   def changeFeedKeyed(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
     val feed = changeFeed(fromV, toV)
-    val cols = feed.columns.filterNot(_ == "_change").toIndexedSeq
-    val ins = feed.filter(col("_change") === "insert").drop("_change")
-    val del = feed.filter(col("_change") === "delete").drop("_change")
-    def ren(df: DataFrame, p: String, present: String) =
-      df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
-        lit(true).as(present): _*)
-    val joined = ren(ins, "__n_", "__n_present")
-      .join(ren(del, "__o_", "__o_present"),
-        keyCols.map(k => col(s"__n_$k") <=> col(s"__o_$k")).reduce(_ && _),
-        "full_outer")
-    val np = coalesce(col("__n_present"), lit(false))
-    val op = coalesce(col("__o_present"), lit(false))
-    def side(p: String, tag: String): Column =
-      struct(cols.map(c => col(s"$p$c").as(c)) :+ lit(tag).as("_change"): _*)
-    // ONE pass over the join (a 4-way union of filtered selects would
-    // re-execute it per branch): each joined row yields its change rows
-    // as an array — an update pair explodes into pre + post — and one
-    // explode flattens them
-    joined.select(explode(
-      when(np && op, array(side("__o_", "update_preimage"),
-                           side("__n_", "update_postimage")))
-        .when(np && !op, array(side("__n_", "insert")))
-        .otherwise(array(side("__o_", "delete")))).as("__c"))
-      .select(col("__c.*"))
+    GraftTable.classifyKeyed(
+      feed.filter(col("_change") === "insert").drop("_change"),
+      feed.filter(col("_change") === "delete").drop("_change"),
+      keyCols)
   }
 
   /** Apply a [[changeFeed]] to THIS table (the downstream-mirror
@@ -3605,8 +3585,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * I/O). Falls back to the full rewrite without a partitionCol or when
     * a feed row's partition is null. */
   def applyChanges(feed: DataFrame): Long = {
-    val ins = feed.filter(col("_change") === "insert").drop("_change")
-    val del = feed.filter(col("_change") === "delete").drop("_change")
+    // accepts BOTH tag families: the plain insert/delete feed and the
+    // keyed-classified one (an update pair is value-wise exactly a
+    // delete of the preimage + an insert of the postimage, so the
+    // multiset identity carries over unchanged)
+    val ins = feed.filter(col("_change").isin("insert", "update_postimage"))
+      .drop("_change")
+    val del = feed.filter(col("_change").isin("delete", "update_preimage"))
+      .drop("_change")
     val scoped = partitionCol.flatMap(_ => touchedPartitions(feed.drop("_change")))
     scoped match {
       case None =>
@@ -3624,6 +3610,66 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         commitScopedWithRebase(v, prev, rewrite, written, touched,
           op = "apply_changes")
     }
+  }
+
+  /** KEY-SCOPED CDC apply — the bounded mirror loop for a CLASSIFIED
+    * feed (insert / update_preimage / update_postimage / delete rows
+    * keyed by `keyCol`, e.g. one micro-batch of the `readChangeFeed`
+    * table stream): replace every touched key's row with its new state
+    * (post-image / insert) and drop deleted keys, rewriting ONLY the
+    * files that can contain a touched key.
+    *
+    * 100 TB shape: the touched-key probe mirrors [[appendUnique]]'s —
+    * a small key set (≤1024) probes as a point-set predicate (per-file
+    * BLOOMS + windows prune driver-side), a large one probes its range —
+    * so on a key-clustered or bloom-indexed mirror each batch rewrites
+    * O(touched files), never the table. This is what keeps a continuous
+    * CDC mirror O(delta) per batch where [[applyChanges]] without a
+    * partitionCol would pay a full-table rewrite each batch.
+    *
+    * Semantics: the pre-image rows participate only through their KEYS
+    * (every touched key's old row drops via an anti-join; post-images
+    * and inserts land) — so the apply is idempotent per batch replay as
+    * long as the mirror holds one live row per key, which a keyed feed
+    * guarantees. */
+  def applyChangesKeyed(feed: DataFrame, keyCol: String): Long = {
+    val ups = feed.filter(col("_change").isin("insert", "update_postimage"))
+      .drop("_change")
+    val touchedKeys = feed.select(col(keyCol)).na.drop()
+      .distinct().limit(1025).collect().map(_.get(0))
+    val lv = latestVersion.getOrElse(
+      return append(ups)) // a never-committed mirror bootstraps
+    if (touchedKeys.isEmpty) {
+      // nothing keyed changed: publish a no-op version (keeps the
+      // batch → version bookkeeping monotone for downstream consumers)
+      return commit(nextVersion, entries(lv), op = "apply_changes")
+    }
+    val isStr = feed.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val pred =
+      if (touchedKeys.length <= 1024)
+        col(keyCol).isin(touchedKeys.toIndexedSeq: _*)
+      else if (isStr) {
+        val mm = feed.agg(min(col(keyCol)), max(col(keyCol))).head()
+        col(keyCol) >= mm.getString(0) && col(keyCol) <= mm.getString(1)
+      } else {
+        val mm = feed.agg(min(col(keyCol)).cast("long"),
+          max(col(keyCol)).cast("long")).head()
+        if (mm.isNullAt(0)) lit(true)
+        else col(keyCol) >= mm.getLong(0) && col(keyCol) <= mm.getLong(1)
+      }
+    val prev = entries(lv)
+    val candSet = entriesForPredicate(pred, lv).map(_.path).toSet
+    val (rewrite, keep) = prev.partition(e => candSet.contains(e.path))
+    val v = nextVersion
+    val keyFrame = feed.select(col(keyCol)).na.drop().distinct()
+    val out =
+      if (rewrite.isEmpty) ups
+      else readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
+        .join(keyFrame, Seq(keyCol), "left_anti")
+        .unionByName(ups)
+    val written = writeData(clusterByPartition(out), v)
+    commit(v, keep ++ written, op = "apply_changes")
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF `v` (the production lakehouse
@@ -3911,6 +3957,39 @@ object GraftTable {
     * before a DV commit coalesces every live mask into its own sidecar
     * (see the handle's `coalesceDvs`). */
   private[graft] val MaxDvSidecars = 2
+
+  /** The KEYED CDC classification shared by the batch
+    * ([[GraftTable.changeFeedKeyed]]) and STREAMING
+    * ([[GraftTableStreamSource]] `readChangeFeed` + `changeFeedKeys`)
+    * faces: pair the netted insert/delete sides per `keyCols` — a key on
+    * both sides becomes an `update_preimage`/`update_postimage` PAIR, an
+    * insert-only key stays `insert`, a delete-only key `delete`. One
+    * equi-shuffle full-outer self-join of the two tagged sides; each
+    * joined row yields its change rows as an array (an update pair
+    * explodes into pre + post) so the join evaluates ONCE, not per
+    * branch. Requires each key to appear at most once per side — the
+    * merge/upsert tables this serves hold one live row per key. */
+  private[acid] def classifyKeyed(ins: DataFrame, del: DataFrame,
+                                  keyCols: Seq[String]): DataFrame = {
+    val cols = ins.columns.toIndexedSeq
+    def ren(df: DataFrame, p: String, present: String) =
+      df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
+        lit(true).as(present): _*)
+    val joined = ren(ins, "__n_", "__n_present")
+      .join(ren(del, "__o_", "__o_present"),
+        keyCols.map(k => col(s"__n_$k") <=> col(s"__o_$k")).reduce(_ && _),
+        "full_outer")
+    val np = coalesce(col("__n_present"), lit(false))
+    val op = coalesce(col("__o_present"), lit(false))
+    def side(p: String, tag: String): Column =
+      struct(cols.map(c => col(s"$p$c").as(c)) :+ lit(tag).as("_change"): _*)
+    joined.select(explode(
+      when(np && op, array(side("__o_", "update_preimage"),
+                           side("__n_", "update_postimage")))
+        .when(np && !op, array(side("__n_", "insert")))
+        .otherwise(array(side("__o_", "delete")))).as("__c"))
+      .select(col("__c.*"))
+  }
 
   /** Manifest features THIS engine build understands — the read side of
     * the `require=` protocol gate. Every gated feature's entry tags:

@@ -331,6 +331,34 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
                              parameters: Map[String, String])
     extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  /** `readChangeFeed=true` — the CLASSIFIED row-level CDC stream (the
+    * Delta readChangeFeed shape) instead of the raw file diff: each
+    * batch emits only the NET row changes of its commit range — the
+    * self-canceling delete+insert pairs a rewrite merely carries cancel
+    * out — tagged `insert`/`delete`, or with `changeFeedKeys=k1,k2` the
+    * full 4-way classification (`update_preimage`/`update_postimage`
+    * for a key present on both sides). DV commits classify exactly: the
+    * same file under old/new mask reads on both sides and only the
+    * newly-masked rows survive the subtraction as deletes.
+    *
+    * The netting (exceptAll) and the keyed classification join are
+    * operators Spark's streaming planner rejects on streaming
+    * relations, so the batch plan builds as a BATCH computation over the
+    * endpoint-pinned file reads and re-enters the stream through
+    * [[org.apache.spark.sql.GraftPlanBridge.asStreamingBatch]] — the
+    * work stays a distributed job per micro-batch, nothing funnels
+    * through the driver. Versions are immutable, so a replayed batch
+    * nets to identical content — exactly-once is preserved. Downstream,
+    * `foreachBatch { b => mirror.applyChangesKeyed(b.drop(
+    * "_commit_version"), key) }` is the complete bounded mirror loop. */
+  private val readChangeFeed: Boolean = parameters.exists { case (k, v) =>
+    k.equalsIgnoreCase("readChangeFeed") && v.trim.equalsIgnoreCase("true") }
+  private val changeFeedKeys: Seq[String] = parameters.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("changeFeedKeys") => v }
+    .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  require(changeFeedKeys.isEmpty || readChangeFeed,
+    "graft-table: changeFeedKeys requires readChangeFeed=true")
+
   /** Version BEFORE the first change this stream delivers (0 = the empty
     * pre-first-commit state). Only consulted on a fresh checkpoint.
     * `startingTimestamp` (epoch millis) delivers every commit AFTER that
@@ -447,14 +475,35 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       // own versions — added entries exist under toV's mapping, removed
       // entries under fromV's — so batch content depends only on
       // (fromV, toV), never on when the batch is read
-      def read(es: Seq[table.FileEntry], tag: String,
-               mapV: Long): Option[DataFrame] =
+      def readSide(es: Seq[table.FileEntry], mapV: Long): Option[DataFrame] =
         if (es.isEmpty) None
-        else Some(table.readEntriesAs(es, dataSchema,
-            Some(table.cmapOf(mapV)))
-          .withColumn("_change", lit(tag)))
+        else Some(table.readEntriesAs(es, dataSchema, Some(table.cmapOf(mapV))))
+      if (readChangeFeed) {
+        // CLASSIFIED CDC mode: net the two sides, then tag (and with
+        // keys, pair updates). Built as a BATCH plan — exceptAll and the
+        // classification join are unplannable on streaming relations —
+        // and re-entered into the stream via asStreamingBatch.
+        def emptyDf: DataFrame = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+        val (ins, del) = (readSide(added, toV), readSide(removed, fromV)) match {
+          case (None, None)       => return emptyBatch
+          case (Some(n), None)    => (n, emptyDf)
+          case (None, Some(o))    => (emptyDf, o)
+          case (Some(n), Some(o)) => (n.exceptAll(o), o.exceptAll(n))
+        }
+        val classified =
+          if (changeFeedKeys.nonEmpty)
+            GraftTable.classifyKeyed(ins, del, changeFeedKeys)
+          else ins.withColumn("_change", lit("insert"))
+            .unionByName(del.withColumn("_change", lit("delete")))
+        val out = classified
+          .withColumn("_commit_version", lit(toV))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        return GraftPlanBridge.asStreamingBatch(spark, out, this)
+      }
       val parts =
-        read(added, "insert", toV).toSeq ++ read(removed, "delete", fromV)
+        readSide(added, toV).map(_.withColumn("_change", lit("insert"))).toSeq ++
+          readSide(removed, fromV).map(_.withColumn("_change", lit("delete")))
       if (parts.isEmpty) emptyBatch
       else {
         val out = parts.reduce(_.unionByName(_))

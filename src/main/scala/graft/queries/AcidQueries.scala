@@ -238,6 +238,83 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** Bounded-delta CDC fixture (the production change-stream shape,
+    * r12 directive #8): a user_id-CLUSTERED table (statsCol windows +
+    * range-clustered seed) seeded with the deduped latest-per-user
+    * state, then two KEY-BOUNDED mutations — a scoped MERGE bumping a
+    * fixed 24-user band (rewrites only the files whose user_id window
+    * intersects the band) and a DV delete of a fixed 12-user band. The
+    * streamed feed (startingVersion=2, netted) is then O(band) in BOTH
+    * scan and output at every SF: the scoped rewrite's carried
+    * neighbor rows cancel in the netting, and the DV commit nets to
+    * exactly the newly-masked rows. */
+  private val cdcDeltaFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcDeltaTable(s: SparkSession, d: String): GraftTable = {
+    val root = cdcDeltaFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cdcdelta" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/cdcdelta_$key"
+      val t = new GraftTable(s, r, statsCol = Some("user_id"))
+      val ev = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val seed = ev.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      t.append(seed.repartitionByRange(8, $"user_id"))         // v1
+      // v2: key-scoped merge — same ts, higher event_id wins the merge
+      val bumped = t.snapshot().filter($"user_id" < 24L)
+        .withColumn("event_id", $"event_id" + 10000000L)
+        .withColumn("value", $"value" + 1000.0)
+      t.merge(bumped, Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      t.delete($"user_id" >= 24L && $"user_id" < 36L)          // v3: DV
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
+  /** Streaming-CDC mirror fixture: the cdf table's KEYED change feed
+    * (readChangeFeed + changeFeedKeys=user_id) drained through
+    * foreachBatch applyChangesKeyed into a user_id-indexed mirror —
+    * the bounded CDC-replay loop (each batch rewrites only files whose
+    * windows can hold a touched key). Built once per JVM; the gate row
+    * reads the mirror snapshot, which must equal the source's latest
+    * state. */
+  private val cdcMirrorFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcMirrorTable(s: SparkSession, d: String): GraftTable = {
+    val root = cdcMirrorFixtures.computeIfAbsent(d, { _ =>
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cdcmir" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val src = cdfTable(s, d)
+      val mirRoot = s"$acidDir/cdcmir_$key"
+      val ckpt = s"$acidDir/cdcmir_ckpt_$key"
+      val mir = new GraftTable(s, mirRoot, statsCol = Some("user_id"))
+      val q = s.readStream.format("graft-table")
+        .option("path", src.root)
+        .option("maxVersionsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .option("changeFeedKeys", "user_id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            mir.applyChangesKeyed(batch.drop("_commit_version"), "user_id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      mirRoot
+    })
+    GraftTable.load(s, root)
+  }
+
   /** RESTORE fixture: three appends (the %3 slices), then a rollback to
     * v2 — the snapshot must be exactly the first two slices, served by
     * RE-REFERENCED v2 files (RestoreSpec pins the zero-I/O property). */
@@ -739,23 +816,60 @@ object AcidQueries extends QueryPack {
       tables(s, d)._8.snapshot().orderBy($"user_id")
     },
 
-    // The table AS a streaming source: readStream.format("graft-table")
-    // replays the merge table's commit history as per-commit change
-    // batches (maxVersionsPerBatch=1), each batch the FILE-level diff of
-    // one commit (rows of added files tagged insert, removed files
-    // delete; the two merges are full rewrites, so each tags the whole
-    // pre/post state — deterministic content). The drain is synchronous
-    // (AvailableNow -> memory sink); restart-resume and the mirror apply
-    // loop are pinned by TableStreamSpec.
+    // The table AS a streaming CDC source — BOUNDED-DELTA shape
+    // (re-founded per the r12 directive: the previous form replayed the
+    // dedup merge table, whose changes are O(table) by construction):
+    // readStream("graft-table") with readChangeFeed=true and
+    // startingVersion=2 streams ONLY the two key-bounded delta commits
+    // of the user_id-clustered fixture. Scan AND emitted rows are
+    // O(touched band) at every SF — the scoped merge's carried neighbor
+    // rows cancel in the netting, the DV delete nets to the masked rows
+    // — the O(delta)-per-batch change stream a 100 TB mirror consumes.
+    // Raw file-diff semantics stay gate-covered by q_acid_stream_sink
+    // and q_pipeline_bus_to_table; the initial-load replay by
+    // q_acid_stream_cdc. The drain is synchronous (AvailableNow ->
+    // memory sink).
     "q_acid_stream_feed" -> { (s, d) =>
       import s.implicits._
-      val mt = tables(s, d)._1
+      val dt = cdcDeltaTable(s, d)
       val feed = s.readStream.format("graft-table")
-        .option("path", mt.root)
+        .option("path", dt.root)
         .option("maxVersionsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
         .load()
       runToMemory(feed, "append")
-        .orderBy($"_commit_version", $"_change", $"event_id")
+        .orderBy($"_commit_version", $"_change", $"user_id")
+    },
+
+    // KEYED streaming CDC (readChangeFeed + changeFeedKeys): the cdf
+    // table's commits replay as classified per-user rows — batch @1 is
+    // v1's content as inserts, batch @2 pairs each changed user into
+    // update_preimage/update_postimage (first-seen users insert) — the
+    // streaming face of q_acid_cdf, one classification code path
+    // (GraftTable.classifyKeyed) behind both.
+    "q_acid_stream_cdc" -> { (s, d) =>
+      import s.implicits._
+      val ct = cdfTable(s, d)
+      val feed = s.readStream.format("graft-table")
+        .option("path", ct.root)
+        .option("maxVersionsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .option("changeFeedKeys", "user_id")
+        .load()
+      runToMemory(feed, "append")
+        .orderBy($"_commit_version", $"user_id", $"_change")
+    },
+
+    // The BOUNDED streaming CDC mirror: the keyed feed applied per batch
+    // via applyChangesKeyed on a key-indexed mirror — each batch rewrites
+    // only the files that can hold a touched key (blooms/windows prune),
+    // never the table. The mirror snapshot must hash-match the source's
+    // latest state (the CDC-replay identity, end to end through the
+    // stream).
+    "q_acid_stream_cdc_mirror" -> { (s, d) =>
+      import s.implicits._
+      cdcMirrorTable(s, d).snapshot().orderBy($"user_id")
     },
 
     // SQL-over-named-tables through the graft TableCatalog: the append
@@ -1263,33 +1377,65 @@ object AcidQueries extends QueryPack {
         |WHERE event_id % 3 < v
         |GROUP BY v ORDER BY version""".stripMargin,
 
-    // per-commit stream batches over the merge table: @1 the v1 content
-    // as inserts; the merges are FULL rewrites, so @2/@3 tag the whole
-    // prior state delete + the whole new state insert (v2 = latest per
-    // user over the %3<=1 slice, v3 = latest per user over all events)
+    // bounded CDC deltas from startingVersion=2: @2 = the 24-user band's
+    // old rows as deletes + bumped rows as inserts (the scoped rewrite's
+    // carried neighbors cancel in the netting); @3 = the 12-user band's
+    // rows as deletes (DV commit nets to the masked rows)
     "q_acid_stream_feed" ->
       """WITH v1 AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        |  FROM events WHERE event_id % 3 = 0),
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |upd AS (
+        |  SELECT event_id + 10000000 AS event_id, user_id, ts, event_type,
+        |         value + 1000.0 AS value
+        |  FROM v1 WHERE user_id < 24)
+        |SELECT * FROM (
+        |  SELECT v1.*, 'delete' AS _change, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM v1 WHERE user_id < 24
+        |  UNION ALL SELECT upd.*, 'insert', CAST(2 AS BIGINT) FROM upd
+        |  UNION ALL SELECT v1.*, 'delete', CAST(3 AS BIGINT)
+        |  FROM v1 WHERE user_id >= 24 AND user_id < 36)
+        |ORDER BY _commit_version, _change, user_id""".stripMargin,
+
+    // the keyed streaming CDC: @1 = v1 (latest of the %3==0 slice) as
+    // inserts; @2 = the v1->v2 diff classified per user (update pairs
+    // for users on both sides)
+    "q_acid_stream_cdc" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE event_id % 3 = 0) WHERE rn = 1),
         |v2 AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |                                     ORDER BY ts DESC, event_id DESC) AS rn
-        |        FROM events WHERE event_id % 3 <= 1)
-        |  WHERE rn = 1),
-        |v3 AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |                                     ORDER BY ts DESC, event_id DESC) AS rn
-        |        FROM events)
-        |  WHERE rn = 1)
+        |        FROM events) WHERE rn = 1),
+        |ins AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+        |del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2),
+        |paired AS (SELECT user_id FROM ins INTERSECT SELECT user_id FROM del)
         |SELECT * FROM (
-        |  SELECT *, 'insert' AS _change, CAST(1 AS BIGINT) AS _commit_version FROM v1
-        |  UNION ALL SELECT *, 'insert', CAST(2 AS BIGINT) FROM v2
-        |  UNION ALL SELECT *, 'delete', CAST(2 AS BIGINT) FROM v1
-        |  UNION ALL SELECT *, 'insert', CAST(3 AS BIGINT) FROM v3
-        |  UNION ALL SELECT *, 'delete', CAST(3 AS BIGINT) FROM v2)
-        |ORDER BY _commit_version, _change, event_id""".stripMargin,
+        |  SELECT v1.*, 'insert' AS _change,
+        |         CAST(1 AS BIGINT) AS _commit_version FROM v1
+        |  UNION ALL
+        |  SELECT ins.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
+        |    THEN 'update_postimage' ELSE 'insert' END, CAST(2 AS BIGINT) FROM ins
+        |  UNION ALL
+        |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
+        |    THEN 'update_preimage' ELSE 'delete' END, CAST(2 AS BIGINT) FROM del)
+        |ORDER BY _commit_version, user_id, _change""".stripMargin,
+
+    // the streamed keyed feed applied to the mirror must land exactly on
+    // the source's latest state: latest event per user
+    "q_acid_stream_cdc_mirror" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT event_id, user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the pruned new-key range read replayed as a plain WHERE
     "q_acid_recluster" ->

@@ -45,6 +45,27 @@ object GraftPlanBridge {
       df.asInstanceOf[classic.DataFrame].queryExecution.toRdd, df.schema)
   }
 
+  /** Re-wrap an already-planned BATCH computation as a STREAMING-tagged
+    * leaf attributed to `stream` — the V1 `Source.getBatch` door for
+    * batches whose plan carries operators Spark's streaming planner
+    * rejects on streaming relations (exceptAll, the full-outer
+    * classification join of a CDC feed). The batch plan compiles here
+    * (driver-side planning only); its InternalRow RDD executes
+    * distributed when the micro-batch runs, and the LogicalRDD leaf
+    * satisfies the engine's isStreaming assertion while attributing the
+    * rows to the source (the same move Spark's own sources make for
+    * computed batches). */
+  def asStreamingBatch(session: SparkSession, df: DataFrame,
+      stream: org.apache.spark.sql.connector.read.streaming.SparkDataStream)
+      : DataFrame = {
+    val cs = session.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.Dataset[Row]].queryExecution
+    classic.Dataset.ofRows(cs, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, isStreaming = true, Some(stream))(cs))
+  }
+
   /** Clone the session: same SparkContext/SharedState, but a COPY of the
     * session state (conf, temp views, registered functions). Lets a
     * streaming query start under a per-query conf override (state-store

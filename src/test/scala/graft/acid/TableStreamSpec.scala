@@ -150,6 +150,101 @@ class TableStreamSpec extends SparkSpec {
     assert(del == Seq(1L, 2L, 3L), s"delete side must be the pre-mask rows, got $got")
   }
 
+  test("readChangeFeed nets rewrites to row-level changes; DV deletes classify exactly") {
+    val root = graft.TempDirs.create("graft_cdc_net")
+    val ckpt = graft.TempDirs.create("graft_cdc_net_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L, 3L), "a").coalesce(1))   // v1: ONE file
+    t.delete($"id" === 2L)                             // v2: DV path
+    assert(t.entries(2L).exists(_.dvRef.isDefined), "fixture must take the DV path")
+    val opts = Map("readChangeFeed" -> "true", "maxVersionsPerBatch" -> "1")
+    val got = runOnce(root, ckpt, opts)
+    // v1 batch = pure inserts; the DV batch nets the masked-file pair to
+    // EXACTLY the newly-masked row (raw mode emits 1,2,3 delete + 1,3
+    // insert — the netted CDC must not)
+    assert(got.sorted == Seq(("delete", 2L, 2L), ("insert", 1L, 1L),
+      ("insert", 1L, 2L), ("insert", 1L, 3L)), s"got $got")
+    // a full-rewrite overwrite nets to its actual row changes only
+    t.overwrite(rows(Seq(1L, 3L, 4L), "a"))            // v3: net +4
+    val third = runOnce(root, ckpt, opts)
+    assert(third == Seq(("insert", 3L, 4L)),
+      s"carried rows must cancel in the netted feed, got $third")
+    // layout-only commits stay EMPTY in CDC mode too
+    t.compact(targetFiles = 1)
+    assert(runOnce(root, ckpt, opts).isEmpty)
+  }
+
+  test("keyed readChangeFeed classifies update pairs; applyChangesKeyed mirrors the source") {
+    val root = graft.TempDirs.create("graft_cdc_keyed")
+    val ckpt = graft.TempDirs.create("graft_cdc_keyed_ckpt")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L, 3L), "a"))                     // v1
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "B", 2.5), (4L, "d", 4.0))
+      .toDF("id", "name", "v"))                              // v2
+    val opts = Map("readChangeFeed" -> "true", "changeFeedKeys" -> "id",
+      "maxVersionsPerBatch" -> "1")
+    val got = runOnce(root, ckpt, opts)
+    val batch2 = got.filter(_._2 == 2L).map(r => (r._1, r._3)).sorted
+    assert(batch2 == Seq(("delete", 3L), ("insert", 4L),
+      ("update_postimage", 2L), ("update_preimage", 2L)),
+      s"keyed classification must pair key 2's update, got $got")
+    assert(got.filter(_._2 == 1L).forall(_._1 == "insert"))
+    // the BOUNDED mirror loop: per batch, one key-scoped apply — on a
+    // key-indexed mirror each batch rewrites only files that can hold a
+    // touched key (the 100 TB CDC-mirror shape)
+    val mirror = new GraftTable(spark,
+      graft.TempDirs.create("graft_cdc_keyed_mir"), statsCol = Some("id"))
+    val ckpt2 = graft.TempDirs.create("graft_cdc_keyed_ckpt2")
+    var reader = spark.readStream.format("graft-table").option("path", root)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          mirror.applyChangesKeyed(batch.drop("_commit_version"), "id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(mirror.snapshot().exceptAll(t.snapshot()).isEmpty &&
+           t.snapshot().exceptAll(mirror.snapshot()).isEmpty,
+      "the keyed CDC mirror must hash-match the source snapshot")
+  }
+
+  test("a keyed CDC replay resolves through the batch-endpoint mapping after a mid-stream re-add") {
+    val root = graft.TempDirs.create("graft_cdc_replay")
+    val t = new GraftTable(spark, root)
+    t.append(rows(Seq(1L, 2L), "a"))                         // v1
+    val schema = t.snapshot().schema
+      .add("_change", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+    val opts = Map("readChangeFeed" -> "true", "changeFeedKeys" -> "id")
+    def replayV1(): Seq[(Long, String, String)] = {
+      val df = new GraftTableStreamSource(spark.sqlContext, t, schema, opts)
+        .getBatch(None, TableVersionOffset(1L))
+      // the CDC batch is a streaming-tagged LogicalRDD: strip the tag so
+      // the spec can collect it outside a streaming query
+      import org.apache.spark.sql.execution.LogicalRDD
+      val plan = df.queryExecution.analyzed.transform {
+        case lr: LogicalRDD if lr.isStreaming =>
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, isStreaming = false, None)(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      }
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, plan)
+        .select($"id", $"name", $"_change")
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    }
+    assert(replayV1() == Seq((1L, "a", "insert"), (2L, "a", "insert")))
+    t.dropColumn("name")                                     // v2
+    t.addColumn("name", org.apache.spark.sql.types.StringType) // v3: fresh physical
+    t.append(Seq((9L, 9.0, "fresh")).toDF("id", "v", "name"))  // v4
+    // checkpoint-recovery replay of (0,1] must still read v1's values
+    // through v1's mapping — never all-NULL via the latest's fresh column
+    assert(replayV1() == Seq((1L, "a", "insert"), (2L, "a", "insert")),
+      "replayed CDC batch content must be a pure function of (fromV, toV)")
+  }
+
   test("layout-only commits (compact/zorder/reorg) stream as EMPTY batches") {
     val root = graft.TempDirs.create("graft_tstream_layout")
     val ckpt = graft.TempDirs.create("graft_tstream_layout_ckpt")
