@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE HISTORY <table> [LIMIT <n>]
   *   DESCRIBE DETAIL <table>
   *   DESCRIBE FILES <table>                     -- per-file manifest metadata
-  *   DESCRIBE CHANGES <table> FROM <v> TO <v>   -- the change feed as SQL
+  *   DESCRIBE CHANGES <table> FROM <v> TO <v> [KEYED BY (k, ...)]
   *   COMMIT ATOMIC ( <stmt>; <stmt>; ... )      -- multi-table atomic txn
   * }}}
   *
@@ -608,8 +608,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         val fromV = t.expectLong("a version")
         t.expectKw("TO")
         val toV = t.expectLong("a version")
+        // KEYED BY (k1, k2): the classified CDC form — update pairs for
+        // keys present on both sides of the diff (changeFeedKeyed)
+        val keys =
+          if (t.takeKw("KEYED")) {
+            t.expectKw("BY"); t.expectKw("(")
+            val ks = Vector.newBuilder[String]
+            ks += stripTicks(t.expectIdent("a key column"))
+            while (t.takeKw(",")) ks += stripTicks(t.expectIdent("a key column"))
+            t.expectKw(")")
+            ks.result()
+          } else Vector.empty[String]
         t.expectEnd()
-        table.changeFeed(fromV, toV).queryExecution.logical
+        (if (keys.nonEmpty) table.changeFeedKeyed(fromV, toV, keys)
+         else table.changeFeed(fromV, toV)).queryExecution.logical
       }
     } else None // plain DESCRIBE <table> etc. — Spark's own statement
   }

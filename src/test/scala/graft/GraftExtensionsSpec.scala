@@ -126,6 +126,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val feed = s2.sql("DESCRIBE CHANGES gmaint.cf FROM 1 TO 2")
       .select($"id", $"_change").as[(Long, String)].collect().toSeq
     assert(feed == Seq((2L, "insert")), s"got $feed")
+    // ... and KEYED BY classifies a changed key as an update PAIR
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    t2.overwrite(Seq((1L, "a2"), (2L, "b")).toDF("id", "v")) // v3: id 1 changed
+    val keyed = s2.sql("DESCRIBE CHANGES gmaint.cf FROM 2 TO 3 KEYED BY (id)")
+      .select($"id", $"_change").as[(Long, String)].collect().toSeq.sorted
+    assert(keyed == Seq((1L, "update_postimage"), (1L, "update_preimage")),
+      s"got $keyed")
+    intercept[ParseException](
+      s2.sql("DESCRIBE CHANGES gmaint.cf FROM 2 TO 3 KEYED BY id"))
     // REORG ... APPLY (PURGE) materializes deletion vectors from SQL
     val t3 = new graft.acid.GraftTable(s2, s"$wh/rg")
     t3.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
