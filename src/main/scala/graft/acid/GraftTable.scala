@@ -2890,7 +2890,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * point predicates on the bloom column). */
   private def entriesForPredicate(predicate: Column, v: Long): Seq[FileEntry] = {
     val bounds = predicateBounds(predicate)
-    entries(v).filter { e =>
+    if (bounds.nonEmpty) distributedPruneCandidates(v, bounds) match {
+      case Some(cands) => return cands.filter(keepForBounds(bounds))
+      case None        => ()
+    }
+    entries(v).filter(keepForBounds(bounds))
+  }
+
+  /** Active-file-count threshold past which [[entriesForPredicate]]
+    * serves its window pruning as a DISTRIBUTED scan of the parquet
+    * checkpoint instead of filtering a driver-resident entry list — at
+    * ~10⁶ entries the list (with bloom/NDV payloads) is the one
+    * metadata structure whose size scales with table file count, and
+    * this path keeps it off the driver for cold read-only handles: only
+    * the SURVIVING entries collect. */
+  private def distributedPruneMinFiles: Long =
+    spark.conf.getOption("spark.graft.acid.distributedPruneMinFiles")
+      .flatMap(_.toLongOption).getOrElse(200000L)
+
+  /** The exact per-entry pruning test (windows, string windows, time
+    * windows, blooms) for `bounds` — the driver-side fine pass, applied
+    * either to the full entry list or to the distributed pass's
+    * survivors. */
+  private def keepForBounds(bounds: Seq[ColBound])(e: FileEntry): Boolean = {
       bounds.forall { b =>
         val winOk = windowOf(e, b.col).forall { case (mn, mx) =>
           b.points match {
@@ -2926,7 +2948,124 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           }
         winOk && strWinOk && timeWinOk && bloomOk
       }
+  }
+
+  /** The DISTRIBUTED coarse-prune path (the Delta data-skipping-over-
+    * checkpoint pattern): when version `v` resolves from a PARQUET
+    * checkpoint whose entry count is past
+    * [[distributedPruneMinFiles]] (and no cheaper resolution exists —
+    * cached list, text checkpoint, full manifest), evaluate the WINDOW
+    * constraints of `bounds` as a Spark filter over the checkpoint scan
+    * and collect only the surviving entries, overlaid with the delta
+    * manifests above the checkpoint (O(changed files), driver-side).
+    * Window tests run in the SAME engine ordering that computed the
+    * windows (min/max aggregation), null windows keep conservatively,
+    * and bloom probes are left to the driver fine pass
+    * ([[keepForBounds]] on the survivors — sidecar bloom bits are not
+    * in the checkpoint). None = use the driver path; Some(cands) is a
+    * SUPERSET of the matching entries (every kept-out entry provably
+    * excluded by a window), so `cands.filter(keepForBounds)` equals the
+    * driver path's result exactly. Driver memory then scales with the
+    * SURVIVOR count, not the table's file count. */
+  private def distributedPruneCandidates(v: Long,
+      bounds: Seq[ColBound]): Option[Seq[FileEntry]] = {
+    // walk down like entries(), but only accept a PARQUET-checkpoint
+    // base; any cheaper/other resolution → the ordinary driver path
+    var base = v
+    var deltas: List[List[String]] = Nil
+    var found = -1L
+    while (found < 0) {
+      if (base == 0L) return None
+      if (entriesCache.get(base) != null) return None // already resident
+      if (fs.exists(checkpointPath(base))) return None // text form
+      if (fs.exists(pcpMetaPath(base)) && pcpMetaNf(base).isDefined) {
+        if (pcpMetaNf(base).exists(_ < distributedPruneMinFiles)) return None
+        found = base
+      } else {
+        val lines = manifestLines(base)
+        if (pendingAborted(base)) base -= 1
+        else if (lines.headOption.exists(_.contains(" kind=delta"))) {
+          deltas = lines :: deltas
+          base -= 1
+        } else return None // full manifest: driver path is O(this commit)
+      }
     }
+    // the delta overlay, replayed in order: net removes against the
+    // checkpoint base, net adds (a re-added path supersedes its base
+    // entry). Bounded by the checkpoint cadence — always small.
+    var removed = Set.empty[String]
+    var added = scala.collection.immutable.ListMap.empty[String, FileEntry]
+    deltas.foreach { lines =>
+      lines.collect { case l if l.startsWith("-\t") => l.drop(2) }.foreach { p =>
+        if (added.contains(p)) added -= p else removed += p
+      }
+      lines.collect { case l if l.startsWith("+\t") => parseEntry(l.drop(2)) }
+        .foreach(e => added += e.path -> e)
+    }
+    val cond = boundsToCheckpointFilter(bounds)
+    import spark.implicits._
+    val survivors = spark.read.schema(GraftTable.cpSchema)
+      .parquet(pcpDirPath(found).toString)
+      .filter(cond)
+      .as[GraftTable.CpRow].collect().map(cpToEntry)
+    Some(survivors.filterNot(e =>
+      removed.contains(e.path) || added.contains(e.path)).toSeq ++
+      added.values.toSeq)
+  }
+
+  /** Translate `bounds`' WINDOW constraints into one Column over the
+    * checkpoint schema ([[GraftTable.CpRow]]). Absent windows (null map
+    * entries / null stats) keep the file — every test wraps in
+    * coalesce(..., true), mirroring the driver's `forall`. Bloom
+    * constraints are NOT translated (conservative keep; the driver fine
+    * pass probes them on the survivors). */
+  private def boundsToCheckpointFilter(bounds: Seq[ColBound]): Column = {
+    def numTest(loC: Column, hiC: Column, b: ColBound): Column =
+      coalesce(b.points match {
+        case Some(ps) if ps.isEmpty => lit(true) // exact filter owns it
+        case Some(ps) => ps.map(p => lit(p) >= loC && lit(p) <= hiC)
+          .reduce(_ || _)
+        case None =>
+          b.lo.map(l => lit(l) <= hiC).getOrElse(lit(true)) &&
+            b.hi.map(h => lit(h) >= loC).getOrElse(lit(true))
+      }, lit(true))
+    def strTest(w: Column, b: ColBound): Column =
+      coalesce(b.spoints match {
+        case Some(ps) if ps.isEmpty => lit(true)
+        case Some(ps) => ps.map(p =>
+          lit(p) >= w.getField("_1") && lit(p) <= w.getField("_2"))
+          .reduce(_ || _)
+        case None =>
+          b.slo.map(l => lit(l) <= w.getField("_2")).getOrElse(lit(true)) &&
+            b.shi.map(h => lit(h) >= w.getField("_1")).getOrElse(lit(true))
+      }, lit(true))
+    def timeTest(w: Column, b: ColBound): Column = b.tkind match {
+      case None => lit(true)
+      case Some(k) =>
+        coalesce(
+          when(w.getField("_1") === lit(k.toString), b.tpoints match {
+            case Some(ps) if ps.isEmpty => lit(true)
+            case Some(ps) => ps.map(p =>
+              lit(p) >= w.getField("_2") && lit(p) <= w.getField("_3"))
+              .reduce(_ || _)
+            case None =>
+              b.tlo.map(l => lit(l) <= w.getField("_3")).getOrElse(lit(true)) &&
+                b.thi.map(h => lit(h) >= w.getField("_2")).getOrElse(lit(true))
+          }).otherwise(lit(true)), lit(true))
+    }
+    bounds.map { b =>
+      val (numLo, numHi) =
+        if (statsCol.exists(_.equalsIgnoreCase(b.col))) (col("sLo"), col("sHi"))
+        else if (partitionCol.exists(_.equalsIgnoreCase(b.col)))
+          (col("pLo"), col("pHi"))
+        else (col("w").getItem(b.col).getField("_1"),
+              col("w").getItem(b.col).getField("_2"))
+      val hasNum = b.points.nonEmpty || b.lo.nonEmpty || b.hi.nonEmpty
+      val hasStr = b.spoints.nonEmpty || b.slo.nonEmpty || b.shi.nonEmpty
+      (if (hasNum) numTest(numLo, numHi, b) else lit(true)) &&
+        (if (hasStr) strTest(col("sw").getItem(b.col), b) else lit(true)) &&
+        timeTest(col("tw").getItem(b.col), b)
+    }.reduce(_ && _)
   }
 
   /** PLANNER STATISTICS for a pruned file subset (root-relative paths):

@@ -193,6 +193,74 @@ class ParquetCheckpointSpec extends SparkSpec {
       "vacuum must leave the oldest retained version resolvable")
   }
 
+  test("distributed pruning serves window predicates from the checkpoint scan, delta overlay included") {
+    import org.apache.spark.sql.functions.col
+    val DistKey = "spark.graft.acid.distributedPruneMinFiles"
+    spark.conf.set(MinFilesKey, "500")
+    spark.conf.set(DistKey, "500")
+    try {
+      val root = graft.TempDirs.create("graft_pcp_prune")
+      // v1: 2000 entries with disjoint stats windows [10i, 10i+9],
+      // checkpointed as parquet (interval=1, past the 500 threshold)
+      val t = new GraftTable(spark, root, statsCol = Some("k"),
+        checkpointInterval = 1)
+      val es = (0 until 2000).map(i => t.FileEntry(
+        f"data/c1-fake/part-$i%06d.parquet",
+        stats = Some((i * 10L, i * 10L + 9L)), rows = Some(10L)))
+      t.commit(1L, es, op = "append")
+      // v2: a DELTA on top (interval=10 handle → no checkpoint at v2):
+      // drop the [50,59] file, add a [55,58] one
+      val t2 = new GraftTable(spark, root, statsCol = Some("k"),
+        checkpointInterval = 10)
+      val base = t2.entries(1L)
+      val rm = base.find(_.stats.contains((50L, 59L))).get
+      val add = t2.FileEntry("data/c2-fake/part-added.parquet",
+        stats = Some((55L, 58L)), rows = Some(4L))
+      t2.commit(2L, base.filterNot(_.path == rm.path) :+ add, op = "append")
+      // COLD handle (empty caches — the distributed path's precondition)
+      val pred = col("k") >= 50L && col("k") <= 60L
+      val cold = new GraftTable(spark, root, statsCol = Some("k"))
+      val dist = cold.filesForPredicate(pred, Some(2L)).toSet
+      // driver-path reference: same resolution with the threshold maxed
+      spark.conf.set(DistKey, Long.MaxValue.toString)
+      val drv = new GraftTable(spark, root, statsCol = Some("k"))
+        .filesForPredicate(pred, Some(2L)).toSet
+      assert(dist == drv, "distributed pruning must equal the driver path")
+      assert(dist == Set(
+        es.find(_.stats.contains((60L, 69L))).get.path, add.path),
+        s"expected the [60,69] file + the delta add, got $dist")
+      assert(!dist.contains(rm.path), "the delta remove must be honored")
+    } finally {
+      spark.conf.unset(MinFilesKey)
+      spark.conf.unset(DistKey)
+    }
+  }
+
+  test("distributed pruning end-to-end: snapshotWhere over a checkpointed REAL table") {
+    import org.apache.spark.sql.functions.col
+    val DistKey = "spark.graft.acid.distributedPruneMinFiles"
+    spark.conf.set(MinFilesKey, "1")
+    spark.conf.set(DistKey, "1")
+    try {
+      val root = graft.TempDirs.create("graft_pcp_prune_e2e")
+      val t = new GraftTable(spark, root, statsCol = Some("id"),
+        checkpointInterval = 1)
+      import spark.implicits._
+      t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")))
+      val t2 = new GraftTable(spark, root, statsCol = Some("id"),
+        checkpointInterval = 10)
+      t2.append(Seq((101L, "v101")).toDF("id", "s")) // v2: delta overlay
+      val cold = GraftTable.load(spark, root)
+      val got = cold.snapshotWhere(col("id") >= 99L).orderBy(col("id"))
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((99L, "v99"), (100L, "v100"), (101L, "v101")), got)
+    } finally {
+      spark.conf.unset(MinFilesKey)
+      spark.conf.unset(DistKey)
+    }
+  }
+
   test("an unknown checkpoint feature refuses loudly; vacuum reclaims parquet artifacts") {
     spark.conf.set(MinFilesKey, "1")
     try {
