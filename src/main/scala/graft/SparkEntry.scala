@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.RelationalQueries,
+    _root_.graft.queries.TpchQueries,
     _root_.graft.queries.AnalyticQueries,
     _root_.graft.queries.ScalarQueries,
     _root_.graft.queries.AdvancedJoinQueries,

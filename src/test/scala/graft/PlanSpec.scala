@@ -88,6 +88,44 @@ class PlanSpec extends SparkSpec {
       !p20.contains("BroadcastNestedLoop"), p20)
   }
 
+  test("TPC-H completion set keeps hash-join/anti/semi shapes: Q6 pushdown, Q19 CNF factoring, Q16/Q22 anti, Q11/Q15 single-pass scalar subqueries") {
+    // Q6: pure scan-aggregate — every predicate reaches the parquet scan,
+    // and there is no join in the plan at all
+    val p6 = plan("q_tpch_q6")
+    assert(p6.contains("PushedFilters") && p6.contains("GreaterThanOrEqual(l_shipdate"), p6)
+    assert(!p6.contains("Join"), p6)
+    // Q19: the spec-shaped disjunction repeats p_partkey = l_partkey in
+    // every bracket; Catalyst must factor it out (CNF extraction) so the
+    // join plans as a HASH join with the brackets as a residual filter —
+    // a nested loop here would be a 100 TB scale-killer
+    val p19 = plan("q_tpch_q19")
+    assert(!p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoop"), p19)
+    // Q16's NOT IN (non-null keys) and Q22's NOT EXISTS both plan as
+    // anti joins, never per-row subquery evaluation
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), p16)
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), p22)
+    assert(!p22.contains("CartesianProduct") &&
+      !p22.contains("BroadcastNestedLoop"), p22)
+    // Q11 (HAVING > scalar subquery) and Q15 (= scalar MAX over a reused
+    // aggregate view): the subquery plans ONCE as its own aggregate
+    // subtree feeding a scalar, never re-evaluated per group/row
+    val p11 = plan("q_tpch_q11")
+    assert(p11.contains("Subquery"), p11)
+    assert(!p11.contains("CartesianProduct") &&
+      !p11.contains("BroadcastNestedLoop"), p11)
+    val p15 = plan("q_tpch_q15")
+    assert(p15.contains("Subquery"), p15)
+    assert(!p15.contains("CartesianProduct") &&
+      !p15.contains("BroadcastNestedLoop"), p15)
+    // Q13: the ON-clause filter must NOT turn the left join inner —
+    // unmatched customers survive with count 0
+    val p13 = plan("q_tpch_q13")
+    assert(p13.contains("LeftOuter"), p13)
+  }
+
   test("embed near-dup self-join is tiled: no nested-loop, no cartesian") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
