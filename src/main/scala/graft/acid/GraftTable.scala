@@ -1525,8 +1525,22 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         .write.mode("errorifexists").parquet(tmp.toString)
       // rename is the publish point for the DIRECTORY: it either lands
       // whole or (racer already renamed) fails — never a partial dir at
-      // the final path
-      if (!fs.rename(tmp, pcpDirPath(v))) { fs.delete(tmp, true); return }
+      // the final path. HDFS-like filesystems add a wrinkle: rename(src,
+      // dst) with dst an EXISTING directory moves src INTO dst and
+      // returns true, so a loser racing past the meta check would nest
+      // its temp dir inside the winner's published dir (duplicating
+      // every entry for recursive readers). Re-check the destination
+      // immediately before the rename, and verify no nested temp child
+      // landed after it — a nested child means we lost the race.
+      if (fs.exists(pcpDirPath(v)) || !fs.rename(tmp, pcpDirPath(v))) {
+        fs.delete(tmp, true); return
+      }
+      val nested = fs.globStatus(
+        new Path(pcpDirPath(v), "*.checkpoint.parquet.tmp.*"))
+      if (nested != null && nested.nonEmpty) {
+        nested.foreach(st => fs.delete(st.getPath, true))
+        return // lost race: the winner's dir (now clean) is the publish
+      }
       val req = (requiredFeatures(files) :+ "pcp").distinct.sorted
       val header = s"# checkpoint v=$v kind=parquet nf=${files.size} " +
         s"require=${req.mkString(",")}"
@@ -3004,10 +3018,28 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
     val cond = boundsToCheckpointFilter(bounds)
     import spark.implicits._
-    val survivors = spark.read.schema(GraftTable.cpSchema)
+    val scan = spark.read.schema(GraftTable.cpSchema)
       .parquet(pcpDirPath(found).toString)
-      .filter(cond)
-      .as[GraftTable.CpRow].collect().map(cpToEntry)
+    // completeness gate BEFORE filtering (the same nf= validation
+    // [[parquetCheckpointEntries]] enforces): a damaged checkpoint —
+    // complete .pcp meta, missing part files — must fall back to the
+    // manifest chain, never silently return fewer survivors (= silently
+    // dropped rows). The unfiltered count() is metadata-only (parquet
+    // footer row counts), no data scan.
+    val nfDeclared = pcpMetaNf(found).getOrElse(return None)
+    if (scan.count() != nfDeclared) {
+      logWarning(s"parquet checkpoint v$found at $root is damaged: meta " +
+        s"says $nfDeclared entries; distributed prune falling back to " +
+        "the manifest chain")
+      return None
+    }
+    val survivorRows = scan.filter(cond).as[GraftTable.CpRow].collect()
+    // deterministic entry order, matching [[parquetCheckpointEntries]]:
+    // commit/write order via the ord column, path order for legacy
+    // ord-less checkpoints (the delta adds then append in replay order)
+    val survivors = (if (survivorRows.forall(_.ord.isDefined))
+      survivorRows.sortBy(_.ord.get)
+    else survivorRows.sortBy(_.path)).map(cpToEntry)
     Some(survivors.filterNot(e =>
       removed.contains(e.path) || added.contains(e.path)).toSeq ++
       added.values.toSeq)
@@ -3779,23 +3811,31 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val lv = latestVersion.getOrElse(
       return append(ups)) // a never-committed mirror bootstraps
     if (touchedKeys.isEmpty) {
+      // a keyed feed guarantees non-null keys: rows with NO surviving key
+      // would otherwise be SILENTLY dropped by the early no-op return
+      // below (the post-images never land) — fail loudly instead of
+      // losing data
+      require(ups.isEmpty,
+        s"applyChangesKeyed: the feed has insert/post-image rows but no " +
+          s"non-null '$keyCol' keys — a keyed feed must carry a key on " +
+          "every row (null-keyed rows would be silently dropped)")
       // nothing keyed changed: publish a no-op version (keeps the
       // batch → version bookkeeping monotone for downstream consumers)
       return commit(nextVersion, entries(lv), op = "apply_changes")
     }
-    val isStr = feed.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
-      .exists(_.dataType == org.apache.spark.sql.types.StringType)
     val pred =
       if (touchedKeys.length <= 1024)
         col(keyCol).isin(touchedKeys.toIndexedSeq: _*)
-      else if (isStr) {
-        val mm = feed.agg(min(col(keyCol)), max(col(keyCol))).head()
-        col(keyCol) >= mm.getString(0) && col(keyCol) <= mm.getString(1)
-      } else {
-        val mm = feed.agg(min(col(keyCol)).cast("long"),
-          max(col(keyCol)).cast("long")).head()
+      else {
+        // >1024 keys: probe the feed's key RANGE in the key's NATIVE type
+        // (lit on the collected min/max values) — a cast-to-long would
+        // truncate a fractional bound (max 9.3 → predicate key <= 9) and
+        // could exclude a file the rewrite must touch, leaving two live
+        // rows for one key
+        val mm = feed.select(col(keyCol)).na.drop()
+          .agg(min(col(keyCol)), max(col(keyCol))).head()
         if (mm.isNullAt(0)) lit(true)
-        else col(keyCol) >= mm.getLong(0) && col(keyCol) <= mm.getLong(1)
+        else col(keyCol) >= lit(mm.get(0)) && col(keyCol) <= lit(mm.get(1))
       }
     val prev = entries(lv)
     val candSet = entriesForPredicate(pred, lv).map(_.path).toSet

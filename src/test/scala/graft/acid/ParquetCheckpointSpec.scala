@@ -220,16 +220,57 @@ class ParquetCheckpointSpec extends SparkSpec {
       // COLD handle (empty caches — the distributed path's precondition)
       val pred = col("k") >= 50L && col("k") <= 60L
       val cold = new GraftTable(spark, root, statsCol = Some("k"))
-      val dist = cold.filesForPredicate(pred, Some(2L)).toSet
+      val dist = cold.filesForPredicate(pred, Some(2L))
       // driver-path reference: same resolution with the threshold maxed
       spark.conf.set(DistKey, Long.MaxValue.toString)
       val drv = new GraftTable(spark, root, statsCol = Some("k"))
-        .filesForPredicate(pred, Some(2L)).toSet
+        .filesForPredicate(pred, Some(2L))
+      // SEQ equality: the pruned path must also come back in the same
+      // deterministic (ord-column) order as the driver path, not just
+      // the same set — downstream consumers see a stable file order
       assert(dist == drv, "distributed pruning must equal the driver path")
-      assert(dist == Set(
+      assert(dist.toSet == Set(
         es.find(_.stats.contains((60L, 69L))).get.path, add.path),
         s"expected the [60,69] file + the delta add, got $dist")
       assert(!dist.contains(rm.path), "the delta remove must be honored")
+    } finally {
+      spark.conf.unset(MinFilesKey)
+      spark.conf.unset(DistKey)
+    }
+  }
+
+  test("distributed pruning validates checkpoint completeness (nf) before serving") {
+    import org.apache.spark.sql.functions.col
+    val DistKey = "spark.graft.acid.distributedPruneMinFiles"
+    spark.conf.set(MinFilesKey, "500")
+    spark.conf.set(DistKey, "500")
+    try {
+      val root = graft.TempDirs.create("graft_pcp_prune_dmg")
+      val t = new GraftTable(spark, root, statsCol = Some("k"),
+        checkpointInterval = 1)
+      val es = (0 until 2000).map(i => t.FileEntry(
+        f"data/c1-fake/part-$i%06d.parquet",
+        stats = Some((i * 10L, i * 10L + 9L)), rows = Some(10L)))
+      t.commit(1L, es, op = "append")
+      // damage the published checkpoint: drop ONE part file behind the
+      // complete .pcp meta — the exact shape the 'damaged' test above
+      // declares reachable. The distributed prune must detect the nf
+      // mismatch and fall back to the manifest chain, NOT silently
+      // return fewer survivors (= silently dropped rows).
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$root/_log/v${"%020d".format(1)}.checkpoint.parquet")
+      val part = fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("part-")).head.getPath
+      fs.delete(part, false)
+      val pred = col("k") >= 50L && col("k") <= 60L
+      val cold = new GraftTable(spark, root, statsCol = Some("k"))
+      val got = cold.filesForPredicate(pred, Some(1L)).toSet
+      assert(got == Set(
+        es.find(_.stats.contains((50L, 59L))).get.path,
+        es.find(_.stats.contains((60L, 69L))).get.path),
+        s"nf-mismatch must fall back to the complete manifest chain, got $got")
     } finally {
       spark.conf.unset(MinFilesKey)
       spark.conf.unset(DistKey)

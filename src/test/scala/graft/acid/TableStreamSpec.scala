@@ -211,6 +211,44 @@ class TableStreamSpec extends SparkSpec {
       "the keyed CDC mirror must hash-match the source snapshot")
   }
 
+  test("applyChangesKeyed refuses a feed whose rows carry no non-null keys") {
+    val t = new GraftTable(spark,
+      graft.TempDirs.create("graft_apply_nullkey"))
+    t.append(rows(Seq(1L, 2L), "a"))
+    // post-image rows present, every key NULL: silently publishing a
+    // no-op version would drop them — the apply must fail loudly
+    val badFeed = Seq((null.asInstanceOf[java.lang.Long], "x", 9.0, "insert"))
+      .toDF("id", "name", "v", "_change")
+    val e = intercept[IllegalArgumentException](
+      t.applyChangesKeyed(badFeed, "id"))
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+    // a genuinely EMPTY feed still publishes the monotone no-op version
+    val before = t.latestVersion.get
+    t.applyChangesKeyed(badFeed.limit(0), "id")
+    assert(t.latestVersion.contains(before + 1) &&
+      t.snapshot().count() == 2L)
+  }
+
+  test("applyChangesKeyed >1024 fractional keys: range probe stays in the key's native type") {
+    // 1500 DOUBLE keys with fractional parts — the >1024 fallback used to
+    // cast min/max to long, truncating the bounds; the probe must stay in
+    // the native type (here: no integral bound at all → conservative full
+    // candidate set), leaving exactly one live row per key after apply
+    val t = new GraftTable(spark,
+      graft.TempDirs.create("graft_apply_frackey"), statsCol = Some("k"))
+    val seed = (1 to 1500).map(i => (i + 0.3, s"r$i", 0.0))
+      .toDF("k", "name", "v")
+    t.append(seed.repartitionByRange(4, col("k")))
+    val feed = (1 to 1500).map(i =>
+        (i + 0.3, s"r$i", 1.0, "update_postimage"))
+      .toDF("k", "name", "v", "_change")
+    t.applyChangesKeyed(feed, "k")
+    val snap = t.snapshot()
+    assert(snap.count() == 1500L, "one live row per key")
+    assert(snap.filter(col("v") =!= 1.0).isEmpty,
+      "every key must carry its post-image (no file may escape the rewrite)")
+  }
+
   test("a keyed CDC replay resolves through the batch-endpoint mapping after a mid-stream re-add") {
     val root = graft.TempDirs.create("graft_cdc_replay")
     val t = new GraftTable(spark, root)
