@@ -3450,19 +3450,30 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val prev = entries(lv)
     val cands = entriesForPredicate(predicate, lv)
     if (cands.isEmpty) return Some(commit(v, prev, op = "delete"))
-    // raw read (existing DVs NOT applied): re-deleting an already-deleted
-    // position is a set-union no-op, and skipping the anti-join keeps
-    // this one vectorized scan
-    val hits = readWithPos(cands, schemaOf(lv), applyDv = false, cmapOf(lv))
+    val cdf = cdfWriteEnabled
+    // without change files: raw read (existing DVs NOT applied) —
+    // re-deleting an already-deleted position is a set-union no-op, and
+    // skipping the anti-join keeps this one vectorized scan. WITH change
+    // files the read must be DV-FILTERED (an already-masked row must not
+    // re-surface in the feed as a new delete) and materialized ONCE, so
+    // the masked positions and the persisted rows come from the same
+    // evaluation even under a non-deterministic predicate.
+    val scan0 = readWithPos(cands, schemaOf(lv), applyDv = cdf, cmapOf(lv))
       .filter(coalesce(predicate, lit(false)))
-      .select(col("__mor_f"), col("__mor_p"))
-      .limit(dvMaxRows + 1).collect()
+      .limit(dvMaxRows + 1)
+    val scan = if (cdf) scan0.localCheckpoint() else scan0
+    val hits = scan.select(col("__mor_f"), col("__mor_p")).collect()
     if (hits.length > dvMaxRows) None
     else {
       val (payload, dead) = mergedDvs(prev, hits)
       val files = prev.filterNot(e => dead.contains(e.path))
+      val extra =
+        if (cdf && hits.nonEmpty)
+          writeChangeData(scan.drop("__mor_f", "__mor_p")
+            .withColumn("_change", lit("delete")))
+        else Nil
       Some(commit(v, files, op = "delete",
-        dvs = coalesceDvs(prev, payload -- dead, dead)))
+        dvs = coalesceDvs(prev, payload -- dead, dead), extraMeta = extra))
     }
   }
 
@@ -3567,8 +3578,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         mat.drop("__mor_f", "__mor_p"), lit(true), set)
       val newFiles = writeData(clusterByPartition(updatedRows), v)
       val files = prev.filterNot(e => dead.contains(e.path)) ++ newFiles
+      // change files: the pre-images are exactly the matched live rows
+      // (mat is materialized — same evaluation the DV positions came
+      // from), the post-images exactly the rows appended above
+      val extra =
+        if (cdfWriteEnabled)
+          writeChangeData(mat.drop("__mor_f", "__mor_p")
+            .withColumn("_change", lit("delete"))
+            .unionByName(updatedRows.withColumn("_change", lit("insert"))))
+        else Nil
       Some(commit(v, files, op = "update",
-        dvs = coalesceDvs(prev, payload -- dead, dead)))
+        dvs = coalesceDvs(prev, payload -- dead, dead), extraMeta = extra))
     }
   }
 
@@ -3678,6 +3698,143 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     commit(v, writeData(laid, v), op = "compact")
   }
 
+  // ------------------------------------------------------------------
+  // WRITE-SIDE CHANGE-DATA FILES (the public Delta _change_data design):
+  // DML commits that already hold their net row changes (DV delete, DV
+  // update) persist them ONCE as compact parquet under _log/changes/,
+  // referenced from the commit header (`cdc=<uuid>`). The change feed
+  // then serves those files directly — no re-reading of base data, no
+  // per-consumer recompute — falling back to the endpoint-netting
+  // compute for any version that lacks them. Pure accelerator: never
+  // `require=`-gated (an old reader ignoring cdc= stays correct), and
+  // a missing/vacuumed change dir degrades to the compute path.
+  // ------------------------------------------------------------------
+
+  /** `spark.graft.acid.writeChangeData=true` turns on commit-time change
+    * files for the DML paths that already materialize their changes.
+    * At 100 TB this converts the CDC stream's per-batch-per-consumer
+    * exceptAll over both endpoint file sets (a 1-row DV delete on a
+    * 1 GB file = every mirror reads that file twice per batch) into one
+    * KB-scale parquet read per commit. */
+  private def cdfWriteEnabled: Boolean =
+    spark.conf.getOption("spark.graft.acid.writeChangeData")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  private def changesDir = new Path(logDir, "changes")
+  private[acid] def changeDirPath(uuid: String) = new Path(changesDir, uuid)
+
+  /** Persist one commit's net row changes (data columns + `_change`
+    * insert/delete tag) as parquet under a UUID dir — version-free so an
+    * optimistic-commit rebase can re-reference it — and return the
+    * header tokens (`cdc=` dir ref, `cdcc=` the base64 logical column
+    * list a reader checks against its target schema before serving).
+    * A crash between this write and the commit leaves an unreferenced
+    * dir, reclaimed by [[vacuum]]'s age-gated orphan sweep. */
+  private def writeChangeData(changes: DataFrame): Seq[String] = {
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    changes.write.mode("errorifexists")
+      .parquet(changeDirPath(uuid).toString)
+    val cols = changes.columns.filterNot(_ == "_change")
+    Seq(s"cdc=$uuid", "cdcc=" + GraftTable.b64(cols.mkString(",")))
+  }
+
+  /** Version `v`'s row-level changes (columns of `target` + `_change`),
+    * served WITHOUT computing the endpoint diff — from the commit's
+    * persisted change files, from the added files alone for a pure
+    * blind-add commit (the Delta serve-CDF-from-add-files rule; the
+    * compute path reads exactly those files too), or the empty frame for
+    * layout-only / aborted commits. None = not serveable (fall back to
+    * the netting compute): a kind=full manifest, a DML without change
+    * files, a schema/mapping drift the `cdcc` column check refuses, or
+    * a change dir vacuum reclaimed. */
+  private[acid] def changeDataFor(v: Long, target: StructType)
+      : Option[DataFrame] = {
+    def tagged(df: DataFrame): DataFrame = df.select(
+      (target.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+        :+ col("_change")).toIndexedSeq: _*)
+    def empty: DataFrame = tagged(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(target.fields :+
+        org.apache.spark.sql.types.StructField("_change",
+          org.apache.spark.sql.types.StringType))))
+    if (pendingAborted(v)) return Some(empty)
+    val meta = headerMeta(v)
+    if (GraftTable.LayoutOps.contains(meta.getOrElse("op", "")))
+      return Some(empty)
+    meta.get("cdc") match {
+      case Some(uuid) =>
+        // the recorded logical column set must BE the target's (a rename
+        // or evolution between write and read would mis-bind by name)
+        val recorded = meta.get("cdcc").map(c =>
+          GraftTable.unb64(c).split(',').map(_.toLowerCase).toSet)
+        if (!recorded.contains(target.fields.map(_.name.toLowerCase).toSet))
+          return None
+        val dir = changeDirPath(uuid)
+        if (!fs.exists(dir)) return None // reclaimed: compute fallback
+        Some(tagged(spark.read.parquet(dir.toString)))
+      case None =>
+        // blind-add commit: a delta manifest with ONLY `+` lines and no
+        // masks — its inserts are exactly the added files' rows
+        val lines = manifestLines(v)
+        if (!lines.headOption.exists(_.contains(" kind=delta"))) return None
+        if (lines.exists(_.startsWith("-\t"))) return None
+        val adds = lines.collect {
+          case l if l.startsWith("+\t") => parseEntry(l.drop(2)) }
+        if (adds.exists(e => e.dvRef.isDefined || e.dvCount > 0L)) return None
+        if (adds.isEmpty) Some(empty)
+        else Some(readEntriesAs(adds, target, Some(cmapOf(v)))
+          .withColumn("_change", lit("insert")))
+    }
+  }
+
+  /** The (inserts, deletes) of `(fromV, toV]` served per-version from
+    * change files / blind adds — UN-netted concatenations; the caller
+    * nets them (ins.exceptAll(del) / del.exceptAll(ins)), which by the
+    * multiset identity `content(toV) − content(fromV) = Σᵥ(insᵥ − delᵥ)`
+    * equals the endpoint-netting compute exactly. None = at least one
+    * version is not serveable, or the column mapping drifted inside the
+    * range (the compute path resolves that through per-endpoint
+    * mappings; serving would mis-bind by name). */
+  private[acid] def changeFeedServedSides(fromV: Long, toV: Long,
+      target: StructType): Option[(DataFrame, DataFrame)] = {
+    if (toV <= fromV) return None
+    val vs = versions.filter(v => v > fromV && v <= toV)
+    if (vs.isEmpty) return None
+    // EVERY version in the range must still be present: the multiset
+    // identity sums changes over ALL commits in (fromV, toV] — a
+    // vacuumed prefix (e.g. fromV=0 with v1 dropped) would silently
+    // lose its contribution; the endpoint-netting compute handles that
+    if (vs != (fromV + 1 to toV)) return None
+    val anchor = cmapOf(toV)
+    // fromV=0 is the empty pre-first-commit state: no manifest, no
+    // mapping, and nothing on the removed side to resolve through it
+    if ((fromV > 0 && cmapOf(fromV) != anchor) ||
+        vs.exists(v => cmapOf(v) != anchor))
+      return None
+    val parts = vs.map(changeDataFor(_, target))
+    if (parts.exists(_.isEmpty)) return None
+    val all = parts.flatten.reduce(_.unionByName(_))
+    Some((all.filter(col("_change") === "insert").drop("_change"),
+          all.filter(col("_change") === "delete").drop("_change")))
+  }
+
+  /** [[changeFeed]] served from persisted change data (None → caller
+    * computes). The netting keeps the compute path's exact contract:
+    * self-canceling pairs (a no-op update, an insert+delete within the
+    * range) cancel here too. */
+  private def changeFeedServed(fromV: Long, toV: Long): Option[DataFrame] =
+    for {
+      target <- schemaOf(toV).orElse {
+        // schema anchor for undeclared-schema tables: any live file's
+        // footer (same anchor the compute path uses)
+        (entries(toV) ++ entries(fromV)).headOption.map(e =>
+          spark.read.parquet(new Path(rootPath, e.path).toString).schema)
+      }
+      (ins, del) <- changeFeedServedSides(fromV, toV, target)
+    } yield ins.exceptAll(del).withColumn("_change", lit("insert"))
+      .unionByName(
+        del.exceptAll(ins).withColumn("_change", lit("delete")))
+
   /** Row-level diff `fromV` → `toV`: every row present in `toV` but not
     * `fromV` tagged `insert`, the reverse tagged `delete` (an update
     * surfaces as delete+insert of the key's old/new rows) — the change
@@ -3692,6 +3849,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * compaction boundary degenerates gracefully to the full diff (every
     * file changed) with no special-casing. */
   def changeFeed(fromV: Long, toV: Long): DataFrame = {
+    changeFeedServed(fromV, toV) match {
+      case Some(served) => return served
+      case None         => ()
+    }
     val fromEs = entries(fromV)
     val toEs = entries(toV)
     // entry identity = the full manifest LINE, not just the path: a file
@@ -4077,6 +4238,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // entries (bf=/dv= point at the version that wrote them) — keep those
     val liveSidecars = keepEntries.values.flatten
       .flatMap(e => e.bloomRef.toSeq ++ e.dvRef.toSeq).toSet
+    // change-data refs resolve BEFORE the manifests below are deleted
+    // (a dropped version's cdc= is only readable from its manifest)
+    val liveCdc = keepVs.flatMap(v => headerMeta(v).get("cdc")).toSet
+    val droppedCdc = vs.dropRight(retain)
+      .flatMap(v => headerMeta(v).get("cdc")).toSet -- liveCdc
     vs.dropRight(retain).foreach { v =>
       fs.delete(manifestPath(v), false)
       fs.delete(checkpointPath(v), false)
@@ -4095,6 +4261,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       fs.listStatus(logDir).iterator
         .filter(_.getPath.getName.contains(".checkpoint.parquet.tmp."))
         .foreach(st => fs.delete(st.getPath, true))
+    // change-data dirs: keep those referenced by a RETAINED version;
+    // a dropped version's dir is provably dead, and an UNREFERENCED dir
+    // is reclaimed only past an age gate — a live writer may have
+    // persisted its change files but not yet published the referencing
+    // commit. Racing readers stay correct either way: a served read
+    // re-checks existence and falls back to the netting compute.
+    if (fs.exists(changesDir)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(changesDir).iterator
+        .filterNot(st => liveCdc.contains(st.getPath.getName))
+        .filter(st => droppedCdc.contains(st.getPath.getName) ||
+          now - st.getModificationTime > GraftTable.ChangeDirOrphanAgeMs)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     val dataDir = new Path(rootPath, "data")
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataDir)) {
@@ -4136,6 +4316,17 @@ object GraftTable {
     * before a DV commit coalesces every live mask into its own sidecar
     * (see the handle's `coalesceDvs`). */
   private[graft] val MaxDvSidecars = 2
+
+  /** Operations that change a table's physical LAYOUT but never its
+    * logical content (the Delta dataChange=false class): the change feed
+    * serves them as empty, and the streaming source skips their batches
+    * outright. */
+  private[acid] val LayoutOps = Set("compact", "zorder", "hilbert", "reorg")
+
+  /** Unreferenced `_log/changes/` dirs younger than this survive vacuum:
+    * a writer that has persisted its change files but not yet published
+    * the referencing commit must not lose them to a racing vacuum. */
+  private[acid] val ChangeDirOrphanAgeMs = 10L * 60L * 1000L
 
   /** The KEYED CDC classification shared by the batch
     * ([[GraftTable.changeFeedKeyed]]) and STREAMING

@@ -445,22 +445,10 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       // twice to net zero). Multi-commit ranges mixing layout and data
       // commits diff across the endpoints, where the layout rewrite
       // cancels naturally.
-      val layoutOps = Set("compact", "zorder", "hilbert", "reorg")
       val rangeOps = ((fromV + 1L) to toV)
         .map(v => table.headerMeta(v).getOrElse("op", "unknown"))
-      if (rangeOps.nonEmpty && rangeOps.forall(layoutOps.contains))
+      if (rangeOps.nonEmpty && rangeOps.forall(GraftTable.LayoutOps.contains))
         return emptyBatch
-      // entry identity = the full manifest line, not just the path: a
-      // DELETION-VECTOR commit (same file, new dv= tag) surfaces as the
-      // file on BOTH sides, each read under ITS mask — the consumer's
-      // multiset apply (exceptAll deletes, union inserts) then lands
-      // exactly the newly-masked rows as net deletes
-      val fromEs: Seq[table.FileEntry] = table.entries(fromV)
-      val toEs: Seq[table.FileEntry] = table.entries(toV)
-      val fromLines = fromEs.map(_.line).toSet
-      val toLines = toEs.map(_.line).toSet
-      val added = toEs.filterNot(e => fromLines.contains(e.line)).sortBy(_.path)
-      val removed = fromEs.filterNot(e => toLines.contains(e.line)).sortBy(_.path)
       // pin every batch read to the STREAM's data schema (fixed at query
       // start): commits that evolve the table mid-stream still produce
       // this stream's columns — added columns project NULL from older
@@ -468,28 +456,43 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       val dataSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f =>
           f.name == "_change" || f.name == "_commit_version"))
-      // pin the COLUMN MAPPING to the batch endpoint too (not the
-      // table's latest): after a later drop+re-add or second rename
-      // commits, a replayed batch (checkpoint recovery) must resolve
-      // the stream's pinned names through the mapping AS OF the batch's
-      // own versions — added entries exist under toV's mapping, removed
-      // entries under fromV's — so batch content depends only on
-      // (fromV, toV), never on when the batch is read
-      def readSide(es: Seq[table.FileEntry], mapV: Long): Option[DataFrame] =
-        if (es.isEmpty) None
-        else Some(table.readEntriesAs(es, dataSchema, Some(table.cmapOf(mapV))))
       if (readChangeFeed) {
         // CLASSIFIED CDC mode: net the two sides, then tag (and with
         // keys, pair updates). Built as a BATCH plan — exceptAll and the
         // classification join are unplannable on streaming relations —
         // and re-entered into the stream via asStreamingBatch.
+        // SERVED first (the persisted-change-data fast path, tried
+        // BEFORE any endpoint entry-list resolution): when every version
+        // in (fromV, toV] recorded its changes at commit time (or is a
+        // blind add / layout no-op), the batch reads ONLY the KB-scale
+        // change files — no O(file-count) entry diff on the driver, no
+        // double read of a 1 GB base file to net a 1-row DV delete, and
+        // N mirror consumers stop paying the recompute N times. Falls
+        // back to the endpoint netting for any range it cannot serve
+        // exactly.
         def emptyDf: DataFrame = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
-        val (ins, del) = (readSide(added, toV), readSide(removed, fromV)) match {
-          case (None, None)       => return emptyBatch
-          case (Some(n), None)    => (n, emptyDf)
-          case (None, Some(o))    => (emptyDf, o)
-          case (Some(n), Some(o)) => (n.exceptAll(o), o.exceptAll(n))
+        def nettedSides: (DataFrame, DataFrame) = {
+          val fromEs: Seq[table.FileEntry] = table.entries(fromV)
+          val toEs: Seq[table.FileEntry] = table.entries(toV)
+          val fromLines = fromEs.map(_.line).toSet
+          val toLines = toEs.map(_.line).toSet
+          val added = toEs.filterNot(e => fromLines.contains(e.line))
+          val removed = fromEs.filterNot(e => toLines.contains(e.line))
+          def side(es: Seq[table.FileEntry], mapV: Long): Option[DataFrame] =
+            if (es.isEmpty) None
+            else Some(table.readEntriesAs(es, dataSchema,
+              Some(table.cmapOf(mapV))))
+          (side(added, toV), side(removed, fromV)) match {
+            case (None, None)       => (emptyDf, emptyDf)
+            case (Some(n), None)    => (n, emptyDf)
+            case (None, Some(o))    => (emptyDf, o)
+            case (Some(n), Some(o)) => (n.exceptAll(o), o.exceptAll(n))
+          }
+        }
+        val (ins, del) = table.changeFeedServedSides(fromV, toV, dataSchema) match {
+          case Some((i, d)) => (i.exceptAll(d), d.exceptAll(i))
+          case None         => nettedSides
         }
         val classified =
           if (changeFeedKeys.nonEmpty)
@@ -501,6 +504,27 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         return GraftPlanBridge.asStreamingBatch(spark, out, this)
       }
+      // entry identity = the full manifest line, not just the path: a
+      // DELETION-VECTOR commit (same file, new dv= tag) surfaces as the
+      // file on BOTH sides, each read under ITS mask — the consumer's
+      // multiset apply (exceptAll deletes, union inserts) then lands
+      // exactly the newly-masked rows as net deletes
+      val fromEs: Seq[table.FileEntry] = table.entries(fromV)
+      val toEs: Seq[table.FileEntry] = table.entries(toV)
+      val fromLines = fromEs.map(_.line).toSet
+      val toLines = toEs.map(_.line).toSet
+      val added = toEs.filterNot(e => fromLines.contains(e.line)).sortBy(_.path)
+      val removed = fromEs.filterNot(e => toLines.contains(e.line)).sortBy(_.path)
+      // pin the COLUMN MAPPING to the batch endpoint too (not the
+      // table's latest): after a later drop+re-add or second rename
+      // commits, a replayed batch (checkpoint recovery) must resolve
+      // the stream's pinned names through the mapping AS OF the batch's
+      // own versions — added entries exist under toV's mapping, removed
+      // entries under fromV's — so batch content depends only on
+      // (fromV, toV), never on when the batch is read
+      def readSide(es: Seq[table.FileEntry], mapV: Long): Option[DataFrame] =
+        if (es.isEmpty) None
+        else Some(table.readEntriesAs(es, dataSchema, Some(table.cmapOf(mapV))))
       val parts =
         readSide(added, toV).map(_.withColumn("_change", lit("insert"))).toSeq ++
           readSide(removed, fromV).map(_.withColumn("_change", lit("delete")))

@@ -315,6 +315,43 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** WRITE-SIDE-CDF fixture (the persisted _change_data design): the
+    * deduped latest-per-user seed, then — with
+    * `spark.graft.acid.writeChangeData=true` — a DV UPDATE bumping a
+    * fixed 8-user band (v2) and a DV DELETE of a fixed 4-user band
+    * (v3). Both DML commits persist their net row changes under
+    * `_log/changes/` at commit time; the gate row's CDC stream serves
+    * those files directly (ChangeDataFilesSpec pins the zero-base-file
+    * property and the served≡computed identity), so N consumers stop
+    * paying the exceptAll recompute N times. */
+  private val cdfServedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfServedTable(s: SparkSession, d: String): GraftTable = {
+    val root = cdfServedFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cdfserved" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/cdfserved_$key"
+      val t = new GraftTable(s, r, statsCol = Some("user_id"))
+      val ev = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val seed = ev.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      t.append(seed.repartitionByRange(8, $"user_id"))            // v1
+      s.conf.set("spark.graft.acid.writeChangeData", "true")
+      try {
+        t.update($"user_id" < 8L,
+          Map("value" -> ($"value" + 1000.0)))                    // v2: DV
+        t.delete($"user_id" >= 8L && $"user_id" < 12L)            // v3: DV
+      } finally s.conf.unset("spark.graft.acid.writeChangeData")
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** RESTORE fixture: three appends (the %3 slices), then a rollback to
     * v2 — the snapshot must be exactly the first two slices, served by
     * RE-REFERENCED v2 files (RestoreSpec pins the zero-I/O property). */
@@ -856,6 +893,27 @@ object AcidQueries extends QueryPack {
         .option("maxVersionsPerBatch", "1")
         .option("readChangeFeed", "true")
         .option("changeFeedKeys", "user_id")
+        .load()
+      runToMemory(feed, "append")
+        .orderBy($"_commit_version", $"user_id", $"_change")
+    },
+
+    // PERSISTED change-data serve (write-side CDF): the fixture's DV
+    // UPDATE and DV DELETE commits wrote their net row changes at commit
+    // time; this keyed CDC stream (startingVersion=2) is served from
+    // those KB-scale files alone — zero base-data reads, no per-consumer
+    // exceptAll recompute (ChangeDataFilesSpec pins both the scan-set
+    // and the served≡computed identity; this row pins row-level content
+    // through the full streaming face).
+    "q_acid_stream_cdc_served" -> { (s, d) =>
+      import s.implicits._
+      val ct = cdfServedTable(s, d)
+      val feed = s.readStream.format("graft-table")
+        .option("path", ct.root)
+        .option("maxVersionsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .option("changeFeedKeys", "user_id")
+        .option("startingVersion", "2")
         .load()
       runToMemory(feed, "append")
         .orderBy($"_commit_version", $"user_id", $"_change")
@@ -1425,6 +1483,29 @@ object AcidQueries extends QueryPack {
         |  UNION ALL
         |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
         |    THEN 'update_preimage' ELSE 'delete' END, CAST(2 AS BIGINT) FROM del)
+        |ORDER BY _commit_version, user_id, _change""".stripMargin,
+
+    // the served keyed CDC deltas from startingVersion=2: @2 = the
+    // 8-user band's update pairs (DV update), @3 = the 4-user band's
+    // rows as deletes (DV delete) — content identical to what the
+    // netting compute would emit, now read from persisted change files
+    "q_acid_stream_cdc_served" ->
+      """WITH seed AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT seed.*, 'update_preimage' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version
+        |  FROM seed WHERE user_id < 8
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, event_type, value + 1000.0,
+        |         'update_postimage', CAST(2 AS BIGINT)
+        |  FROM seed WHERE user_id < 8
+        |  UNION ALL
+        |  SELECT seed.*, 'delete', CAST(3 AS BIGINT)
+        |  FROM seed WHERE user_id >= 8 AND user_id < 12)
         |ORDER BY _commit_version, user_id, _change""".stripMargin,
 
     // the streamed keyed feed applied to the mirror must land exactly on
