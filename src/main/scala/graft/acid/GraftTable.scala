@@ -208,7 +208,25 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       // LEGACY inline bloom (raw-long scheme)
                                       // must stay inline, or its probe scheme
                                       // would silently flip. Never serialized.
-                                      bloomFresh: Boolean = false) {
+                                      bloomFresh: Boolean = false,
+                                      // `.nvs` sidecar version holding this
+                                      // file's NDV sketches (`nvf=` tag): the
+                                      // heavy advisory payload lives OUT of
+                                      // the resident entry list and loads per
+                                      // use — the resident footprint stays
+                                      // O(paths+windows) at 10⁶ files.
+                                      // Advisory like nv:: a reader dropping
+                                      // the tag loses CBO NDV, never rows.
+                                      nvRef: Option[Long] = None,
+                                      // set ONLY by writeData/clone on
+                                      // sketches built/re-keyed this commit —
+                                      // commit() moves them to the `.nvs`
+                                      // sidecar. Carried LEGACY inline nv:
+                                      // payloads stay inline (migrating them
+                                      // would churn line identity and make
+                                      // the next CDC batch net a full-table
+                                      // read). Never serialized.
+                                      ndvFresh: Boolean = false) {
     /** Rows surviving the deletion vector — what a reader sees. */
     def liveRows: Option[Long] = rows.map(_ - dvCount)
     def line: String =
@@ -216,6 +234,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                 part.map { case (lo, hi) => s"p=$lo,$hi" }.toSeq ++
                 bloom.map(b => s"b=${GraftTable.encodeBloom(b)}").toSeq ++
                 bloomRef.map(v => s"bf=$v").toSeq ++
+                nvRef.map(v => s"nvf=$v").toSeq ++
                 dvRef.map(v => s"dv=$v").toSeq ++
                 (if (dvCount > 0L) Seq(s"dn=$dvCount") else Nil) ++
                 zTag.map(v => s"z=$v").toSeq ++
@@ -267,7 +286,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         tags.collect { case (k, v) if k.startsWith("tw:") &&
             v.nonEmpty && (v.head == 'u' || v.head == 'd') =>
           val (lo, hi) = parseRange(v.tail)
-          k.drop(3) -> ((v.head, lo, hi)) })
+          k.drop(3) -> ((v.head, lo, hi)) },
+        nvRef = tags.get("nvf").flatMap(_.toLongOption))
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -431,6 +451,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def checkpointPath(v: Long) = new Path(logDir, f"v$v%020d.checkpoint")
   private def bloomSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.blooms")
   private def dvSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.dvs")
+  private def ndvSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.nvs")
   // PARQUET checkpoint twin: a directory of part files (distributed
   // write AND read) plus a tiny text `.pcp` meta whose single atomic
   // write is the completeness marker — Spark's job-commit protocol
@@ -530,7 +551,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       e.bloomRef, e.dvRef, e.dvCount, e.rows, e.zTag,
       e.windows, e.strWindows,
       e.timeWindows.map { case (c, (k, lo, hi)) => c -> ((k.toString, lo, hi)) },
-      e.ndv, Some(ord))
+      e.ndv, Some(ord), e.nvRef)
 
   private def cpToEntry(r: GraftTable.CpRow): FileEntry =
     FileEntry(r.path,
@@ -542,7 +563,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       windows = r.w, rows = r.n, bloomRef = r.bf, strWindows = r.sw,
       dvRef = r.dv, dvCount = r.dn, zTag = r.z, ndv = r.nv,
       timeWindows = r.tw.map { case (c, (k, lo, hi)) =>
-        c -> ((k.head, lo, hi)) })
+        c -> ((k.head, lo, hi)) },
+      nvRef = r.nvf)
 
   /** The `.pcp` meta of version `v`, VALIDATED: the declared entry count
     * iff the meta is complete (terminator marker present) and every
@@ -781,7 +803,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           e.timeWindows.map { case (c, (k, lo, hi)) => c -> s"$k:$lo..$hi" },
         e.bloom.isDefined || e.bloomRef.isDefined,
         e.dvRef, e.zTag.isDefined,
-        e.ndv.flatMap { case (c, sk) =>
+        ndvOf(e).flatMap { case (c, sk) =>
           GraftTable.ndvEstimate(Seq(sk)).map(c -> _) })
     }.toDF("path", "rows", "live_rows", "dv_masked", "stats_lo", "stats_hi",
       "part_lo", "part_hi", "index_windows", "has_bloom", "dv_sidecar",
@@ -1056,7 +1078,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           ndv = pf.ndv,
           timeWindows = pf.time.collect {
             case (tag, kw) if tag.startsWith("w:") => tag.drop(2) -> kw },
-          bloomFresh = blooms.contains(n))
+          bloomFresh = blooms.contains(n), ndvFresh = pf.ndv.nonEmpty)
       }
   }
 
@@ -1271,7 +1293,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
           tag.drop(2) -> win },
         ndv = pf.ndv,
-        bloomFresh = blooms.contains(n))
+        bloomFresh = blooms.contains(n), ndvFresh = pf.ndv.nonEmpty)
     }
     commit(1L, entries, op = "convert", schema = Some(df.schema))
   }
@@ -1311,6 +1333,50 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         case Array(path, b64) => Some(path -> GraftTable.decodeBloom(b64))
         case _ => None
       }).toMap
+
+  /** The `.nvs` NDV sidecar: one line per file — `path` followed by the
+    * same `nv:<col>=<b64 sketch>` tags the manifest line format uses
+    * inline. Keeps the ~200 B/column HLL payloads off the resident entry
+    * list: entries carry an `nvf=` ref and [[ndvOf]] loads per use. */
+  private def writeNdvSidecar(p: Path,
+      payload: Seq[(String, Map[String, Array[Byte]])]): Unit = {
+    val out = fs.create(p, false)
+    try out.write((payload.map { case (path, nv) =>
+      (path +: nv.toSeq.sortBy(_._1).map { case (c, sk) =>
+        s"nv:$c=${GraftTable.b64bytes(sk)}" }).mkString("\t")
+    } :+ CommitMarker).mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private val ndvSidecars = bounded[Map[String, Map[String, Array[Byte]]]]()
+  private def ndvSidecarMap(v: Long): Map[String, Map[String, Array[Byte]]] = {
+    val hit = ndvSidecars.get(v)
+    if (hit != null) hit
+    else {
+      val m = readLines(ndvSidecarPath(v)).getOrElse(Nil)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split('\t'))
+        .filter(_.nonEmpty)
+        .map { fields =>
+          fields.head -> fields.tail.flatMap(_.split("=", 2) match {
+            case Array(k, b64) if k.startsWith("nv:") =>
+              Some(k.drop(3) -> GraftTable.unb64bytes(b64))
+            case _ => None
+          }).toMap
+        }.toMap
+      cachePut(ndvSidecars, v, m); m
+    }
+  }
+
+  /** `e`'s per-column NDV sketches — inline when carried (legacy), from
+    * the referenced `.nvs` sidecar otherwise (bounded LRU, loaded per
+    * use — never resident in the entry list). A missing sidecar serves
+    * EMPTY: the sketches are advisory (CBO stats), so degradation is
+    * weaker plans, never wrong rows. */
+  private[acid] def ndvOf(e: FileEntry): Map[String, Array[Byte]] =
+    if (e.ndv.nonEmpty) e.ndv
+    else e.nvRef.map(v => ndvSidecarMap(v).getOrElse(e.path, Map.empty))
+      .getOrElse(Map.empty)
 
   /** Publish `files` as version `v` via exclusive manifest create — the
     * ONE atomicity point in the format. The header line records the
@@ -1399,13 +1465,32 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           files.map(e => if (freshPaths.contains(e.path) && e.bloomFresh)
             e.copy(bloom = None, bloomRef = Some(v), bloomFresh = false) else e)
         }
+      // 1b. NDV sketches built THIS commit move to the `.nvs` sidecar —
+      // entries carry the `nvf=` ref and the ~200 B/column payloads load
+      // per use ([[ndvOf]]), keeping the RESIDENT entry list (and every
+      // manifest/checkpoint line) free of sketch bytes at 10⁶ files.
+      // Carried legacy inline nv: payloads stay inline: migrating them
+      // would churn entry-line identity (a full-table remove+add delta)
+      // and make the next CDC batch read the whole table to net zero.
+      val freshNdv = bloomed.filter(e =>
+        e.ndvFresh && e.ndv.nonEmpty && e.nvRef.isEmpty)
+      val ndved =
+        if (freshNdv.isEmpty) bloomed
+        else {
+          writeNdvSidecar(ndvSidecarPath(v),
+            freshNdv.sortBy(_.path).map(e => e.path -> e.ndv))
+          val ps = freshNdv.map(_.path).toSet
+          bloomed.map(e => if (ps.contains(e.path) && e.ndvFresh)
+            e.copy(ndv = Map.empty, nvRef = Some(v), ndvFresh = false)
+          else e)
+        }
       // 2. this commit's deletion vectors go to the dv sidecar; touched
       // entries re-reference it (full merged position set per file)
       val finalFiles =
-        if (dvs.isEmpty) bloomed
+        if (dvs.isEmpty) ndved
         else {
           writeSidecar(dvSidecarPath(v), dvs.toSeq.sortBy(_._1))
-          bloomed.map(e => dvs.get(e.path).fold(e)(pos =>
+          ndved.map(e => dvs.get(e.path).fold(e)(pos =>
             e.copy(dvRef = Some(v), dvCount = pos.length.toLong)))
         }
       // 3. delta vs full body
@@ -3173,11 +3258,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // The UNFILTERED case (every query over a big table plans it)
     // caches per version: O(files) heapify+union once, not per query.
     def mergeNdv(entries: Seq[FileEntry]): Map[String, Long] = {
-      val ndvColNames = entries.flatMap(_.ndv.keys)
+      // sketches resolve through [[ndvOf]] (sidecar per-use load) — the
+      // payloads are TRANSIENT here: merged and dropped, never resident
+      val byEntry = entries.map(ndvOf)
+      val ndvColNames = byEntry.flatMap(_.keys)
         .foldLeft(Vector.empty[String])((acc, c) =>
           if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
       ndvColNames.flatMap { c =>
-        val sks = entries.map(e => e.ndv.collectFirst {
+        val sks = byEntry.map(_.collectFirst {
           case (k, b) if k.equalsIgnoreCase(c) => b })
         if (sks.forall(_.isDefined))
           GraftTable.ndvEstimate(sks.flatten).map(c -> _)
@@ -4111,7 +4199,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         dn == e.dvCount && rows == e.rows }
     }
     val carriedLines = carriedSrc.map(e =>
-      (destCarry(absolutize(e.path))._1, false))
+      (destCarry(absolutize(e.path))._1, false, false))
     // deletion vectors: positions re-key by the clone's (absolute) entry
     // paths into the clone's own per-commit sidecar. Driver-side load is
     // O(masked positions) — metadata-scale, bounded by the source's
@@ -4131,10 +4219,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val sidecarBloom = e.bloomRef.flatMap(_ => bloomOf(e)).collect {
         case (s, words) if s == GraftTable.BloomHashedWidened => words
       }
+      // NDV sketches re-key like widened blooms: the source's sidecar
+      // payload inlines into the crossing line and commitCloned re-marks
+      // it fresh, so the clone's commit re-sidecars it under ITS v1 —
+      // a carried nvf= ref would dangle against the clone's own log
+      val nv = ndvOf(e)
       val line = e.copy(path = absolutize(e.path),
         bloom = sidecarBloom.orElse(e.bloom),
-        bloomRef = None, dvRef = None, dvCount = 0L).line
-      (line, sidecarBloom.isDefined)
+        bloomRef = None, dvRef = None, dvCount = 0L,
+        ndv = nv, nvRef = None).line
+      (line, sidecarBloom.isDefined, nv.nonEmpty && e.nvRef.isDefined)
     }
     dest.commitCloned(carriedLines ++ files, schemaOf(v), dvPayload,
       Seq(s"src=${GraftTable.b64(s"$root@$v")}"),
@@ -4146,14 +4240,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * entries cross instances in serialized manifest-line form — FileEntry
     * is instance-scoped): parse, re-mark carried sidecar blooms fresh,
     * publish as this table's v1. */
-  private def commitCloned(lines: Seq[(String, Boolean)],
+  private def commitCloned(lines: Seq[(String, Boolean, Boolean)],
                            schema: Option[StructType],
                            dvs: Map[String, Array[Long]],
                            extraMeta: Seq[String],
                            cmap: Map[String, String] = Map.empty,
                            cmdrop: Set[String] = Set.empty): Long = {
-    val files = lines.map { case (l, freshBloom) =>
-      parseEntry(l).copy(bloomFresh = freshBloom)
+    val files = lines.map { case (l, freshBloom, freshNdv) =>
+      parseEntry(l).copy(bloomFresh = freshBloom, ndvFresh = freshNdv)
     }
     // the source's column mapping + tombstones carry into the clone
     // (its files are the source's physical files); an incremental
@@ -4237,7 +4331,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // sidecars of dropped versions may still be REFERENCED by retained
     // entries (bf=/dv= point at the version that wrote them) — keep those
     val liveSidecars = keepEntries.values.flatten
-      .flatMap(e => e.bloomRef.toSeq ++ e.dvRef.toSeq).toSet
+      .flatMap(e => e.bloomRef.toSeq ++ e.dvRef.toSeq ++ e.nvRef.toSeq).toSet
     // change-data refs resolve BEFORE the manifests below are deleted
     // (a dropped version's cdc= is only readable from its manifest)
     val liveCdc = keepVs.flatMap(v => headerMeta(v).get("cdc")).toSet
@@ -4251,6 +4345,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       if (!liveSidecars.contains(v)) {
         fs.delete(bloomSidecarPath(v), false)
         fs.delete(dvSidecarPath(v), false)
+        fs.delete(ndvSidecarPath(v), false)
       }
     }
     // orphaned parquet-checkpoint TEMP dirs (a writer crashed between its
@@ -4396,7 +4491,10 @@ object GraftTable {
       // commit/write ordinal: restores the text-checkpoint/delta-replay
       // entry order on resolution (None for pre-r13 checkpoints, which
       // fall back to the path total order)
-      ord: Option[Long] = None)
+      ord: Option[Long] = None,
+      // `.nvs` sidecar ref (r14): resident entries carry the ref, the
+      // sketch bytes load per use; None/null on older checkpoints
+      nvf: Option[Long] = None)
 
   private[graft] val cpSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[CpRow].schema
