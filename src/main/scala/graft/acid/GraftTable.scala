@@ -2112,6 +2112,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def pendingAborted(v: Long): Boolean =
     headerMeta(v).get("pending").exists(decidePending(_) == 'a')
 
+  /** The multi-table txn marker (base64 path) version `v` publishes
+    * under, if it is a txn participant — the cut-validation probe of
+    * [[GraftTable.consistentVersions]]. */
+  private[acid] def pendingTxnOf(v: Long): Option[String] =
+    headerMeta(v).get("pending")
+
+  private[acid] def decidePendingB64(markerB64: String): Char =
+    decidePending(markerB64)
+
   /** Resolve a multi-table txn's decision marker — the reader half of
     * [[GraftTable.appendAtomic]]'s protocol. The marker is created
     * EXACTLY ONCE (exclusive create), content `c` (committed, first
@@ -4852,7 +4861,15 @@ object GraftTable {
     * sorted per-table locks, and one exclusive marker create decides the
     * whole txn — readers of any participant resolve through the marker,
     * so no half-committed combination is ever observable. */
-  def commitAtomic(ops: Seq[AtomicOp]): Seq[Long] = {
+  def commitAtomic(ops: Seq[AtomicOp]): Seq[Long] = commitAtomicTxn(ops)._1
+
+  /** [[commitAtomic]] returning the TRANSACTION HANDLE too — the decided
+    * marker's path, which identifies this txn forever. A reader passes
+    * it to [[snapshotsAtTxn]] to read every participant table pinned AT
+    * the version its participant committed: the read-side face of the
+    * write-side atomicity (without it, a reader of the pair can see
+    * A@pre-txn joined with B@post-txn). */
+  def commitAtomicTxn(ops: Seq[AtomicOp]): (Seq[Long], String) = {
     require(ops.nonEmpty, "commitAtomic needs at least one op")
     val sorted = ops.sortBy(_.table.root)
     require(sorted.map(_.table.root).distinct.size == sorted.size,
@@ -4901,7 +4918,7 @@ object GraftTable {
               throw new ConcurrentCommitException(
                 s"multi-table txn $markerPath was aborted by a reader " +
                   "during the commit window; rebase and retry")
-            versions
+            (versions, markerPath.toString)
           } catch {
             case e: ConcurrentCommitException =>
               // burn the already-published participants as no-op
@@ -4919,6 +4936,94 @@ object GraftTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The participants (root → committed version) of multi-table txn
+    * `txnId` (a marker path from [[commitAtomicTxn]]). Fails loudly on
+    * an aborted, in-flight, or torn marker — an aborted txn has no
+    * readable state to pin. */
+  def txnParticipants(spark: SparkSession,
+                      txnId: String): Seq[(String, Long)] = {
+    val p = new Path(txnId)
+    val mfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(mfs.exists(p), s"multi-table txn marker $txnId does not exist")
+    val in = mfs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    require(lines.headOption.contains("c"),
+      s"multi-table txn $txnId is not committed " +
+        s"(decision: ${lines.headOption.getOrElse("<empty>")})")
+    lines.tail.flatMap(_.split('\t') match {
+      case Array(root, v) => v.toLongOption.map(root -> _)
+      case _              => None
+    })
+  }
+
+  /** READ-SIDE atomicity for multi-table txns: every participant table
+    * of `txnId`, pinned AT the version its participant committed — the
+    * snapshot a consumer joins to see exactly the transaction's state
+    * (e.g. the raw+stats pair written by one COMMIT ATOMIC). Version
+    * pinning is ordinary time travel: O(1) manifest resolution per
+    * table, no data I/O beyond the join itself, valid until the pinned
+    * versions are vacuumed. */
+  def snapshotsAtTxn(spark: SparkSession,
+                     txnId: String): Map[String, DataFrame] =
+    txnParticipants(spark, txnId).map { case (root, v) =>
+      root -> load(spark, root).snapshot(Some(v))
+    }.toMap
+
+  /** A SNAPSHOT-CONSISTENT version cut across `tables` — the read-side
+    * guarantee matching [[commitAtomic]]'s write-side atomicity for
+    * readers that don't hold a txn handle: no committed multi-table txn
+    * is ever SPLIT by the returned versions (a reader of the raw+stats
+    * pair can otherwise see A@pre-txn with B@post-txn by reading their
+    * latests at slightly different instants).
+    *
+    * Two-phase optimistic cut, O(metadata) only: read every table's
+    * latest, then RE-READ after all first reads — versions are
+    * monotone, so an unchanged re-read proves every table held exactly
+    * these versions at one wall-clock instant (a true global cut). One
+    * residual race remains even for a true cut: a txn whose
+    * participants publish AROUND the cut window can have its earlier
+    * participant inside the cut and its marker decided COMMITTED only
+    * after our window closed. Only each table's TOP version can be such
+    * an undecided-at-cut participant ([[commitAtomic]] holds the
+    * per-table monitor from first publish to decision, so nothing
+    * stacks above an undecided pending) — validate exactly those: a
+    * top-pending decided 'c' whose sibling versions exceed the cut
+    * means the cut split it → retry. */
+  def consistentVersions(tables: Seq[GraftTable]): Map[String, Long] = {
+    require(tables.nonEmpty, "consistentVersions needs at least one table")
+    var attempt = 0
+    while (attempt < 100) {
+      val cut = tables.map(t => t.root -> t.latestVersion.getOrElse(0L)).toMap
+      val stable = tables.forall(t =>
+        t.latestVersion.getOrElse(0L) == cut(t.root))
+      if (stable) {
+        val split = tables.exists { t =>
+          val v = cut(t.root)
+          v > 0L && t.pendingTxnOf(v).exists { m =>
+            t.decidePendingB64(m) == 'c' &&
+              txnParticipants(t.spark, unb64(m)).exists { case (r, w) =>
+                cut.get(r).exists(_ < w) }
+          }
+        }
+        if (!split) return cut
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      "consistentVersions: no stable multi-table cut after 100 attempts " +
+        "(commit storm?); retry or pin an explicit txn via snapshotsAtTxn")
+  }
+
+  /** [[consistentVersions]] materialized: each table's snapshot pinned
+    * at the cut. */
+  def consistentSnapshots(tables: Seq[GraftTable]): Map[String, DataFrame] = {
+    val cut = consistentVersions(tables)
+    tables.foreach(t => require(cut(t.root) > 0L,
+      s"consistentSnapshots: table at ${t.root} has no commits yet"))
+    tables.map(t => t.root -> t.snapshot(Some(cut(t.root)))).toMap
   }
 
   /** CONVERT an existing parquet directory into a graft table IN PLACE

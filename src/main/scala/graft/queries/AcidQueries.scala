@@ -478,10 +478,10 @@ object AcidQueries extends QueryPack {
     * always reconcile exactly with the raw table — which is precisely
     * what the gate row verifies against the oracle. */
   private val multiFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
-  private def multiTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
-    val (rRaw, rStats) = multiFixtures.computeIfAbsent(d, { _ =>
+  private def multiTables(s: SparkSession, d: String): (GraftTable, GraftTable, String) = {
+    val (rRaw, rStats, txnId) = multiFixtures.computeIfAbsent(d, { _ =>
       import s.implicits._
       val key = java.lang.Long.toHexString(
         java.util.UUID.nameUUIDFromBytes(("multitable" + d).getBytes("UTF-8"))
@@ -490,16 +490,22 @@ object AcidQueries extends QueryPack {
       val statsRoot = s"$acidDir/mtstats_$key"
       val raw = new GraftTable(s, rawRoot, statsCol = Some("event_id"))
       val st = new GraftTable(s, statsRoot)
+      // the MIDDLE txn's handle is kept: the pinned-read gate row must
+      // see exactly two slices in both tables, with a LATER txn on top
+      // proving the pin ignores it
+      var midTxn = ""
       (0L to 2L).foreach { v =>
         val slice = events(s, d).filter(pmod($"event_id", lit(3L)) === v)
         val agg = slice.groupBy($"event_type")
           .agg(count(lit(1)).as("n"))
-        GraftTable.appendAtomic(Seq((raw, slice), (st, agg)),
-          txn = Some(("mt", v)))
+        val (_, id) = GraftTable.commitAtomicTxn(Seq(
+          GraftTable.AtomicAppend(raw, slice, Some(("mt", v))),
+          GraftTable.AtomicAppend(st, agg, Some(("mt", v)))))
+        if (v == 1L) midTxn = id
       }
-      (rawRoot, statsRoot)
+      (rawRoot, statsRoot, midTxn)
     })
-    (GraftTable.load(s, rRaw), GraftTable.load(s, rStats))
+    (GraftTable.load(s, rRaw), GraftTable.load(s, rStats), txnId)
   }
 
   /** Source→sink pipeline fixture: the append table's commit history
@@ -1088,12 +1094,32 @@ object AcidQueries extends QueryPack {
     // or vice versa) would break the counts on every row of its type.
     "q_acid_multi_table" -> { (s, d) =>
       import s.implicits._
-      val (raw, st) = multiTables(s, d)
+      val (raw, st, _) = multiTables(s, d)
       val totals = st.snapshot().groupBy($"event_type")
         .agg(sum($"n").cast("long").as("type_rows"))
       raw.snapshot().join(broadcast(totals), Seq("event_type"))
         .select($"event_id", $"user_id", $"event_type", $"type_rows")
         .orderBy($"event_id")
+    },
+
+    // CROSS-TABLE SNAPSHOT-CONSISTENT READ: the raw+stats pair pinned AT
+    // the middle txn via snapshotsAtTxn — the read-side face of COMMIT
+    // ATOMIC. Both tables serve exactly the first TWO slices (the later
+    // third txn is invisible to the pin), so the raw-side recount and
+    // the stats-side running sum must reconcile EXACTLY per event_type —
+    // a reader seeing A@txn1 with B@txn2 breaks the equality on every
+    // row. MultiTableCommitSpec pins the racing-reader invariant; this
+    // row pins content through the public API.
+    "q_acid_txn_read" -> { (s, d) =>
+      import s.implicits._
+      val (raw, st, txnId) = multiTables(s, d)
+      val pinned = GraftTable.snapshotsAtTxn(s, txnId)
+      val rawSide = pinned(raw.root).groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n_raw"))
+      val statsSide = pinned(st.root).groupBy($"event_type")
+        .agg(sum($"n").cast("long").as("n_stats"))
+      rawSide.join(broadcast(statsSide), Seq("event_type"))
+        .orderBy($"event_type")
     },
 
     // GENERALIZED multi-table txn: each step atomically APPENDED a slice
@@ -1613,6 +1639,14 @@ object AcidQueries extends QueryPack {
     // the stats table's summed per-batch counts must equal a from-scratch
     // per-type count — only true if every (raw, stats) pair committed
     // atomically
+    // the pinned pair holds slices %3 in {0,1}; raw recount == stats sum
+    "q_acid_txn_read" ->
+      """SELECT event_type,
+        |       count(*) AS n_raw,
+        |       count(*) AS n_stats
+        |FROM events WHERE event_id % 3 <= 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_acid_multi_table" ->
       """SELECT e.event_id, e.user_id, e.event_type, t.type_rows
         |FROM events e

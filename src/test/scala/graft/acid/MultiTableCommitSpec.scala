@@ -413,4 +413,79 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(ta.snapshot().count() == 15L)
     assert(tb.snapshot().count() == 10L)
   }
+
+  test("snapshotsAtTxn pins every participant at its committed version, immune to later writes") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_pin_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_pin_b"))
+    ta.append(df(1 to 5))
+    tb.append(df(101 to 105))
+    val (vs, txnId) = GraftTable.commitAtomicTxn(Seq(
+      GraftTable.AtomicAppend(ta, df(6 to 8)),
+      GraftTable.AtomicAppend(tb, df(106 to 108))))
+    // participants land sorted by root — compare order-agnostically
+    val parts = GraftTable.txnParticipants(spark, txnId).toMap
+    assert(parts.keySet == Set(ta.root, tb.root) &&
+      parts.values.toSet == vs.toSet, s"$parts vs $vs")
+    // later single-table writes must NOT leak into the pinned read
+    ta.append(df(9 to 9))
+    tb.append(df(109 to 109))
+    val pinned = GraftTable.snapshotsAtTxn(spark, txnId)
+    assert(pinned(ta.root).count() == 8L && pinned(tb.root).count() == 8L,
+      "the txn read must see exactly the transaction's state")
+    // an ABORTED txn has no readable state to pin
+    val markerDir = new Path(s"${ta.root}/_log/_txn")
+    val aborted = new Path(markerDir, "spec_aborted_marker")
+    val out = fs.create(aborted, false)
+    out.write("a".getBytes(UTF_8)); out.close()
+    val e = intercept[IllegalArgumentException](
+      GraftTable.snapshotsAtTxn(spark, aborted.toString))
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+  }
+
+  test("a reader racing an atomic pair never observes mixed versions through consistentSnapshots") {
+    import org.apache.spark.sql.functions.{col, max}
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_b"))
+    // seed both with k=0: every later txn appends the SAME k to both, so
+    // ANY unsplit cut satisfies max(k in A) == max(k in B); a cut that
+    // splits a txn breaks it
+    ta.append(df(0 to 0)); tb.append(df(0 to 0))
+    withPatience(200L) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val writer = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var landed = 0
+            (1 to 12).foreach { k =>
+              try {
+                GraftTable.appendAtomic(Seq((ta, df(k to k)), (tb, df(k to k))))
+                landed += 1
+              } catch { case _: ConcurrentCommitException => () }
+            }
+            landed
+          }
+        })
+        val readerBad = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var bad = 0
+            while (!writer.isDone) {
+              val snaps = GraftTable.consistentSnapshots(Seq(ta, tb))
+              val ma = snaps(ta.root).agg(max(col("k"))).head().getLong(0)
+              val mb = snaps(tb.root).agg(max(col("k"))).head().getLong(0)
+              if (ma != mb) bad += 1
+            }
+            bad
+          }
+        })
+        val landed = writer.get()
+        assert(readerBad.get() == 0,
+          "a consistent cut must never split an atomic pair")
+        assert(landed > 0, "at least some txns must land under the race")
+        // quiesced: both tables hold every landed txn
+        val snaps = GraftTable.consistentSnapshots(Seq(ta, tb))
+        assert(snaps(ta.root).agg(max(col("k"))).head().getLong(0) ==
+               snaps(tb.root).agg(max(col("k"))).head().getLong(0))
+      } finally pool.shutdown()
+    }
+  }
 }
