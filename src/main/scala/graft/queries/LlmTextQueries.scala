@@ -28,6 +28,18 @@ object LlmTextQueries extends QueryPack {
     * AND make repeated bench runs time the memo instead of the work. */
   private[queries] def minhashNearDups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    minhashNearDupsFrom(s, Tables.documents(s, d).select($"doc_id", $"text"))
+  }
+
+  /** [[minhashNearDups]] over an explicit (doc_id, text) set — the
+    * curation pipeline passes its EXACT-DEDUPED survivors here (fuzzy
+    * dedup after exact dedup, the production order), so LSH work scales
+    * with DISTINCT content, not raw corpus size: a crawl at K× density
+    * (duplicate clusters K× wider — the scale_gen shape) pays the same
+    * near-dup cost, not K² per cluster. */
+  private[queries] def minhashNearDupsFrom(s: SparkSession,
+                                           base: DataFrame): DataFrame = {
+    import s.implicits._
     graft.functions.VectorExprs.register(s)
     // cache() the shared intermediates: the band self-join and the two
     // verify joins would otherwise recompute the shingle+signature
@@ -38,7 +50,7 @@ object LlmTextQueries extends QueryPack {
     // distinct 64-bit shingle hashes, so the exact-Jaccard verify is the
     // sorted merge walk (identical to string-set Jaccard absent a 64-bit
     // collision inside one union, ~1e-13/pair).
-    val docs = Tables.documents(s, d)
+    val docs = base
       .select($"doc_id", TextOps.fastShingleHashes($"text").as("sh"))
       .filter(size($"sh") > 0)
       .cache()
@@ -278,6 +290,21 @@ object LlmTextQueries extends QueryPack {
     // larger id of every Jaccard>=0.5 pair) -> quality + length gate.
     // Thresholds compare bit-identical doubles on both engines, so gate
     // membership is exact, not fuzzy.
+    //
+    // FUZZY DEDUP RUNS AFTER EXACT DEDUP (re-founded r14, the production
+    // pipeline order): the LSH near-dup pass sees only the exact-kept
+    // survivors, so its band buckets and verify joins scale with DISTINCT
+    // content — a crawl at K× density (exact-duplicate clusters K× wider,
+    // the scale_gen SF1 shape) pays K× only in the digest groupBy, never
+    // K² inside clusters. PROVABLY output-identical to running LSH over
+    // the raw corpus: if some a<b verifies J(a,b)>=0.5, a's exact-kept
+    // representative a' = min-id of a's digest group has IDENTICAL text —
+    // identical shingles, identical band keys, identical Jaccard — so
+    // (a',b) is surfaced and verified whenever (a,b) would be, and a' < b
+    // (a' <= a < b; a' is never b itself, since a'=b would put a in b's
+    // digest group with a<b, contradicting b being exact-kept). The
+    // oracle applies the same restriction, equivalent by the same
+    // argument.
     "q_pipeline_training_set" -> { (s, d) =>
       import s.implicits._
       graft.functions.VectorExprs.register(s)
@@ -289,8 +316,9 @@ object LlmTextQueries extends QueryPack {
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val docs = base.join(keepExact, Seq("doc_id"))
-      // near-dup pairs via the (oracle-equivalent) LSH path
-      val nearDups = minhashNearDups(s, d)
+      // near-dup pairs via the (oracle-equivalent) LSH path, over the
+      // exact-kept set only
+      val nearDups = minhashNearDupsFrom(s, docs.select($"doc_id", $"text"))
         .select($"b_id".as("doc_id")).distinct()
       val kept = docs.join(nearDups, Seq("doc_id"), "left_anti")
       kept.select(Seq($"doc_id") ++ TextOps.qualityColumns($"text"): _*)
@@ -532,7 +560,7 @@ object LlmTextQueries extends QueryPack {
     "q_pipeline_training_set" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |docs AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
-        |ws AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') w FROM docs),
         |sh AS (SELECT doc_id,
         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                        FOR i IN range(1, len(w) - 1)]) s
