@@ -68,7 +68,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                        private var indexCols: Seq[String] = Nil,
                        checkpointInterval: Int = 10,
                        private[acid] val dvMaxRows: Int = 100000,
-                       dvPurgeRows: Long = 1000000L)
+                       dvPurgeRows: Long = 1000000L,
+                       // ROW TRACKING (the Delta row-ID pattern, stored
+                       // form): appends assign each row a table-unique
+                       // `_row_id` from a commit-carried watermark; every
+                       // rewrite (compact/zorder/reorg/update/merge COW)
+                       // carries the stored column verbatim, so DV
+                       // updates pair pre/post images by `_row_id` —
+                       // KEYLESS CDC update classification
+                       // (changeFeedKeyed over "_row_id") and stable
+                       // training-data provenance across layout churn.
+                       val rowTracking: Boolean = false)
     extends org.apache.spark.internal.Logging {
 
   private[acid] def partitionColName: Option[String] = partitionCol
@@ -1408,7 +1418,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                             // commits); None carries the prior version's
                             // mapping + tombstones forward like the schema
                             cmapOverride: Option[Map[String, String]] = None,
-                            cmdropOverride: Option[Set[String]] = None): Long = {
+                            cmdropOverride: Option[Set[String]] = None,
+                            // row-id high watermark: an id-assigning
+                            // append passes its advanced value; None
+                            // carries the prior version's forward
+                            rwm: Option[Long] = None): Long = {
     fs.mkdirs(logDir)
     // a commit that doesn't change the schema CARRIES the declared schema
     // forward (a delete doesn't un-evolve the table); schema-changing
@@ -1545,6 +1559,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         statsCol.map(c => s"scol=$c").toSeq ++
         partitionCol.map(c => s"pcol=$c").toSeq ++
         bloomCol.map(c => s"bcol=$c").toSeq ++
+        (if (rowTracking) Seq("rt=1") else Nil) ++
+        // the row-id watermark carries forward like the schema: every
+        // commit restates it so the next id-assigning append reads ONE
+        // header. An aborted participant's stamped advance also carries —
+        // id-space gaps are free, reuse is not.
+        { val rwmFinal = rwm.getOrElse(if (v > 1L) rwmAsOf(v - 1L) else 0L)
+          if (rwmFinal > 0L) Seq(s"rwm=$rwmFinal") else Nil } ++
         (if (indexCols.isEmpty) Nil
          else Seq(s"icols=${indexCols.mkString(",")}")) ++
         (if (constraints.isEmpty) Nil
@@ -1675,6 +1696,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * streaming writes with no side ledger. */
   def append(df: DataFrame, txn: Option[(String, Long)] = None,
              mergeSchema: Boolean = false): Long = {
+    // ROW TRACKING ingest: id-less rows get `_row_id` = watermark +
+    // monotonically_increasing_id() (partition-sharded, no shuffle, no
+    // driver pass); the commit advances the watermark by the partition
+    // span. The retry path below is NOT taken for this branch — a lost
+    // race re-reads the new watermark and re-writes, so two racing
+    // id-assigning appends can never mint overlapping ids (re-committing
+    // the already-written files would reuse the loser's stale watermark).
+    if (rowTracking && !df.columns.exists(_.equalsIgnoreCase("_row_id")))
+      return appendWithRowIds(df, txn, mergeSchema)
     val (data, evolved) = conformForWrite(df, mergeSchema)
     val written = writeData(clusterByPartition(data), nextVersion)
     // APPENDS AUTO-RESOLVE commit races (the Delta blind-append rule):
@@ -1696,6 +1726,50 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       }
       try return commit(v, prev ++ written, op = "append", txn = txn,
         schema = schemaNow)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[append]]'s id-assigning branch for a [[rowTracking]] table: mint
+    * `_row_id`s above the commit-carried watermark and advance it by the
+    * partition span (each of the N write partitions owns a 2³³-id shard
+    * — ids are unique as long as one partition writes < 2³³ rows, the
+    * same bound `monotonically_increasing_id` carries). Unlike the blind
+    * append's rebase, a LOST RACE RE-MINTS: the winner may have consumed
+    * the same watermark, so the loser re-reads the advanced value and
+    * re-writes its files (orphans reclaimed by vacuum) — never re-commits
+    * ids minted from a stale watermark. A task retry within the write
+    * can re-bind ids to rows inside its own shard (shuffle-read order is
+    * not deterministic) but cannot break uniqueness — the shard's id SET
+    * is position-based. */
+  private def appendWithRowIds(df: DataFrame, txn: Option[(String, Long)],
+                               mergeSchema: Boolean): Long = {
+    var attempt = 0
+    while (true) {
+      val wm = latestVersion.map(rwmAsOf).getOrElse(0L)
+      val withIds = df.withColumn("_row_id",
+        monotonically_increasing_id() + lit(wm))
+      // a fresh table DECLARES its schema (with _row_id) so later reads
+      // and id-less appends resolve the column by name
+      val (data, evolved) = conformForWrite(withIds,
+        mergeSchema || tableSchema.isEmpty)
+      val clustered = clusterByPartition(data)
+      val span = (clustered.rdd.getNumPartitions.toLong + 1L) << 33
+      val v = nextVersion
+      val prev = latestVersion.map(entries).getOrElse(Nil)
+      val written = writeData(clustered, v)
+      val schemaNow = evolved.map { s =>
+        val cur = tableSchema.getOrElse(s)
+        StructType(cur.fields ++
+          s.fields.filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+      }
+      try return commit(v, prev ++ written, op = "append", txn = txn,
+        schema = schemaNow, rwm = Some(wm + span))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -2111,6 +2185,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * shared marker ([[decidePending]]); false for ordinary commits. */
   private def pendingAborted(v: Long): Boolean =
     headerMeta(v).get("pending").exists(decidePending(_) == 'a')
+
+  /** Row-id high watermark as of version `v` (0 = no ids assigned yet) —
+    * the next id-assigning append starts here. One header read. */
+  private def rwmAsOf(v: Long): Long =
+    if (v <= 0L) 0L
+    else headerMeta(v).get("rwm").flatMap(_.toLongOption).getOrElse(0L)
 
   /** The multi-table txn marker (base64 path) version `v` publishes
     * under, if it is a txn participant — the cut-validation probe of
@@ -5072,7 +5152,8 @@ object GraftTable {
         constraints = m.get("checks").toSeq.flatMap(_.split(','))
           .filter(_.nonEmpty)
           .map(s => new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)),
-        indexCols = m.get("icols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+        indexCols = m.get("icols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
+        rowTracking = m.contains("rt"))
     }
   }
 

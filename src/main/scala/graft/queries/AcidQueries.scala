@@ -352,6 +352,33 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** ROW-TRACKING fixture (the Delta row-ID pattern, stored form): a
+    * rowTracking table mints a table-unique `_row_id` per ingested row;
+    * the DV UPDATE of a fixed 8-user band preserves ids through the
+    * post-image append, so the change feed pairs pre/post images BY ROW
+    * ID — keyless CDC update classification (no business key declared
+    * anywhere). RowTrackingSpec pins id uniqueness (incl. racing
+    * appends) and preservation through compact/zorder. */
+  private val rowTrackingFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rowTrackingTable(s: SparkSession, d: String): GraftTable = {
+    val root = rowTrackingFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("rowtrack" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/rowtrack_$key"
+      val t = new GraftTable(s, r, statsCol = Some("user_id"),
+        rowTracking = true)
+      t.append(events(s, d).repartitionByRange(8, $"user_id"))    // v1
+      t.update($"user_id" < 8L,
+        Map("value" -> ($"value" + 1000.0)))                      // v2: DV
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** RESTORE fixture: three appends (the %3 slices), then a rollback to
     * v2 — the snapshot must be exactly the first two slices, served by
     * RE-REFERENCED v2 files (RestoreSpec pins the zero-I/O property). */
@@ -1102,6 +1129,19 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // KEYLESS CDC via ROW TRACKING: the rowTracking fixture's DV update
+    // classified by `_row_id` — every updated row pairs into
+    // update_preimage/update_postimage with NO business key declared
+    // (the ids were minted at ingest and preserved through the DV
+    // update's post-image append). Output states business columns only;
+    // the ids themselves are fixture-run-dependent and never surface.
+    "q_acid_row_tracking" -> { (s, d) =>
+      import s.implicits._
+      rowTrackingTable(s, d).changeFeedKeyed(1L, 2L, Seq("_row_id"))
+        .select($"event_id", $"user_id", $"value", $"_change")
+        .orderBy($"event_id", $"_change")
+    },
+
     // CROSS-TABLE SNAPSHOT-CONSISTENT READ: the raw+stats pair pinned AT
     // the middle txn via snapshotsAtTxn — the read-side face of COMMIT
     // ATOMIC. Both tables serve exactly the first TWO slices (the later
@@ -1639,6 +1679,17 @@ object AcidQueries extends QueryPack {
     // the stats table's summed per-batch counts must equal a from-scratch
     // per-type count — only true if every (raw, stats) pair committed
     // atomically
+    // every user<8 event pairs into a pre/post image (ids pair 1:1, so
+    // the classified feed is exactly the band's rows twice)
+    "q_acid_row_tracking" ->
+      """SELECT event_id, user_id, value, _change FROM (
+        |  SELECT event_id, user_id, value, 'update_preimage' AS _change
+        |  FROM events WHERE user_id < 8
+        |  UNION ALL
+        |  SELECT event_id, user_id, value + 1000.0, 'update_postimage'
+        |  FROM events WHERE user_id < 8)
+        |ORDER BY event_id, _change""".stripMargin,
+
     // the pinned pair holds slices %3 in {0,1}; raw recount == stats sum
     "q_acid_txn_read" ->
       """SELECT event_type,
