@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE FILES <table>                     -- per-file manifest metadata
   *   DESCRIBE CHANGES <table> FROM <v> TO <v> [KEYED BY (k, ...)]
   *   COMMIT ATOMIC ( <stmt>; <stmt>; ... )      -- multi-table atomic txn
+  *   INSERT INTO <table> REPLACE WHERE <pred> <query>  -- selective overwrite
   * }}}
   *
   * `<table>` is a graft-catalog identifier (`cat.ns.t` where
@@ -116,6 +117,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     def takeString(): Option[String] = peek.filter(_.startsWith("'")).map { s =>
       i += 1; s.substring(1, s.length - 1)
     }
+    /** Consume and return the next token whatever it is — for
+      * sub-grammars that scan to a boundary token themselves (the
+      * REPLACE WHERE predicate/query split). */
+    def takeAny(): Option[String] = peek.map { tok => i += 1; tok }
     def expectString(what: String): String =
       takeString().getOrElse(throw err(s"expected $what (a '...' string)"))
     def expectEnd(): Unit =
@@ -581,6 +586,73 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   /** DESCRIBE (HISTORY [LIMIT n] | DETAIL | CHANGES ... FROM a TO b) */
+  /** INSERT INTO <t> REPLACE WHERE <pred> <query> — the selective-
+    * overwrite SQL face ([[GraftTable.replaceWhere]], Delta's
+    * `replaceWhere`): atomically replace exactly the predicate's rows
+    * with the query's result, which must all satisfy the predicate.
+    * Plain INSERT (no REPLACE after the table name) falls through to
+    * Spark's own statement untouched. The predicate runs to the first
+    * TOP-LEVEL (paren-depth-0) query head keyword (SELECT / VALUES /
+    * WITH / TABLE / FROM / MAP / REDUCE) — a scalar subquery inside the
+    * predicate is not supported here; state it on the query side. */
+  private def parseInsertReplaceWhere(t: Toks): Option[LogicalPlan] = {
+    if (!t.takeKw("INSERT") || !t.takeKw("INTO")) return None
+    val ref =
+      try t.expectIdent("a table")
+      catch { case _: ParseException => return None }
+    if (!t.takeKw("REPLACE")) return None // plain INSERT — Spark's own
+    // from here the statement is OURS: parse strictly, fail loudly
+    t.expectKw("WHERE")
+    val table = resolve(ref).getOrElse(throw t.err(
+      s"INSERT INTO ... REPLACE WHERE targets a graft-catalog table " +
+        s"(cat.ns.t with spark.sql.catalog.<cat> = GraftCatalog); " +
+        s"'$ref' is not one"))
+    val queryHeads = Set("SELECT", "VALUES", "WITH", "TABLE", "FROM",
+      "MAP", "REDUCE")
+    val predToks = Vector.newBuilder[String]
+    var depth = 0
+    var n = 0
+    while (t.peek.exists(tok => depth > 0 ||
+        !queryHeads.contains(tok.toUpperCase))) {
+      val tok = t.takeAny().get
+      if (tok == "(") depth += 1 else if (tok == ")") depth -= 1
+      predToks += tok
+      n += 1
+    }
+    val predText = predToks.result().mkString(" ")
+    if (n == 0) throw t.err("expected a predicate after REPLACE WHERE")
+    val queryText = t.rest()
+    if (queryText.trim.isEmpty)
+      throw t.err("expected a source query (SELECT ... / VALUES ...) " +
+        "after the REPLACE WHERE predicate")
+    val pred = org.apache.spark.sql.GraftPlanBridge.column(
+      delegate.parseExpression(predText))
+    delegate.parseQuery(queryText) // loud syntax errors at parse time
+    Some(GraftRowLevelCommand(s"INSERT INTO $ref REPLACE WHERE", () => {
+      val df0 = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+        delegate.parseQuery(queryText))
+      // positional column alignment, the INSERT INTO contract — minus a
+      // row-tracking table's `_row_id` (minted by replaceWhere itself)
+      val declared = table.tableSchema.orElse(
+          table.latestVersion.map(v => table.snapshot(Some(v)).schema))
+        .map(s => if (!table.rowTracking) s
+          else StructType(s.fields.filterNot(
+            _.name.equalsIgnoreCase("_row_id"))))
+      val df = declared.fold(df0) { s =>
+        require(df0.columns.length == s.fields.length,
+          s"INSERT INTO ${table.root} REPLACE WHERE: " +
+            s"${df0.columns.length} columns for a " +
+            s"${s.fields.length}-column table")
+        df0.toDF(s.fieldNames.toIndexedSeq: _*)
+          .select(s.fields.toIndexedSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)): _*)
+      }
+      table.replaceWhere(pred, df)
+      ()
+    }))
+  }
+
   private def parseDescribe(t: Toks): Option[LogicalPlan] = {
     t.expectKw("DESCRIBE")
     if (t.takeKw("HISTORY")) {
@@ -642,6 +714,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case "DESCRIBE" => parseDescribe(t)
         case "COMMIT" if ts.lift(1).exists(_.equalsIgnoreCase("ATOMIC")) =>
           parseCommitAtomic(sqlText, t)
+        case "INSERT" if ts.exists(_.equalsIgnoreCase("REPLACE")) =>
+          parseInsertReplaceWhere(t)
         case _ => None
       }
     }

@@ -3808,6 +3808,141 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
+  /** SELECTIVE ATOMIC OVERWRITE (the public `replaceWhere` contract —
+    * Delta's `INSERT INTO ... REPLACE WHERE`): ONE commit that removes
+    * every current row matching `predicate` and lands `df`'s rows. A
+    * reader never observes the deleted-but-unreplaced gap a
+    * delete-then-append pair exposes, and a crash between the two can't
+    * strand the table half-replaced. Every incoming row must satisfy
+    * `predicate` (validated in one distributed pass BEFORE any write —
+    * the CHECK-constraint contract): that is what makes this a
+    * predicate-SCOPED overwrite — files the manifest windows/blooms
+    * prove predicate-free provably cannot intersect the replacement and
+    * carry over verbatim.
+    *
+    * 100 TB shape ("reload yesterday's partition"): matched rows mask
+    * via deletion vectors — an O(candidate files) scan and a KB-scale
+    * sidecar, zero base-file rewrite — up to [[dvMaxRows]]; past that,
+    * the index-scoped copy-on-write rewrite of only the candidate files.
+    * The replacement writes as ordinary new files either way. With
+    * [[cdfWriteEnabled]] the DV path persists its net changes (masked
+    * rows as deletes, the replacement AS WRITTEN as inserts), so the CDC
+    * feed serves the commit without touching base data. On a
+    * [[rowTracking]] table id-less incoming rows mint fresh `_row_id`s
+    * above the pinned watermark; the pinned commit version makes a
+    * racing writer collide loudly — stale-watermark id reuse is
+    * impossible (no silent rebase, unlike the blind append). */
+  def replaceWhere(predicate: Column, df: DataFrame,
+                   useDv: Boolean = true): Long = {
+    require(df.filter(!coalesce(predicate, lit(false))).isEmpty,
+      s"replaceWhere on $root: every incoming row must satisfy the " +
+        "predicate — out-of-scope rows would silently widen the overwrite")
+    latestVersion match {
+      // empty table: nothing can match, the replacement IS the content —
+      // the blind append path (which also declares schema / mints ids)
+      case None => append(df)
+      case Some(lv) =>
+        (if (useDv) replaceWhereViaDv(predicate, df, lv).map(maybeAutoPurge)
+         else None).getOrElse(replaceWhereCow(predicate, df, lv))
+    }
+  }
+
+  /** Replacement rows entering [[replaceWhere]]: [[rowTracking]] minting
+    * first (ids above version `lv`'s watermark, PINNED by localCheckpoint
+    * so a downstream union/shuffle cannot re-evaluate them into different
+    * ids than the change feed saw), then schema ENFORCEMENT — mint before
+    * conforming, or [[conformForWrite]] would null-fill the declared
+    * `_row_id` column. Returns the advanced watermark for the commit
+    * header (None = nothing minted). */
+  private def mintedReplacement(df: DataFrame, lv: Long)
+      : (DataFrame, Option[Long]) = {
+    val (minted, rwm) =
+      if (!rowTracking || df.columns.exists(_.equalsIgnoreCase("_row_id")))
+        (df, None)
+      else {
+        val wm = rwmAsOf(lv)
+        val m = df.withColumn("_row_id",
+          monotonically_increasing_id() + lit(wm)).localCheckpoint()
+        (m, Some(wm + ((m.rdd.getNumPartitions.toLong + 1L) << 33)))
+      }
+    (conformForWrite(minted, mergeSchema = false)._1, rwm)
+  }
+
+  /** [[replaceWhere]] as DV-mask + append (merge-on-read): the matched
+    * rows' positions join the candidate files' deletion vectors and the
+    * replacement appends as fresh files — one commit, zero base-file
+    * rewrite. None → the copy-on-write fallback (matched count past
+    * [[dvMaxRows]]). */
+  private def replaceWhereViaDv(predicate: Column, df: DataFrame,
+                                lv: Long): Option[Long] = {
+    // version pinned BEFORE the distributed work — see [[deleteViaDv]]:
+    // a racer collides loudly instead of being silently un-committed
+    val v = lv + 1
+    val prev = entries(lv)
+    val cands = entriesForPredicate(predicate, lv)
+    // DV-FILTERED read (an already-masked row must not re-surface in the
+    // persisted change feed as a fresh delete), materialized ONCE so the
+    // masked positions and the persisted pre-images come from the same
+    // evaluation even under a non-deterministic predicate
+    val mat =
+      if (cands.isEmpty) None
+      else {
+        val m = readWithPos(cands, schemaOf(lv), applyDv = true, cmapOf(lv))
+          .filter(coalesce(predicate, lit(false)))
+          .limit(dvMaxRows + 1)
+          .localCheckpoint()
+        if (m.count() > dvMaxRows) return None
+        Some(m)
+      }
+    val hits = mat.fold(Array.empty[org.apache.spark.sql.Row])(
+      _.select(col("__mor_f"), col("__mor_p")).collect())
+    val (payload, dead) = mergedDvs(prev, hits)
+    val (data, rwm) = mintedReplacement(df, lv)
+    val newFiles = writeData(clusterByPartition(data), v)
+    val files = prev.filterNot(e => dead.contains(e.path)) ++ newFiles
+    // change files: pre-images are exactly the masked live rows (mat is
+    // materialized — same evaluation the DV positions came from), post-
+    // images the replacement AS WRITTEN (read back from the new files: a
+    // non-deterministic `df` must not diverge between feed and data)
+    val extra =
+      if (cdfWriteEnabled && (hits.nonEmpty || newFiles.nonEmpty)) {
+        val target = schemaOf(lv).getOrElse(data.schema)
+        val ins =
+          if (newFiles.isEmpty) None
+          else Some(readEntriesAs(newFiles, target, Some(cmapOf(lv)))
+            .withColumn("_change", lit("insert")))
+        val del = mat.map(_.drop("__mor_f", "__mor_p")
+          .withColumn("_change", lit("delete")))
+        (del.toSeq ++ ins.toSeq).reduceOption(_.unionByName(_))
+          .fold(Seq.empty[String])(writeChangeData)
+      } else Nil
+    Some(commit(v, files, op = "replaceWhere",
+      dvs = coalesceDvs(prev, payload -- dead, dead), extraMeta = extra,
+      rwm = rwm))
+  }
+
+  /** [[replaceWhere]]'s index-scoped copy-on-write: rewrite ONLY the
+    * candidate files without their matching rows, union the replacement
+    * in, carry every other entry over verbatim —
+    * [[windowScopedRewrite]]'s shape plus the appended rows, in the same
+    * commit. No change files (the CDC compute path covers COW commits,
+    * same as DELETE/UPDATE past the DV bound). */
+  private def replaceWhereCow(predicate: Column, df: DataFrame,
+                              lv: Long): Long = {
+    val v = lv + 1
+    val prev = entries(lv)
+    val rewriteSet = entriesForPredicate(predicate, lv).map(_.path).toSet
+    val (rewrite, keep) = prev.partition(e => rewriteSet.contains(e.path))
+    val (data, rwm) = mintedReplacement(df, lv)
+    val out =
+      if (rewrite.isEmpty) data
+      else readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
+        .filter(!coalesce(predicate, lit(false)))
+        .unionByName(data)
+    commit(v, keep ++ writeData(clusterByPartition(out), v),
+      op = "replaceWhere", rwm = rwm)
+  }
+
   /** OPTIMIZE: rewrite the active set into `targetFiles` files as a new
     * version — the small-file compaction an append-heavy table needs
     * (every append adds files; scan cost grows with file count, not

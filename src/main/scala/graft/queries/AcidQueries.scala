@@ -600,6 +600,58 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** Selective-overwrite fixtures ([[GraftTable.replaceWhere]] — the
+    * public Delta `INSERT INTO ... REPLACE WHERE` contract): three
+    * %3-sliced appends, then ONE atomic commit replacing every
+    * user_id <= 30 row with its re-scored copy (value doubled,
+    * event_type 'rescored') — the "reload one segment of the corpus"
+    * shape. The API table takes the Scala path (DV mask + append, scoped
+    * by the user_id windows); the SQL twin replays the same overwrite
+    * through the parser-injected statement on a derived session.
+    * Deterministic from events, so the oracle states the final content
+    * in one SQL expression. */
+  private val replaceWhereFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def replaceWhereTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
+    val (rApi, rSql) = replaceWhereFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("replw" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val apiRoot = s"$acidDir/replw_$key"
+      val sqlRoot = s"$acidDir/replwsql_$key"
+      val ev = events(s, d)
+      val slice = (r: Long) => ev.filter(pmod($"event_id", lit(3L)) === r)
+      val t = new GraftTable(s, apiRoot, statsCol = Some("user_id"))
+      (0L to 2L).foreach(r => t.append(slice(r)))
+      t.replaceWhere($"user_id" <= 30L,
+        ev.filter($"user_id" <= 30L)
+          .withColumn("event_type", lit("rescored"))
+          .withColumn("value", $"value" * 2.0))
+      // SQL twin: INSERT INTO ... REPLACE WHERE is parser-injected
+      // grammar, so it builds on a DERIVED session (same SparkContext,
+      // own extensions); the table on disk reads back from any session
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions)
+        .create()
+      s2.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val t2 = new GraftTable(s2, sqlRoot, statsCol = Some("user_id"))
+      (0L to 2L).foreach(r => t2.append(events(s2, d).filter(
+        pmod(col("event_id"), lit(3L)) === r)))
+      events(s2, d).filter(col("user_id") <= 30L)
+        .withColumn("event_type", lit("rescored"))
+        .withColumn("value", col("value") * 2.0)
+        .createOrReplaceTempView("graft_replw_src")
+      s2.sql(s"INSERT INTO graft.`replwsql_$key` REPLACE WHERE " +
+        "user_id <= 30 SELECT * FROM graft_replw_src")
+      (apiRoot, sqlRoot)
+    })
+    (GraftTable.load(s, rApi), GraftTable.load(s, rSql))
+  }
+
   /** SQL COMMIT ATOMIC with a MERGE participant: per step ONE atomic
     * transaction INSERTs a raw slice AND MERGEs its latest-per-user rows
     * into a pid-partitioned mirror (ANSI WHEN MATCHED AND newer THEN
@@ -1033,6 +1085,24 @@ object AcidQueries extends QueryPack {
       import s.implicits._
       reclusterTable(s, d).snapshotRangeOn("event_id", 100L, 4999L)
         .orderBy($"event_id")
+    },
+
+    // SELECTIVE ATOMIC OVERWRITE (replaceWhere): one commit replaced
+    // every user_id <= 30 row with its re-scored copy — out-of-scope
+    // files carried over verbatim, scoped by the user_id windows
+    // (ReplaceWhereSpec pins scoping, validation, CDC serve, and row-id
+    // minting); this row pins the final content.
+    "q_acid_replace_where" -> { (s, d) =>
+      import s.implicits._
+      replaceWhereTables(s, d)._1.snapshot().orderBy($"event_id")
+    },
+
+    // The same overwrite through the SQL face (INSERT INTO ... REPLACE
+    // WHERE, parser-injected): grammar, positional column alignment, and
+    // the same one-commit semantics.
+    "q_acid_sql_replace_where" -> { (s, d) =>
+      import s.implicits._
+      replaceWhereTables(s, d)._2.snapshot().orderBy($"event_id")
     },
 
     // SQL COMMIT ATOMIC with a MERGE INTO participant: the mirror's
@@ -1593,6 +1663,24 @@ object AcidQueries extends QueryPack {
     // mirror = latest event per user (the per-slice merges compose to
     // the global latest); raw_rows = the full event count — both only
     // hold if every atomic INSERT+MERGE SQL txn landed whole
+    "q_acid_replace_where" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id > 30
+        |UNION ALL
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       'rescored' AS event_type, value * 2 AS value
+        |FROM events WHERE user_id <= 30
+        |ORDER BY event_id""".stripMargin,
+
+    "q_acid_sql_replace_where" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id > 30
+        |UNION ALL
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       'rescored' AS event_type, value * 2 AS value
+        |FROM events WHERE user_id <= 30
+        |ORDER BY event_id""".stripMargin,
+
     "q_acid_sql_atomic_merge" ->
       """SELECT m.event_id, m.user_id, CAST(m.ts AS TIMESTAMP) AS ts,
         |       m.event_type, m.value, m.user_id % 8 AS pid, t.raw_rows
