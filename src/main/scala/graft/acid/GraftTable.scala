@@ -4513,6 +4513,50 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   /** Keep the newest `retain` versions; delete older manifests and every
     * data file they alone referenced. Returns the deleted data files. */
+  /** Past this many (live files + commit dirs), [[vacuum]]'s data-file
+    * sweep runs as a DISTRIBUTED Spark job instead of the serial driver
+    * loop: executors list the commit dirs in parallel, the dead set
+    * falls out of a shuffle anti-join against the live manifest paths,
+    * and the deletes fan out per partition — a million-file table's
+    * vacuum is minutes of parallel object-store calls, not hours of
+    * one-at-a-time driver deletes (the public Delta parallel-delete
+    * design). Overridable for tests via
+    * `spark.graft.acid.distributedVacuumMinFiles`. */
+  private def distributedVacuumMinFiles: Long =
+    spark.conf.getOption("spark.graft.acid.distributedVacuumMinFiles")
+      .flatMap(_.toLongOption).getOrElse(GraftTable.DistributedVacuumMinFiles)
+
+  /** The distributed data-file sweep (see [[distributedVacuumMinFiles]]):
+    * list → anti-join live → delete, all executor-side; returns the
+    * deleted rel paths (the driver loop's contract). Deletes are
+    * idempotent (a retried/speculated task re-deleting a gone file is a
+    * no-op), so task-level at-least-once execution is safe. */
+  private def distributedDataSweep(dirs: Seq[String],
+                                   live: Set[String]): Seq[String] = {
+    import spark.implicits._
+    val rootStr = rootPath.toString
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val par = math.max(1,
+      math.min(dirs.size, spark.sparkContext.defaultParallelism * 2))
+    val listed = spark.createDataset(
+      spark.sparkContext.parallelize(dirs, par).mapPartitions { it =>
+        val fsx = new Path(rootStr).getFileSystem(bconf.value.value)
+        it.flatMap { d =>
+          fsx.listStatus(new Path(rootStr, s"data/$d")).iterator
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(f => s"data/$d/${f.getPath.getName}")
+        }
+      })
+    val dead = listed.toDF("path")
+      .join(live.toSeq.toDF("path"), Seq("path"), "left_anti")
+    dead.as[String].mapPartitions { it =>
+      val fsx = new Path(rootStr).getFileSystem(bconf.value.value)
+      it.map { rel => fsx.delete(new Path(rootStr, rel), false); rel }
+    }.collect().toSeq
+  }
+
   def vacuum(retain: Int): Seq[String] = {
     require(retain >= 1, "must retain at least the current version")
     val vs = versions
@@ -4597,14 +4641,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val dataDir = new Path(rootPath, "data")
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataDir)) {
-      for (d <- fs.listStatus(dataDir); f <- fs.listStatus(d.getPath)) {
-        val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
-        if (f.getPath.getName.startsWith("part-") && !live.contains(rel)) {
-          fs.delete(f.getPath, false)
-          removed += rel
+      val dirs = fs.listStatus(dataDir).map(_.getPath.getName).toSeq
+      if (live.size + dirs.size < distributedVacuumMinFiles) {
+        for (d <- fs.listStatus(dataDir); f <- fs.listStatus(d.getPath)) {
+          val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
+          if (f.getPath.getName.startsWith("part-") && !live.contains(rel)) {
+            fs.delete(f.getPath, false)
+            removed += rel
+          }
         }
-      }
-      // drop commit dirs holding no data files any more (just _SUCCESS)
+      } else removed ++= distributedDataSweep(dirs, live)
+      // drop commit dirs holding no data files any more (just _SUCCESS):
+      // O(commit dirs) driver listings on either path
       for (d <- fs.listStatus(dataDir)
            if !fs.listStatus(d.getPath).exists(_.getPath.getName.startsWith("part-")))
         fs.delete(d.getPath, true)
@@ -4646,6 +4694,11 @@ object GraftTable {
     * a writer that has persisted its change files but not yet published
     * the referencing commit must not lose them to a racing vacuum. */
   private[acid] val ChangeDirOrphanAgeMs = 10L * 60L * 1000L
+
+  /** Default live-files+dirs count past which vacuum's data sweep goes
+    * distributed (see the handle's `distributedVacuumMinFiles`). Below
+    * it the serial driver loop is cheaper than a Spark job. */
+  private[acid] val DistributedVacuumMinFiles = 50000L
 
   /** The KEYED CDC classification shared by the batch
     * ([[GraftTable.changeFeedKeyed]]) and STREAMING
