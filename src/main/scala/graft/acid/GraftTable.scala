@@ -1573,7 +1573,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
            java.util.Base64.getUrlEncoder.withoutPadding
              .encodeToString(c.getBytes(UTF_8))).mkString(","))) ++
         extraMeta).mkString(" ")
-      val header = s"# op=$op ts=${System.currentTimeMillis()} $cfg"
+      // IN-COMMIT MONOTONE TIMESTAMP (the public Delta ICT design):
+      // never below the parent commit's ts + 1. Raw wall clock breaks
+      // timestamp time travel under writer clock skew — with v5@ts=100,
+      // v6@ts=90 (skewed writer), snapshotAt(95) would resolve to v6 (a
+      // state INCLUDING v5) "before v5 committed" — and vacuumOlderThan
+      // counts on the same monotonicity for its retention cut.
+      val tsMono =
+        if (v <= 1L) System.currentTimeMillis()
+        else math.max(System.currentTimeMillis(),
+          headerMeta(v - 1).get("ts").flatMap(_.toLongOption)
+            .getOrElse(0L) + 1L)
+      val header = s"# op=$op ts=$tsMono $cfg"
       // one write, terminator LAST: readers treat a manifest without the
       // final marker as in-flight (see manifestLines)
       out.write(((header +: body) :+ CommitMarker)
