@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Model-based fuzz of the incremental commit log: a SEEDED random
   * sequence of mixed operations (append / appendUnique / DV-delete /
-  * bulk COW delete / update / merge / compact / zorder / reorg /
-  * restore / vacuum) runs against both the table and a plain in-memory
+  * bulk COW delete / update / merge / replaceWhere / compact / zorder /
+  * reorg / restore / vacuum) runs against both the table and a plain
+  * in-memory
   * model; after every operation the snapshot must equal the model, and
   * periodically a FRESH handle (empty caches, resolution purely from the
   * on-disk delta chain + checkpoints + sidecars) must agree too. One
@@ -104,7 +105,7 @@ class LogFuzzSpec extends SparkSpec {
     def fuzz(): Unit = {
     (1 to 60).foreach { step =>
       // every op below needs at least one commit; the first is an append
-      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(12)) match {
+      (if (t.latestVersion.isEmpty) 0 else rnd.nextInt(13)) match {
         case 0 | 1 | 2 => // append a fresh batch
           val rows = (0 until 1 + rnd.nextInt(20)).map { _ =>
             nextId += 1; (nextId, rnd.nextLong(1000)) }
@@ -173,6 +174,18 @@ class LogFuzzSpec extends SparkSpec {
             GraftTable.AtomicDelete(sib, pred)))
           rows.foreach { case (k, v) => model(k) = v }
           victims.foreach(sibModel.remove)
+        case 12 => // selective atomic overwrite (replaceWhere): EVERY row
+          // in a random id band leaves, a fresh in-band batch lands, one
+          // commit — alternating the DV-mask and COW paths
+          val hi = 1L + rnd.nextLong(math.max(1L, nextId))
+          val lo = math.max(1L, hi - (5L + rnd.nextLong(40L)))
+          val repl = rnd.shuffle((lo to hi).toList).take(rnd.nextInt(6))
+            .map(k => (k, rnd.nextLong(1000) + 3000000L))
+          model.keys.filter(k => k >= lo && k <= hi).toSeq
+            .foreach(model.remove)
+          repl.foreach { case (k, v) => model(k) = v }
+          t.replaceWhere(col("id") >= lo && col("id") <= hi, df(repl),
+            useDv = rnd.nextBoolean())
         case 9 => // restore to a remembered point, or remember one
           restorePoint match {
             case Some((v, snap)) if t.versions.contains(v) && rnd.nextBoolean() =>
