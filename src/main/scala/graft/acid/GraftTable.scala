@@ -468,6 +468,45 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   // leaves no half-visible state a reader could trust without it
   private def pcpDirPath(v: Long) = new Path(logDir, f"v$v%020d.checkpoint.parquet")
   private def pcpMetaPath(v: Long) = new Path(logDir, f"v$v%020d.pcp")
+  // SIDECAR checkpoint shards live under uuid-unique roots, shared
+  // across checkpoints (an incremental write re-references the prior
+  // checkpoint's untouched shard dirs verbatim)
+  private def sidecarsRoot = new Path(logDir, "sidecars")
+
+  /** Shard refs of version `v`'s SIDECAR-form parquet checkpoint,
+    * parsed from its `.pcp` meta (`s\t<shard>\t<relpath>` lines) —
+    * empty for the classic single-directory form. */
+  private def pcpShardRefs(v: Long): Seq[(Int, String)] =
+    if (!fs.exists(pcpMetaPath(v))) Nil
+    else readLines(pcpMetaPath(v)).getOrElse(Nil).collect {
+      case l if l.startsWith("s\t") => l.split('\t') match {
+        case Array(_, s, rel) => (s.toInt, rel)
+      }
+    }
+
+  /** Parsed `# key=value` header of version `v`'s `.pcp` meta. */
+  private def pcpMetaKv(v: Long): Map[String, String] =
+    (if (fs.exists(pcpMetaPath(v))) readLines(pcpMetaPath(v)).getOrElse(Nil)
+     else Nil).headOption
+      .filter(_.startsWith("#")).map { h =>
+        h.drop(1).trim.split("\\s+").flatMap(_.split("=", 2) match {
+          case Array(k, value) => Some(k -> value)
+          case _               => None
+        }).toMap
+      }.getOrElse(Map.empty)
+
+  /** Data paths behind version `v`'s parquet checkpoint — the classic
+    * part directory, or the sidecar shard dirs (each possibly reused
+    * from an earlier checkpoint's write). None = sidecar form with a
+    * missing shard dir: a damaged artifact, treated exactly like the
+    * nf-mismatch case (warn-and-fall-back to the manifest chain), never
+    * a thrown read of a path that is not there. */
+  private def pcpDataPaths(v: Long): Option[Seq[Path]] = {
+    val shards = pcpShardRefs(v).map { case (_, rel) => new Path(logDir, rel) }
+    if (shards.isEmpty) Some(Seq(pcpDirPath(v)))
+    else if (shards.forall(fs.exists)) Some(shards)
+    else None
+  }
 
   /** Active-file count past which [[writeCheckpoint]] switches from the
     * text checkpoint to the parquet (columnar, distributed) form. The
@@ -608,8 +647,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def parquetCheckpointEntries(v: Long): Option[Seq[FileEntry]] =
     pcpMetaNf(v).flatMap { nf =>
       import spark.implicits._
+      val paths = pcpDataPaths(v) match {
+        case Some(ps) => ps
+        case None =>
+          logWarning(s"parquet checkpoint v$v at $root is damaged: a " +
+            "sidecar shard dir is missing; falling back to the manifest " +
+            "chain")
+          return None
+      }
       val rows = spark.read.schema(GraftTable.cpSchema)
-        .parquet(pcpDirPath(v).toString)
+        .parquet(paths.map(_.toString): _*)
         .as[GraftTable.CpRow].collect()
       if (nf != rows.length) {
         logWarning(s"parquet checkpoint v$v at $root is damaged: meta " +
@@ -640,8 +687,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * atomically (temp-dir + rename in [[writeParquetCheckpoint]]), so a
     * complete meta implies a complete directory. */
   private[graft] def checkpointDF(v: Long): Option[DataFrame] =
-    pcpMetaNf(v).map(_ => spark.read.schema(GraftTable.cpSchema)
-      .parquet(pcpDirPath(v).toString))
+    pcpMetaNf(v).flatMap(_ => pcpDataPaths(v)).map(paths =>
+      spark.read.schema(GraftTable.cpSchema)
+        .parquet(paths.map(_.toString): _*))
 
   /** One commit's provenance: version, operation, wall-clock commit time
     * (epoch millis; 0 for pre-header manifests), active file count. */
@@ -1618,6 +1666,170 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       finally out.close()
     } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
 
+  /** Shard count for the SIDECAR (incremental) parquet checkpoint form;
+    * 0 (default) keeps the classic single-directory form. */
+  private def checkpointShards: Int =
+    spark.conf.getOption("spark.graft.acid.checkpointShards")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(0)
+
+  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
+    if (checkpointShards > 0) writeSidecarCheckpoint(v, files, checkpointShards)
+    else writeClassicParquetCheckpoint(v, files)
+
+  /** Stable shard of an entry path (CRC32 of the UTF-8 bytes, mod k):
+    * identical driver-side (java.util.zip.CRC32) and in-plan (the SQL
+    * `crc32` function over the encoded string), so the partitioned
+    * sidecar write and the incremental dirty-set computation agree. */
+  private def shardOf(path: String, k: Int): Int = {
+    val crc = new java.util.zip.CRC32
+    crc.update(path.getBytes(UTF_8))
+    math.floorMod(crc.getValue, k.toLong).toInt
+  }
+
+  /** The SIDECAR (incremental) parquet checkpoint — the public Delta v2
+    * checkpoint design: entries shard by [[shardOf]] into dirs under
+    * `_log/sidecars/<uuid>/shard=<s>`, and the `.pcp` meta lists the
+    * shard dirs (`s\t<shard>\t<relpath>` lines) behind the same `nf=`
+    * completeness gate. INCREMENTAL: when the nearest lower checkpoint
+    * is sidecar-form with the same shard count and only delta manifests
+    * lie between, only the shards TOUCHED by those deltas rewrite — the
+    * untouched shards' dirs re-reference verbatim. A checkpoint on a
+    * 10⁶-file table then writes O(touched shards' entries) of metadata,
+    * not O(table): the metadata analogue of the data path's scoped
+    * rewrites, and the piece that keeps commit cost bounded once the
+    * full rewrite itself would dominate the cadence.
+    *
+    * Entry order stays deterministic ([[parquetCheckpointEntries]] sorts
+    * by `ord`): surviving entries keep their prior ord (their relative
+    * order is replay-invariant), re-added/new entries mint fresh ords
+    * above the prior checkpoint's `maxord=`, in commit-list order —
+    * exactly the delta-replay placement (changed entries re-append).
+    *
+    * Publish = the exclusive `.pcp` meta create; shard dirs are
+    * uuid-unique so no temp-dir/rename dance is needed, and any failure
+    * or lost race leaves unreferenced orphans for [[vacuum]]'s age-gated
+    * sidecar sweep. Feature-gated `pcps`: an older reader refuses loudly
+    * instead of resolving a directory that is not there. */
+  private def writeSidecarCheckpoint(v: Long, files: Seq[FileEntry],
+                                     k: Int): Unit = {
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outRoot = new Path(sidecarsRoot, uuid)
+    try {
+      if (fs.exists(pcpMetaPath(v))) return
+      // ---- find the nearest lower SIDECAR checkpoint reachable through
+      // delta manifests only, collecting the touched paths on the way
+      // (v's own delta is computed from entries(v-1) vs `files`: at this
+      // point in the commit, v's manifest is not yet readable)
+      var touched = Set.empty[String]
+      var prevCp: Option[Long] = None
+      var incremental = true
+      locally {
+        val prevMap = entries(v - 1).map(e => e.path -> e.line).toMap
+        val curMap = files.map(e => e.path -> e.line).toMap
+        touched ++= prevMap.keysIterator.filterNot(curMap.contains)
+        touched ++= files.iterator
+          .filterNot(e => prevMap.get(e.path).contains(e.line)).map(_.path)
+      }
+      var base = v - 1
+      while (prevCp.isEmpty && incremental && base > 0L) {
+        if (fs.exists(checkpointPath(base))) incremental = false
+        else if (fs.exists(pcpMetaPath(base))) {
+          val kv = pcpMetaKv(base)
+          if (pcpShardRefs(base).nonEmpty &&
+              kv.get("ns").flatMap(_.toIntOption).contains(k) &&
+              kv.get("maxord").exists(_.toLongOption.isDefined) &&
+              pcpMetaNf(base).isDefined && pcpDataPaths(base).isDefined)
+            prevCp = Some(base)
+          else incremental = false // classic / foreign-k / damaged form
+        } else {
+          val lines = manifestLines(base)
+          if (pendingAborted(base)) {
+            // an aborted participant contributed nothing, but counting
+            // its +/- paths as touched is merely conservative
+            touched ++= lines.collect {
+              case l if l.startsWith("-\t") => l.drop(2)
+              case l if l.startsWith("+\t") => parseEntry(l.drop(2)).path
+            }
+            base -= 1
+          } else if (lines.headOption.exists(_.contains(" kind=delta"))) {
+            touched ++= lines.collect {
+              case l if l.startsWith("-\t") => l.drop(2)
+              case l if l.startsWith("+\t") => parseEntry(l.drop(2)).path
+            }
+            base -= 1
+          } else incremental = false // full/legacy manifest
+        }
+      }
+      import spark.implicits._
+      def writeRows(rows: Seq[GraftTable.CpRow]): Unit =
+        spark.createDataset(rows)
+          .withColumn("shard",
+            pmod(crc32(encode(col("path"), "UTF-8")), lit(k.toLong))
+              .cast("int"))
+          .write.mode("errorifexists").partitionBy("shard")
+          .parquet(outRoot.toString)
+      def presentShards(): Set[Int] =
+        if (!fs.exists(outRoot)) Set.empty
+        else fs.listStatus(outRoot).iterator.map(_.getPath.getName)
+          .filter(_.startsWith("shard=")).map(_.drop(6).toInt).toSet
+      val (refs, maxOrd) = prevCp.filter(_ => incremental) match {
+        case Some(pv) =>
+          val dirty = touched.map(shardOf(_, k))
+          val prevRefs = pcpShardRefs(pv).toMap
+          // prior ords of the dirty shards' survivors (a small read:
+          // O(dirty shards) of the prior checkpoint)
+          val dirtyPrevPaths = prevRefs.view.filterKeys(dirty)
+            .values.map(rel => new Path(logDir, rel).toString).toSeq
+          val prevOrd: Map[String, Long] =
+            if (dirtyPrevPaths.isEmpty) Map.empty
+            else spark.read.schema(GraftTable.cpSchema)
+              .parquet(dirtyPrevPaths: _*)
+              .select(col("path"), col("ord")).collect()
+              .flatMap(r => if (r.isNullAt(1)) None
+                else Some(r.getString(0) -> r.getLong(1))).toMap
+          var next = pcpMetaKv(pv)("maxord").toLong
+          val dirtyRows = files.iterator
+            .filter(e => dirty.contains(shardOf(e.path, k)))
+            .map { e =>
+              val o =
+                if (!touched.contains(e.path) && prevOrd.contains(e.path))
+                  prevOrd(e.path)
+                else { next += 1; next }
+              entryToCp(e, o)
+            }.toSeq
+          if (dirtyRows.nonEmpty) writeRows(dirtyRows)
+          val fresh = presentShards()
+          val all = (prevRefs -- dirty) ++ fresh.iterator.map(s =>
+            s -> s"sidecars/$uuid/shard=$s").toMap
+          (all, next)
+        case None =>
+          val rows = files.zipWithIndex.map { case (e, i) =>
+            entryToCp(e, i.toLong) }
+          if (rows.nonEmpty) writeRows(rows)
+          val all = presentShards().iterator.map(s =>
+            s -> s"sidecars/$uuid/shard=$s").toMap
+          (all, files.size.toLong - 1L)
+      }
+      val req = (requiredFeatures(files) ++ Seq("pcp", "pcps"))
+        .distinct.sorted
+      val header = s"# checkpoint v=$v kind=parquet nf=${files.size} " +
+        s"ns=$k maxord=$maxOrd require=${req.mkString(",")}"
+      val refLines = refs.toSeq.sortBy(_._1).map { case (s, rel) =>
+        s"s\t$s\t$rel" }
+      val out = fs.create(pcpMetaPath(v), false)
+      try out.write(((header +: refLines) :+ CommitMarker)
+        .mkString("\n").getBytes(UTF_8))
+      finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"sidecar checkpoint v$v at $root not written " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); the manifest " +
+          "chain remains sufficient")
+        try fs.delete(outRoot, true)
+        catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** The COLUMNAR checkpoint write: a distributed parquet job into a
     * UNIQUE temp directory, an atomic rename into place, then the `.pcp`
     * meta as the single-write completeness marker (exclusive create).
@@ -1631,7 +1843,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * already landed (the checkpoint is an accelerator; the manifest
     * chain stays sufficient on its own). Any error leaves at worst an
     * unreferenced temp/part directory, reclaimed by [[vacuum]]. */
-  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit = {
+  private def writeClassicParquetCheckpoint(v: Long,
+                                            files: Seq[FileEntry]): Unit = {
     val tmp = new Path(logDir, f"v$v%020d.checkpoint.parquet.tmp." +
       java.util.UUID.randomUUID().toString.replace("-", ""))
     try {
@@ -2153,14 +2366,24 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     replaceWith(df, "overwrite", txn)
 
   private def replaceWith(df: DataFrame, op: String,
-                          txn: Option[(String, Long)] = None): Long = {
+                          txn: Option[(String, Long)] = None,
+                          cdf: Boolean = false): Long = {
     val v = nextVersion
     // on a schema-tracking table the replacement's schema becomes the
     // declared schema (an overwrite may legitimately reshape the table;
     // delete/update/merge pass frames derived from the declared snapshot,
     // so for them this is the identity)
     val evolved = if (tableSchema.isDefined) Some(df.schema) else None
-    commit(v, writeData(clusterByPartition(df), v), op, txn, schema = evolved)
+    val written = writeData(clusterByPartition(df), v)
+    // cdf: full-rewrite merge/delete/update commits persist their net
+    // change too ([[rewriteChangeMeta]]). NOT routed for `overwrite`:
+    // there the net change ~ the whole before+after content — the
+    // compute path's endpoint read is already the cheapest serve.
+    val extra =
+      if (cdf && latestVersion.isDefined)
+        rewriteChangeMeta(entries(v - 1), written, v - 1)
+      else Nil
+    commit(v, written, op, txn, schema = evolved, extraMeta = extra)
   }
 
   /** Cumulative (writerId -> newest committed epoch) map as of version
@@ -2339,7 +2562,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def commitScopedWithRebase(firstV: Long, prev: Seq[FileEntry],
       consumed: Seq[FileEntry], written: Seq[FileEntry],
       touched: Seq[Long], op: String,
-      affects: Option[FileEntry => Boolean] = None): Long = {
+      affects: Option[FileEntry => Boolean] = None,
+      extraMeta: Seq[String] = Nil): Long = {
     val affected = affects.getOrElse((e: FileEntry) => touches(e, touched))
     val consumedLines = consumed.map(_.line).toSet
     val prevLines = prev.map(_.line).toSet
@@ -2357,7 +2581,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           s"scoped $op at $root: a concurrent commit added rows in the " +
             "touched scope; rebase and retry")
       val files = base.filterNot(e => consumedLines.contains(e.line)) ++ written
-      try return commit(v, files, op = op)
+      // extraMeta (e.g. a cdc= change-data ref) stays valid across the
+      // rebase: the change set was computed against `consumed`, whose
+      // line-identity the subset check above just re-verified, and a
+      // cdc dir is version-free by design
+      try return commit(v, files, op = op, extraMeta = extraMeta)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -2412,7 +2640,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val merged = mergeWinners(keyCols, winnerOrder)(base.unionByName(updates))
     val written = writeData(clusterByPartition(merged, Some(touched.size)), v)
     commitScopedWithRebase(v, prev, rewrite, written, touched, op = "merge",
-      affects = Some(affected))
+      affects = Some(affected),
+      extraMeta = rewriteChangeMeta(rewrite, written, v - 1))
   }
 
   /** [[merge]] AUTO-ROUTES its rewrite scope: the partition-scoped path
@@ -2445,7 +2674,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val scoped = partitionCol.flatMap(_ => touchedPartitions(updates))
     scoped match {
       case None =>
-        replaceWith(winners(snapshot().unionByName(updates)), "merge")
+        replaceWith(winners(snapshot().unionByName(updates)), "merge",
+          cdf = true)
       case Some(touched) =>
         val v = nextVersion
         val prev = latestVersion.map(entries).getOrElse(Nil)
@@ -2453,7 +2683,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         val base = readEntries(rewrite, updates)
         val merged = winners(base.unionByName(updates))
         val written = writeData(clusterByPartition(merged, Some(touched.size)), v)
-        commitScopedWithRebase(v, prev, rewrite, written, touched, op = "merge")
+        commitScopedWithRebase(v, prev, rewrite, written, touched, op = "merge",
+          extraMeta = rewriteChangeMeta(rewrite, written, v - 1))
     }
   }
 
@@ -2495,8 +2726,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         val (rewrite, _) = prev.partition(touches(_, vals.sorted))
         val result = assemble(readEntries(rewrite, snapshot()))
         val written = writeData(clusterByPartition(result, Some(vals.size)), v)
-        commitScopedWithRebase(v, prev, rewrite, written, vals.sorted, op = "merge")
-      case None => replaceWith(assemble(snapshot()), "merge")
+        commitScopedWithRebase(v, prev, rewrite, written, vals.sorted,
+          op = "merge", extraMeta = rewriteChangeMeta(rewrite, written, v - 1))
+      case None => replaceWith(assemble(snapshot()), "merge", cdf = true)
     }
   }
 
@@ -3203,8 +3435,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
     val cond = boundsToCheckpointFilter(bounds)
     import spark.implicits._
+    val prunePaths = pcpDataPaths(found) match {
+      case Some(ps) => ps
+      case None =>
+        logWarning(s"parquet checkpoint v$found at $root is damaged: a " +
+          "sidecar shard dir is missing; distributed prune falling back " +
+          "to the manifest chain")
+        return None
+    }
     val scan = spark.read.schema(GraftTable.cpSchema)
-      .parquet(pcpDirPath(found).toString)
+      .parquet(prunePaths.map(_.toString): _*)
     // completeness gate BEFORE filtering (the same nf= validation
     // [[parquetCheckpointEntries]] enforces): a damaged checkpoint —
     // complete .pcp meta, missing part files — must fall back to the
@@ -3554,14 +3794,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val prev = entries(lv)
     val rewriteSet = entriesForPredicate(predicate, lv).map(_.path).toSet
     if (rewriteSet.size >= prev.size)
-      replaceWith(transform(snapshot()), op)
+      replaceWith(transform(snapshot()), op, cdf = true)
     else {
       val (rewrite, keep) = prev.partition(e => rewriteSet.contains(e.path))
       val v = nextVersion
       if (rewrite.isEmpty) commit(v, keep, op = op)
       else {
         val out = transform(readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv)))
-        commit(v, keep ++ writeData(clusterByPartition(out), v), op = op)
+        val written = writeData(clusterByPartition(out), v)
+        commit(v, keep ++ written, op = op,
+          extraMeta = rewriteChangeMeta(rewrite, written, lv))
       }
     }
   }
@@ -3702,7 +3944,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val kept = readEntries(rewrite, snapshot()).filter(!coalesce(scoped, lit(false)))
       val written = writeData(clusterByPartition(kept, Some(partitions.size)), v)
-      commitScopedWithRebase(v, prev, rewrite, written, touched, op = "delete")
+      commitScopedWithRebase(v, prev, rewrite, written, touched, op = "delete",
+        extraMeta = rewriteChangeMeta(rewrite, written, v - 1))
     }
   }
 
@@ -3815,7 +4058,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val scoped = predicate && col(pc).isin(partitions.map(Long.box): _*)
       val updated = applyAssignments(readEntries(rewrite, snapshot()), scoped, set)
       val written = writeData(clusterByPartition(updated, Some(partitions.size)), v)
-      commitScopedWithRebase(v, prev, rewrite, written, touched, op = "update")
+      commitScopedWithRebase(v, prev, rewrite, written, touched, op = "update",
+        extraMeta = rewriteChangeMeta(rewrite, written, v - 1))
     }
   }
 
@@ -3936,8 +4180,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * candidate files without their matching rows, union the replacement
     * in, carry every other entry over verbatim —
     * [[windowScopedRewrite]]'s shape plus the appended rows, in the same
-    * commit. No change files (the CDC compute path covers COW commits,
-    * same as DELETE/UPDATE past the DV bound). */
+    * commit. With [[cdfWriteEnabled]] the net change persists like every
+    * other rewrite ([[rewriteChangeMeta]]). */
   private def replaceWhereCow(predicate: Column, df: DataFrame,
                               lv: Long): Long = {
     val v = lv + 1
@@ -3950,8 +4194,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       else readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
         .filter(!coalesce(predicate, lit(false)))
         .unionByName(data)
-    commit(v, keep ++ writeData(clusterByPartition(out), v),
-      op = "replaceWhere", rwm = rwm)
+    val written = writeData(clusterByPartition(out), v)
+    commit(v, keep ++ written, op = "replaceWhere", rwm = rwm,
+      extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 
   /** OPTIMIZE: rewrite the active set into `targetFiles` files as a new
@@ -4023,22 +4268,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   // ------------------------------------------------------------------
   // WRITE-SIDE CHANGE-DATA FILES (the public Delta _change_data design):
-  // DML commits that already hold their net row changes (DV delete, DV
-  // update) persist them ONCE as compact parquet under _log/changes/,
-  // referenced from the commit header (`cdc=<uuid>`). The change feed
-  // then serves those files directly — no re-reading of base data, no
-  // per-consumer recompute — falling back to the endpoint-netting
-  // compute for any version that lacks them. Pure accelerator: never
-  // `require=`-gated (an old reader ignoring cdc= stays correct), and
-  // a missing/vacuumed change dir degrades to the compute path.
+  // every row-DML commit persists its net row changes ONCE as compact
+  // parquet under _log/changes/, referenced from the commit header
+  // (`cdc=<uuid>`; `cdc0=` for a proven-empty net). DV commits persist
+  // the changes they already hold; rewrite-shaped commits (merge, COW
+  // delete/update/replaceWhere) net written-vs-consumed files at commit
+  // time ([[rewriteChangeMeta]]). The change feed then serves those
+  // files directly — no re-reading of base data, no per-consumer
+  // recompute — falling back to the endpoint-netting compute for any
+  // version that lacks them. Pure accelerator: never `require=`-gated
+  // (an old reader ignoring cdc= stays correct), and a missing/vacuumed
+  // change dir degrades to the compute path.
   // ------------------------------------------------------------------
 
   /** `spark.graft.acid.writeChangeData=true` turns on commit-time change
-    * files for the DML paths that already materialize their changes.
+    * files for every row-DML path — the DV paths persist the changes
+    * they already materialized; merge/COW rewrites pay one extra netting
+    * pass over the REWRITTEN SCOPE (exactly what a single consumer's
+    * compute costs today, paid once instead of N consumers x per-batch).
     * At 100 TB this converts the CDC stream's per-batch-per-consumer
     * exceptAll over both endpoint file sets (a 1-row DV delete on a
-    * 1 GB file = every mirror reads that file twice per batch) into one
-    * KB-scale parquet read per commit. */
+    * 1 GB file = every mirror reads that file twice per batch; an
+    * upsert-heavy merge = every consumer re-nets the rewritten
+    * partitions per batch) into one KB-scale parquet read per commit. */
   private def cdfWriteEnabled: Boolean =
     spark.conf.getOption("spark.graft.acid.writeChangeData")
       .exists(_.trim.equalsIgnoreCase("true"))
@@ -4057,8 +4309,47 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     changes.write.mode("errorifexists")
       .parquet(changeDirPath(uuid).toString)
+    // a rewrite that nets to ZERO rows can leave a dir with no data
+    // files at all (nothing for a later read to infer a schema from):
+    // record the explicit empty marker instead of a dangling ref
+    if (!fs.listStatus(changeDirPath(uuid)).exists(
+        _.getPath.getName.endsWith(".parquet"))) {
+      fs.delete(changeDirPath(uuid), true)
+      return Seq("cdc0=1")
+    }
     val cols = changes.columns.filterNot(_ == "_change")
     Seq(s"cdc=$uuid", "cdcc=" + GraftTable.b64(cols.mkString(",")))
+  }
+
+  /** Net row changes of a REWRITE-shaped commit (merge, copy-on-write
+    * DELETE/UPDATE, replaceWhere past the DV bound) as persisted change
+    * files: inserts = the newly-written files' content minus the
+    * consumed files' LIVE content (deletion vectors applied), deletes =
+    * the reverse. Computed ONCE from files already on disk — never by
+    * re-running the mutation's plan, so a non-deterministic source
+    * cannot diverge between feed and data — and O(rewritten scope), the
+    * exact cost ONE consumer's netting compute pays today; persisting
+    * moves it from N consumers x per-batch to once at commit. Carried
+    * files appear on neither side, so the result IS the commit's term
+    * in the multiset identity [[changeFeedServedSides]] sums. An
+    * all-carried no-op nets to zero rows and records the `cdc0=` empty
+    * marker (consumers skip even the change-file read). Nil — compute
+    * fallback — when the feature is off; a pure blind add (nothing
+    * consumed) needs no change files, the add-files rule serves it. */
+  private def rewriteChangeMeta(consumed: Seq[FileEntry],
+      written: Seq[FileEntry], lv: Long): Seq[String] = {
+    if (!cdfWriteEnabled) return Nil
+    if (consumed.isEmpty && written.isEmpty) return Seq("cdc0=1")
+    if (consumed.isEmpty) return Nil
+    val target = schemaOf(lv).getOrElse(snapshot(Some(lv)).schema)
+    val cm = Some(cmapOf(lv))
+    val before = readEntriesAs(consumed, target, cm)
+    val after =
+      if (written.isEmpty) before.limit(0) else readEntriesAs(written, target, cm)
+    writeChangeData(after.exceptAll(before)
+      .withColumn("_change", lit("insert"))
+      .unionByName(before.exceptAll(after)
+        .withColumn("_change", lit("delete"))))
   }
 
   /** Version `v`'s row-level changes (columns of `target` + `_change`),
@@ -4084,6 +4375,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val meta = headerMeta(v)
     if (GraftTable.LayoutOps.contains(meta.getOrElse("op", "")))
       return Some(empty)
+    // `cdc0=`: the commit PROVED its net change empty at write time (an
+    // all-carried rewrite) — serve without reading anything
+    if (meta.contains("cdc0")) return Some(empty)
     meta.get("cdc") match {
       case Some(uuid) =>
         // the recorded logical column set must BE the target's (a rename
@@ -4649,6 +4943,22 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           now - st.getModificationTime > GraftTable.ChangeDirOrphanAgeMs)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // checkpoint SIDECAR roots: keep any uuid root a RETAINED version's
+    // .pcp meta references (incremental checkpoints SHARE shard dirs
+    // across versions, so a dropped meta's root may still be live);
+    // everything else reclaims past the same age gate as change dirs —
+    // a live writer may have finished its shard job but not yet
+    // published the referencing meta.
+    if (fs.exists(sidecarsRoot)) {
+      val liveUuids = keepVs.flatMap(v => pcpShardRefs(v).map(_._2))
+        .flatMap(_.split('/').lift(1)).toSet
+      val now = System.currentTimeMillis()
+      fs.listStatus(sidecarsRoot).iterator
+        .filterNot(st => liveUuids.contains(st.getPath.getName))
+        .filter(st =>
+          now - st.getModificationTime > GraftTable.ChangeDirOrphanAgeMs)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     val dataDir = new Path(rootPath, "data")
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataDir)) {
@@ -4753,7 +5063,7 @@ object GraftTable {
     * delta chain stays sufficient for any reader until vacuum trims it,
     * and then the meta's gate is exactly where an old reader parses). */
   private[graft] val SupportedFeatures: Set[String] =
-    Set("dv", "bf", "sw", "z", "cm", "pcp")
+    Set("dv", "bf", "sw", "z", "cm", "pcp", "pcps")
 
   /** One PARQUET-CHECKPOINT row — the columnar twin of a manifest entry
     * line (round-trips losslessly through the handle's entryToCp /
@@ -4939,11 +5249,18 @@ object GraftTable {
           guard()
           table.commit(lv + 1, prev, op = "delete", pending = Some(m))
         }
-      val hits = table.readWithPos(cands, table.schemaOf(lv),
-          applyDv = false, table.cmapOf(lv))
+      // change-data contract mirrors [[GraftTable.deleteViaDv]]: with
+      // persisted change files the scan must be DV-filtered (an
+      // already-masked row must not re-surface in the feed) and
+      // materialized once; without, the raw un-filtered scan stays one
+      // vectorized pass (re-masking a masked position is a no-op)
+      val cdf = table.cdfWriteEnabled
+      val scan0 = table.readWithPos(cands, table.schemaOf(lv),
+          applyDv = cdf, table.cmapOf(lv))
         .filter(coalesce(predicate, lit(false)))
-        .select(col("__mor_f"), col("__mor_p"))
-        .limit(table.dvMaxRows + 1).collect()
+        .limit(table.dvMaxRows + 1)
+      val scan = if (cdf) scan0.localCheckpoint() else scan0
+      val hits = scan.select(col("__mor_f"), col("__mor_p")).collect()
       if (hits.length > table.dvMaxRows) {
         // copy-on-write: rewrite only the pruned candidate files
         val keepSet = prev.map(_.path).toSet -- cands.map(_.path).toSet
@@ -4951,20 +5268,26 @@ object GraftTable {
             table.snapshot(Some(lv)), table.cmapOf(lv))
           .filter(!coalesce(predicate, lit(false)))
         val written = table.writeData(table.clusterByPartition(out), lv + 1)
+        val extra = table.rewriteChangeMeta(cands, written, lv)
         (m: String) => {
           guard()
           table.commit(lv + 1,
             prev.filter(e => keepSet.contains(e.path)) ++ written,
-            op = "delete", pending = Some(m))
+            op = "delete", pending = Some(m), extraMeta = extra)
         }
       } else {
         val (payload, dead) = table.mergedDvs(prev, hits)
+        val extra =
+          if (cdf && hits.nonEmpty)
+            table.writeChangeData(scan.drop("__mor_f", "__mor_p")
+              .withColumn("_change", lit("delete")))
+          else Nil
         (m: String) => {
           guard()
           val files = prev.filterNot(e => dead.contains(e.path))
           table.commit(lv + 1, files, op = "delete",
             dvs = table.coalesceDvs(prev, payload -- dead, dead),
-            pending = Some(m))
+            pending = Some(m), extraMeta = extra)
         }
       }
     }
@@ -5005,11 +5328,12 @@ object GraftTable {
             table.snapshot(Some(lv)), table.cmapOf(lv)),
           predicate, set)
         val written = table.writeData(table.clusterByPartition(out), lv + 1)
+        val extra = table.rewriteChangeMeta(cands, written, lv)
         (m: String) => {
           guard()
           table.commit(lv + 1,
             prev.filter(e => keepSet.contains(e.path)) ++ written,
-            op = "update", pending = Some(m))
+            op = "update", pending = Some(m), extraMeta = extra)
         }
       } else if (n == 0L) {
         (m: String) => {
@@ -5023,13 +5347,22 @@ object GraftTable {
           mat.drop("__mor_f", "__mor_p"), lit(true), set)
         val written = table.writeData(
           table.clusterByPartition(updatedRows), lv + 1)
+        // pre-images = the matched live rows (mat is materialized, same
+        // evaluation the DV positions came from); post-images = the
+        // appended updated copies — [[GraftTable.updateViaDv]]'s contract
+        val extra =
+          if (table.cdfWriteEnabled)
+            table.writeChangeData(mat.drop("__mor_f", "__mor_p")
+              .withColumn("_change", lit("delete"))
+              .unionByName(updatedRows.withColumn("_change", lit("insert"))))
+          else Nil
         (m: String) => {
           guard()
           table.commit(lv + 1,
             prev.filterNot(e => dead.contains(e.path)) ++ written,
             op = "update",
             dvs = table.coalesceDvs(prev, payload -- dead, dead),
-            pending = Some(m))
+            pending = Some(m), extraMeta = extra)
         }
       }
     }
@@ -5048,11 +5381,13 @@ object GraftTable {
       val merged = table.mergeWinners(keyCols, winnerOrder)(
         table.snapshot(Some(lv)).unionByName(updates))
       val written = table.writeData(table.clusterByPartition(merged), lv + 1)
+      val extra = table.rewriteChangeMeta(table.entries(lv), written, lv)
       (m: String) => {
         if (!table.latestVersion.contains(lv))
           throw new ConcurrentCommitException(
             s"atomic merge on ${table.root}: base moved past v$lv; restage")
-        table.commit(lv + 1, written, op = "merge", pending = Some(m))
+        table.commit(lv + 1, written, op = "merge", pending = Some(m),
+          extraMeta = extra)
       }
     }
   }
@@ -5097,19 +5432,22 @@ object GraftTable {
             condition, matched, notMatched, notMatchedBySource)
           val written = table.writeData(
             table.clusterByPartition(result, Some(vals.size)), lv + 1)
+          val extra = table.rewriteChangeMeta(rewrite, written, lv)
           (m: String) => {
             guard()
             table.commit(lv + 1, keep ++ written, op = "merge",
-              pending = Some(m))
+              pending = Some(m), extraMeta = extra)
           }
         case _ =>
           val result = table.mergeAssemble(table.snapshot(Some(lv)), source,
             condition, matched, notMatched, notMatchedBySource)
           val written = table.writeData(
             table.clusterByPartition(result), lv + 1)
+          val extra = table.rewriteChangeMeta(prev, written, lv)
           (m: String) => {
             guard()
-            table.commit(lv + 1, written, op = "merge", pending = Some(m))
+            table.commit(lv + 1, written, op = "merge", pending = Some(m),
+              extraMeta = extra)
           }
       }
     }

@@ -352,6 +352,52 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** MERGE-CDF fixture (round 14: write-side change data for REWRITE
+    * commits): the deduped latest-per-user seed, then — with
+    * `spark.graft.acid.writeChangeData=true` — ONE key-scoped MERGE
+    * that both bumps a fixed 16-user band and inserts 4 synthetic
+    * users. The merge nets its written files against its consumed files
+    * at commit time (rewriteChangeMeta) and persists the O(touched
+    * rows) result under `_log/changes/`; the gate row's change feed
+    * serves those files (MergeChangeDataSpec pins zero base-file opens
+    * and the served≡snapshot-diff identity) — the upsert-heavy CDC
+    * deployment's cost model: one netting pass at commit, KB-scale
+    * reads per consumer forever after. */
+  private val cdfMergeFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfMergeTable(s: SparkSession, d: String): GraftTable = {
+    val root = cdfMergeFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cdfmerge" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/cdfmerge_$key"
+      val t = new GraftTable(s, r, statsCol = Some("user_id"))
+      val ev = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val seed = ev.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      t.append(seed.repartitionByRange(8, $"user_id"))            // v1
+      s.conf.set("spark.graft.acid.writeChangeData", "true")
+      try {
+        // same-ts/higher-event_id rows win the merge for the bumped
+        // band; the synthetic users (key-shifted far past the corpus)
+        // are pure inserts
+        val bumped = t.snapshot().filter($"user_id" < 16L)
+          .withColumn("event_id", $"event_id" + 10000000L)
+          .withColumn("value", $"value" + 1000.0)
+        val inserts = t.snapshot().filter($"user_id" < 4L)
+          .withColumn("user_id", $"user_id" + 1000000L)
+        t.merge(bumped.unionByName(inserts),
+          Seq("user_id"), Seq($"ts".desc, $"event_id".desc))      // v2
+      } finally s.conf.unset("spark.graft.acid.writeChangeData")
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** ROW-TRACKING fixture (the Delta row-ID pattern, stored form): a
     * rowTracking table mints a table-unique `_row_id` per ingested row;
     * the DV UPDATE of a fixed 8-user band preserves ids through the
@@ -492,6 +538,47 @@ object AcidQueries extends QueryPack {
       t.delete(pmod($"event_id", lit(97L)) === 0L)
       t.append(events(s, d).filter(pmod($"event_id", lit(97L)) === 0L)
         .withColumn("value", $"value" * 2))
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
+  /** SIDECAR-CHECKPOINT fixture (round 14: the incremental parquet
+    * checkpoint, the public Delta v2 sidecar design): a table built with
+    * `checkpointShards=4` + every commit checkpointing — three append
+    * slices then a DV delete, so checkpoints 2-4 are INCREMENTAL
+    * (untouched shard dirs re-referenced verbatim;
+    * SidecarCheckpointSpec pins the reuse counts and damage fallback) —
+    * then `vacuum(retain=1)`: the manifest chain below the head is GONE,
+    * so the gate row's cold read must resolve ENTIRELY through the
+    * sidecar checkpoint. At 10⁶ files this form turns every periodic
+    * checkpoint from an O(table) metadata rewrite into O(touched
+    * shards). */
+  private val sidecarCpFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sidecarCpTable(s: SparkSession, d: String): GraftTable = {
+    val root = sidecarCpFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("sidecarcp" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/sidecarcp_$key"
+      s.conf.set("spark.graft.acid.parquetCheckpointMinFiles", "1")
+      s.conf.set("spark.graft.acid.checkpointShards", "4")
+      try {
+        val t = new GraftTable(s, r, statsCol = Some("event_id"),
+          checkpointInterval = 1)
+        val ev = events(s, d)
+        (0L to 2L).foreach(v => t.append(
+          ev.filter(pmod($"event_id", lit(3L)) === v)
+            .repartitionByRange(4, $"event_id")))               // v1-v3
+        t.delete(pmod($"event_id", lit(101L)) === 0L)           // v4: DV
+        t.vacuum(retain = 1)
+      } finally {
+        s.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
+        s.conf.unset("spark.graft.acid.checkpointShards")
+      }
       r
     })
     GraftTable.load(s, root)
@@ -1142,6 +1229,27 @@ object AcidQueries extends QueryPack {
         .orderBy($"user_id", $"_change")
     },
 
+    // Round 14: a cold read resolved ENTIRELY through the SIDECAR
+    // (incremental) parquet checkpoint — the fixture vacuumed the
+    // manifest chain away, so this snapshot materializes from the shard
+    // dirs (most re-referenced, not rewritten, by the later commits'
+    // incremental checkpoints) + the head manifest's DV masks.
+    "q_acid_sidecar_checkpoint" -> { (s, d) =>
+      import s.implicits._
+      sidecarCpTable(s, d).snapshot().orderBy($"event_id")
+    },
+
+    // Round 14: the change feed of a MERGE commit served from its
+    // PERSISTED change files (written once at commit by netting the
+    // merge's written files against its consumed files) — no base-file
+    // reads, no per-consumer recompute (MergeChangeDataSpec pins the
+    // zero-base-file property; this row pins the values).
+    "q_acid_cdf_merge" -> { (s, d) =>
+      import s.implicits._
+      cdfMergeTable(s, d).changeFeed(1L, 2L)
+        .orderBy($"user_id", $"_change", $"event_id")
+    },
+
     // RESTORE TABLE ... TO VERSION AS OF 2: the rollback commit
     // re-references v2's files, so the snapshot is exactly the first two
     // %3 slices even though a third slice landed in between.
@@ -1727,6 +1835,33 @@ object AcidQueries extends QueryPack {
         |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
         |    THEN 'update_preimage' ELSE 'delete' END AS _change FROM del)
         |ORDER BY user_id, _change""".stripMargin,
+
+    // content after the three slices land and the %101 band DV-deletes;
+    // the engine side reads it through the sidecar checkpoint alone
+    "q_acid_sidecar_checkpoint" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id % 101 <> 0 ORDER BY event_id""".stripMargin,
+
+    // the merge's net change replayed: the <16 band's latest rows leave
+    // (deletes) and re-enter bumped (inserts, event_id+1e7 / value+1000);
+    // the <4 band re-enters key-shifted as pure inserts
+    "q_acid_cdf_merge" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |changed AS (SELECT * FROM latest WHERE user_id < 16)
+        |SELECT * FROM (
+        |  SELECT event_id + 10000000 AS event_id, user_id, ts, event_type,
+        |         value + 1000.0 AS value, 'insert' AS _change FROM changed
+        |  UNION ALL
+        |  SELECT event_id, user_id + 1000000 AS user_id, ts, event_type,
+        |         value, 'insert' AS _change FROM latest WHERE user_id < 4
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         'delete' AS _change FROM changed)
+        |ORDER BY user_id, _change, event_id""".stripMargin,
 
     // the compound predicate replayed as a plain WHERE
     "q_acid_where" ->

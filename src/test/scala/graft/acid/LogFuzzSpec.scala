@@ -28,6 +28,30 @@ class LogFuzzSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
   }
 
+  test("the same 60-commit model over SIDECAR (incremental) checkpoints") {
+    // every checkpoint goes through the sharded sidecar form, most of
+    // them INCREMENTAL (reused shard dirs) — cold-handle parity then
+    // proves the dirty-shard bookkeeping reconstructs the exact entry
+    // set under every op mix, vacuum sweep and crashed-txn no-op
+    spark.conf.set("spark.graft.acid.parquetCheckpointMinFiles", "1")
+    spark.conf.set("spark.graft.acid.checkpointShards", "4")
+    try runFuzz()
+    finally {
+      spark.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
+      spark.conf.unset("spark.graft.acid.checkpointShards")
+    }
+  }
+
+  test("the same 60-commit model with write-side change data on") {
+    // every DML path persists its net changes (DV + rewrite netting +
+    // atomic participants) — content invariance at every step proves the
+    // change-file machinery never perturbs the data path, across rebases,
+    // crashed txns, restores and vacuums of the change dirs
+    spark.conf.set("spark.graft.acid.writeChangeData", "true")
+    try runFuzz()
+    finally spark.conf.unset("spark.graft.acid.writeChangeData")
+  }
+
   private def runFuzz(): Unit = {
     val root = graft.TempDirs.create("graft_logfuzz")
     // dvPurgeRows WELL below what the delete mix accumulates: the

@@ -1,0 +1,151 @@
+package graft.acid
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** The SIDECAR (incremental) parquet checkpoint — the public Delta v2
+  * checkpoint design: entries shard by path-CRC into dirs under
+  * `_log/sidecars/<uuid>/shard=<s>`; the `.pcp` meta lists the shard
+  * dirs and an incremental write re-references the prior checkpoint's
+  * untouched shards verbatim, so a checkpoint on a 10⁶-file table
+  * writes O(touched shards), not O(table). Correctness contract: cold
+  * resolution through the sidecar form is line-identical to the
+  * in-memory entry list, deterministic across handles, damage degrades
+  * to the manifest chain, and vacuum never reclaims a referenced shard
+  * root. */
+class SidecarCheckpointSpec extends SparkSpec {
+
+  private val MinFilesKey = "spark.graft.acid.parquetCheckpointMinFiles"
+  private val ShardsKey = "spark.graft.acid.checkpointShards"
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def withSidecars[A](k: Int)(body: => A): A = {
+    spark.conf.set(MinFilesKey, "1")
+    spark.conf.set(ShardsKey, k.toString)
+    try body finally { spark.conf.unset(MinFilesKey); spark.conf.unset(ShardsKey) }
+  }
+
+  /** Synthetic entry covering the tag families the line format carries
+    * (ParquetCheckpointSpec proves the columnar codec lossless; here the
+    * entries just need distinct, stable lines). */
+  private def mkEntry(t: GraftTable, i: Int): t.FileEntry = t.FileEntry(
+    path = f"data/c1-fake/part-$i%06d.parquet",
+    stats = Some((i.toLong, i + 10L)),
+    windows = Map("k" -> ((i.toLong, i + 100L))),
+    rows = Some(100L + i),
+    strWindows = Map("s" -> ((s"a$i", s"z$i"))))
+
+  private def metaLines(root: String, v: Long): List[String] =
+    scala.io.Source.fromInputStream(fs.open(new Path(
+      s"$root/_log/v${"%020d".format(v)}.pcp"))).getLines().toList
+
+  private def shardRefs(root: String, v: Long): Seq[String] =
+    metaLines(root, v).filter(_.startsWith("s\t")).map(_.split('\t')(2))
+
+  test("a sidecar checkpoint publishes shard dirs and a cold handle resolves it line-identically") {
+    withSidecars(8) {
+      val root = graft.TempDirs.create("graft_scp_basic")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      val es = (0 until 600).map(mkEntry(t, _))
+      t.commit(1L, es, op = "append")
+      val meta = metaLines(root, 1L)
+      assert(meta.head.contains("ns=8") && meta.head.contains("nf=600") &&
+        meta.head.contains("pcps"),
+        s"sidecar meta must declare shards, count and the pcps gate: ${meta.head}")
+      val refs = shardRefs(root, 1L)
+      assert(refs.nonEmpty && refs.forall(_.startsWith("sidecars/")))
+      refs.foreach(rel => assert(fs.exists(new Path(s"$root/_log/$rel")),
+        s"referenced shard dir must exist: $rel"))
+      assert(!fs.exists(new Path(
+        s"$root/_log/v${"%020d".format(1)}.checkpoint.parquet")),
+        "the classic part dir must not be written in sidecar mode")
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(1L).map(_.line).sorted == es.map(_.line).sorted,
+        "cold sidecar resolution must be line-identical")
+      assert(cold.checkpointDF(1L).exists(_.count() == 600L),
+        "the metadata face must serve the sidecar form")
+    }
+  }
+
+  test("an incremental checkpoint rewrites only the touched shards and reuses the rest") {
+    withSidecars(8) {
+      val root = graft.TempDirs.create("graft_scp_incr")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      val es = (0 until 600).map(mkEntry(t, _))
+      t.commit(1L, es, op = "append")
+      val refs1 = shardRefs(root, 1L).toSet
+      val uuid1 = refs1.head.split('/')(1)
+      assert(refs1.forall(_.split('/')(1) == uuid1),
+        "a full write publishes all shards under one uuid root")
+      // v2: a 3-entry delta over the 600 — drop one, re-stat one, add one
+      val es2 = es.drop(1).map(e =>
+        if (e.path.endsWith("000002.parquet")) e.copy(rows = Some(9999L)) else e
+      ) :+ mkEntry(t, 7001)
+      t.commit(2L, es2, op = "compact")
+      val refs2 = shardRefs(root, 2L)
+      val reused = refs2.count(_.split('/')(1) == uuid1)
+      val fresh = refs2.size - reused
+      assert(reused >= 5, s"untouched shards must be re-referenced " +
+        s"verbatim (reused=$reused of ${refs2.size})")
+      assert(fresh <= 3, s"at most the 3 touched paths' shards rewrite, got $fresh")
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(2L).map(_.line).sorted == es2.map(_.line).sorted,
+        "incremental resolution must be line-identical to the commit list")
+      // determinism: two cold handles agree on the exact sequence
+      val again = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(2L).map(_.path) == again.entries(2L).map(_.path))
+      // order law: survivors keep their relative order; the re-statted
+      // and new entries re-append past them (the delta-replay placement)
+      val paths = cold.entries(2L).map(_.path)
+      val survivors = es2.map(_.path).filterNot(p =>
+        p.endsWith("000002.parquet") || p == mkEntry(t, 7001).path)
+      assert(paths.filter(survivors.toSet) == survivors.filter(paths.toSet),
+        "survivors' relative order must be replay-invariant")
+    }
+  }
+
+  test("a missing shard dir degrades to the manifest chain, never a wrong or thrown read") {
+    withSidecars(8) {
+      val root = graft.TempDirs.create("graft_scp_damaged")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      val es = (0 until 300).map(mkEntry(t, _))
+      t.commit(1L, es, op = "append")
+      val victim = shardRefs(root, 1L).head
+      fs.delete(new Path(s"$root/_log/$victim"), true)
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(1L).map(_.line).sorted == es.map(_.line).sorted,
+        "a damaged sidecar checkpoint must fall back to the manifest chain")
+      assert(cold.checkpointDF(1L).isEmpty,
+        "the metadata face must refuse a damaged sidecar checkpoint")
+    }
+  }
+
+  test("vacuum keeps referenced shard roots, reclaims aged orphans, and the trimmed table resolves") {
+    withSidecars(4) {
+      val root = graft.TempDirs.create("graft_scp_vacuum")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      var es = (0 until 200).map(mkEntry(t, _))
+      t.commit(1L, es, op = "append")
+      es = es :+ mkEntry(t, 9001)
+      t.commit(2L, es, op = "append")
+      es = es :+ mkEntry(t, 9002)
+      t.commit(3L, es, op = "append")
+      // an aged orphan uuid root (a crashed writer's leftovers)
+      val orphan = new Path(s"$root/_log/sidecars/orphandead")
+      fs.mkdirs(orphan)
+      fs.setTimes(orphan, System.currentTimeMillis() - 3600L * 1000L, -1)
+      t.vacuum(retain = 1)
+      val left = fs.listStatus(new Path(s"$root/_log/sidecars"))
+        .map(_.getPath.getName).toSet
+      assert(!left.contains("orphandead"), "aged orphan roots reclaim")
+      val refs3 = shardRefs(root, 3L)
+      refs3.foreach(rel => assert(fs.exists(new Path(s"$root/_log/$rel")),
+        s"a RETAINED checkpoint's shard dir must survive vacuum: $rel"))
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(3L).map(_.line).sorted == es.map(_.line).sorted,
+        "the trimmed table must resolve entirely from the sidecar checkpoint")
+    }
+  }
+}
