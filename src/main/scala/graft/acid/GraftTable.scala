@@ -1667,14 +1667,22 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     } catch { case _: java.io.IOException => () /* racer wrote it: same content */ }
 
   /** Shard count for the SIDECAR (incremental) parquet checkpoint form;
-    * 0 (default) keeps the classic single-directory form. */
-  private def checkpointShards: Int =
+    * 0 (default) keeps the classic single-directory form below
+    * [[GraftTable.AutoShardMinFiles]] entries. Past that the sidecar
+    * form AUTO-ENGAGES at [[GraftTable.AutoShardCount]] shards: at that
+    * scale the periodic full checkpoint rewrite is itself the dominant
+    * commit cost, which is exactly what the incremental form removes. */
+  private def checkpointShards(nf: Int): Int =
     spark.conf.getOption("spark.graft.acid.checkpointShards")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(0)
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(if (nf >= GraftTable.AutoShardMinFiles)
+        GraftTable.AutoShardCount else 0)
 
-  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
-    if (checkpointShards > 0) writeSidecarCheckpoint(v, files, checkpointShards)
+  private def writeParquetCheckpoint(v: Long, files: Seq[FileEntry]): Unit = {
+    val k = checkpointShards(files.size)
+    if (k > 0) writeSidecarCheckpoint(v, files, k)
     else writeClassicParquetCheckpoint(v, files)
+  }
 
   /** Stable shard of an entry path (CRC32 of the UTF-8 bytes, mod k):
     * identical driver-side (java.util.zip.CRC32) and in-plan (the SQL
@@ -5015,6 +5023,16 @@ object GraftTable {
     * a writer that has persisted its change files but not yet published
     * the referencing commit must not lose them to a racing vacuum. */
   private[acid] val ChangeDirOrphanAgeMs = 10L * 60L * 1000L
+
+  /** Entry count past which parquet checkpoints AUTO-switch to the
+    * sidecar (incremental) form, and the shard count they use then. At
+    * 100k+ entries a full checkpoint rewrite moves tens of MB of
+    * metadata per cadence tick; sharded, each tick rewrites only the
+    * delta-touched shards (~nf/64 entries each). A mixed history is
+    * fine — an incremental write only chains off a SAME-k sidecar
+    * predecessor and otherwise falls back to a full sharded write. */
+  private[acid] val AutoShardMinFiles = 100000
+  private[acid] val AutoShardCount = 64
 
   /** Default live-files+dirs count past which vacuum's data sweep goes
     * distributed (see the handle's `distributedVacuumMinFiles`). Below

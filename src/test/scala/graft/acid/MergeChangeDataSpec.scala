@@ -181,6 +181,46 @@ class MergeChangeDataSpec extends SparkSpec {
     }
   }
 
+  test("the streaming CDC feed over a merge-heavy table hash-matches the compute path") {
+    def build(root: String): GraftTable = {
+      val t = new GraftTable(spark, root, statsCol = Some("id"))
+      t.append((1L to 80L).map(i => (i, i * 1.0)).toDF("id", "v")
+        .repartitionByRange(4, col("id")))                         // v1
+      t.merge(((1L to 6L).map(i => (i, i + 700.0)) :+ ((81L, 81.0)))
+        .toDF("id", "v"), Seq("id"), Seq(col("v").desc))           // v2
+      t.mergeIntoGeneral(Seq((2L, 0.0), (82L, 82.0)).toDF("sid", "sv"),
+        col("__t_id") === col("__s_sid"),
+        matched = Seq((None, None)), // matched -> DELETE
+        notMatched = Seq((None,
+          Map("id" -> col("__s_sid"), "v" -> col("__s_sv")))),
+        notMatchedBySource = Nil)                                  // v3
+      t
+    }
+    val rootOn = graft.TempDirs.create("graft_cdf_merge_stream_on")
+    val rootOff = graft.TempDirs.create("graft_cdf_merge_stream_off")
+    spark.conf.set(Key, "true")
+    val on = try build(rootOn) finally spark.conf.unset(Key)
+    val off = build(rootOff)
+    assert(on.headerMeta(2L).contains("cdc") && on.headerMeta(3L).contains("cdc"))
+    assert(!off.headerMeta(2L).contains("cdc"))
+    def drain(t: GraftTable): Seq[String] = {
+      val ckpt = graft.TempDirs.create("graft_cdf_merge_stream_ckpt")
+      val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val q = spark.readStream.format("graft-table").option("path", t.root)
+        .option("readChangeFeed", "true").option("changeFeedKeys", "id")
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().map(_.toString).foreach(seen.add); () }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.sorted
+    }
+    assert(drain(on) == drain(off),
+      "served and computed merge-CDC streams must deliver identical rows")
+  }
+
   test("the keyed classification rides the served merge feed") {
     val root = graft.TempDirs.create("graft_cdf_merge_keyed")
     val t = new GraftTable(spark, root, statsCol = Some("id"))
