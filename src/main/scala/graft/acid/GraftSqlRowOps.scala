@@ -125,7 +125,8 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
       matched: Seq[(Option[Column], Option[Map[String, Column]])],
       inserts: Seq[(Option[Column], Map[String, Column])],
       nmbs: Seq[(Option[Column], Option[Map[String, Column]])],
-      scopeSrcCol: Option[String])
+      scopeSrcCol: Option[String],
+      evolve: Boolean = false)
 
   private[acid] def convertMerge(m: MergeIntoTable): Option[GraftRowLevelCommand] =
     convertMergeParts(m).map { cm =>
@@ -137,7 +138,8 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
               .collect().toSeq.filterNot(_.isNullAt(0)).map(_.getLong(0))
           }
         cm.v2.underlying.mergeIntoGeneral(cm.sourceDf, cm.cond,
-          cm.matched, cm.inserts, cm.nmbs, scoped)
+          cm.matched, cm.inserts, cm.nmbs, scoped,
+          evolveSchema = cm.evolve)
         ()
       })
     }
@@ -146,13 +148,16 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
     * participant: the staged-merge op publishes under the txn's shared
     * decision marker instead of committing standalone. */
   private[acid] def convertMergeAtomic(m: MergeIntoTable): Option[GraftTable.AtomicMergeInto] =
-    convertMergeParts(m).map { cm =>
+    // the atomic participant stages through mergeAssemble directly and
+    // has no evolution machinery — an evolving merge must not silently
+    // drop the new columns there; refuse the conversion (loud upstream
+    // error) instead
+    convertMergeParts(m).filterNot(_.evolve).map { cm =>
       GraftTable.AtomicMergeInto(cm.v2.underlying, cm.sourceDf, cm.cond,
         cm.matched, cm.inserts, cm.nmbs, cm.scopeSrcCol)
     }
 
   private def convertMergeParts(m: MergeIntoTable): Option[ConvertedMerge] = {
-    if (m.schemaEvolutionEnabled) return None
     graftRel(m.targetTable).filter(_._2.writable).flatMap { case (tOut, v2) =>
       val src = m.sourceTable
       // one frame each side; duplicate names would make the __t_/__s_
@@ -164,25 +169,46 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
       val names = tOut.map(a => a.exprId.id -> s"__t_${a.name}").toMap ++
         src.output.map(a => a.exprId.id -> s"__s_${a.name}").toMap
 
+      // `WITH SCHEMA EVOLUTION` (the Delta star semantics): source
+      // columns the target lacks become NEW target columns, assigned
+      // from the source in every UPDATE and INSERT action. The analyzer
+      // resolves star actions against the EXISTING target schema — the
+      // extra source columns never reach the assignment lists (and an
+      // explicit `SET t.new = ...` is rejected before this rule runs) —
+      // so the conversion re-attaches them here; the table-side
+      // [[GraftTable.mergeIntoGeneral]] evolveSchema machinery then
+      // adds + types the columns and keeps carried files metadata-only.
+      val evolveCols: Seq[String] =
+        if (!m.withSchemaEvolution) Nil
+        else src.output.map(_.name)
+          .filterNot(n => tOut.exists(_.name.equalsIgnoreCase(n)))
+      def withEvolved(s: Map[String, Column]): Map[String, Column] =
+        s ++ evolveCols.map(n => n -> col(s"__s_$n"))
+
       // Some(None) = unconditional action; None = cannot convert
       def optCond(c: Option[Expression]): Option[Option[Column]] = c match {
         case None    => Some(None)
         case Some(x) => rebindCol(x, names).map(Some(_))
       }
-      def action(a: MergeAction): Option[(Option[Column], Option[Map[String, Column]])] =
+      def action(a: MergeAction, evolve: Boolean)
+          : Option[(Option[Column], Option[Map[String, Column]])] =
         a match {
           case UpdateAction(c, as, _) =>
-            for (cc <- optCond(c); s <- assigns(as, tNames, names)) yield (cc, Some(s))
+            for (cc <- optCond(c); s <- assigns(as, tNames, names))
+              yield (cc, Some(if (evolve) withEvolved(s) else s))
           case DeleteAction(c) =>
             optCond(c).map(cc => (cc, None))
           case InsertAction(c, as) =>
-            for (cc <- optCond(c); s <- assigns(as, tNames, names)) yield (cc, Some(s))
+            for (cc <- optCond(c); s <- assigns(as, tNames, names))
+              yield (cc, Some(if (evolve) withEvolved(s) else s))
           case _ => None
         }
 
-      val matched = m.matchedActions.map(action)
-      val notMatched = m.notMatchedActions.map(action)
-      val nmbs = m.notMatchedBySourceActions.map(action)
+      val matched = m.matchedActions.map(action(_, evolve = true))
+      val notMatched = m.notMatchedActions.map(action(_, evolve = true))
+      // not-matched-by-source rows HAVE no source row: an evolved
+      // column stays at its (null) default there, never "assigned"
+      val nmbs = m.notMatchedBySourceActions.map(action(_, evolve = false))
       if ((matched ++ notMatched ++ nmbs).exists(_.isEmpty)) return None
       // inserts must be assignment actions (DeleteAction can't appear in
       // NOT MATCHED; guard anyway)
@@ -229,7 +255,7 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
         }
         ConvertedMerge(v2, sourceDf, cond, matched.flatten,
           inserts.map { case (c, s) => (c, s.get) }, nmbs.flatten,
-          scopeSrcCol)
+          scopeSrcCol, evolve = evolveCols.nonEmpty)
       }
     }
   }

@@ -2571,7 +2571,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       consumed: Seq[FileEntry], written: Seq[FileEntry],
       touched: Seq[Long], op: String,
       affects: Option[FileEntry => Boolean] = None,
-      extraMeta: Seq[String] = Nil): Long = {
+      extraMeta: Seq[String] = Nil,
+      schemaOverride: Option[StructType] = None): Long = {
     val affected = affects.getOrElse((e: FileEntry) => touches(e, touched))
     val consumedLines = consumed.map(_.line).toSet
     val prevLines = prev.map(_.line).toSet
@@ -2593,7 +2594,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // rebase: the change set was computed against `consumed`, whose
       // line-identity the subset check above just re-verified, and a
       // cdc dir is version-free by design
-      try return commit(v, files, op = op, extraMeta = extraMeta)
+      try return commit(v, files, op = op, extraMeta = extraMeta,
+        schema = schemaOverride)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -2721,10 +2723,68 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       matched: Seq[(Option[Column], Option[Map[String, Column]])],
       notMatched: Seq[(Option[Column], Map[String, Column])],
       notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])],
-      scopedTouched: Option[Seq[Long]] = None): Long = {
+      scopedTouched: Option[Seq[Long]] = None,
+      evolveSchema: Boolean = false): Long = {
 
-    def assemble(base: DataFrame): DataFrame =
-      mergeAssemble(base, source, condition, matched, notMatched,
+    // MERGE SCHEMA EVOLUTION (the Delta WITH SCHEMA EVOLUTION /
+    // autoMerge semantics): assignment keys naming columns the target
+    // does not have yet become NEW nullable columns — typed from the
+    // assignment expression itself (plan-time schema probe, nothing
+    // executes), NULL everywhere no branch assigns them. Metadata-only
+    // for every carried file: the evolved DECLARED schema projects the
+    // missing parquet column as null, exactly like ADD COLUMN — only
+    // the files the merge rewrites anyway materialize the values.
+    val newCols: Seq[(String, DataType)] =
+      if (!evolveSchema) Nil
+      else {
+        require(tableSchema.isDefined,
+          s"mergeIntoGeneral(evolveSchema) on $root needs a " +
+            "schema-tracking table (declared schema)")
+        val have = tableSchema.get.fields.map(_.name.toLowerCase).toSet
+        val wanted = (matched.flatMap(_._2).flatMap(_.keys) ++
+          notMatched.flatMap(_._2.keys) ++
+          notMatchedBySource.flatMap(_._2).flatMap(_.keys))
+          .filterNot(k => have.contains(k.toLowerCase))
+          .foldLeft(Vector.empty[String]) { (acc, k) => // stable de-dup
+            if (acc.exists(_.equalsIgnoreCase(k))) acc else acc :+ k }
+        if (wanted.isEmpty) Nil
+        else {
+          // same physical-name collision guard as [[conformForWrite]]'s
+          // mergeSchema path: under column mapping an evolved name must
+          // not alias a dropped or renamed column's physical bytes
+          val lv = latestVersion
+          val dropped = lv.map(droppedPhysOf).getOrElse(Set.empty)
+          val cm = lv.map(cmapOf).getOrElse(Map.empty)
+          val physInUse = tableSchema.get.fields.map(f =>
+            cm.getOrElse(f.name.toLowerCase, f.name).toLowerCase).toSet
+          val colliding = wanted.filter(n =>
+            dropped.contains(n.toLowerCase) || physInUse.contains(n.toLowerCase))
+          require(colliding.isEmpty,
+            s"merge evolution on $root: column(s) ${colliding.mkString(", ")} " +
+              "collide with a dropped or renamed column's physical name — " +
+              "use addColumns (fresh physical) first")
+          // type probe: the first assignment expression for each new
+          // column, resolved over the disambiguated join frame
+          def firstExpr(k: String): Column =
+            (matched.flatMap(_._2.toSeq).flatMap(_.toSeq) ++
+              notMatched.flatMap(_._2.toSeq) ++
+              notMatchedBySource.flatMap(_._2.toSeq).flatMap(_.toSeq))
+              .collectFirst { case (n, c) if n.equalsIgnoreCase(k) => c }.get
+          val probe = mergeDisambiguated(snapshot(), source, condition)
+            .select(wanted.map(k => firstExpr(k).as(k)): _*)
+          wanted.map(k => k -> probe.schema(k).dataType)
+        }
+      }
+    val base0 = snapshot()
+    val base = newCols.foldLeft(base0) { case (df, (n, dt)) =>
+      df.withColumn(n, lit(null).cast(dt)) }
+    val evolved =
+      if (newCols.isEmpty) None
+      else Some(StructType(tableSchema.get.fields ++ newCols.map { case (n, dt) =>
+        StructField(n, dt, nullable = true) }))
+
+    def assemble(b: DataFrame): DataFrame =
+      mergeAssemble(b, source, condition, matched, notMatched,
         notMatchedBySource)
 
     scopedTouched.filter(_ => notMatchedBySource.isEmpty && partitionCol.nonEmpty) match {
@@ -2732,12 +2792,28 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         val v = nextVersion
         val prev = latestVersion.map(entries).getOrElse(Nil)
         val (rewrite, _) = prev.partition(touches(_, vals.sorted))
-        val result = assemble(readEntries(rewrite, snapshot()))
+        val readBase = readEntries(rewrite, base)
+        val result = assemble(newCols.foldLeft(readBase) { case (df, (n, dt)) =>
+          if (df.columns.exists(_.equalsIgnoreCase(n))) df
+          else df.withColumn(n, lit(null).cast(dt)) })
         val written = writeData(clusterByPartition(result, Some(vals.size)), v)
         commitScopedWithRebase(v, prev, rewrite, written, vals.sorted,
-          op = "merge", extraMeta = rewriteChangeMeta(rewrite, written, v - 1))
-      case None => replaceWith(assemble(snapshot()), "merge", cdf = true)
+          op = "merge", extraMeta = rewriteChangeMeta(rewrite, written, v - 1),
+          schemaOverride = evolved)
+      case None => replaceWith(assemble(base), "merge", cdf = true)
     }
+  }
+
+  /** The `__t_`/`__s_` disambiguated full-outer join frame
+    * [[mergeAssemble]] evaluates through — factored for the
+    * schema-evolution type probe. */
+  private def mergeDisambiguated(base: DataFrame, source: DataFrame,
+                                 condition: Column): DataFrame = {
+    def ren(df: DataFrame, p: String, present: String) =
+      df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
+        lit(true).as(present): _*)
+    ren(base, "__t_", "__t_present")
+      .join(ren(source, "__s_", "__s_present"), condition, "full_outer")
   }
 
   /** [[mergeIntoGeneral]]'s evaluation core, shared with the atomic
@@ -2752,11 +2828,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])])
       : DataFrame = {
     val schema = base.schema
-    def ren(df: DataFrame, p: String, present: String) =
-      df.select(df.columns.toIndexedSeq.map(c => df(c).as(s"$p$c")) :+
-        lit(true).as(present): _*)
-    val joined = ren(base, "__t_", "__t_present")
-      .join(ren(source, "__s_", "__s_present"), condition, "full_outer")
+    val joined = mergeDisambiguated(base, source, condition)
     val tp = coalesce(col("__t_present"), lit(false))
     val sp = coalesce(col("__s_present"), lit(false))
     def applies(c: Option[Column]): Column =
@@ -4634,7 +4706,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         .join(keyFrame, Seq(keyCol), "left_anti")
         .unionByName(ups)
     val written = writeData(clusterByPartition(out), v)
-    commit(v, keep ++ written, op = "apply_changes")
+    // the mirror's OWN commits persist change data too ([[cdfWriteEnabled]]):
+    // a downstream consumer of the mirror (CDC fan-out chains) then serves
+    // from KB-scale files instead of re-netting the mirror's rewrites
+    commit(v, keep ++ written, op = "apply_changes",
+      extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF `v` (the production lakehouse

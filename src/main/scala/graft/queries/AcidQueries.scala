@@ -398,6 +398,58 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** MERGE-EVOLUTION fixture (round 14: the Delta WITH SCHEMA EVOLUTION
+    * semantics, API face): a schema-tracking table seeded with the
+    * deduped latest-per-user state, then ONE
+    * `mergeIntoGeneral(evolveSchema = true)` whose matched branch
+    * assigns a NEW `grade` column (typed from the expression by the
+    * plan-time probe) and whose insert branch lands key-shifted rows
+    * carrying it — every untouched row reads the evolved column as
+    * NULL, metadata-only for carried files (MergeEvolutionSpec pins the
+    * scoped-carry + collision-guard laws). */
+  private val mergeEvolveFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mergeEvolveTable(s: SparkSession, d: String): GraftTable = {
+    val root = mergeEvolveFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("mergeevolve" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/mergeevolve_$key"
+      val t = new GraftTable(s, r, statsCol = Some("user_id"))
+      val ev = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val seed = ev.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      t.append(seed.repartitionByRange(8, $"user_id"),
+        mergeSchema = true)                                       // v1
+      val base = t.snapshot()
+      val m = base.filter($"user_id" < 12L).select(
+        $"user_id".as("su"),
+        concat(lit("g"), pmod($"user_id", lit(3L)).cast("string")).as("grade"),
+        lit(null).cast("long").as("sev"),
+        lit(null).cast("timestamp").as("sts"),
+        lit(null).cast("string").as("sty"),
+        lit(null).cast("double").as("sval"))
+      val i = base.filter($"user_id" < 3L).select(
+        ($"user_id" + 1000000L).as("su"), lit("new").as("grade"),
+        $"event_id".as("sev"), $"ts".as("sts"),
+        $"event_type".as("sty"), $"value".as("sval"))
+      t.mergeIntoGeneral(m.unionByName(i),
+        col("__t_user_id") === col("__s_su"),
+        matched = Seq((None, Some(Map("grade" -> col("__s_grade"))))),
+        notMatched = Seq((None, Map(
+          "event_id" -> col("__s_sev"), "user_id" -> col("__s_su"),
+          "ts" -> col("__s_sts"), "event_type" -> col("__s_sty"),
+          "value" -> col("__s_sval"), "grade" -> col("__s_grade")))),
+        notMatchedBySource = Nil, evolveSchema = true)            // v2
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** ROW-TRACKING fixture (the Delta row-ID pattern, stored form): a
     * rowTracking table mints a table-unique `_row_id` per ingested row;
     * the DV UPDATE of a fixed 8-user band preserves ids through the
@@ -1239,6 +1291,16 @@ object AcidQueries extends QueryPack {
       sidecarCpTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // Round 14: MERGE with schema evolution — the matched branch's
+    // assignment to a column the table lacked adds it (typed by the
+    // plan-time probe), inserts carry it, and every untouched row —
+    // including rows in files the scoped rewrite never touched — reads
+    // it as NULL through the evolved declared schema.
+    "q_acid_merge_evolve" -> { (s, d) =>
+      import s.implicits._
+      mergeEvolveTable(s, d).snapshot().orderBy($"user_id", $"event_id")
+    },
+
     // Round 14: the change feed of a MERGE commit served from its
     // PERSISTED change files (written once at commit by netting the
     // merge's written files against its consumed files) — no base-file
@@ -1835,6 +1897,26 @@ object AcidQueries extends QueryPack {
         |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
         |    THEN 'update_preimage' ELSE 'delete' END AS _change FROM del)
         |ORDER BY user_id, _change""".stripMargin,
+
+    // the evolving merge replayed: latest-per-user rows gain grade for
+    // the <12 band, key-shifted <3 inserts carry 'new', everyone else
+    // reads the evolved column as NULL
+    "q_acid_merge_evolve" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         CASE WHEN user_id < 12 THEN 'g' || CAST(user_id % 3 AS VARCHAR)
+        |              END AS grade
+        |  FROM latest
+        |  UNION ALL
+        |  SELECT event_id, user_id + 1000000 AS user_id, ts, event_type, value,
+        |         'new' AS grade
+        |  FROM latest WHERE user_id < 3)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // content after the three slices land and the %101 band DV-deletes;
     // the engine side reads it through the sidecar checkpoint alone

@@ -181,6 +181,28 @@ class MergeChangeDataSpec extends SparkSpec {
     }
   }
 
+  test("the CDC mirror's own applyChangesKeyed commits persist change data (fan-out chains)") {
+    val root = graft.TempDirs.create("graft_cdf_merge_mirror")
+    val t = new GraftTable(spark, root, statsCol = Some("id"))
+    t.append((1L to 50L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))                           // v1
+    withCdf {
+      t.applyChangesKeyed(
+        Seq((3L, 333.0, "update_postimage"), (4L, 0.0, "delete"),
+          (51L, 51.0, "insert")).toDF("id", "v", "_change"), "id") // v2
+    }
+    assert(t.headerMeta(2L).contains("cdc"),
+      "the mirror apply must persist its net change")
+    assertServed(t, 1L, 2L)
+    // a second-hop mirror could now replay THIS table's keyed feed from
+    // the persisted files alone
+    val keyed = t.changeFeedKeyed(1L, 2L, Seq("id"))
+    assert(keyed.filter(col("_change") === "update_postimage")
+      .select("id").as[Long].collect().toSet == Set(3L))
+    assert(keyed.filter(col("_change") === "delete")
+      .select("id").as[Long].collect().toSet == Set(4L))
+  }
+
   test("the streaming CDC feed over a merge-heavy table hash-matches the compute path") {
     def build(root: String): GraftTable = {
       val t = new GraftTable(spark, root, statsCol = Some("id"))
