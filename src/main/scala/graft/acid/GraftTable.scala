@@ -4713,6 +4713,74 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE from a netted change feed — the
+    * materialized-view pattern a CDC pipeline feeds: THIS table is the
+    * aggregate mirror, one row per `keyCol` group holding `n` (live
+    * source-row count) and an exact `sum_<c>` DECIMAL(28,6) per value
+    * column. Each batch folds the feed in as ±deltas (insert /
+    * update_postimage = +1, delete / update_preimage = −1) through a
+    * key-scoped rewrite: only files whose windows/blooms can hold a
+    * touched GROUP key read and rewrite, groups whose count reaches 0
+    * leave the mirror, and DECIMAL addition makes the maintained sums
+    * EXACTLY equal a full recompute over the source's current state (the
+    * additive-decomposition identity — order-insensitive, unlike
+    * floating-point folds). An update that moves a row between groups
+    * lands naturally as (−old group, +new group); an in-group update
+    * nets n by 0 while its sums move. At 100 TB the per-batch cost is
+    * O(touched groups' files), never O(mirror) — the same bound as
+    * [[applyChangesKeyed]], for aggregates instead of row states. */
+  def applyChangesAgg(feed: DataFrame, keyCol: String,
+                      valCols: Seq[String]): Long = {
+    val dec = "decimal(28,6)"
+    val sgn = when(col("_change").isin("insert", "update_postimage"), 1L)
+      .otherwise(lit(-1L))
+    val delta = feed.withColumn("__sgn", sgn).groupBy(col(keyCol))
+      .agg(sum(col("__sgn")).as("n"),
+        valCols.map(c => sum(col(c).cast(dec) * col("__sgn"))
+          .cast(dec).as(s"sum_$c")): _*)
+    val lv = latestVersion.getOrElse {
+      // bootstrap: the first batch's positive groups ARE the mirror
+      return append(delta.filter(col("n") =!= 0L))
+    }
+    val touchedKeys = delta.select(col(keyCol)).na.drop()
+      .limit(1025).collect().map(_.get(0))
+    if (touchedKeys.isEmpty)
+      return commit(nextVersion, entries(lv), op = "apply_changes")
+    val pred =
+      if (touchedKeys.length <= 1024)
+        col(keyCol).isin(touchedKeys.toIndexedSeq: _*)
+      else {
+        val mm = delta.select(col(keyCol))
+          .agg(min(col(keyCol)), max(col(keyCol))).head()
+        if (mm.isNullAt(0)) lit(true)
+        else col(keyCol) >= lit(mm.get(0)) && col(keyCol) <= lit(mm.get(1))
+      }
+    val prev = entries(lv)
+    val candSet = entriesForPredicate(pred, lv).map(_.path).toSet
+    val (rewrite, keep) = prev.partition(e => candSet.contains(e.path))
+    val v = nextVersion
+    val mirrorCols = keyCol +: "n" +: valCols.map(c => s"sum_$c")
+    val old =
+      if (rewrite.isEmpty) delta.limit(0).select(mirrorCols.map(col): _*)
+      else readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
+        .select(mirrorCols.map(col): _*)
+    val d = delta.select((col(keyCol).as(s"__d_$keyCol") +:
+      col("n").as("__d_n") +:
+      valCols.map(c => col(s"sum_$c").as(s"__d_sum_$c"))): _*)
+    val joined = old.join(d, old(keyCol) === d(s"__d_$keyCol"), "full_outer")
+    val out = joined.select(
+      (coalesce(old(keyCol), d(s"__d_$keyCol")).as(keyCol) +:
+        (coalesce(old("n"), lit(0L)) + coalesce(d("__d_n"), lit(0L))).as("n") +:
+        valCols.map(c =>
+          (coalesce(old(s"sum_$c"), lit(0).cast(dec)) +
+            coalesce(d(s"__d_sum_$c"), lit(0).cast(dec)))
+            .cast(dec).as(s"sum_$c"))): _*)
+      .filter(col("n") =!= 0L)
+    val written = writeData(clusterByPartition(out), v)
+    commit(v, keep ++ written, op = "apply_changes",
+      extraMeta = rewriteChangeMeta(rewrite, written, lv))
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF `v` (the production lakehouse
     * rollback): publish a NEW commit whose active set is exactly version
     * `v`'s — metadata-only (the old immutable files are re-referenced,

@@ -315,6 +315,48 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** CDC AGGREGATE-MIRROR fixture (round 14: incremental materialized
+    * aggregates): the cdf table's KEYED change feed drained through
+    * [[GraftTable.applyChangesAgg]] into a per-event_type aggregate
+    * mirror — live count + exact DECIMAL(28,6) value sum per group,
+    * folded batch by batch as ±deltas (update pairs move sums between
+    * groups, dead groups leave). The gate row pins the materialized-
+    * view identity: the maintained mirror must EXACTLY equal the full
+    * recompute over the source's final state — at 100 TB the mirror
+    * never rescans the source, each batch costs O(touched groups). */
+  private val cdcAggFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcAggTable(s: SparkSession, d: String): GraftTable = {
+    val root = cdcAggFixtures.computeIfAbsent(d, { _ =>
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("cdcagg" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val src = cdfTable(s, d)
+      val mirRoot = s"$acidDir/cdcagg_$key"
+      val ckpt = s"$acidDir/cdcagg_ckpt_$key"
+      val mir = new GraftTable(s, mirRoot)
+      val q = s.readStream.format("graft-table")
+        .option("path", src.root)
+        .option("maxVersionsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .option("changeFeedKeys", "user_id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            mir.applyChangesAgg(batch.drop("_commit_version"),
+              "event_type", Seq("value"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      mirRoot
+    })
+    GraftTable.load(s, root)
+  }
+
   /** WRITE-SIDE-CDF fixture (the persisted _change_data design): the
     * deduped latest-per-user seed, then — with
     * `spark.graft.acid.writeChangeData=true` — a DV UPDATE bumping a
@@ -1291,6 +1333,19 @@ object AcidQueries extends QueryPack {
       sidecarCpTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // Round 14: the INCREMENTALLY-MAINTAINED aggregate mirror — the
+    // keyed CDC stream folded into per-event_type (count, exact DECIMAL
+    // sum) state batch by batch; must equal the full recompute over the
+    // source's final latest-per-user state (the materialized-view
+    // identity, exact by DECIMAL additivity).
+    "q_acid_cdc_agg" -> { (s, d) =>
+      import s.implicits._
+      cdcAggTable(s, d).snapshot()
+        .select($"event_type", $"n",
+          $"sum_value".cast("decimal(38,6)").as("sum_value"))
+        .orderBy($"event_type")
+    },
+
     // Round 14: MERGE with schema evolution — the matched branch's
     // assignment to a column the table lacked adds it (typed by the
     // plan-time probe), inserts carry it, and every untouched row —
@@ -1897,6 +1952,18 @@ object AcidQueries extends QueryPack {
         |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
         |    THEN 'update_preimage' ELSE 'delete' END AS _change FROM del)
         |ORDER BY user_id, _change""".stripMargin,
+
+    // the aggregate mirror replayed as a full recompute over the final
+    // latest-per-user state
+    "q_acid_cdc_agg" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the evolving merge replayed: latest-per-user rows gain grade for
     // the <12 band, key-shifted <3 inserts carry 'new', everyone else
