@@ -4713,6 +4713,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 
+  /** Row-level changes of `(fromV, toV]` ATTRIBUTED PER COMMIT: each
+    * version's own net diff tagged with `_commit_version` and
+    * `_commit_timestamp` (the commit's monotone `ts=`) — the Delta
+    * `table_changes` shape, for consumers that need ordering, audit
+    * attribution or per-commit replay rather than [[changeFeed]]'s one
+    * collapsed range diff. Each version resolves through the same
+    * serve-then-compute path as the range feed ([[changeFeed]] on
+    * `(v-1, v]` serves persisted change files when present), so with
+    * write-side CDF on, the whole attributed read opens no base data. */
+  def changeFeedByVersion(fromV: Long, toV: Long): DataFrame = {
+    require(toV > fromV,
+      s"changeFeedByVersion: need fromV < toV, got ($fromV, $toV]")
+    val vs = versions.filter(v => v > fromV && v <= toV)
+    require(vs.nonEmpty,
+      s"changeFeedByVersion: no versions in ($fromV, $toV] at $root")
+    vs.map { v =>
+      val ts = headerMeta(v).get("ts").flatMap(_.toLongOption).getOrElse(0L)
+      changeFeed(v - 1, v)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+    }.reduce(_.unionByName(_))
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE from a netted change feed — the
     * materialized-view pattern a CDC pipeline feeds: THIS table is the
     * aggregate mirror, one row per `keyCol` group holding `n` (live

@@ -1333,6 +1333,19 @@ object AcidQueries extends QueryPack {
       sidecarCpTable(s, d).snapshot().orderBy($"event_id")
     },
 
+    // Round 14: the PER-COMMIT attributed change feed (the Delta
+    // table_changes shape): each version's own net diff tagged with
+    // _commit_version — v1 is the seed's blind-add inserts (served from
+    // its added files), v2 the merge's persisted change files; with
+    // write-side CDF on, the whole attributed read opens no base data
+    // (MergeChangeDataSpec pins the zero-base-file property).
+    "q_acid_cdc_by_version" -> { (s, d) =>
+      import s.implicits._
+      cdfMergeTable(s, d).changeFeedByVersion(0L, 2L)
+        .drop("_commit_timestamp")
+        .orderBy($"_commit_version", $"user_id", $"_change", $"event_id")
+    },
+
     // Round 14: the INCREMENTALLY-MAINTAINED aggregate mirror — the
     // keyed CDC stream folded into per-event_type (count, exact DECIMAL
     // sum) state batch by batch; must equal the full recompute over the
@@ -1952,6 +1965,33 @@ object AcidQueries extends QueryPack {
         |  SELECT del.*, CASE WHEN user_id IN (SELECT user_id FROM paired)
         |    THEN 'update_preimage' ELSE 'delete' END AS _change FROM del)
         |ORDER BY user_id, _change""".stripMargin,
+
+    // per-commit attribution replayed: v1 = every latest-per-user row as
+    // an insert; v2 = the merge's net (the q_acid_cdf_merge rows)
+    "q_acid_cdc_by_version" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |changed AS (SELECT * FROM latest WHERE user_id < 16)
+        |SELECT * FROM (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         'insert' AS _change, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM latest
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id, user_id, ts, event_type,
+        |         value + 1000.0 AS value, 'insert' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM changed
+        |  UNION ALL
+        |  SELECT event_id, user_id + 1000000 AS user_id, ts, event_type,
+        |         value, 'insert' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM latest WHERE user_id < 4
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         'delete' AS _change, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM changed)
+        |ORDER BY _commit_version, user_id, _change, event_id""".stripMargin,
 
     // the aggregate mirror replayed as a full recompute over the final
     // latest-per-user state

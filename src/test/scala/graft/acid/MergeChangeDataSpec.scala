@@ -181,6 +181,35 @@ class MergeChangeDataSpec extends SparkSpec {
     }
   }
 
+  test("changeFeedByVersion attributes each commit's net diff; served end-to-end with zero base-file opens") {
+    val root = graft.TempDirs.create("graft_cdf_byver")
+    val t = new GraftTable(spark, root, statsCol = Some("id"))
+    t.append((1L to 40L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))                           // v1
+    withCdf {
+      t.merge(Seq((1L, 900.0), (41L, 41.0)).toDF("id", "v"),
+        Seq("id"), Seq(col("v").desc))                             // v2
+      t.delete(col("id") === 2L)                                   // v3: DV
+    }
+    val by = t.changeFeedByVersion(0L, 3L)
+    // per-version attribution == the per-version range diffs
+    for (v <- 1L to 3L) {
+      assert(sortedRows(by.filter(col("_commit_version") === v)
+        .drop("_commit_version", "_commit_timestamp")) ==
+        sortedRows(t.changeFeed(v - 1, v)),
+        s"version $v's attributed slice must equal its own range diff")
+    }
+    // commit timestamps ride the monotone ts= header
+    val tss = by.select("_commit_version", "_commit_timestamp").distinct()
+      .collect().sortBy(_.getLong(0)).map(_.getTimestamp(1).getTime)
+    assert(tss.sorted.sameElements(tss), "attributed timestamps are monotone")
+    // v2 (merge change files) + v3 (DV change files) serve without base
+    // reads; v1 is the blind add (served from its own added files)
+    val inputs = t.changeFeedByVersion(1L, 3L).inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains("/_log/changes/")),
+      s"the attributed feed past v1 must read only change files:\n${inputs.mkString("\n")}")
+  }
+
   test("the CDC mirror's own applyChangesKeyed commits persist change data (fan-out chains)") {
     val root = graft.TempDirs.create("graft_cdf_merge_mirror")
     val t = new GraftTable(spark, root, statsCol = Some("id"))
