@@ -691,8 +691,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             t.expectKw(")")
             ks.result()
           } else Vector.empty[String]
+        // BY VERSION: the per-commit attributed form — each version's
+        // own net diff tagged _commit_version/_commit_timestamp
+        // (changeFeedByVersion, the Delta table_changes shape)
+        val byVersion = t.takeKw("BY") && { t.expectKw("VERSION"); true }
         t.expectEnd()
-        (if (keys.nonEmpty) table.changeFeedKeyed(fromV, toV, keys)
+        (if (byVersion) {
+           require(keys.isEmpty,
+             "DESCRIBE CHANGES: KEYED BY and BY VERSION are exclusive")
+           table.changeFeedByVersion(fromV, toV)
+         } else if (keys.nonEmpty) table.changeFeedKeyed(fromV, toV, keys)
          else table.changeFeed(fromV, toV)).queryExecution.logical
       }
     } else None // plain DESCRIBE <table> etc. — Spark's own statement

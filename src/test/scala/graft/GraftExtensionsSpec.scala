@@ -135,6 +135,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"got $keyed")
     intercept[ParseException](
       s2.sql("DESCRIBE CHANGES gmaint.cf FROM 2 TO 3 KEYED BY id"))
+    // ... and BY VERSION attributes each commit's own net diff
+    val byv = s2.sql("DESCRIBE CHANGES gmaint.cf FROM 1 TO 3 BY VERSION")
+      .select($"id", $"_change", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(byv == Seq((1L, "delete", 3L), (1L, "insert", 3L),
+      (2L, "insert", 2L)), s"got $byv")
     // REORG ... APPLY (PURGE) materializes deletion vectors from SQL
     val t3 = new graft.acid.GraftTable(s2, s"$wh/rg")
     t3.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))

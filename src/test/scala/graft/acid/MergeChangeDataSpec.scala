@@ -181,6 +181,26 @@ class MergeChangeDataSpec extends SparkSpec {
     }
   }
 
+  test("merge change data under COLUMN MAPPING: a renamed table's feed serves in logical names") {
+    val root = graft.TempDirs.create("graft_cdf_merge_cmap")
+    val t0 = new GraftTable(spark, root, statsCol = Some("id"))
+    t0.append((1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(2, col("id")), mergeSchema = true)       // v1
+    t0.renameColumn("v", "w")                                      // v2
+    val t = GraftTable.load(spark, root)
+    withCdf {
+      t.merge(Seq((1L, 500.0), (31L, 31.0)).toDF("id", "w"),
+        Seq("id"), Seq(col("w").desc))                             // v3
+    }
+    assert(t.headerMeta(3L).contains("cdc"))
+    assertServed(t, 2L, 3L)
+    val feed = t.changeFeed(2L, 3L)
+    assert(feed.columns.toSeq == Seq("id", "w", "_change"),
+      s"the served feed must speak LOGICAL names, got ${feed.columns.toSeq}")
+    assert(feed.filter(col("_change") === "insert")
+      .select("id").as[Long].collect().toSet == Set(1L, 31L))
+  }
+
   test("changeFeedByVersion attributes each commit's net diff; served end-to-end with zero base-file opens") {
     val root = graft.TempDirs.create("graft_cdf_byver")
     val t = new GraftTable(spark, root, statsCol = Some("id"))

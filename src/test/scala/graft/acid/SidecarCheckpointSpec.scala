@@ -106,6 +106,40 @@ class SidecarCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("every manifest tag family survives the shard codec AND a dirty-shard rebuild") {
+    withSidecars(4) {
+      val root = graft.TempDirs.create("graft_scp_codec")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      // the FULL tag surface (ParquetCheckpointSpec's shape): stats,
+      // partition window, inline + sidecar blooms, dv refs, layout tag,
+      // ndv payloads, long/string/time windows
+      def full(i: Int): t.FileEntry = t.FileEntry(
+        path = f"data/c1-fake/part-$i%06d.parquet",
+        stats = Some((i.toLong, i + 10L)),
+        part = if (i % 3 == 0) Some((i.toLong % 7, i.toLong % 7)) else None,
+        bloom = if (i % 5 == 0) Some(Array(0x0123456789abcdefL ^ i, -1L ^ i)) else None,
+        windows = Map("k" -> ((i.toLong, i + 100L))),
+        rows = Some(100L + i),
+        bloomRef = if (i % 4 == 0) Some(1L) else None,
+        strWindows = Map("s" -> ((s"a$i", s"z$i"))),
+        dvRef = if (i % 6 == 0) Some(1L) else None,
+        dvCount = if (i % 6 == 0) 2L else 0L,
+        zTag = if (i % 2 == 0) Some("a2s") else None,
+        ndv = Map("k" -> Array[Byte](1, 2, (i % 127).toByte)),
+        timeWindows = Map("ts" -> (('u', 1000L * i, 2000L * i)),
+          "d" -> (('d', 10L + i, 20L + i))))
+      val es = (0 until 120).map(full)
+      t.commit(1L, es, op = "append")
+      // v2 dirties ONE shard: the rebuilt shard's entries and the reused
+      // shards' entries must BOTH round-trip line-identically
+      val es2 = es :+ full(9001)
+      t.commit(2L, es2, op = "append")
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(2L).map(_.line).sorted == es2.map(_.line).sorted,
+        "all tag families must survive the sharded codec + incremental rebuild")
+    }
+  }
+
   test("a missing shard dir degrades to the manifest chain, never a wrong or thrown read") {
     withSidecars(8) {
       val root = graft.TempDirs.create("graft_scp_damaged")
