@@ -83,27 +83,30 @@ class MergeEvolutionSpec extends SparkSpec {
 
   test("SQL: MERGE WITH SCHEMA EVOLUTION star-actions add the source-only column") {
     val warehouse = graft.TempDirs.create("graft_mev_wh")
-    spark.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.root", warehouse)
+    // a DISTINCT catalog name: the shared session CACHES catalog
+    // instances at first use, so re-pointing `graft` here would pin
+    // every later suite's graft.<t> lookups at THIS warehouse
+    spark.conf.set("spark.sql.catalog.gmev", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmev.root", warehouse)
     val t = new GraftTable(spark, s"$warehouse/mevsql")
     t.append((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"),
       mergeSchema = true)
     Seq((1L, 100.0, "gold"), (11L, 11.0, "fresh")).toDF("id", "v", "tier")
       .createOrReplaceTempView("mev_src")
-    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.mevsql t
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gmev.mevsql t
       |USING mev_src s ON t.id = s.id
       |WHEN MATCHED THEN UPDATE SET *
       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     val cold = GraftTable.load(spark, s"$warehouse/mevsql")
     assert(cold.tableSchema.get.fieldNames.toSeq == Seq("id", "v", "tier"))
     val got = spark.sql(
-      "SELECT id, tier FROM graft.mevsql ORDER BY id")
+      "SELECT id, tier FROM gmev.mevsql ORDER BY id")
       .as[(Long, Option[String])].collect().toMap
     assert(got(1L).contains("gold") && got(11L).contains("fresh") &&
       got(2L).isEmpty && got.size == 11)
     // WITHOUT the clause the same star-merge must NOT evolve (the
     // analyzer drops the extra source column from the star expansion)
-    spark.sql("""MERGE INTO graft.mevsql t
+    spark.sql("""MERGE INTO gmev.mevsql t
       |USING (SELECT 2 AS id, CAST(9.0 AS DOUBLE) AS v,
       |       CAST(NULL AS STRING) AS tier, 'x' AS extra) s
       |ON t.id = s.id
