@@ -4390,10 +4390,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     changes.write.mode("errorifexists")
       .parquet(changeDirPath(uuid).toString)
     // a rewrite that nets to ZERO rows can leave a dir with no data
-    // files at all (nothing for a later read to infer a schema from):
-    // record the explicit empty marker instead of a dangling ref
-    if (!fs.listStatus(changeDirPath(uuid)).exists(
-        _.getPath.getName.endsWith(".parquet"))) {
+    // files at all — or, on a committer that skips empty outputs, no
+    // dir (nothing for a later read to infer a schema from): record
+    // the explicit empty marker instead of a dangling ref
+    if (!fs.exists(changeDirPath(uuid)) ||
+        !fs.listStatus(changeDirPath(uuid)).exists(
+          _.getPath.getName.endsWith(".parquet"))) {
       fs.delete(changeDirPath(uuid), true)
       return Seq("cdc0=1")
     }
