@@ -1978,20 +1978,30 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * ids minted from a stale watermark. A task retry within the write
     * can re-bind ids to rows inside its own shard (shuffle-read order is
     * not deterministic) but cannot break uniqueness — the shard's id SET
-    * is position-based. */
+    * is position-based.
+    *
+    * The mint is PINNED with localCheckpoint before any downstream
+    * shuffle (the [[mintedReplacement]] pattern): on a partitioned table
+    * [[clusterByPartition]] adds a repartitionByRange ABOVE the id
+    * projection, so the ids evaluate in the pre-shuffle stage with the
+    * SOURCE's partition count while an unpinned span would use the
+    * post-shuffle count — a source wider than its distinct partition
+    * values under-advances the watermark and the next append re-mints
+    * live ids (silent duplicates). Checkpointing first makes the span
+    * come from the exact RDD whose partition indices seeded the ids. */
   private def appendWithRowIds(df: DataFrame, txn: Option[(String, Long)],
                                mergeSchema: Boolean): Long = {
     var attempt = 0
     while (true) {
       val wm = latestVersion.map(rwmAsOf).getOrElse(0L)
       val withIds = df.withColumn("_row_id",
-        monotonically_increasing_id() + lit(wm))
+        monotonically_increasing_id() + lit(wm)).localCheckpoint()
+      val span = (withIds.rdd.getNumPartitions.toLong + 1L) << 33
       // a fresh table DECLARES its schema (with _row_id) so later reads
       // and id-less appends resolve the column by name
       val (data, evolved) = conformForWrite(withIds,
         mergeSchema || tableSchema.isEmpty)
       val clustered = clusterByPartition(data)
-      val span = (clustered.rdd.getNumPartitions.toLong + 1L) << 33
       val v = nextVersion
       val prev = latestVersion.map(entries).getOrElse(Nil)
       val written = writeData(clustered, v)

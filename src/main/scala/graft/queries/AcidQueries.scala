@@ -519,6 +519,39 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** PARTITIONED row-tracking fixture — the regression shape for the
+    * duplicate-id bug: partitionCol set (clusterByPartition shuffles the
+    * minted frame down to #distinct-partition-value partitions) while
+    * every SOURCE batch arrives 16-wide. An unpinned watermark span
+    * would use the post-shuffle count and re-mint live ids on append 2;
+    * the gate's count(distinct _row_id) == count(*) compare catches it. */
+  private val rowTrackingPartFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rowTrackingPartTable(s: SparkSession, d: String): GraftTable = {
+    val root = rowTrackingPartFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("rowtrackpart" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val r = s"$acidDir/rowtrackpart_$key"
+      // partition on a 4-value numeric bucket: every append arrives
+      // 16-wide and clusters down to 4 write partitions — the exact
+      // width mismatch that re-minted ids before the span was pinned
+      val t = new GraftTable(s, r, partitionCol = Some("bucket"),
+        statsCol = Some("user_id"), rowTracking = true)
+      val ev = events(s, d).withColumn("bucket", pmod($"user_id", lit(4L)))
+      t.append(ev.filter(pmod($"event_id", lit(2L)) === 0L)
+        .repartition(16))                                         // v1
+      t.append(ev.filter(pmod($"event_id", lit(2L)) === 1L)
+        .repartition(16))                                         // v2
+      t.update($"user_id" < 8L,
+        Map("value" -> ($"value" + 1000.0)))                      // v3: DV
+      r
+    })
+    GraftTable.load(s, root)
+  }
+
   /** RESTORE fixture: three appends (the %3 slices), then a rollback to
     * v2 — the snapshot must be exactly the first two slices, served by
     * RE-REFERENCED v2 files (RestoreSpec pins the zero-I/O property). */
@@ -1450,6 +1483,25 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_id", $"_change")
     },
 
+    // PARTITIONED row tracking: the duplicate-id regression gate. Every
+    // source batch is 16-wide while the partitioned table clusters down
+    // to #event_type partitions before writing — an unpinned watermark
+    // span re-mints live ids on the second append. The compare pins BOTH
+    // id uniqueness (n_ids == n_rows) and that the keyless CDC pairing
+    // still classifies cleanly (no unpaired insert/delete noise from
+    // colliding ids merging unrelated rows' images).
+    "q_acid_row_tracking_part" -> { (s, d) =>
+      import s.implicits._
+      val t = rowTrackingPartTable(s, d)
+      val uniq = t.snapshot().agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct($"_row_id").cast("long").as("n_ids"))
+      t.changeFeedKeyed(2L, 3L, Seq("_row_id"))
+        .groupBy($"_change").agg(count(lit(1)).cast("long").as("n"))
+        .crossJoin(broadcast(uniq))
+        .orderBy($"_change")
+    },
+
     // CROSS-TABLE SNAPSHOT-CONSISTENT READ: the raw+stats pair pinned AT
     // the middle txn via snapshotsAtTxn — the read-side face of COMMIT
     // ATOMIC. Both tables serve exactly the first TWO slices (the later
@@ -2101,6 +2153,19 @@ object AcidQueries extends QueryPack {
         |  SELECT event_id, user_id, value + 1000.0, 'update_postimage'
         |  FROM events WHERE user_id < 8)
         |ORDER BY event_id, _change""".stripMargin,
+
+    // every ingested row keeps a distinct id (n_ids == n_rows) and the
+    // user<8 band pairs 1:1 into pre/post images
+    "q_acid_row_tracking_part" ->
+      """SELECT f._change, f.n, u.n_rows, u.n_ids FROM (
+        |  SELECT 'update_preimage' AS _change, count(*) AS n
+        |  FROM events WHERE user_id < 8
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*)
+        |  FROM events WHERE user_id < 8) f
+        |CROSS JOIN (SELECT count(*) AS n_rows, count(*) AS n_ids
+        |            FROM events) u
+        |ORDER BY f._change""".stripMargin,
 
     // the pinned pair holds slices %3 in {0,1}; raw recount == stats sum
     "q_acid_txn_read" ->

@@ -63,6 +63,28 @@ class RowTrackingSpec extends SparkSpec {
     assert(idsAfter == idsBefore)
   }
 
+  test("partitioned table: ids stay unique when the source is wider than its partition values") {
+    // the regression shape: clusterByPartition inserts a repartitionByRange
+    // ABOVE the id projection, so the ids evaluate with the SOURCE's
+    // partition count (16 here) while an unpinned span would use the
+    // post-shuffle count (2 distinct values) — under-advancing the
+    // watermark and re-minting live ids on the next append
+    val t = new GraftTable(spark, graft.TempDirs.create("graft_rt_part"),
+      partitionCol = Some("p"), rowTracking = true)
+    def batch(off: Long) = spark.range(off, off + 1000L, 1L, 16)
+      .select(col("id").as("k"), (col("id") % 2).as("p"))
+    t.append(batch(0L))
+    t.append(batch(1000L))
+    val ids = t.snapshot().select("_row_id").as[Long].collect()
+    assert(ids.length == 2000 && ids.distinct.length == 2000,
+      s"partitioned appends re-minted ${ids.length - ids.distinct.length} live ids")
+    // and the keyless CDC pairing row tracking exists for still works
+    t.update(col("k") === 7L, Map("p" -> lit(9L)))
+    val feed = t.changeFeedKeyed(2L, 3L, Seq("_row_id"))
+    assert(feed.filter(col("_change").isin("insert", "delete")).isEmpty,
+      "duplicate ids would break pre/post pairing into insert/delete noise")
+  }
+
   test("racing id-assigning appends never mint overlapping ids") {
     val t = new GraftTable(spark, graft.TempDirs.create("graft_rt_race"),
       rowTracking = true)
