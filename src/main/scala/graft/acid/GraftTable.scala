@@ -4763,9 +4763,29 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * lands naturally as (−old group, +new group); an in-group update
     * nets n by 0 while its sums move. At 100 TB the per-batch cost is
     * O(touched groups' files), never O(mirror) — the same bound as
-    * [[applyChangesKeyed]], for aggregates instead of row states. */
+    * [[applyChangesKeyed]], for aggregates instead of row states.
+    *
+    * `txn = (writerId, epoch)` makes the fold IDEMPOTENT under
+    * micro-batch replay (Delta's txn action, the foreachBatch
+    * exactly-once pattern): an epoch at or below the writer's last
+    * recorded one is a no-op — without it a retried batch would
+    * re-apply its deltas and silently double the mirror. A streaming
+    * maintainer MUST pass its (queryId, batchId) here.
+    *
+    * NULL group keys are first-class (a nullable grouping column is
+    * normal for aggregates): the touched-key probe keeps the null
+    * group and the fold joins null-safely (`<=>`), so a null-key
+    * delta lands on the existing null-key mirror row instead of
+    * duplicating it or silently vanishing. */
   def applyChangesAgg(feed: DataFrame, keyCol: String,
-                      valCols: Seq[String]): Long = {
+                      valCols: Seq[String],
+                      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (w, epoch) =>
+      if (lastTxn(w).exists(_ >= epoch))
+        return latestVersion.getOrElse(
+          throw new IllegalStateException(
+            s"applyChangesAgg: txn $w@$epoch recorded but no version at $root"))
+    }
     val dec = "decimal(28,6)"
     val sgn = when(col("_change").isin("insert", "update_postimage"), 1L)
       .otherwise(lit(-1L))
@@ -4775,21 +4795,30 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           .cast(dec).as(s"sum_$c")): _*)
     val lv = latestVersion.getOrElse {
       // bootstrap: the first batch's positive groups ARE the mirror
-      return append(delta.filter(col("n") =!= 0L))
+      return append(delta.filter(col("n") =!= 0L), txn = txn)
     }
-    val touchedKeys = delta.select(col(keyCol)).na.drop()
+    // delta is one row per group already — keep a null-group row (na.drop
+    // here would turn an all-null-key batch into a silent no-op that
+    // drops its deltas)
+    val touchedKeys = delta.select(col(keyCol))
       .limit(1025).collect().map(_.get(0))
     if (touchedKeys.isEmpty)
-      return commit(nextVersion, entries(lv), op = "apply_changes")
-    val pred =
-      if (touchedKeys.length <= 1024)
-        col(keyCol).isin(touchedKeys.toIndexedSeq: _*)
+      return commit(nextVersion, entries(lv), op = "apply_changes",
+        txn = txn)
+    val hasNullKey = touchedKeys.contains(null)
+    val nonNullKeys = touchedKeys.filter(_ != null)
+    val nonNullPred =
+      if (nonNullKeys.isEmpty) lit(false)
+      else if (nonNullKeys.length <= 1024)
+        col(keyCol).isin(nonNullKeys.toIndexedSeq: _*)
       else {
         val mm = delta.select(col(keyCol))
           .agg(min(col(keyCol)), max(col(keyCol))).head()
         if (mm.isNullAt(0)) lit(true)
         else col(keyCol) >= lit(mm.get(0)) && col(keyCol) <= lit(mm.get(1))
       }
+    val pred = if (hasNullKey) nonNullPred || col(keyCol).isNull
+               else nonNullPred
     val prev = entries(lv)
     val candSet = entriesForPredicate(pred, lv).map(_.path).toSet
     val (rewrite, keep) = prev.partition(e => candSet.contains(e.path))
@@ -4802,7 +4831,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val d = delta.select((col(keyCol).as(s"__d_$keyCol") +:
       col("n").as("__d_n") +:
       valCols.map(c => col(s"sum_$c").as(s"__d_sum_$c"))): _*)
-    val joined = old.join(d, old(keyCol) === d(s"__d_$keyCol"), "full_outer")
+    val joined = old.join(d, old(keyCol) <=> d(s"__d_$keyCol"), "full_outer")
     val out = joined.select(
       (coalesce(old(keyCol), d(s"__d_$keyCol")).as(keyCol) +:
         (coalesce(old("n"), lit(0L)) + coalesce(d("__d_n"), lit(0L))).as("n") +:
@@ -4812,7 +4841,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             .cast(dec).as(s"sum_$c"))): _*)
       .filter(col("n") =!= 0L)
     val written = writeData(clusterByPartition(out), v)
-    commit(v, keep ++ written, op = "apply_changes",
+    commit(v, keep ++ written, op = "apply_changes", txn = txn,
       extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 

@@ -343,10 +343,14 @@ object AcidQueries extends QueryPack {
         .option("changeFeedKeys", "user_id")
         .load()
         .writeStream.option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the (writerId, batchId) token makes a replayed micro-batch a
+        // no-op — without it a foreachBatch retry re-applies its deltas
+        // and silently doubles the mirror (the exactly-once contract)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty)
             mir.applyChangesAgg(batch.drop("_commit_version"),
-              "event_type", Seq("value"))
+              "event_type", Seq("value"),
+              txn = Some(("cdcagg_mirror", batchId)))
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1485,7 +1489,7 @@ object AcidQueries extends QueryPack {
 
     // PARTITIONED row tracking: the duplicate-id regression gate. Every
     // source batch is 16-wide while the partitioned table clusters down
-    // to #event_type partitions before writing — an unpinned watermark
+    // to 4 bucket partitions before writing — an unpinned watermark
     // span re-mints live ids on the second append. The compare pins BOTH
     // id uniqueness (n_ids == n_rows) and that the keyless CDC pairing
     // still classifies cleanly (no unpaired insert/delete noise from

@@ -54,6 +54,48 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mirrorState(m) == expected(src))
   }
 
+  test("a replayed batch with the same txn epoch is a no-op (exactly-once under retry)") {
+    val m = new GraftTable(spark, graft.TempDirs.create("graft_iagg_txn"))
+    val b1 = feedOf(Seq(("a", 1.5, "insert"), ("b", 10.0, "insert")))
+    m.applyChangesAgg(b1, "g", Seq("v"), txn = Some(("w", 0L)))
+    val after1 = mirrorState(m)
+    // the foreachBatch-retry shape: the SAME epoch re-applies — must not
+    // double the mirror
+    m.applyChangesAgg(b1, "g", Seq("v"), txn = Some(("w", 0L)))
+    assert(mirrorState(m) == after1, "a replayed epoch must be a no-op")
+    // a LATER epoch applies normally
+    m.applyChangesAgg(feedOf(Seq(("a", 2.0, "insert"))), "g", Seq("v"),
+      txn = Some(("w", 1L)))
+    assert(mirrorState(m) ==
+      expected(Seq(("a", 1.5), ("a", 2.0), ("b", 10.0)).toDF("g", "v")))
+    // replaying epoch 1 after it landed: still a no-op
+    m.applyChangesAgg(feedOf(Seq(("a", 2.0, "insert"))), "g", Seq("v"),
+      txn = Some(("w", 1L)))
+    assert(mirrorState(m) ==
+      expected(Seq(("a", 1.5), ("a", 2.0), ("b", 10.0)).toDF("g", "v")))
+  }
+
+  test("null group keys fold null-safely: deltas land on the existing null-key row") {
+    val m = new GraftTable(spark, graft.TempDirs.create("graft_iagg_null"))
+    m.applyChangesAgg(Seq((Option("a"), 1.0, "insert"),
+      (Option.empty[String], 5.0, "insert")).toDF("g", "v", "_change"),
+      "g", Seq("v"))
+    // an ALL-null-key batch must still apply (na.drop would no-op it)
+    m.applyChangesAgg(Seq((Option.empty[String], 2.5, "insert"))
+      .toDF("g", "v", "_change"), "g", Seq("v"))
+    val rows = m.snapshot().collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1),
+        BigDecimal(r.getDecimal(2)))).toSet
+    assert(rows == Set((Some("a"), 1L, BigDecimal("1.000000")),
+      (None, 2L, BigDecimal("7.500000"))),
+      s"null-key group must merge into ONE row, got $rows")
+    // deleting one null-key row nets it down, not out
+    m.applyChangesAgg(Seq((Option.empty[String], 5.0, "delete"))
+      .toDF("g", "v", "_change"), "g", Seq("v"))
+    val after = m.snapshot().filter($"g".isNull).collect()
+    assert(after.length == 1 && after.head.getLong(1) == 1L)
+  }
+
   test("the end-to-end CDC loop: keyed stream -> aggregate mirror equals the source's aggregate") {
     val srcRoot = graft.TempDirs.create("graft_iagg_src")
     val t = new GraftTable(spark, srcRoot, statsCol = Some("id"))
