@@ -171,19 +171,26 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
 
       // `WITH SCHEMA EVOLUTION` (the Delta star semantics): source
       // columns the target lacks become NEW target columns, assigned
-      // from the source in every UPDATE and INSERT action. The analyzer
-      // resolves star actions against the EXISTING target schema — the
-      // extra source columns never reach the assignment lists (and an
-      // explicit `SET t.new = ...` is rejected before this rule runs) —
-      // so the conversion re-attaches them here; the table-side
-      // [[GraftTable.mergeIntoGeneral]] evolveSchema machinery then
-      // adds + types the columns and keeps carried files metadata-only.
+      // from the source in STAR actions only (`UPDATE SET *` /
+      // `INSERT *`). The analyzer resolves star actions against the
+      // EXISTING target schema — the extra source columns never reach
+      // the assignment lists (and an explicit `SET t.new = ...` is
+      // rejected before this rule runs) — so the conversion re-attaches
+      // them here; the table-side [[GraftTable.mergeIntoGeneral]]
+      // evolveSchema machinery then adds + types the columns and keeps
+      // carried files metadata-only. An EXPLICIT assignment list (e.g.
+      // `WHEN MATCHED THEN UPDATE SET t.v = s.v`) leaves the evolved
+      // columns unassigned — NULL/unchanged, exactly Delta's rule; star
+      // is detected as an assignment list covering the full
+      // pre-evolution target schema (the analyzer's star expansion).
       val evolveCols: Seq[String] =
         if (!m.withSchemaEvolution) Nil
         else src.output.map(_.name)
           .filterNot(n => tOut.exists(_.name.equalsIgnoreCase(n)))
+      def isStar(s: Map[String, Column]): Boolean =
+        tOut.forall(a => s.keys.exists(_.equalsIgnoreCase(a.name)))
       def withEvolved(s: Map[String, Column]): Map[String, Column] =
-        s ++ evolveCols.map(n => n -> col(s"__s_$n"))
+        if (isStar(s)) s ++ evolveCols.map(n => n -> col(s"__s_$n")) else s
 
       // Some(None) = unconditional action; None = cannot convert
       def optCond(c: Option[Expression]): Option[Option[Column]] = c match {

@@ -474,14 +474,32 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def sidecarsRoot = new Path(logDir, "sidecars")
 
   /** Shard refs of version `v`'s SIDECAR-form parquet checkpoint,
-    * parsed from its `.pcp` meta (`s\t<shard>\t<relpath>` lines) —
-    * empty for the classic single-directory form. */
-  private def pcpShardRefs(v: Long): Seq[(Int, String)] =
-    if (!fs.exists(pcpMetaPath(v))) Nil
-    else readLines(pcpMetaPath(v)).getOrElse(Nil).collect {
-      case l if l.startsWith("s\t") => l.split('\t') match {
-        case Array(_, s, rel) => (s.toInt, rel)
-      }
+    * parsed from its `.pcp` meta (`s\t<shard>\t<relpath>` lines), plus
+    * a well-formed flag: false = a complete-but-corrupted meta (an
+    * `s\t` line of the wrong arity or a non-numeric shard). The parse
+    * is TOTAL — a damaged line degrades to the manifest-chain fallback
+    * like every other damage mode, never a MatchError on a read path;
+    * the valid refs still return so [[vacuum]] can keep any shard root
+    * a parseable line references. */
+  private def pcpShardRefsRaw(v: Long): (Seq[(Int, String)], Boolean) =
+    if (!fs.exists(pcpMetaPath(v))) (Nil, true)
+    else {
+      val parsed = readLines(pcpMetaPath(v)).getOrElse(Nil)
+        .filter(_.startsWith("s\t"))
+        .map(_.split('\t') match {
+          case Array(_, s, rel) => s.toIntOption.map(_ -> rel)
+          case _                => None
+        })
+      (parsed.flatten, parsed.forall(_.isDefined))
+    }
+
+  /** [[pcpShardRefsRaw]] validated: None = corrupted refs (damaged
+    * checkpoint), Some(Nil) = no shard lines (classic form, or an
+    * empty sidecar write). */
+  private def pcpShardRefs(v: Long): Option[Seq[(Int, String)]] =
+    pcpShardRefsRaw(v) match {
+      case (refs, true) => Some(refs)
+      case _            => None
     }
 
   /** Parsed `# key=value` header of version `v`'s `.pcp` meta. */
@@ -497,16 +515,26 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   /** Data paths behind version `v`'s parquet checkpoint — the classic
     * part directory, or the sidecar shard dirs (each possibly reused
-    * from an earlier checkpoint's write). None = sidecar form with a
-    * missing shard dir: a damaged artifact, treated exactly like the
-    * nf-mismatch case (warn-and-fall-back to the manifest chain), never
-    * a thrown read of a path that is not there. */
-  private def pcpDataPaths(v: Long): Option[Seq[Path]] = {
-    val shards = pcpShardRefs(v).map { case (_, rel) => new Path(logDir, rel) }
-    if (shards.isEmpty) Some(Seq(pcpDirPath(v)))
-    else if (shards.forall(fs.exists)) Some(shards)
-    else None
-  }
+    * from an earlier checkpoint's write). Some(Nil) = a legitimate
+    * EMPTY sidecar checkpoint (nf=0 writes no shard lines — a
+    * delete-all table still checkpoints); None = damaged (corrupted
+    * refs, a missing shard dir, or a shardless sidecar meta claiming
+    * nf>0), treated exactly like the nf-mismatch case
+    * (warn-and-fall-back to the manifest chain), never a thrown read
+    * of a path that is not there. The `ns=` header key distinguishes
+    * the sidecar form — a shardless meta WITHOUT it is the classic
+    * single-directory form. */
+  private def pcpDataPaths(v: Long): Option[Seq[Path]] =
+    pcpShardRefs(v).flatMap { refs =>
+      val shards = refs.map { case (_, rel) => new Path(logDir, rel) }
+      if (refs.isEmpty) {
+        if (pcpMetaKv(v).contains("ns"))
+          if (pcpMetaNf(v).contains(0L)) Some(Nil) else None
+        else Some(Seq(pcpDirPath(v)))
+      }
+      else if (shards.forall(fs.exists)) Some(shards)
+      else None
+    }
 
   /** Active-file count past which [[writeCheckpoint]] switches from the
     * text checkpoint to the parquet (columnar, distributed) form. The
@@ -655,9 +683,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             "chain")
           return None
       }
-      val rows = spark.read.schema(GraftTable.cpSchema)
-        .parquet(paths.map(_.toString): _*)
-        .as[GraftTable.CpRow].collect()
+      // Nil = a valid EMPTY sidecar checkpoint (nf=0): zero entries,
+      // no parquet scan of a nonexistent path
+      val rows =
+        if (paths.isEmpty) Array.empty[GraftTable.CpRow]
+        else spark.read.schema(GraftTable.cpSchema)
+          .parquet(paths.map(_.toString): _*)
+          .as[GraftTable.CpRow].collect()
       if (nf != rows.length) {
         logWarning(s"parquet checkpoint v$v at $root is damaged: meta " +
           s"says $nf entries, scan found ${rows.length}; falling back " +
@@ -688,7 +720,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * complete meta implies a complete directory. */
   private[graft] def checkpointDF(v: Long): Option[DataFrame] =
     pcpMetaNf(v).flatMap(_ => pcpDataPaths(v)).map(paths =>
-      spark.read.schema(GraftTable.cpSchema)
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          GraftTable.cpSchema)
+      else spark.read.schema(GraftTable.cpSchema)
         .parquet(paths.map(_.toString): _*))
 
   /** One commit's provenance: version, operation, wall-clock commit time
@@ -1743,7 +1779,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         if (fs.exists(checkpointPath(base))) incremental = false
         else if (fs.exists(pcpMetaPath(base))) {
           val kv = pcpMetaKv(base)
-          if (pcpShardRefs(base).nonEmpty &&
+          if (pcpShardRefs(base).exists(_.nonEmpty) &&
               kv.get("ns").flatMap(_.toIntOption).contains(k) &&
               kv.get("maxord").exists(_.toLongOption.isDefined) &&
               pcpMetaNf(base).isDefined && pcpDataPaths(base).isDefined)
@@ -1783,7 +1819,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val (refs, maxOrd) = prevCp.filter(_ => incremental) match {
         case Some(pv) =>
           val dirty = touched.map(shardOf(_, k))
-          val prevRefs = pcpShardRefs(pv).toMap
+          val prevRefs = pcpShardRefs(pv).getOrElse(Nil).toMap
           // prior ords of the dirty shards' survivors (a small read:
           // O(dirty shards) of the prior checkpoint)
           val dirtyPrevPaths = prevRefs.view.filterKeys(dirty)
@@ -3533,8 +3569,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           "to the manifest chain")
         return None
     }
-    val scan = spark.read.schema(GraftTable.cpSchema)
-      .parquet(prunePaths.map(_.toString): _*)
+    val scan =
+      if (prunePaths.isEmpty) // valid EMPTY sidecar checkpoint (nf=0)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          GraftTable.cpSchema)
+      else spark.read.schema(GraftTable.cpSchema)
+        .parquet(prunePaths.map(_.toString): _*)
     // completeness gate BEFORE filtering (the same nf= validation
     // [[parquetCheckpointEntries]] enforces): a damaged checkpoint —
     // complete .pcp meta, missing part files — must fall back to the
@@ -4177,8 +4218,15 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * above the pinned watermark; the pinned commit version makes a
     * racing writer collide loudly — stale-watermark id reuse is
     * impossible (no silent rebase, unlike the blind append). */
-  def replaceWhere(predicate: Column, df: DataFrame,
+  def replaceWhere(predicate: Column, df0: DataFrame,
                    useDv: Boolean = true): Long = {
+    // PIN the replacement to ONE evaluation before validating: the
+    // containment check and the write path would otherwise evaluate
+    // `df0` independently, and a non-deterministic source could pass
+    // validation and then land out-of-scope rows — silently widening
+    // the overwrite (the same re-evaluation hazard the DV path pins
+    // with localCheckpoint for its change feed)
+    val df = df0.localCheckpoint()
     require(df.filter(!coalesce(predicate, lit(false))).isEmpty,
       s"replaceWhere on $root: every incoming row must satisfy the " +
         "predicate — out-of-scope rows would silently widen the overwrite")
@@ -4738,6 +4786,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     require(toV > fromV,
       s"changeFeedByVersion: need fromV < toV, got ($fromV, $toV]")
     val vs = versions.filter(v => v > fromV && v <= toV)
+    // RETENTION GUARD (the Delta table_changes contract): every version
+    // in the requested range must still be resolvable, or the feed
+    // fails LOUDLY naming the trimmed versions — silently serving a
+    // partial attributed feed would make a per-commit replay consumer
+    // lose commits without noticing. (The range feed's served path
+    // checks the same contiguity; the per-version form must too.)
+    val missing = ((fromV + 1) to toV).filterNot(vs.contains)
+    require(missing.isEmpty,
+      s"changeFeedByVersion: versions ${missing.mkString(",")} of " +
+        s"($fromV, $toV] are no longer retained at $root (vacuumed); " +
+        "narrow the range or rebuild the consumer from a snapshot")
     require(vs.nonEmpty,
       s"changeFeedByVersion: no versions in ($fromV, $toV] at $root")
     vs.map { v =>
@@ -5166,7 +5225,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // a live writer may have finished its shard job but not yet
     // published the referencing meta.
     if (fs.exists(sidecarsRoot)) {
-      val liveUuids = keepVs.flatMap(v => pcpShardRefs(v).map(_._2))
+      // best-effort parse: even a corrupted meta's VALID lines keep
+      // their shard roots alive (deleting one shared with a healthy
+      // checkpoint would damage that one too)
+      val liveUuids = keepVs.flatMap(v => pcpShardRefsRaw(v)._1.map(_._2))
         .flatMap(_.split('/').lift(1)).toSet
       val now = System.currentTimeMillis()
       fs.listStatus(sidecarsRoot).iterator
@@ -5835,10 +5897,19 @@ object GraftTable {
     * stacks above an undecided pending) — validate exactly those: a
     * top-pending decided 'c' whose sibling versions exceed the cut
     * means the cut split it → retry. */
-  def consistentVersions(tables: Seq[GraftTable]): Map[String, Long] = {
+  def consistentVersions(tables: Seq[GraftTable],
+                         maxWaitMs: Long = 30000L): Map[String, Long] = {
     require(tables.nonEmpty, "consistentVersions needs at least one table")
+    // BOUNDED BY WALL-CLOCK, not attempt count, with jittered backoff
+    // between cut attempts: under a commit storm a tight spin is 100
+    // full-metadata reads back to back — each doomed attempt makes the
+    // storm worse. The jitter desynchronizes concurrent readers (two
+    // readers retrying in lockstep would keep observing each other's
+    // window); backoff grows 2x per attempt, capped at 500ms.
+    val deadline = System.currentTimeMillis() + maxWaitMs
     var attempt = 0
-    while (attempt < 100) {
+    var backoffMs = 5L
+    while (true) {
       val cut = tables.map(t => t.root -> t.latestVersion.getOrElse(0L)).toMap
       val stable = tables.forall(t =>
         t.latestVersion.getOrElse(0L) == cut(t.root))
@@ -5854,10 +5925,18 @@ object GraftTable {
         if (!split) return cut
       }
       attempt += 1
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"consistentVersions: no stable multi-table cut after $attempt " +
+            s"attempts / ${maxWaitMs}ms (commit storm?); retry or pin an " +
+            "explicit txn via snapshotsAtTxn")
+      val jitter = java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(backoffMs + 1)
+      Thread.sleep(math.min(backoffMs + jitter,
+        math.max(1L, deadline - System.currentTimeMillis())))
+      backoffMs = math.min(backoffMs * 2, 500L)
     }
-    throw new IllegalStateException(
-      "consistentVersions: no stable multi-table cut after 100 attempts " +
-        "(commit storm?); retry or pin an explicit txn via snapshotsAtTxn")
+    throw new IllegalStateException("unreachable")
   }
 
   /** [[consistentVersions]] materialized: each table's snapshot pinned

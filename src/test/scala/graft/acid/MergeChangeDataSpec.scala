@@ -230,6 +230,25 @@ class MergeChangeDataSpec extends SparkSpec {
       s"the attributed feed past v1 must read only change files:\n${inputs.mkString("\n")}")
   }
 
+  test("changeFeedByVersion refuses a range whose interior was vacuumed, naming the versions") {
+    val root = graft.TempDirs.create("graft_cdf_byver_vac")
+    val t = new GraftTable(spark, root, statsCol = Some("id"))
+    t.append((1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))   // v1
+    t.update(col("id") <= 3L, Map("v" -> (col("v") + 100.0)))      // v2
+    t.append(Seq((21L, 21.0)).toDF("id", "v"))                     // v3
+    t.vacuum(retain = 1)
+    // (0, 3] now has a trimmed prefix: serving only v3's diff would
+    // silently lose v1/v2 for a per-commit replay consumer
+    val e = intercept[IllegalArgumentException] {
+      t.changeFeedByVersion(0L, 3L)
+    }
+    assert(e.getMessage.contains("1,2") && e.getMessage.contains("retained"),
+      s"the error must name the vacuumed versions: ${e.getMessage}")
+    // the still-retained suffix serves normally
+    assert(t.changeFeedByVersion(2L, 3L)
+      .filter(col("_change") === "insert").count() == 1L)
+  }
+
   test("the CDC mirror's own applyChangesKeyed commits persist change data (fan-out chains)") {
     val root = graft.TempDirs.create("graft_cdf_merge_mirror")
     val t = new GraftTable(spark, root, statsCol = Some("id"))

@@ -116,6 +116,34 @@ class MergeEvolutionSpec extends SparkSpec {
       "a plain star-merge never evolves the schema")
   }
 
+  test("SQL: an EXPLICIT assignment under WITH SCHEMA EVOLUTION leaves evolved columns unassigned") {
+    val warehouse = graft.TempDirs.create("graft_mev_expl_wh")
+    spark.conf.set("spark.sql.catalog.gmevx", "graft.acid.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmevx.root", warehouse)
+    val t = new GraftTable(spark, s"$warehouse/mevx")
+    t.append((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      mergeSchema = true)
+    Seq((1L, 100.0, "gold"), (11L, 11.0, "fresh")).toDF("id", "v", "tier")
+      .createOrReplaceTempView("mevx_src")
+    // matched: EXPLICIT SET (only v) — tier must stay NULL on row 1
+    // even though the source carries it (Delta populates evolved
+    // columns for STAR actions only); not-matched: INSERT * carries it
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gmevx.mevx t
+      |USING mevx_src s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET t.v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val cold = GraftTable.load(spark, s"$warehouse/mevx")
+    assert(cold.tableSchema.get.fieldNames.toSeq == Seq("id", "v", "tier"),
+      "the schema still evolves (the star insert references tier)")
+    val got = spark.sql("SELECT id, v, tier FROM gmevx.mevx ORDER BY id")
+      .as[(Long, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((100.0, None)),
+      s"an explicit UPDATE SET must NOT write the evolved column: ${got(1L)}")
+    assert(got(11L) == ((11.0, Some("fresh"))),
+      "the star INSERT populates the evolved column")
+  }
+
   test("evolution on a schema-less table refuses loudly") {
     val root = graft.TempDirs.create("graft_mev_noschema")
     val t = new GraftTable(spark, root)

@@ -442,6 +442,45 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("not committed"), e.getMessage)
   }
 
+  test("a commit storm: many racing readers converge with backoff, never the spin-out exception") {
+    import org.apache.spark.sql.functions.{col, max}
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_storm_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_storm_b"))
+    ta.append(df(0 to 0)); tb.append(df(0 to 0))
+    withPatience(200L) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      try {
+        val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (1 to 10).foreach { k =>
+            try GraftTable.appendAtomic(Seq((ta, df(k to k)), (tb, df(k to k))))
+            catch { case _: ConcurrentCommitException => () }
+          }
+        })
+        // four readers cutting concurrently through the storm: each cut
+        // must converge (bounded by wall-clock with jittered backoff,
+        // not a tight 100-spin) and never split a pair
+        val readers = (0 until 4).map(_ =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = {
+              var bad = 0
+              while (!writer.isDone) {
+                val cut = GraftTable.consistentVersions(Seq(ta, tb))
+                val ma = ta.snapshot(Some(cut(ta.root)))
+                  .agg(max(col("k"))).head().getLong(0)
+                val mb = tb.snapshot(Some(cut(tb.root)))
+                  .agg(max(col("k"))).head().getLong(0)
+                if (ma != mb) bad += 1
+              }
+              bad
+            }
+          }))
+        writer.get()
+        assert(readers.map(_.get()).sum == 0,
+          "no cut may split an atomic pair, and none may spin out")
+      } finally pool.shutdown()
+    }
+  }
+
   test("a reader racing an atomic pair never observes mixed versions through consistentSnapshots") {
     import org.apache.spark.sql.functions.{col, max}
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_race_a"))

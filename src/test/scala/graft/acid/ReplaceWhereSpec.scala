@@ -65,6 +65,24 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(t.versions == (1L to 3L), "a refused replace must not commit")
   }
 
+  test("a non-deterministic replacement is pinned to one evaluation: validation == what lands") {
+    val t = seed(graft.TempDirs.create("graft_rw_nondet"))
+    // rand() re-rolls on every evaluation: an unpinned path could pass
+    // the containment check on one draw and write a different draw's
+    // (possibly out-of-scope) rows. Pinned, the written ids must be a
+    // subset of the predicate AND exactly match what validation saw.
+    val repl = spark.range(1, 21)
+      .select((col("id") % 25L + 1L).as("id"), lit("R").as("name"),
+        rand(7).as("v"))
+      .filter(rand() >= 0.0) // keep a nondeterministic operator in the plan
+    t.replaceWhere($"id" <= 25L, repl)
+    val landed = t.snapshot().filter($"name" === "R")
+    assert(landed.filter($"id" > 25L).isEmpty,
+      "no out-of-scope row may land after validation passed")
+    assert(t.snapshot().filter($"id" <= 25L).count() == landed.count(),
+      "every surviving in-scope row is from the replacement")
+  }
+
   test("copy-on-write fallback (useDv = false) lands the same content") {
     val t = seed(graft.TempDirs.create("graft_rw_cow"))
     val prevLines = t.entries(3L).map(_.line).toSet

@@ -156,6 +156,55 @@ class SidecarCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("an EMPTY sidecar checkpoint (delete-all) resolves to zero entries, not a thrown path read") {
+    withSidecars(4) {
+      val root = graft.TempDirs.create("graft_scp_empty")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      t.commit(1L, (0 until 50).map(mkEntry(t, _)), op = "append")
+      // delete-all: nf=0 writes a sidecar meta with NO shard lines —
+      // resolution must serve zero entries through the sidecar form,
+      // never read the (nonexistent) classic part dir. minFiles=0 keeps
+      // the empty commit on the parquet-checkpoint path.
+      spark.conf.set(MinFilesKey, "0")
+      t.commit(2L, Nil, op = "delete")
+      val meta = metaLines(root, 2L)
+      assert(meta.head.contains("nf=0") && meta.head.contains("ns=4") &&
+        shardRefs(root, 2L).isEmpty, s"empty sidecar meta: ${meta.head}")
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(2L).isEmpty,
+        "an empty sidecar checkpoint must resolve to zero entries")
+      assert(cold.checkpointDF(2L).exists(_.count() == 0L),
+        "the metadata face must serve the empty sidecar form")
+      // and a later append on top of the empty checkpoint reads fine
+      t.commit(3L, Seq(mkEntry(t, 7777)), op = "append")
+      val cold2 = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold2.entries(3L).map(_.path) == Seq(mkEntry(t, 7777).path))
+    }
+  }
+
+  test("a corrupted shard-ref line degrades to the manifest chain, never a MatchError") {
+    withSidecars(4) {
+      val root = graft.TempDirs.create("graft_scp_corrupt")
+      val t = new GraftTable(spark, root, checkpointInterval = 1)
+      val es = (0 until 200).map(mkEntry(t, _))
+      t.commit(1L, es, op = "append")
+      // corrupt one s-line to the wrong arity, keeping the terminator
+      // marker (a COMPLETE but damaged meta — the dangerous shape)
+      val p = new Path(s"$root/_log/v${"%020d".format(1)}.pcp")
+      val lines = metaLines(root, 1L)
+      val bad = lines.map(l =>
+        if (l == lines.find(_.startsWith("s\t")).get) "s\tnot-a-shard" else l)
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(bad.mkString("\n").getBytes("UTF-8")) finally out.close()
+      val cold = new GraftTable(spark, root, checkpointInterval = 1)
+      assert(cold.entries(1L).map(_.line).sorted == es.map(_.line).sorted,
+        "corrupted shard refs must fall back to the manifest chain")
+      assert(cold.checkpointDF(1L).isEmpty,
+        "the metadata face must refuse corrupted shard refs")
+    }
+  }
+
   test("vacuum keeps referenced shard roots, reclaims aged orphans, and the trimmed table resolves") {
     withSidecars(4) {
       val root = graft.TempDirs.create("graft_scp_vacuum")
