@@ -103,6 +103,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       acid.GraftDvScanRewrite.install(session)
       acid.GraftDvScanRewrite
     }
+    // txn-pinned table-valued reads: SELECT ... FROM
+    // snapshot_at_txn('cat.ns.t', '<txn marker>') — the read-side SQL
+    // face of COMMIT ATOMIC (each participant pinned at its committed
+    // version; two calls over one marker can never observe a split txn)
+    e.injectTableFunction((new FunctionIdentifier("snapshot_at_txn"),
+      new ExpressionInfo(
+        "graft.acid (snapshot_at_txn(tableRef, txnMarker) - participant " +
+          "table pinned at its version in the multi-table txn)",
+        null, "snapshot_at_txn"),
+      acid.GraftTxnSql.snapshotAtTxnPlan _))
     // lakehouse maintenance SQL over graft-catalog tables:
     // OPTIMIZE [TARGET n FILES] [ZORDER BY (a, b)] / VACUUM [RETAIN n
     // VERSIONS] / RESTORE ... TO VERSION AS OF v / DESCRIBE HISTORY

@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE DETAIL <table>
   *   DESCRIBE FILES <table>                     -- per-file manifest metadata
   *   DESCRIBE CHANGES <table> FROM <v> TO <v> [KEYED BY (k, ...)]
+  *   DESCRIBE TXN '<marker>'                    -- multi-table txn participants
   *   COMMIT ATOMIC ( <stmt>; <stmt>; ... )      -- multi-table atomic txn
   *   INSERT INTO <table> REPLACE WHERE <pred> <query>  -- selective overwrite
   * }}}
@@ -703,6 +704,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
          } else if (keys.nonEmpty) table.changeFeedKeyed(fromV, toV, keys)
          else table.changeFeed(fromV, toV)).queryExecution.logical
       }
+    } else if (t.takeKw("TXN")) {
+      // DESCRIBE TXN '<marker>': one row per participant table of a
+      // committed multi-table txn — (table_root, version), the
+      // discovery step before snapshot_at_txn() pinned reads
+      val marker = t.takeString().getOrElse(
+        throw t.err("expected a quoted txn marker after DESCRIBE TXN"))
+      t.expectEnd()
+      Some(GraftTxnSql.participantsDF(spark, marker)
+        .queryExecution.logical)
     } else None // plain DESCRIBE <table> etc. — Spark's own statement
   }
 

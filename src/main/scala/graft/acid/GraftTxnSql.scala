@@ -1,0 +1,87 @@
+package graft.acid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+
+/** SQL face for READ-SIDE multi-table transaction consistency — the
+  * consumer-side twin of `COMMIT ATOMIC`'s write-side atomicity
+  * (reference semantics: cross-table snapshot reads; the Delta-style
+  * txn-pinned read a raw+stats pair needs):
+  *
+  * {{{
+  *   SELECT * FROM snapshot_at_txn('cat.ns.t', '<txn marker>')   -- TVF
+  *   DESCRIBE TXN '<txn marker>'            -- participant discovery
+  * }}}
+  *
+  * The TVF pins ONE participant table at the exact version its
+  * participant committed in the transaction — so two TVF calls over the
+  * same marker compose into a join that can never observe a split txn,
+  * with no API code anywhere. Version pinning is ordinary time travel:
+  * O(1) manifest resolution per call, no data I/O beyond the query.
+  * The first argument is a graft-catalog identifier (`cat.ns.t`) or a
+  * raw table-root path; the second the txn marker id returned by
+  * `COMMIT ATOMIC` / [[GraftTable.commitAtomicTxn]] (also listed in
+  * DESCRIBE HISTORY's txn column).
+  */
+object GraftTxnSql {
+
+  private def constStr(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-null string literal")
+    }
+
+  /** A table reference as the TVF accepts it: a graft-catalog
+    * identifier resolved through the session's catalog config, or a
+    * raw root path (anything containing a path separator). */
+  private[acid] def resolveRoot(spark: SparkSession, ref: String): String = {
+    if (ref.contains("/")) return ref
+    val parts =
+      try spark.sessionState.sqlParser.parseMultipartIdentifier(ref)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"snapshot_at_txn: '$ref' is neither a path nor a parseable " +
+              "catalog identifier")
+      }
+    val conf = spark.conf
+    require(parts.length >= 2 &&
+      conf.getOption(s"spark.sql.catalog.${parts.head}")
+        .contains(classOf[GraftCatalog].getName),
+      s"snapshot_at_txn: '$ref' must name a graft-catalog table " +
+        "(cat.ns.t with spark.sql.catalog.<cat> = GraftCatalog) or a " +
+        "table-root path")
+    conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+      .map(root => parts.tail.foldLeft(
+        new org.apache.hadoop.fs.Path(root))(
+        new org.apache.hadoop.fs.Path(_, _)).toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot_at_txn: catalog '${parts.head}' has no configured root"))
+  }
+
+  /** TVF builder for `snapshot_at_txn(tableRef, txnMarker)`. */
+  def snapshotAtTxnPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2,
+      "snapshot_at_txn(tableRef, txnMarker) takes exactly two arguments")
+    val spark = SparkSession.active
+    val ref = constStr(exprs.head, "snapshot_at_txn", "tableRef")
+    val txn = constStr(exprs(1), "snapshot_at_txn", "txnMarker")
+    val root = resolveRoot(spark, ref)
+    val parts = GraftTable.txnParticipants(spark, txn).toMap
+    val v = parts.getOrElse(root, throw new IllegalArgumentException(
+      s"snapshot_at_txn: table at $root is not a participant of txn " +
+        s"$txn (participants: ${parts.keys.mkString(", ")})"))
+    GraftTable.load(spark, root).snapshot(Some(v)).queryExecution.logical
+  }
+
+  /** `DESCRIBE TXN '<marker>'`: one row per participant —
+    * (table_root, version) — the discovery step before pinned reads. */
+  def participantsDF(spark: SparkSession, txnId: String): DataFrame = {
+    import spark.implicits._
+    GraftTable.txnParticipants(spark, txnId)
+      .toDF("table_root", "version")
+  }
+}

@@ -1526,6 +1526,31 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_type")
     },
 
+    // The SQL face of the same pinned read: SELECT over the
+    // snapshot_at_txn() table-valued function (parser/extension-injected
+    // — so it runs on a DERIVED session, the q_acid_sql_atomic_merge
+    // pattern) joining the raw+stats pair through SQL ALONE, pinned at
+    // the middle txn. Must hash-match the API gate's oracle exactly.
+    "q_acid_sql_txn_read" -> { (s, d) =>
+      val (raw, st, txnId) = multiTables(s, d)
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions)
+        .create()
+      val out = s2.sql(
+        s"""SELECT r.event_type, count(*) AS n_raw, max(t.n_stats) AS n_stats
+           |FROM snapshot_at_txn('${raw.root}', '$txnId') r
+           |JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_stats
+           |      FROM snapshot_at_txn('${st.root}', '$txnId')
+           |      GROUP BY event_type) t
+           |  ON r.event_type = t.event_type
+           |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)
+      // a tiny result: re-host it on the CALLER's session (the dump path
+      // writes through `s`, not the derived session)
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
     // GENERALIZED multi-table txn: each step atomically APPENDED a slice
     // to raw and DV-DELETED a user band from the mirror. The mirror must
     // hold exactly the never-deleted bands AND raw the full event set —
@@ -2173,6 +2198,14 @@ object AcidQueries extends QueryPack {
 
     // the pinned pair holds slices %3 in {0,1}; raw recount == stats sum
     "q_acid_txn_read" ->
+      """SELECT event_type,
+        |       count(*) AS n_raw,
+        |       count(*) AS n_stats
+        |FROM events WHERE event_id % 3 <= 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the TVF-pinned SQL read serves the identical recount identity
+    "q_acid_sql_txn_read" ->
       """SELECT event_type,
         |       count(*) AS n_raw,
         |       count(*) AS n_stats

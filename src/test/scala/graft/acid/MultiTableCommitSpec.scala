@@ -442,6 +442,48 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("not committed"), e.getMessage)
   }
 
+  test("SQL face: snapshot_at_txn TVF and DESCRIBE TXN pin participants, immune to later writes") {
+    import org.apache.spark.sql.functions.col
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_sql_a"))
+    val tb = new GraftTable(spark, graft.TempDirs.create("graft_mt_sql_b"))
+    val (_, txnId) = GraftTable.commitAtomicTxn(Seq(
+      GraftTable.AtomicAppend(ta, df(1 to 10)),
+      GraftTable.AtomicAppend(tb, df(1 to 10))))
+    // later writes the pin must ignore
+    ta.append(df(11 to 20)); tb.append(df(11 to 30))
+    // TVF + DESCRIBE TXN are extension grammar — a derived session
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .withExtensions(new graft.GraftExtensions)
+      .create()
+    val joined = s2.sql(
+      s"""SELECT count(*) AS n FROM snapshot_at_txn('${ta.root}', '$txnId') a
+         |JOIN snapshot_at_txn('${tb.root}', '$txnId') b ON a.k = b.k""".stripMargin)
+    assert(joined.collect().head.getLong(0) == 10L,
+      "both sides pinned at the txn cut — later appends invisible")
+    val parts = s2.sql(s"DESCRIBE TXN '$txnId'").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts == Map(ta.root -> 1L, tb.root -> 1L),
+      s"DESCRIBE TXN must list every participant at its version: $parts")
+    // a non-participant refuses loudly
+    val tc = new GraftTable(spark, graft.TempDirs.create("graft_mt_sql_c"))
+    tc.append(df(1 to 3))
+    val e = intercept[Exception] {
+      s2.sql(s"SELECT * FROM snapshot_at_txn('${tc.root}', '$txnId')")
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("not a participant"))
+    // catalog-identifier form resolves through the catalog root
+    s2.conf.set("spark.sql.catalog.gmtx", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmtx.root",
+      new java.io.File(ta.root).getParent)
+    val byRef = s2.sql(s"SELECT count(*) AS n FROM snapshot_at_txn(" +
+      s"'gmtx.`${new java.io.File(ta.root).getName}`', '$txnId')")
+    assert(byRef.collect().head.getLong(0) == 10L)
+  }
+
   test("a commit storm: many racing readers converge with backoff, never the spin-out exception") {
     import org.apache.spark.sql.functions.{col, max}
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_storm_a"))
