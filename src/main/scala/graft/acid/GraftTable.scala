@@ -458,6 +458,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def cachePut[V](m: java.util.Map[Long, V], k: Long, v: V): Unit =
     m.put(k, v)
 
+  /** TEST HOOKS pinning the delta-first commit path's driver-state
+    * contract ([[commitDelta]]): the versions whose FULL entry list is
+    * resident in this handle, and a counter of full-list resolutions
+    * (cache-miss [[entries]] walks) — a scoped commit must bump
+    * neither. */
+  private[graft] def residentEntryVersions: Set[Long] =
+    entriesCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      entriesCache.keySet.asScala.map(_.longValue()).toSet
+    }
+  private[graft] val fullResolutions =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def checkpointPath(v: Long) = new Path(logDir, f"v$v%020d.checkpoint")
   private def bloomSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.blooms")
   private def dvSidecarPath(v: Long) = new Path(logDir, f"v$v%020d.dvs")
@@ -607,6 +620,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val adds = lines.collect { case l if l.startsWith("+\t") => parseEntry(l.drop(2)) }
       acc = acc.filterNot(e => removes.contains(e.path)) ++ adds
     }
+    fullResolutions.incrementAndGet()
     cachePut(entriesCache, v, acc)
     acc
   }
@@ -1690,6 +1704,158 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
+  /** DELTA-FIRST commit (the 100 TB ingest path): publish version `v`
+    * as `adds` + `removes` WITHOUT ever materializing the previous
+    * version's entry list on the driver — every header field that
+    * [[commit]] derives from the full list comes from O(1) arithmetic
+    * over the parent header instead (`nf=` prev±counts, `nr=` prev±row
+    * sums, carried schema/txns/rwm are already single-header reads).
+    * A 10⁶-file table's append then touches O(batch) driver state: no
+    * resident `Seq[FileEntry]`, no full-list diff, and the periodic
+    * checkpoint rewrites O(touched shards) through
+    * [[writeSidecarCheckpointDelta]] (falling back to one full
+    * materialization only when the chain below has no sidecar
+    * checkpoint to extend). The manifest bytes are IDENTICAL to what
+    * [[commit]] would write for the same mutation — delta kind, same
+    * body lines, same gates — so readers cannot tell the paths apart.
+    *
+    * Scope: plain adds/removes commits (appends, scoped rewrites). DV
+    * commits, multi-table participants and mapping changes re-tag
+    * OTHER entries' lines and stay on [[commit]]. */
+  private[graft] def commitDelta(v: Long, adds: Seq[FileEntry],
+                                 removes: Seq[FileEntry],
+                                 op: String = "commit",
+                                 txn: Option[(String, Long)] = None,
+                                 schema: Option[StructType] = None,
+                                 extraMeta: Seq[String] = Nil,
+                                 rwm: Option[Long] = None): Long = {
+    fs.mkdirs(logDir)
+    val declared = schema.orElse(latestVersion.flatMap(schemaOf))
+    val cmapFinal = latestVersion.map(cmapOf).getOrElse(Map.empty)
+      .filter { case (l, _) =>
+        declared.forall(_.fields.exists(_.name.equalsIgnoreCase(l))) }
+    val cmdropFinal = latestVersion.map(droppedPhysOf).getOrElse(Set.empty)
+    val prevMeta = if (v > 1L) headerMeta(v - 1) else Map.empty[String, String]
+    val p = manifestPath(v)
+    GraftTable.commitMonitor(root).synchronized {
+    if (fs.exists(p))
+      throw new ConcurrentCommitException(
+        s"version $v already committed at $root; rebase and retry")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new ConcurrentCommitException(
+          s"lost the commit race for version $v at $root; rebase and retry")
+      }
+    try {
+      // fresh blooms / NDV sketches migrate to their v-numbered sidecars
+      // exactly like [[commit]] step 1/1b — only the ADDS can carry them
+      val fresh = adds.filter(e =>
+        e.bloomFresh && e.bloom.isDefined && e.bloomRef.isEmpty)
+      val bloomed =
+        if (fresh.isEmpty) adds
+        else {
+          writeSidecar(bloomSidecarPath(v), fresh.map(e => e.path -> e.bloom.get),
+            header = Seq("# scheme=long"))
+          val freshPaths = fresh.map(_.path).toSet
+          adds.map(e => if (freshPaths.contains(e.path) && e.bloomFresh)
+            e.copy(bloom = None, bloomRef = Some(v), bloomFresh = false) else e)
+        }
+      val freshNdv = bloomed.filter(e =>
+        e.ndvFresh && e.ndv.nonEmpty && e.nvRef.isEmpty)
+      val finalAdds =
+        if (freshNdv.isEmpty) bloomed
+        else {
+          writeNdvSidecar(ndvSidecarPath(v),
+            freshNdv.sortBy(_.path).map(e => e.path -> e.ndv))
+          val ps = freshNdv.map(_.path).toSet
+          bloomed.map(e => if (ps.contains(e.path) && e.ndvFresh)
+            e.copy(ndv = Map.empty, nvRef = Some(v), ndvFresh = false)
+          else e)
+        }
+      val body = removes.map(e => s"-\t${e.path}") ++
+        finalAdds.map(e => s"+\t${e.line}")
+      val req = (requiredFeatures(finalAdds) ++
+        (if (cmapFinal.nonEmpty) Seq("cm") else Nil)).distinct.sorted
+      // nf/nr by arithmetic over the parent header (a modified path
+      // appears on both sides and nets to 0); nr only carries while the
+      // chain can state it exactly
+      val prevNf = prevMeta.get("nf").flatMap(_.toLongOption).getOrElse(0L)
+      val nf = prevNf - removes.size + finalAdds.size
+      val nr = prevMeta.get("nr").flatMap(_.toLongOption)
+        .orElse(if (v <= 1L) Some(0L) else None)
+        .filter(_ => (finalAdds ++ removes).forall(_.rows.isDefined))
+        .map(prevNr => prevNr +
+          finalAdds.map(e => e.rows.get - e.dvCount).sum -
+          removes.map(e => e.rows.get - e.dvCount).sum)
+        .map(n => s"nr=$n").toSeq
+      val txnsAll = txnsAsOf(v - 1) ++ txn
+      val cfg = (Seq("kind=delta", s"nf=$nf") ++ nr ++
+        (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
+        txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
+        (if (txnsAll.isEmpty) Nil
+         else Seq("txns=" + txnsAll.toSeq.sortBy(_._1).map { case (id, e) =>
+           s"${GraftTable.b64(id)}:$e" }.mkString(","))) ++
+        declared.map(s => "schema=" + java.util.Base64.getUrlEncoder
+          .withoutPadding.encodeToString(s.toDDL.getBytes(UTF_8))).toSeq ++
+        (if (cmapFinal.isEmpty) Nil
+         else Seq("cmap=" + cmapFinal.toSeq.sortBy(_._1).map { case (l, ph) =>
+           s"${GraftTable.b64(l)}:${GraftTable.b64(ph)}" }.mkString(","))) ++
+        (if (cmdropFinal.isEmpty) Nil
+         else Seq("cmdrop=" + cmdropFinal.toSeq.sorted
+           .map(GraftTable.b64).mkString(","))) ++
+        statsCol.map(c => s"scol=$c").toSeq ++
+        partitionCol.map(c => s"pcol=$c").toSeq ++
+        bloomCol.map(c => s"bcol=$c").toSeq ++
+        (if (rowTracking) Seq("rt=1") else Nil) ++
+        { val rwmFinal = rwm.getOrElse(if (v > 1L) rwmAsOf(v - 1L) else 0L)
+          if (rwmFinal > 0L) Seq(s"rwm=$rwmFinal") else Nil } ++
+        (if (indexCols.isEmpty) Nil
+         else Seq(s"icols=${indexCols.mkString(",")}")) ++
+        (if (constraints.isEmpty) Nil
+         else Seq("checks=" + constraints.map(c =>
+           java.util.Base64.getUrlEncoder.withoutPadding
+             .encodeToString(c.getBytes(UTF_8))).mkString(","))) ++
+        extraMeta).mkString(" ")
+      val tsMono =
+        if (v <= 1L) System.currentTimeMillis()
+        else math.max(System.currentTimeMillis(),
+          prevMeta.get("ts").flatMap(_.toLongOption).getOrElse(0L) + 1L)
+      val header = s"# op=$op ts=$tsMono $cfg"
+      out.write(((header +: body) :+ CommitMarker)
+        .mkString("\n").getBytes(UTF_8))
+    } finally out.close()
+    // checkpoint cadence AFTER the manifest closes (the scoped writer
+    // replays the chain from disk; the classic fallback materializes
+    // entries(v) — which can now read v's own complete manifest).
+    // NOTE: deliberately NO cachePut — the whole point of this path is
+    // that the driver never holds version v's full entry list.
+    if (v % checkpointInterval == 0)
+      writeCheckpointDelta(v,
+        prevMeta.get("nf").flatMap(_.toLongOption).getOrElse(0L)
+          - removes.size + adds.size)
+    writeLatestPointer(v)
+    v
+    }
+  }
+
+  /** [[commitDelta]]'s checkpoint step: scoped sidecar write when the
+    * table is in sidecar mode and the chain supports it; otherwise one
+    * full materialization (exactly what [[commit]] pays every time). */
+  private def writeCheckpointDelta(v: Long, nfNow: Long): Unit =
+    try {
+      val k = checkpointShards(
+        math.min(nfNow, Int.MaxValue.toLong).toInt)
+      if (nfNow >= pcpMinFiles && k > 0 &&
+          writeSidecarCheckpointDelta(v, nfNow, k)) ()
+      else writeCheckpoint(v, entries(v))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"checkpoint v$v at $root not written " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); the manifest " +
+          "chain remains sufficient")
+    }
+
   private def writeCheckpoint(v: Long, files: Seq[FileEntry]): Unit =
     if (files.size >= pcpMinFiles) writeParquetCheckpoint(v, files)
     else try {
@@ -1874,6 +2040,116 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
   }
 
+  /** SHARD-SCOPED sidecar checkpoint for [[commitDelta]]: version `v`'s
+    * checkpoint WITHOUT the full entry list — the dirty shards'
+    * contents reconstruct from the nearest lower sidecar checkpoint's
+    * own parquet plus an ascending replay of the delta manifests above
+    * it (v's included; its manifest is complete on disk by the time
+    * this runs). Driver state is O(dirty shards' entries + chain
+    * deltas), never O(table): the piece that removes the last
+    * O(file-count) structure from the hot commit path. Returns false —
+    * caller falls back to the full write — when the chain below has no
+    * same-k sidecar checkpoint to extend (classic form, full manifest,
+    * foreign shard count, or damage).
+    *
+    * The checkpoint's `require=` gate is the UNION of the prior
+    * checkpoint's gate and the replayed adds' features: carried shards
+    * can only state features the prior gate already named, so the
+    * union is sufficient — at worst conservative (a feature whose last
+    * carrier was removed keeps its gate until the next full write). */
+  private def writeSidecarCheckpointDelta(v: Long, nf: Long,
+                                          k: Int): Boolean = {
+    if (fs.exists(pcpMetaPath(v))) return true
+    // ---- walk down collecting per-version delta ops (descending)
+    var chain: List[(Seq[String], Seq[String])] = Nil // (removes, addLines)
+    var prevCp: Option[Long] = None
+    var base = v
+    while (prevCp.isEmpty) {
+      if (base == 0L) return false // chain bottomed out: no sidecar base
+      if (base < v && fs.exists(checkpointPath(base))) return false
+      else if (base < v && fs.exists(pcpMetaPath(base))) {
+        val kv = pcpMetaKv(base)
+        if (pcpShardRefs(base).exists(_.nonEmpty) &&
+            kv.get("ns").flatMap(_.toIntOption).contains(k) &&
+            kv.get("maxord").exists(_.toLongOption.isDefined) &&
+            pcpMetaNf(base).isDefined && pcpDataPaths(base).isDefined)
+          prevCp = Some(base)
+        else return false
+      } else {
+        val lines = manifestLines(base)
+        if (pendingAborted(base)) {
+          // aborted participant: contributes NO ops, but counting its
+          // paths dirty is merely conservative — skip entirely (replay
+          // correctness requires excluding its ops)
+          base -= 1
+        } else if (lines.headOption.exists(_.contains(" kind=delta"))) {
+          chain = (lines.collect { case l if l.startsWith("-\t") => l.drop(2) },
+            lines.collect { case l if l.startsWith("+\t") => l.drop(2) }) :: chain
+          base -= 1
+        } else return false // full/legacy manifest: no incremental base
+      }
+    }
+    val pv = prevCp.get
+    val prevRefs = pcpShardRefs(pv).getOrElse(return false).toMap
+    // ---- dirty shards from every touched path in the chain
+    val dirty: Set[Int] = chain.iterator.flatMap { case (rm, addLines) =>
+      rm.iterator.map(shardOf(_, k)) ++
+        addLines.iterator.map(l => shardOf(parseEntry(l).path, k))
+    }.toSet
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outRoot = new Path(sidecarsRoot, uuid)
+    import spark.implicits._
+    // ---- prior dirty-shard rows (a small read: O(dirty shards))
+    val dirtyPrevPaths = prevRefs.view.filterKeys(dirty)
+      .values.map(rel => new Path(logDir, rel).toString).toSeq
+    val state = new scala.collection.mutable.LinkedHashMap[String, GraftTable.CpRow]
+    if (dirtyPrevPaths.nonEmpty)
+      spark.read.schema(GraftTable.cpSchema).parquet(dirtyPrevPaths: _*)
+        .as[GraftTable.CpRow].collect()
+        .sortBy(_.ord.getOrElse(Long.MaxValue))
+        .foreach(r => state.put(r.path, r))
+    // ---- ascending replay: removes drop, adds mint fresh ords
+    var next = pcpMetaKv(pv)("maxord").toLong
+    chain.foreach { case (rm, addLines) =>
+      rm.foreach(state.remove)
+      addLines.foreach { l =>
+        val e = parseEntry(l)
+        if (dirty.contains(shardOf(e.path, k))) {
+          next += 1
+          state.put(e.path, entryToCp(e, next))
+        }
+      }
+    }
+    def presentShards(): Set[Int] =
+      if (!fs.exists(outRoot)) Set.empty
+      else fs.listStatus(outRoot).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("shard=")).map(_.drop(6).toInt).toSet
+    if (state.nonEmpty)
+      spark.createDataset(state.values.toSeq)
+        .withColumn("shard",
+          pmod(crc32(encode(col("path"), "UTF-8")), lit(k.toLong))
+            .cast("int"))
+        .write.mode("errorifexists").partitionBy("shard")
+        .parquet(outRoot.toString)
+    val refs = (prevRefs -- dirty) ++ presentShards().iterator.map(s =>
+      s -> s"sidecars/$uuid/shard=$s").toMap
+    // require: union of the prior gate and the replayed adds' features
+    val addFeatures = requiredFeatures(chain.flatMap(_._2).map(parseEntry))
+    val prevReq = pcpMetaKv(pv).get("require")
+      .map(_.split(',').toSeq).getOrElse(Nil)
+    val req = (prevReq ++ addFeatures ++ Seq("pcp", "pcps"))
+      .filter(_.nonEmpty).distinct.sorted
+    val header = s"# checkpoint v=$v kind=parquet nf=$nf " +
+      s"ns=$k maxord=$next require=${req.mkString(",")}"
+    val refLines = refs.toSeq.sortBy(_._1).map { case (s, rel) =>
+      s"s\t$s\t$rel" }
+    val out = fs.create(pcpMetaPath(v), false)
+    try out.write(((header +: refLines) :+ CommitMarker)
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    true
+  }
+
   /** The COLUMNAR checkpoint write: a distributed parquet job into a
     * UNIQUE temp directory, an atomic rename into place, then the `.pcp`
     * meta as the single-write completeness marker (exclusive create).
@@ -1978,21 +2254,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // APPENDS AUTO-RESOLVE commit races (the Delta blind-append rule):
     // an append only ADDS files, so losing the race to another commit
     // never invalidates the already-written (and already-validated)
-    // data — rebase by re-reading the new latest's entries and re-commit
+    // data — rebase by re-reading the new latest version and re-commit
     // the same files, no data rewrite, no caller-side retry loop. On a
     // schema-tracking table the rebase re-merges against the CURRENT
     // declared schema so a concurrently-added column is never dropped
     // (parquet reads by name; our files simply lack it -> NULL).
+    // DELTA-FIRST ([[commitDelta]]): the append never materializes the
+    // previous entry list — at 10⁶ files each ingest commit touches
+    // O(batch) driver state, not O(table).
     var attempt = 0
     while (true) {
       val v = nextVersion
-      val prev = latestVersion.map(entries).getOrElse(Nil)
       val schemaNow = evolved.map { s =>
         val cur = tableSchema.getOrElse(s)
         StructType(cur.fields ++
           s.fields.filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
       }
-      try return commit(v, prev ++ written, op = "append", txn = txn,
+      try return commitDelta(v, written, Nil, op = "append", txn = txn,
         schema = schemaNow)
       catch {
         case e: ConcurrentCommitException =>
@@ -2039,14 +2317,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         mergeSchema || tableSchema.isEmpty)
       val clustered = clusterByPartition(data)
       val v = nextVersion
-      val prev = latestVersion.map(entries).getOrElse(Nil)
       val written = writeData(clustered, v)
       val schemaNow = evolved.map { s =>
         val cur = tableSchema.getOrElse(s)
         StructType(cur.fields ++
           s.fields.filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
       }
-      try return commit(v, prev ++ written, op = "append", txn = txn,
+      try return commitDelta(v, written, Nil, op = "append", txn = txn,
         schema = schemaNow, rwm = Some(wm + span))
       catch {
         case e: ConcurrentCommitException =>

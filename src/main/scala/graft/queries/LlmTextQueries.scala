@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object LlmTextQueries extends QueryPack {
 
+  /** PROVENANCE fixture: documents ingested into a row-tracking ACID
+    * table in three doc_id%3 batches (v1-v3), then compacted (v4) and
+    * z-ordered (v5) — full layout churn with ids carried verbatim. The
+    * q_pipeline_provenance gate attributes curation survivors back to
+    * their ingest batch through `_row_id` alone. */
+  private val provFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def provenanceTable(s: SparkSession,
+                              d: String): graft.acid.GraftTable = {
+    val root = provFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val r = s"${tempFixtureDir("graft_prov")}/docs"
+      val t = new graft.acid.GraftTable(s, r, statsCol = Some("doc_id"),
+        rowTracking = true)
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      (0L to 2L).foreach(b =>
+        t.append(docs.filter(pmod($"doc_id", lit(3L)) === b)))     // v1-v3
+      t.compact(targetFiles = 4)                                   // v4
+      t.compactZOrderN(Seq("doc_id", "source"), targetFiles = 4)   // v5
+      r
+    })
+    graft.acid.GraftTable.load(s, root)
+  }
+
   /** MinHash+LSH near-dup pairs (Jaccard >= 0.5), shared by
     * q_dedup_minhash and the curation pipeline. Recomputed per invocation
     * on purpose: a session-lifetime memo would pin cached blocks forever
@@ -327,6 +352,43 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"doc_id")
     },
 
+    // ---- TRAINING-DATA PROVENANCE via row tracking ----
+    // The lineage story row IDs exist for: documents land in a
+    // row-tracking ACID table across three ingest batches, the table is
+    // then compacted AND z-ordered (full layout churn — every file
+    // rewritten, ids carried verbatim), and the curation pipeline's
+    // survivors attribute back to their ingest batch through `_row_id`
+    // ALONE: the per-commit change feed says which id landed in which
+    // commit, the post-churn snapshot joins on the id — no business key
+    // anywhere in the lineage join. Corrupted/re-minted ids would shift
+    // the per-batch counts and break the compare.
+    "q_pipeline_provenance" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val t = provenanceTable(s, d)
+      // ingest attribution strictly via _row_id (commit v = batch v)
+      val byv = t.changeFeedByVersion(0L, 3L)
+        .filter($"_change" === "insert")
+        .select($"_row_id", $"_commit_version".as("ingest_batch"))
+      // the training-set selection over the POST-CHURN snapshot
+      val base = t.snapshot().select($"doc_id", $"_row_id", $"text")
+      val keepExact = base.groupBy(sha2($"text", 256).as("digest"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val docs = base.join(keepExact, Seq("doc_id"))
+      val nearDups = minhashNearDupsFrom(s, docs.select($"doc_id", $"text"))
+        .select($"b_id".as("doc_id")).distinct()
+      val kept = docs.join(nearDups, Seq("doc_id"), "left_anti")
+      val survivors = kept
+        .select(Seq($"doc_id", $"_row_id") ++ TextOps.qualityColumns($"text"): _*)
+        .filter($"n_tokens" >= 20 && $"quality_score" >= 0.2)
+      survivors.join(byv, Seq("_row_id"))
+        .groupBy($"ingest_batch")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_tokens").cast("long").as("sum_tokens"))
+        .orderBy($"ingest_batch")
+    },
+
     // ---- edit-distance verification of LSH candidates ----
     // Levenshtein is O(len²) per pair — NEVER all-pairs at scale; here it
     // runs only on the near-dup pairs the minhash path surfaced, the
@@ -588,6 +650,41 @@ object LlmTextQueries extends QueryPack {
         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
         |        + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) >= 0.2
         |ORDER BY doc_id""".stripMargin,
+
+    // the provenance replay: the same survivor selection, attributed by
+    // the ingest rule (batch b = doc_id % 3 landed in commit b+1) — the
+    // Spark side must recover the identical attribution via _row_id only
+    "q_pipeline_provenance" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |docs AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+        |ws AS (SELECT doc_id, string_split(text, ' ') w FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM ws WHERE len(w) >= 3),
+        |drops AS (SELECT DISTINCT b.doc_id
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |kept AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+        |    len(list_distinct(string_split(text, ' '))) AS n_dist
+        |  FROM kept),
+        |surv AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
+        |  FROM q
+        |  WHERE n_tok >= 20
+        |    AND round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |          + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |          + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) >= 0.2)
+        |SELECT doc_id % 3 + 1 AS ingest_batch,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // all-pairs exact-Jaccard pair set (independent of the LSH path) +
     // DuckDB's own levenshtein over those pairs
