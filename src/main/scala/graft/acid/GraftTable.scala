@@ -5406,8 +5406,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             .map(f => s"data/$d/${f.getPath.getName}")
         }
       })
+    // live set as a DISTRIBUTED dataset (parallelize), not a
+    // driver-serialized LocalRelation: at the ≥50k-file scale this path
+    // targets, a LocalRelation would ship the whole O(live) list inside
+    // the plan to every task
+    val livePar = math.max(1, math.min(live.size / 10000 + 1,
+      spark.sparkContext.defaultParallelism))
+    val liveDs = spark.createDataset(
+      spark.sparkContext.parallelize(live.toSeq, livePar)).toDF("path")
     val dead = listed.toDF("path")
-      .join(live.toSeq.toDF("path"), Seq("path"), "left_anti")
+      .join(liveDs, Seq("path"), "left_anti")
     dead.as[String].mapPartitions { it =>
       val fsx = new Path(rootStr).getFileSystem(bconf.value.value)
       it.map { rel => fsx.delete(new Path(rootStr, rel), false); rel }
