@@ -5016,7 +5016,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           "every row (null-keyed rows would be silently dropped)")
       // nothing keyed changed: publish a no-op version (keeps the
       // batch → version bookkeeping monotone for downstream consumers)
-      return commit(nextVersion, entries(lv), op = "apply_changes")
+      // — an empty delta, no entry-list materialization
+      return commitDelta(nextVersion, Nil, Nil, op = "apply_changes")
     }
     val pred =
       if (touchedKeys.length <= 1024)
@@ -5032,9 +5033,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         if (mm.isNullAt(0)) lit(true)
         else col(keyCol) >= lit(mm.get(0)) && col(keyCol) <= lit(mm.get(1))
       }
-    val prev = entries(lv)
-    val candSet = entriesForPredicate(pred, lv).map(_.path).toSet
-    val (rewrite, keep) = prev.partition(e => candSet.contains(e.path))
+    // DELTA-FIRST: only the candidate (touched-key) entries resolve —
+    // past distributedPruneMinFiles even that runs as a distributed
+    // checkpoint scan; the untouched entries are never materialized
+    // ([[commitDelta]] carries them implicitly)
+    val rewrite = entriesForPredicate(pred, lv)
     val v = nextVersion
     val keyFrame = feed.select(col(keyCol)).na.drop().distinct()
     val out =
@@ -5046,7 +5049,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // the mirror's OWN commits persist change data too ([[cdfWriteEnabled]]):
     // a downstream consumer of the mirror (CDC fan-out chains) then serves
     // from KB-scale files instead of re-netting the mirror's rewrites
-    commit(v, keep ++ written, op = "apply_changes",
+    commitDelta(v, written, rewrite, op = "apply_changes",
       extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 
@@ -5139,7 +5142,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val touchedKeys = delta.select(col(keyCol))
       .limit(1025).collect().map(_.get(0))
     if (touchedKeys.isEmpty)
-      return commit(nextVersion, entries(lv), op = "apply_changes",
+      return commitDelta(nextVersion, Nil, Nil, op = "apply_changes",
         txn = txn)
     val hasNullKey = touchedKeys.contains(null)
     val nonNullKeys = touchedKeys.filter(_ != null)
@@ -5155,9 +5158,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       }
     val pred = if (hasNullKey) nonNullPred || col(keyCol).isNull
                else nonNullPred
-    val prev = entries(lv)
-    val candSet = entriesForPredicate(pred, lv).map(_.path).toSet
-    val (rewrite, keep) = prev.partition(e => candSet.contains(e.path))
+    // DELTA-FIRST: only the touched-group candidates resolve (see
+    // [[applyChangesKeyed]]); the untouched mirror entries carry
+    // implicitly through [[commitDelta]]
+    val rewrite = entriesForPredicate(pred, lv)
     val v = nextVersion
     val mirrorCols = keyCol +: "n" +: valCols.map(c => s"sum_$c")
     val old =
@@ -5177,7 +5181,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             .cast(dec).as(s"sum_$c"))): _*)
       .filter(col("n") =!= 0L)
     val written = writeData(clusterByPartition(out), v)
-    commit(v, keep ++ written, op = "apply_changes", txn = txn,
+    commitDelta(v, written, rewrite, op = "apply_changes", txn = txn,
       extraMeta = rewriteChangeMeta(rewrite, written, lv))
   }
 

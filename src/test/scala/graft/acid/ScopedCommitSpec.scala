@@ -2,6 +2,7 @@ package graft.acid
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** The DELTA-FIRST commit path ([[GraftTable.commitDelta]]) — the 100 TB
   * ingest contract: an append on a sharded-checkpoint table touches
@@ -98,6 +99,36 @@ class ScopedCommitSpec extends SparkSpec {
       val cold2 = new GraftTable(spark, root)
       assert(cold2.snapshot().count() == 305L,
         "post-vacuum-shape resolution must come entirely from the scoped checkpoint")
+    }
+  }
+
+  test("applyChangesKeyed folds delta-first: O(touched) resolution via the distributed prune") {
+    withSidecars(4) {
+      spark.conf.set("spark.graft.acid.distributedPruneMinFiles", "1")
+      try {
+        val root = graft.TempDirs.create("graft_scoped_apply")
+        val t0 = new GraftTable(spark, root, statsCol = Some("id"),
+          checkpointInterval = 1)
+        t0.append((1L to 400L).map(i => (i, i * 1.0)).toDF("id", "v")
+          .repartitionByRange(8, col("id")))                      // v1 + ckpt
+        // a COLD handle: nothing resident, nothing cached
+        val t = GraftTable.load(spark, root)
+        val r0 = t.fullResolutions.get()
+        val res0 = t.residentEntryVersions
+        t.applyChangesKeyed(Seq((5L, 999.0, "update_postimage"))
+          .toDF("id", "v", "_change"), "id")                      // v2
+        assert(t.fullResolutions.get() == r0,
+          "the keyed fold must resolve only its touched-key candidates " +
+            "(distributed prune), never the full entry list")
+        assert(t.residentEntryVersions == res0,
+          s"no new resident entry lists: ${t.residentEntryVersions -- res0}")
+        // content is exactly the fold's result
+        val cold = GraftTable.load(spark, root)
+        assert(cold.snapshot().filter(col("id") === 5L)
+          .select("v").as[Double].head() == 999.0)
+        assert(cold.snapshot().count() == 400L)
+      } finally
+        spark.conf.unset("spark.graft.acid.distributedPruneMinFiles")
     }
   }
 
