@@ -113,6 +113,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "table pinned at its version in the multi-table txn)",
         null, "snapshot_at_txn"),
       acid.GraftTxnSql.snapshotAtTxnPlan _))
+    // CDC reads as composable relations (the Delta table_changes TVF):
+    // the range net diff, and the per-commit attributed form
+    e.injectTableFunction((new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(
+        "graft.acid (table_changes(tableRef, fromV, toV) - net row-level " +
+          "diff of (fromV, toV], tagged _change)",
+        null, "table_changes"),
+      acid.GraftTxnSql.tableChangesPlan _))
+    e.injectTableFunction((new FunctionIdentifier("table_changes_by_version"),
+      new ExpressionInfo(
+        "graft.acid (table_changes_by_version(tableRef, fromV, toV) - " +
+          "per-commit attributed diff with _commit_version/_commit_timestamp)",
+        null, "table_changes_by_version"),
+      acid.GraftTxnSql.tableChangesByVersionPlan _))
     // lakehouse maintenance SQL over graft-catalog tables:
     // OPTIMIZE [TARGET n FILES] [ZORDER BY (a, b)] / VACUUM [RETAIN n
     // VERSIONS] / RESTORE ... TO VERSION AS OF v / DESCRIBE HISTORY

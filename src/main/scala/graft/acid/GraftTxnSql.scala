@@ -44,14 +44,14 @@ object GraftTxnSql {
       catch {
         case _: org.apache.spark.sql.catalyst.parser.ParseException =>
           throw new IllegalArgumentException(
-            s"snapshot_at_txn: '$ref' is neither a path nor a parseable " +
+            s"graft TVF: '$ref' is neither a path nor a parseable " +
               "catalog identifier")
       }
     val conf = spark.conf
     require(parts.length >= 2 &&
       conf.getOption(s"spark.sql.catalog.${parts.head}")
         .contains(classOf[GraftCatalog].getName),
-      s"snapshot_at_txn: '$ref' must name a graft-catalog table " +
+      s"graft TVF: '$ref' must name a graft-catalog table " +
         "(cat.ns.t with spark.sql.catalog.<cat> = GraftCatalog) or a " +
         "table-root path")
     conf.getOption(s"spark.sql.catalog.${parts.head}.root")
@@ -59,7 +59,7 @@ object GraftTxnSql {
         new org.apache.hadoop.fs.Path(root))(
         new org.apache.hadoop.fs.Path(_, _)).toString)
       .getOrElse(throw new IllegalArgumentException(
-        s"snapshot_at_txn: catalog '${parts.head}' has no configured root"))
+        s"graft TVF: catalog '${parts.head}' has no configured root"))
   }
 
   /** TVF builder for `snapshot_at_txn(tableRef, txnMarker)`. */
@@ -83,5 +83,47 @@ object GraftTxnSql {
     import spark.implicits._
     GraftTable.txnParticipants(spark, txnId)
       .toDF("table_root", "version")
+  }
+
+  private def constLong(e: Expression, fn: String, arg: String): Long =
+    e match {
+      case Literal(v: Int, _)  => v.toLong
+      case Literal(v: Long, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal")
+    }
+
+  /** TVF builder for `table_changes(tableRef, fromV, toV)` — the Delta
+    * `table_changes` read face as a composable relation: the table's
+    * net row-level diff over `(fromV, toV]`, each row tagged `_change`
+    * (insert/delete), servable from persisted change files when
+    * write-side CDF is on. Unlike `DESCRIBE CHANGES` (a statement),
+    * this composes inside any SELECT — join it, aggregate it, feed a
+    * mirror from SQL alone. */
+  def tableChangesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "table_changes(tableRef, fromV, toV) takes exactly three arguments")
+    val spark = SparkSession.active
+    val ref = constStr(exprs.head, "table_changes", "tableRef")
+    val fromV = constLong(exprs(1), "table_changes", "fromV")
+    val toV = constLong(exprs(2), "table_changes", "toV")
+    GraftTable.load(spark, resolveRoot(spark, ref))
+      .changeFeed(fromV, toV).queryExecution.logical
+  }
+
+  /** TVF builder for `table_changes_by_version(tableRef, fromV, toV)` —
+    * the per-commit attributed form (`_commit_version` /
+    * `_commit_timestamp` columns), [[GraftTable.changeFeedByVersion]]
+    * as a composable relation. */
+  def tableChangesByVersionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "table_changes_by_version(tableRef, fromV, toV) takes exactly " +
+        "three arguments")
+    val spark = SparkSession.active
+    val ref = constStr(exprs.head, "table_changes_by_version", "tableRef")
+    val fromV = constLong(exprs(1), "table_changes_by_version", "fromV")
+    val toV = constLong(exprs(2), "table_changes_by_version", "toV")
+    GraftTable.load(spark, resolveRoot(spark, ref))
+      .changeFeedByVersion(fromV, toV).queryExecution.logical
   }
 }

@@ -1117,6 +1117,27 @@ object AcidQueries extends QueryPack {
         .orderBy($"_change", $"user_id", $"event_id")
     },
 
+    // The same net diff consumed as a COMPOSABLE RELATION: the
+    // table_changes() TVF (the Delta table_changes read face,
+    // extension-injected — derived session) aggregated inside an
+    // ordinary SELECT. Exact DECIMAL sums pin every netted row's value.
+    "q_acid_sql_table_changes" -> { (s, d) =>
+      val t = tables(s, d)._1
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions)
+        .create()
+      val out = s2.sql(
+        s"""SELECT _change, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6))
+           |    AS sum_value
+           |FROM table_changes('${t.root}', 1, 3)
+           |GROUP BY _change, event_type
+           |ORDER BY _change, event_type""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
     // OPTIMIZE: after three appends + compact-to-4-files, the snapshot
     // must still be the COMPLETE event set (content-lossless rewrite;
     // AcidTableSpec pins the file-count collapse and the pre-compaction
@@ -1774,6 +1795,29 @@ object AcidQueries extends QueryPack {
         |  UNION ALL
         |  SELECT *, 'delete' AS _change FROM del)
         |ORDER BY _change, user_id, event_id""".stripMargin,
+
+    // the TVF aggregate over the identical net diff
+    "q_acid_sql_table_changes" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events WHERE event_id % 3 = 0),
+        |v3 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  WHERE rn = 1),
+        |ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+        |del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3),
+        |feed AS (
+        |  SELECT *, 'insert' AS _change FROM ins
+        |  UNION ALL
+        |  SELECT *, 'delete' AS _change FROM del)
+        |SELECT _change, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |    AS sum_value
+        |FROM feed GROUP BY _change, event_type
+        |ORDER BY _change, event_type""".stripMargin,
 
     "q_acid_compact" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value

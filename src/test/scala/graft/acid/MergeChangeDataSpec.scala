@@ -230,6 +230,33 @@ class MergeChangeDataSpec extends SparkSpec {
       s"the attributed feed past v1 must read only change files:\n${inputs.mkString("\n")}")
   }
 
+  test("table_changes TVFs compose in SQL and equal the API feeds") {
+    val root = graft.TempDirs.create("graft_cdf_tvf")
+    val t = new GraftTable(spark, root, statsCol = Some("id"))
+    t.append((1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v"))   // v1
+    t.update(col("id") <= 5L, Map("v" -> (col("v") + 100.0)))      // v2
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .withExtensions(new graft.GraftExtensions)
+      .create()
+    val viaTvf = s2.sql(
+      s"SELECT id, v, _change FROM table_changes('$root', 1, 2)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val viaApi = t.changeFeed(1L, 2L).select("id", "v", "_change")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(viaTvf == viaApi && viaTvf.nonEmpty,
+      "the TVF must serve the identical net diff")
+    // composability: aggregate + join inside one SELECT
+    val n = s2.sql(s"SELECT count(*) AS n FROM table_changes('$root', 1, 2) " +
+      "WHERE _change = 'insert'").collect().head.getLong(0)
+    assert(n == 5L)
+    val byv = s2.sql("SELECT DISTINCT _commit_version FROM " +
+      s"table_changes_by_version('$root', 0, 2)")
+      .collect().map(_.getLong(0)).toSet
+    assert(byv == Set(1L, 2L),
+      s"the attributed TVF must tag each commit: $byv")
+  }
+
   test("changeFeedByVersion refuses a range whose interior was vacuumed, naming the versions") {
     val root = graft.TempDirs.create("graft_cdf_byver_vac")
     val t = new GraftTable(spark, root, statsCol = Some("id"))
