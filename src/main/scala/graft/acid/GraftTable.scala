@@ -2393,8 +2393,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val v = base.getOrElse(0L) + 1
       val (data, evolved) = conformForWrite(fresh, mergeSchema = false)
       val written = writeData(clusterByPartition(data), v)
-      val prev = base.map(entries).getOrElse(Nil)
-      try return commit(v, prev ++ written, op = "append", txn = txn,
+      // DELTA-FIRST ([[commitDelta]], version PINNED to the probed
+      // snapshot): the serializable-uniqueness collision semantics are
+      // unchanged — a racer took v, the commit throws, probe+write
+      // recompute against the new snapshot — but the untouched entries
+      // never materialize on the driver
+      try return commitDelta(v, written, Nil, op = "append", txn = txn,
         schema = evolved)
       catch {
         case e: ConcurrentCommitException =>

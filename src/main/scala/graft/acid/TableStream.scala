@@ -272,9 +272,21 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
     // log recorded it): the txn stamp says so — skip, don't double-commit
     if (t.lastTxn(writerId).exists(_ >= batchId)) return
     val df = org.apache.spark.sql.GraftPlanBridge.asBatchDataFrame(spark, data)
+    // INGEST-TIME EXACT DEDUP (`dedupKey=k`, the crawl-landing shape):
+    // each batch lands through [[GraftTable.appendUnique]] — only rows
+    // whose key is not already in the table commit, deduplicating
+    // within the batch too. Composes with the txn stamp: a replayed
+    // batch is a no-op twice over (epoch-skipped AND content-deduped).
+    val dedupKey = parameters.get("dedupKey").map(_.trim).filter(_.nonEmpty)
+    require(dedupKey.isEmpty || !overwriteEachBatch,
+      "graft-table sink: dedupKey requires Append mode (Complete mode " +
+        "replaces the table per batch — there is nothing to dedup against)")
     t.commitWithRetry() {
       if (overwriteEachBatch) t.overwrite(df, txn = Some((writerId, batchId)))
-      else t.append(df, txn = Some((writerId, batchId)))
+      else dedupKey match {
+        case Some(k) => t.appendUnique(df, k, txn = Some((writerId, batchId)))
+        case None    => t.append(df, txn = Some((writerId, batchId)))
+      }
     }
     // AUTO-COMPACTION (the Delta autoCompact pattern): a streaming
     // append-per-batch table accumulates small files without bound —

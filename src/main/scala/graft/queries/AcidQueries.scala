@@ -760,6 +760,46 @@ object AcidQueries extends QueryPack {
   private val streamSinkFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** STREAMING INGEST-DEDUP fixture (the crawl-landing shape): an
+    * upstream table whose three appends OVERLAP (append r carries every
+    * event with event_id%4 <= r, so each batch re-delivers all prior
+    * batches' rows), streamed through the graft-table sink with
+    * `dedupKey=event_id` — each micro-batch lands via appendUnique, so
+    * the downstream table holds every delivered key EXACTLY once. */
+  private val streamDedupFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamDedupTable(s: SparkSession, d: String): GraftTable = {
+    val root = streamDedupFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("sdedup" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val srcRoot = s"$acidDir/sdedupsrc_$key"
+      val dstRoot = s"$acidDir/sdedupdst_$key"
+      val ckpt = s"$acidDir/sdedup_ckpt_$key"
+      val src = new GraftTable(s, srcRoot)
+      val ev = events(s, d)
+      (0L to 2L).foreach(r =>
+        src.append(ev.filter(pmod($"event_id", lit(4L)) <= r)))
+      val q = s.readStream.format("graft-table")
+        .option("path", srcRoot)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+        .writeStream.format("graft-table")
+        .option("path", dstRoot)
+        .option("checkpointLocation", ckpt)
+        .option("dedupKey", "event_id")
+        .option("statsCol", "event_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dstRoot
+    })
+    GraftTable.load(s, root)
+  }
+
   /** MIXED-OP multi-table txn fixture: per step, one atomic transaction
     * APPENDS a slice to the raw table and DV-DELETES a user band from
     * the mirror — the CDC apply-to-two-mirrors shape. At sf0.1 the
@@ -1527,6 +1567,17 @@ object AcidQueries extends QueryPack {
         .orderBy($"_change")
     },
 
+    // STREAMING INGEST-DEDUP: three overlapping upstream batches (batch
+    // r re-delivers every prior batch's rows) landed through the sink's
+    // dedupKey=event_id — the downstream table must hold every
+    // delivered key exactly once, the crawl-landing exactly-once shape.
+    "q_acid_stream_dedup_sink" -> { (s, d) =>
+      import s.implicits._
+      streamDedupTable(s, d).snapshot()
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+
     // CROSS-TABLE SNAPSHOT-CONSISTENT READ: the raw+stats pair pinned AT
     // the middle txn via snapshotsAtTxn — the read-side face of COMMIT
     // ATOMIC. Both tables serve exactly the first TWO slices (the later
@@ -2239,6 +2290,12 @@ object AcidQueries extends QueryPack {
         |CROSS JOIN (SELECT count(*) AS n_rows, count(*) AS n_ids
         |            FROM events) u
         |ORDER BY f._change""".stripMargin,
+
+    // every event with event_id%4 <= 2, exactly once
+    "q_acid_stream_dedup_sink" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE event_id % 4 <= 2
+        |ORDER BY event_id""".stripMargin,
 
     // the pinned pair holds slices %3 in {0,1}; raw recount == stats sum
     "q_acid_txn_read" ->

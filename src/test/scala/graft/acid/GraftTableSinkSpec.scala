@@ -73,6 +73,54 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(fresh.lastTxn("writer-C").isEmpty)
   }
 
+  test("dedupKey lands overlapping batches exactly once (ingest-time exact dedup)") {
+    val input = MemoryStream[(Long, String)](spark)
+    val root = graft.TempDirs.create("graft_tsink_dedup")
+    val ckpt = graft.TempDirs.create("graft_tsink_dedup_ckpt")
+    val q = input.toDS().toDF("id", "s")
+      .writeStream.format("graft-table")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("dedupKey", "id")
+      .option("statsCol", "id")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      // batch 0: within-batch dup of id=2
+      input.addData((1L, "a"), (2L, "b"), (2L, "b2"))
+      q.processAllAvailable()
+      // batch 1: re-delivers 1 and 2 (crawler re-fetch), adds 3
+      input.addData((1L, "a-again"), (2L, "b-again"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = GraftTable.load(spark, root)
+    val ids = t.snapshot().select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"every key exactly once across overlapping batches: $ids")
+    // the first delivery won (dedup keeps the incumbent, not the re-fetch)
+    assert(t.snapshot().filter($"id" === 1L).select("s").as[String]
+      .head() == "a")
+    // Complete mode + dedupKey refuses loudly
+    val bad = intercept[Exception] {
+      val in2 = MemoryStream[(Long, Long)](spark)
+      in2.addData((1L, 1L))
+      val qq = in2.toDS().toDF("id", "n").groupBy($"id")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-table")
+        .option("path", graft.TempDirs.create("graft_tsink_dedup_bad"))
+        .option("checkpointLocation",
+          graft.TempDirs.create("graft_tsink_dedup_bad_ckpt"))
+        .option("dedupKey", "id")
+        .outputMode("complete")
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    def chain(e: Throwable): String =
+      if (e == null) "" else e.getMessage + "\n" + chain(e.getCause)
+    assert(chain(bad).contains("dedupKey requires Append mode"))
+  }
+
   test("complete mode overwrites the table with each batch's full state") {
     val input = MemoryStream[(String, Long)](spark)
     val root = graft.TempDirs.create("graft_tsink_complete")
