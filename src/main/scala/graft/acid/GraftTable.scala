@@ -2902,27 +2902,63 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       schemaOverride: Option[StructType] = None): Long = {
     val affected = affects.getOrElse((e: FileEntry) => touches(e, touched))
     val consumedLines = consumed.map(_.line).toSet
+    val consumedPaths = consumed.map(_.path).toSet
     val prevLines = prev.map(_.line).toSet
     var v = firstV
     var attempt = 0
     while (true) {
-      val base = if (v == firstV) prev else entries(v - 1)
-      val baseLines = base.map(_.line).toSet
-      if (!consumedLines.subsetOf(baseLines))
-        throw new ConcurrentCommitException(
-          s"scoped $op at $root: a concurrent commit rewrote consumed files; " +
-            "rebase and retry")
-      if (base.exists(e => !prevLines.contains(e.line) && affected(e)))
-        throw new ConcurrentCommitException(
-          s"scoped $op at $root: a concurrent commit added rows in the " +
-            "touched scope; rebase and retry")
-      val files = base.filterNot(e => consumedLines.contains(e.line)) ++ written
+      // DELTA-FIRST rebase validation: the first attempt needs NO check
+      // beyond the exclusive create (winning version firstV proves
+      // nothing changed since `prev`); a lost race validates the
+      // INTERLEAVED manifests' deltas instead of re-materializing the
+      // whole base — a removed/re-tagged consumed path or a new
+      // in-scope entry conflicts exactly as the full-list compare did.
+      // An interleaved FULL manifest (overwrite/compact/restore) falls
+      // back to the entry-list compare for that attempt only.
+      if (v > firstV) {
+        var iv = firstV
+        var fullSeen = false
+        while (iv < v && !fullSeen) {
+          if (!pendingAborted(iv)) {
+            val lines = manifestLines(iv)
+            if (lines.headOption.exists(_.contains(" kind=delta"))) {
+              lines.foreach { l =>
+                if (l.startsWith("-\t")) {
+                  if (consumedPaths.contains(l.drop(2)))
+                    throw new ConcurrentCommitException(
+                      s"scoped $op at $root: a concurrent commit rewrote " +
+                        "consumed files; rebase and retry")
+                } else if (l.startsWith("+\t")) {
+                  val e = parseEntry(l.drop(2))
+                  if (!prevLines.contains(e.line) && affected(e))
+                    throw new ConcurrentCommitException(
+                      s"scoped $op at $root: a concurrent commit added rows " +
+                        "in the touched scope; rebase and retry")
+                }
+              }
+            } else fullSeen = true
+          }
+          iv += 1
+        }
+        if (fullSeen) {
+          val baseLines = entries(v - 1).map(_.line).toSet
+          if (!consumedLines.subsetOf(baseLines))
+            throw new ConcurrentCommitException(
+              s"scoped $op at $root: a concurrent commit rewrote consumed " +
+                "files; rebase and retry")
+          if (entries(v - 1).exists(e =>
+              !prevLines.contains(e.line) && affected(e)))
+            throw new ConcurrentCommitException(
+              s"scoped $op at $root: a concurrent commit added rows in the " +
+                "touched scope; rebase and retry")
+        }
+      }
       // extraMeta (e.g. a cdc= change-data ref) stays valid across the
       // rebase: the change set was computed against `consumed`, whose
-      // line-identity the subset check above just re-verified, and a
+      // line-identity the validation above just re-verified, and a
       // cdc dir is version-free by design
-      try return commit(v, files, op = op, extraMeta = extraMeta,
-        schema = schemaOverride)
+      try return commitDelta(v, written, consumed, op = op,
+        extraMeta = extraMeta, schema = schemaOverride)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
