@@ -52,7 +52,12 @@ object Bench {
         "q_source_bus_compacted",
         // JSON encode/parse codegen is the dominant first-touch JIT cost
         // (6.6 s cold vs 1.5 s steady-state for the same plan)
-        "q_source_kafka_shaped").foreach { w =>
+        "q_source_kafka_shaped",
+        // round-15 fixture families: partitioned row-tracking table,
+        // streaming ingest-dedup pipeline, row-ID provenance table —
+        // each builds (appends + streams + layout churn) on first touch
+        "q_acid_row_tracking_part", "q_acid_stream_dedup_sink",
+        "q_pipeline_provenance").foreach { w =>
       try SparkEntry.queries.get(w)
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => }
