@@ -520,13 +520,19 @@ class GraftTableStreamSource(sqlContext: SQLContext, table: GraftTable,
       // DELETION-VECTOR commit (same file, new dv= tag) surfaces as the
       // file on BOTH sides, each read under ITS mask — the consumer's
       // multiset apply (exceptAll deletes, union inserts) then lands
-      // exactly the newly-masked rows as net deletes
-      val fromEs: Seq[table.FileEntry] = table.entries(fromV)
-      val toEs: Seq[table.FileEntry] = table.entries(toV)
-      val fromLines = fromEs.map(_.line).toSet
-      val toLines = toEs.map(_.line).toSet
-      val added = toEs.filterNot(e => fromLines.contains(e.line)).sortBy(_.path)
-      val removed = fromEs.filterNot(e => toLines.contains(e.line)).sortBy(_.path)
+      // exactly the newly-masked rows as net deletes.
+      // APPEND-ONLY ranges (the steady ingest shape) diff from the
+      // delta manifests alone — no endpoint entry-list resolution.
+      val (added, removed) = table.appendOnlyAdds(fromV, toV) match {
+        case Some(adds) => (adds.sortBy(_.path), Nil)
+        case None =>
+          val fromEs: Seq[table.FileEntry] = table.entries(fromV)
+          val toEs: Seq[table.FileEntry] = table.entries(toV)
+          val fromLines = fromEs.map(_.line).toSet
+          val toLines = toEs.map(_.line).toSet
+          (toEs.filterNot(e => fromLines.contains(e.line)).sortBy(_.path),
+            fromEs.filterNot(e => toLines.contains(e.line)).sortBy(_.path))
+      }
       // pin the COLUMN MAPPING to the batch endpoint too (not the
       // table's latest): after a later drop+re-add or second rename
       // commits, a replayed batch (checkpoint recovery) must resolve

@@ -36,6 +36,33 @@ class TableStreamSpec extends SparkSpec {
     seen.asScala.toSeq
   }
 
+  test("append-only ranges diff from delta manifests: zero entry-list resolutions per batch") {
+    val root = graft.TempDirs.create("graft_tstream_fast")
+    val t0 = new GraftTable(spark, root)
+    (1 to 3).foreach(b => t0.append(rows((b * 10L) to (b * 10L + 2L), s"b$b")))
+    t0.delete(org.apache.spark.sql.functions.col("id") === 10L)   // v4: DV
+    val cold = GraftTable.load(spark, root)
+    val r0 = cold.fullResolutions.get()
+    // the fast path serves exactly the range's appended entries
+    val fast = cold.appendOnlyAdds(1L, 3L)
+    assert(fast.isDefined, "an append-only range must take the fast path")
+    assert(cold.fullResolutions.get() == r0,
+      "the fast path must not resolve any entry list")
+    val expect = cold.entries(3L).map(_.line).toSet --
+      cold.entries(1L).map(_.line).toSet
+    assert(fast.get.map(_.line).toSet == expect,
+      "fast-path adds must equal the endpoint diff exactly")
+    // a range containing the DV commit declines (it has remove lines)
+    assert(cold.appendOnlyAdds(3L, 4L).isEmpty,
+      "a DV/rewrite range must fall back to the endpoint diff")
+    // end-to-end: the streamed content is unchanged by the fast path
+    val seen = runOnce(root, graft.TempDirs.create("graft_tstream_fast_ck"),
+      Map("maxVersionsPerBatch" -> "1"))
+    val inserts = seen.filter(_._1 == "insert").map(_._3).toSet
+    assert(inserts == ((10L to 12L) ++ (20L to 22L) ++ (30L to 32L)).toSet)
+    assert(seen.filter(_._1 == "delete").map(_._3) == Seq(10L))
+  }
+
   test("restart resumes from the committed version and delivers only new commits") {
     val root = graft.TempDirs.create("graft_tstream")
     val ckpt = graft.TempDirs.create("graft_tstream_ckpt")
