@@ -4325,9 +4325,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // the racer collides on the manifest create and the loser gets a loud
     // ConcurrentCommitException — same contract as every other mutation.
     val v = lv + 1
-    val prev = entries(lv)
     val cands = entriesForPredicate(predicate, lv)
-    if (cands.isEmpty) return Some(commit(v, prev, op = "delete"))
+    // pruned-to-nothing predicate: an EMPTY delta carries the table —
+    // no entry-list materialization for the common miss
+    if (cands.isEmpty) return Some(commitDelta(v, Nil, Nil, op = "delete"))
+    val prev = entries(lv)
     val cdf = cdfWriteEnabled
     // without change files: raw read (existing DVs NOT applied) —
     // re-deleting an already-deleted position is a set-union no-op, and
@@ -4438,9 +4440,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // version pinned BEFORE the distributed work — see [[deleteViaDv]]:
     // a racer collides loudly instead of being silently un-committed
     val v = lv + 1
-    val prev = entries(lv)
     val cands = entriesForPredicate(predicate, lv)
-    if (cands.isEmpty) return Some(commit(v, prev, op = "update"))
+    // pruned-to-nothing predicate: an EMPTY delta carries the table —
+    // no entry-list materialization for the common miss
+    if (cands.isEmpty)
+      return Some(commitDelta(v, Nil, Nil, op = "update"))
     // DV-FILTERED read: an already-deleted row must not resurrect as an
     // updated copy
     val mat = readWithPos(cands, schemaOf(lv), applyDv = true, cmapOf(lv))
@@ -4449,8 +4453,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       .localCheckpoint()
     val n = mat.count()
     if (n > dvMaxRows) None
-    else if (n == 0L) Some(commit(v, prev, op = "update"))
+    else if (n == 0L) Some(commitDelta(v, Nil, Nil, op = "update"))
     else {
+      val prev = entries(lv)
       val hits = mat.select(col("__mor_f"), col("__mor_p")).collect()
       val (payload, dead) = mergedDvs(prev, hits)
       val updatedRows = applyAssignments(
