@@ -42,6 +42,24 @@ class LogFuzzSpec extends SparkSpec {
     }
   }
 
+  test("the same 60-commit model with sidecar checkpoints AND the distributed prune forced") {
+    // the round-15 delta-first stack under maximum stress: every
+    // checkpoint is a (mostly scoped) sidecar write, every predicate
+    // resolution goes through the DISTRIBUTED checkpoint scan instead of
+    // the resident entry list, and every append/scoped-rewrite publishes
+    // through commitDelta — content parity at every step plus cold-handle
+    // agreement proves the whole O(touched) path end to end
+    spark.conf.set("spark.graft.acid.parquetCheckpointMinFiles", "1")
+    spark.conf.set("spark.graft.acid.checkpointShards", "4")
+    spark.conf.set("spark.graft.acid.distributedPruneMinFiles", "1")
+    try runFuzz()
+    finally {
+      spark.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
+      spark.conf.unset("spark.graft.acid.checkpointShards")
+      spark.conf.unset("spark.graft.acid.distributedPruneMinFiles")
+    }
+  }
+
   test("the same 60-commit model with write-side change data on") {
     // every DML path persists its net changes (DV + rewrite netting +
     // atomic participants) — content invariance at every step proves the
