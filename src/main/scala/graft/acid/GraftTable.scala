@@ -4703,15 +4703,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   def compactWhere(predicate: Column, targetFiles: Int): Long = {
     val lv = latestVersion.getOrElse(
       throw new IllegalStateException(s"no commits in table at $root"))
-    val prev = entries(lv)
-    val rewriteSet = entriesForPredicate(predicate, lv).map(_.path).toSet
-    val (rewrite, keep) = prev.partition(e => rewriteSet.contains(e.path))
-    val v = nextVersion
-    if (rewrite.size <= 1) commit(v, prev, op = "compact") // nothing to merge
+    // DELTA-FIRST: only the candidates resolve (distributed past
+    // distributedPruneMinFiles), the commit publishes the scoped delta,
+    // untouched entries carry implicitly; version PINNED to the probed
+    // snapshot so a racer collides loudly
+    val v = lv + 1
+    val rewrite = entriesForPredicate(predicate, lv)
+    if (rewrite.size <= 1)
+      commitDelta(v, Nil, Nil, op = "compact") // nothing to merge
     else {
       val out = readWithDv(rewrite, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
         .repartition(targetFiles)
-      commit(v, keep ++ writeData(out, v), op = "compact")
+      commitDelta(v, writeData(out, v), rewrite, op = "compact")
     }
   }
 
@@ -4725,6 +4728,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = nextVersion
     commit(v, writeData(laid, v), op = "compact")
   }
+
 
   // ------------------------------------------------------------------
   // WRITE-SIDE CHANGE-DATA FILES (the public Delta _change_data design):
