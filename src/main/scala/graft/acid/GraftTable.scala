@@ -1728,13 +1728,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                  txn: Option[(String, Long)] = None,
                                  schema: Option[StructType] = None,
                                  extraMeta: Seq[String] = Nil,
-                                 rwm: Option[Long] = None): Long = {
+                                 rwm: Option[Long] = None,
+                                 // column-mapping overrides (metadata-only
+                                 // DDL: rename/drop/add); None carries the
+                                 // prior version's forward like [[commit]]
+                                 cmapOverride: Option[Map[String, String]] = None,
+                                 cmdropOverride: Option[Set[String]] = None): Long = {
     fs.mkdirs(logDir)
     val declared = schema.orElse(latestVersion.flatMap(schemaOf))
-    val cmapFinal = latestVersion.map(cmapOf).getOrElse(Map.empty)
+    val cmapFinal = cmapOverride.orElse(latestVersion.map(cmapOf))
+      .getOrElse(Map.empty)
       .filter { case (l, _) =>
         declared.forall(_.fields.exists(_.name.equalsIgnoreCase(l))) }
-    val cmdropFinal = latestVersion.map(droppedPhysOf).getOrElse(Set.empty)
+    val cmdropFinal = cmdropOverride.orElse(latestVersion.map(droppedPhysOf))
+      .getOrElse(Set.empty)
     val prevMeta = if (v > 1L) headerMeta(v - 1) else Map.empty[String, String]
     val p = manifestPath(v)
     GraftTable.commitMonitor(root).synchronized {
@@ -2488,7 +2495,6 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val clash = lowerNew.intersect(base.fieldNames.map(_.toLowerCase).toSeq)
     require(clash.isEmpty, s"addColumns: ${clash.mkString(", ")} already exist")
     val v = nextVersion
-    val prev = latestVersion.map(entries).getOrElse(Nil)
     // a re-added name whose PHYSICAL namesake was dropped (or is held by
     // a renamed column) maps to a FRESH physical column — old file
     // values for the dead physical name must never resurrect into the
@@ -2524,7 +2530,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         Some(lower -> cand)
       } else None
     }.toMap
-    commit(v, prev, op = "add_column",
+    // METADATA-ONLY: an empty delta carries every entry implicitly
+    commitDelta(v, Nil, Nil, op = "add_column",
       schema = Some(StructType(base.fields ++ cols.map(_.copy(nullable = true)))),
       cmapOverride = if (freshEntries.isEmpty) None else Some(cm ++ freshEntries))
   }
@@ -2582,7 +2589,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       "integral -> sufficiently wide decimal only)")
     if (decimalFamily) requireNotPhysicalConfig(name, "widen (to decimal)")
     val v = nextVersion
-    commit(v, latestVersion.map(entries).getOrElse(Nil), op = "widen_column",
+    commitDelta(v, Nil, Nil, op = "widen_column",
       schema = Some(StructType(base.fields.map(x =>
         if (x.name.equalsIgnoreCase(name)) x.copy(dataType = newType) else x))))
   }
@@ -2621,8 +2628,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val v = nextVersion
     val old = indexCols
     indexCols = cols
-    try commit(v, latestVersion.map(entries).getOrElse(Nil),
-      op = "cluster_keys")
+    try commitDelta(v, Nil, Nil, op = "cluster_keys")
     catch { case e: Throwable => indexCols = old; throw e }
   }
 
@@ -2663,7 +2669,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val cm = latestVersion.map(cmapOf).getOrElse(Map.empty)
     val physName = cm.getOrElse(f.name.toLowerCase, f.name)
     val cm2 = (cm - f.name.toLowerCase) + (newName.toLowerCase -> physName)
-    commit(v, latestVersion.map(entries).getOrElse(Nil), op = "rename_column",
+    commitDelta(v, Nil, Nil, op = "rename_column",
       schema = Some(StructType(base.fields.map(x =>
         if (x.name.equalsIgnoreCase(oldName)) x.copy(name = newName) else x))),
       cmapOverride = Some(cm2))
@@ -2688,7 +2694,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val lv = latestVersion
     val cm = lv.map(cmapOf).getOrElse(Map.empty)
     val physName = cm.getOrElse(f.name.toLowerCase, f.name)
-    commit(v, lv.map(entries).getOrElse(Nil), op = "drop_column",
+    commitDelta(v, Nil, Nil, op = "drop_column",
       schema = Some(StructType(base.fields.filterNot(
         _.name.equalsIgnoreCase(name)))),
       cmapOverride = Some(cm - f.name.toLowerCase),
