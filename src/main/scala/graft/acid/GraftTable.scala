@@ -1733,7 +1733,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                  // DDL: rename/drop/add); None carries the
                                  // prior version's forward like [[commit]]
                                  cmapOverride: Option[Map[String, String]] = None,
-                                 cmdropOverride: Option[Set[String]] = None): Long = {
+                                 cmdropOverride: Option[Set[String]] = None,
+                                 // multi-table txn participant marker —
+                                 // publishes PENDING, resolved through the
+                                 // shared marker like [[commit]]'s
+                                 pending: Option[String] = None): Long = {
     fs.mkdirs(logDir)
     val declared = schema.orElse(latestVersion.flatMap(schemaOf))
     val cmapFinal = cmapOverride.orElse(latestVersion.map(cmapOf))
@@ -1742,7 +1746,19 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         declared.forall(_.fields.exists(_.name.equalsIgnoreCase(l))) }
     val cmdropFinal = cmdropOverride.orElse(latestVersion.map(droppedPhysOf))
       .getOrElse(Set.empty)
-    val prevMeta = if (v > 1L) headerMeta(v - 1) else Map.empty[String, String]
+    // nf/nr arithmetic anchors on the last EFFECTIVE parent: an ABORTED
+    // multi-table participant's header states counts that never landed —
+    // inheriting them would inflate nf (and poison the next checkpoint
+    // meta's completeness gate into a permanent fallback). The ts
+    // monotone clamp still reads the raw parent (aborted commits carry
+    // valid monotone stamps).
+    val prevMeta = {
+      var b = v - 1
+      while (b >= 1L && pendingAborted(b)) b -= 1
+      if (b >= 1L) headerMeta(b) else Map.empty[String, String]
+    }
+    val prevTsMeta =
+      if (v > 1L) headerMeta(v - 1) else Map.empty[String, String]
     val p = manifestPath(v)
     GraftTable.commitMonitor(root).synchronized {
     if (fs.exists(p))
@@ -1798,6 +1814,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         .map(n => s"nr=$n").toSeq
       val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq("kind=delta", s"nf=$nf") ++ nr ++
+        pending.map(p => s"pending=$p").toSeq ++
         (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
         (if (txnsAll.isEmpty) Nil
@@ -1827,7 +1844,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val tsMono =
         if (v <= 1L) System.currentTimeMillis()
         else math.max(System.currentTimeMillis(),
-          prevMeta.get("ts").flatMap(_.toLongOption).getOrElse(0L) + 1L)
+          prevTsMeta.get("ts").flatMap(_.toLongOption).getOrElse(0L) + 1L)
       val header = s"# op=$op ts=$tsMono $cfg"
       out.write(((header +: body) :+ CommitMarker)
         .mkString("\n").getBytes(UTF_8))
@@ -1836,8 +1853,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // replays the chain from disk; the classic fallback materializes
     // entries(v) — which can now read v's own complete manifest).
     // NOTE: deliberately NO cachePut — the whole point of this path is
-    // that the driver never holds version v's full entry list.
-    if (v % checkpointInterval == 0)
+    // that the driver never holds version v's full entry list. A
+    // PENDING participant never checkpoints (its outcome is unknown;
+    // a checkpoint is an unconditional full statement) — same rule as
+    // [[commit]].
+    if (pending.isEmpty && v % checkpointInterval == 0)
       writeCheckpointDelta(v,
         prevMeta.get("nf").flatMap(_.toLongOption).getOrElse(0L)
           - removes.size + adds.size)
@@ -5875,8 +5895,8 @@ object GraftTable {
       val w = written
       (markerB64: String) => {
         val v = table.nextVersion
-        val prev = table.latestVersion.map(table.entries).getOrElse(Nil)
-        table.commit(v, prev ++ w, op = "append", txn = txn,
+        // DELTA-FIRST: the participant's manifest states only its adds
+        table.commitDelta(v, w, Nil, op = "append", txn = txn,
           pending = Some(markerB64))
       }
     }
