@@ -307,6 +307,26 @@ class MultiTableCommitSpec extends SparkSpec {
     assert(tb.snapshot().count() == 6L)
   }
 
+  test("nf/nr arithmetic after an ABORTED participant anchors on the effective parent") {
+    val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_nf"))
+    ta.append(df(1 to 10))                                          // v1
+    // an aborted participant: pending manifest landed, marker never did
+    val marker = new Path(s"${ta.root}/_log/_txn/nfabort").toString
+    val w = ta.writeData(df(11 to 30), ta.nextVersion)
+    ta.commit(ta.nextVersion, ta.entries(ta.latestVersion.get) ++ w,
+      op = "append", pending = Some(GraftTable.b64(marker)))        // v2: abort
+    // the next delta-first append must state the TRUE totals — not
+    // inherit the aborted header's never-landed counts
+    ta.append(df(31 to 35))                                         // v3
+    val meta = ta.headerMeta(3L)
+    val trueNf = ta.entries(3L).size.toLong
+    assert(meta.get("nf").flatMap(_.toLongOption).contains(trueNf),
+      s"nf must anchor on the effective parent: ${meta.get("nf")} vs $trueNf")
+    assert(meta.get("nr").flatMap(_.toLongOption).contains(15L),
+      s"nr must be 10 + 5, never counting the aborted 20: ${meta.get("nr")}")
+    assert(ta.snapshot().count() == 15L)
+  }
+
   test("vacuum reclaims an aborted txn's orphaned data files") {
     val ta = new GraftTable(spark, graft.TempDirs.create("graft_mt_orph_a"))
     ta.append(df(1 to 10))
