@@ -43,6 +43,48 @@ private[graft] object ScopedStream {
     GraftPlanBridge.ofRows(outer, df.queryExecution.analyzed)
 }
 
+/** Per-JVM cached DERIVED session with [[graft.GraftExtensions]]
+  * installed — the extension-injected SQL surface (TVFs, COMMIT ATOMIC,
+  * INSERT … REPLACE WHERE grammar) needs a parser the caller's session
+  * may lack. Three properties close the derived-session-vs-caller
+  * environment fork (round-15 advice: the fork was a live root-cause
+  * hypothesis for a driver-only gate failure):
+  *
+  *  1. the caller's MODIFIABLE runtime confs copy onto the derived
+  *     session at creation (session timezone, shuffle partitions, ANSI
+  *     flags — a fresh-default session would evaluate the same SQL under
+  *     different semantics than the main one);
+  *  2. ONE derived session per caller session per JVM — repeated gate
+  *     invocations (verify + bench warm-ups) stop accumulating leaked
+  *     session states;
+  *  3. the caller is restored as active AND default session after every
+  *     call — `builder().create()` flips both, and later main-session
+  *     work must not resolve thread-local state against the derived one.
+  */
+private[graft] object DerivedSessions {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  def withExtensions(s: SparkSession): SparkSession = {
+    val s2 = cache.computeIfAbsent(s, { _ =>
+      val created = SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions)
+        .create()
+      s.conf.getAll.foreach { case (k, v) =>
+        if (created.conf.isModifiable(k) &&
+            !created.conf.getOption(k).contains(v))
+          try created.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      created
+    })
+    SparkSession.setDefaultSession(s)
+    SparkSession.setActiveSession(s)
+    s2
+  }
+}
+
 /** Self-cleaning temp dirs for per-JVM fixture copies. */
 object TempDirs {
   def create(prefix: String): String = {

@@ -180,17 +180,43 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
       // evolveSchema machinery then adds + types the columns and keeps
       // carried files metadata-only. An EXPLICIT assignment list (e.g.
       // `WHEN MATCHED THEN UPDATE SET t.v = s.v`) leaves the evolved
-      // columns unassigned — NULL/unchanged, exactly Delta's rule; star
-      // is detected as an assignment list covering the full
-      // pre-evolution target schema (the analyzer's star expansion).
+      // columns unassigned — NULL/unchanged, exactly Delta's rule. Star
+      // detection (r15 advice: coverage alone misclassified an explicit
+      // list that names every column): the analyzer's star expansion
+      // assigns EVERY pre-evolution target column from the same-named
+      // source attribute (possibly under a widening cast) — so star ⇔
+      // full coverage AND every assignment is that identity-by-name
+      // shape. An explicit list with any computed right-hand side now
+      // correctly keeps its evolved columns NULL; the one residual
+      // ambiguity (a hand-written full identity list) is semantically
+      // star on every pre-evolution column anyway.
       val evolveCols: Seq[String] =
         if (!m.withSchemaEvolution) Nil
         else src.output.map(_.name)
           .filterNot(n => tOut.exists(_.name.equalsIgnoreCase(n)))
-      def isStar(s: Map[String, Column]): Boolean =
-        tOut.forall(a => s.keys.exists(_.equalsIgnoreCase(a.name)))
-      def withEvolved(s: Map[String, Column]): Map[String, Column] =
-        if (isStar(s)) s ++ evolveCols.map(n => n -> col(s"__s_$n")) else s
+      val srcByName = src.output.map(a => a.exprId.id -> a.name).toMap
+      def isStarAction(as: Seq[Assignment]): Boolean =
+        tOut.forall { a =>
+          as.exists { asg =>
+            val keyHits = asg.key match {
+              case k: AttributeReference =>
+                tNames.get(k.exprId.id).exists(_.equalsIgnoreCase(a.name))
+              case _ => false
+            }
+            def unwrap(e: Expression): Expression = e match {
+              case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+                unwrap(c.child)
+              case o => o
+            }
+            keyHits && (unwrap(asg.value) match {
+              case v: AttributeReference =>
+                srcByName.get(v.exprId.id).exists(_.equalsIgnoreCase(a.name))
+              case _ => false
+            })
+          }
+        }
+      def withEvolved(s: Map[String, Column], star: Boolean): Map[String, Column] =
+        if (star) s ++ evolveCols.map(n => n -> col(s"__s_$n")) else s
 
       // Some(None) = unconditional action; None = cannot convert
       def optCond(c: Option[Expression]): Option[Option[Column]] = c match {
@@ -202,12 +228,12 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
         a match {
           case UpdateAction(c, as, _) =>
             for (cc <- optCond(c); s <- assigns(as, tNames, names))
-              yield (cc, Some(if (evolve) withEvolved(s) else s))
+              yield (cc, Some(if (evolve) withEvolved(s, isStarAction(as)) else s))
           case DeleteAction(c) =>
             optCond(c).map(cc => (cc, None))
           case InsertAction(c, as) =>
             for (cc <- optCond(c); s <- assigns(as, tNames, names))
-              yield (cc, Some(if (evolve) withEvolved(s) else s))
+              yield (cc, Some(if (evolve) withEvolved(s, isStarAction(as)) else s))
           case _ => None
         }
 

@@ -2391,30 +2391,43 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val fresh = base match {
         case None => incoming
         case Some(v) =>
-          val isStr = df.schema.fields
-            .find(_.name.equalsIgnoreCase(keyCol))
-            .exists(_.dataType == org.apache.spark.sql.types.StringType)
-          val keys = incoming.select(col(keyCol)).na.drop()
+          // NULL keys are first-class for dedup (r15 advice: the old
+          // na.drop probe let every null-keyed redelivery re-append —
+          // silent duplicates under the sink's exactly-once framing):
+          // the sample keeps nulls, the probe gets an isNull arm, and
+          // the anti-join below is null-safe. Truncation-safe like
+          // [[applyChangesAgg]]: the exact isin list is only sound when
+          // the sample provably holds every key (came back < limit).
+          val sampled = incoming.select(col(keyCol))
             .distinct().limit(1025).collect().map(_.get(0))
           val pred =
-            if (keys.isEmpty) lit(false)
-            else if (keys.length <= 1024)
-              col(keyCol).isin(keys.toIndexedSeq: _*)
-            else if (isStr) {
-              val ss = incoming.agg(min(col(keyCol)), max(col(keyCol))).head()
-              col(keyCol) >= ss.getString(0) && col(keyCol) <= ss.getString(1)
+            if (sampled.isEmpty) lit(false)
+            else if (sampled.length < 1025) {
+              val hasNull = sampled.contains(null)
+              val nonNull = sampled.filter(_ != null)
+              val base =
+                if (nonNull.isEmpty) lit(false)
+                else col(keyCol).isin(nonNull.toIndexedSeq: _*)
+              if (hasNull) base || col(keyCol).isNull else base
             } else {
-              val mm = incoming.agg(min(col(keyCol)).cast("long"),
-                max(col(keyCol)).cast("long")).head()
-              if (mm.isNullAt(0)) lit(true)
-              else col(keyCol) >= mm.getLong(0) && col(keyCol) <= mm.getLong(1)
+              val mm = incoming.agg(min(col(keyCol)), max(col(keyCol)),
+                max(col(keyCol).isNull.cast("int"))).head()
+              val hasNull = !mm.isNullAt(2) && mm.getInt(2) == 1
+              val base =
+                if (mm.isNullAt(0)) lit(false) // every incoming key null
+                else col(keyCol) >= lit(mm.get(0)) &&
+                  col(keyCol) <= lit(mm.get(1))
+              if (hasNull) base || col(keyCol).isNull else base
             }
           val cand = entriesForPredicate(pred, v)
           if (cand.isEmpty) incoming
           else {
             val existing = readWithDv(cand, schemaOf(v), snapshot(Some(v)), cmapOf(v))
               .select(col(keyCol))
-            incoming.join(existing, Seq(keyCol), "left_anti")
+            // null-safe anti-join: an incoming null key must match an
+            // existing null key (a plain key-equality join never does)
+            incoming.join(existing,
+              incoming(keyCol) <=> existing(keyCol), "left_anti")
           }
       }
       val v = base.getOrElse(0L) + 1
@@ -5237,26 +5250,42 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }
     // delta is one row per group already — keep a null-group row (na.drop
     // here would turn an all-null-key batch into a silent no-op that
-    // drops its deltas)
-    val touchedKeys = delta.select(col(keyCol))
+    // drops its deltas).
+    //
+    // TRUNCATION-SAFE probe (r15 advice, HIGH): the exact isin form is
+    // only sound when the 1025-row sample provably holds EVERY touched
+    // key (sample came back smaller than its limit). A truncated sample
+    // must never pick the exact branch — an isin over an incomplete key
+    // list would leave the missed groups' files out of the rewrite while
+    // the fold writes a second partial row for the same key (silent
+    // duplicate group keys / split aggregates) — and a truncated sample
+    // can also miss the null group, so null-existence then comes from a
+    // real aggregate, not the sample.
+    val sampled = delta.select(col(keyCol))
       .limit(1025).collect().map(_.get(0))
-    if (touchedKeys.isEmpty)
+    if (sampled.isEmpty)
       return commitDelta(nextVersion, Nil, Nil, op = "apply_changes",
         txn = txn)
-    val hasNullKey = touchedKeys.contains(null)
-    val nonNullKeys = touchedKeys.filter(_ != null)
-    val nonNullPred =
-      if (nonNullKeys.isEmpty) lit(false)
-      else if (nonNullKeys.length <= 1024)
-        col(keyCol).isin(nonNullKeys.toIndexedSeq: _*)
-      else {
-        val mm = delta.select(col(keyCol))
-          .agg(min(col(keyCol)), max(col(keyCol))).head()
-        if (mm.isNullAt(0)) lit(true)
-        else col(keyCol) >= lit(mm.get(0)) && col(keyCol) <= lit(mm.get(1))
+    val pred =
+      if (sampled.length < 1025) {
+        val hasNullKey = sampled.contains(null)
+        val nonNullKeys = sampled.filter(_ != null)
+        val base =
+          if (nonNullKeys.isEmpty) lit(false)
+          else col(keyCol).isin(nonNullKeys.toIndexedSeq: _*)
+        if (hasNullKey) base || col(keyCol).isNull else base
+      } else {
+        // >1024 groups: ONE exact aggregate over the grouped delta —
+        // min/max range plus a null-group existence bit (min/max ignore
+        // nulls, so the bit must be its own aggregate)
+        val mm = delta.agg(min(col(keyCol)), max(col(keyCol)),
+          max(col(keyCol).isNull.cast("int"))).head()
+        val hasNullKey = !mm.isNullAt(2) && mm.getInt(2) == 1
+        val base =
+          if (mm.isNullAt(0)) lit(false) // every touched key is null
+          else col(keyCol) >= lit(mm.get(0)) && col(keyCol) <= lit(mm.get(1))
+        if (hasNullKey) base || col(keyCol).isNull else base
       }
-    val pred = if (hasNullKey) nonNullPred || col(keyCol).isNull
-               else nonNullPred
     // DELTA-FIRST: only the touched-group candidates resolve (see
     // [[applyChangesKeyed]]); the untouched mirror entries carry
     // implicitly through [[commitDelta]]

@@ -334,28 +334,25 @@ object AcidQueries extends QueryPack {
           .getMostSignificantBits)
       val src = cdfTable(s, d)
       val mirRoot = s"$acidDir/cdcagg_$key"
-      val ckpt = s"$acidDir/cdcagg_ckpt_$key"
       val mir = new GraftTable(s, mirRoot)
-      val q = s.readStream.format("graft-table")
-        .option("path", src.root)
-        .option("maxVersionsPerBatch", "1")
-        .option("readChangeFeed", "true")
-        .option("changeFeedKeys", "user_id")
-        .load()
-        .writeStream.option("checkpointLocation", ckpt)
-        // the (writerId, batchId) token makes a replayed micro-batch a
-        // no-op — without it a foreachBatch retry re-applies its deltas
-        // and silently doubles the mirror (the exactly-once contract)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (!batch.isEmpty)
-            mir.applyChangesAgg(batch.drop("_commit_version"),
-              "event_type", Seq("value"),
-              txn = Some(("cdcagg_mirror", batchId)))
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // Deterministic BATCH replay (round 16, r15 directive #2): one
+      // keyed feed per source commit, folded in version order with the
+      // idempotent txn stamp — the gate's dependency surface drops
+      // AvailableNow / foreachBatch / the streaming checkpoint entirely
+      // (the r14/r15 driver-only red could not be reproduced across
+      // three local runs; the remaining suspects were all in the
+      // streaming drain). The streaming fold stays first-class and
+      // driver-gated through q_acid_stream_cdc_mirror and the
+      // GraftTableSink specs; THIS fixture pins the materialized-view
+      // identity of applyChangesAgg itself.
+      val lv = src.latestVersion.getOrElse(
+        throw new IllegalStateException(s"cdf fixture at ${src.root} empty"))
+      (1L to lv).foreach { v =>
+        mir.applyChangesAgg(
+          src.changeFeedKeyed(v - 1L, v, Seq("user_id")),
+          "event_type", Seq("value"),
+          txn = Some(("cdcagg_mirror", v)))
+      }
       mirRoot
     })
     GraftTable.load(s, root)
@@ -888,12 +885,10 @@ object AcidQueries extends QueryPack {
           .withColumn("event_type", lit("rescored"))
           .withColumn("value", $"value" * 2.0))
       // SQL twin: INSERT INTO ... REPLACE WHERE is parser-injected
-      // grammar, so it builds on a DERIVED session (same SparkContext,
-      // own extensions); the table on disk reads back from any session
-      val s2 = org.apache.spark.sql.SparkSession.builder()
-        .master(s.sparkContext.master)
-        .withExtensions(new graft.GraftExtensions)
-        .create()
+      // grammar, so it builds on the shared DERIVED session (same
+      // SparkContext, own extensions, caller confs copied); the table
+      // on disk reads back from any session
+      val s2 = graft.DerivedSessions.withExtensions(s)
       s2.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
       s2.conf.set("spark.sql.catalog.graft.root", acidDir)
       val t2 = new GraftTable(s2, sqlRoot, statsCol = Some("user_id"))
@@ -923,13 +918,11 @@ object AcidQueries extends QueryPack {
   private def sqlAtomicMergeTables(s: SparkSession, d: String): (GraftTable, GraftTable) = {
     val (rRaw, rMir) = sqlAtomicMergeFixtures.computeIfAbsent(d, { _ =>
       // COMMIT ATOMIC is parser-injected grammar: the driver's session
-      // has no GraftExtensions, so the fixture builds on a DERIVED
-      // session (same SparkContext, own extensions) — the tables on
-      // disk then read back from any session
-      val s2 = org.apache.spark.sql.SparkSession.builder()
-        .master(s.sparkContext.master)
-        .withExtensions(new graft.GraftExtensions)
-        .create()
+      // has no GraftExtensions, so the fixture builds on the shared
+      // DERIVED session (same SparkContext, own extensions, caller
+      // confs copied) — the tables on disk then read back from any
+      // session
+      val s2 = graft.DerivedSessions.withExtensions(s)
       import s2.implicits._
       val key = java.lang.Long.toHexString(
         java.util.UUID.nameUUIDFromBytes(("sqlam" + d).getBytes("UTF-8"))
@@ -1163,10 +1156,7 @@ object AcidQueries extends QueryPack {
     // ordinary SELECT. Exact DECIMAL sums pin every netted row's value.
     "q_acid_sql_table_changes" -> { (s, d) =>
       val t = tables(s, d)._1
-      val s2 = org.apache.spark.sql.SparkSession.builder()
-        .master(s.sparkContext.master)
-        .withExtensions(new graft.GraftExtensions)
-        .create()
+      val s2 = graft.DerivedSessions.withExtensions(s)
       val out = s2.sql(
         s"""SELECT _change, event_type, count(*) AS n,
            |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6))
@@ -1174,6 +1164,24 @@ object AcidQueries extends QueryPack {
            |FROM table_changes('${t.root}', 1, 3)
            |GROUP BY _change, event_type
            |ORDER BY _change, event_type""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+
+    // BISECTION COMPANION (r15 directive #1b): the table_changes() TVF
+    // output UN-aggregated, on the derived session — must equal the
+    // driver-green q_acid_change_feed byte for byte (same feed, same
+    // oracle). Red here with q_acid_change_feed green = the derived
+    // session evaluates the feed differently than the main session;
+    // green here with q_acid_sql_table_changes red = the DECIMAL
+    // aggregation step on the derived session is the diverging layer.
+    "q_acid_tvf_rows" -> { (s, d) =>
+      val t = tables(s, d)._1
+      val s2 = graft.DerivedSessions.withExtensions(s)
+      val out = s2.sql(
+        s"""SELECT event_id, user_id, ts, event_type, value, _change
+           |FROM table_changes('${t.root}', 1, 3)
+           |ORDER BY _change, user_id, event_id""".stripMargin)
       val rows = out.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     },
@@ -1457,6 +1465,44 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_type")
     },
 
+    // BISECTION COMPANION (r15 directive #1a): the SOURCE layer behind
+    // q_acid_cdc_agg — the same DECIMAL aggregate computed by a full
+    // recompute over the cdf table's final snapshot on the MAIN session,
+    // no change feed, no mirror, no fold. Red here = the source fixture
+    // state itself diverges in the driver environment.
+    "q_acid_cdc_agg_src" -> { (s, d) =>
+      import s.implicits._
+      cdfTable(s, d).snapshot()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum($"value".cast("decimal(28,6)")).cast("decimal(38,6)")
+            .as("sum_value"))
+        .orderBy($"event_type")
+    },
+
+    // BISECTION COMPANION (r15 directive #1c): the FEED layer — the same
+    // aggregate folded as ±deltas directly from the per-version change
+    // feeds on the MAIN session, in one DataFrame expression (no mirror
+    // table, no applyChangesAgg, no txn machinery). DECIMAL additivity
+    // makes the fold exactly equal the recompute. Red here (with _src
+    // green) = the change feed diverges; green here with q_acid_cdc_agg
+    // red = the applyChangesAgg fold or its commit path diverges.
+    "q_acid_cdc_agg_api" -> { (s, d) =>
+      import s.implicits._
+      val src = cdfTable(s, d)
+      val lv = src.latestVersion.getOrElse(0L)
+      src.changeFeedByVersion(0L, lv)
+        .withColumn("__sgn",
+          when($"_change".isin("insert", "update_postimage"), 1L)
+            .otherwise(lit(-1L)))
+        .groupBy($"event_type")
+        .agg(sum($"__sgn").cast("long").as("n"),
+          sum($"value".cast("decimal(28,6)") * $"__sgn")
+            .cast("decimal(38,6)").as("sum_value"))
+        .filter($"n" =!= 0L)
+        .orderBy($"event_type")
+    },
+
     // Round 14: MERGE with schema evolution — the matched branch's
     // assignment to a column the table lacked adds it (typed by the
     // plan-time probe), inserts carry it, and every untouched row —
@@ -1605,10 +1651,7 @@ object AcidQueries extends QueryPack {
     // the middle txn. Must hash-match the API gate's oracle exactly.
     "q_acid_sql_txn_read" -> { (s, d) =>
       val (raw, st, txnId) = multiTables(s, d)
-      val s2 = org.apache.spark.sql.SparkSession.builder()
-        .master(s.sparkContext.master)
-        .withExtensions(new graft.GraftExtensions)
-        .create()
+      val s2 = graft.DerivedSessions.withExtensions(s)
       val out = s2.sql(
         s"""SELECT r.event_type, count(*) AS n_raw, max(t.n_stats) AS n_stats
            |FROM snapshot_at_txn('${raw.root}', '$txnId') r
@@ -2180,6 +2223,48 @@ object AcidQueries extends QueryPack {
         |SELECT event_type, count(*) AS n,
         |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bisection companions: SAME recompute oracle as q_acid_cdc_agg —
+    // the three gate rows pin three layers of the same identity
+    "q_acid_cdc_agg_src" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_acid_cdc_agg_api" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the TVF's un-aggregated rows: identical net diff to
+    // q_acid_change_feed (explicit column list to pin order/names)
+    "q_acid_tvf_rows" ->
+      """WITH v1 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events WHERE event_id % 3 = 0),
+        |v3 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  WHERE rn = 1),
+        |ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+        |del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+        |SELECT event_id, user_id, ts, event_type, value, _change FROM (
+        |  SELECT *, 'insert' AS _change FROM ins
+        |  UNION ALL
+        |  SELECT *, 'delete' AS _change FROM del)
+        |ORDER BY _change, user_id, event_id""".stripMargin,
 
     // the evolving merge replayed: latest-per-user rows gain grade for
     // the <12 band, key-shifted <3 inserts carry 'new', everyone else
