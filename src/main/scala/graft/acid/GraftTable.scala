@@ -1638,8 +1638,20 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // answers from the LATEST header alone — O(1) per streaming batch
       // instead of walking every version's header. O(distinct writers)
       // bytes, typically a handful of streaming sinks.
+      // live-mask bookkeeping, stated EXACTLY (this path holds the full
+      // list): `dvsv=` distinct live dv sidecar versions, `dvn=` total
+      // masked rows — the delta-first DV path ([[deleteViaDv]]) and the
+      // auto-purge decision read these instead of materializing entries
+      val dvsvFinal = finalFiles.flatMap(_.dvRef).distinct.sorted
+      val dvnFinal = finalFiles.map(_.dvCount).sum
       val txnsAll = txnsAsOf(v - 1) ++ txn
+      // dvn= is stated even at 0: its PRESENCE is what lets the
+      // auto-purge decision stay a header read (absent = legacy chain,
+      // fall back to the list once)
       val cfg = (Seq(s"kind=$kind", s"nf=${finalFiles.size}") ++ nr ++
+        (if (dvsvFinal.isEmpty) Nil
+         else Seq(s"dvsv=${dvsvFinal.mkString(",")}")) ++
+        Seq(s"dvn=$dvnFinal") ++
         pending.map(p => s"pending=$p").toSeq ++
         (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
@@ -1719,9 +1731,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * [[commit]] would write for the same mutation — delta kind, same
     * body lines, same gates — so readers cannot tell the paths apart.
     *
-    * Scope: plain adds/removes commits (appends, scoped rewrites). DV
-    * commits, multi-table participants and mapping changes re-tag
-    * OTHER entries' lines and stay on [[commit]]. */
+    * Scope: plain adds/removes commits (appends, scoped rewrites) AND —
+    * since round 16 — merge-on-read DV commits within the
+    * [[GraftTable.MaxDvSidecars]] bound: a re-masked entry is a
+    * remove+add pair over the SAME path (the delta grammar's existing
+    * "replaced entry" form), its new `dv=` ref pointing at THIS commit's
+    * sidecar (the `dvs` payload below). Multi-table participants and
+    * mapping changes still re-tag arbitrary other entries and stay on
+    * [[commit]]. */
   private[graft] def commitDelta(v: Long, adds: Seq[FileEntry],
                                  removes: Seq[FileEntry],
                                  op: String = "commit",
@@ -1729,6 +1746,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                  schema: Option[StructType] = None,
                                  extraMeta: Seq[String] = Nil,
                                  rwm: Option[Long] = None,
+                                 // this commit's deletion-vector sidecar
+                                 // payload (path -> merged positions);
+                                 // the matching `adds` entries must
+                                 // already carry `dvRef = Some(v)` —
+                                 // the caller tags, this writes
+                                 dvs: Map[String, Array[Long]] = Map.empty,
                                  // column-mapping overrides (metadata-only
                                  // DDL: rename/drop/add); None carries the
                                  // prior version's forward like [[commit]]
@@ -1796,6 +1819,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             e.copy(ndv = Map.empty, nvRef = Some(v), ndvFresh = false)
           else e)
         }
+      // this commit's deletion vectors land in the v-numbered sidecar
+      // exactly like [[commit]] step 2 — the retagged adds already
+      // reference it
+      if (dvs.nonEmpty)
+        writeSidecar(dvSidecarPath(v), dvs.toSeq.sortBy(_._1))
       val body = removes.map(e => s"-\t${e.path}") ++
         finalAdds.map(e => s"+\t${e.line}")
       val req = (requiredFeatures(finalAdds) ++
@@ -1812,8 +1840,23 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           finalAdds.map(e => e.rows.get - e.dvCount).sum -
           removes.map(e => e.rows.get - e.dvCount).sum)
         .map(n => s"nr=$n").toSeq
+      // live-mask bookkeeping by arithmetic (the delta-first DV path's
+      // decision inputs — see [[deleteViaDv]]): `dvsv=` the distinct dv
+      // sidecar versions the active set MAY reference (an over-
+      // approximation — a removed last-referencing entry keeps its ref
+      // listed until the next full [[commit]] restates it exactly; only
+      // ever causes an earlier coalescing fallback, never a wrong
+      // read), `dvn=` the exact total masked rows (adds minus removes).
+      val dvsvAll = (prevMeta.get("dvsv").toSeq.flatMap(_.split(","))
+        .flatMap(_.toLongOption) ++ finalAdds.flatMap(_.dvRef))
+        .distinct.sorted
+      val dvn = prevMeta.get("dvn").flatMap(_.toLongOption).getOrElse(0L) +
+        finalAdds.map(_.dvCount).sum - removes.map(_.dvCount).sum
       val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq("kind=delta", s"nf=$nf") ++ nr ++
+        (if (dvsvAll.isEmpty) Nil
+         else Seq(s"dvsv=${dvsvAll.mkString(",")}")) ++
+        Seq(s"dvn=$dvn") ++
         pending.map(p => s"pending=$p").toSeq ++
         (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
@@ -1848,6 +1891,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val header = s"# op=$op ts=$tsMono $cfg"
       out.write(((header +: body) :+ CommitMarker)
         .mkString("\n").getBytes(UTF_8))
+      if (dvs.nonEmpty) cachePut(dvSidecars, v, dvs)
     } finally out.close()
     // checkpoint cadence AFTER the manifest closes (the scoped writer
     // replays the chain from disk; the classic fallback materializes
@@ -4260,7 +4304,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * losing the purge's commit race just defers it to the next DV
     * commit. */
   private def maybeAutoPurge(v: Long): Long = {
-    val masked = entries(v).map(_.dvCount).sum
+    // the purge DECISION reads the header-maintained masked-rows total
+    // (`dvn=`, exact by arithmetic) — one header read per DV commit,
+    // never an entry-list materialization; the reorg itself (rare, past
+    // the debt bound) resolves the list anyway. Headerless legacy
+    // chains fall back to the list once.
+    val masked = headerMeta(v).get("dvn").flatMap(_.toLongOption)
+      .getOrElse(entries(v).map(_.dvCount).sum)
     if (masked <= dvPurgeRows) v
     else try reorg() catch { case _: ConcurrentCommitException => v }
   }
@@ -4327,16 +4377,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
 
   /** Merge `hit` (file key, row index) rows — keys are [[GraftTable
     * .entrySuffix]] two-component paths from [[readWithPos]] — into the
-    * previous entries' deletion vectors: the full per-path merged
-    * position sets, plus the paths whose every physical row is now
-    * deleted (they leave the active set entirely). */
-  private def mergedDvs(prev: Seq[FileEntry],
+    * CANDIDATE entries' deletion vectors (hits can only reference files
+    * the pruned scan read, so the candidate set suffices — the full
+    * entry list never materializes on this path): the full per-path
+    * merged position sets, plus the paths whose every physical row is
+    * now deleted (they leave the active set entirely). */
+  private def mergedDvs(cands: Seq[FileEntry],
                         hits: Array[org.apache.spark.sql.Row])
       : (Map[String, Array[Long]], Set[String]) = {
     val byKey = hits.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-    val keyOf = prev.map(e => fileKeyOf(e.path) -> e).toMap
-    val entryOf = prev.map(e => e.path -> e).toMap
+    val keyOf = cands.map(e => fileKeyOf(e.path) -> e).toMap
+    val entryOf = cands.map(e => e.path -> e).toMap
     val payload = byKey.flatMap { case (key, ps) =>
       keyOf.get(key).map(e => e.path -> (dvPositions(e) ++ ps).distinct.sorted)
     }
@@ -4344,6 +4396,41 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       if entryOf.get(p).exists(_.rows.contains(ps.length.toLong)) => p
     }.toSet
     (payload, dead)
+  }
+
+  /** The delta-first DV commit decision + shared tail for
+    * [[deleteViaDv]] / [[updateViaDv]]: while the live dv-sidecar ref
+    * set (header `dvsv=`, over-approximate) stays within
+    * [[GraftTable.MaxDvSidecars]] after adding this commit's, publish
+    * O(touched files) through [[commitDelta]] — dead entries remove,
+    * re-masked entries re-tag as remove+add over the same path — with
+    * NO entry-list materialization (the 100 TB merge-on-read DML
+    * path: the hottest mutation commits O(matched files), r15 verdict
+    * item #2). Past the bound, fall back to the classic full path:
+    * [[coalesceDvs]] folds every still-referenced mask into THIS
+    * commit's sidecar (exact coalescing needs the full list) and
+    * [[commit]] restates `dvsv=` exactly, resetting the bound. */
+  private def commitDvMasks(v: Long, lv: Long, cands: Seq[FileEntry],
+                            payload: Map[String, Array[Long]],
+                            dead: Set[String], newFiles: Seq[FileEntry],
+                            op: String, extra: Seq[String]): Long = {
+    val priorRefs = headerMeta(lv).get("dvsv").toSeq
+      .flatMap(_.split(",")).flatMap(_.toLongOption)
+    val live = payload -- dead
+    val refsAfter =
+      (priorRefs ++ (if (live.nonEmpty) Seq(v) else Nil)).distinct
+    if (refsAfter.size <= GraftTable.MaxDvSidecars) {
+      val touched = cands.filter(e =>
+        payload.contains(e.path) || dead.contains(e.path))
+      val retagged = touched.filterNot(e => dead.contains(e.path)).map(e =>
+        e.copy(dvRef = Some(v), dvCount = payload(e.path).length.toLong))
+      commitDelta(v, retagged ++ newFiles, touched, op = op,
+        dvs = live, extraMeta = extra)
+    } else {
+      val prev = entries(lv)
+      commit(v, prev.filterNot(e => dead.contains(e.path)) ++ newFiles,
+        op = op, dvs = coalesceDvs(prev, live, dead), extraMeta = extra)
+    }
   }
 
   /** DELETE as a DELETION-VECTOR commit (merge-on-read): collect the
@@ -4368,7 +4455,6 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // pruned-to-nothing predicate: an EMPTY delta carries the table —
     // no entry-list materialization for the common miss
     if (cands.isEmpty) return Some(commitDelta(v, Nil, Nil, op = "delete"))
-    val prev = entries(lv)
     val cdf = cdfWriteEnabled
     // without change files: raw read (existing DVs NOT applied) —
     // re-deleting an already-deleted position is a set-union no-op, and
@@ -4383,16 +4469,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val scan = if (cdf) scan0.localCheckpoint() else scan0
     val hits = scan.select(col("__mor_f"), col("__mor_p")).collect()
     if (hits.length > dvMaxRows) None
+    else if (hits.isEmpty) Some(commitDelta(v, Nil, Nil, op = "delete"))
     else {
-      val (payload, dead) = mergedDvs(prev, hits)
-      val files = prev.filterNot(e => dead.contains(e.path))
+      val (payload, dead) = mergedDvs(cands, hits)
       val extra =
-        if (cdf && hits.nonEmpty)
+        if (cdf)
           writeChangeData(scan.drop("__mor_f", "__mor_p")
             .withColumn("_change", lit("delete")))
         else Nil
-      Some(commit(v, files, op = "delete",
-        dvs = coalesceDvs(prev, payload -- dead, dead), extraMeta = extra))
+      Some(commitDvMasks(v, lv, cands, payload, dead, Nil,
+        op = "delete", extra = extra))
     }
   }
 
@@ -4494,13 +4580,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     if (n > dvMaxRows) None
     else if (n == 0L) Some(commitDelta(v, Nil, Nil, op = "update"))
     else {
-      val prev = entries(lv)
       val hits = mat.select(col("__mor_f"), col("__mor_p")).collect()
-      val (payload, dead) = mergedDvs(prev, hits)
+      val (payload, dead) = mergedDvs(cands, hits)
       val updatedRows = applyAssignments(
         mat.drop("__mor_f", "__mor_p"), lit(true), set)
       val newFiles = writeData(clusterByPartition(updatedRows), v)
-      val files = prev.filterNot(e => dead.contains(e.path)) ++ newFiles
       // change files: the pre-images are exactly the matched live rows
       // (mat is materialized — same evaluation the DV positions came
       // from), the post-images exactly the rows appended above
@@ -4510,8 +4594,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             .withColumn("_change", lit("delete"))
             .unionByName(updatedRows.withColumn("_change", lit("insert"))))
         else Nil
-      Some(commit(v, files, op = "update",
-        dvs = coalesceDvs(prev, payload -- dead, dead), extraMeta = extra))
+      Some(commitDvMasks(v, lv, cands, payload, dead, newFiles,
+        op = "update", extra = extra))
     }
   }
 
