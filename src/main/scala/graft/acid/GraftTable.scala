@@ -5283,6 +5283,55 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     }.reduce(_.unionByName(_))
   }
 
+  /** Resolve the `(fromV, toV]` version window a WALL-CLOCK range
+    * selects (the Delta table_changes-by-timestamp contract): `fromTs`
+    * picks the FIRST commit at or after it, `toTs` the LAST commit at
+    * or before it — both inclusive. The in-commit MONOTONE `ts=` stamps
+    * (max(now, parent+1), [[commit]]) make the mapping exact even under
+    * writer clock skew: timestamps are strictly increasing with
+    * version, so a wall-clock window selects one contiguous version
+    * range and never an inverted or split one. O(retained versions)
+    * header reads, no data I/O. Loud when the window selects nothing —
+    * a consumer pinning wall-clock must never silently get an empty
+    * feed for a mis-typed range. */
+  private[acid] def versionWindowByTimestamp(fromTsMillis: Long,
+                                             toTsMillis: Long): (Long, Long) = {
+    require(toTsMillis >= fromTsMillis,
+      s"changeFeedByTimestamp: need fromTs <= toTs, " +
+        s"got [$fromTsMillis, $toTsMillis]")
+    val h = history()
+    val start = h.find(_.commitMs >= fromTsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"changeFeedByTimestamp: no commit at or after $fromTsMillis " +
+          s"at $root (newest: ${h.lastOption.map(_.commitMs)})"))
+    val end = h.filter(_.commitMs <= toTsMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"changeFeedByTimestamp: no commit at or before $toTsMillis " +
+          s"at $root (oldest: ${h.headOption.map(_.commitMs)})"))
+    require(end.version >= start.version,
+      s"changeFeedByTimestamp: [$fromTsMillis, $toTsMillis] selects no " +
+        s"commits at $root (nearest commits: v${start.version}@" +
+        s"${start.commitMs}, v${end.version}@${end.commitMs})")
+    (start.version - 1, end.version)
+  }
+
+  /** [[changeFeedByVersion]] with the range selected by WALL-CLOCK
+    * (epoch millis, both bounds inclusive) — "every change committed
+    * between last night's run and this morning's" without knowing
+    * version numbers. Same per-commit attribution columns, same
+    * retention guard. */
+  def changeFeedByTimestamp(fromTsMillis: Long, toTsMillis: Long): DataFrame = {
+    val (f, t) = versionWindowByTimestamp(fromTsMillis, toTsMillis)
+    changeFeedByVersion(f, t)
+  }
+
+  /** [[changeFeed]]'s one collapsed net diff over a WALL-CLOCK-selected
+    * range — the timestamp face of the range feed. */
+  def changeFeedAtTimestamps(fromTsMillis: Long, toTsMillis: Long): DataFrame = {
+    val (f, t) = versionWindowByTimestamp(fromTsMillis, toTsMillis)
+    changeFeed(f, t)
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE from a netted change feed — the
     * materialized-view pattern a CDC pipeline feeds: THIS table is the
     * aggregate mirror, one row per `keyCol` group holding `n` (live

@@ -85,45 +85,90 @@ object GraftTxnSql {
       .toDF("table_root", "version")
   }
 
-  private def constLong(e: Expression, fn: String, arg: String): Long =
-    e match {
-      case Literal(v: Int, _)  => v.toLong
-      case Literal(v: Long, _) => v
-      case _ => throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal")
+  /** A timestamp argument as the TVFs accept it: a bare digit string =
+    * epoch millis; else `yyyy-MM-dd HH:mm:ss[.fff]` in the JVM zone
+    * (the `timestampAsOf` convention, java.sql.Timestamp.valueOf) or
+    * ISO-8601 instant (`2026-08-16T12:00:00Z`). */
+  private[acid] def parseTsMillis(s: String, fn: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else try java.sql.Timestamp.valueOf(s).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        try java.time.Instant.parse(s).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"$fn: cannot parse '$s' as a timestamp (epoch millis, " +
+                "'yyyy-MM-dd HH:mm:ss[.fff]', or ISO-8601 instant)")
+        }
     }
 
-  /** TVF builder for `table_changes(tableRef, fromV, toV)` — the Delta
+  /** A range bound: Left = version number (integer literal), Right =
+    * epoch millis (string-literal timestamp, the Delta table_changes
+    * dual-form contract). */
+  private def constBound(e: Expression, fn: String,
+                         arg: String): Either[Long, Long] =
+    e match {
+      case Literal(v: Int, _)  => Left(v.toLong)
+      case Literal(v: Long, _) => Left(v)
+      case Literal(s, StringType) if s != null =>
+        Right(parseTsMillis(s.toString, fn))
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer version literal or a string " +
+          "timestamp literal")
+    }
+
+  /** Both bounds resolved to a `(fromV, toV]` version window: two
+    * versions pass through; two timestamps resolve through the
+    * monotone-`ts=` mapping ([[GraftTable.versionWindowByTimestamp]]).
+    * Mixed forms refuse loudly. */
+  private def versionWindow(t: GraftTable, fn: String,
+                            a: Either[Long, Long],
+                            b: Either[Long, Long]): (Long, Long) =
+    (a, b) match {
+      case (Left(f), Left(to))   => (f, to)
+      case (Right(f), Right(to)) => t.versionWindowByTimestamp(f, to)
+      case _ => throw new IllegalArgumentException(
+        s"$fn: from/to must both be versions or both be timestamps")
+    }
+
+  /** TVF builder for `table_changes(tableRef, from, to)` — the Delta
     * `table_changes` read face as a composable relation: the table's
     * net row-level diff over `(fromV, toV]`, each row tagged `_change`
     * (insert/delete), servable from persisted change files when
-    * write-side CDF is on. Unlike `DESCRIBE CHANGES` (a statement),
-    * this composes inside any SELECT — join it, aggregate it, feed a
-    * mirror from SQL alone. */
+    * write-side CDF is on. `from`/`to` are version numbers, or (both)
+    * string timestamp literals — wall-clock windows resolve through
+    * the in-commit monotone `ts=` stamps, exact under writer clock
+    * skew. Unlike `DESCRIBE CHANGES` (a statement), this composes
+    * inside any SELECT — join it, aggregate it, feed a mirror from SQL
+    * alone. */
   def tableChangesPlan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 3,
-      "table_changes(tableRef, fromV, toV) takes exactly three arguments")
+      "table_changes(tableRef, from, to) takes exactly three arguments")
     val spark = SparkSession.active
     val ref = constStr(exprs.head, "table_changes", "tableRef")
-    val fromV = constLong(exprs(1), "table_changes", "fromV")
-    val toV = constLong(exprs(2), "table_changes", "toV")
-    GraftTable.load(spark, resolveRoot(spark, ref))
-      .changeFeed(fromV, toV).queryExecution.logical
+    val t = GraftTable.load(spark, resolveRoot(spark, ref))
+    val (fromV, toV) = versionWindow(t, "table_changes",
+      constBound(exprs(1), "table_changes", "from"),
+      constBound(exprs(2), "table_changes", "to"))
+    t.changeFeed(fromV, toV).queryExecution.logical
   }
 
-  /** TVF builder for `table_changes_by_version(tableRef, fromV, toV)` —
+  /** TVF builder for `table_changes_by_version(tableRef, from, to)` —
     * the per-commit attributed form (`_commit_version` /
     * `_commit_timestamp` columns), [[GraftTable.changeFeedByVersion]]
-    * as a composable relation. */
+    * as a composable relation. Accepts the same dual version/timestamp
+    * bounds as `table_changes`. */
   def tableChangesByVersionPlan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 3,
-      "table_changes_by_version(tableRef, fromV, toV) takes exactly " +
+      "table_changes_by_version(tableRef, from, to) takes exactly " +
         "three arguments")
     val spark = SparkSession.active
     val ref = constStr(exprs.head, "table_changes_by_version", "tableRef")
-    val fromV = constLong(exprs(1), "table_changes_by_version", "fromV")
-    val toV = constLong(exprs(2), "table_changes_by_version", "toV")
-    GraftTable.load(spark, resolveRoot(spark, ref))
-      .changeFeedByVersion(fromV, toV).queryExecution.logical
+    val t = GraftTable.load(spark, resolveRoot(spark, ref))
+    val (fromV, toV) = versionWindow(t, "table_changes_by_version",
+      constBound(exprs(1), "table_changes_by_version", "from"),
+      constBound(exprs(2), "table_changes_by_version", "to"))
+    t.changeFeedByVersion(fromV, toV).queryExecution.logical
   }
 }

@@ -1452,6 +1452,24 @@ object AcidQueries extends QueryPack {
         .orderBy($"_commit_version", $"user_id", $"_change", $"event_id")
     },
 
+    // Round 16 (r15 directive #5): the SAME attributed feed selected by
+    // WALL-CLOCK — fromTs = v1's commit stamp (first-at-or-after → v1),
+    // toTs = v2's (last-at-or-before → v2), so the window resolves to
+    // exactly (0, 2] through the monotone ts= headers; the oracle
+    // replays that version range. A consumer pins "since last night"
+    // without knowing version numbers — the Delta table_changes
+    // timestamp contract.
+    "q_acid_cdc_by_timestamp" -> { (s, d) =>
+      import s.implicits._
+      val t = cdfMergeTable(s, d)
+      val h = t.history()
+      val fromTs = h.find(_.version == 1L).get.commitMs
+      val toTs = h.find(_.version == 2L).get.commitMs
+      t.changeFeedByTimestamp(fromTs, toTs)
+        .drop("_commit_timestamp")
+        .orderBy($"_commit_version", $"user_id", $"_change", $"event_id")
+    },
+
     // Round 14: the INCREMENTALLY-MAINTAINED aggregate mirror — the
     // keyed CDC stream folded into per-event_type (count, exact DECIMAL
     // sum) state batch by batch; must equal the full recompute over the
@@ -2188,6 +2206,33 @@ object AcidQueries extends QueryPack {
     // per-commit attribution replayed: v1 = every latest-per-user row as
     // an insert; v2 = the merge's net (the q_acid_cdf_merge rows)
     "q_acid_cdc_by_version" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |changed AS (SELECT * FROM latest WHERE user_id < 16)
+        |SELECT * FROM (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         'insert' AS _change, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM latest
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id, user_id, ts, event_type,
+        |         value + 1000.0 AS value, 'insert' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM changed
+        |  UNION ALL
+        |  SELECT event_id, user_id + 1000000 AS user_id, ts, event_type,
+        |         value, 'insert' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM latest WHERE user_id < 4
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         'delete' AS _change, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM changed)
+        |ORDER BY _commit_version, user_id, _change, event_id""".stripMargin,
+
+    // the wall-clock-selected window resolves to exactly (0, 2]: same
+    // replay as q_acid_cdc_by_version
+    "q_acid_cdc_by_timestamp" ->
       """WITH latest AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
