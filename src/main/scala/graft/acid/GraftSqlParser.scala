@@ -26,6 +26,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE TXN '<marker>'                    -- multi-table txn participants
   *   COMMIT ATOMIC ( <stmt>; <stmt>; ... )      -- multi-table atomic txn
   *   INSERT INTO <table> REPLACE WHERE <pred> <query>  -- selective overwrite
+  *   APPLY CHANGES INTO <mirror> FROM CHANGES <src> FROM <a> TO <b>
+  *     KEY (k) [SUM (c, ...)] [TXN '<w>' EPOCH <n>]    -- mirror maintenance
   * }}}
   *
   * `<table>` is a graft-catalog identifier (`cat.ns.t` where
@@ -654,6 +656,74 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }))
   }
 
+  /** APPLY CHANGES INTO <mirror> FROM CHANGES <src> FROM <a> TO <b>
+    * KEY (k) [SUM (c, ...)] [TXN '<writer>' EPOCH <n>] — the SQL face
+    * of incremental mirror maintenance (r15 gap #4: `applyChangesAgg`
+    * was API-only, so a SQL-only deployment could not maintain a
+    * mirror). KEY alone routes to [[GraftTable.applyChangesKeyed]] (a
+    * row-state mirror: one live row per key, O(touched files) per
+    * apply); KEY + SUM to [[GraftTable.applyChangesAgg]] (an aggregate
+    * mirror: one row per group holding `n` + exact `sum_<c>`
+    * DECIMAL(28,6) columns, folded as ±deltas). Bounds follow the
+    * table_changes dual form — numbers are versions, quoted strings
+    * are timestamps resolved through the monotone `ts=` headers. TXN
+    * '<writer>' EPOCH <n> makes the fold idempotent under replay (the
+    * Delta txn action): an epoch at or below the writer's last
+    * recorded one is a no-op — a SQL scheduler re-running a failed
+    * step cannot double-apply. */
+  private def parseApplyChanges(t: Toks): Option[LogicalPlan] = {
+    t.expectKw("APPLY"); t.expectKw("CHANGES"); t.expectKw("INTO")
+    val mirRef = t.expectIdent("a mirror table")
+    resolvePath(mirRef).map { mirRoot =>
+      def bound(what: String): Either[Long, Long] = t.takeString() match {
+        case Some(s) => Right(GraftTxnSql.parseTsMillis(s, "APPLY CHANGES"))
+        case None    => Left(t.expectLong(what))
+      }
+      t.expectKw("FROM"); t.expectKw("CHANGES")
+      val srcRef = t.expectIdent("a source table")
+      val src = resolve(srcRef).getOrElse(throw t.err(
+        s"APPLY CHANGES: source '$srcRef' must be a graft-catalog table"))
+      t.expectKw("FROM")
+      val from = bound("the FROM version")
+      t.expectKw("TO")
+      val to = bound("the TO version")
+      t.expectKw("KEY"); t.expectKw("(")
+      val key = stripTicks(t.expectIdent("a key column"))
+      t.expectKw(")")
+      val sums =
+        if (t.takeKw("SUM")) {
+          t.expectKw("(")
+          val cs = Vector.newBuilder[String]
+          cs += stripTicks(t.expectIdent("a sum column"))
+          while (t.takeKw(","))
+            cs += stripTicks(t.expectIdent("a sum column"))
+          t.expectKw(")")
+          cs.result()
+        } else Vector.empty[String]
+      val txn =
+        if (t.takeKw("TXN")) {
+          val w = t.expectString("the writer id")
+          t.expectKw("EPOCH")
+          Some((w, t.expectLong("the epoch")))
+        } else None
+      t.expectEnd()
+      GraftRowLevelCommand(s"APPLY CHANGES INTO $mirRef", () => {
+        val (f, v) = (from, to) match {
+          case (Left(a), Left(b))   => (a, b)
+          case (Right(a), Right(b)) => src.versionWindowByTimestamp(a, b)
+          case _ => throw new IllegalArgumentException(
+            "APPLY CHANGES: FROM/TO must both be versions or both " +
+              "be timestamps")
+        }
+        val mir = GraftTable.load(spark, mirRoot)
+        val feed = src.changeFeed(f, v)
+        if (sums.isEmpty) mir.applyChangesKeyed(feed, key)
+        else mir.applyChangesAgg(feed, key, sums, txn)
+        ()
+      })
+    }
+  }
+
   private def parseDescribe(t: Toks): Option[LogicalPlan] = {
     t.expectKw("DESCRIBE")
     if (t.takeKw("HISTORY")) {
@@ -734,6 +804,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parseCommitAtomic(sqlText, t)
         case "INSERT" if ts.exists(_.equalsIgnoreCase("REPLACE")) =>
           parseInsertReplaceWhere(t)
+        case "APPLY" if ts.lift(1).exists(_.equalsIgnoreCase("CHANGES")) =>
+          parseApplyChanges(t)
         case _ => None
       }
     }

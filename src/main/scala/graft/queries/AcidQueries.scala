@@ -358,6 +358,39 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** SQL-MAINTAINED aggregate-mirror fixture (round 16, r15 directive
+    * #6): the SAME materialized-view identity as [[cdcAggTable]], but
+    * every fold step is one `APPLY CHANGES INTO ... KEY (event_type)
+    * SUM (value) TXN ... EPOCH ...` statement on the derived session —
+    * a SQL-only deployment maintains the mirror with zero API code.
+    * The TXN clause carries the exactly-once epoch, so a re-run
+    * scheduler step is a no-op. */
+  private val sqlCdcAggFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sqlCdcAggTable(s: SparkSession, d: String): GraftTable = {
+    val root = sqlCdcAggFixtures.computeIfAbsent(d, { _ =>
+      val key = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(("sqlcdcagg" + d).getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val src = cdfTable(s, d)
+      val mirRoot = s"$acidDir/sqlcdcagg_$key"
+      val s2 = graft.DerivedSessions.withExtensions(s)
+      s2.conf.set("spark.sql.catalog.graft", "graft.acid.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.root", acidDir)
+      val srcName = new Path(src.root).getName
+      val lv = src.latestVersion.getOrElse(
+        throw new IllegalStateException(s"cdf fixture at ${src.root} empty"))
+      (1L to lv).foreach { v =>
+        s2.sql(s"APPLY CHANGES INTO graft.`sqlcdcagg_$key` " +
+          s"FROM CHANGES graft.`$srcName` FROM ${v - 1} TO $v " +
+          s"KEY (event_type) SUM (value) TXN 'sqlcdcagg' EPOCH $v")
+      }
+      mirRoot
+    })
+    GraftTable.load(s, root)
+  }
+
   /** WRITE-SIDE-CDF fixture (the persisted _change_data design): the
     * deduped latest-per-user seed, then — with
     * `spark.graft.acid.writeChangeData=true` — a DV UPDATE bumping a
@@ -1483,6 +1516,18 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_type")
     },
 
+    // Round 16 (r15 directive #6): the aggregate mirror maintained
+    // through SQL ALONE — per-version APPLY CHANGES INTO ... KEY/SUM/
+    // TXN statements on the derived session — must land on the same
+    // recompute identity as the API-maintained q_acid_cdc_agg mirror.
+    "q_acid_sql_cdc_agg" -> { (s, d) =>
+      import s.implicits._
+      sqlCdcAggTable(s, d).snapshot()
+        .select($"event_type", $"n",
+          $"sum_value".cast("decimal(38,6)").as("sum_value"))
+        .orderBy($"event_type")
+    },
+
     // BISECTION COMPANION (r15 directive #1a): the SOURCE layer behind
     // q_acid_cdc_agg — the same DECIMAL aggregate computed by a full
     // recompute over the cdf table's final snapshot on the MAIN session,
@@ -2260,6 +2305,17 @@ object AcidQueries extends QueryPack {
     // the aggregate mirror replayed as a full recompute over the final
     // latest-per-user state
     "q_acid_cdc_agg" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the SQL-maintained mirror replays to the same recompute
+    "q_acid_sql_cdc_agg" ->
       """WITH latest AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
