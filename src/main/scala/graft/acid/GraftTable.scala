@@ -2475,7 +2475,27 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           }
       }
       val v = base.getOrElse(0L) + 1
-      val (data, evolved) = conformForWrite(fresh, mergeSchema = false)
+      // ROW TRACKING composes with ingest dedup (round 16, r15
+      // directive #7 — the full crawl-landing story: exactly-once keys
+      // AND stable lineage ids): the anti-join SURVIVORS mint _row_ids
+      // above the carried watermark, pinned with localCheckpoint before
+      // the clustering shuffle exactly like [[appendWithRowIds]].
+      // Minting after the anti-join means only landed rows consume id
+      // space; a lost commit race re-probes AND re-mints against the
+      // advanced watermark.
+      val mint = rowTracking &&
+        !fresh.columns.exists(_.equalsIgnoreCase("_row_id"))
+      val (minted, rwmNext) =
+        if (!mint) (fresh, None)
+        else {
+          val wm = base.map(rwmAsOf).getOrElse(0L)
+          val withIds = fresh.withColumn("_row_id",
+            monotonically_increasing_id() + lit(wm)).localCheckpoint()
+          val span = (withIds.rdd.getNumPartitions.toLong + 1L) << 33
+          (withIds, Some(wm + span))
+        }
+      val (data, evolved) = conformForWrite(minted,
+        mergeSchema = mint && tableSchema.isEmpty)
       val written = writeData(clusterByPartition(data), v)
       // DELTA-FIRST ([[commitDelta]], version PINNED to the probed
       // snapshot): the serializable-uniqueness collision semantics are
@@ -2483,7 +2503,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // recompute against the new snapshot — but the untouched entries
       // never materialize on the driver
       try return commitDelta(v, written, Nil, op = "append", txn = txn,
-        schema = evolved)
+        schema = evolved, rwm = rwmNext)
       catch {
         case e: ConcurrentCommitException =>
           // a racer landed: the losing write becomes orphans (vacuum

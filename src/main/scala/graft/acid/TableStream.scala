@@ -263,7 +263,13 @@ class GraftTableSink(spark: org.apache.spark.sql.SparkSession, root: String,
       partitionCol = parameters.get("partitionCol"),
       bloomCol = parameters.get("bloomCol"),
       indexCols = parameters.get("indexCols").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      // `rowTracking=true`: the sink table mints stable `_row_id`
+      // lineage ids at ingest — composes with dedupKey (appendUnique's
+      // survivors mint above the carried watermark), the full
+      // crawl-landing story: exactly-once keys AND provenance ids
+      rowTracking = parameters.get("rowTracking")
+        .exists(_.equalsIgnoreCase("true")))
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {

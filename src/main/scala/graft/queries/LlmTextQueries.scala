@@ -47,6 +47,52 @@ object LlmTextQueries extends QueryPack {
     graft.acid.GraftTable.load(s, root)
   }
 
+  /** PROVENANCE × INGEST-DEDUP fixture (round 16, r15 directive #7 —
+    * the full crawl-landing story): three OVERLAPPING deliveries (batch
+    * b re-delivers every prior batch's docs) drain through the
+    * streaming sink with `dedupKey=doc_id` AND `rowTracking=true`, so
+    * commit v lands exactly the doc_id%3==v-1 slice with freshly-minted
+    * lineage ids — appendUnique's anti-join survivors mint above the
+    * carried watermark. Then the same compact + z-order layout churn as
+    * [[provenanceTable]]. The gate attributes curation survivors back
+    * through `_row_id` alone; a duplicate landing twice or an id
+    * re-minted across the churn breaks the per-batch counts. */
+  private val provDedupFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def provenanceDedupTable(s: SparkSession,
+                                   d: String): graft.acid.GraftTable = {
+    val root = provDedupFixtures.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val dir = tempFixtureDir("graft_provdedup")
+      val srcRoot = s"$dir/src"
+      val dstRoot = s"$dir/docs"
+      val src = new graft.acid.GraftTable(s, srcRoot)
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      (0L to 2L).foreach(b =>
+        src.append(docs.filter(pmod($"doc_id", lit(3L)) <= b)))   // overlap!
+      val q = s.readStream.format("graft-table")
+        .option("path", srcRoot)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .select($"doc_id", $"source", $"text")
+        .writeStream.format("graft-table")
+        .option("path", dstRoot)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .option("dedupKey", "doc_id")
+        .option("statsCol", "doc_id")
+        .option("rowTracking", "true")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = graft.acid.GraftTable.load(s, dstRoot)
+      t.compact(targetFiles = 4)                                   // v4
+      t.compactZOrderN(Seq("doc_id", "source"), targetFiles = 4)   // v5
+      dstRoot
+    })
+    graft.acid.GraftTable.load(s, root)
+  }
+
   /** MinHash+LSH near-dup pairs (Jaccard >= 0.5), shared by
     * q_dedup_minhash and the curation pipeline. Recomputed per invocation
     * on purpose: a session-lifetime memo would pin cached blocks forever
@@ -389,6 +435,37 @@ object LlmTextQueries extends QueryPack {
         .orderBy($"ingest_batch")
     },
 
+    // PROVENANCE through the INGEST-DEDUP SINK (round 16): the same
+    // lineage join, but the table was fed by three OVERLAPPING stream
+    // deliveries through dedupKey+rowTracking — exactly-once keys AND
+    // stable ids through the appendUnique anti-join path, then the
+    // full compact+zorder churn. Same attribution rule (commit v =
+    // the doc_id%3==v-1 slice), same oracle.
+    "q_pipeline_provenance_dedup" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      val t = provenanceDedupTable(s, d)
+      val byv = t.changeFeedByVersion(0L, 3L)
+        .filter($"_change" === "insert")
+        .select($"_row_id", $"_commit_version".as("ingest_batch"))
+      val base = t.snapshot().select($"doc_id", $"_row_id", $"text")
+      val keepExact = base.groupBy(sha2($"text", 256).as("digest"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val docs = base.join(keepExact, Seq("doc_id"))
+      val nearDups = minhashNearDupsFrom(s, docs.select($"doc_id", $"text"))
+        .select($"b_id".as("doc_id")).distinct()
+      val kept = docs.join(nearDups, Seq("doc_id"), "left_anti")
+      val survivors = kept
+        .select(Seq($"doc_id", $"_row_id") ++ TextOps.qualityColumns($"text"): _*)
+        .filter($"n_tokens" >= 20 && $"quality_score" >= 0.2)
+      survivors.join(byv, Seq("_row_id"))
+        .groupBy($"ingest_batch")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_tokens").cast("long").as("sum_tokens"))
+        .orderBy($"ingest_batch")
+    },
+
     // ---- edit-distance verification of LSH candidates ----
     // Levenshtein is O(len²) per pair — NEVER all-pairs at scale; here it
     // runs only on the near-dup pairs the minhash path surfaced, the
@@ -655,6 +732,40 @@ object LlmTextQueries extends QueryPack {
     // the ingest rule (batch b = doc_id % 3 landed in commit b+1) — the
     // Spark side must recover the identical attribution via _row_id only
     "q_pipeline_provenance" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |docs AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+        |ws AS (SELECT doc_id, string_split(text, ' ') w FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |       FROM ws WHERE len(w) >= 3),
+        |drops AS (SELECT DISTINCT b.doc_id
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |kept AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+        |    len(list_distinct(string_split(text, ' '))) AS n_dist
+        |  FROM kept),
+        |surv AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
+        |  FROM q
+        |  WHERE n_tok >= 20
+        |    AND round(CAST(n_stop AS DOUBLE) / n_tok * 0.5
+        |          + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |          + CAST(n_dist AS DOUBLE) / n_tok * 0.2, 6) >= 0.2)
+        |SELECT doc_id % 3 + 1 AS ingest_batch,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dedup-sink twin: identical attribution (batch b = doc_id % 3
+    // landed in commit b+1 — the overlapping redeliveries dedup away)
+    "q_pipeline_provenance_dedup" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |docs AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
         |ws AS (SELECT doc_id, string_split(text, ' ') w FROM docs),
