@@ -1101,8 +1101,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no commits in table at $root"))
     // an explicit declared schema makes evolution work on read: parquet
     // matches columns BY NAME, so files predating an added column simply
-    // project it as NULL — no file rewrite on ALTER TABLE ADD COLUMN
-    val es = entries(v)
+    // project it as NULL — no file rewrite on ALTER TABLE ADD COLUMN.
+    // Past [[distributedPruneMinFiles]] the plan inputs come from a
+    // DISTRIBUTED slim projection of the parquet checkpoint
+    // ([[distributedSnapshotSlim]]) — path + dvRef only, no resident
+    // FileEntry list for the full-table read.
+    val es = distributedSnapshotSlim(v).getOrElse(entries(v))
     if (es.isEmpty) {
       // an empty active set (everything deleted) still has a schema: the
       // declared one, or the newest prior version's physical one
@@ -3946,8 +3950,32 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * SURVIVOR count, not the table's file count. */
   private def distributedPruneCandidates(v: Long,
       bounds: Seq[ColBound]): Option[Seq[FileEntry]] = {
-    // walk down like entries(), but only accept a PARQUET-checkpoint
-    // base; any cheaper/other resolution → the ordinary driver path
+    val (scan, _, removed, added) = checkpointChainScan(v).getOrElse(return None)
+    val cond = boundsToCheckpointFilter(bounds)
+    import spark.implicits._
+    val survivorRows = scan.filter(cond).as[GraftTable.CpRow].collect()
+    // deterministic entry order, matching [[parquetCheckpointEntries]]:
+    // commit/write order via the ord column, path order for legacy
+    // ord-less checkpoints (the delta adds then append in replay order)
+    val survivors = (if (survivorRows.forall(_.ord.isDefined))
+      survivorRows.sortBy(_.ord.get)
+    else survivorRows.sortBy(_.path)).map(cpToEntry)
+    Some(survivors.filterNot(e =>
+      removed.contains(e.path) || added.contains(e.path)).toSeq ++
+      added.values.toSeq)
+  }
+
+  /** The shared base of the distributed planning paths: resolve version
+    * `v` down to a PARQUET checkpoint past [[distributedPruneMinFiles]]
+    * (any cheaper resolution — cached list, text checkpoint, full
+    * manifest — returns None and the caller takes the ordinary driver
+    * path), validate its completeness (declared `nf=` vs the footer row
+    * count — metadata-only), and return the validated checkpoint SCAN
+    * plus the delta-chain overlay above it (net removes / net adds,
+    * bounded by the checkpoint cadence). */
+  private def checkpointChainScan(v: Long)
+      : Option[(DataFrame, Long, Set[String],
+                scala.collection.immutable.ListMap[String, FileEntry])] = {
     var base = v
     var deltas: List[List[String]] = Nil
     var found = -1L
@@ -3979,14 +4007,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       lines.collect { case l if l.startsWith("+\t") => parseEntry(l.drop(2)) }
         .foreach(e => added += e.path -> e)
     }
-    val cond = boundsToCheckpointFilter(bounds)
-    import spark.implicits._
     val prunePaths = pcpDataPaths(found) match {
       case Some(ps) => ps
       case None =>
         logWarning(s"parquet checkpoint v$found at $root is damaged: a " +
-          "sidecar shard dir is missing; distributed prune falling back " +
-          "to the manifest chain")
+          "sidecar shard dir is missing; distributed planning falling " +
+          "back to the manifest chain")
         return None
     }
     val scan =
@@ -4005,18 +4031,37 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val nfDeclared = pcpMetaNf(found).getOrElse(return None)
     if (scan.count() != nfDeclared) {
       logWarning(s"parquet checkpoint v$found at $root is damaged: meta " +
-        s"says $nfDeclared entries; distributed prune falling back to " +
-        "the manifest chain")
+        s"says $nfDeclared entries; distributed planning falling back " +
+        "to the manifest chain")
       return None
     }
-    val survivorRows = scan.filter(cond).as[GraftTable.CpRow].collect()
-    // deterministic entry order, matching [[parquetCheckpointEntries]]:
-    // commit/write order via the ord column, path order for legacy
-    // ord-less checkpoints (the delta adds then append in replay order)
-    val survivors = (if (survivorRows.forall(_.ord.isDefined))
-      survivorRows.sortBy(_.ord.get)
-    else survivorRows.sortBy(_.path)).map(cpToEntry)
-    Some(survivors.filterNot(e =>
+    Some((scan, found, removed, added))
+  }
+
+  /** UNPREDICATED distributed snapshot planning (round 16, r15 stretch
+    * directive #8 — read-path entry streaming): plan a FULL-table scan
+    * from the parquet checkpoint without materializing the entry list.
+    * Only each entry's (path, dvRef, ord) projection reaches the driver
+    * — the scan relation needs the path list and the merge-on-read
+    * anti-join needs the masked files' sidecar refs; the stats /
+    * window / bloom / NDV payloads stay in the checkpoint parquet, and
+    * the resident entriesCache is never populated. At 10⁶ files this
+    * cuts full-snapshot planning's driver footprint to three slim
+    * columns — the same survivors-only contract as
+    * [[distributedPruneCandidates]], for the no-predicate read. Same
+    * gating and damage fallbacks. */
+  private def distributedSnapshotSlim(v: Long): Option[Seq[FileEntry]] = {
+    val (scan, _, removed, added) = checkpointChainScan(v).getOrElse(return None)
+    val slim = scan.select(col("path"), col("dv"), col("ord")).collect()
+    val ordered =
+      if (slim.forall(!_.isNullAt(2))) slim.sortBy(_.getLong(2))
+      else slim.sortBy(_.getString(0))
+    val base = ordered.iterator.map { r =>
+      FileEntry(r.getString(0),
+        stats = None,
+        dvRef = if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+    Some(base.filterNot(e =>
       removed.contains(e.path) || added.contains(e.path)).toSeq ++
       added.values.toSeq)
   }
