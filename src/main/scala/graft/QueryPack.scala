@@ -67,18 +67,27 @@ private[graft] object DerivedSessions {
 
   def withExtensions(s: SparkSession): SparkSession = {
     val s2 = cache.computeIfAbsent(s, { _ =>
-      val created = SparkSession.builder()
+      SparkSession.builder()
         .master(s.sparkContext.master)
         .withExtensions(new graft.GraftExtensions)
         .create()
-      s.conf.getAll.foreach { case (k, v) =>
-        if (created.conf.isModifiable(k) &&
-            !created.conf.getOption(k).contains(v))
-          try created.conf.set(k, v)
-          catch { case scala.util.control.NonFatal(_) => () }
-      }
-      created
     })
+    // (re-)sync the caller's confs on EVERY call, not just at creation:
+    // a semantics-bearing conf set on the main session after the cached
+    // derived session was born (ANSI flag, timezone, a spark.graft.*
+    // knob) must reach the next derived-session query — creation-only
+    // copying would reintroduce the very fork this mechanism closes.
+    // isModifiable is false for UNREGISTERED keys (catalog plugs,
+    // spark.graft.* engine knobs) even though set() accepts them — copy
+    // those unconditionally. Keys UNSET on the caller are not unset
+    // here (callers own site-local confs like their catalog roots).
+    s.conf.getAll.foreach { case (k, v) =>
+      val copyable = s2.conf.isModifiable(k) ||
+        k.startsWith("spark.graft.") || k.startsWith("spark.sql.catalog.")
+      if (copyable && !s2.conf.getOption(k).contains(v))
+        try s2.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
     SparkSession.setDefaultSession(s)
     SparkSession.setActiveSession(s)
     s2

@@ -676,7 +676,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val mirRef = t.expectIdent("a mirror table")
     resolvePath(mirRef).map { mirRoot =>
       def bound(what: String): Either[Long, Long] = t.takeString() match {
-        case Some(s) => Right(GraftTxnSql.parseTsMillis(s, "APPLY CHANGES"))
+        case Some(s) =>
+          Right(GraftTxnSql.parseTsMillis(s, "APPLY CHANGES", spark))
         case None    => Left(t.expectLong(what))
       }
       t.expectKw("FROM"); t.expectKw("CHANGES")

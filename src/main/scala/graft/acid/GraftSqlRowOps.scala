@@ -203,9 +203,21 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
                 tNames.get(k.exprId.id).exists(_.equalsIgnoreCase(a.name))
               case _ => false
             }
+            // see through EVERY coercion wrapper the analyzer's star
+            // alignment can add, not just Cast: ANSI decimal targets
+            // wrap in CheckOverflowInTableInsert, non-nullable targets
+            // in AssertNotNull — matching by class name keeps this
+            // total across Spark minor versions (r16 review fix: a
+            // DECIMAL target column made a real SET * read as an
+            // explicit list and silently nulled the evolved columns)
+            val wrappers = Set("Cast", "AnsiCast", "TryCast",
+              "CheckOverflow", "CheckOverflowInTableInsert",
+              "AssertNotNull", "Alias")
+            @annotation.tailrec
             def unwrap(e: Expression): Expression = e match {
-              case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-                unwrap(c.child)
+              case u: org.apache.spark.sql.catalyst.expressions.UnaryExpression
+                if wrappers.contains(u.getClass.getSimpleName) =>
+                unwrap(u.child)
               case o => o
             }
             keyHits && (unwrap(asg.value) match {

@@ -453,6 +453,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       })
   private val manifestCache = bounded[List[String]]()
   private val entriesCache = bounded[Seq[FileEntry]]()
+  // slim (path, dvRef)-only plan inputs of [[distributedSnapshotSlim]]:
+  // immutable per version like entriesCache, far smaller — memoized so
+  // repeated full-snapshot planning of one version pays the distributed
+  // projection once (r16 review fix)
+  private val slimPlanCache = bounded[Seq[FileEntry]]()
   private val bloomSidecars = bounded[Map[String, Array[Long]]]()
   private val dvSidecars = bounded[Map[String, Array[Long]]]()
   private def cachePut[V](m: java.util.Map[Long, V], k: Long, v: V): Unit =
@@ -1851,6 +1856,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // listed until the next full [[commit]] restates it exactly; only
       // ever causes an earlier coalescing fallback, never a wrong
       // read), `dvn=` the exact total masked rows (adds minus removes).
+      // Stated ONLY while the chain has stated them since birth (v1
+      // states dvn=0 on either commit path): a LEGACY parent without
+      // dvn would seed the arithmetic at 0 and permanently UNDERSTATE
+      // the mask debt — consumers treat absence as "unknown, fall
+      // back to the list", and the next full [[commit]] restates
+      // exactly, upgrading the chain (r16 review fix).
+      val dvKnown = v == 1L || prevMeta.contains("dvn")
       val dvsvAll = (prevMeta.get("dvsv").toSeq.flatMap(_.split(","))
         .flatMap(_.toLongOption) ++ finalAdds.flatMap(_.dvRef))
         .distinct.sorted
@@ -1858,9 +1870,9 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         finalAdds.map(_.dvCount).sum - removes.map(_.dvCount).sum
       val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq("kind=delta", s"nf=$nf") ++ nr ++
-        (if (dvsvAll.isEmpty) Nil
+        (if (!dvKnown || dvsvAll.isEmpty) Nil
          else Seq(s"dvsv=${dvsvAll.mkString(",")}")) ++
-        Seq(s"dvn=$dvn") ++
+        (if (dvKnown) Seq(s"dvn=$dvn") else Nil) ++
         pending.map(p => s"pending=$p").toSeq ++
         (if (req.isEmpty) Nil else Seq(s"require=${req.mkString(",")}")) ++
         txn.map { case (id, e) => s"txn=$id:$e" }.toSeq ++
@@ -4051,6 +4063,10 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * [[distributedPruneCandidates]], for the no-predicate read. Same
     * gating and damage fallbacks. */
   private def distributedSnapshotSlim(v: Long): Option[Seq[FileEntry]] = {
+    slimPlanCache.get(v) match {
+      case hit if hit != null => return Some(hit)
+      case _ => ()
+    }
     val (scan, _, removed, added) = checkpointChainScan(v).getOrElse(return None)
     val slim = scan.select(col("path"), col("dv"), col("ord")).collect()
     val ordered =
@@ -4061,9 +4077,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         stats = None,
         dvRef = if (r.isNullAt(1)) None else Some(r.getLong(1)))
     }
-    Some(base.filterNot(e =>
+    val out = base.filterNot(e =>
       removed.contains(e.path) || added.contains(e.path)).toSeq ++
-      added.values.toSeq)
+      added.values.toSeq
+    cachePut(slimPlanCache, v, out)
+    Some(out)
   }
 
   /** Translate `bounds`' WINDOW constraints into one Column over the
@@ -4479,12 +4497,18 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                             payload: Map[String, Array[Long]],
                             dead: Set[String], newFiles: Seq[FileEntry],
                             op: String, extra: Seq[String]): Long = {
-    val priorRefs = headerMeta(lv).get("dvsv").toSeq
+    val parentMeta = headerMeta(lv)
+    val priorRefs = parentMeta.get("dvsv").toSeq
       .flatMap(_.split(",")).flatMap(_.toLongOption)
     val live = payload -- dead
     val refsAfter =
       (priorRefs ++ (if (live.nonEmpty) Seq(v) else Nil)).distinct
-    if (refsAfter.size <= GraftTable.MaxDvSidecars) {
+    // a LEGACY chain (no dvn= stated) has UNKNOWN mask-bookkeeping
+    // inputs — absent-as-empty would skip coalescing on a table that
+    // may already reference many sidecars. One classic commit restates
+    // both fields exactly and upgrades the chain (r16 review fix).
+    if (parentMeta.contains("dvn") &&
+        refsAfter.size <= GraftTable.MaxDvSidecars) {
       val touched = cands.filter(e =>
         payload.contains(e.path) || dead.contains(e.path))
       val retagged = touched.filterNot(e => dead.contains(e.path)).map(e =>

@@ -86,33 +86,38 @@ object GraftTxnSql {
   }
 
   /** A timestamp argument as the TVFs accept it: a bare digit string =
-    * epoch millis; else `yyyy-MM-dd HH:mm:ss[.fff]` in the JVM zone
-    * (the `timestampAsOf` convention, java.sql.Timestamp.valueOf) or
-    * ISO-8601 instant (`2026-08-16T12:00:00Z`). */
-  private[acid] def parseTsMillis(s: String, fn: String): Long =
+    * epoch millis; else any SQL timestamp literal, parsed in the
+    * SESSION timezone (`spark.sql.session.timeZone`) — the same
+    * convention as the batch reader's `timestampAsOf`
+    * ([[TableStream]]); java.sql.Timestamp.valueOf would silently use
+    * the JVM default zone and shift the wall-clock window by the zone
+    * offset whenever the two disagree. Zone-suffixed literals
+    * (`...T12:00:00Z`, `+02:00`) carry their own zone. */
+  private[acid] def parseTsMillis(s: String, fn: String,
+                                  spark: SparkSession): Long =
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
-    else try java.sql.Timestamp.valueOf(s).getTime
-    catch {
-      case _: IllegalArgumentException =>
-        try java.time.Instant.parse(s).toEpochMilli
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            throw new IllegalArgumentException(
-              s"$fn: cannot parse '$s' as a timestamp (epoch millis, " +
-                "'yyyy-MM-dd HH:mm:ss[.fff]', or ISO-8601 instant)")
-        }
+    else {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      val zone = DateTimeUtils.getZoneId(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.trim), zone)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fn: cannot parse '$s' as a timestamp (epoch millis or a " +
+            "SQL timestamp literal, session-timezone)"))
     }
 
   /** A range bound: Left = version number (integer literal), Right =
     * epoch millis (string-literal timestamp, the Delta table_changes
     * dual-form contract). */
-  private def constBound(e: Expression, fn: String,
-                         arg: String): Either[Long, Long] =
+  private def constBound(e: Expression, fn: String, arg: String,
+                         spark: SparkSession): Either[Long, Long] =
     e match {
       case Literal(v: Int, _)  => Left(v.toLong)
       case Literal(v: Long, _) => Left(v)
       case Literal(s, StringType) if s != null =>
-        Right(parseTsMillis(s.toString, fn))
+        Right(parseTsMillis(s.toString, fn, spark))
       case _ => throw new IllegalArgumentException(
         s"$fn: $arg must be an integer version literal or a string " +
           "timestamp literal")
@@ -149,8 +154,8 @@ object GraftTxnSql {
     val ref = constStr(exprs.head, "table_changes", "tableRef")
     val t = GraftTable.load(spark, resolveRoot(spark, ref))
     val (fromV, toV) = versionWindow(t, "table_changes",
-      constBound(exprs(1), "table_changes", "from"),
-      constBound(exprs(2), "table_changes", "to"))
+      constBound(exprs(1), "table_changes", "from", spark),
+      constBound(exprs(2), "table_changes", "to", spark))
     t.changeFeed(fromV, toV).queryExecution.logical
   }
 
@@ -167,8 +172,8 @@ object GraftTxnSql {
     val ref = constStr(exprs.head, "table_changes_by_version", "tableRef")
     val t = GraftTable.load(spark, resolveRoot(spark, ref))
     val (fromV, toV) = versionWindow(t, "table_changes_by_version",
-      constBound(exprs(1), "table_changes_by_version", "from"),
-      constBound(exprs(2), "table_changes_by_version", "to"))
+      constBound(exprs(1), "table_changes_by_version", "from", spark),
+      constBound(exprs(2), "table_changes_by_version", "to", spark))
     t.changeFeedByVersion(fromV, toV).queryExecution.logical
   }
 }

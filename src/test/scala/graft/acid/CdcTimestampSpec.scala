@@ -81,14 +81,19 @@ class CdcTimestampSpec extends SparkSpec {
     assert(err.getMessage.contains("both"), err.getMessage)
   }
 
-  test("parseTsMillis accepts epoch millis, local datetime, and ISO instant") {
-    assert(GraftTxnSql.parseTsMillis("1755350000123", "t") == 1755350000123L)
-    val local = GraftTxnSql.parseTsMillis("2026-08-16 12:00:00", "t")
-    assert(local == java.sql.Timestamp.valueOf("2026-08-16 12:00:00").getTime)
-    assert(GraftTxnSql.parseTsMillis("2026-08-16T12:00:00Z", "t") ==
+  test("parseTsMillis: epoch millis, SESSION-zone datetime, zoned literal") {
+    assert(GraftTxnSql.parseTsMillis("1755350000123", "t", spark)
+      == 1755350000123L)
+    // a bare datetime parses in the SESSION timezone (UTC here), NOT the
+    // JVM default — the timestampAsOf convention; a JVM-zone parse would
+    // shift every wall-clock window by the zone offset (r16 review fix)
+    assert(GraftTxnSql.parseTsMillis("2026-08-16 12:00:00", "t", spark) ==
       java.time.Instant.parse("2026-08-16T12:00:00Z").toEpochMilli)
+    // a zone-suffixed literal carries its own zone
+    assert(GraftTxnSql.parseTsMillis("2026-08-16T12:00:00+02:00", "t", spark) ==
+      java.time.Instant.parse("2026-08-16T10:00:00Z").toEpochMilli)
     assertThrows[IllegalArgumentException] {
-      GraftTxnSql.parseTsMillis("not-a-time", "t")
+      GraftTxnSql.parseTsMillis("not-a-time", "t", spark)
     }
   }
 }
