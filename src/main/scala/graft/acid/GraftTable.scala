@@ -4496,7 +4496,11 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
   private def commitDvMasks(v: Long, lv: Long, cands: Seq[FileEntry],
                             payload: Map[String, Array[Long]],
                             dead: Set[String], newFiles: Seq[FileEntry],
-                            op: String, extra: Seq[String]): Long = {
+                            op: String, extra: Seq[String],
+                            // multi-table txn participant marker — the
+                            // atomic DV ops publish PENDING through the
+                            // same delta path ([[AtomicDelete]])
+                            pending: Option[String] = None): Long = {
     val parentMeta = headerMeta(lv)
     val priorRefs = parentMeta.get("dvsv").toSeq
       .flatMap(_.split(",")).flatMap(_.toLongOption)
@@ -4514,11 +4518,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       val retagged = touched.filterNot(e => dead.contains(e.path)).map(e =>
         e.copy(dvRef = Some(v), dvCount = payload(e.path).length.toLong))
       commitDelta(v, retagged ++ newFiles, touched, op = op,
-        dvs = live, extraMeta = extra)
+        dvs = live, extraMeta = extra, pending = pending)
     } else {
       val prev = entries(lv)
       commit(v, prev.filterNot(e => dead.contains(e.path)) ++ newFiles,
-        op = op, dvs = coalesceDvs(prev, live, dead), extraMeta = extra)
+        op = op, dvs = coalesceDvs(prev, live, dead), extraMeta = extra,
+        pending = pending)
     }
   }
 
@@ -6165,16 +6170,22 @@ object GraftTable {
     private[acid] def stage(): String => Long = {
       val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
         s"atomic delete on ${table.root}: the table has no commits yet"))
-      val prev = table.entries(lv)
       def guard(): Unit =
         if (!table.latestVersion.contains(lv))
           throw new ConcurrentCommitException(
             s"atomic delete on ${table.root}: base moved past v$lv; restage")
       val cands = table.entriesForPredicate(predicate, lv)
+      // DELTA-FIRST like the standalone [[GraftTable.delete]] (round 16):
+      // every branch publishes O(touched files) — pruned-miss and
+      // no-hit carry the table as an empty delta, the COW rewrite
+      // removes only its consumed candidates, the DV branch retags
+      // through [[commitDvMasks]] — the previous entry list never
+      // materializes for a participant either.
       if (cands.isEmpty)
         return (m: String) => {
           guard()
-          table.commit(lv + 1, prev, op = "delete", pending = Some(m))
+          table.commitDelta(lv + 1, Nil, Nil, op = "delete",
+            pending = Some(m))
         }
       // change-data contract mirrors [[GraftTable.deleteViaDv]]: with
       // persisted change files the scan must be DV-filtered (an
@@ -6190,7 +6201,6 @@ object GraftTable {
       val hits = scan.select(col("__mor_f"), col("__mor_p")).collect()
       if (hits.length > table.dvMaxRows) {
         // copy-on-write: rewrite only the pruned candidate files
-        val keepSet = prev.map(_.path).toSet -- cands.map(_.path).toSet
         val out = table.readWithDv(cands, table.schemaOf(lv),
             table.snapshot(Some(lv)), table.cmapOf(lv))
           .filter(!coalesce(predicate, lit(false)))
@@ -6198,23 +6208,26 @@ object GraftTable {
         val extra = table.rewriteChangeMeta(cands, written, lv)
         (m: String) => {
           guard()
-          table.commit(lv + 1,
-            prev.filter(e => keepSet.contains(e.path)) ++ written,
-            op = "delete", pending = Some(m), extraMeta = extra)
+          table.commitDelta(lv + 1, written, cands, op = "delete",
+            pending = Some(m), extraMeta = extra)
+        }
+      } else if (hits.isEmpty) {
+        (m: String) => {
+          guard()
+          table.commitDelta(lv + 1, Nil, Nil, op = "delete",
+            pending = Some(m))
         }
       } else {
-        val (payload, dead) = table.mergedDvs(prev, hits)
+        val (payload, dead) = table.mergedDvs(cands, hits)
         val extra =
-          if (cdf && hits.nonEmpty)
+          if (cdf)
             table.writeChangeData(scan.drop("__mor_f", "__mor_p")
               .withColumn("_change", lit("delete")))
           else Nil
         (m: String) => {
           guard()
-          val files = prev.filterNot(e => dead.contains(e.path))
-          table.commit(lv + 1, files, op = "delete",
-            dvs = table.coalesceDvs(prev, payload -- dead, dead),
-            pending = Some(m), extraMeta = extra)
+          table.commitDvMasks(lv + 1, lv, cands, payload, dead, Nil,
+            op = "delete", extra = extra, pending = Some(m))
         }
       }
     }
@@ -6230,16 +6243,17 @@ object GraftTable {
     private[acid] def stage(): String => Long = {
       val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
         s"atomic update on ${table.root}: the table has no commits yet"))
-      val prev = table.entries(lv)
       def guard(): Unit =
         if (!table.latestVersion.contains(lv))
           throw new ConcurrentCommitException(
             s"atomic update on ${table.root}: base moved past v$lv; restage")
       val cands = table.entriesForPredicate(predicate, lv)
+      // DELTA-FIRST across all branches, mirroring [[AtomicDelete]]
       if (cands.isEmpty)
         return (m: String) => {
           guard()
-          table.commit(lv + 1, prev, op = "update", pending = Some(m))
+          table.commitDelta(lv + 1, Nil, Nil, op = "update",
+            pending = Some(m))
         }
       val mat = table.readWithPos(cands, table.schemaOf(lv),
           applyDv = true, table.cmapOf(lv))
@@ -6249,7 +6263,6 @@ object GraftTable {
       val n = mat.count()
       if (n > table.dvMaxRows) {
         // copy-on-write: rewrite only the pruned candidate files
-        val keepSet = prev.map(_.path).toSet -- cands.map(_.path).toSet
         val out = table.applyAssignments(
           table.readWithDv(cands, table.schemaOf(lv),
             table.snapshot(Some(lv)), table.cmapOf(lv)),
@@ -6258,18 +6271,18 @@ object GraftTable {
         val extra = table.rewriteChangeMeta(cands, written, lv)
         (m: String) => {
           guard()
-          table.commit(lv + 1,
-            prev.filter(e => keepSet.contains(e.path)) ++ written,
-            op = "update", pending = Some(m), extraMeta = extra)
+          table.commitDelta(lv + 1, written, cands, op = "update",
+            pending = Some(m), extraMeta = extra)
         }
       } else if (n == 0L) {
         (m: String) => {
           guard()
-          table.commit(lv + 1, prev, op = "update", pending = Some(m))
+          table.commitDelta(lv + 1, Nil, Nil, op = "update",
+            pending = Some(m))
         }
       } else {
         val hits = mat.select(col("__mor_f"), col("__mor_p")).collect()
-        val (payload, dead) = table.mergedDvs(prev, hits)
+        val (payload, dead) = table.mergedDvs(cands, hits)
         val updatedRows = table.applyAssignments(
           mat.drop("__mor_f", "__mor_p"), lit(true), set)
         val written = table.writeData(
@@ -6285,11 +6298,8 @@ object GraftTable {
           else Nil
         (m: String) => {
           guard()
-          table.commit(lv + 1,
-            prev.filterNot(e => dead.contains(e.path)) ++ written,
-            op = "update",
-            dvs = table.coalesceDvs(prev, payload -- dead, dead),
-            pending = Some(m), extraMeta = extra)
+          table.commitDvMasks(lv + 1, lv, cands, payload, dead, written,
+            op = "update", extra = extra, pending = Some(m))
         }
       }
     }

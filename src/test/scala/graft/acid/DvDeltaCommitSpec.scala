@@ -126,6 +126,50 @@ class DvDeltaCommitSpec extends SparkSpec {
     }
   }
 
+  test("atomic DV participants publish delta-first (pending manifests)") {
+    withSidecars {
+      // force the probe distributed too: the second participant's base
+      // (a pending-committed delta) has no checkpoint of its own, so a
+      // driver-path probe would pay the one resolution this spec pins
+      // away (the chain walk handles the pending delta + the v1 pcp)
+      spark.conf.set("spark.graft.acid.distributedPruneMinFiles", "1")
+      try atomicBody()
+      finally spark.conf.unset("spark.graft.acid.distributedPruneMinFiles")
+    }
+  }
+
+  private def atomicBody(): Unit = {
+    {
+      val raw = freshTable("graft_dvdelta_atraw")
+      val mir = freshTable("graft_dvdelta_atmir")
+      val baseline = mir.fullResolutions.get()
+      GraftTable.commitAtomic(Seq(
+        GraftTable.AtomicAppend(raw,
+          Seq((9001L, 1.0)).toDF("k", "v")),
+        GraftTable.AtomicDelete(mir, col("k") === 7L)))
+      assert(mir.fullResolutions.get() == baseline,
+        "an atomic DV-delete participant must stay delta-first " +
+          s"($baseline -> ${mir.fullResolutions.get()})")
+      val meta = mir.headerMeta(2L)
+      assert(meta.get("kind").contains("delta"))
+      assert(meta.contains("pending"), "participant publishes PENDING")
+      assert(meta.get("dvn").contains("1"))
+      assert(mir.snapshot().count() == 399L)
+      assert(raw.snapshot().count() == 401L)
+      // the atomic UPDATE participant takes the same path (re-baseline:
+      // the snapshot asserts above replay the pending delta from the
+      // cached v1 base, which counts as a resolution of their own)
+      val base2 = mir.fullResolutions.get()
+      GraftTable.commitAtomic(Seq(
+        GraftTable.AtomicUpdate(mir, col("k") === 9L,
+          Map("v" -> (col("v") + 1.0)))))
+      assert(mir.fullResolutions.get() == base2,
+        "an atomic DV-update participant must stay delta-first")
+      assert(mir.snapshot().filter(col("k") === 9L)
+        .select("v").as[Double].head() == 10.0)
+    }
+  }
+
   test("nf/nr/dvn arithmetic equals recomputation across a mixed DV history") {
     val t = freshTable("graft_dvdelta_arith")
     t.delete(col("k") % 50L === 0L)                              // v2: 8 rows
