@@ -748,10 +748,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     } else if (t.takeKw("CHANGES")) {
       val ref = t.expectIdent("a table")
       resolve(ref).map { table =>
+        // bounds follow the table_changes dual form: numbers are
+        // versions, quoted strings are timestamps resolved through the
+        // monotone ts= headers (mixed forms refuse)
+        def bound(what: String): Either[Long, Long] = t.takeString() match {
+          case Some(s) =>
+            Right(GraftTxnSql.parseTsMillis(s, "DESCRIBE CHANGES", spark))
+          case None => Left(t.expectLong(what))
+        }
         t.expectKw("FROM")
-        val fromV = t.expectLong("a version")
+        val from = bound("a version")
         t.expectKw("TO")
-        val toV = t.expectLong("a version")
+        val to = bound("a version")
+        val (fromV, toV) = (from, to) match {
+          case (Left(f), Left(v))   => (f, v)
+          case (Right(f), Right(v)) => table.versionWindowByTimestamp(f, v)
+          case _ => throw t.err(
+            "DESCRIBE CHANGES: FROM/TO must both be versions or both " +
+              "be timestamps")
+        }
         // KEYED BY (k1, k2): the classified CDC form — update pairs for
         // keys present on both sides of the diff (changeFeedKeyed)
         val keys =

@@ -81,6 +81,27 @@ class CdcTimestampSpec extends SparkSpec {
     assert(err.getMessage.contains("both"), err.getMessage)
   }
 
+  test("DESCRIBE CHANGES accepts timestamp bounds (dual with versions)") {
+    val wh = graft.TempDirs.create("graft_cdcts_wh")
+    val s2 = graft.DerivedSessions.withExtensions(spark)
+    s2.conf.set("spark.sql.catalog.gcdcts", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gcdcts.root", wh)
+    val t = new GraftTable(spark, s"$wh/ev", statsCol = Some("k"))
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))          // v1
+    t.append(Seq((3L, 3.0)).toDF("k", "v"))                     // v2
+    t.delete(col("k") === 1L)                                   // v3
+    val ts = t.history().map(c => c.version -> c.commitMs).toMap
+    val byTs = s2.sql(s"DESCRIBE CHANGES gcdcts.ev FROM '${ts(2L)}' " +
+      s"TO '${ts(3L)}'").orderBy("_change", "k").collect().toSeq
+    val byV = s2.sql("DESCRIBE CHANGES gcdcts.ev FROM 1 TO 3")
+      .orderBy("_change", "k").collect().toSeq
+    assert(byTs == byV, s"ts-bounded $byTs must equal version-bounded $byV")
+    val err = intercept[Exception] {
+      s2.sql(s"DESCRIBE CHANGES gcdcts.ev FROM 1 TO '${ts(3L)}'").collect()
+    }
+    assert(err.getMessage.contains("both"), err.getMessage)
+  }
+
   test("parseTsMillis: epoch millis, SESSION-zone datetime, zoned literal") {
     assert(GraftTxnSql.parseTsMillis("1755350000123", "t", spark)
       == 1755350000123L)
