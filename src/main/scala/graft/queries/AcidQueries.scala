@@ -1186,13 +1186,17 @@ object AcidQueries extends QueryPack {
     // The same net diff consumed as a COMPOSABLE RELATION: the
     // table_changes() TVF (the Delta table_changes read face,
     // extension-injected — derived session) aggregated inside an
-    // ordinary SELECT. Exact DECIMAL sums pin every netted row's value.
+    // ordinary SELECT. Exact DECIMAL sums pin every netted row's value;
+    // the final DOUBLE cast is the pack's cross-engine hashing
+    // convention (QueryPack.scala doc — the r16 bisection proved every
+    // raw-row layer driver-green and the raw DECIMAL output column was
+    // the only divergent surface).
     "q_acid_sql_table_changes" -> { (s, d) =>
       val t = tables(s, d)._1
       val s2 = graft.DerivedSessions.withExtensions(s)
       val out = s2.sql(
         s"""SELECT _change, event_type, count(*) AS n,
-           |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6))
+           |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
            |    AS sum_value
            |FROM table_changes('${t.root}', 1, 3)
            |GROUP BY _change, event_type
@@ -1322,6 +1326,29 @@ object AcidQueries extends QueryPack {
         .load()
       runToMemory(feed, "append")
         .orderBy($"_commit_version", $"user_id", $"_change")
+    },
+
+    // Round 17 (r16 directive #3, finishing r15 #5): the STREAMING
+    // timestamp face — readStream("graft-table") with
+    // startingTimestamp = v2's in-commit stamp drains exactly the merge
+    // commit's net diff and nothing earlier ("stream the changes since
+    // last night" without knowing version numbers — the Delta
+    // startingTimestamp contract, inclusive boundary). In-commit stamps
+    // are strictly monotone (GraftTable clamps ts to prev+1), so the
+    // boundary resolves deterministically; the batch face of the same
+    // window is driver-green as q_acid_cdc_by_timestamp.
+    "q_acid_stream_from_ts" -> { (s, d) =>
+      import s.implicits._
+      val t = cdfMergeTable(s, d)
+      val fromTs = t.history().find(_.version == 2L).get.commitMs
+      val feed = s.readStream.format("graft-table")
+        .option("path", t.root)
+        .option("maxVersionsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", fromTs.toString)
+        .load()
+      runToMemory(feed, "append")
+        .orderBy($"_commit_version", $"user_id", $"_change", $"event_id")
     },
 
     // The BOUNDED streaming CDC mirror: the keyed feed applied per batch
@@ -1508,11 +1535,14 @@ object AcidQueries extends QueryPack {
     // sum) state batch by batch; must equal the full recompute over the
     // source's final latest-per-user state (the materialized-view
     // identity, exact by DECIMAL additivity).
+    // Final sum re-typed to DOUBLE per the pack's cross-engine hashing
+    // convention (exact DECIMAL internally; the double cast is
+    // deterministic and identical in both engines).
     "q_acid_cdc_agg" -> { (s, d) =>
       import s.implicits._
       cdcAggTable(s, d).snapshot()
         .select($"event_type", $"n",
-          $"sum_value".cast("decimal(38,6)").as("sum_value"))
+          $"sum_value".cast("double").as("sum_value"))
         .orderBy($"event_type")
     },
 
@@ -1524,7 +1554,7 @@ object AcidQueries extends QueryPack {
       import s.implicits._
       sqlCdcAggTable(s, d).snapshot()
         .select($"event_type", $"n",
-          $"sum_value".cast("decimal(38,6)").as("sum_value"))
+          $"sum_value".cast("double").as("sum_value"))
         .orderBy($"event_type")
     },
 
@@ -1538,8 +1568,30 @@ object AcidQueries extends QueryPack {
       cdfTable(s, d).snapshot()
         .groupBy($"event_type")
         .agg(count(lit(1)).cast("long").as("n"),
-          sum($"value".cast("decimal(28,6)")).cast("decimal(38,6)")
+          sum($"value".cast("decimal(28,6)")).cast("double")
             .as("sum_value"))
+        .orderBy($"event_type")
+    },
+
+    // Round 17 DISCRIMINATOR PROBE (r16 directive #2): the identical
+    // aggregate emitted TWICE side by side — once as the pack's
+    // conventional DOUBLE, once as the raw DECIMAL(38,6) that made the
+    // five r16 gates hash-red while rows+schema stayed green. With the
+    // headline gates re-typed per convention: green headline + red probe
+    // in the driver = the divergence was representation-level DECIMAL
+    // hashing (scale/width canonicalization in the driver's hasher, not
+    // a value difference); red headline too = genuine value divergence.
+    // Either way CORRECTNESS_r17 documents WHICH, closing the bisection
+    // saga's terminal row in COVERAGE.md.
+    "q_acid_decimal_probe" -> { (s, d) =>
+      import s.implicits._
+      cdfTable(s, d).snapshot()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum($"value".cast("decimal(28,6)")).cast("double")
+            .as("sum_d"),
+          sum($"value".cast("decimal(28,6)")).cast("decimal(38,6)")
+            .as("sum_dec"))
         .orderBy($"event_type")
     },
 
@@ -1561,7 +1613,7 @@ object AcidQueries extends QueryPack {
         .groupBy($"event_type")
         .agg(sum($"__sgn").cast("long").as("n"),
           sum($"value".cast("decimal(28,6)") * $"__sgn")
-            .cast("decimal(38,6)").as("sum_value"))
+            .cast("double").as("sum_value"))
         .filter($"n" =!= 0L)
         .orderBy($"event_type")
     },
@@ -1971,7 +2023,7 @@ object AcidQueries extends QueryPack {
         |  UNION ALL
         |  SELECT *, 'delete' AS _change FROM del)
         |SELECT _change, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
         |    AS sum_value
         |FROM feed GROUP BY _change, event_type
         |ORDER BY _change, event_type""".stripMargin,
@@ -2302,6 +2354,30 @@ object AcidQueries extends QueryPack {
         |  FROM changed)
         |ORDER BY _commit_version, user_id, _change, event_id""".stripMargin,
 
+    // the streaming timestamp face: exactly v2's net diff (the merge
+    // commit), nothing earlier — the v2-only slice of the
+    // q_acid_cdc_by_timestamp window
+    "q_acid_stream_from_ts" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |changed AS (SELECT * FROM latest WHERE user_id < 16)
+        |SELECT * FROM (
+        |  SELECT event_id + 10000000 AS event_id, user_id, ts, event_type,
+        |         value + 1000.0 AS value, 'insert' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM changed
+        |  UNION ALL
+        |  SELECT event_id, user_id + 1000000 AS user_id, ts, event_type,
+        |         value, 'insert' AS _change,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM latest WHERE user_id < 4
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |         'delete' AS _change, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM changed)
+        |ORDER BY _commit_version, user_id, _change, event_id""".stripMargin,
+
     // the aggregate mirror replayed as a full recompute over the final
     // latest-per-user state
     "q_acid_cdc_agg" ->
@@ -2311,7 +2387,7 @@ object AcidQueries extends QueryPack {
         |                                     ORDER BY ts DESC, event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT event_type, count(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the SQL-maintained mirror replays to the same recompute
@@ -2322,7 +2398,7 @@ object AcidQueries extends QueryPack {
         |                                     ORDER BY ts DESC, event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT event_type, count(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // bisection companions: SAME recompute oracle as q_acid_cdc_agg —
@@ -2334,7 +2410,19 @@ object AcidQueries extends QueryPack {
         |                                     ORDER BY ts DESC, event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT event_type, count(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the discriminator probe: same recompute, both typings side by side
+    "q_acid_decimal_probe" ->
+      """WITH latest AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_d,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_dec
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_acid_cdc_agg_api" ->
@@ -2344,7 +2432,7 @@ object AcidQueries extends QueryPack {
         |                                     ORDER BY ts DESC, event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT event_type, count(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the TVF's un-aggregated rows: identical net diff to
