@@ -38,6 +38,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_track_last_known")(spark, "/root/testdata/sf0.001")
 
+  /** Build every pack's once-per-JVM fixtures (Bench's pre-pass; see
+    * QueryPack.warm). Per-pack failure isolation: a broken fixture
+    * build surfaces as the affected gates' own errors in the timed
+    * run, never as a silent warm abort that skips later packs. */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    packs.foreach { p =>
+      try p.warm(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[warm] ${p.getClass.getSimpleName} failed: " +
+          s"${e.getMessage}")
+      }
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = packs.flatMap(_.queries)

@@ -557,7 +557,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // analyzed plan converts at EXECUTION through the same
       // GraftSqlRowOps rewrite as a standalone MERGE — one semantics,
       // txn-staged publish
-      val parsed = delegate.parsePlan(stmt)
+      val parsed = MergeStarTag.stamp(delegate.parsePlan(stmt))
       val merge = parsed match {
         case mm: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => mm
         case _ => throw t.err("expected MERGE INTO <table> USING ...")
@@ -825,7 +825,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case _ => None
       }
     }
-    plan.getOrElse(delegate.parsePlan(sqlText))
+    // MERGE star-action bits are a PARSER fact the analyzer erases
+    // (star actions expand to full assignment lists during resolution)
+    // — stamp them on every delegate-parsed plan so the schema-
+    // evolution conversion reads the written syntax, not an inference
+    // over the expanded shape (r16 directive #7)
+    plan.getOrElse(MergeStarTag.stamp(delegate.parsePlan(sqlText)))
   }
 
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)

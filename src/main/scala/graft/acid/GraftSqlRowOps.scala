@@ -41,6 +41,39 @@ import org.apache.spark.sql.functions.{col, lit}
   * passes `distinct(s.x)` as the partition cover, so only impacted
   * partitions rewrite.
   */
+/** Parse-time record of which MERGE actions were written as stars
+  * (`UPDATE SET *` / `INSERT *`) — the analyzer expands star actions
+  * into full assignment lists before [[GraftSqlRowOps]] runs, erasing
+  * the one bit schema evolution needs (star actions assign the evolved
+  * columns; explicit lists leave them NULL). [[GraftSqlParser]] stamps
+  * every parsed [[MergeIntoTable]] with one Boolean per action, in
+  * action order; tree tags survive the analyzer's rule rewrites
+  * (`resolveOperators*`/`transform*` copy tags onto replaced nodes).
+  * Read back per index; a missing tag or index falls back to the
+  * identity-shape inference, so programmatically-built plans keep
+  * working. */
+private[acid] object MergeStarTag {
+  import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+  val matched: TreeNodeTag[Seq[Boolean]] =
+    TreeNodeTag[Seq[Boolean]]("graft.merge.matchedStars")
+  val notMatched: TreeNodeTag[Seq[Boolean]] =
+    TreeNodeTag[Seq[Boolean]]("graft.merge.notMatchedStars")
+
+  /** Stamp every [[MergeIntoTable]] in a freshly PARSED plan with its
+    * star-action bits (in-place tag mutation — no rebuild). */
+  def stamp(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case m: MergeIntoTable =>
+        m.setTagValue(matched,
+          m.matchedActions.map(_.isInstanceOf[UpdateStarAction]))
+        m.setTagValue(notMatched,
+          m.notMatchedActions.map(_.isInstanceOf[InsertStarAction]))
+      case _ => ()
+    }
+    plan
+  }
+}
+
 object GraftSqlRowOps extends Rule[LogicalPlan] {
 
   /** The graft table behind `p` with the attribute output the statement's
@@ -180,16 +213,16 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
       // evolveSchema machinery then adds + types the columns and keeps
       // carried files metadata-only. An EXPLICIT assignment list (e.g.
       // `WHEN MATCHED THEN UPDATE SET t.v = s.v`) leaves the evolved
-      // columns unassigned — NULL/unchanged, exactly Delta's rule. Star
-      // detection (r15 advice: coverage alone misclassified an explicit
-      // list that names every column): the analyzer's star expansion
-      // assigns EVERY pre-evolution target column from the same-named
-      // source attribute (possibly under a widening cast) — so star ⇔
-      // full coverage AND every assignment is that identity-by-name
-      // shape. An explicit list with any computed right-hand side now
-      // correctly keeps its evolved columns NULL; the one residual
-      // ambiguity (a hand-written full identity list) is semantically
-      // star on every pre-evolution column anyway.
+      // columns unassigned — NULL/unchanged, exactly Delta's rule.
+      // Star detection (r16 directive #7): the PARSER fact, carried as
+      // a per-action tree tag ([[MergeStarTag]], stamped on the parsed
+      // plan where `UPDATE SET *`/`INSERT *` are still distinct node
+      // types) — no inference. A hand-written full identity list is an
+      // explicit list: its evolved columns stay NULL, where the old
+      // shape-matching heuristic had to call it star. The
+      // identity-shape fallback below only serves plans that never
+      // passed through [[GraftSqlParser]] (programmatically-built
+      // MergeIntoTable commands).
       val evolveCols: Seq[String] =
         if (!m.withSchemaEvolution) Nil
         else src.output.map(_.name)
@@ -235,25 +268,37 @@ object GraftSqlRowOps extends Rule[LogicalPlan] {
         case None    => Some(None)
         case Some(x) => rebindCol(x, names).map(Some(_))
       }
-      def action(a: MergeAction, evolve: Boolean)
-          : Option[(Option[Column], Option[Map[String, Column]])] =
+      def action(a: MergeAction, evolve: Boolean, starHint: Option[Boolean])
+          : Option[(Option[Column], Option[Map[String, Column]])] = {
+        def star(as: Seq[Assignment]): Boolean =
+          starHint.getOrElse(isStarAction(as))
         a match {
           case UpdateAction(c, as, _) =>
             for (cc <- optCond(c); s <- assigns(as, tNames, names))
-              yield (cc, Some(if (evolve) withEvolved(s, isStarAction(as)) else s))
+              yield (cc, Some(if (evolve) withEvolved(s, star(as)) else s))
           case DeleteAction(c) =>
             optCond(c).map(cc => (cc, None))
           case InsertAction(c, as) =>
             for (cc <- optCond(c); s <- assigns(as, tNames, names))
-              yield (cc, Some(if (evolve) withEvolved(s, isStarAction(as)) else s))
+              yield (cc, Some(if (evolve) withEvolved(s, star(as)) else s))
           case _ => None
         }
+      }
 
-      val matched = m.matchedActions.map(action(_, evolve = true))
-      val notMatched = m.notMatchedActions.map(action(_, evolve = true))
+      // the parser's per-action star bits, parallel to the action lists
+      // (analysis rewrites actions in place, preserving count and
+      // order); .lift keeps a count drift from mis-indexing — it just
+      // falls back to inference for that action
+      val matchedStars = m.getTagValue(MergeStarTag.matched)
+      val notMatchedStars = m.getTagValue(MergeStarTag.notMatched)
+      val matched = m.matchedActions.zipWithIndex.map { case (a, i) =>
+        action(a, evolve = true, matchedStars.flatMap(_.lift(i))) }
+      val notMatched = m.notMatchedActions.zipWithIndex.map { case (a, i) =>
+        action(a, evolve = true, notMatchedStars.flatMap(_.lift(i))) }
       // not-matched-by-source rows HAVE no source row: an evolved
       // column stays at its (null) default there, never "assigned"
-      val nmbs = m.notMatchedBySourceActions.map(action(_, evolve = false))
+      val nmbs = m.notMatchedBySourceActions.map(
+        action(_, evolve = false, starHint = None))
       if ((matched ++ notMatched ++ nmbs).exists(_.isEmpty)) return None
       // inserts must be assignment actions (DeleteAction can't appear in
       // NOT MATCHED; guard anyway)

@@ -1149,6 +1149,28 @@ object AcidQueries extends QueryPack {
     GraftTable.load(s, root)
   }
 
+  /** Build EVERY once-per-JVM ACID fixture family (r16 directive #6).
+    * Until round 16 only the families on Bench's hand-kept warm list
+    * built outside the timed region; each family missing from that list
+    * (cdfmerge, widen, sidecarcp, recluster, ...) paid its full ingest
+    * inside its first gate's timed window — the structural part of
+    * BENCH_r16's single-pass total running ~4.5x the steady sum. One
+    * call per builder; all are computeIfAbsent-memoized no-ops after. */
+  override def warm(s: SparkSession, d: String): Unit = {
+    tables(s, d); sqlDmlTables(s, d); evoTable(s, d); widenTable(s, d)
+    cdfTable(s, d); cdcDeltaTable(s, d); cdcMirrorTable(s, d)
+    cdcAggTable(s, d); sqlCdcAggTable(s, d); cdfServedTable(s, d)
+    cdfMergeTable(s, d); mergeEvolveTable(s, d); rowTrackingTable(s, d)
+    rowTrackingPartTable(s, d); restoreTable(s, d); zorderTable(s, d)
+    hilbertTable(s, d); zorderIncTable(s, d); convertTable(s, d)
+    sidecarCpTable(s, d); multiTables(s, d); streamSinkTable(s, d)
+    streamDedupTable(s, d); mixedTxnTables(s, d); reclusterTable(s, d)
+    replaceWhereTables(s, d); sqlAtomicMergeTables(s, d)
+    strBloomTable(s, d); tsWindowTable(s, d); cmTable(s, d)
+    dvUpdateTable(s, d); appendUniqueTable(s, d)
+    ()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MERGE through the commit log: after append(0) + merge(1) + merge(2)

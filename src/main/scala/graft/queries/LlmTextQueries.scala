@@ -275,6 +275,13 @@ object LlmTextQueries extends QueryPack {
       .toDF("a_id", "b_id", "jaccard")
   }
 
+  /** Build the once-per-JVM provenance tables (streamed ingest + layout
+    * churn) outside any timed gate (r16 directive #6). */
+  override def warm(s: SparkSession, d: String): Unit = {
+    provenanceTable(s, d); provenanceDedupTable(s, d)
+    ()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup via content digest (hash groupBy, no shuffle of text) ----
     "q_dedup_exact" -> { (s, d) =>

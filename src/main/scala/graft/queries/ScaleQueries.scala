@@ -62,6 +62,13 @@ object ScaleQueries extends QueryPack {
       .join(s.table(custT), $"o_custkey" === $"c_custkey")
   }
 
+  /** Build the once-per-JVM partitioned-layout copy outside any timed
+    * gate (r16 directive #6). */
+  override def warm(s: SparkSession, d: String): Unit = {
+    partitionedDir(s, d)
+    ()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- shuffle-free co-located join on bucketed storage ----
     "q_join_bucketed" -> { (s, d) =>

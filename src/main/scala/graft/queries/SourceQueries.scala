@@ -182,6 +182,15 @@ object SourceQueries extends QueryPack {
       table
     })
 
+  /** Build the once-per-JVM bus-log fixtures (bulk load, keyed
+    * compaction, sink epochs, bus->table pipeline) outside any timed
+    * gate (r16 directive #6). */
+  override def warm(s: SparkSession, d: String): Unit = {
+    busRoot(s, d); busCompactRoot(s, d); busSinkRoot(s, d)
+    pipelineTableRoot(s, d)
+    ()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The composed ingest pipeline (bus -> parse -> ACID table): every

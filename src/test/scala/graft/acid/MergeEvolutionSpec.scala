@@ -157,6 +157,48 @@ class MergeEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("schema-tracking"))
   }
 
+  test("SQL: a hand-written full identity list is an explicit list, not a star (parser fact)") {
+    // the r16 heuristic's one residual ambiguity: an UPDATE list that
+    // names EVERY pre-evolution column as an identity assignment is
+    // shape-indistinguishable from the analyzer's SET * expansion, so
+    // inference had to call it star (and assign the evolved columns).
+    // The parser KNOWS it was written as an explicit list —
+    // GraftSqlParser stamps the star bits on the parsed plan
+    // (MergeStarTag) and the conversion reads them, so the evolved
+    // column stays NULL on the matched row. Runs on a DERIVED session:
+    // only GraftSqlParser-parsed plans carry the fact (the shared test
+    // session's default parser exercises the inference fallback, which
+    // the explicit-assignment test above pins).
+    val warehouse = graft.TempDirs.create("graft_mev_ident_wh")
+    val s2 = graft.DerivedSessions.withExtensions(spark)
+    s2.conf.set("spark.sql.catalog.gmevi", "graft.acid.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmevi.root", warehouse)
+    val t = new GraftTable(spark, s"$warehouse/mevi")
+    t.append((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      mergeSchema = true)
+    s2.sql("""MERGE WITH SCHEMA EVOLUTION INTO gmevi.mevi t
+      |USING (SELECT CAST(1 AS BIGINT) AS id, CAST(100.0 AS DOUBLE) AS v,
+      |              'gold' AS tier
+      |       UNION ALL
+      |       SELECT CAST(11 AS BIGINT), CAST(11.0 AS DOUBLE), 'fresh') s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET t.id = s.id, t.v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val cold = GraftTable.load(spark, s"$warehouse/mevi")
+    assert(cold.tableSchema.get.fieldNames.toSeq == Seq("id", "v", "tier"),
+      "the star INSERT still evolves the schema")
+    val got = cold.snapshot().orderBy("id")
+      .select("id", "v", "tier")
+      .as[(Long, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((100.0, None)),
+      s"a hand-written full identity list must NOT write the evolved " +
+        s"column: ${got(1L)}")
+    assert(got(11L) == ((11.0, Some("fresh"))),
+      "the star INSERT populates the evolved column")
+    assert(got(2L) == ((2.0, None)) && got.size == 11)
+  }
+
   test("an evolved name colliding with a renamed column's physical name refuses loudly") {
     val root = graft.TempDirs.create("graft_mev_collide")
     val t = new GraftTable(spark, root)
