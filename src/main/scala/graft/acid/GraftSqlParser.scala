@@ -289,13 +289,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   /** REORG [TABLE] <t> APPLY (PURGE) */
+  /** REORG [TABLE] <t> APPLY ( PURGE | COMPACT DVS ): PURGE physically
+    * erases masked rows (rewrites only DV-carrying files); COMPACT DVS
+    * is the mask-merge-only mode — fold every live deletion vector into
+    * one fresh sidecar, zero data files written. */
   private def parseReorg(t: Toks): Option[LogicalPlan] = {
     t.expectKw("REORG"); t.takeKw("TABLE")
     val ref = t.expectIdent("a table")
     resolve(ref).map { table =>
-      t.expectKw("APPLY"); t.expectKw("("); t.expectKw("PURGE"); t.expectKw(")")
+      t.expectKw("APPLY"); t.expectKw("(")
+      val compactDvs =
+        if (t.takeKw("COMPACT")) { t.expectKw("DVS"); true }
+        else { t.expectKw("PURGE"); false }
+      t.expectKw(")")
       t.expectEnd()
-      GraftRowLevelCommand(s"REORG $ref", () => { table.reorg(); () })
+      GraftRowLevelCommand(s"REORG $ref",
+        () => { if (compactDvs) table.reorgCompactDvs() else table.reorg(); () })
     }
   }
 

@@ -236,7 +236,17 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                       // would churn line identity and make
                                       // the next CDC batch net a full-table
                                       // read). Never serialized.
-                                      ndvFresh: Boolean = false) {
+                                      ndvFresh: Boolean = false,
+                                      // `fz=<bytes>` the file's EXACT byte
+                                      // length, captured from the write's
+                                      // own listing: scan planning then
+                                      // serves FileStatus straight from
+                                      // the log ([[GraftLogFileIndex]]) —
+                                      // zero per-file filesystem stats.
+                                      // Advisory: absent (pre-r17 lines)
+                                      // falls back to the listing read
+                                      // path, never wrong rows.
+                                      bytes: Option[Long] = None) {
     /** Rows surviving the deletion vector — what a reader sees. */
     def liveRows: Option[Long] = rows.map(_ - dvCount)
     def line: String =
@@ -249,6 +259,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                 (if (dvCount > 0L) Seq(s"dn=$dvCount") else Nil) ++
                 zTag.map(v => s"z=$v").toSeq ++
                 rows.map(n => s"n=$n").toSeq ++
+                bytes.map(n => s"fz=$n").toSeq ++
                 windows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
                   s"w:$c=$lo,$hi" } ++
                 strWindows.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
@@ -297,7 +308,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             v.nonEmpty && (v.head == 'u' || v.head == 'd') =>
           val (lo, hi) = parseRange(v.tail)
           k.drop(3) -> ((v.head, lo, hi)) },
-        nvRef = tags.get("nvf").flatMap(_.toLongOption))
+        nvRef = tags.get("nvf").flatMap(_.toLongOption),
+        bytes = tags.get("fz").flatMap(_.toLongOption))
   }
 
   /** Active file entries (path + optional stats) of version `v`.
@@ -647,7 +659,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       e.bloomRef, e.dvRef, e.dvCount, e.rows, e.zTag,
       e.windows, e.strWindows,
       e.timeWindows.map { case (c, (k, lo, hi)) => c -> ((k.toString, lo, hi)) },
-      e.ndv, Some(ord), e.nvRef)
+      e.ndv, Some(ord), e.nvRef, e.bytes)
 
   private def cpToEntry(r: GraftTable.CpRow): FileEntry =
     FileEntry(r.path,
@@ -660,7 +672,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       dvRef = r.dv, dvCount = r.dn, zTag = r.z, ndv = r.nv,
       timeWindows = r.tw.map { case (c, (k, lo, hi)) =>
         c -> ((k.head, lo, hi)) },
-      nvRef = r.nvf)
+      nvRef = r.nvf, bytes = r.fz)
 
   /** The `.pcp` meta of version `v`, VALIDATED: the declared entry count
     * iff the meta is complete (terminator marker present) and every
@@ -1060,6 +1072,33 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * DELETE costs zero data-file writes and the read stays one
     * distributed scan plus a broadcast hash anti-join (no shuffle).
     * Entries without DVs take the plain vectorized-scan path untouched. */
+  /** The raw parquet frame over exactly `es` — LOG-SERVED (r16 directive
+    * #4) when a read schema is known and every entry carries its `fz=`
+    * byte length: the scan relation builds straight from the survivor
+    * list with FileStatus served from the log ([[GraftLogFileIndex]]),
+    * ZERO per-file filesystem stats at plan time (the explicit-paths
+    * reader re-stats every path on the driver — at 10⁸ files that is
+    * 10⁸ namenode RPCs for facts the manifest already states).
+    * Entries predating the size tag, and schema-less reads (which must
+    * infer from footers), keep the listing reader. Both forms resolve
+    * `_metadata` and match parquet columns by name identically. */
+  private def rawScan(es: Seq[FileEntry],
+                      readSchema: Option[StructType]): DataFrame =
+    if (es.forall(_.bytes.isDefined)) {
+      // schema-less tables (no `schema=` header) infer from ONE footer —
+      // the same single-file inference the listing reader performs with
+      // schema merging off (the repo contract: evolution-on-read needs a
+      // declared schema, so a schema-less table's files are uniform) —
+      // one stat + one footer instead of a stat per file
+      val s = readSchema.getOrElse(
+        spark.read.parquet(new Path(rootPath, es.head.path).toString).schema)
+      GraftLogFileIndex.scan(spark, rootPath,
+        es.map(e => e.path -> e.bytes.get), s)
+    } else {
+      val reader = readSchema.fold(spark.read)(spark.read.schema)
+      reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    }
+
   private def readWithDv(es: Seq[FileEntry], schema: Option[StructType],
                          like: => DataFrame,
                          cmap: Map[String, String] = Map.empty): DataFrame = {
@@ -1077,8 +1116,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         f.copy(name = cmap.getOrElse(f.name.toLowerCase, f.name)))), s)
     }
     val readSchema = mapped.map(_._1).orElse(schema)
-    val reader = readSchema.fold(spark.read)(spark.read.schema)
-    val raw = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    val raw = rawScan(es, readSchema)
     val dved = es.filter(_.dvRef.isDefined)
     val df =
       if (dved.isEmpty) raw
@@ -1182,9 +1220,12 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     // resolve from manifest metadata with zero file opens
     val (perFile, blooms) =
       profileFiles(written, tracked, strTracked, numTracked, timeTracked)
+    // the write's own listing also yields each file's exact byte length
+    // (`fz=`): scan planning then serves FileStatus from the log alone
     fs.listStatus(new Path(rootPath, sub)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("part-"))
-      .sorted.map { n =>
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).map { st =>
+        val n = st.getPath.getName
         val pf = perFile.getOrElse(n, PerFileStats(Map.empty, Map.empty, 0L))
         FileEntry(s"$sub/$n", pf.num.get("s"), pf.num.get("p"), blooms.get(n),
           pf.num.collect { case (tag, win) if tag.startsWith("w:") =>
@@ -1195,7 +1236,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
           ndv = pf.ndv,
           timeWindows = pf.time.collect {
             case (tag, kw) if tag.startsWith("w:") => tag.drop(2) -> kw },
-          bloomFresh = blooms.contains(n), ndvFresh = pf.ndv.nonEmpty)
+          bloomFresh = blooms.contains(n), ndvFresh = pf.ndv.nonEmpty,
+          bytes = Some(st.getLen))
       }
   }
 
@@ -1368,7 +1410,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     val rootUri = fs.makeQualified(rootPath).toUri
     def relOf(p: Path): String =
       rootUri.relativize(fs.makeQualified(p).toUri).getPath
-    def discover(dir: Path): Seq[Path] =
+    def discover(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
@@ -1381,10 +1423,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
             s"convert: $root contains a 'data' directory (the native " +
               "commit area); convert expects a plain parquet directory")
           discover(st.getPath)
-        } else if (n.endsWith(".parquet")) Seq(st.getPath)
+        } else if (n.endsWith(".parquet")) Seq(st)
         else Nil
       }
-    val files = discover(rootPath)
+    val stats = discover(rootPath)
+    // adoption's own listing carries each adopted file's byte length
+    // into the fz= tag — in-place-converted tables plan log-served too
+    val sizeOf = stats.map(st => st.getPath.getName -> st.getLen).toMap
+    val files = stats.map(_.getPath)
     require(files.nonEmpty, s"convert: no parquet files under $root")
     val names = files.map(_.getName)
     require(names.distinct.size == names.size,
@@ -1410,7 +1456,8 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         strWindows = pf.str.collect { case (tag, win) if tag.startsWith("w:") =>
           tag.drop(2) -> win },
         ndv = pf.ndv,
-        bloomFresh = blooms.contains(n), ndvFresh = pf.ndv.nonEmpty)
+        bloomFresh = blooms.contains(n), ndvFresh = pf.ndv.nonEmpty,
+        bytes = sizeOf.get(n))
     }
     commit(1L, entries, op = "convert", schema = Some(df.schema))
   }
@@ -1745,9 +1792,13 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     * [[GraftTable.MaxDvSidecars]] bound: a re-masked entry is a
     * remove+add pair over the SAME path (the delta grammar's existing
     * "replaced entry" form), its new `dv=` ref pointing at THIS commit's
-    * sidecar (the `dvs` payload below). Multi-table participants and
-    * mapping changes still re-tag arbitrary other entries and stay on
-    * [[commit]]. */
+    * sidecar (the `dvs` payload below). Since round 17 multi-table
+    * PARTICIPANTS are delta-first too — append/delete/update/scoped
+    * MERGE INTO all publish their own adds/removes through the
+    * `pending` marker below — leaving on [[commit]] only the commits
+    * whose statement is inherently the whole table: full-semantics
+    * rewrites (where the full manifest is already O(written)), mapping
+    * changes, and legacy-chain DV upgrades. */
   private[graft] def commitDelta(v: Long, adds: Seq[FileEntry],
                                  removes: Seq[FileEntry],
                                  op: String = "commit",
@@ -1769,7 +1820,21 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
                                  // multi-table txn participant marker —
                                  // publishes PENDING, resolved through the
                                  // shared marker like [[commit]]'s
-                                 pending: Option[String] = None): Long = {
+                                 pending: Option[String] = None,
+                                 // EXACT (dvsv, dvn) restatement for the
+                                 // mask-merge paths: a caller that just
+                                 // re-tagged EVERY dv-carrying entry to
+                                 // one fresh sidecar knows the exact
+                                 // post-state, where the arithmetic
+                                 // below can only over-approximate dvsv
+                                 // (it never drops a dereferenced
+                                 // version) — without this the sidecar
+                                 // bound would never reset delta-first.
+                                 // Also upgrades a legacy chain (the
+                                 // caller proves the exact figures by
+                                 // holding the complete dv set).
+                                 dvRestate: Option[(Seq[Long], Long)] = None)
+      : Long = {
     fs.mkdirs(logDir)
     val declared = schema.orElse(latestVersion.flatMap(schemaOf))
     val cmapFinal = cmapOverride.orElse(latestVersion.map(cmapOf))
@@ -1862,12 +1927,14 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       // the mask debt — consumers treat absence as "unknown, fall
       // back to the list", and the next full [[commit]] restates
       // exactly, upgrading the chain (r16 review fix).
-      val dvKnown = v == 1L || prevMeta.contains("dvn")
-      val dvsvAll = (prevMeta.get("dvsv").toSeq.flatMap(_.split(","))
-        .flatMap(_.toLongOption) ++ finalAdds.flatMap(_.dvRef))
-        .distinct.sorted
-      val dvn = prevMeta.get("dvn").flatMap(_.toLongOption).getOrElse(0L) +
-        finalAdds.map(_.dvCount).sum - removes.map(_.dvCount).sum
+      val dvKnown = v == 1L || prevMeta.contains("dvn") || dvRestate.isDefined
+      val dvsvAll = dvRestate.map(_._1.distinct.sorted).getOrElse(
+        (prevMeta.get("dvsv").toSeq.flatMap(_.split(","))
+          .flatMap(_.toLongOption) ++ finalAdds.flatMap(_.dvRef))
+          .distinct.sorted)
+      val dvn = dvRestate.map(_._2).getOrElse(
+        prevMeta.get("dvn").flatMap(_.toLongOption).getOrElse(0L) +
+          finalAdds.map(_.dvCount).sum - removes.map(_.dvCount).sum)
       val txnsAll = txnsAsOf(v - 1) ++ txn
       val cfg = (Seq("kind=delta", s"nf=$nf") ++ nr ++
         (if (!dvKnown || dvsvAll.isEmpty) Nil
@@ -3977,6 +4044,57 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       added.values.toSeq)
   }
 
+  /** Scoped-rewrite candidates for partition cover `vals`: every entry
+    * of version `v` whose partition window may hold a touched value —
+    * exactly [[touches]], with the COARSE test distributed over the
+    * parquet checkpoint past [[distributedPruneMinFiles]] (the CpRow
+    * `pLo`/`pHi` columns; a null window keeps conservatively, mirroring
+    * [[touches]]' forall) and the delta-chain overlay applied like
+    * [[distributedPruneCandidates]]. Only survivors collect; the driver
+    * fine pass re-applies [[touches]] verbatim, so the result equals
+    * `entries(v).filter(touches(_, vals))` with O(impacted partitions)
+    * driver memory instead of O(table) — the staging path of the scoped
+    * atomic MERGE INTO participant (r16 directive #5). */
+  private[graft] def touchedEntries(v: Long, vals: Seq[Long]): Seq[FileEntry] = {
+    val coarse: Option[Seq[FileEntry]] = checkpointChainScan(v).map {
+      case (scan, _, removed, added) =>
+        import spark.implicits._
+        val hit = vals.map(x => lit(x) >= col("pLo") && lit(x) <= col("pHi"))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val survivorRows =
+          scan.filter(coalesce(hit, lit(true))).as[GraftTable.CpRow].collect()
+        val survivors = (if (survivorRows.forall(_.ord.isDefined))
+          survivorRows.sortBy(_.ord.get)
+        else survivorRows.sortBy(_.path)).map(cpToEntry)
+        survivors.filterNot(e =>
+          removed.contains(e.path) || added.contains(e.path)).toSeq ++
+          added.values.toSeq
+    }
+    coarse.getOrElse(entries(v)).filter(touches(_, vals))
+  }
+
+  /** Every active entry of version `v` carrying a deletion-vector ref —
+    * the mask-merge working set. Survivors-only past
+    * [[distributedPruneMinFiles]] (the CpRow `dv` column filters in the
+    * distributed checkpoint scan); bounded in practice by the
+    * [[dvPurgeRows]] auto-purge, so this collects O(masked files) on a
+    * table of any size. */
+  private def dvEntries(v: Long): Seq[FileEntry] = {
+    val coarse: Option[Seq[FileEntry]] = checkpointChainScan(v).map {
+      case (scan, _, removed, added) =>
+        import spark.implicits._
+        val rows = scan.filter(col("dv").isNotNull)
+          .as[GraftTable.CpRow].collect()
+        val survivors = (if (rows.forall(_.ord.isDefined))
+          rows.sortBy(_.ord.get)
+        else rows.sortBy(_.path)).map(cpToEntry)
+        survivors.filterNot(e =>
+          removed.contains(e.path) || added.contains(e.path)).toSeq ++
+          added.values.toSeq
+    }
+    coarse.getOrElse(entries(v)).filter(_.dvRef.isDefined)
+  }
+
   /** The shared base of the distributed planning paths: resolve version
     * `v` down to a PARQUET checkpoint past [[distributedPruneMinFiles]]
     * (any cheaper resolution — cached list, text checkpoint, full
@@ -4068,14 +4186,16 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
       case _ => ()
     }
     val (scan, _, removed, added) = checkpointChainScan(v).getOrElse(return None)
-    val slim = scan.select(col("path"), col("dv"), col("ord")).collect()
+    val slim =
+      scan.select(col("path"), col("dv"), col("ord"), col("fz")).collect()
     val ordered =
       if (slim.forall(!_.isNullAt(2))) slim.sortBy(_.getLong(2))
       else slim.sortBy(_.getString(0))
     val base = ordered.iterator.map { r =>
       FileEntry(r.getString(0),
         stats = None,
-        dvRef = if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        dvRef = if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        bytes = if (r.isNullAt(3)) None else Some(r.getLong(3)))
     }
     val out = base.filterNot(e =>
       removed.contains(e.path) || added.contains(e.path)).toSeq ++
@@ -4442,8 +4562,7 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         f.copy(name = cmap.getOrElse(f.name.toLowerCase, f.name)))), s)
     }
     val readSchema = mapped.map(_._1).orElse(schema)
-    val reader = readSchema.fold(spark.read)(spark.read.schema)
-    val raw = reader.parquet(es.map(e => new Path(rootPath, e.path).toString): _*)
+    val raw = rawScan(es, readSchema)
       .withColumn("__mor_f",
         substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__mor_p", col("_metadata.row_index"))
@@ -4519,7 +4638,35 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
         e.copy(dvRef = Some(v), dvCount = payload(e.path).length.toLong))
       commitDelta(v, retagged ++ newFiles, touched, op = op,
         dvs = live, extraMeta = extra, pending = pending)
+    } else if (parentMeta.contains("dvn")) {
+      // BOUND CROSSING on a known chain (r16 stretch directive #8):
+      // stay delta-first — fold EVERY still-referenced mask into THIS
+      // commit's sidecar (the mask-merge REORG inlined into a commit
+      // already being made). The dv-carrying working set resolves
+      // survivors-only ([[dvEntries]], bounded by the [[dvPurgeRows]]
+      // auto-purge), every carrier re-tags to ref `v` alone, and the
+      // header RESTATES (dvsv, dvn) exactly — resetting the bound
+      // without a full manifest, an entry-list materialization, or a
+      // single data-file write. A long-running merge-on-read table's
+      // scattered small deletes then never leave the O(touched) path.
+      val touched = cands.filter(e =>
+        payload.contains(e.path) || dead.contains(e.path))
+      val retagOwn = touched.filterNot(e => dead.contains(e.path)).map(e =>
+        e.copy(dvRef = Some(v), dvCount = payload(e.path).length.toLong))
+      val others = dvEntries(lv).filterNot(e =>
+        payload.contains(e.path) || dead.contains(e.path))
+      val retagOthers = others.map(e => e.copy(dvRef = Some(v)))
+      val allPayload = live ++ others.map(e => e.path -> dvPositions(e))
+      val dvnExact = (retagOwn ++ retagOthers).map(_.dvCount).sum
+      commitDelta(v, retagOwn ++ retagOthers ++ newFiles,
+        touched ++ others, op = op, dvs = allPayload, extraMeta = extra,
+        pending = pending,
+        dvRestate = Some((if (allPayload.nonEmpty) Seq(v) else Nil,
+          dvnExact)))
     } else {
+      // LEGACY chain (no dvn= since birth): the mask bookkeeping inputs
+      // are unknown, so one classic commit restates everything exactly
+      // and upgrades the chain
       val prev = entries(lv)
       commit(v, prev.filterNot(e => dead.contains(e.path)) ++ newFiles,
         op = op, dvs = coalesceDvs(prev, live, dead), extraMeta = extra,
@@ -4906,6 +5053,35 @@ final class GraftTable(private[acid] val spark: SparkSession, val root: String,
     else {
       val survivors = readWithDv(dved, schemaOf(lv), snapshot(Some(lv)), cmapOf(lv))
       commit(v, clean ++ writeData(clusterByPartition(survivors), v), op = "reorg")
+    }
+  }
+
+  /** REORG ... APPLY (COMPACT DVS) — mask-merge-only maintenance (r16
+    * stretch directive #8): fold every live deletion vector into ONE
+    * fresh sidecar, re-tag the carrying entries, and RESTATE the
+    * header's (dvsv, dvn) exactly — rewriting ZERO data files. Where
+    * [[reorg]] physically erases masked rows (the compliance step),
+    * this only sheds sidecar-ref count: a long-running merge-on-read
+    * table whose scattered deletes accumulate sidecars resets the
+    * [[GraftTable.MaxDvSidecars]] bound at KB-scale metadata cost. The
+    * working set resolves survivors-only ([[dvEntries]]); the commit is
+    * a delta; a legacy chain (no `dvn=` since birth) UPGRADES here —
+    * this op holds the complete dv picture, so the exact restatement is
+    * proven. A table with no DVs commits a metadata-only no-op. */
+  def reorgCompactDvs(): Long = {
+    val lv = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits in table at $root"))
+    // pinned to the probed snapshot: a concurrent commit's manifest
+    // collides on the exclusive create and surfaces loudly
+    val v = lv + 1
+    val dved = dvEntries(lv)
+    if (dved.isEmpty)
+      commitDelta(v, Nil, Nil, op = "reorg", dvRestate = Some((Nil, 0L)))
+    else {
+      val payload = dved.map(e => e.path -> dvPositions(e)).toMap
+      val retagged = dved.map(e => e.copy(dvRef = Some(v)))
+      commitDelta(v, retagged, dved, op = "reorg", dvs = payload,
+        dvRestate = Some((Seq(v), dved.map(_.dvCount).sum)))
     }
   }
 
@@ -6024,7 +6200,11 @@ object GraftTable {
       ord: Option[Long] = None,
       // `.nvs` sidecar ref (r14): resident entries carry the ref, the
       // sketch bytes load per use; None/null on older checkpoints
-      nvf: Option[Long] = None)
+      nvf: Option[Long] = None,
+      // exact file byte length (r17, `fz=`): the log-served scan's
+      // FileStatus input; None/null on older checkpoints (those fall
+      // back to the listing read path)
+      fz: Option[Long] = None)
 
   private[graft] val cpSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[CpRow].schema
@@ -6350,7 +6530,6 @@ object GraftTable {
     private[acid] def stage(): String => Long = {
       val lv = table.latestVersion.getOrElse(throw new IllegalStateException(
         s"atomic merge into on ${table.root}: the table has no commits yet"))
-      val prev = table.entries(lv)
       def guard(): Unit =
         if (!table.latestVersion.contains(lv))
           throw new ConcurrentCommitException(
@@ -6363,7 +6542,15 @@ object GraftTable {
         }
       scoped match {
         case Some(vals) if vals.nonEmpty =>
-          val (rewrite, keep) = prev.partition(table.touches(_, vals))
+          // DELTA-FIRST (r16 directive #5): candidates resolve through
+          // [[touchedEntries]] (distributed coarse prune past the
+          // threshold — survivors-only driver memory, no resident base
+          // list) and the participant's manifest states only its own
+          // consumed+written entries; untouched entries are never
+          // re-listed. The publish guard pins the base, so the delta is
+          // exact against lv — the same contract as the standalone
+          // scoped merge's rebase-validated [[commitDelta]].
+          val rewrite = table.touchedEntries(lv, vals)
           val result = table.mergeAssemble(
             table.readEntries(rewrite, table.snapshot(Some(lv))), source,
             condition, matched, notMatched, notMatchedBySource)
@@ -6372,10 +6559,15 @@ object GraftTable {
           val extra = table.rewriteChangeMeta(rewrite, written, lv)
           (m: String) => {
             guard()
-            table.commit(lv + 1, keep ++ written, op = "merge",
+            table.commitDelta(lv + 1, written, rewrite, op = "merge",
               pending = Some(m), extraMeta = extra)
           }
         case _ =>
+          // full-semantics rewrite: the new content IS the whole table,
+          // so the full manifest is already O(written) — nothing to gain
+          // from a delta (and a full statement resets readers' replay
+          // chains)
+          val prev = table.entries(lv)
           val result = table.mergeAssemble(table.snapshot(Some(lv)), source,
             condition, matched, notMatched, notMatchedBySource)
           val written = table.writeData(

@@ -86,24 +86,83 @@ class DvDeltaCommitSpec extends SparkSpec {
     }
   }
 
-  test("past MaxDvSidecars the classic path coalesces and resets the bound") {
-    val t = freshTable("graft_dvdelta_bound")
-    t.delete(col("k") === 11L)                                   // v2: refs {2}
-    t.delete(col("k") === 111L)                                  // v3: refs {2,3}
-    assert(t.headerMeta(3L).get("dvsv").contains("2,3"))
-    t.delete(col("k") === 211L)                                  // v4: over bound
-    // coalescing folded every live mask into v4's sidecar: refs reset
-    assert(t.headerMeta(4L).get("dvsv").contains("4"),
-      s"dvsv after coalesce: ${t.headerMeta(4L).get("dvsv")}")
-    assert(t.headerMeta(4L).get("dvn").contains("3"))
-    val refs = t.entries(4L).flatMap(_.dvRef).distinct
-    assert(refs == Seq(4L), s"live sidecar refs after coalesce: $refs")
-    assert(t.snapshot().count() == 397L)
-    // ...and the NEXT dv commit is delta-first again (kind + dvsv grow)
-    t.delete(col("k") === 311L)                                  // v5
-    assert(t.headerMeta(5L).get("kind").contains("delta"))
-    assert(t.headerMeta(5L).get("dvsv").contains("4,5"))
-    assert(t.snapshot().count() == 396L)
+  test("past MaxDvSidecars the bound-crossing commit mask-merges DELTA-FIRST") {
+    // r16 stretch directive #8: the crossing used to fall back to a
+    // classic FULL commit (entry-list materialization + full manifest).
+    // Now it folds every still-referenced mask into its own sidecar
+    // inside the delta commit already being made, RESTATES (dvsv, dvn)
+    // exactly, and rewrites ZERO data files.
+    withSidecars {
+      spark.conf.set("spark.graft.acid.distributedPruneMinFiles", "1")
+      try {
+        val t = freshTable("graft_dvdelta_bound")
+        val dataBefore = t.activeFiles(1L).toSet
+        t.delete(col("k") === 11L)                               // v2: refs {2}
+        t.delete(col("k") === 111L)                              // v3: refs {2,3}
+        assert(t.headerMeta(3L).get("dvsv").contains("2,3"))
+        val cold = GraftTable.load(spark, t.root)
+        val baseline = cold.fullResolutions.get()
+        cold.delete(col("k") === 211L)                           // v4: crossing
+        assert(cold.fullResolutions.get() == baseline,
+          "the bound crossing must stay delta-first (no entry-list " +
+            s"materialization: $baseline -> ${cold.fullResolutions.get()})")
+        // mask-merge folded every live mask into v4's sidecar: refs
+        // reset, dvn exact, the manifest is a DELTA
+        assert(t.headerMeta(4L).get("kind").contains("delta"),
+          s"kind: ${t.headerMeta(4L).get("kind")}")
+        assert(t.headerMeta(4L).get("dvsv").contains("4"),
+          s"dvsv after mask-merge: ${t.headerMeta(4L).get("dvsv")}")
+        assert(t.headerMeta(4L).get("dvn").contains("3"))
+        val refs = t.entries(4L).flatMap(_.dvRef).distinct
+        assert(refs == Seq(4L), s"live sidecar refs after mask-merge: $refs")
+        // ZERO data files written across the crossing: same physical set
+        assert(t.activeFiles(4L).toSet == dataBefore,
+          "the mask-merge crossing must not write or drop data files")
+        assert(t.snapshot().count() == 397L)
+        // ...and the NEXT dv commit is delta-first again (dvsv grows)
+        t.delete(col("k") === 311L)                              // v5
+        assert(t.headerMeta(5L).get("kind").contains("delta"))
+        assert(t.headerMeta(5L).get("dvsv").contains("4,5"))
+        assert(t.snapshot().count() == 396L)
+        // cold-handle parity: the whole chain resolves from disk alone
+        assert(GraftTable.load(spark, t.root).snapshot().count() == 396L)
+      } finally spark.conf.unset("spark.graft.acid.distributedPruneMinFiles")
+    }
+  }
+
+  test("REORG APPLY (COMPACT DVS) folds masks to one sidecar, zero data writes") {
+    withSidecars {
+      val t = freshTable("graft_dvdelta_reorgdvs")
+      t.delete(col("k") === 7L)                                  // v2
+      t.delete(col("k") === 107L)                                // v3
+      assert(t.headerMeta(3L).get("dvsv").contains("2,3"))
+      val dataBefore = t.activeFiles(3L).toSet
+      val v = t.reorgCompactDvs()                                // v4
+      assert(v == 4L)
+      assert(t.headerMeta(4L).get("kind").contains("delta"))
+      assert(t.headerMeta(4L).get("dvsv").contains("4"))
+      assert(t.headerMeta(4L).get("dvn").contains("2"))
+      assert(t.activeFiles(4L).toSet == dataBefore,
+        "mask-merge REORG must write no data files")
+      assert(t.entries(4L).flatMap(_.dvRef).distinct == Seq(4L))
+      assert(t.snapshot().count() == 398L)
+      assert(GraftTable.load(spark, t.root).snapshot().count() == 398L)
+      // the SQL face drives the same op (derived session owns the
+      // parser); a DV-free table no-ops metadata-only
+      val s2 = graft.DerivedSessions.withExtensions(spark)
+      val wh = graft.TempDirs.create("graft_reorgdvs_wh")
+      s2.conf.set("spark.sql.catalog.grdvs", "graft.acid.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.grdvs.root", wh)
+      val t2 = new GraftTable(spark, s"$wh/m", statsCol = Some("k"))
+      t2.append((1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+      t2.delete(col("k") === 3L)
+      t2.delete(col("k") === 33L)
+      s2.sql("REORG grdvs.m APPLY (COMPACT DVS)")
+      val t2c = GraftTable.load(spark, s"$wh/m")
+      assert(t2c.headerMeta(4L).get("dvsv").contains("4"))
+      assert(t2c.snapshot().count() == 48L)
+    }
   }
 
   test("a fully-masked file leaves the active set through a delta remove") {

@@ -589,4 +589,113 @@ class MultiTableCommitSpec extends SparkSpec {
       } finally pool.shutdown()
     }
   }
+
+  test("a cross-table CDC commit is delta-first: no participant materializes its entry list") {
+    // r16 directive #5: participants that only add/remove/re-mask their
+    // own entries publish delta manifests like single-table commits.
+    // With parquet checkpoints + the distributed prune forced, the
+    // whole stage+publish of an append-to-A + DV-delete-in-B txn (CDF
+    // on — the cross-table CDC shape) must leave BOTH tables'
+    // fullResolutions counters untouched: candidates resolve through
+    // the distributed checkpoint scan, masks commit through
+    // commitDelta's header arithmetic, and the untouched base is never
+    // re-listed.
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.graft.acid.parquetCheckpointMinFiles", "1")
+    spark.conf.set("spark.graft.acid.checkpointShards", "4")
+    spark.conf.set("spark.graft.acid.distributedPruneMinFiles", "1")
+    spark.conf.set("spark.graft.acid.writeChangeData", "true")
+    try {
+      val rootA = graft.TempDirs.create("graft_mt_cdc_a")
+      val rootB = graft.TempDirs.create("graft_mt_cdc_b")
+      locally { // seed via throwaway handles; the cold ones stay virgin
+        new GraftTable(spark, rootA, statsCol = Some("k"),
+          checkpointInterval = 1).append(df(1 to 10))
+        new GraftTable(spark, rootB, statsCol = Some("k"),
+          checkpointInterval = 1).append(df(101 to 140))
+      }
+      val ta = new GraftTable(spark, rootA, statsCol = Some("k"),
+        checkpointInterval = 1)
+      val tb = new GraftTable(spark, rootB, statsCol = Some("k"),
+        checkpointInterval = 1)
+      val base = (ta.fullResolutions.get(), tb.fullResolutions.get())
+      GraftTable.commitAtomic(Seq(
+        GraftTable.AtomicAppend(ta, df(11 to 15)),
+        GraftTable.AtomicDelete(tb, col("k") <= 105L)))
+      assert((ta.fullResolutions.get(), tb.fullResolutions.get()) == base,
+        "a delta-first participant must not materialize the entry list " +
+          s"(A: ${base._1} -> ${ta.fullResolutions.get()}, " +
+          s"B: ${base._2} -> ${tb.fullResolutions.get()})")
+      // both participant manifests declare themselves deltas
+      Seq(ta, tb).foreach { t =>
+        val head = scala.io.Source.fromInputStream(fs.open(new Path(
+          t.root, f"_log/v${t.latestVersion.get}%020d.manifest")))
+          .getLines().next()
+        assert(head.contains("kind=delta"), s"${t.root}: $head")
+      }
+      // content + the CDC face both serve
+      assert(ta.snapshot().count() == 15L)
+      assert(tb.snapshot().count() == 35L)
+      val feed = tb.changeFeed(1L, 2L)
+      assert(feed.filter(col("_change") === "delete").count() == 5L)
+    } finally {
+      spark.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
+      spark.conf.unset("spark.graft.acid.checkpointShards")
+      spark.conf.unset("spark.graft.acid.distributedPruneMinFiles")
+      spark.conf.unset("spark.graft.acid.writeChangeData")
+    }
+  }
+
+  test("a scoped atomic MERGE INTO publishes a delta and plans survivors-only") {
+    // The last O(table) participant path: the scoped merge used to
+    // publish `keep ++ written` (a full manifest re-listing every
+    // untouched entry) from a fully-materialized base. Now candidates
+    // come from touchedEntries' distributed partition-window prune and
+    // the manifest states only consumed+written — untouched partitions
+    // carry by NOT being mentioned.
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.graft.acid.parquetCheckpointMinFiles", "1")
+    spark.conf.set("spark.graft.acid.checkpointShards", "4")
+    spark.conf.set("spark.graft.acid.distributedPruneMinFiles", "1")
+    try {
+      val root = graft.TempDirs.create("graft_mt_scoped_mi")
+      locally {
+        val seed = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L),
+          (4L, 2L, 40L), (5L, 3L, 50L)).toDF("k", "p", "n")
+        new GraftTable(spark, root, partitionCol = Some("p"),
+          checkpointInterval = 1).append(seed)
+      }
+      val tb = new GraftTable(spark, root, partitionCol = Some("p"),
+        checkpointInterval = 1)
+      val filesBefore = tb.activeFiles(tb.latestVersion.get).toSet
+      val base = tb.fullResolutions.get()
+      val src = Seq((2L, 1L, 200L), (6L, 1L, 600L)).toDF("k", "p", "n")
+      GraftTable.commitAtomic(Seq(GraftTable.AtomicMergeInto(tb, src,
+        col("__t_p") === col("__s_p") && col("__t_k") === col("__s_k"),
+        matched = Seq((None, Some(Map("n" -> col("__s_n"))))),
+        notMatched = Seq((None, Map("k" -> col("__s_k"),
+          "p" -> col("__s_p"), "n" -> col("__s_n")))),
+        notMatchedBySource = Nil, scopeSrcCol = Some("p"))))
+      assert(tb.fullResolutions.get() == base,
+        "the scoped atomic merge must plan from the distributed " +
+          s"partition prune, not the resident base ($base -> " +
+          s"${tb.fullResolutions.get()})")
+      val head = scala.io.Source.fromInputStream(fs.open(new Path(
+        tb.root, f"_log/v${tb.latestVersion.get}%020d.manifest")))
+        .getLines().next()
+      assert(head.contains("kind=delta"), head)
+      // only partition 1's file rewrote; partitions 2 and 3 carry
+      val filesAfter = tb.activeFiles(tb.latestVersion.get).toSet
+      assert((filesBefore intersect filesAfter).nonEmpty,
+        "untouched partitions' files must carry verbatim")
+      val got = GraftTable.load(spark, root).snapshot()
+        .orderBy(col("k")).as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 1L, 10L), (2L, 1L, 200L), (3L, 2L, 30L),
+        (4L, 2L, 40L), (5L, 3L, 50L), (6L, 1L, 600L)))
+    } finally {
+      spark.conf.unset("spark.graft.acid.parquetCheckpointMinFiles")
+      spark.conf.unset("spark.graft.acid.checkpointShards")
+      spark.conf.unset("spark.graft.acid.distributedPruneMinFiles")
+    }
+  }
 }
