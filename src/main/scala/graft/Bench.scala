@@ -30,6 +30,14 @@ object Bench {
     // inside its first gate's timed window (the structural share of
     // BENCH_r16's single-pass total running ~4.5x the steady sum).
     SparkEntry.warm(spark, sfDir)
+    // Fixture builds localCheckpoint intermediate frames; their blocks
+    // linger in the BlockManager until the ContextCleaner notices the
+    // referents are gone (GC-driven). Left alone, ~35 warmed families'
+    // dead blocks inflate heap pressure across the WHOLE timed region —
+    // force the collection + cleaner pass now, outside the timing.
+    System.gc()
+    Thread.sleep(2000)
+    System.gc()
     // JVM/codegen warmup outside the timed region (driver compares totals).
     // The storage-layout queries' first invocations also write their
     // fixture tables (once per JVM) — warming them here means the timed
