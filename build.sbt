@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 273 queries x ~2 runs (warm + timed) JIT-compile thousands of
+  // generated classes; the JDK default 240 MB code cache overflows and
+  // evicts warm code mid-bench (sweeper churn shows as uniformly
+  // inflated post-warm runs). Plain capacity raise, no behavior change.
+  "-XX:ReservedCodeCacheSize=512m",
 )

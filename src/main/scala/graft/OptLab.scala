@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B lab for round-17 optimization experiments. Times named
+  * variants of hot operators side by side in one JVM (2 runs each; the
+  * second is the steady number). Not part of the driver contract.
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.OptLab <experiment>"
+  */
+object OptLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach {
+      case "ssj" => ssj(spark, sfDir)
+      case "pagerank" => pagerank(spark, sfDir)
+      case other => println(s"unknown experiment: $other")
+    }
+    spark.stop()
+  }
+
+  private def time(tag: String)(mk: => DataFrame): Unit = {
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"OPTLAB $tag%-36s ${times.map(t => f"$t%.2f").mkString(" ")}")
+  }
+
+  /** stream-stream inner join at varying state-partition fan-out. */
+  private def ssj(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    def q(parts: Int): DataFrame = {
+      val purchases = graft.tracks.TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "purchase")
+        .select($"user_id".as("p_user"), timestamp_micros($"tsMicros").as("p_ts"),
+          $"event_id".as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = graft.tracks.TrackStateOp.eventsStream(s, d)
+        .filter($"eventType" === "click")
+        .select($"user_id".as("c_user"), timestamp_micros($"tsMicros").as("c_ts"),
+          $"event_id".as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"c_ts" <= $"p_ts")
+        .select($"p_id", $"c_id")
+      LabBridge.runToMem(joined, "append", parts).orderBy($"p_id", $"c_id")
+    }
+    Seq(8, 4, 2, 1).foreach { p =>
+      time(s"ssj parts=$p")(q(p))
+      val got = q(p).count()
+      println(s"OPTLAB ssj parts=$p rows=$got")
+    }
+  }
+
+  /** PageRank variants: current (per-iter localCheckpoint) vs lazy
+    * lineage vs broadcast-rank joins. */
+  private def pagerank(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    def edges: DataFrame = {
+      val e0 = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .distinct()
+      e0.select($"a".as("src"), $"b".as("dst"))
+        .union(e0.select($"b".as("src"), $"a".as("dst")))
+    }
+    val unit = 1000000000000L
+
+    // A: current shape (graft.queries.SearchQueries.pageRank)
+    def prA(): DataFrame = {
+      val e = edges.localCheckpoint()
+      val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var pr = deg.crossJoin(broadcast(n))
+        .select($"id", $"outdeg", $"n", expr(s"$unit div n").as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val inflow = e
+          .join(pr.select($"id".as("src"), expr("pr div outdeg").as("c")), "src")
+          .groupBy($"dst".as("id")).agg(sum($"c").as("inflow"))
+        pr = pr.drop($"pr")
+          .join(inflow, Seq("id"), "left")
+          .select($"id", $"outdeg", $"n",
+            (expr(s"(15 * ($unit div n)) div 100") +
+              expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select($"id", $"pr".as("pr_units"))
+        .orderBy($"pr_units".desc, $"id").limit(20)
+    }
+
+    // B: broadcast the rank table into the edge join (rank is O(nodes),
+    // edges stay put — no shuffle of e per iteration)
+    def prB(): DataFrame = {
+      val e = edges.localCheckpoint()
+      val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var pr = deg.crossJoin(broadcast(n))
+        .select($"id", $"outdeg", $"n", expr(s"$unit div n").as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val inflow = e
+          .join(broadcast(pr.select($"id".as("src"), expr("pr div outdeg").as("c"))), "src")
+          .groupBy($"dst".as("id")).agg(sum($"c").as("inflow"))
+        pr = pr.drop($"pr")
+          .join(inflow, Seq("id"), "left")
+          .select($"id", $"outdeg", $"n",
+            (expr(s"(15 * ($unit div n)) div 100") +
+              expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select($"id", $"pr".as("pr_units"))
+        .orderBy($"pr_units".desc, $"id").limit(20)
+    }
+
+    // C: B + lazy checkpoints (one job; lineage still truncated on
+    // materialization)
+    def prC(): DataFrame = {
+      val e = edges.localCheckpoint()
+      val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var pr = deg.crossJoin(broadcast(n))
+        .select($"id", $"outdeg", $"n", expr(s"$unit div n").as("pr"))
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to 4) {
+        val inflow = e
+          .join(broadcast(pr.select($"id".as("src"), expr("pr div outdeg").as("c"))), "src")
+          .groupBy($"dst".as("id")).agg(sum($"c").as("inflow"))
+        pr = pr.drop($"pr")
+          .join(inflow, Seq("id"), "left")
+          .select($"id", $"outdeg", $"n",
+            (expr(s"(15 * ($unit div n)) div 100") +
+              expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+          .localCheckpoint(eager = false)
+      }
+      pr.select($"id", $"pr".as("pr_units"))
+        .orderBy($"pr_units".desc, $"id").limit(20)
+    }
+
+    time("pagerank A current")(prA())
+    time("pagerank B bcast-rank")(prB())
+    time("pagerank C bcast+lazy")(prC())
+    // equivalence check: hash of all three results must match
+    def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
+    val (a, b, c) = (h(prA()), h(prB()), h(prC()))
+    println(s"OPTLAB pagerank equal: AB=${a == b} AC=${a == c}")
+  }
+}
+
+/** Access shim: QueryPack.runToMemory is protected; expose it for lab
+  * experiments only. */
+private object LabBridge extends QueryPack {
+  def queries = Map.empty
+  def oracles = Map.empty
+  def runToMem(df: DataFrame, mode: String, parts: Int): DataFrame =
+    runToMemory(df, mode, parts)
+}
