@@ -18,12 +18,15 @@ object OptLab {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach {
       case "ssj" => ssj(spark, sfDir)
       case "pagerank" => pagerank(spark, sfDir)
+      case "prplan" => prplan(spark, sfDir)
+      case "bigram" => bigram(spark, sfDir)
       case other => println(s"unknown experiment: $other")
     }
     spark.stop()
@@ -64,6 +67,69 @@ object OptLab {
       val got = q(p).count()
       println(s"OPTLAB ssj parts=$p rows=$got")
     }
+  }
+
+  /** bigram formation: lead() window (old) vs array transform (new). */
+  private def bigram(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def tail(bg: DataFrame): DataFrame = {
+      val bgTf = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("tf"))
+      val c2 = bgTf.groupBy($"a", $"b").agg(sum($"tf").as("c2"))
+      bgTf.join(broadcast(c2), Seq("a", "b"))
+        .groupBy($"doc_id").agg(sum($"tf").as("n"), max($"c2").as("mx"))
+        .orderBy($"doc_id")
+    }
+    def oldShape: DataFrame = {
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      tail(toks
+        .withColumn("nxt", lead($"w", 1).over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .filter($"nxt".isNotNull)
+        .select($"doc_id", $"w".as("a"), $"nxt".as("b")))
+    }
+    def newShape: DataFrame = {
+      tail(Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
+        .select($"doc_id", $"p.a".as("a"), $"p.b".as("b")))
+    }
+    time("bigram old window")(oldShape)
+    time("bigram new transform")(newShape)
+    time("bigram old window")(oldShape)
+    time("bigram new transform")(newShape)
+  }
+
+  /** Dump the PER-ITERATION inflow plan for both pageRank join
+    * strategies (the gate's final explain hides the loop behind the
+    * localCheckpoint) — evidence for plans/r17. */
+  private def prplan(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.ExplainMode
+    val e0 = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val e = e0.select($"a".as("src"), $"b".as("dst")).localCheckpoint()
+    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    val pr = deg.crossJoin(broadcast(n))
+      .select($"id", $"outdeg", $"n", expr("1000000000000 div n").as("pr"))
+      .localCheckpoint()
+    val ranks = pr.select($"id".as("src"), expr("pr div outdeg").as("c"))
+    def show(tag: String, df: DataFrame): Unit = {
+      println(s"==== PRPLAN $tag ====")
+      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    }
+    show("shuffle (before)",
+      e.join(ranks, "src").groupBy($"dst".as("id")).agg(sum($"c").as("inflow")))
+    show("broadcast (after)",
+      e.join(broadcast(ranks), "src").groupBy($"dst".as("id")).agg(sum($"c").as("inflow")))
   }
 
   /** PageRank variants: current (per-iter localCheckpoint) vs lazy

@@ -152,11 +152,15 @@ trait QueryPack {
     * stream-stream join opens 4 stores per partition, and each store
     * pays a fixed per-batch commit/snapshot cost — at 32 partitions the
     * stream-stream join spent 58s cumulative in state commits for 40k
-    * state rows vs 2.9s at 8 (results are partition-count independent;
-    * verified by the gate at cpus=4 and 32). At 100 TB the same knob
-    * scales UP: state_bytes / target_store_size, not executor cores. */
+    * state rows vs 2.9s at 8, and the round-17 sweep (OptLab ssj,
+    * steady-state at sf0.1/cpus=32) found 4 another 25% faster than 8
+    * (2.3 s vs 2.9 s; 2 and 1 regress — too little scan parallelism),
+    * so 4 is the measured floor for these state sizes. Results are
+    * partition-count independent (verified by the gates at cpus=4 and
+    * 32 and by the sweep's row counts). At 100 TB the same knob scales
+    * UP: state_bytes / target_store_size, not executor cores. */
   protected def runToMemory(df: DataFrame, mode: String,
-                            statePartitions: Int = 8): DataFrame = {
+                            statePartitions: Int = 4): DataFrame = {
     val outer = df.sparkSession
     val qn = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the override lives on a per-stream session CLONE (ScopedStream) —

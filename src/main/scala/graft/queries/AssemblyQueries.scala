@@ -233,10 +233,12 @@ object AssemblyQueries extends QueryPack {
     // The same KenLM-style curation signal as q_text_surprisal with the
     // LM upgraded to add-one-smoothed corpus bigrams: per doc, the mean
     // of -ln P(b|a) = ln(c1(a)+V) - ln(c2(a,b)+1) over its bigram
-    // stream. Bigrams form with ONE lead() window per doc (narrow
-    // (doc_id, pos, token) rows — the only corpus shuffle keyed wider
-    // than a term); counts are two-stage aggs whose shuffles carry
-    // bigram-vocab rows, not the token stream. The model table
+    // stream. Bigrams form as a per-row array transform over the split
+    // token array (the q_text_repetition shape; r17 — the previous
+    // lead() window shuffled AND sorted the whole corpus token stream
+    // by doc_id just to pair adjacent tokens, guide §2.4: remove
+    // shuffles outright); counts are two-stage aggs whose shuffles
+    // carry bigram-vocab rows, not the token stream. The model table
     // broadcasts (31-term synthetic vocab -> <=961 bigrams; a web-scale
     // bigram LM prunes/quantizes to fit or falls back to a shuffle join
     // on the pair key). Determinism: the surprisal-query recipe — each
@@ -244,16 +246,18 @@ object AssemblyQueries extends QueryPack {
     // divides exactly-representable values.
     "q_text_bigram_lm" -> { (s, d) =>
       import s.implicits._
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      val bg = toks
-        .withColumn("nxt", lead($"w", 1).over(
-          Window.partitionBy($"doc_id").orderBy($"pos")))
-        .filter($"nxt".isNotNull)
-        .select($"doc_id", $"w".as("a"), $"nxt".as("b"))
+      val toksArr = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+      val bg = toksArr
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
+        .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
       val bgTf = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("tf"))
       val c2 = bgTf.groupBy($"a", $"b").agg(sum($"tf").as("c2"))
-      val uni = toks.groupBy($"w").agg(count(lit(1)).as("c1"))
+      val uni = toksArr.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c1"))
         .withColumnRenamed("w", "a")
       val v = uni.agg(count(lit(1)).as("vsz"))
       bgTf.join(broadcast(c2), Seq("a", "b")).join(broadcast(uni), Seq("a"))
@@ -274,7 +278,10 @@ object AssemblyQueries extends QueryPack {
     // classic collocation detector (Church & Hanks 1990) and the
     // association signal behind phrase mining / tokenizer seeding.
     // PMI(a,b) = ln(p(a,b) / (p(a)p(b))) with marginals from the bigram
-    // table itself (left/right token counts). Shuffles carry bigram-vocab
+    // table itself (left/right token counts). Bigrams form shuffle-free
+    // as a per-row array transform (r17, the q_text_bigram_lm rewrite —
+    // the lead() window it replaces shuffled + sorted the token
+    // stream). Shuffles carry bigram-vocab
     // rows only; marginals broadcast back onto the pair table. A
     // min-count gate (c2 >= 5) drops the rare-pair noise PMI is known
     // for. DETERMINISM: pairs are RANKED by the raw double ratio
@@ -284,11 +291,12 @@ object AssemblyQueries extends QueryPack {
     "q_text_pmi" -> { (s, d) =>
       import s.implicits._
       val bg = Tables.documents(s, d)
-        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-        .withColumn("nxt", lead($"w", 1).over(
-          Window.partitionBy($"doc_id").orderBy($"pos")))
-        .filter($"nxt".isNotNull)
-        .select($"w".as("a"), $"nxt".as("b"))
+        .select(split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
       val c2 = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
       val ca = c2.groupBy($"a").agg(sum($"c2").as("ca"))
       val cb = c2.groupBy($"b").agg(sum($"c2").as("cb"))

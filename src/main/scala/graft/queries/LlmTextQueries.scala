@@ -313,9 +313,15 @@ object LlmTextQueries extends QueryPack {
       val b = blocks.select($"doc_id".as("b_id"), $"sig".as("b_sig"), $"blk", $"v")
       a.join(b, Seq("blk", "v"))
         .filter($"a_id" < $"b_id")
-        .dropDuplicates("a_id", "b_id")
+        // hamming BEFORE the pair dedup (r17, guide §2.3): it is a pure
+        // function of the (deterministic) signatures, so filtering first
+        // is result-identical while the dropDuplicates shuffle carries
+        // only hamming<=3 survivors instead of every block-collision
+        // candidate pair — the candidate:survivor ratio grows with
+        // corpus density, so the saving scales.
         .select($"a_id", $"b_id", asLong(TextOps.hamming64($"a_sig", $"b_sig")).as("hamming"))
         .filter($"hamming" <= 3)
+        .dropDuplicates("a_id", "b_id")
         .orderBy($"a_id", $"b_id")
     },
 
