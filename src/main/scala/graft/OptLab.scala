@@ -27,6 +27,9 @@ object OptLab {
       case "pagerank" => pagerank(spark, sfDir)
       case "prplan" => prplan(spark, sfDir)
       case "bigram" => bigram(spark, sfDir)
+      case "mmr" => mmr(spark, sfDir)
+      case "tri" => tri(spark, sfDir)
+      case "shj" => shj(spark, sfDir)
       case other => println(s"unknown experiment: $other")
     }
     spark.stop()
@@ -67,6 +70,115 @@ object OptLab {
       val got = q(p).count()
       println(s"OPTLAB ssj parts=$p rows=$got")
     }
+  }
+
+  /** preferSortMergeJoin on/off across the join-heavy gates. */
+  private def shj(s: SparkSession, d: String): Unit = {
+    val qs = Seq("q_tpch_q5", "q_tpch_q7", "q_tpch_q18", "q_tpch_q21",
+      "q_join_inner_star", "q_join_bucketed", "q_tpch_q9", "q_join_asof")
+    for (round <- 1 to 2; pref <- Seq("true", "false")) {
+      s.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+      val t0 = System.nanoTime()
+      qs.foreach { q =>
+        SparkEntry.queries(q)(s, d).write.format("noop").mode("overwrite").save()
+      }
+      println(f"OPTLAB shj round$round preferSMJ=$pref total ${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    s.conf.unset("spark.sql.join.preferSortMergeJoin")
+  }
+
+  /** Triangle count: eager vs lazy checkpoints around the self-joined
+    * oriented edge list (cache-race hypothesis). */
+  private def tri(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    def variant(eagerCp: Boolean): DataFrame = {
+      val knuth = (c: org.apache.spark.sql.Column) => graft.queries.Hashing.knuth(c)
+      val ords = Tables.orders(s, d).select($"o_orderkey")
+        .filter(knuth($"o_orderkey") % 1000 < 200)
+      val li = Tables.lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .join(ords, $"ok" === $"o_orderkey").drop("o_orderkey").distinct()
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        .localCheckpoint(eager = eagerCp)
+      val deg = e0.select(explode(array($"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(eager = eagerCp)
+      val bcastDeg = deg.count() <= 4000000L
+      def degSide(df: DataFrame): DataFrame = if (bcastDeg) broadcast(df) else df
+      val oriented = e0
+        .join(degSide(deg.select($"v".as("a"), $"dg".as("da"))), "a")
+        .join(degSide(deg.select($"v".as("b"), $"dg".as("db"))), "b")
+        .select(when(struct($"da", $"a") < struct($"db", $"b"),
+            struct($"a".as("u"), $"b".as("w"), $"db".as("dw")))
+          .otherwise(struct($"b".as("u"), $"a".as("w"), $"da".as("dw"))).as("e"))
+        .select($"e.u".as("u"), $"e.w".as("w"), $"e.dw".as("dw"))
+        .localCheckpoint(eager = eagerCp)
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))
+        .select(col("e1.u").as("t0"), col("e1.w").as("v1"), col("e2.w").as("v2"))
+      val tri = wedges.join(
+        oriented.select($"u".as("v1"), $"w".as("v2")), Seq("v1", "v2"))
+      tri.select(explode(array($"t0", $"v1", $"v2")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).cast("long").as("tri_cnt"))
+        .orderBy($"node")
+    }
+    time("tri eager")(variant(true))
+    time("tri lazy (current)")(variant(false))
+    time("tri eager")(variant(true))
+    time("tri lazy (current)")(variant(false))
+  }
+
+  /** MMR greedy loop: eager vs lazy localCheckpoints (job-count). */
+  private def mmr(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.llm.VectorOps.dot
+    def variant(eagerCp: Boolean): DataFrame = {
+      import graft.llm.VectorOps.{asDoubles, norm2}
+      graft.functions.VectorExprs.register(s)
+      val sl = graft.queries.LlmVectorQueries.cosineRanked(s, d, 10)
+        .select($"q_id", $"b_id", $"cos".as("rel"))
+        .localCheckpoint(eager = eagerCp)
+      val withN = graft.Tables.embeddings(s, d).select(
+        col("vec_id"), asDoubles(col("embedding")).as("v"),
+        sqrt(norm2(asDoubles(col("embedding")))).as("nrm"))
+      val withV = sl.join(withN.select($"vec_id".as("b_id"), $"v", $"nrm"), Seq("b_id"))
+      val pairs = withV.as("x").join(withV.as("y"),
+          col("x.q_id") === col("y.q_id") && col("x.b_id") =!= col("y.b_id"))
+        .select(col("x.q_id").as("q_id"), col("x.b_id").as("a_id"),
+          col("y.b_id").as("c_id"),
+          (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
+        .localCheckpoint(eager = eagerCp)
+      var selected = sl.withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"rel".desc, $"b_id")))
+        .filter($"rn" === 1)
+        .select($"q_id", $"b_id", lit(1L).as("pick"))
+        .localCheckpoint(eager = eagerCp)
+      for (i <- 2 to 5) {
+        val cand = sl.join(selected.select($"q_id", $"b_id"),
+          Seq("q_id", "b_id"), "left_anti")
+        val ms = pairs.join(selected.select($"q_id", $"b_id".as("c_id")),
+            Seq("q_id", "c_id"))
+          .groupBy($"q_id", $"a_id").agg(max($"sim").as("maxsim"))
+          .withColumnRenamed("a_id", "b_id")
+        val next = cand.join(ms, Seq("q_id", "b_id"))
+          .withColumn("mmr", lit(0.5) * $"rel" - lit(0.5) * $"maxsim")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"mmr".desc, $"b_id")))
+          .filter($"rn" === 1)
+          .select($"q_id", $"b_id", lit(i.toLong).as("pick"))
+        selected = selected.union(next).localCheckpoint(eager = eagerCp)
+      }
+      selected.select($"q_id", $"pick", $"b_id").orderBy($"q_id", $"pick")
+    }
+    time("mmr eager (current)")(variant(true))
+    time("mmr lazy")(variant(false))
+    time("mmr eager (current)")(variant(true))
+    time("mmr lazy")(variant(false))
+    def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
+    println(s"OPTLAB mmr equal: ${h(variant(true)) == h(variant(false))}")
   }
 
   /** bigram formation: lead() window (old) vs array transform (new). */

@@ -418,7 +418,10 @@ object AssemblyQueries extends QueryPack {
     var syms = wc
       .select($"term", $"freq",
         expr("filter(split(term, ''), x -> x != '')").as("syms"))
-      .localCheckpoint()
+      // lazy checkpoints (r17): the 8 merge rounds are a fixed loop with
+      // no driver decision between them — every frame's consumers run
+      // under the caller's one action; eager cost ~16 scheduled jobs
+      .localCheckpoint(eager = false)
     val merges = Seq.newBuilder[DataFrame]
     for (step <- 1 to BpeMerges) {
       val pairs = syms
@@ -429,7 +432,7 @@ object AssemblyQueries extends QueryPack {
         .groupBy($"p.l".as("l"), $"p.r".as("r"))
         .agg(sum($"freq").as("cnt"))
       val best = pairs.orderBy($"cnt".desc, $"l", $"r").limit(1)
-        .localCheckpoint() // feeds the merge fold AND the output row
+        .localCheckpoint(eager = false) // feeds the merge fold AND the output row
       merges += best.select(lit(step).cast("long").as("step"),
         $"l", $"r", concat($"l", $"r").as("merged"), asLong($"cnt").as("cnt"))
       syms = syms.crossJoin(broadcast(best.select($"l", $"r")))
@@ -439,7 +442,7 @@ object AssemblyQueries extends QueryPack {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat($"l", $"r"))))
               .otherwise(concat(acc, array(sv)))).as("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     (merges.result(), syms)
   }

@@ -89,7 +89,7 @@ object SearchQueries extends QueryPack {
     val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy (r17): consumers share one action
     val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
@@ -236,7 +236,7 @@ object SearchQueries extends QueryPack {
       val pairs = LlmTextQueries.minhashNearDups(s, d).select($"a_id", $"b_id")
       val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
         .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-        .localCheckpoint() // edges drive every iteration; materialize once
+        .localCheckpoint(eager = false) // edges drive every iteration; one materialization at the first round's action
       val labels = connectedComponents(edges)
         .select($"id".as("doc_id"), $"label".as("cluster_id"))
       val sizes = labels.groupBy($"cluster_id")
@@ -508,10 +508,10 @@ object SearchQueries extends QueryPack {
       val e0 = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        .localCheckpoint() // reused: degree pass + the two orientation joins
+        .localCheckpoint(eager = false) // reused: degree pass + the two orientation joins (materialized by the deg.count() guard)
       val deg = e0.select(explode(array($"a", $"b")).as("v"))
         .groupBy($"v").agg(count(lit(1)).as("dg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // deg is node-sized (the pageRank treatment, guide §3.1): while it
       // fits an executor, broadcast it into both orientation joins so
       // the edge list is not shuffled twice just to pick up endpoint
@@ -526,7 +526,7 @@ object SearchQueries extends QueryPack {
             struct($"a".as("u"), $"b".as("w"), $"db".as("dw")))
           .otherwise(struct($"b".as("u"), $"a".as("w"), $"da".as("dw"))).as("e"))
         .select($"e.u".as("u"), $"e.w".as("w"), $"e.dw".as("dw"))
-        .localCheckpoint() // reused by both wedge sides and the closing join
+        .localCheckpoint(eager = false) // reused by both wedge sides and the closing join
       val wedges = oriented.as("e1").join(oriented.as("e2"),
           col("e1.u") === col("e2.u") &&
             struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))
@@ -550,7 +550,7 @@ object SearchQueries extends QueryPack {
     val s = edges.sparkSession
     import s.implicits._
     val unit = 1000000000000L
-    val e = edges.localCheckpoint() // reused every iteration: one materialization
+    val e = edges.localCheckpoint(eager = false) // reused every iteration: one materialization (at the deg.count() guard)
     val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
     // Join strategy decided DELIBERATELY from the rank table's true size
     // (guide §3.1 — post-checkpoint frames carry no stats, so the
@@ -567,7 +567,7 @@ object SearchQueries extends QueryPack {
     val n = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(n))
       .select($"id", $"outdeg", $"n", expr(s"$unit div n").as("pr"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val ranks = pr.select($"id".as("src"), expr("pr div outdeg").as("c"))
       val inflow = e
@@ -578,7 +578,7 @@ object SearchQueries extends QueryPack {
         .select($"id", $"outdeg", $"n",
           (expr(s"(15 * ($unit div n)) div 100") +
             expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     pr
   }
