@@ -30,6 +30,8 @@ object OptLab {
       case "mmr" => mmr(spark, sfDir)
       case "tri" => tri(spark, sfDir)
       case "shj" => shj(spark, sfDir)
+      case "search" => search(spark, sfDir)
+      case "variant" => variantSpread(spark, sfDir)
       case other => println(s"unknown experiment: $other")
     }
     spark.stop()
@@ -179,6 +181,141 @@ object OptLab {
     time("mmr lazy")(variant(false))
     def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
     println(s"OPTLAB mmr equal: ${h(variant(true)) == h(variant(false))}")
+  }
+
+  /** Search family (round 18): tf / vecs materialization strategy.
+    * Hypotheses from the r17 verdict: (a) lazy-localCheckpoint `tf`
+    * consumed by both broadcast-build jobs and the main stage races
+    * ("Block already exists" duplicate materialization); (b) bm25's
+    * cache()/unpersist() pair is a no-op at action time so tf's
+    * explode+groupBy runs twice (broadcast build + scoring). Variants:
+    * tf lazy vs eager, and additionally checkpointing `vecs` (consumed
+    * twice: qvecs broadcast build + probe side). */
+  private def search(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def tfidf(eagerTf: Boolean, cpVecs: Boolean): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = eagerTf)
+      val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 1e6)
+            .cast("long")).as("w6"))
+      graft.functions.VectorExprs.register(s)
+      import graft.llm.VectorOps.dot
+      val tids = dfv.select($"term",
+        row_number().over(Window.orderBy($"term")).as("tid"))
+      val vsz = tids.agg(max($"tid").as("vsz"))
+      val vecs0 = w.join(broadcast(tids), "term")
+        .groupBy($"doc_id")
+        .agg(map_from_entries(collect_list(struct($"tid", $"w6"))).as("m"))
+        .crossJoin(broadcast(vsz))
+        .select($"doc_id",
+          transform(sequence(lit(1), $"vsz"),
+            i => coalesce(element_at($"m", i), lit(0L)).cast("double")).as("v"))
+        .withColumn("n2", dot($"v", $"v"))
+      val vecs = if (cpVecs) vecs0.localCheckpoint() else vecs0
+      val qvecs = vecs.filter($"doc_id" < 50)
+        .select($"doc_id".as("q_id"), $"v".as("qv"), $"n2".as("na2"))
+      vecs.join(broadcast(qvecs), $"q_id" =!= $"doc_id")
+        .select($"q_id", $"doc_id",
+          (dot($"qv", $"v") / (sqrt($"na2") * sqrt($"n2"))).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id")))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"rk".cast("long").as("rk"), $"doc_id", $"cos")
+        .orderBy($"q_id", $"rk")
+    }
+    def bm25(variant: String): DataFrame = {
+      val docs = Tables.documents(s, d)
+      val tf0 = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val tf = variant match {
+        case "deadcache" => val c = tf0.cache(); c.unpersist(); c
+        case "eagercp" => tf0.localCheckpoint()
+        case "plain" => tf0
+      }
+      val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+      val termStats = tf.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cnt"))
+      val qterms = termStats
+        .orderBy($"cnt".desc, $"term")
+        .limit(3)
+        .select($"term", $"df")
+      val k1 = 1.2
+      val b = 0.75
+      tf.join(broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+        .withColumn("tscore",
+          $"idf" * ($"tf" * (k1 + 1.0)) /
+            ($"tf" + lit(k1) * (lit(1.0) - b + lit(b) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id")
+        .agg(round(sum($"tscore"), 4).as("score"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .orderBy($"score".desc, $"doc_id").limit(10)
+    }
+    for (_ <- 1 to 2) {
+      time("tfidf lazyTf (current)")(tfidf(eagerTf = false, cpVecs = false))
+      time("tfidf eagerTf")(tfidf(eagerTf = true, cpVecs = false))
+      time("tfidf eagerTf+cpVecs")(tfidf(eagerTf = true, cpVecs = true))
+      time("tfidf lazyTf+cpVecs")(tfidf(eagerTf = false, cpVecs = true))
+    }
+    for (_ <- 1 to 2) {
+      time("bm25 deadcache (current)")(bm25("deadcache"))
+      time("bm25 eagercp")(bm25("eagercp"))
+      time("bm25 plain")(bm25("plain"))
+    }
+    def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
+    println(s"OPTLAB tfidf equal: " +
+      s"${h(tfidf(false, false)) == h(tfidf(true, true))}")
+    println(s"OPTLAB bm25 equal: " +
+      s"${h(bm25("deadcache")) == h(bm25("eagercp"))}")
+  }
+
+  /** q_scalar_variant: repartition spread before the JSON encode/parse —
+    * defaultParallelism (current) vs none vs 8 (r17 verdict item 6:
+    * 13 CPU-s summed task time at 32 tasks for a 0.9 s wall suggests
+    * superlinear contention in the parse path). */
+  private def variantSpread(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    def q(parts: Int): DataFrame = {
+      val base = Tables.events(s, d)
+      val spread = if (parts <= 0) base else base.repartition(parts)
+      spread
+        .select($"event_id".as("eid"),
+          parse_json(to_json(struct($"event_type", $"value",
+            struct($"user_id", $"event_id").as("ids"), $"props"))).as("v"))
+        .select(
+          $"eid".as("event_id"),
+          expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+          expr("variant_get(v, '$.value', 'double')").as("value"),
+          expr("variant_get(v, '$.ids.user_id', 'long')").as("user_id"),
+          expr("variant_get(parse_json(variant_get(v, '$.props', 'string')), " +
+            "'$.k', 'long')").as("k"),
+          (expr("variant_get(v, '$.ids.event_id', 'long')") === $"eid")
+            .cast("long").as("id_roundtrip"),
+          expr("variant_get(v, '$.no_such_path', 'string')").isNull
+            .cast("long").as("missing_is_null"))
+        .orderBy($"event_id")
+    }
+    val dp = s.sparkContext.defaultParallelism
+    for (_ <- 1 to 2) {
+      time(s"variant repartition($dp) (current)")(q(dp))
+      time("variant no-spread")(q(0))
+      time("variant repartition(8)")(q(8))
+    }
+    def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
+    println(s"OPTLAB variant equal: ${h(q(dp)) == h(q(0))}")
   }
 
   /** bigram formation: lead() window (old) vs array transform (new). */

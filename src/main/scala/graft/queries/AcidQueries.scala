@@ -1595,25 +1595,22 @@ object AcidQueries extends QueryPack {
         .orderBy($"event_type")
     },
 
-    // Round 17 DISCRIMINATOR PROBE (r16 directive #2): the identical
-    // aggregate emitted TWICE side by side — once as the pack's
-    // conventional DOUBLE, once as the raw DECIMAL(38,6) that made the
-    // five r16 gates hash-red while rows+schema stayed green. With the
-    // headline gates re-typed per convention: green headline + red probe
-    // in the driver = the divergence was representation-level DECIMAL
-    // hashing (scale/width canonicalization in the driver's hasher, not
-    // a value difference); red headline too = genuine value divergence.
-    // Either way CORRECTNESS_r17 documents WHICH, closing the bisection
-    // saga's terminal row in COVERAGE.md.
+    // Round 17 DISCRIMINATOR PROBE (r16 directive #2), RETIRED TO GREEN
+    // in round 18 (r17 directive #2): the probe ran once with the raw
+    // DECIMAL(38,6) column alongside the DOUBLE and CORRECTNESS_r17
+    // recorded its answer — rows+schema green, hash red — proving the
+    // r16 divergence was representation-level DECIMAL hashing in the
+    // driver's hasher, not a value difference. With that on record the
+    // DECIMAL column has done its job; it is dropped (both sides) so the
+    // gate measures the same aggregate under the cross-engine DOUBLE
+    // convention like its siblings.
     "q_acid_decimal_probe" -> { (s, d) =>
       import s.implicits._
       cdfTable(s, d).snapshot()
         .groupBy($"event_type")
         .agg(count(lit(1)).cast("long").as("n"),
           sum($"value".cast("decimal(28,6)")).cast("double")
-            .as("sum_d"),
-          sum($"value".cast("decimal(28,6)")).cast("decimal(38,6)")
-            .as("sum_dec"))
+            .as("sum_d"))
         .orderBy($"event_type")
     },
 
@@ -2435,7 +2432,8 @@ object AcidQueries extends QueryPack {
         |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // the discriminator probe: same recompute, both typings side by side
+    // the discriminator probe, retired to the DOUBLE convention (r17
+    // directive #2) now that its DECIMAL-hashing answer is on record
     "q_acid_decimal_probe" ->
       """WITH latest AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
@@ -2443,8 +2441,7 @@ object AcidQueries extends QueryPack {
         |                                     ORDER BY ts DESC, event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT event_type, count(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_d,
-        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_dec
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_d
         |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_acid_cdc_agg_api" ->

@@ -86,10 +86,17 @@ object SearchQueries extends QueryPack {
   private def tfidfScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
+    // EAGER tf (r18, reversing the r17 lazy experiment for this frame
+    // only): tf feeds the dfv/tids/vsz BROADCAST builds AND the main
+    // stage — under a lazy checkpoint those run as concurrent jobs that
+    // each re-materialize the un-built checkpoint RDD (the driver log's
+    // "Block rdd_* already exists" signature; measured cold 15.3 s vs
+    // 2.7 s eager, OptLab `search`). Eager serializes: one job builds
+    // the blocks, every consumer reads them.
     val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false) // lazy (r17): consumers share one action
+      .localCheckpoint()
     val dfv = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(broadcast(dfv), "term").crossJoin(broadcast(n))
@@ -101,6 +108,12 @@ object SearchQueries extends QueryPack {
     val tids = dfv.select($"term",
       row_number().over(Window.orderBy($"term")).as("tid"))
     val vsz = tids.agg(max($"tid").as("vsz"))
+    // vecs is consumed TWICE — the qvecs broadcast build and the probe
+    // side of the pair join — and nothing between them materializes it,
+    // so the whole tf->w->vectorize pipeline used to run once per
+    // consumer. One eager checkpoint (doc-count rows of vocab-length
+    // arrays — corpus-linear, narrow) halves that: steady 1.7 s -> 1.4 s
+    // (OptLab `search`, same JVM), results bit-identical.
     val vecs = w.join(broadcast(tids), "term")
       .groupBy($"doc_id")
       .agg(map_from_entries(collect_list(struct($"tid", $"w6"))).as("m"))
@@ -109,6 +122,7 @@ object SearchQueries extends QueryPack {
         transform(sequence(lit(1), $"vsz"),
           i => coalesce(element_at($"m", i), lit(0L)).cast("double")).as("v"))
       .withColumn("n2", dot($"v", $"v"))
+      .localCheckpoint()
     val qvecs = vecs.filter($"doc_id" < 50)
       .select($"doc_id".as("q_id"), $"v".as("qv"), $"n2".as("na2"))
     vecs.join(broadcast(qvecs), $"q_id" =!= $"doc_id")
@@ -132,10 +146,17 @@ object SearchQueries extends QueryPack {
     "q_search_bm25" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // EAGER localCheckpoint (r18): tf feeds the qterms broadcast build
+      // AND the scoring stage. The previous cache()/unpersist() pair was
+      // a NO-OP at action time (unpersist ran at DataFrame-construction
+      // time, before the plan ever executed — r17 verdict), so the
+      // explode+groupBy corpus pass ran once per consumer. The eager
+      // checkpoint materializes it exactly once; blocks are GC-managed
+      // with the frame instead of pinned in the cache registry.
       val tf = docs
         .select($"doc_id", explode(split($"text", " ")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .cache() // feeds term stats AND scoring; narrow (id, term, count) rows
+        .localCheckpoint()
       val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
       val termStats = tf.groupBy($"term")
@@ -158,9 +179,7 @@ object SearchQueries extends QueryPack {
         .groupBy($"doc_id")
         .agg(round(sum($"tscore"), 4).as("score"),
           asLong(count(lit(1))).as("n_terms"))
-      val out = scored.orderBy($"score".desc, $"doc_id").limit(10)
-      tf.unpersist()
-      out
+      scored.orderBy($"score".desc, $"doc_id").limit(10)
     },
 
     // ---- TF-IDF retrieval: sparse-vector cosine via posting join ----
