@@ -32,6 +32,8 @@ object OptLab {
       case "shj" => shj(spark, sfDir)
       case "search" => search(spark, sfDir)
       case "variant" => variantSpread(spark, sfDir)
+      case "pipeline" => pipeline(spark, sfDir)
+      case "textagg" => textagg(spark, sfDir)
       case other => println(s"unknown experiment: $other")
     }
     spark.stop()
@@ -280,6 +282,193 @@ object OptLab {
       s"${h(tfidf(false, false)) == h(tfidf(true, true))}")
     println(s"OPTLAB bm25 equal: " +
       s"${h(bm25("deadcache")) == h(bm25("eagercp"))}")
+  }
+
+  /** Multi-consumer corpus aggregates (round 18): q_text_pmi's c2 feeds
+    * the ca/cb/n broadcast builds AND the main filter (4 consumers →
+    * up to 4 bigram-formation corpus passes); q_text_surprisal's tf
+    * feeds the vocab build + the scoring join (2 passes);
+    * q_select_dsir's token-hash explode feeds docBucket/rawB/tgtB
+    * (3 passes). A/B: as-is vs materialize-once (checkpoint the
+    * aggregate; for dsir derive rawB/tgtB FROM the (doc,lang,bucket)
+    * aggregate so the token stream is read once). */
+  private def textagg(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def pmi(cp: Boolean): DataFrame = {
+      val bg = Tables.documents(s, d)
+        .select(split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+      val c20 = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
+      val c2 = if (cp) c20.localCheckpoint() else c20
+      val ca = c2.groupBy($"a").agg(sum($"c2").as("ca"))
+      val cb = c2.groupBy($"b").agg(sum($"c2").as("cb"))
+      val n = c2.agg(sum($"c2").as("nbg"))
+      c2.filter($"c2" >= 5)
+        .join(broadcast(ca), Seq("a")).join(broadcast(cb), Seq("b"))
+        .crossJoin(broadcast(n))
+        .withColumn("ratio",
+          ($"c2" * $"nbg").cast("double") / ($"ca" * $"cb").cast("double"))
+        .orderBy($"ratio".desc, $"a", $"b").limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"ratio".desc, $"a", $"b")))
+        .select($"rk".cast("long").as("rk"), $"a", $"b", $"c2".cast("long").as("c2"),
+          round(log($"ratio"), 6).as("pmi"))
+        .orderBy($"rk")
+    }
+    def surprisal(cp: Boolean): DataFrame = {
+      val tf0 = Tables.documents(s, d)
+        .select($"doc_id", explode(graft.llm.TextOps.words($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val tf = if (cp) tf0.localCheckpoint() else tf0
+      val vocab = tf.groupBy($"term").agg(sum($"tf").as("ctf"))
+      val total = vocab.agg(sum($"ctf").as("n_total"))
+      tf.join(broadcast(vocab), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          round(log($"n_total") - log($"ctf"), 6).cast("decimal(28,12)"))
+        .groupBy($"doc_id")
+        .agg(
+          round(sum($"surp" * $"tf").cast("double") /
+            sum($"tf").cast("double"), 4).as("mean_surprisal"),
+          sum($"tf").cast("long").as("n_tok"))
+        .orderBy($"doc_id")
+    }
+    def dsir(variant: String): DataFrame = {
+      graft.functions.VectorExprs.register(s)
+      val NB = 1024
+      val feats = Tables.documents(s, d)
+        .withColumn("wh", call_function("word_hashes", $"text"))
+        .select($"doc_id", $"lang",
+          explode(concat($"wh",
+            call_function("span_hashes", $"wh", lit(2)))).as("f"))
+        .select($"doc_id", $"lang", pmod($"f", lit(NB.toLong)).as("bucket"))
+      val (docBucket, rawB, tgtB) = variant match {
+        case "current" =>
+          (feats.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("cnt")),
+            feats.groupBy($"bucket").agg(count(lit(1)).as("r")),
+            feats.filter($"lang" === "en")
+              .groupBy($"bucket").agg(count(lit(1)).as("t")))
+        case "derive" =>
+          val db = feats.groupBy($"doc_id", $"lang", $"bucket")
+            .agg(count(lit(1)).as("cnt"))
+            .localCheckpoint()
+          (db.select($"doc_id", $"bucket", $"cnt"),
+            db.groupBy($"bucket").agg(sum($"cnt").as("r")),
+            db.filter($"lang" === "en")
+              .groupBy($"bucket").agg(sum($"cnt").as("t")))
+      }
+      val tbl = s.range(NB).select($"id".as("bucket"))
+        .join(rawB, Seq("bucket"), "left")
+        .join(tgtB, Seq("bucket"), "left")
+        .select($"bucket", coalesce($"r", lit(0L)).as("r"),
+          coalesce($"t", lit(0L)).as("t"))
+      val totals = tbl.agg(sum($"r").as("r_total"), sum($"t").as("t_total"))
+      def lnDec(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")), 6).cast("decimal(28,12)")
+      val lam = tbl.crossJoin(broadcast(totals))
+        .select($"bucket",
+          (lnDec($"t" + 1) - lnDec($"t_total" + NB)
+            - lnDec($"r" + 1) + lnDec($"r_total" + NB)).as("lw"))
+      docBucket.join(broadcast(lam), "bucket")
+        .groupBy($"doc_id")
+        .agg(round(sum($"lw" * $"cnt"), 4).cast("double").as("dsir_score"),
+          sum($"cnt").cast("long").as("n_feats"),
+          (sum($"lw" * $"cnt") > 0).as("keep"))
+        .orderBy($"doc_id")
+    }
+    def bigramLm(cpBgTf: Boolean, cpUni: Boolean): DataFrame = {
+      val toksArr = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+      val bg = toksArr
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
+        .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      val bgTf0 = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("tf"))
+      val bgTf = if (cpBgTf) bgTf0.localCheckpoint() else bgTf0
+      val c2 = bgTf.groupBy($"a", $"b").agg(sum($"tf").as("c2"))
+      val uni0 = toksArr.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w", "a")
+      val uni = if (cpUni) uni0.localCheckpoint() else uni0
+      val v = uni.agg(count(lit(1)).as("vsz"))
+      bgTf.join(broadcast(c2), Seq("a", "b")).join(broadcast(uni), Seq("a"))
+        .crossJoin(broadcast(v))
+        .withColumn("surp",
+          round(log($"c1" + $"vsz") - log($"c2" + lit(1L)), 6)
+            .cast("decimal(28,12)"))
+        .groupBy($"doc_id")
+        .agg(
+          round(sum($"surp" * $"tf").cast("double") /
+            sum($"tf").cast("double"), 4).as("mean_bigram_surprisal"),
+          sum($"tf").cast("long").as("n_bigrams"))
+        .orderBy($"doc_id")
+    }
+    for (_ <- 1 to 2) {
+      time("pmi current")(pmi(false))
+      time("pmi cpC2")(pmi(true))
+      time("surprisal current")(surprisal(false))
+      time("surprisal cpTf")(surprisal(true))
+      time("dsir current")(dsir("current"))
+      time("dsir derive")(dsir("derive"))
+      time("bigram_lm none")(bigramLm(false, false))
+      time("bigram_lm cpBgTf")(bigramLm(true, false))
+      time("bigram_lm cpBoth")(bigramLm(true, true))
+    }
+    println(s"OPTLAB bigram_lm equal: " +
+      s"${bigramLm(false, false).collect().map(_.toString).mkString("|") == bigramLm(true, true).collect().map(_.toString).mkString("|")}")
+    def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
+    println(s"OPTLAB pmi equal: ${h(pmi(false)) == h(pmi(true))}")
+    println(s"OPTLAB surprisal equal: ${h(surprisal(false)) == h(surprisal(true))}")
+    println(s"OPTLAB dsir equal: ${h(dsir("current")) == h(dsir("derive"))}")
+  }
+
+  /** Curation-pipeline composition (q_pipeline_training_set shape):
+    * stagewise cost breakdown + A/B on materializing the exact-dedup
+    * survivors frame (consumed by BOTH the minhash pass and the
+    * anti-join/quality tail — recomputed per consumer today). */
+  private def pipeline(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    def keepExact(base: DataFrame): DataFrame =
+      base.groupBy(sha2($"text", 256).as("digest"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+    def full(cpDocs: Boolean): DataFrame = {
+      val base = Tables.documents(s, d)
+      val docs0 = base.join(keepExact(base), Seq("doc_id"))
+      val docs = if (cpDocs) docs0.select($"doc_id", $"text", $"source")
+        .localCheckpoint() else docs0
+      val nearDups = graft.queries.LlmTextQueries
+        .minhashNearDupsFrom(s, docs.select($"doc_id", $"text"))
+        .select($"b_id".as("doc_id")).distinct()
+      val kept = docs.join(nearDups, Seq("doc_id"), "left_anti")
+      kept.select(Seq($"doc_id") ++ graft.llm.TextOps.qualityColumns($"text"): _*)
+        .filter($"n_tokens" >= 20 && $"quality_score" >= 0.2)
+        .select($"doc_id", $"n_tokens", $"quality_score")
+        .orderBy($"doc_id")
+    }
+    // stagewise: where do the CPU seconds go?
+    val base = Tables.documents(s, d)
+    time("stage keepExact")(keepExact(base))
+    time("stage docsJoin")(base.join(keepExact(base), Seq("doc_id")))
+    time("stage minhash(docsJoin)")(graft.queries.LlmTextQueries
+      .minhashNearDupsFrom(s,
+        base.join(keepExact(base), Seq("doc_id")).select($"doc_id", $"text")))
+    time("stage minhash(rawbase)")(graft.queries.LlmTextQueries
+      .minhashNearDupsFrom(s, base.select($"doc_id", $"text")))
+    for (_ <- 1 to 2) {
+      time("pipeline current")(full(cpDocs = false))
+      time("pipeline cpDocs")(full(cpDocs = true))
+    }
+    def h(df: DataFrame): String = df.collect().map(_.toString).mkString("|")
+    println(s"OPTLAB pipeline equal: ${h(full(false)) == h(full(true))}")
   }
 
   /** q_scalar_variant: repartition spread before the JSON encode/parse —

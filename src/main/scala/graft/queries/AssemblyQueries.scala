@@ -212,6 +212,12 @@ object AssemblyQueries extends QueryPack {
     // engines before its 4-dp round.
     "q_text_surprisal" -> { (s, d) =>
       import s.implicits._
+      // NOT checkpointed (r18, measured): materializing the
+      // corpus-linear (doc, term, tf) frame is steady-neutral at best
+      // (OptLab `textagg`: none 0.85–1.16 s vs cpTf 0.84–1.08 s, same
+      // JVM) — the block write costs what the recompute saves; contrast
+      // q_text_pmi/q_text_entropy, whose VOCAB-SIZED aggregates
+      // checkpoint for a measured win.
       val tf = Tables.documents(s, d)
         .select($"doc_id", explode(TextOps.words($"text")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
@@ -254,6 +260,12 @@ object AssemblyQueries extends QueryPack {
           "transform(sequence(1, size(toks) - 1), " +
             "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
         .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      // NOT checkpointed (r18, measured): materializing the
+      // corpus-linear bgTf (or vocab-sized uni here) was neutral to
+      // slightly NEGATIVE in the same-JVM A/B (OptLab `textagg`:
+      // none 1.06–1.35 s vs cpBgTf 1.12–1.37 s vs cpBoth 1.17–1.33 s) —
+      // kept as-is; see q_text_pmi for the shape where the checkpoint
+      // does pay.
       val bgTf = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("tf"))
       val c2 = bgTf.groupBy($"a", $"b").agg(sum($"tf").as("c2"))
       val uni = toksArr.select(explode($"toks").as("w"))
@@ -297,7 +309,14 @@ object AssemblyQueries extends QueryPack {
           "transform(sequence(1, size(toks) - 1), " +
             "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
         .select($"p.a".as("a"), $"p.b".as("b"))
+      // EAGER checkpoint (r18): c2 (bigram vocab — bounded, never
+      // corpus-sized) feeds the ca/cb/n BROADCAST builds AND the main
+      // filter: four consumers, each previously re-running the bigram
+      // formation + count over the corpus. One materialization —
+      // measured cold 7.8 s -> 1.3 s, steady 0.80 -> 0.67 s (OptLab
+      // `textagg`), results identical.
       val c2 = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
+        .localCheckpoint()
       val ca = c2.groupBy($"a").agg(sum($"c2").as("ca"))
       val cb = c2.groupBy($"b").agg(sum($"c2").as("cb"))
       val n = c2.agg(sum($"c2").as("nbg"))

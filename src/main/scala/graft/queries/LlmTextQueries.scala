@@ -108,8 +108,8 @@ object LlmTextQueries extends QueryPack {
     * with DISTINCT content, not raw corpus size: a crawl at K× density
     * (duplicate clusters K× wider — the scale_gen shape) pays the same
     * near-dup cost, not K² per cluster. */
-  private[queries] def minhashNearDupsFrom(s: SparkSession,
-                                           base: DataFrame): DataFrame = {
+  private[graft] def minhashNearDupsFrom(s: SparkSession,
+                                         base: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
     // cache() the shared intermediates: the band self-join and the two

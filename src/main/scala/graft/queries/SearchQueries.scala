@@ -325,9 +325,13 @@ object SearchQueries extends QueryPack {
     // q_text_surprisal recipe applied corpus-wide).
     "q_text_entropy" -> { (s, d) =>
       import s.implicits._
+      // EAGER checkpoint (r18): tok (vocab-sized) feeds the tot
+      // broadcast build AND the final aggregate — one corpus tokenize
+      // pass instead of two (the q_text_pmi/tfidf pattern).
       val tok = Tables.documents(s, d)
         .select(explode(split($"text", " ")).as("term"))
         .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val tot = tok.agg(sum($"cnt").as("n_total"))
       tok.crossJoin(broadcast(tot))
         .agg(
