@@ -356,8 +356,13 @@ class PlanSpec extends SparkSpec {
   test("RRF fusion joins ranked lists only — no cartesian anywhere in the hybrid") {
     val p = plan("q_search_rrf")
     assert(!p.contains("CartesianProduct"), p)
-    // both component retrievers broadcast their small side
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the lexical arm's pair scoring stays a BROADCAST of the bounded
+    // query-vector side over the (r18) checkpointed doc-vector table —
+    // the non-equi condition makes it a nested loop, never a cartesian;
+    // the inverted-index broadcasts (dfv/tids) now live in the
+    // checkpoint's own materialization plan, behind the ExistingRDD scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("recall curve shares one probe pass across nprobe settings, no cartesian") {
